@@ -1,0 +1,76 @@
+"""Table registration and loading over the driver-provided parquet tables.
+
+Reference analog: Squrve resolves a benchmark ``db_id`` to a sqlite file /
+warehouse database and introspects it (``core/db_connect.py:139-147``,
+``core/data_manage.py:841-916`` in /root/reference). Here a "database" is a
+directory of parquet files registered as temp views; all introspection comes
+from the Spark catalog.
+
+Scale notes:
+  * Registration is metadata-only (lazy scans); per-query re-registration is
+    cheap and idempotent.
+  * ``events`` ships nanosecond timestamps (unsupported by Spark's reader);
+    we read them as epoch-nanos longs (``spark.sql.legacy.parquet.nanosAsLong``)
+    and expose both ``ts`` (microsecond-truncated timestamp_ntz, the analytic
+    column) and ``ts_ns`` (exact long, the join/sort key) — conversion is a
+    codegen'd projection, no Python involved.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from squrve_spark.session import apply_runtime_confs
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+]
+AUX_TABLES = ["events", "documents", "embeddings"]
+ALL_TABLES = TPCH_TABLES + AUX_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table; normalizes the events nanosecond-timestamp column."""
+    apply_runtime_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ts arrived as epoch-nanos long; keep exact ns and add a usable timestamp
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+            .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+        )
+    return df
+
+
+def register_tables(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    tables: list[str] | None = None,
+    prefix: str = "",
+) -> dict[str, DataFrame]:
+    """Register parquet tables as temp views; returns name -> DataFrame.
+
+    ``prefix`` gives the multi-database namespace the reference gets from
+    db-per-file sqlite (SURVEY §1.3): views named ``{prefix}{table}``.
+    """
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    tables = tables if tables is not None else ALL_TABLES
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(f"{prefix}{name}")
+        out[name] = df
+    return out

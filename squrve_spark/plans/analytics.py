@@ -1,0 +1,191 @@
+"""Analytics extensions: grouping sets, pivot, array aggregation, and
+event-log windowing/sessionization.
+
+These go beyond the reference's sqlite surface (SURVEY §2.A notes A17 as
+dialect-only) — they're first-class here because Spark has native support and
+the target workload (large-scale log/event analytics) needs them.
+
+Events timestamps: the parquet stores TIMESTAMP(NANOS). Spark reads them as
+epoch-ns longs (catalog.load_table), DuckDB truncates to microseconds on read
+— so every derived time value here is computed from the microsecond basis
+(``ts_ns div 1000`` == DuckDB ``epoch_us(ts)``) to be engine-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from squrve_spark.catalog import load_table
+from squrve_spark.functions import dexact, money
+from squrve_spark.plans.registry import register
+
+US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT r_name, n_name, CAST(COUNT(c_custkey) AS BIGINT) AS n_customers
+    FROM region
+    JOIN nation ON r_regionkey = n_regionkey
+    JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+    tags=("A8", "rollup"),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: per-nation, per-region subtotal, grand total."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .join(c, n.n_nationkey == c.c_nationkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT year(o_orderdate) AS yr,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("A8", "pivot"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot orders by status into wide yearly counts (explicit value list —
+    at scale, never let pivot infer distinct values with an extra job)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("yr"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "q_array_agg",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    """,
+    tags=("A17",),
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY_AGG surface: collect + canonical sort (collect_list order is
+    partition-dependent; sort_array makes it deterministic), joined to string
+    so the hash compare is representation-stable across engines."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "q_events_hourly",
+    oracle="""
+    SELECT event_type,
+           epoch_us(ts) // 3600000000 AS bucket_hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window-agg"),
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling hourly rollup of the event log (batch form of the streaming
+    window in squrve_spark.streaming). Value summed as floor-cents BIGINT —
+    double sums are partitioning-order-dependent, integer sums are exact."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("bucket_hr", F.expr(f"(ts_ns div 1000) div {US_PER_HOUR}"))
+        .groupBy("event_type", "bucket_hr")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "q_events_sessionize",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT user_id, CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+    tags=("events", "sessionize"),
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap session count per user via lag window.
+    One shuffle on user_id; the streaming analog (session window +
+    watermark) lives in squrve_spark.streaming."""
+    e = load_table(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts_ns div 1000"))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gapped = e.withColumn(
+        "new_session",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000, 1).otherwise(0),
+    )
+    return gapped.groupBy("user_id").agg((1 + F.sum("new_session")).alias("n_sessions"))
+
+
+@register(
+    "q_events_user_ltv",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS purchase_cents,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_seen_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= 3
+    """,
+    tags=("events",),
+)
+def q_events_user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime rollup with conditional aggregation over event types."""
+    e = load_table(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts_ns div 1000"))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("purchase_cents"),
+            F.min("ts_us").alias("first_seen_us"),
+            F.max("ts_us").alias("last_seen_us"),
+        )
+        .filter(F.col("n_events") >= 3)
+    )

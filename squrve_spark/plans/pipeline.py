@@ -1,0 +1,273 @@
+"""Data-pipeline query entries: dedup, text analysis, similarity search,
+multimodal — over the documents/embeddings tables.
+
+Each entry wraps an operator from squrve_spark.operators with a DuckDB
+oracle where ANSI-expressible. Signature-based operators (MinHash, SimHash,
+sign-LSH) depend on Spark's xxhash64 — no cross-engine oracle exists, so they
+register without oracle (driver records the weaker rows-only check) and get
+property tests in tests/ instead (e.g. LSH output ⊆ exact output, recall on
+planted duplicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from squrve_spark.catalog import load_table
+from squrve_spark.operators import dedup, multimodal, similarity, text
+from squrve_spark.operators.text import LANG_MARKERS, STOPWORDS_EN
+from squrve_spark.plans.registry import register
+
+_CANON = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+
+@register(
+    "doc_exact_dedup",
+    oracle=f"""
+    SELECT {_CANON} AS fp_md5,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by canonical md5; one hash shuffle, linear."""
+    return dedup.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_md5,
+           CAST(length(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS INTEGER)
+               AS canon_len
+    FROM documents
+    """,
+    tags=("text",),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document canonical fingerprint (exact-dedup key)."""
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1))
+                AS INTEGER) AS n_pieces,
+           CAST(length(text) AS INTEGER) AS n_chars_obs
+    FROM documents
+    """,
+    tags=("text",),
+)
+def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    return text.token_count(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
+
+
+@register(
+    "doc_quality",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, length(text) AS n_chars,
+               regexp_split_to_array(trim(text), '\s+') AS toks,
+               len(regexp_extract_all(text, '([^A-Za-z0-9_\s])', 1)) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS INTEGER) AS n_chars_obs,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(ROUND(list_sum(list_transform(toks, x -> length(x))) / len(toks), 4) AS DOUBLE)
+               AS avg_token_len,
+           CAST(ROUND(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                      / len(toks), 4) AS DOUBLE) AS stopword_ratio,
+           CAST(ROUND(n_punct / greatest(n_chars, 1), 4) AS DOUBLE) AS punct_ratio
+    FROM t
+    """,
+    tags=("text",),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality heuristics per document."""
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: f"len(list_filter(toks, x -> list_contains([{', '.join(repr(m) for m in markers)}], x)))"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in score) + ")"
+    cases = " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in sorted(score)
+    )
+    selects = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return rf"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, {selects} FROM t
+    ), b AS (
+        SELECT doc_id, s_de, s_en, s_es, s_fr, {best} AS best FROM s
+    )
+    SELECT doc_id,
+           CASE {cases} ELSE 'und' END AS pred_lang,
+           CAST(best AS INTEGER) AS marker_hits
+    FROM b
+    """
+
+
+@register("doc_langid", oracle=_langid_oracle(), tags=("text",))
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (argmax with lang-asc tie-break)."""
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, lang, source,
+               list_distinct(list_transform(range(0, len(w) - 2),
+                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        FROM (SELECT doc_id, lang, source,
+                     regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents)
+        WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(ROUND(len(list_intersect(a.sh, b.sh))
+                      / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS DOUBLE) AS jaccard
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
+    """,
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs, blocked by (lang, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, ["lang", "source"], threshold=0.05)
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("dedup", "no-oracle"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) candidate pairs verified with true Jaccard.
+    No oracle: signatures use Spark's xxhash64 (engine-specific); recall
+    properties are covered in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.3)
+
+
+@register("dedup_simhash", oracle=None, tags=("dedup", "no-oracle"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming <= 3) with pigeonhole blocking."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               CAST(ROUND(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6)
+                    AS DOUBLE) AS sim
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.query_id
+    ), r AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, sim
+    FROM r WHERE rn <= 5
+    """,
+    tags=("similarity",),
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id<8 (ANN baseline).
+    Ranking is on 6-dp-rounded sim with id tie-break so the selected set is
+    engine-stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register("sim_lsh_topk", oracle=None, tags=("similarity", "no-oracle"))
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via sign-LSH banding + exact re-rank. Recall vs the
+    brute-force baseline is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), dim=64, k=5)
+
+
+@register(
+    "emb_neardup_exact",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])), 6) AS DOUBLE) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
+    """,
+    tags=("dedup", "similarity"),
+)
+def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive embedding near-dup pairs (cosine >= 0.9) — the correctness
+    baseline the LSH variant is tested against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    sim = F.round(similarity.cosine_expr(F.col("vec_a"), F.col("vec_b")), 6).cast("double")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.9)
+    )
+
+
+@register("emb_neardup_lsh", oracle=None, tags=("dedup", "similarity", "no-oracle"))
+def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked embedding near-dup pairs (the scale path; subset-of-exact
+    property tested)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.9, dim=64)
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload profiling (JVM-only slice of the multimodal path)."""
+    docs = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.payload_meta_sql(docs)
+
+
+@register("multimodal_decode", oracle=None, tags=("multimodal", "no-oracle"))
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode/feature-extract over binary payloads (stubbed codec,
+    real Arrow-batched plumbing)."""
+    docs = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_media_meta(docs)

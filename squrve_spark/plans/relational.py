@@ -1,0 +1,681 @@
+"""Relational query surface — SURVEY.md §2.A operator inventory.
+
+Each query is the idiomatic-Spark expression of one or more §2.A rows
+(A1-A23); the paired DuckDB oracle states identical ANSI semantics. The
+reference executes this surface as generated SQL against sqlite/BigQuery/
+Snowflake (/root/reference/core/db_connect.py:139-147); here Catalyst plans
+it: filters/projections push into the parquet scan, small dims broadcast,
+aggregates get map-side partials — verified in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from squrve_spark.catalog import load_table, register_tables
+from squrve_spark.functions import MONEY, dexact, dround, money, revenue_expr
+from squrve_spark.plans.registry import register
+
+
+# --------------------------------------------------------------------------
+# A1-A3, A7-A8: scan, projection, filter, aggregate (TPC-H Q1 style flagship)
+# --------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*), 4) AS DOUBLE) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-06-30'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "A2", "A3", "A7", "A8"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: scan + filter + multi-aggregate groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("2000-06-30").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dexact(F.sum(money("l_quantity"))).alias("sum_qty"),
+            dexact(F.sum(money("l_extendedprice"))).alias("sum_base_price"),
+            dexact(F.sum(revenue_expr())).alias("sum_disc_price"),
+            dround(dexact(F.sum(money("l_extendedprice"))) / F.count("*"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_scan_filter",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_date
+    FROM orders
+    WHERE o_totalprice > 400000 AND o_orderstatus = 'F'
+    """,
+    tags=("A1", "A2", "A3"),
+)
+def q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective scan: both predicates push down to the parquet reader."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_totalprice") > 400000) & (F.col("o_orderstatus") == "F"))
+        .select("o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("o_date"))
+    )
+
+
+@register(
+    "q_between",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    GROUP BY l_returnflag
+    """,
+    tags=("A3",),
+)
+def q_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN predicates on numeric and date columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return (
+        li.filter(
+            F.col("l_quantity").between(10, 20)
+            & d.between(F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date"))
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_items"), dexact(F.sum(money("l_quantity"))).alias("total_qty"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A4, A7: DISTINCT / COUNT(DISTINCT)
+# --------------------------------------------------------------------------
+@register(
+    "q_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_buyers,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    """,
+    tags=("A4", "A7"),
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global COUNT(DISTINCT) — Spark expands to partial aggregation, no collect."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_buyers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A5: inner equi-joins on FK paths (multi-way), broadcast-able dims
+# --------------------------------------------------------------------------
+@register(
+    "q_join_agg",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS nation_value,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING COUNT(*) > 5
+    """,
+    tags=("A5", "A7", "A8"),
+)
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-path join orders->customer->nation + GROUP BY + HAVING.
+
+    nation is tiny: broadcast explicitly so the plan stays shuffle-free on the
+    dim side at any scale; the orders<->customer join shuffles on the key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dexact(F.sum(money("o_totalprice"))).alias("nation_value"),
+            F.count("*").alias("n_orders"),
+        )
+        .filter(F.col("n_orders") > 5)
+    )
+
+
+@register(
+    "q_multijoin_region_revenue",
+    oracle="""
+    SELECT r_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    GROUP BY r_name
+    """,
+    tags=("A5", "A7", "A8"),
+)
+def q_multijoin_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way FK join lineitem->orders->customer->nation->region.
+
+    Join order follows cardinality: the big fact tables join first on their
+    shuffle keys; nation/region broadcast. Catalyst + AQE would reorder/pick
+    broadcast anyway; the hints make the 100TB plan explicit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    od = F.col("o_orderdate").cast("date")
+    return (
+        li.join(
+            o.filter(
+                (od >= F.lit("1996-01-01").cast("date")) & (od < F.lit("1998-01-01").cast("date"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(dexact(F.sum(revenue_expr())).alias("revenue"))
+    )
+
+
+@register(
+    "q_self_join",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM customer c1
+    JOIN customer c2 ON c1.c_nationkey = c2.c_nationkey AND c1.c_custkey < c2.c_custkey
+    JOIN nation ON c1.c_nationkey = n_nationkey
+    WHERE c1.c_acctbal > 0 AND c2.c_acctbal > 0
+    GROUP BY n_name
+    """,
+    tags=("A5",),
+)
+def q_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: same-nation customer pairs (deduped by key ordering)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    n = load_table(spark, sf_dir, "nation")
+    c1 = c.alias("c1")
+    c2 = c.alias("c2")
+    return (
+        c1.join(
+            c2,
+            (F.col("c1.c_nationkey") == F.col("c2.c_nationkey"))
+            & (F.col("c1.c_custkey") < F.col("c2.c_custkey")),
+        )
+        .join(F.broadcast(n), F.col("c1.c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A6: outer joins (NULL-preserving)
+# --------------------------------------------------------------------------
+@register(
+    "q_outer_join",
+    oracle="""
+    SELECT c_custkey,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("A6", "A7"),
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN preserving order-less customers (COUNT(col) skips NULLs)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dexact(F.coalesce(F.sum(money("o_totalprice")), F.lit(0).cast(MONEY))).alias("spend"),
+        )
+    )
+
+
+@register(
+    "q_null_handling",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_inactive
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderkey IS NULL
+    GROUP BY c_mktsegment
+    """,
+    tags=("A6", "A23"),
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL over outer-join output: customers with no orders (anti-join).
+
+    Expressed as a left anti join — same semantics, and Spark skips
+    materializing the null-padded rows entirely.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A9: ORDER BY + LIMIT (top-k)
+# --------------------------------------------------------------------------
+@register(
+    "q_topk",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 10
+    """,
+    tags=("A9",),
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject (per-partition heap, no full
+    sort). Tie-break on the unique key makes the selected set deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# A10: set operations
+# --------------------------------------------------------------------------
+@register(
+    "q_setop_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    tags=("A10",),
+)
+def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers who ordered in both 1995 and 1996."""
+    o = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    a = o.filter(y == 1995).select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(y == 1996).select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "q_setop_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("A10",),
+)
+def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics): buyers with no finished order."""
+    o = load_table(spark, sf_dir, "orders")
+    all_b = o.select(F.col("o_custkey").alias("custkey"))
+    fin = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return all_b.subtract(fin)
+
+
+@register(
+    "q_union_all",
+    oracle="""
+    SELECT o_custkey AS custkey, 'order_1995' AS src FROM orders WHERE year(o_orderdate) = 1995
+    UNION ALL
+    SELECT c_custkey AS custkey, 'big_balance' AS src FROM customer WHERE c_acctbal > 9000
+    """,
+    tags=("A10",),
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) of heterogeneous sources, tagged by origin."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .select(F.col("o_custkey").alias("custkey"), F.lit("order_1995").alias("src"))
+    )
+    b = (
+        c.filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("custkey"), F.lit("big_balance").alias("src"))
+    )
+    return a.unionAll(b)
+
+
+# --------------------------------------------------------------------------
+# A11: subqueries — IN / NOT IN, correlated EXISTS, scalar
+# --------------------------------------------------------------------------
+@register(
+    "q_nested_not_in",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey NOT IN (
+        SELECT l_partkey FROM lineitem WHERE CAST(l_shipdate AS DATE) > DATE '1999-06-30'
+    )
+    """,
+    tags=("A11",),
+)
+def q_nested_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery == left anti join (keys are non-null here)."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    recent = li.filter(F.col("l_shipdate").cast("date") > F.lit("1999-06-30").cast("date")).select(
+        "l_partkey"
+    )
+    return p.join(recent, p.p_partkey == recent.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "q_corr_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    tags=("A11",),
+)
+def q_corr_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS == left semi join (Catalyst decorrelates the SQL
+    form to the same plan)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer
+    )
+    """,
+    tags=("A11",),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery threshold (above-average balance).
+
+    Threshold is computed as exact-decimal-sum -> double / count so both
+    engines derive the bit-identical cutoff (see registry determinism notes).
+    """
+    register_tables(spark, sf_dir, tables=["customer"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer
+        )
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# A12, A13: CTE + window functions
+# --------------------------------------------------------------------------
+@register(
+    "q_cte_window",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_date FROM ranked WHERE rn = 1
+    """,
+    tags=("A12", "A13"),
+)
+def q_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First order per customer: CTE + row_number window (SQL surface)."""
+    register_tables(spark, sf_dir, tables=["orders"])
+    return spark.sql(
+        """
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders
+        )
+        SELECT o_custkey, o_orderkey, o_date FROM ranked WHERE rn = 1
+        """
+    )
+
+
+@register(
+    "q_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend
+    FROM orders
+    """,
+    tags=("A13",),
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend: ordered window frame over exact decimals."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        dexact(F.sum(money("o_totalprice")).over(w)).alias("running_spend"),
+    )
+
+
+@register(
+    "q_window_rank_lag",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rnk,
+           lag(s_acctbal) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+               AS prev_bal
+    FROM supplier
+    """,
+    tags=("A13",),
+)
+def q_window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank + lag in one window pass (single shuffle on the partition key)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_name",
+        F.dense_rank().over(w).alias("rnk"),
+        F.lag("s_acctbal").over(w).alias("prev_bal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A15, A16: LIKE / ILIKE
+# --------------------------------------------------------------------------
+@register(
+    "q_like_ilike",
+    oracle="""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part
+    WHERE p_type ILIKE '%promo%' AND p_name LIKE '%a%'
+    GROUP BY p_brand
+    """,
+    tags=("A15", "A16"),
+)
+def q_like_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive ILIKE + case-sensitive LIKE pattern predicates."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").ilike("%promo%") & F.col("p_name").like("%a%"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A18: CAST / integer-division discipline
+# --------------------------------------------------------------------------
+@register(
+    "q_div_cast",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS avg_discount,
+           CAST(ROUND(CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS big_qty_ratio
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A18", "A20"),
+)
+def q_div_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio metrics with explicit CAST-to-DOUBLE before division (the
+    sqlite int/int trap from SURVEY §2.A A18, normalized Spark-side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(dexact(F.sum(money("l_discount"))) / F.count("*"), 6).alias("avg_discount"),
+        dround(
+            F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).cast("double") / F.count("*"),
+            6,
+        ).alias("big_qty_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A19: date/time functions
+# --------------------------------------------------------------------------
+@register(
+    "q_date",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y') AS yr,
+           month(o_orderdate) AS mth,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY 1, 2
+    """,
+    tags=("A19",),
+)
+def q_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction; Spark `date_format` == sqlite/duckdb `strftime`
+    (the §7.4 transpile pair)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy").alias("yr"),
+            F.month("o_orderdate").alias("mth"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A20, A21: CASE WHEN + conditional-aggregate arithmetic
+# --------------------------------------------------------------------------
+@register(
+    "q_condagg",
+    oracle="""
+    SELECT n_name,
+           CAST(COALESCE(SUM(CASE WHEN year(o_orderdate) = 1995
+                                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
+                - COALESCE(SUM(CASE WHEN year(o_orderdate) = 1996
+                                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
+                AS DOUBLE) AS yoy_delta
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("A20", "A21", "A5"),
+)
+def q_condagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBTRACT-of-aggregates as conditional aggregation (reference's
+    OpenSearchSQL rewrite pattern, SURVEY §2.A A21)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    y = F.year("o_orderdate")
+    zero = F.lit(0).cast(MONEY)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dexact(
+                F.coalesce(F.sum(F.when(y == 1995, money("o_totalprice"))), zero)
+                - F.coalesce(F.sum(F.when(y == 1996, money("o_totalprice"))), zero)
+            ).alias("yoy_delta")
+        )
+    )
+
+
+@register(
+    "q_case_grouping",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_value
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("A20",),
+)
+def q_case_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN as a grouping expression (banding)."""
+    o = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(band.alias("band"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dexact(F.sum(money("o_totalprice"))).alias("band_value"),
+        )
+    )

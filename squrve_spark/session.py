@@ -1,0 +1,76 @@
+"""SparkSession factory tuned for the engine.
+
+Single long-lived session on the driver (reference keeps one sqlite/warehouse
+connection per query; we keep one JVM for the whole run — per-query session
+spin-up would dominate sub-second queries, cf. BASELINE.md interpretation).
+
+Scale stance: these confs are the local[32] test profile of settings that are
+equally valid on a 1000-executor cluster — AQE (runtime coalescing + skew-join
+splitting), adaptive broadcast selection, Arrow for any pandas-boundary
+transfer. Only master/memory are local-mode specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that must hold on ANY session running engine queries (runtime-settable).
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's reader
+    # rejects; read as epoch-nanos long and convert (see catalog.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply engine-required runtime confs to an externally-created session.
+
+    Entry points that receive a foreign ``SparkSession`` (the verify driver's)
+    call this so behavior doesn't depend on who built the session.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build: keep going, reads may still work
+    return spark
+
+
+def get_spark(
+    app_name: str = "squrve_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS (driver harness contract) else 32.
+    ``spark.sql.shuffle.partitions`` defaults to 2x cores locally; on a real
+    cluster AQE coalescing makes the initial number mostly a ceiling.
+    """
+    cpus = int(cpus if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.scheduler.mode", "FAIR")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # getOrCreate may have returned a pre-existing session: re-assert runtime confs
+    return apply_runtime_confs(spark)

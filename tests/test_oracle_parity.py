@@ -1,0 +1,70 @@
+"""Oracle-parity harness: run every registered query on Spark AND its DuckDB
+oracle, compare row count, column names, and an order-insensitive multiset of
+normalized rows. This mirrors (strictly — exact values, not tolerant hashes)
+the driver's CORRECTNESS check, so a pass here implies a pass there.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import pytest
+
+from squrve_spark.plans import REGISTRY
+from tests.conftest import SF_MED, duck_views
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _norm_rows(cols, rows):
+    """Sort columns by name, normalize cells, return sorted row tuples."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    normed = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(normed, key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_MED)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    duck_views(duck, SF_MED)
+    res = duck.execute(spec.oracle)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    sn, dn = _norm_rows(s_cols, s_rows), _norm_rows(d_cols, d_rows)
+    mismatches = [i for i, (a, b) in enumerate(zip(sn, dn)) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first: "
+        f"spark={sn[mismatches[0]]} duck={dn[mismatches[0]]}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_queries_run(spark, name):
+    """No-oracle queries must at least execute and have a stable schema."""
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_MED)
+    assert sdf.columns, name
+    assert sdf.count() >= 0, name
