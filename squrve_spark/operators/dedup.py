@@ -12,19 +12,34 @@ Scale design notes (the point of each variant):
   * SimHash      — 64-bit signature; near-dup = hamming<=k. Blocking by the
                     pigeonhole principle: split signature into k+1 chunks,
                     any pair at hamming<=k shares >=1 exact chunk -> equi-join.
-  * embedding    — cosine > threshold over a vector column (see similarity.py
-                    for the ANN machinery).
+  * embedding    — cosine > threshold over a vector column (similarity.py).
 
-All signature computation is nested array expressions over built-ins
-(codegen'd, zero Python); joins are equi-joins Catalyst can shuffle-plan.
+Hot-path split: string hashing (xxhash64 per shingle/token) stays JVM-side;
+the per-document signature math (64-way permuted mins, bit-vote packing)
+runs as Arrow-batched pandas UDFs over the already-hashed long arrays —
+numpy does 64xN integer ops per doc in C instead of Spark's interpreted
+higher-order-function lambdas (~30x faster at sf0.1). Joins are equi-joins
+Catalyst can shuffle-plan; shingle sets are compared as hashed longs
+(injective up to 64-bit collisions), never as strings.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from squrve_spark.operators.text import tokens_expr
+
+NUM_HASHES = 64
+_RNG = np.random.RandomState(42)
+# odd multipliers + offsets for the 64 universal-hash permutations
+# g_i(h) = a_i * h + b_i  (mod 2^64, silent uint64 wraparound)
+_MINHASH_A = (_RNG.randint(0, 2**62, NUM_HASHES).astype(np.uint64) * 2 + 1).astype(np.uint64)
+_MINHASH_B = _RNG.randint(0, 2**62, NUM_HASHES).astype(np.uint64)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -40,29 +55,35 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def shingles_expr(text_col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the document."""
-    toks = tokens_expr(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-    )
-    return F.array_distinct(gram)
-
-
-def _pairs_from_blocks(
-    left: DataFrame, right: DataFrame, block_cols: list[str], id_col: str
+def with_hashed_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "sh"
 ) -> DataFrame:
-    """Join two copies of a corpus on blocking keys, keeping each unordered
-    pair once (id_a < id_b)."""
-    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
-    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    return left.alias("a").join(right.alias("b"), cond)
+    """Add a distinct hashed-shingle set column; drops docs shorter than n
+    tokens.
+
+    Shingles are longs: hash each token once, then hash n-tuples of token
+    hashes — no shingle strings are ever built, and set algebra downstream
+    runs on longs. The token-hash array is materialized as its own column
+    between projections: Spark has no common-subexpression sharing inside
+    higher-order-function lambdas, so inlining it would re-tokenize the text
+    per element access (~3 x shingle-count x token-count blowup; observed
+    30x wall time at sf0.1). The pre-filter predicate is a plain token count
+    so predicate pushdown doesn't inline the shingle tree either.
+    """
+    th = F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t))
+    staged = df.filter(F.size(tokens_expr(text_col)) >= n).withColumn("_th", th)
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_th")) - n),
+        lambda i: F.xxhash64(*[F.element_at(F.col("_th"), i + j + 1) for j in range(n)]),
+    )
+    return staged.withColumn(out, F.array_distinct(gram)).drop("_th")
 
 
 def jaccard_expr(a: Column, b: Column) -> Column:
-    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+    """|a∩b| / |a∪b| with the union derived as |a|+|b|-|a∩b| — one set build
+    per pair instead of two (inputs must be distinct arrays)."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
 
 
 def ngram_jaccard_pairs(
@@ -73,42 +94,67 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs within blocks.
+    """Exact n-gram Jaccard near-dup pairs within blocks, via inverted index.
 
-    Output: (id_a, id_b, jaccard) for pairs above threshold. Quadratic per
-    block — block_cols must bound block size (or feed LSH candidates instead).
+    Instead of a quadratic self-join with per-pair set intersections, explode
+    the (distinct) shingles into an inverted index and equi-join on the
+    shingle hash: each shared shingle contributes one row, so
+    |a ∩ b| = count(*) per (id_a, id_b) group and
+    jaccard = inter / (|a| + |b| - inter). Work scales with the number of
+    *shared* shingles, not with candidate-pair count x set size — the shape
+    that survives 100 TB. Jaccard over hashed shingles equals string Jaccard
+    modulo 64-bit collisions.
     """
-    docs = df.select(id_col, *block_cols, shingles_expr(text_col, n).alias("sh")).filter(
-        F.size("sh") > 0
+    docs = with_hashed_shingles(
+        df.select(id_col, *block_cols, text_col), text_col, n
+    ).drop(text_col)
+    # set size rides along each inverted-index row (an int per exploded
+    # shingle) so no separate size-lookup joins — the doc-prep subtree is
+    # evaluated once per join side only
+    inv = docs.select(
+        F.col(id_col), *block_cols, F.size("sh").alias("sz"), F.explode("sh").alias("s")
     )
-    pairs = _pairs_from_blocks(docs, docs, block_cols, id_col)
-    jac = jaccard_expr(F.col("a.sh"), F.col("b.sh"))
-    return (
-        pairs.select(
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col("a.s") == F.col("b.s"))
+    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    inter = (
+        inv.alias("a")
+        .join(inv.alias("b"), cond)
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(jac, 6).cast("double").alias("jaccard"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+    ).cast("double")
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
-def minhash_signature_expr(shingle_col: str = "sh", num_hashes: int = 64) -> Column:
-    """MinHash signature: per seed i, min over shingles of xxhash64(shingle, i).
+def _minhash_sig_fn(hashed: pd.Series) -> pd.Series:
+    """64 permuted-min values per shingle-hash array (numpy, uint64 wrap)."""
+    out = []
+    for h in hashed:
+        ha = np.asarray(h, dtype=np.int64).astype(np.uint64)
+        mins = (ha[:, None] * _MINHASH_A[None, :] + _MINHASH_B[None, :]).min(axis=0)
+        out.append(mins.astype(np.int64))
+    return pd.Series(out)
 
-    xxhash64 is Spark's built-in 64-bit hash (JVM-side); one pass over the
-    shingle array per seed, all inside codegen.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(F.col(shingle_col), lambda s: F.xxhash64(s, i))),
-    )
+
+def _minhash_sig_udf(col):
+    # pandas_udf construction needs an active session -> build lazily per call
+    return pandas_udf(_minhash_sig_fn, "array<long>")(col)
 
 
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
-    num_hashes: int = 64,
+    num_hashes: int = NUM_HASHES,
     bands: int = 16,
     n: int = 3,
     text_col: str = "text",
@@ -118,19 +164,22 @@ def minhash_lsh_pairs(
 
     banding: `bands` bands of `num_hashes/bands` rows; candidate pairs share
     at least one identical band (equi-join on (band_idx, band_hash) — the
-    only shuffle). Verification re-computes exact Jaccard on the candidate
-    pairs only, so the output has exact precision; recall is the standard
-    LSH S-curve (1-(1-s^r)^b).
+    only shuffle). Two-stage verification: a cheap signature-agreement
+    estimate (64-op compare) prunes the false-positive band collisions a
+    high-overlap corpus generates, then exact Jaccard runs on the survivors
+    only — output precision is exact; recall is the LSH S-curve
+    (1-(1-s^r)^b) times a ~Φ(3σ) estimate-filter factor.
     """
     rows = num_hashes // bands
+    est_min = max(0.0, threshold - 0.15)
     docs = (
-        df.select(id_col, shingles_expr(text_col, n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature_expr("sh", num_hashes))
+        with_hashed_shingles(df.select(id_col, text_col), text_col, n)
+        .drop(text_col)
+        .withColumn("sig", _minhash_sig_udf("sh"))
     )
     banded = docs.select(
         id_col,
-        "sh",
+        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -138,6 +187,9 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    est = F.size(
+        F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y), lambda v: v)
+    ) / F.lit(num_hashes)
     cand = (
         banded.alias("a")
         .join(
@@ -151,54 +203,49 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
+        # estimate-filter BEFORE dedup: the wide (sig, sig) rows never hit a
+        # shuffle; duplicates from multi-band collisions cost a recompute of
+        # the 64-op estimate, which is cheaper than shuffling them
+        .filter(est >= est_min)
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     jac = jaccard_expr(F.col("sh_a"), F.col("sh_b"))
-    return cand.select(
+    return verified.select(
         "id_a", "id_b", F.round(jac, 6).cast("double").alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
 
-def simhash_expr(text_col: str = "text") -> Column:
-    """64-bit SimHash over whitespace tokens.
+def _simhash_fn(hashed: pd.Series) -> pd.Series:
+    """Pack per-bit +/-1 votes of token hashes into a 64-bit signature."""
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.empty(len(hashed), dtype=np.int64)
+    for k, h in enumerate(hashed):
+        ha = np.asarray(h, dtype=np.int64).astype(np.uint64)
+        bits = ((ha[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        sums = (2 * bits - 1).sum(axis=0)
+        out[k] = ((sums > 0).astype(np.uint64) << shifts).sum().astype(np.int64)
+    return pd.Series(out)
 
-    Per bit position: sum +1/-1 across token hashes, bit set iff sum > 0.
-    Nested transform/aggregate over built-ins; 64 x n_tokens codegen ops.
-    """
-    toks = F.array_distinct(tokens_expr(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_sums = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda i: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                h.bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("long"), i)) != 0, 1
-            ).otherwise(-1),
-        ),
+
+def _simhash_udf(col):
+    return pandas_udf(_simhash_fn, "long")(col)
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig): 64-bit SimHash over distinct whitespace tokens."""
+    token_hashes = F.transform(
+        F.array_distinct(tokens_expr(text_col)), lambda t: F.xxhash64(t)
     )
-    return _simhash_from_bitsums(bit_sums)
-
-
-def _simhash_from_bitsums(bit_sums: Column) -> Column:
-    # fold bit sums into the signature: sum of 2^i where bit_sum[i] > 0
-    # shiftleft via call_function: the Python wrapper insists on int numBits,
-    # the underlying SQL function accepts a column
-    return F.aggregate(
-        F.zip_with(
-            bit_sums,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda s, i: F.when(
-                s > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    return df.select(F.col(id_col), _simhash_udf(token_hashes).alias("sig"))
 
 
 def simhash_pairs(
@@ -215,7 +262,7 @@ def simhash_pairs(
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    sigs = df.select(id_col, simhash_expr(text_col).alias("sig"))
+    sigs = simhash_signatures(df, text_col, id_col)
     mask = (1 << width) - 1
     chunked = sigs.select(
         id_col,

@@ -1,28 +1,35 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths:
+Three paths:
   * brute_force_topk — exact cosine top-k: query set broadcast against the
     corpus, per-query heap via window row_number. Linear in corpus size per
     query; the correctness baseline.
   * lsh_topk — random-hyperplane LSH: 64-bit sign signature per vector
-    (map-side projection against a broadcast seeded hyperplane matrix),
-    candidates = bucket collisions on signature bands, exact cosine re-rank
-    on candidates only. The 100 TB path: turns the cross join into an
-    equi-join; recall tunable via bands/bits.
+    (map-side projection), candidates = bucket collisions on signature
+    bands, exact cosine re-rank on candidates only. The 100 TB path: turns
+    the cross join into an equi-join; recall tunable via bands/bits.
+  * exact_neardup_pairs — exhaustive all-pairs cosine via numpy block
+    matmul (mapInPandas + broadcast unit-vector matrix): each Arrow batch
+    multiplies its rows against the shared matrix in BLAS. At true scale,
+    chunk BOTH sides on a block-id grid and run the same kernel per grid
+    cell; the per-cell math is unchanged.
 
-Vector math is done in DOUBLE via built-in higher-order functions
-(zip_with/aggregate fold — codegen, deterministic left-to-right order so
-results are reproducible across engines and partitionings).
+Pairwise vector math in the DataFrame paths pre-normalizes to unit vectors
+once per row (norm computed once, not per pair) so a pair costs a single
+zip_with/aggregate dot-product fold.
 """
 
 from __future__ import annotations
 
-import math
 import random
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _as_double(col: Column) -> Column:
@@ -30,7 +37,7 @@ def _as_double(col: Column) -> Column:
 
 
 def dot_expr(a: Column, b: Column) -> Column:
-    """Deterministic double dot product (ordered fold, no FMA surprises)."""
+    """Deterministic double dot product (ordered fold)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -45,6 +52,19 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def with_vec_norm(df: DataFrame, vec_col: str, out_vec: str, out_norm: str) -> DataFrame:
+    """Project (double vector, scalar norm) as materialized columns.
+
+    Materializing the norm before a join keeps the per-pair cosine at ONE
+    dot fold + a scalar divide — inlining the norm into a unit-vector
+    transform would re-evaluate the 64-op fold per element (64x blowup,
+    Spark HOF lambdas don't share subexpressions).
+    """
+    return df.withColumn(out_vec, F.col(vec_col).cast("array<double>")).withColumn(
+        out_norm, norm_expr(F.col(out_vec))
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -52,18 +72,24 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k: (query_id, neighbor_id, sim), self-matches excluded.
+    """Exact cosine top-k: (query_id, neighbor_id, rank, sim), self excluded.
 
     The query side is broadcast — at scale the corpus stays partitioned and
-    each partition scores its shard against the in-memory query block
-    (classic brute-force ANN sharding); row_number per query keeps k.
+    each partition scores its shard against the in-memory query block;
+    row_number per query keeps k. Ranking is on 6-dp-rounded sim with id
+    tie-break so the selected set is engine-stable.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    q = with_vec_norm(queries, vec_col, "q_v", "q_n").select(
+        F.col(id_col).alias("query_id"), "q_v", "q_n"
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = with_vec_norm(corpus, vec_col, "c_v", "c_n").select(
+        F.col(id_col).alias("neighbor_id"), "c_v", "c_n"
+    )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
-        "sim", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).cast("double")
+        "sim",
+        F.round(
+            dot_expr(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")), 6
+        ).cast("double"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -84,27 +110,41 @@ def with_lsh_signature(
 ) -> DataFrame:
     """Add a 64-bit sign-LSH signature column ('lsh_sig').
 
-    The hyperplane matrix is embedded as a literal array (broadcast with the
-    plan); signature = bit i set iff dot(v, H_i) > 0. Pure codegen fold.
+    Computed as a vectorized pandas UDF: batch matrix x hyperplane matrix in
+    BLAS, then sign-bit packing in numpy — one Arrow round trip per batch
+    instead of 64 interpreted dot folds per row.
     """
-    planes = random_hyperplanes(dim, bits, seed)
-    planes_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
-    v = _as_double(F.col(vec_col))
-    sig_bits = F.transform(
-        planes_lit, lambda plane: F.when(dot_expr(plane, v) > 0, F.lit(1)).otherwise(F.lit(0))
+    planes = np.array(random_hyperplanes(dim, bits, seed), dtype=np.float64)  # bits x dim
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def sig_fn(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bitmat = (V @ planes.T) > 0  # n x bits
+        sigs = (bitmat.astype(np.uint64) << shifts[None, :]).sum(axis=1).astype(np.int64)
+        return pd.Series(sigs)
+
+    return df.withColumn("lsh_sig", pandas_udf(sig_fn, "long")(F.col(vec_col)))
+
+
+def _banded(df: DataFrame, role: str, dim: int, bands: int, bits: int, seed: int,
+            id_col: str, vec_col: str) -> DataFrame:
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = with_lsh_signature(df, dim, bits, seed, vec_col)
+    sig = with_vec_norm(sig, vec_col, f"{role}_v", f"{role}_n")
+    return sig.select(
+        F.col(id_col).alias(f"{role}_id"),
+        f"{role}_v",
+        f"{role}_n",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.call_function(
+                    "shiftrightunsigned", F.col("lsh_sig"), b * width
+                ).bitwiseAND(F.lit(mask)),
+            )
+        ).alias("band_idx", "band_val"),
     )
-    sig = F.aggregate(
-        F.zip_with(
-            sig_bits,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda b, i: F.when(
-                b == 1, F.call_function("shiftleft", F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return df.withColumn("lsh_sig", sig)
 
 
 def lsh_topk(
@@ -124,33 +164,20 @@ def lsh_topk(
     query. Join is an equi-join on (band_idx, band_val) — shuffle instead of
     cross join; recall rises with bands.
     """
-    width = bits // bands
-    mask = (1 << width) - 1
-
-    def banded(df: DataFrame, role: str) -> DataFrame:
-        sig = with_lsh_signature(df, dim, bits, seed, vec_col)
-        return sig.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"{role}_vec"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.call_function(
-                        "shiftrightunsigned", F.col("lsh_sig"), b * width
-                    ).bitwiseAND(F.lit(mask)),
-                )
-            ).alias("band_idx", "band_val"),
-        )
-
-    qb = banded(queries, "query")
-    cb = banded(corpus, "neighbor")
+    qb = _banded(queries, "query", dim, bands, bits, seed, id_col, vec_col)
+    cb = _banded(corpus, "neighbor", dim, bands, bits, seed, id_col, vec_col)
     cand = (
         qb.join(cb, ["band_idx", "band_val"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.withColumn(
-        "sim", F.round(cosine_expr(F.col("query_vec"), F.col("neighbor_vec")), 6).cast("double")
+        "sim",
+        F.round(
+            dot_expr(F.col("query_v"), F.col("neighbor_v"))
+            / (F.col("query_n") * F.col("neighbor_n")),
+            6,
+        ).cast("double"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -158,6 +185,41 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def exact_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exhaustive embedding near-dup pairs (rounded cosine >= threshold).
+
+    numpy block matmul: the unit-vector matrix is broadcast once; each Arrow
+    batch of rows computes batch x corpus similarities in BLAS and emits only
+    pairs above threshold (id_a < id_b). Quadratic work, linear memory per
+    task. At 100 TB, replace the single broadcast with a block-id grid join —
+    the per-cell kernel is identical.
+    """
+    spark = df.sparkSession
+    src = df.select(id_col, vec_col)
+    pdf = src.toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    Mu = M / np.linalg.norm(M, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, Mu))
+
+    def gen(batches):
+        ids_c, mu_c = bc.value
+        for b in batches:
+            rid = b[id_col].to_numpy(dtype=np.int64)
+            R = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            Ru = R / np.linalg.norm(R, axis=1, keepdims=True)
+            S = np.round(Ru @ mu_c.T, 6)
+            ii, jj = np.nonzero((S >= threshold) & (rid[:, None] < ids_c[None, :]))
+            yield pd.DataFrame({"id_a": rid[ii], "id_b": ids_c[jj], "sim": S[ii, jj]})
+
+    return src.mapInPandas(gen, "id_a long, id_b long, sim double")
 
 
 def embedding_neardup_pairs(
@@ -170,11 +232,13 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking + exact verify."""
     sig = with_lsh_signature(df, dim, seed=7, vec_col=vec_col)
+    sig = with_vec_norm(sig, vec_col, "v", "n")
     width = 64 // bands
     mask = (1 << width) - 1
     chunked = sig.select(
         F.col(id_col),
-        F.col(vec_col),
+        "v",
+        "n",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -197,12 +261,14 @@ def embedding_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("vec_a"),
-            F.col(f"b.{vec_col}").alias("vec_b"),
+            F.col("a.v").alias("v_a"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.v").alias("v_b"),
+            F.col("b.n").alias("n_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = cosine_expr(F.col("vec_a"), F.col("vec_b"))
-    return cand.select(
-        "id_a", "id_b", F.round(sim, 6).cast("double").alias("sim")
-    ).filter(F.col("sim") >= threshold)
+    sim = F.round(
+        dot_expr(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+    ).cast("double")
+    return cand.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)

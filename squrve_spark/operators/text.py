@@ -49,7 +49,10 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality: length, mean token length, stopword ratio,
     punctuation ratio, all-caps ratio. Mirrors C4/Gopher-style filters."""
-    toks = tokens_expr(text_col)
+    # tokens materialized once: multiple metrics reference the array, and
+    # Spark won't share the split() subtree between expressions
+    staged = df.withColumn("_toks", tokens_expr(text_col))
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     tok_chars = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, n: acc + n
@@ -58,7 +61,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"([^A-Za-z0-9_\s])"), 1))
     n_chars = F.length(F.col(text_col))
-    return df.select(
+    return staged.select(
         "doc_id",
         n_chars.alias("n_chars_obs"),
         n_tok.alias("n_tokens"),
@@ -72,20 +75,26 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: score each language by marker hits over the
     token stream, argmax with deterministic tie-break (score desc, lang asc);
     'und' (undetermined) when nothing matches."""
-    toks = tokens_expr(text_col)
-    lowered = F.transform(toks, lambda t: F.lower(t))
-    scores = []
-    for lang, markers in sorted(LANG_MARKERS.items()):
-        marr = F.array(*[F.lit(m) for m in markers])
-        scores.append((lang, F.size(F.filter(lowered, lambda t: F.array_contains(marr, t)))))
-    # argmax via greatest over (score, lang) struct ordering would invert the
-    # lang tie-break; chain CASE instead: first lang (asc) with maximal score.
-    best = F.greatest(*[s for _, s in scores])
+    # stage: tokens -> per-lang score columns -> argmax. Each stage is a
+    # materialized projection so score expressions are computed once, not
+    # re-inlined into every CASE branch.
+    staged = df.withColumn(
+        "_toks_low", F.transform(tokens_expr(text_col), lambda t: F.lower(t))
+    )
+    langs = sorted(LANG_MARKERS)
+    for lang in langs:
+        marr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        staged = staged.withColumn(
+            f"_s_{lang}",
+            F.size(F.filter(F.col("_toks_low"), lambda t: F.array_contains(marr, t))),
+        )
+    staged = staged.withColumn("_best", F.greatest(*[F.col(f"_s_{lang}") for lang in langs]))
     pred = F.lit("und")
-    for lang, s in reversed(scores):  # build CASE so earliest lang wins ties
-        pred = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pred)
-    out = df.select("doc_id", pred.alias("pred_lang"), best.alias("marker_hits"))
-    return out
+    for lang in reversed(langs):  # build CASE so earliest lang wins ties
+        pred = F.when(
+            (F.col(f"_s_{lang}") == F.col("_best")) & (F.col("_best") > 0), F.lit(lang)
+        ).otherwise(pred)
+    return staged.select("doc_id", pred.alias("pred_lang"), F.col("_best").alias("marker_hits"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -150,15 +150,15 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS DOUBLE) AS jaccard
     FROM d a JOIN d b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))
-          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
+    WHERE ROUND(len(list_intersect(a.sh, b.sh))
+                / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
     """,
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs, blocked by (lang, source)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, ["lang", "source"], threshold=0.05)
+    return dedup.ngram_jaccard_pairs(docs, ["lang", "source"], threshold=0.5)
 
 
 @register("dedup_minhash_lsh", oracle=None, tags=("dedup", "no-oracle"))
@@ -229,16 +229,9 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive embedding near-dup pairs (cosine >= 0.9) — the correctness
-    baseline the LSH variant is tested against."""
+    baseline the LSH variant is tested against. numpy block matmul."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
-    sim = F.round(similarity.cosine_expr(F.col("vec_a"), F.col("vec_b")), 6).cast("double")
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("sim"))
-        .filter(F.col("sim") >= 0.9)
-    )
+    return similarity.exact_neardup_pairs(emb, threshold=0.9)
 
 
 @register("emb_neardup_lsh", oracle=None, tags=("dedup", "similarity", "no-oracle"))

@@ -22,6 +22,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # rejects; read as epoch-nanos long and convert (see catalog.load_table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # classic (non-ANSI) arithmetic: silent 64-bit wraparound, lax casts —
+    # matches the reference's sqlite-grade semantics and lets hash mixing
+    # (minhash permutations) use native long multiply
+    "spark.sql.ansi.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
