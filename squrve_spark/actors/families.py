@@ -1,0 +1,458 @@
+"""The seven actor families (reduce / parse / generate / decompose / scale /
+optimize / select) + workflow agents, Spark-backed and LLM-mockable.
+
+Reference analog: the 38 concrete actors under /root/reference/core/actor/*.
+Each family here ships (a) a deterministic variant exercising the Spark
+surface (catalog, execution, comparator) with no LLM, and (b) an LLM variant
+implementing the family's canonical algorithm — schema-linking prompts,
+execution-feedback repair (sql_debug.py:67-117 semantics), consensus
+selection (FastExecSelect.py:48-192 semantics) — against the swappable
+``squrve_spark.llm.LLMClient``.
+
+Everything data-touching is a Spark op: schema comes from the catalog,
+execution goes through ``squrve_spark.execution`` (row-capped, job-group
+timeouts), result grouping uses the EX comparator.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+from squrve_spark import compare as C
+from squrve_spark import execution as X
+from squrve_spark import profile as P
+from squrve_spark.actors.base import Actor, ActorPool, MergeStrategy
+from squrve_spark.data import central_schema_from_catalog, central_to_parallel, render_schema_ddl
+from squrve_spark.llm import LLMClient, extract_sql
+
+
+class SparkActor(Actor):
+    """Shared plumbing: a SparkSession + optional LLM client."""
+
+    def __init__(self, dataset=None, spark: Optional[SparkSession] = None,
+                 llm: Optional[LLMClient] = None, **kwargs):
+        super().__init__(dataset=dataset, **kwargs)
+        self.spark = spark
+        self.llm = llm
+
+    def row(self, item: int) -> dict:
+        return self.dataset[item]
+
+    def tables_for(self, row: dict) -> list[str]:
+        tables = row.get("tables")
+        if tables:
+            return tables
+        return P.list_tables(self.spark)
+
+    def schema_ddl(self, row: dict) -> str:
+        central = central_schema_from_catalog(
+            self.spark, row.get("db_id", "default"), self.tables_for(row)
+        )
+        return render_schema_ddl(central_to_parallel(central))
+
+
+# ---------------------------------------------------------------------------
+# Reducers — prune schema to fit LLM context
+
+
+@ActorPool.register("reducer")
+class ZeroReducer(SparkActor):
+    """Identity reduction: emit the full catalog schema (reference
+    ZeroReduce.py:10-51 — the baseline every reducer is measured against)."""
+
+    NAME = "zero"
+    OUTPUT_NAME = "instance_schemas"
+    SKILL = "Emit the full database schema unchanged (no pruning)."
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        central = central_schema_from_catalog(
+            self.spark, row.get("db_id", "default"), self.tables_for(row)
+        )
+        cols = central_to_parallel(central)
+        links = [f"{c['table_name']}.{c['column_name']}" for c in cols]
+        row["schema_size"] = len(links)
+        row["reduced_size"] = len(links)
+        return {"instance_schemas": links, "schema_ddl": render_schema_ddl(cols)}
+
+
+@ActorPool.register("reducer")
+class RetrievalReducer(SparkActor):
+    """Question-driven schema pruning: score each column by lexical overlap
+    between the question and table/column tokens, keep top-k (the
+    deterministic core of LinkAlignReduce's retrieve-then-filter loop; the
+    LLM filter rounds are optional refinement on top)."""
+
+    NAME = "retrieval"
+    OUTPUT_NAME = "instance_schemas"
+    STRATEGY = MergeStrategy.OVERWRITE
+    SKILL = "Prune schema to top-k columns by question-term overlap scoring."
+
+    def __init__(self, *args, top_k: int = 40, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.top_k = top_k
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        q_tokens = set(re.findall(r"[a-z0-9]+", (row.get("question") or "").lower()))
+        central = central_schema_from_catalog(
+            self.spark, row.get("db_id", "default"), self.tables_for(row)
+        )
+        cols = central_to_parallel(central)
+        row["schema_size"] = len(cols)
+
+        def score(c: dict) -> int:
+            toks = set(re.findall(r"[a-z0-9]+", f"{c['table_name']} {c['column_name']}".lower()))
+            return len(toks & q_tokens)
+
+        ranked = sorted(cols, key=lambda c: (-score(c), c["table_name"], c["column_name"]))
+        kept = ranked[: self.top_k]
+        row["reduced_size"] = len(kept)
+        links = [f"{c['table_name']}.{c['column_name']}" for c in kept]
+        return {"instance_schemas": links, "schema_ddl": render_schema_ddl(kept)}
+
+
+# ---------------------------------------------------------------------------
+# Parsers — schema linking (question -> relevant table.column list)
+
+
+@ActorPool.register("parser")
+class HeuristicParser(SparkActor):
+    """Deterministic linking: a column links if its name tokens appear in
+    the question (the no-LLM baseline for parse_recall/precision)."""
+
+    NAME = "heuristic"
+    OUTPUT_NAME = "schema_links"
+    SKILL = "Link schema elements whose name tokens occur in the question."
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        q = (row.get("question") or "").lower()
+        links = []
+        for table in self.tables_for(row):
+            for col in P.table_columns(self.spark, table):
+                parts = [p for p in re.split(r"[_\W]+", col["name"].lower()) if len(p) > 2]
+                if parts and all(p in q for p in parts):
+                    links.append(f"{table}.{col['name']}")
+        return {"schema_links": links}
+
+
+@ActorPool.register("parser")
+class LLMParser(SparkActor):
+    """Single-pass LLM schema linking over the rendered DDL (the pipeline
+    mode of LinkAlignParse; multi-agent debate is a composition of these)."""
+
+    NAME = "llm"
+    OUTPUT_NAME = "schema_links"
+    SKILL = "LLM selects the schema elements a question needs, as [table.column, ...]."
+
+    PROMPT = (
+        "Given the database schema:\n{schema}\n\nQuestion: {question}\n"
+        "List the schema elements needed to answer it as [table.column, ...]."
+    )
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        schema = kwargs.get("schema_ddl") or row.get("schema_ddl") or self.schema_ddl(row)
+        out = self.llm.complete(
+            self.PROMPT.format(schema=schema, question=row.get("question", ""))
+        )
+        from squrve_spark.evaluate import parse_schema_links
+
+        return {"schema_links": parse_schema_links(out)}
+
+
+# ---------------------------------------------------------------------------
+# Generators — question -> pred_sql
+
+
+@ActorPool.register("generator")
+class GoldGenerator(SparkActor):
+    """Gold-SQL passthrough: the deterministic generator that closes the
+    end-to-end loop with EX=1.0 (SURVEY §7.2's minimum slice)."""
+
+    NAME = "gold"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = "Emit the gold SQL (testing passthrough)."
+
+    def act(self, item: int, **kwargs) -> dict:
+        return {"pred_sql": self.row(item).get("query", "")}
+
+
+@ActorPool.register("generator")
+class LLMGenerator(SparkActor):
+    """Schema-aware LLM generation with an execution-feedback debug loop:
+    generate -> execute on Spark -> on error, re-prompt with the engine
+    message, up to ``debug_turn_n`` rounds (sql_debug.py:67-117 semantics;
+    Spark's AnalysisException text is the feedback signal)."""
+
+    NAME = "llmgen"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = "LLM writes Spark SQL for the question; self-repairs on execution errors."
+
+    PROMPT = (
+        "Database schema:\n{schema}\n\nWrite ONE Spark SQL query answering:\n"
+        "{question}\nReturn only SQL."
+    )
+    DEBUG_PROMPT = (
+        "The SQL:\n{sql}\nfailed with error:\n{error}\n"
+        "Fix it. Schema:\n{schema}\nQuestion: {question}\nReturn only SQL."
+    )
+
+    def __init__(self, *args, debug_turn_n: int = 2, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.debug_turn_n = debug_turn_n
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        schema = kwargs.get("schema_ddl") or row.get("schema_ddl") or self.schema_ddl(row)
+        question = row.get("question", "")
+        sql = extract_sql(self.llm.complete(self.PROMPT.format(schema=schema, question=question)))
+        for _ in range(self.debug_turn_n):
+            res = X.execute(self.spark, sql, row_cap=10)
+            if res.error is None:
+                break
+            sql = extract_sql(
+                self.llm.complete(
+                    self.DEBUG_PROMPT.format(sql=sql, error=res.error, schema=schema, question=question)
+                )
+            )
+        return {"pred_sql": sql}
+
+
+# ---------------------------------------------------------------------------
+# Decomposers — question -> sub_questions
+
+
+@ActorPool.register("decomposer")
+class LLMDecomposer(SparkActor):
+    """Split a question into ordered sub-questions (DIN/MAC-SQL style)."""
+
+    NAME = "llmdecomp"
+    OUTPUT_NAME = "sub_questions"
+    SKILL = "Decompose a complex question into ordered sub-questions."
+
+    PROMPT = "Decompose into numbered sub-questions:\n{question}"
+
+    def act(self, item: int, **kwargs) -> dict:
+        out = self.llm.complete(self.PROMPT.format(question=self.row(item).get("question", "")))
+        subs = [
+            re.sub(r"^\s*\d+[.)]\s*", "", line).strip()
+            for line in out.splitlines()
+            if re.match(r"^\s*\d+[.)]", line)
+        ]
+        return {"sub_questions": subs or [out.strip()]}
+
+
+# ---------------------------------------------------------------------------
+# Scalers — produce multiple candidate SQLs (merge strategy EXTEND)
+
+
+@ActorPool.register("scaler")
+class SamplingScaler(SparkActor):
+    """N diversified generations appended to the candidate list (reference
+    scalers diversify via prompt templates; here via enumerated restyles)."""
+
+    NAME = "sampling"
+    OUTPUT_NAME = "pred_sql"
+    STRATEGY = MergeStrategy.EXTEND
+    SKILL = "Generate N candidate SQLs with diversified prompts."
+
+    STYLES = [
+        "Prefer explicit JOIN ... ON syntax.",
+        "Prefer CTEs (WITH clauses) over nested subqueries.",
+        "Prefer window functions where applicable.",
+        "Prefer the simplest correct query.",
+    ]
+
+    def __init__(self, *args, generate_num: int = 4, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.generate_num = generate_num
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        schema = kwargs.get("schema_ddl") or row.get("schema_ddl") or self.schema_ddl(row)
+        question = row.get("question", "")
+        cands = []
+        for i in range(self.generate_num):
+            style = self.STYLES[i % len(self.STYLES)]
+            sql = extract_sql(
+                self.llm.complete(
+                    f"Database schema:\n{schema}\n{style}\n"
+                    f"Write ONE Spark SQL query answering:\n{question}\nReturn only SQL."
+                )
+            )
+            if sql and sql not in cands:
+                cands.append(sql)
+        return {"pred_sql": cands}
+
+
+# ---------------------------------------------------------------------------
+# Optimizers — execution-feedback SQL repair
+
+
+@ActorPool.register("optimizer")
+class ExecFeedbackOptimizer(SparkActor):
+    """Execute pred_sql; on error OR empty result, LLM-revise with the
+    observed feedback, up to ``max_round`` rounds (MAC-SQL Refiner and CHESS
+    revise semantics: error text / emptiness is the signal)."""
+
+    NAME = "execfeedback"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = "Repair SQL using Spark execution errors / empty-result feedback."
+
+    PROMPT = (
+        "SQL:\n{sql}\nProblem: {problem}\nSchema:\n{schema}\n"
+        "Question: {question}\nReturn the corrected SQL only."
+    )
+
+    def __init__(self, *args, max_round: int = 3, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.max_round = max_round
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        sql = row.get("pred_sql") or kwargs.get("pred_sql") or ""
+        if isinstance(sql, list):
+            sql = sql[-1] if sql else ""
+        schema = row.get("schema_ddl") or ""
+        for _ in range(self.max_round):
+            res = X.execute(self.spark, sql, row_cap=10)
+            if res.error is not None:
+                problem = f"execution error: {res.error}"
+            elif res.df is not None and res.df.empty:
+                problem = "query returned an empty result"
+            else:
+                break
+            sql = extract_sql(
+                self.llm.complete(
+                    self.PROMPT.format(sql=sql, problem=problem, schema=schema,
+                                       question=row.get("question", ""))
+                )
+            )
+        return {"pred_sql": sql}
+
+
+# ---------------------------------------------------------------------------
+# Selectors — candidates -> one pred_sql
+
+
+@ActorPool.register("selector")
+class FastExecSelector(SparkActor):
+    """Consensus selection (FastExecSelect.py:48-192 semantics): execute all
+    candidates on Spark, group by result-set equivalence (the EX
+    comparator), pick the fastest member of the largest consensus group.
+    Failed executions carry the 1e5 s cost sentinel."""
+
+    NAME = "fastexec"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = "Execute all candidate SQLs; pick the fastest of the largest result-consensus group."
+
+    FAIL_COST = 1e5
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        cands = row.get("pred_sql") or kwargs.get("pred_sql") or []
+        if isinstance(cands, str):
+            cands = [cands]
+        if not cands:
+            return {"pred_sql": ""}
+        executed = []  # (sql, df|None, seconds)
+        for sql in cands:
+            res = X.execute(self.spark, sql, row_cap=1000)
+            cost = self.FAIL_COST if res.error is not None else res.seconds
+            executed.append((sql, res.df, cost))
+
+        groups: list[list[int]] = []  # indexes into executed
+        for i, (_, df_i, _) in enumerate(executed):
+            placed = False
+            for g in groups:
+                df_j = executed[g[0]][1]
+                if df_i is None or df_j is None:
+                    equal = df_i is None and df_j is None
+                else:
+                    equal = bool(
+                        C.compare_dataframes(df_i, df_j, ignore_order=True, strict_columns=True)
+                    )
+                if equal:
+                    g.append(i)
+                    placed = True
+                    break
+            if not placed:
+                groups.append([i])
+        # largest group wins; ties by cheapest member; never pick all-failed
+        viable = [g for g in groups if executed[g[0]][1] is not None] or groups
+        best_group = max(viable, key=lambda g: (len(g), -min(executed[i][2] for i in g)))
+        winner = min(best_group, key=lambda i: executed[i][2])
+        return {"pred_sql": executed[winner][0]}
+
+
+@ActorPool.register("selector")
+class LLMJudgeSelector(SparkActor):
+    """Pairwise LLM comparison with execution results as evidence (Chase
+    semantics, reduced to a single round-robin scoring pass)."""
+
+    NAME = "llmjudge"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = "LLM judges candidate SQLs using their execution results as evidence."
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        cands = row.get("pred_sql") or []
+        if isinstance(cands, str):
+            cands = [cands]
+        if not cands:
+            return {"pred_sql": ""}
+        if len(cands) == 1:
+            return {"pred_sql": cands[0]}
+        evidence = [
+            X.execute_sql(self.spark, sql, max_rows=5, max_chars=500) for sql in cands
+        ]
+        listing = "\n\n".join(
+            f"[{i}] SQL: {sql}\nResult:\n{ev}" for i, (sql, ev) in enumerate(zip(cands, evidence))
+        )
+        out = self.llm.complete(
+            f"Question: {row.get('question','')}\nCandidates:\n{listing}\n"
+            f"Answer with the index of the best candidate."
+        )
+        m = re.search(r"\d+", out)
+        idx = int(m.group(0)) if m else 0
+        return {"pred_sql": cands[idx % len(cands)]}
+
+
+# ---------------------------------------------------------------------------
+# Agents — declarative workflow composition
+
+
+@ActorPool.register("agent")
+class WorkflowAgent(SparkActor):
+    """Build a Pipeline/Tree from a declarative ``actor_lis`` like
+    ``["reducer:zero", ["parser:llm", "parser:heuristic"], "generator:llmgen"]``
+    (WorkflowAgent.py:25-305 semantics: nested lists fan out)."""
+
+    NAME = "workflow"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = "Compose registered actors into a pipeline with fan-out stages."
+
+    def __init__(self, *args, actor_lis: Optional[list] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.actor_lis = actor_lis or []
+
+    def _build(self, spec) -> Actor:
+        from squrve_spark.actors.nest import PipelineActor, TreeActor
+
+        if isinstance(spec, list):
+            return TreeActor([self._build(s) for s in spec], dataset=self.dataset)
+        family, _, name = spec.partition(":")
+        return ActorPool.create(
+            family, name or family, dataset=self.dataset, spark=self.spark, llm=self.llm
+        )
+
+    def act(self, item: int, **kwargs) -> dict:
+        from squrve_spark.actors.nest import PipelineActor
+
+        pipeline = PipelineActor([self._build(s) for s in self.actor_lis], dataset=self.dataset)
+        return pipeline.act(item, **kwargs)

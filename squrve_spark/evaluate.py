@@ -1,0 +1,239 @@
+"""Evaluation: Execution Accuracy + schema-linking metrics over a Dataset.
+
+Reference analog: /root/reference/core/evaluate.py — metric registry
+(reduce_recall/reduce_rate/reduce_precision, parse_recall/parse_precision/
+parse_exact_matching, execute_accuracy), a per-row eval loop with a 60 s
+per-item budget, averages + valid counts. Differences by design:
+
+  * pred/gold SQL executes via ``spark.sql`` (one shared session, FAIR
+    pools) instead of sqlite/warehouse connections;
+  * the 60 s per-item timeout is enforced with Spark job-group cancellation
+    inside the execution wrapper, not ``func_timeout`` (SURVEY §7.5);
+  * when either result overflows the driver row cap, EX falls back to the
+    distributed signature comparator (squrve_spark.compare) instead of
+    collecting — the 100 TB-safe path.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Iterable, Optional, Union
+
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from squrve_spark import compare as C
+from squrve_spark import execution as X
+
+EVAL_TYPES = [
+    "reduce_recall",
+    "reduce_rate",
+    "reduce_precision",
+    "parse_recall",
+    "parse_precision",
+    "parse_exact_matching",
+    "execute_accuracy",
+]
+
+
+def parse_schema_links(text: str) -> list[str]:
+    """Extract ``table.column`` tokens from free-form LLM output (the
+    reference parses bracketed lists; we accept brackets, commas, lines)."""
+    body = text
+    m = re.search(r"\[([^\]]*)\]", text, re.DOTALL)
+    if m:
+        body = m.group(1)
+    toks = re.split(r"[,\n]+", body)
+    out = []
+    for t in toks:
+        t = t.strip().strip("'\"` ")
+        if t and re.fullmatch(r"[\w$]+(\.[\w$]+)?", t):
+            out.append(t)
+    return out
+
+
+def normalize_schemas(pred) -> Optional[set[str]]:
+    """Normalize DataFrame / str / list formats to a set of 'table.column'."""
+    if pred is None:
+        return None
+    if isinstance(pred, pd.DataFrame):
+        return {f"{r['table_name']}.{r['column_name']}" for _, r in pred.iterrows()}
+    if isinstance(pred, str):
+        pred = parse_schema_links(pred)
+    if isinstance(pred, (list, set, tuple)):
+        items = list(pred)
+        if all(isinstance(x, str) for x in items):
+            return set(items)
+        if all(isinstance(x, dict) for x in items):
+            return {f"{x['table_name']}.{x['column_name']}" for x in items}
+        if all(isinstance(x, (list, tuple)) and len(x) == 2 for x in items):
+            return {f"{t}.{c}" for t, c in items}
+    return None
+
+
+def schema_recall(gold: list[str], pred) -> Optional[float]:
+    """Fraction of gold links hit by some pred link (substring containment,
+    so a pred 'col' hits gold 'table.col' — reference semantics)."""
+    if not gold:
+        return None
+    p = normalize_schemas(pred)
+    if p is None:
+        return None
+    return sum(any(x in g for x in p) for g in gold) / len(gold)
+
+
+def schema_precision(gold: list[str], pred) -> Optional[float]:
+    if not gold:
+        return None
+    p = normalize_schemas(pred)
+    if p is None:
+        return None
+    if not p:
+        return 0.0
+    return sum(any(x in g for g in gold) for x in p) / len(p)
+
+
+def schema_exact_matching(gold: list[str], pred) -> Optional[bool]:
+    r, pr = schema_recall(gold, pred), schema_precision(gold, pred)
+    if r is None or pr is None:
+        return None
+    return r == pr
+
+
+class Evaluator:
+    """Per-dataset metric computation with the reference's reporting shape:
+    ``{metric: {avg, results: [[idx, score], ...], valid_num, total_items}}``.
+
+    ``dataset`` is any sequence of row dicts (squrve_spark.data.Dataset or a
+    plain list); row fields follow the reference IR: ``query`` (gold SQL),
+    ``pred_sql``, ``schema_links``, ``gold_schemas``, ``instance_schemas``,
+    ``db_type``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        dataset,
+        eval_type: Union[str, list, None] = None,
+        item_timeout_s: float = 60.0,
+        row_cap: int = X.DEFAULT_ROW_CAP,
+    ):
+        self.spark = spark
+        self.dataset = dataset
+        self.eval_type = [eval_type] if isinstance(eval_type, str) else (eval_type or [])
+        self.item_timeout_s = item_timeout_s
+        self.row_cap = row_cap
+        self.eval_results: dict = {}
+
+    # -- resolution helpers -------------------------------------------------
+
+    @staticmethod
+    def _resolve_sql(row: dict, key: str) -> Optional[str]:
+        raw = row.get(key)
+        if not isinstance(raw, str) or not raw.strip():
+            return None
+        try:
+            if len(raw) < 4096 and Path(raw).is_file():
+                raw = Path(raw).read_text()
+        except OSError:
+            pass
+        return raw if raw.strip() else None
+
+    # -- metric implementations ---------------------------------------------
+
+    def eval_execute_accuracy(self, row: dict) -> Optional[int]:
+        gold_sql = self._resolve_sql(row, "query")
+        if gold_sql is None:
+            return None
+        pred_sql = self._resolve_sql(row, "pred_sql")
+        if pred_sql is None:
+            return 0
+        dialect = row.get("db_type", "spark")
+        budget = self.item_timeout_s / 2
+        pred = X.execute(self.spark, pred_sql, self.row_cap, budget, dialect)
+        gold = X.execute(self.spark, gold_sql, self.row_cap, budget, dialect)
+        if gold.error is not None or gold.df is None:
+            return None  # gold failure -> item not scoreable (reference rule)
+        if pred.error is not None or pred.df is None:
+            return 0
+        if pred.capped or gold.capped:
+            # too big to collect -> distributed signature comparison
+            p = self.spark.sql(X.transpile(pred_sql, dialect))
+            g = self.spark.sql(X.transpile(gold_sql, dialect))
+            return C.compare_spark_frames(p, g)
+        ignore_order = "order by" not in gold_sql.lower()
+        return C.compare_dataframes(pred.df, gold.df, ignore_order=ignore_order)
+
+    def eval_reduce_recall(self, row: dict) -> Optional[float]:
+        return schema_recall(row.get("gold_schemas"), row.get("instance_schemas"))
+
+    def eval_reduce_precision(self, row: dict) -> Optional[float]:
+        return schema_precision(row.get("gold_schemas"), row.get("instance_schemas"))
+
+    def eval_reduce_rate(self, row: dict) -> Optional[float]:
+        """Fraction of the full schema pruned away by the reducer."""
+        full, kept = row.get("schema_size"), row.get("reduced_size")
+        if not full:
+            return None
+        return 1.0 - (kept or 0) / full
+
+    def eval_parse_recall(self, row: dict) -> Optional[float]:
+        return schema_recall(row.get("gold_schemas"), row.get("schema_links"))
+
+    def eval_parse_precision(self, row: dict) -> Optional[float]:
+        return schema_precision(row.get("gold_schemas"), row.get("schema_links"))
+
+    def eval_parse_exact_matching(self, row: dict) -> Optional[bool]:
+        return schema_exact_matching(row.get("gold_schemas"), row.get("schema_links"))
+
+    # -- driver loop --------------------------------------------------------
+
+    def eval(self, index: int, eval_type: str):
+        row = self.dataset[index]
+        if not isinstance(row, dict):
+            return None
+        fn = getattr(self, f"eval_{eval_type}", None)
+        if fn is None:
+            return None
+        return fn(row)
+
+    def eval_all(self, verbose: bool = False) -> dict:
+        results: dict = {}
+        total = len(self.dataset)
+        for metric in self.eval_type:
+            if metric not in EVAL_TYPES:
+                continue
+            res_lis, acc, valid = [], 0.0, 0
+            for i in range(total):
+                try:
+                    score = self.eval(i, metric)
+                except Exception:  # noqa: BLE001 — containment, not abort
+                    continue
+                if score is None:
+                    continue
+                res_lis.append([i, score])
+                acc += float(score)
+                valid += 1
+            entry = {
+                "avg": (acc / valid) if valid else 0.0,
+                "results": res_lis,
+                "valid_num": valid,
+                "total_items": total,
+            }
+            if not valid:
+                entry["warning"] = f"No valid evaluation results for {metric}."
+            results[metric] = entry
+            if verbose:
+                print(f"{metric}: avg={entry['avg']:.4f} ({valid}/{total} valid)")
+        self.eval_results.update(results)
+        return results
+
+
+def pass_at_n(per_run_scores: Iterable[Iterable[float]]) -> float:
+    """pass@n over n cloned runs: a row passes if ANY run scored nonzero
+    (reference: reproduce/eval_utils.py:59-97)."""
+    by_row = list(zip(*per_run_scores))
+    if not by_row:
+        return 0.0
+    return sum(any(s for s in row) for row in by_row) / len(by_row)

@@ -1,0 +1,82 @@
+"""Database introspection / profiling — prompt-enrichment operators (§2.C).
+
+Reference analog: PRAGMA table_info / information_schema probes and
+full-table pandas profiling (/root/reference/core/actor/parser/
+OpenSearchCoTParse.py:152-199). Here every data-touching probe is a single
+Spark aggregate designed to survive 100 TB inputs:
+
+  * null/distinct profiling is ONE ``agg`` pass per table using
+    ``approx_count_distinct`` (HLL sketch, no shuffle-per-column) with an
+    exact option for test-scale oracle checks;
+  * value samples use per-column ``distinct().limit(k)`` — pushdown-pruned
+    scans of one column, never a full collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def table_columns(spark: SparkSession, table: str) -> list[dict]:
+    """PRAGMA table_info equivalent from the catalog: name/type/nullable."""
+    return [
+        {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+        for f in spark.table(table).schema.fields
+    ]
+
+
+def list_tables(spark: SparkSession) -> list[str]:
+    """sqlite_master equivalent."""
+    return [t.name for t in spark.catalog.listTables()]
+
+
+def profile_table(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
+    """One-pass profile: per column -> (n_rows, n_null, n_distinct).
+
+    Output one row per column: (column, n_rows, n_null, n_distinct) so the
+    result is stable long-format. ``exact_distinct`` trades the HLL sketch
+    for exact counts (test-scale oracle parity); default approx at scale.
+    """
+    distinct = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in df.columns:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"))
+        aggs.append(distinct(F.col(c)).alias(f"dist_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    data = [
+        (c, int(row["__n"]), int(row[f"null_{c}"]), int(row[f"dist_{c}"]))
+        for c in df.columns
+    ]
+    return spark.createDataFrame(
+        data, "column string, n_rows bigint, n_null bigint, n_distinct bigint"
+    )
+
+
+def sample_values(df: DataFrame, column: str, k: int = 3) -> list:
+    """k distinct non-null sample values of one column (pruned scan)."""
+    rows = (
+        df.select(column)
+        .where(F.col(column).isNotNull())
+        .distinct()
+        .limit(k)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+def first_row(df: DataFrame) -> dict | None:
+    rows = df.limit(1).collect()
+    return rows[0].asDict() if rows else None
+
+
+def describe_for_prompt(spark: SparkSession, table: str, k: int = 3) -> str:
+    """Compact per-table prompt block: columns + k sample values each."""
+    df = spark.table(table)
+    lines = [f"### Table = {table}"]
+    for col in table_columns(spark, table):
+        samples = sample_values(df, col["name"], k)
+        rendered = ", ".join(repr(s)[:40] for s in samples)
+        lines.append(f"  {col['name']} ({col['type']}): e.g. {rendered}")
+    return "\n".join(lines)

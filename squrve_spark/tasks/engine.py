@@ -1,0 +1,144 @@
+"""Engine: config -> datasets -> task tree -> execute -> evaluate.
+
+Reference analog: /root/reference/core/engine.py — ``init_tasks`` validates
+``task_meta`` and builds a Dataset per task; ``parse_exec_process`` turns a
+nested list/dict plan with ``~p``/``~s`` markers into a Parallel/Sequence
+task tree; ``execute`` runs the root; ``evaluate`` aggregates per-task
+metrics. The FAIR scheduler pool file is configured in
+``squrve_spark.session`` so ParallelTask children actually share the
+cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+from squrve_spark.actors.base import Actor, ActorPool
+from squrve_spark.config import Router
+from squrve_spark.data import Dataset
+from squrve_spark.evaluate import Evaluator
+from squrve_spark.llm import LLMClient
+from squrve_spark.tasks.core import BaseTask, MetaTask, ParallelTask, SequenceTask
+
+FAMILY_OF_TASK_TYPE = {
+    "reduce": "reducer",
+    "parse": "parser",
+    "generate": "generator",
+    "decompose": "decomposer",
+    "scale": "scaler",
+    "optimize": "optimizer",
+    "select": "selector",
+    "agent": "agent",
+}
+
+
+def parse_exec_process(spec, tasks: dict[str, BaseTask], _counter=[0]) -> BaseTask:
+    """Nested plan -> task tree. Lists run serially unless the first element
+    is the ``~p``/``*p`` marker (then in parallel); ``~s`` forces serial;
+    string leaves resolve task ids (reference engine.py:601-718 shapes)."""
+    if isinstance(spec, str):
+        return tasks[spec]
+    if isinstance(spec, dict):
+        children = [parse_exec_process(v, tasks) for v in spec.values()]
+        _counter[0] += 1
+        return SequenceTask(f"seq_{_counter[0]}", children)
+    if isinstance(spec, list):
+        mode = "s"
+        items = list(spec)
+        if items and items[0] in ("~p", "*p", "~s"):
+            mode = "p" if items[0] in ("~p", "*p") else "s"
+            items = items[1:]
+        children = [parse_exec_process(s, tasks) for s in items]
+        _counter[0] += 1
+        if mode == "p":
+            return ParallelTask(f"par_{_counter[0]}", children)
+        return SequenceTask(f"seq_{_counter[0]}", children)
+    raise TypeError(f"bad exec_process node: {spec!r}")
+
+
+class Engine:
+    """Drive task construction and execution over one shared SparkSession."""
+
+    def __init__(
+        self,
+        router: Optional[Router] = None,
+        spark: Optional[SparkSession] = None,
+        llm: Optional[LLMClient] = None,
+        dataset: Optional[Dataset] = None,
+    ):
+        self.router = router or Router()
+        self.spark = spark
+        self.llm = llm
+        self.dataset = dataset or Dataset()
+        self.tasks: dict[str, BaseTask] = {}
+        self.root: Optional[BaseTask] = None
+
+    # -- task construction --------------------------------------------------
+
+    def add_task(
+        self,
+        task_id: str,
+        task_type: str,
+        actor_name: str | None = None,
+        dataset: Optional[Dataset] = None,
+        **actor_kwargs,
+    ) -> MetaTask:
+        """Validated MetaTask factory: task_type picks the actor family
+        (engine.py:260-425 registry shape)."""
+        if task_type not in FAMILY_OF_TASK_TYPE:
+            raise ValueError(f"unknown task type {task_type!r}")
+        family = FAMILY_OF_TASK_TYPE[task_type]
+        ds = dataset or self.dataset
+        actor = ActorPool.create(
+            family,
+            actor_name or task_type,
+            dataset=ds,
+            spark=self.spark,
+            llm=self.llm,
+            **actor_kwargs,
+        )
+        task = MetaTask(
+            task_id,
+            actor,
+            dataset=ds,
+            spark=self.spark,
+            open_parallel=bool(self.router.get("open_parallel")),
+            max_workers=int(self.router.get("max_workers", 5)),
+        )
+        self.tasks[task_id] = task
+        return task
+
+    def add_complex_task(self, task_id: str, actors: list[Actor], dataset: Optional[Dataset] = None) -> MetaTask:
+        """Pipeline of pre-built actors as one MetaTask (ComplexTask shape)."""
+        from squrve_spark.actors.nest import PipelineActor
+
+        ds = dataset or self.dataset
+        task = MetaTask(task_id, PipelineActor(actors, dataset=ds), dataset=ds, spark=self.spark)
+        self.tasks[task_id] = task
+        return task
+
+    def plan(self, exec_process) -> BaseTask:
+        self.root = parse_exec_process(exec_process, self.tasks)
+        return self.root
+
+    # -- run & score --------------------------------------------------------
+
+    def execute(self, exec_process=None) -> BaseTask:
+        if exec_process is not None:
+            self.plan(exec_process)
+        if self.root is None:
+            self.plan(list(self.tasks))
+        self.root.run()
+        return self.root
+
+    def evaluate(self, eval_type=None, dataset: Optional[Dataset] = None) -> dict:
+        ev = Evaluator(
+            self.spark,
+            dataset or self.dataset,
+            eval_type or self.router.get("eval_type"),
+            item_timeout_s=float(self.router.get("item_timeout_s", 60.0)),
+            row_cap=int(self.router.get("row_cap", 10_000)),
+        )
+        return ev.eval_all()

@@ -1,0 +1,398 @@
+"""Framework-layer tests: transpiler, comparator, execution wrapper,
+evaluator, actors/tasks/engine — the SURVEY §2.B surface.
+
+The capstone is SURVEY §7.2's minimum end-to-end slice: catalog -> mock-LLM
+generator -> spark.sql execution -> EX comparator -> 1.0, with zero network.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from squrve_spark import compare as C
+from squrve_spark import execution as X
+from squrve_spark.catalog import register_tables
+from squrve_spark.config import Router
+from squrve_spark.data import (
+    Dataset,
+    TPCH_FOREIGN_KEYS,
+    TPCH_PRIMARY_KEYS,
+    central_schema_from_catalog,
+    central_to_parallel,
+    filter_dataset,
+    parallel_to_central,
+    render_schema_ddl,
+)
+from squrve_spark.evaluate import Evaluator, pass_at_n, schema_precision, schema_recall
+from squrve_spark.llm import MockLLM, extract_sql
+from squrve_spark.transpile import transpile
+from tests.conftest import SF_SMALL
+
+# ---------------------------------------------------------------------------
+# transpiler
+
+
+@pytest.mark.parametrize(
+    "src,expect",
+    [
+        ("SELECT strftime('%Y', o_orderdate) FROM orders", "CAST(year(o_orderdate) AS STRING)"),
+        ("SELECT strftime('%Y-%m', d) FROM t", "date_format(d, 'yyyy-MM')"),
+        ("SELECT CAST(a AS REAL) / b FROM t", "CAST(a AS DOUBLE)"),
+        ("SELECT IIF(a > 1, 'x', 'y') FROM t", "IF(a > 1, 'x', 'y')"),
+        ('SELECT "col name" FROM t', "SELECT `col name` FROM t"),
+        ("SELECT date(d, '-2 years') FROM t", "add_months(d, -24)"),
+        ("SELECT date(d, '+3 months') FROM t", "add_months(d, 3)"),
+        ("SELECT date(d, '-7 days') FROM t", "date_add(d, -7)"),
+        ("SELECT julianday(a) - julianday(b) FROM t", "datediff(a, b)"),
+    ],
+)
+def test_transpile_rules(src, expect):
+    assert expect in transpile(src, "sqlite")
+
+
+def test_transpile_preserves_string_literals():
+    sql = "SELECT * FROM t WHERE note = 'strftime(''%Y'', x) AS REAL'"
+    assert transpile(sql, "sqlite") == sql
+
+
+def test_transpile_qualify(spark):
+    register_tables(spark, SF_SMALL, ["nation"])
+    out = transpile(
+        "SELECT n_name, n_regionkey FROM nation "
+        "QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_name) = 1",
+        "snowflake",
+    )
+    assert "QUALIFY" not in out.upper() or "__qualify" in out
+    rows = spark.sql(out).collect()
+    assert len(rows) == 5  # one nation per region
+
+
+def test_transpile_spark_passthrough():
+    q = "SELECT 1 AS x"
+    assert transpile(q, "spark") == q
+
+
+# ---------------------------------------------------------------------------
+# comparator
+
+
+def test_compare_basic_equival():
+    gold = [(1, "a"), (2, "b")]
+    assert C.compare_result_sets([(1, "a"), (2, "b")], gold) == 1
+    assert C.compare_result_sets([(2, "b"), (1, "a")], gold) == 0  # order-sensitive
+    assert C.compare_result_sets([(2, "b"), (1, "a")], gold, ignore_order=True) == 1
+
+
+def test_compare_numeric_tolerance_and_na():
+    gold = [(1.0, None), (2.0, 5)]
+    pred = [(1.005, float("nan")), (2.009, 5)]
+    assert C.compare_result_sets(pred, gold) == 1
+    assert C.compare_result_sets([(1.02, None), (2.0, 5)], gold) == 0
+
+
+def test_compare_column_permutation_and_extras():
+    gold = [(1, "x"), (2, "y")]
+    pred = [("x", 99, 1), ("y", 98, 2)]  # permuted + extra column
+    assert C.compare_result_sets(pred, gold) == 1
+    assert C.compare_result_sets(pred, gold, strict_columns=True) == 0
+
+
+def test_compare_distinct_pred_columns():
+    # both gold columns equal -> pred must supply TWO matching columns
+    gold = [(1, 1), (2, 2)]
+    assert C.compare_result_sets([(1, 1), (2, 2)], gold) == 1
+    assert C.compare_result_sets([(1,), (2,)], gold) == 0
+
+
+def test_quick_reject():
+    assert C.quick_reject([(1,)], [(1,), (2,)], ignore_order=False)
+    assert not C.quick_reject([(1.001,)], [(1.0,)], ignore_order=False)
+
+
+def test_compare_spark_frames(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id int, s string")
+    b = spark.createDataFrame([(2, "y"), (1, "x")], "id int, s string")
+    assert C.compare_spark_frames(a, b) == 1
+    c = spark.createDataFrame([(1, "x"), (3, "y")], "id int, s string")
+    assert C.compare_spark_frames(a, c) == 0
+
+
+# ---------------------------------------------------------------------------
+# execution wrapper
+
+
+def test_execute_protocol(spark):
+    register_tables(spark, SF_SMALL, ["region"])
+    df, err = X.get_sql_exec_result(sql_query="SELECT count(*) AS n FROM region", spark=spark)
+    assert err is None and df["n"][0] == 5
+    df, err = X.get_sql_exec_result(sql_query="SELECT * FROM no_such_table", spark=spark)
+    assert df is None and "no_such_table" in err
+
+
+def test_execute_row_cap(spark):
+    register_tables(spark, SF_SMALL, ["lineitem"])
+    res = X.execute(spark, "SELECT * FROM lineitem", row_cap=100)
+    assert res.capped and len(res.df) == 100
+
+
+def test_execute_sql_stringified(spark):
+    register_tables(spark, SF_SMALL, ["region"])
+    s = X.execute_sql(spark, "SELECT r_name FROM region ORDER BY r_name LIMIT 2")
+    assert "AFRICA" in s
+    assert "No data found" in X.execute_sql(spark, "SELECT 1 WHERE 1=0")
+
+
+def test_execute_timing(spark):
+    elapsed, (df, err) = X.get_sql_exec_result_with_time(
+        sql_query="SELECT 1 AS one", spark=spark
+    )
+    assert err is None and elapsed > 0
+
+
+# ---------------------------------------------------------------------------
+# dataset + schema formats
+
+
+def test_dataset_roundtrip(tmp_path):
+    ds = Dataset([{"instance_id": i, "db_size": i * 10} for i in range(10)])
+    ds.setitem(0, "pred_sql", "SELECT 1")
+    assert ds[0]["pred_sql"] == "SELECT 1"
+    p = tmp_path / "ds.json"
+    ds.save(str(p))
+    assert len(Dataset.load(str(p))) == 10
+    assert len(filter_dataset(ds, "db_size-l-50")) == 5
+    assert len(filter_dataset(ds, ["db_size-me-50", "db_size-le-70"])) == 3
+    assert len(Dataset(list(ds), sample=0.3)) == 3
+
+
+def test_schema_formats(spark):
+    register_tables(spark, SF_SMALL)
+    central = central_schema_from_catalog(
+        spark, "tpch", ["region", "nation"], TPCH_PRIMARY_KEYS,
+        TPCH_FOREIGN_KEYS, {"region.r_name": "region name"},
+    )
+    assert central["column_names_original"][0] == [-1, "*"]
+    assert len(central["foreign_keys"]) == 1  # nation.n_regionkey -> region.r_regionkey
+    cols = central_to_parallel(central)
+    nrk = next(c for c in cols if c["column_name"] == "n_regionkey")
+    assert nrk["foreign_key"] == "[region(r_regionkey)]"
+    rrk = next(c for c in cols if c["column_name"] == "r_regionkey")
+    assert rrk["primary_key"]
+    ddl = render_schema_ddl(cols)
+    assert "### Table = region" in ddl and "### Foreign Keys:" in ddl
+    back = parallel_to_central(cols)
+    assert back["table_names_original"] == ["region", "nation"]
+
+
+def test_composite_pk(spark):
+    register_tables(spark, SF_SMALL, ["lineitem"])
+    central = central_schema_from_catalog(spark, "t", ["lineitem"], TPCH_PRIMARY_KEYS)
+    assert isinstance(central["primary_keys"][0], list)  # composite kept as list
+
+
+# ---------------------------------------------------------------------------
+# schema metrics + router
+
+
+def test_schema_metrics():
+    gold = ["orders.o_custkey", "customer.c_custkey"]
+    assert schema_recall(gold, ["orders.o_custkey"]) == 0.5
+    assert schema_precision(gold, ["orders.o_custkey", "nation.n_name"]) == 0.5
+    assert schema_recall(gold, "[orders.o_custkey, customer.c_custkey]") == 1.0
+    assert schema_recall(gold, [["orders", "o_custkey"]]) == 0.5
+    df = pd.DataFrame([{"table_name": "orders", "column_name": "o_custkey"}])
+    assert schema_recall(gold, df) == 0.5
+
+
+def test_router(tmp_path):
+    cfg = tmp_path / "c.json"
+    cfg.write_text('{"llm": {"temperature": 0.1}, "task": {"open_parallel": true}}')
+    r = Router(str(cfg), max_workers=7)
+    assert r.temperature == 0.1 and r.open_parallel is True and r.max_workers == 7
+    assert r.debug_turn_n == 2  # reference default preserved
+    assert r.section("llm") == {"temperature": 0.1}
+
+
+def test_pass_at_n():
+    assert pass_at_n([[0, 1, 0], [1, 0, 0]]) == pytest.approx(2 / 3)
+
+
+def test_extract_sql():
+    assert extract_sql("```sql\nSELECT 1;\n```") == "SELECT 1"
+    assert extract_sql("Sure: SELECT a FROM t;") == "SELECT a FROM t"
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: SURVEY §7.2 minimum slice + actor machinery
+
+
+def _mk_engine(spark, rows, llm=None):
+    from squrve_spark.tasks import Engine
+
+    register_tables(spark, SF_SMALL)
+    return Engine(Router(), spark=spark, llm=llm, dataset=Dataset(rows))
+
+
+def test_end_to_end_gold_passthrough(spark):
+    """catalog -> ZeroReducer -> gold generator -> spark.sql -> EX = 1.0"""
+    rows = [
+        {
+            "instance_id": 0,
+            "db_id": "tpch",
+            "db_type": "spark",
+            "question": "How many orders are there?",
+            "query": "SELECT count(*) AS n FROM orders",
+            "tables": ["orders"],
+        }
+    ]
+    eng = _mk_engine(spark, rows)
+    eng.add_task("reduce1", "reduce", "zero")
+    eng.add_task("gen1", "generate", "gold")
+    eng.execute(["reduce1", "gen1"])
+    assert eng.dataset[0]["pred_sql"] == rows[0]["query"]
+    res = eng.evaluate(["execute_accuracy"])
+    assert res["execute_accuracy"]["avg"] == 1.0
+
+
+def test_end_to_end_mock_llm_pipeline(spark):
+    """Mock-LLM generator with execution-feedback debug: first answer is
+    broken SQL, the engine's error message drives the repair round."""
+    llm = MockLLM(
+        rules=[
+            (r"failed with error", "SELECT count(*) AS n FROM orders"),
+            (r"Write ONE Spark SQL", "SELECT count(*) FROM no_table"),
+        ]
+    )
+    rows = [
+        {
+            "instance_id": 0,
+            "db_id": "tpch",
+            "db_type": "spark",
+            "question": "How many orders?",
+            "query": "SELECT count(*) AS n FROM orders",
+            "tables": ["orders"],
+        }
+    ]
+    eng = _mk_engine(spark, rows, llm)
+    eng.add_task("gen", "generate", "llmgen")
+    eng.execute(["gen"])
+    assert eng.dataset[0]["pred_sql"] == "SELECT count(*) AS n FROM orders"
+    assert eng.evaluate(["execute_accuracy"])["execute_accuracy"]["avg"] == 1.0
+
+
+def test_fastexec_selector_consensus(spark):
+    """3 candidates: two agree (one slower), one wrong -> consensus winner."""
+    register_tables(spark, SF_SMALL)
+    rows = [
+        {
+            "instance_id": 0,
+            "db_type": "spark",
+            "question": "count orders",
+            "query": "SELECT count(*) AS n FROM orders",
+            "pred_sql": [
+                "SELECT count(*) AS n FROM orders",
+                "SELECT count(o_orderkey) AS cnt FROM orders",  # same result set
+                "SELECT count(*) AS n FROM orders WHERE o_orderkey < 0",  # wrong
+            ],
+        }
+    ]
+    eng = _mk_engine(spark, rows)
+    eng.add_task("sel", "select", "fastexec")
+    eng.execute(["sel"])
+    chosen = eng.dataset[0]["pred_sql"]
+    assert "WHERE" not in chosen
+    assert eng.evaluate(["execute_accuracy"])["execute_accuracy"]["avg"] == 1.0
+
+
+def test_parser_and_metrics(spark):
+    rows = [
+        {
+            "instance_id": 0,
+            "question": "total revenue by n_name nation name",
+            "tables": ["nation"],
+            "gold_schemas": ["nation.n_name"],
+        }
+    ]
+    eng = _mk_engine(spark, rows)
+    eng.add_task("parse", "parse", "heuristic")
+    eng.execute(["parse"])
+    assert "nation.n_name" in eng.dataset[0]["schema_links"]
+    res = eng.evaluate(["parse_recall", "parse_precision"])
+    assert res["parse_recall"]["avg"] == 1.0
+
+
+def test_retrieval_reducer_and_reduce_metrics(spark):
+    rows = [
+        {
+            "instance_id": 0,
+            "question": "customer name and account balance",
+            "tables": ["customer", "region"],
+            "gold_schemas": ["customer.c_name", "customer.c_acctbal"],
+        }
+    ]
+    eng = _mk_engine(spark, rows)
+    eng.add_task("red", "reduce", "retrieval", top_k=5)
+    eng.execute(["red"])
+    row = eng.dataset[0]
+    assert row["reduced_size"] == 5 and row["schema_size"] > 5
+    res = eng.evaluate(["reduce_recall", "reduce_rate"])
+    assert res["reduce_recall"]["avg"] == 1.0
+    assert res["reduce_rate"]["avg"] > 0
+
+
+def test_parallel_tasks_and_tree(spark):
+    """Two parse tasks under ~p + workflow agent fan-out compose correctly."""
+    rows = [
+        {"instance_id": 0, "question": "n_name", "tables": ["nation"],
+         "query": "SELECT n_name FROM nation", "db_type": "spark"},
+        {"instance_id": 1, "question": "r_name", "tables": ["region"],
+         "query": "SELECT r_name FROM region", "db_type": "spark"},
+    ]
+    eng = _mk_engine(spark, rows)
+    eng.add_task("p1", "parse", "heuristic")
+    eng.add_task("g1", "generate", "gold")
+    root = eng.execute(["~p", "p1", "g1"])
+    assert root.ended and not root.errors
+    assert eng.evaluate(["execute_accuracy"])["execute_accuracy"]["avg"] == 1.0
+
+
+def test_workflow_agent(spark):
+    llm = MockLLM(default="[nation.n_name]")
+    rows = [
+        {"instance_id": 0, "db_id": "tpch", "db_type": "spark",
+         "question": "nation names", "query": "SELECT n_name FROM nation",
+         "tables": ["nation"]}
+    ]
+    eng = _mk_engine(spark, rows, llm)
+    eng.add_task("agent", "agent", "workflow",
+                 actor_lis=["reducer:zero", ["parser:heuristic"], "generator:gold"])
+    eng.execute(["agent"])
+    assert eng.dataset[0]["pred_sql"] == "SELECT n_name FROM nation"
+
+
+def test_exec_feedback_optimizer(spark):
+    llm = MockLLM(rules=[(r"Problem: execution error", "SELECT n_name FROM nation")])
+    rows = [
+        {"instance_id": 0, "db_type": "spark", "question": "names",
+         "query": "SELECT n_name FROM nation", "pred_sql": "SELECT nme FROM nation",
+         "tables": ["nation"], "schema_ddl": ""}
+    ]
+    eng = _mk_engine(spark, rows, llm)
+    eng.add_task("opt", "optimize", "execfeedback")
+    eng.execute(["opt"])
+    assert eng.dataset[0]["pred_sql"] == "SELECT n_name FROM nation"
+
+
+def test_profile_ops(spark):
+    from squrve_spark import profile as P
+
+    register_tables(spark, SF_SMALL)
+    cols = P.table_columns(spark, "region")
+    assert [c["name"] for c in cols] == ["r_regionkey", "r_name"]
+    prof = {r["column"]: r for r in P.profile_table(spark.table("region"), exact_distinct=True).collect()}
+    assert prof["r_regionkey"]["n_distinct"] == 5 and prof["r_regionkey"]["n_null"] == 0
+    assert len(P.sample_values(spark.table("region"), "r_name", 3)) == 3
+    assert "### Table = region" in P.describe_for_prompt(spark, "region")
