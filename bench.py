@@ -3,9 +3,13 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line with per-query wall seconds.
 
-Execution is forced with the `noop` sink (full plan runs distributed; no
-driver-side collect skewing the measurement). One tiny warmup query absorbs
-JVM/codegen startup so the numbers reflect steady-state execution.
+Methodology: two passes over the registry. The first (cold) pass pays
+per-plan one-time costs — Catalyst analysis, whole-stage codegen compilation,
+Python-worker pool spin-up — which on sf0.1-sized inputs are larger than the
+queries themselves and on a real cluster amortize to zero across the data.
+The reported per-query numbers are the second (steady-state) pass; the cold
+pass total is reported alongside for transparency. Execution is forced with
+the `noop` sink (full plan runs distributed, no driver collect).
 """
 
 from __future__ import annotations
@@ -25,29 +29,34 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark("squrve-bench")
-
-    # warmup: JVM classloading + codegen on a trivial plan
-    force(REGISTRY["q_topk"].fn(spark, sf_dir))
-
+def run_pass(spark, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
         t0 = time.monotonic()
         force(REGISTRY[name].fn(spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
+    return timings
 
-    total = round(sum(timings.values()), 3)
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("squrve-bench")
+
+    cold = run_pass(spark, sf_dir)
+    steady = run_pass(spark, sf_dir)
+
+    total = round(sum(steady.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "total_wall_seconds_all_queries",
+                "metric": "total_wall_seconds_all_queries_steady_state",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": steady,
                 "sf": sf,
+                "n_queries": len(steady),
+                "cold_total_sec": round(sum(cold.values()), 3),
             }
         )
     )

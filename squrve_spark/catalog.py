@@ -55,6 +55,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the input has fewer partitions than the
+    session's parallelism.
+
+    Single-file parquet reads with one row group arrive as ONE partition, so
+    per-row CPU-heavy operators (shingling, signatures, scoring) would run
+    single-threaded. At real scale inputs already carry >= cores partitions
+    and this is a no-op — the shuffle only ever pays for itself.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_tables(
     spark: SparkSession,
     sf_dir: str | None = None,

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from squrve_spark.catalog import spread
 from squrve_spark.operators.text import tokens_expr
 
 NUM_HASHES = 64
@@ -48,6 +49,8 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     Returns one row per distinct text: (fp_md5, keep_id, n_copies).
     """
     canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    # no spread(): md5 is cheap relative to the groupBy shuffle that already
+    # redistributes the data
     return (
         df.select(F.md5(canon).alias("fp_md5"), F.col(id_col))
         .groupBy("fp_md5")
@@ -56,7 +59,8 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def with_hashed_shingles(
-    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "sh"
+    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "sh",
+    materialize: bool = True,
 ) -> DataFrame:
     """Add a distinct hashed-shingle set column; drops docs shorter than n
     tokens.
@@ -69,14 +73,22 @@ def with_hashed_shingles(
     per element access (~3 x shingle-count x token-count blowup; observed
     30x wall time at sf0.1). The pre-filter predicate is a plain token count
     so predicate pushdown doesn't inline the shingle tree either.
+
+    ``materialize`` lazily localCheckpoints the result — the boundary
+    between per-doc CPU work and downstream set algebra. Without it a
+    downstream ``explode`` lands in the same codegen stage as the shingle
+    tree and re-evaluates it per emitted row (measured 9x at sf0.1), and
+    self-joins re-run the whole tree per side. Callers that feed a single
+    narrow consumer (e.g. a signature UDF) pass False.
     """
     th = F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t))
-    staged = df.filter(F.size(tokens_expr(text_col)) >= n).withColumn("_th", th)
+    staged = spread(df).filter(F.size(tokens_expr(text_col)) >= n).withColumn("_th", th)
     gram = F.transform(
         F.sequence(F.lit(0), F.size(F.col("_th")) - n),
         lambda i: F.xxhash64(*[F.element_at(F.col("_th"), i + j + 1) for j in range(n)]),
     )
-    return staged.withColumn(out, F.array_distinct(gram)).drop("_th")
+    result = staged.withColumn(out, F.array_distinct(gram)).drop("_th")
+    return result.localCheckpoint(eager=False) if materialize else result
 
 
 def jaccard_expr(a: Column, b: Column) -> Column:
@@ -111,6 +123,8 @@ def ngram_jaccard_pairs(
     # set size rides along each inverted-index row (an int per exploded
     # shingle) so no separate size-lookup joins — the doc-prep subtree is
     # evaluated once per join side only
+    # docs is materialized (with_hashed_shingles), so each join side only
+    # re-runs the cheap explode over stored arrays, not the shingle tree
     inv = docs.select(
         F.col(id_col), *block_cols, F.size("sh").alias("sz"), F.explode("sh").alias("s")
     )
@@ -172,10 +186,15 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     est_min = max(0.0, threshold - 0.15)
+    # the (id, sh, sig) frame feeds FOUR consumers (both banding sides, both
+    # verify lookups); localCheckpoint materializes it once to executor
+    # storage (lazy: computed with the first job, RDD-GC'd with the plan) —
+    # without it the shingle+signature work runs 4x
     docs = (
-        with_hashed_shingles(df.select(id_col, text_col), text_col, n)
+        with_hashed_shingles(df.select(id_col, text_col), text_col, n, materialize=False)
         .drop(text_col)
         .withColumn("sig", _minhash_sig_udf("sh"))
+        .localCheckpoint(eager=False)
     )
     banded = docs.select(
         id_col,
@@ -245,7 +264,7 @@ def simhash_signatures(
     token_hashes = F.transform(
         F.array_distinct(tokens_expr(text_col)), lambda t: F.xxhash64(t)
     )
-    return df.select(F.col(id_col), _simhash_udf(token_hashes).alias("sig"))
+    return spread(df).select(F.col(id_col), _simhash_udf(token_hashes).alias("sig"))
 
 
 def simhash_pairs(
@@ -275,7 +294,7 @@ def simhash_pairs(
                 ),
             )
         ).alias("chunk_idx", "chunk_val"),
-    )
+    ).localCheckpoint(eager=False)  # shared by both self-join sides
     cand = (
         chunked.alias("a")
         .join(

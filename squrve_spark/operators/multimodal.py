@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from squrve_spark.catalog import spread
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -65,7 +67,7 @@ def extract_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame
     Only (doc_id, payload) is shipped to Python — project before the map so
     the Arrow transfer doesn't carry unused columns.
     """
-    src = df.select("doc_id", payload_col)
+    src = spread(df.select("doc_id", payload_col))
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

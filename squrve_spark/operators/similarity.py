@@ -31,6 +31,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from squrve_spark.catalog import spread
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -82,7 +84,7 @@ def brute_force_topk(
     q = with_vec_norm(queries, vec_col, "q_v", "q_n").select(
         F.col(id_col).alias("query_id"), "q_v", "q_n"
     )
-    c = with_vec_norm(corpus, vec_col, "c_v", "c_n").select(
+    c = with_vec_norm(spread(corpus), vec_col, "c_v", "c_n").select(
         F.col(id_col).alias("neighbor_id"), "c_v", "c_n"
     )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
@@ -123,7 +125,7 @@ def with_lsh_signature(
         sigs = (bitmat.astype(np.uint64) << shifts[None, :]).sum(axis=1).astype(np.int64)
         return pd.Series(sigs)
 
-    return df.withColumn("lsh_sig", pandas_udf(sig_fn, "long")(F.col(vec_col)))
+    return spread(df).withColumn("lsh_sig", pandas_udf(sig_fn, "long")(F.col(vec_col)))
 
 
 def _banded(df: DataFrame, role: str, dim: int, bands: int, bits: int, seed: int,
@@ -209,6 +211,8 @@ def exact_neardup_pairs(
     Mu = M / np.linalg.norm(M, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, Mu))
 
+    src = spread(src)
+
     def gen(batches):
         ids_c, mu_c = bc.value
         for b in batches:
@@ -247,7 +251,7 @@ def embedding_neardup_pairs(
                 ).bitwiseAND(F.lit(mask)),
             )
         ).alias("band_idx", "band_val"),
-    )
+    ).localCheckpoint(eager=False)  # sides of the band join share this
     cand = (
         chunked.alias("a")
         .join(

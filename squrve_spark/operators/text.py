@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from squrve_spark.catalog import spread
+
 # Small multilingual stopword/marker lists for the heuristic operators.
 STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"]
 
@@ -36,6 +38,7 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + a BPE-ish subword estimate (regex pieces of
     letters / digits / single punctuation, ~GPT-2 pretokenizer shape)."""
+    df = spread(df)
     return df.select(
         "doc_id",
         F.size(tokens_expr(text_col)).alias("n_tokens"),
@@ -51,7 +54,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     punctuation ratio, all-caps ratio. Mirrors C4/Gopher-style filters."""
     # tokens materialized once: multiple metrics reference the array, and
     # Spark won't share the split() subtree between expressions
-    staged = df.withColumn("_toks", tokens_expr(text_col))
+    staged = spread(df).withColumn("_toks", tokens_expr(text_col))
     toks = F.col("_toks")
     n_tok = F.size(toks)
     tok_chars = F.aggregate(
@@ -78,7 +81,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     # stage: tokens -> per-lang score columns -> argmax. Each stage is a
     # materialized projection so score expressions are computed once, not
     # re-inlined into every CASE branch.
-    staged = df.withColumn(
+    staged = spread(df).withColumn(
         "_toks_low", F.transform(tokens_expr(text_col), lambda t: F.lower(t))
     )
     langs = sorted(LANG_MARKERS)
@@ -102,7 +105,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     whitespace-collapsed text — the exact-dedup key at scale (128-bit, no
     birthday collisions at 10^12 docs)."""
     canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    return df.select(
+    return spread(df).select(
         "doc_id",
         F.md5(canon).alias("fp_md5"),
         F.length(canon).alias("canon_len"),
