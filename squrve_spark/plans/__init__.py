@@ -10,3 +10,4 @@ from squrve_spark.plans.registry import REGISTRY, QuerySpec, register  # noqa: F
 from squrve_spark.plans import relational  # noqa: F401,E402
 from squrve_spark.plans import analytics  # noqa: F401,E402
 from squrve_spark.plans import pipeline  # noqa: F401,E402
+from squrve_spark.plans import streaming_plans  # noqa: F401,E402

@@ -1,0 +1,90 @@
+"""Streaming queries run to a deterministic batch result.
+
+Each entry drains the full event source with Trigger.AvailableNow and
+returns the final in-memory table — a real Structured Streaming execution
+(stateful operators, watermarks) whose output is hash-checkable against the
+same DuckDB SQL as the batch analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from squrve_spark.plans.registry import register
+from squrve_spark.streaming import (
+    hourly_counts_stream,
+    read_event_stream,
+    run_stream_to_table,
+    session_counts_stream,
+    user_running_state_stream,
+)
+
+
+@register(
+    "stream_hourly_counts",
+    oracle="""
+    SELECT event_type,
+           epoch_us(ts) // 3600000000 AS bucket_hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "events", "window-agg"),
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-hour rollup executed as a stream (complete
+    output mode so the finite replay yields every window)."""
+    ev = read_event_stream(spark, sf_dir)
+    return run_stream_to_table(hourly_counts_stream(ev), "complete")
+
+
+@register(
+    "stream_sessionize",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT user_id, CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+    tags=("streaming", "events", "sessionize"),
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization run as a stream; session count
+    per user. (session_window starts a NEW session when the gap is >= the
+    duration, hence >= in the oracle — the batch q_events_sessionize uses
+    the strict-> convention; both match when no gap is exactly 30 min.)"""
+    ev = read_event_stream(spark, sf_dir)
+    sessions = run_stream_to_table(session_counts_stream(ev), "complete")
+    return sessions.groupBy("user_id").agg(F.count("*").alias("n_sessions"))
+
+
+@register(
+    "stream_user_state",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS purchase_cents
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "events", "stateful"),
+)
+def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) draining the event
+    stream; final per-user running totals. Update-mode emissions are
+    collapsed to the last state per user (max is exact: totals only grow)."""
+    ev = read_event_stream(spark, sf_dir)
+    out = run_stream_to_table(user_running_state_stream(ev), "update")
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("purchase_cents").alias("purchase_cents"),
+    )

