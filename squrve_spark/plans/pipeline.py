@@ -264,3 +264,34 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     real Arrow-batched plumbing)."""
     docs = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_media_meta(docs)
+
+
+@register(
+    "doc_profile",
+    oracle="""
+    SELECT 'doc_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT) FROM documents
+    """,
+    tags=("profiling",),
+)
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (SURVEY §2.C): per-column row/null/distinct
+    counts. Exact distincts here for oracle parity; the operator defaults to
+    approx_count_distinct (HLL) at scale."""
+    from squrve_spark.profile import profile_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return profile_table(docs, exact_distinct=True)

@@ -1,0 +1,125 @@
+"""HTTP service entry point: run actor workflows over registered data.
+
+Reference analog: the Flask app (/root/reference/app/run.py) — a global
+Router+Engine at startup, ``POST /api/run`` and ``POST /api/run_batch``
+accepting ``{instance_id, task_lis}`` per request, per-request timeouts
+(task 1200 s / SQL 150 s), ``GET /healthz``. Implemented on the stdlib
+(``http.server``) — no web-framework dependency; the service is IO-thin,
+all real work happens in the engine's task/actor kernel on the shared
+SparkSession.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from concurrent.futures import ThreadPoolExecutor, TimeoutError as FutTimeout
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from squrve_spark.actors.families import WorkflowAgent
+from squrve_spark.data import Dataset
+from squrve_spark.evaluate import Evaluator
+from squrve_spark.execution import execute as spark_execute
+
+TASK_MAX_WAIT_TIME = 1200.0  # parity: app/run.py:46
+SQL_MAX_WAIT_TIME = 150.0  # parity: app/run.py:47
+
+
+class ServiceState:
+    """Shared engine state: session, LLM client, registered dataset rows."""
+
+    def __init__(self, spark, llm=None, dataset: Optional[Dataset] = None):
+        self.spark = spark
+        self.llm = llm
+        self.dataset = dataset or Dataset()
+        self.pool = ThreadPoolExecutor(max_workers=8)
+
+    def find_row(self, instance_id) -> Optional[int]:
+        for i, row in enumerate(self.dataset):
+            if row.get("instance_id") == instance_id:
+                return i
+        return None
+
+    def run_instance(self, payload: dict) -> dict:
+        """Run a declarative actor workflow for one instance; returns the
+        updated row fields + optional execution/eval results."""
+        instance_id = payload.get("instance_id")
+        idx = self.find_row(instance_id)
+        if idx is None:
+            # ad-hoc instance provided inline
+            row = {k: v for k, v in payload.items() if k != "task_lis"}
+            self.dataset.append(row)
+            idx = len(self.dataset) - 1
+        task_lis = payload.get("task_lis") or ["generator:gold"]
+        agent = WorkflowAgent(
+            dataset=self.dataset, spark=self.spark, llm=self.llm, actor_lis=task_lis
+        )
+        fut = self.pool.submit(agent.run_on, idx)
+        try:
+            fut.result(timeout=TASK_MAX_WAIT_TIME)
+        except FutTimeout:
+            return {"instance_id": instance_id, "error": "task timeout"}
+        row = dict(self.dataset[idx])
+        out = {"instance_id": instance_id, "pred_sql": row.get("pred_sql")}
+        if payload.get("execute") and row.get("pred_sql"):
+            res = spark_execute(
+                self.spark, row["pred_sql"], row_cap=100, timeout_seconds=SQL_MAX_WAIT_TIME
+            )
+            out["result"] = None if res.df is None else res.df.to_dict("records")
+            out["exec_error"] = res.error
+        if payload.get("evaluate") and row.get("query"):
+            ev = Evaluator(self.spark, Dataset([row]), ["execute_accuracy"])
+            out["execute_accuracy"] = ev.eval(0, "execute_accuracy")
+        return out
+
+
+def _make_handler(state: ServiceState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # silence request logging
+            pass
+
+        def _send(self, code: int, body: dict):
+            data = json.dumps(body, default=str).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok"})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                return self._send(400, {"error": "bad json"})
+            try:
+                if self.path == "/api/run":
+                    self._send(200, state.run_instance(payload))
+                elif self.path == "/api/run_batch":
+                    items = payload.get("instances", [])
+                    self._send(200, {"results": [state.run_instance(p) for p in items]})
+                else:
+                    self._send(404, {"error": "not found"})
+            except Exception as exc:  # noqa: BLE001 — service containment
+                self._send(500, {"error": str(exc)})
+
+    return Handler
+
+
+def create_server(state: ServiceState, port: int = 0) -> ThreadingHTTPServer:
+    """Bind the service; port 0 picks a free port (``server.server_address``)."""
+    return ThreadingHTTPServer(("127.0.0.1", port), _make_handler(state))
+
+
+def serve_background(state: ServiceState, port: int = 0) -> ThreadingHTTPServer:
+    server = create_server(state, port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server

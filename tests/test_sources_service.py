@@ -1,0 +1,118 @@
+"""Ingestion + HTTP service tests (reference entry points: file upload and
+the batch API)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from squrve_spark.catalog import register_tables
+from squrve_spark.data import Dataset
+from squrve_spark.service import ServiceState, serve_background
+from squrve_spark.sources import ingest_file, ingest_files, write_table
+from tests.conftest import SF_SMALL
+
+
+def test_ingest_csv(spark, tmp_path):
+    p = tmp_path / "people.csv"
+    p.write_text("id,name,score\n1,ann,3.5\n2,bob,4.0\n")
+    df = ingest_file(spark, str(p))
+    assert df.count() == 2
+    assert dict(df.dtypes)["id"] == "int"
+    assert spark.sql("SELECT sum(score) AS s FROM people").collect()[0]["s"] == 7.5
+
+
+def test_ingest_jsonl_and_schema(spark, tmp_path):
+    p = tmp_path / "orders_up.jsonl"
+    p.write_text('{"oid": 1, "amt": 10.5}\n{"oid": 2, "amt": 20.0}\n')
+    ingest_file(spark, str(p))
+    central = ingest_files(spark, [str(p)], db_id="uploads")
+    assert central["db_id"] == "uploads"
+    cols = {c[1] for c in central["column_names_original"]}
+    assert {"oid", "amt"} <= cols
+
+
+def test_ingest_unknown_ext(spark, tmp_path):
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"\x00")
+    with pytest.raises(ValueError):
+        ingest_file(spark, str(p))
+
+
+def test_write_table_partitioned(spark, tmp_path):
+    p = tmp_path / "out"
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "id int, k string")
+    write_table(df, str(p), partition_by=["k"])
+    back = spark.read.parquet(str(p))
+    assert back.count() == 3
+    # partition pruning: filter on k reads one directory
+    assert back.filter("k = 'a'").count() == 2
+
+
+# ---------------------------------------------------------------------------
+# service
+
+
+@pytest.fixture()
+def service(spark):
+    register_tables(spark, SF_SMALL)
+    rows = [
+        {
+            "instance_id": "i1",
+            "db_type": "spark",
+            "question": "How many orders?",
+            "query": "SELECT count(*) AS n FROM orders",
+            "tables": ["orders"],
+        }
+    ]
+    state = ServiceState(spark, dataset=Dataset(rows))
+    server = serve_background(state)
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def _post(url: str, payload: dict) -> dict:
+    req = urllib.request.Request(
+        url, json.dumps(payload).encode(), {"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return json.loads(resp.read())
+
+
+def test_healthz(service):
+    with urllib.request.urlopen(f"{service}/healthz", timeout=10) as resp:
+        assert json.loads(resp.read()) == {"status": "ok"}
+
+
+def test_api_run_and_evaluate(service):
+    out = _post(
+        f"{service}/api/run",
+        {"instance_id": "i1", "task_lis": ["generator:gold"], "execute": True,
+         "evaluate": True},
+    )
+    assert out["pred_sql"] == "SELECT count(*) AS n FROM orders"
+    assert out["result"][0]["n"] > 0
+    assert out["execute_accuracy"] == 1
+
+
+def test_api_run_batch_adhoc_instance(service):
+    out = _post(
+        f"{service}/api/run_batch",
+        {
+            "instances": [
+                {
+                    "instance_id": "new1",
+                    "db_type": "spark",
+                    "question": "nations",
+                    "query": "SELECT n_name FROM nation",
+                    "tables": ["nation"],
+                    "task_lis": ["generator:gold"],
+                    "execute": True,
+                }
+            ]
+        },
+    )
+    assert len(out["results"]) == 1
+    assert len(out["results"][0]["result"]) == 25
