@@ -276,3 +276,77 @@ def embedding_neardup_pairs(
         dot_expr(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
     ).cast("double")
     return cand.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the classic ANN scale path.
+
+    1. Centroids: a deterministic hash-ordered sample of corpus vectors
+       (k-means init without the iterations — adequate for routing; plug a
+       trained codebook for tighter cells).
+    2. Corpus vectors route to their nearest centroid (one cell each);
+       queries probe their ``n_probe`` nearest cells.
+    3. Candidates = equi-join on cell id; exact cosine re-rank keeps k.
+
+    Per-query work drops from |corpus| to ~|corpus| * n_probe / n_centroids;
+    the join is a shuffle on cell id, never a cross join. Routing is one
+    BLAS matmul per Arrow batch against the broadcast centroid matrix.
+    """
+    cent_rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.stack([np.asarray(r[0], dtype=np.float64) for r in cent_rows])
+    Cu = C / np.linalg.norm(C, axis=1, keepdims=True)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(Cu)
+
+    def cells_fn(top_n: int):
+        def fn(vecs: pd.Series) -> pd.Series:
+            cu = bc.value
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = Vu @ cu.T  # n x n_centroids
+            order = np.argsort(-sims, axis=1)[:, :top_n].astype(np.int32)
+            return pd.Series(list(order))
+
+        return pandas_udf(fn, "array<int>")
+
+    c = with_vec_norm(spread(corpus), vec_col, "c_v", "c_n").select(
+        F.col(id_col).alias("neighbor_id"),
+        "c_v",
+        "c_n",
+        F.element_at(cells_fn(1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = with_vec_norm(queries, vec_col, "q_v", "q_n").select(
+        F.col(id_col).alias("query_id"),
+        "q_v",
+        "q_n",
+        F.explode(cells_fn(n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot_expr(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")), 6
+            ).cast("double"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

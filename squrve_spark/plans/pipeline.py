@@ -295,3 +295,12 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
     return profile_table(docs, exact_distinct=True)
+
+
+@register("sim_ivf_topk", oracle=None, tags=("similarity", "ann", "no-oracle"))
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-k (cell routing + probe + re-rank);
+    recall-vs-bruteforce property tested in tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)

@@ -679,3 +679,107 @@ def q_case_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             dexact(F.sum(money("o_totalprice"))).alias("band_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A11 deep-dive: correlated scalar subquery over a group minimum (TPC-H Q2
+# shape) and NOT EXISTS anti-join (TPC-H Q4/Q21 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q_corr_min_subquery",
+    oracle="""
+    SELECT s.s_name, p.p_partkey, CAST(ROUND(l.l_extendedprice, 2) AS DOUBLE) AS price
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE l.l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    ) AND p.p_partkey < 100
+    """,
+    tags=("A5", "A11"),
+)
+def q_corr_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (cheapest offer per part, TPC-H Q2 shape).
+    Catalyst decorrelates into an aggregate + join; expressed via spark.sql
+    so the decorrelation path itself is exercised."""
+    register_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    return spark.sql(
+        """
+        SELECT s.s_name, p.p_partkey,
+               CAST(ROUND(l.l_extendedprice, 2) AS DOUBLE) AS price
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE l.l_extendedprice = (
+            SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+        ) AND p.p_partkey < 100
+        """
+    )
+
+
+@register(
+    "q_not_exists_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE c.c_acctbal > 9000 AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_orderstatus = 'F'
+    )
+    """,
+    tags=("A11",),
+)
+def q_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> left-anti join (TPC-H Q4/Q21 family)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.filter(F.col("c_acctbal") > 9000)
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT n_name, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderstatus), (n_name, o_orderstatus))
+    """,
+    tags=("A8", "grouping-sets"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than rollup/cube)."""
+    register_tables(spark, sf_dir, ["orders", "customer", "nation"])
+    return spark.sql(
+        """
+        SELECT n_name, o_orderstatus, COUNT(*) AS n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (o_orderstatus), (n_name, o_orderstatus))
+        """
+    )
+
+
+@register(
+    "q_semi_join_in",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (
+        SELECT l_partkey FROM lineitem WHERE l_quantity > 49
+    )
+    """,
+    tags=("A11",),
+)
+def q_semi_join_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery -> left-semi join."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
