@@ -1,0 +1,73 @@
+"""Dedup operator properties that the DuckDB oracle can't express:
+LSH candidate subsets, signature bounds, survivor invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from squrve_spark.catalog import load_table
+from squrve_spark.operators import dedup
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents")
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_pairs_subset_of_exact(spark, docs):
+    """Every LSH-surfaced pair passes exact Jaccard verification, so the
+    minhash output must be a subset of the unblocked exact pairs at the
+    same threshold (precision = 1 by construction)."""
+    exact = dedup.ngram_jaccard_pairs(
+        docs.withColumn("_b", F.lit(1)), ["_b"], threshold=0.5
+    )
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    exact_pairs, lsh_pairs = _pairs(exact), _pairs(lsh)
+    assert lsh_pairs <= exact_pairs
+    if exact_pairs:
+        assert len(lsh_pairs) / len(exact_pairs) >= 0.8  # S-curve recall at 0.5
+
+
+def test_minhash_jaccard_values_match_exact(spark, docs):
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    exact = dedup.ngram_jaccard_pairs(
+        docs.withColumn("_b", F.lit(1)), ["_b"], threshold=0.5
+    )
+    ex = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+    for r in lsh.collect():
+        assert ex[(r["id_a"], r["id_b"])] == pytest.approx(r["jaccard"], abs=1e-6)
+
+
+def test_simhash_hamming_bound(spark, docs):
+    out = dedup.simhash_pairs(docs, max_hamming=3)
+    rows = out.collect()
+    assert rows, "corpus contains near-duplicates"
+    assert all(0 <= r["hamming"] <= 3 for r in rows)
+
+
+def test_simhash_identical_docs_zero_distance(spark, docs):
+    """Exact duplicates (same text) must collide at hamming 0."""
+    dupes = (
+        dedup.exact_dedup_groups(docs).filter(F.col("n_copies") > 1).limit(1).collect()
+    )
+    if not dupes:
+        pytest.skip("no exact duplicates at this sf")
+    sig = dedup.simhash_signatures(docs)
+    fp = docs.select("doc_id", F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias("fp"))
+    joined = fp.filter(F.col("fp") == dupes[0]["fp_md5"]).join(sig, "doc_id")
+    sigs = [r["sig"] for r in joined.collect()]
+    assert len(set(sigs)) == 1
+
+
+def test_exact_dedup_survivor_is_min_id(spark, docs):
+    groups = dedup.exact_dedup_groups(docs)
+    total = docs.count()
+    assert groups.agg(F.sum("n_copies")).collect()[0][0] == total
+    assert groups.count() <= total  # grouping never invents rows

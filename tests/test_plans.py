@@ -1,0 +1,70 @@
+"""Plan-quality guards: the physical plans the engine relies on at scale.
+
+These assert the *shape* of the plan, not timings: filters reach the parquet
+scan, scans are column-pruned, dimension joins broadcast, and nothing in the
+registry degenerates to a cartesian product. A regression here is exactly
+the kind that stays invisible at sf0.1 and melts a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from squrve_spark.plans import REGISTRY
+from tests.conftest import SF_MED
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = formatted_plan(REGISTRY["q_scan_filter"].fn(spark, SF_MED))
+    assert "PushedFilters: [IsNotNull(o_totalprice)" in plan
+    assert "GreaterThan(o_totalprice,400000.0)" in plan
+
+
+def test_column_pruning(spark):
+    plan = formatted_plan(REGISTRY["q1_pricing_summary"].fn(spark, SF_MED))
+    # the lineitem scan must NOT read unused columns like l_comment/l_partkey
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" in read and "l_partkey" not in read
+
+
+def test_dim_joins_broadcast(spark):
+    plan = formatted_plan(REGISTRY["q_multijoin_region_revenue"].fn(spark, SF_MED))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan  # all dims are broadcast-sized here
+
+
+def test_topk_takeordered(spark):
+    plan = formatted_plan(REGISTRY["q_topk"].fn(spark, SF_MED))
+    assert "TakeOrderedAndProject" in plan  # ORDER BY+LIMIT never full-sorts
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_cartesian_products(spark, name):
+    fn = REGISTRY[name].fn
+    if "stream_" in name:
+        pytest.skip("streaming plans are checked by execution tests")
+    plan = formatted_plan(fn(spark, SF_MED))
+    assert "CartesianProduct" not in plan
+    # BroadcastNestedLoopJoin is acceptable only for the deliberately
+    # broadcast brute-force ANN baseline (inequality join against a tiny
+    # broadcast side)
+    if "bruteforce" not in name and name != "emb_neardup_exact":
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_whole_stage_codegen_present(spark):
+    # AQE reveals codegen spans only in the final (executed) plan
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_MED)
+    df.collect()
+    plan = formatted_plan(df)
+    assert "isFinalPlan=true" in plan and "codegen id" in plan
