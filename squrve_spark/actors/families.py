@@ -456,3 +456,69 @@ class WorkflowAgent(SparkActor):
 
         pipeline = PipelineActor([self._build(s) for s in self.actor_lis], dataset=self.dataset)
         return pipeline.act(item, **kwargs)
+
+
+@ActorPool.register("agent")
+class ForkGatherAgent(SparkActor):
+    """Plan-fork-gather (ForkGatherAgent.py:16-326 semantics): the LLM reads
+    the registered actors' SKILL descriptions, proposes up to ``max_n``
+    candidate workflows (one JSON list of actor specs per line), each rolls
+    out independently on a cloned row, and a selector gathers the winner
+    from the candidates' outputs."""
+
+    NAME = "forkgather"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = "LLM plans candidate actor workflows from the skill registry, runs all, selects by execution consensus."
+
+    PROMPT = (
+        "Available actors (family:name — skill):\n{skills}\n\n"
+        "Question: {question}\n"
+        "Propose up to {max_n} workflows, one per line, each a JSON list of "
+        'actor specs like ["reducer:zero", "generator:llmgen"].'
+    )
+
+    def __init__(self, *args, max_n: int = 3, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.max_n = max_n
+
+    def _parse_workflows(self, text: str) -> list[list]:
+        import json as _json
+
+        out = []
+        for line in text.splitlines():
+            line = line.strip().lstrip("-*0123456789. ")
+            if not line.startswith("["):
+                continue
+            try:
+                spec = _json.loads(line)
+            except _json.JSONDecodeError:
+                continue
+            if isinstance(spec, list) and spec:
+                out.append(spec)
+        return out[: self.max_n]
+
+    def act(self, item: int, **kwargs) -> dict:
+        skills = "\n".join(
+            f"{name} — {skill.strip().splitlines()[0] if skill.strip() else ''}"
+            for name, skill in sorted(ActorPool.skills().items())
+        )
+        row = self.row(item)
+        plan_text = self.llm.complete(
+            self.PROMPT.format(skills=skills, question=row.get("question", ""),
+                               max_n=self.max_n)
+        )
+        workflows = self._parse_workflows(plan_text) or [["generator:gold"]]
+        candidates: list[str] = []
+        for spec in workflows:
+            agent = WorkflowAgent(
+                dataset=self.dataset, spark=self.spark, llm=self.llm, actor_lis=spec
+            )
+            result = agent.act(item, **kwargs)
+            sql = result.get("pred_sql")
+            sqls = sql if isinstance(sql, list) else [sql]
+            for s in sqls:
+                if s and s not in candidates:
+                    candidates.append(s)
+        row["pred_sql"] = candidates
+        selector = FastExecSelector(dataset=self.dataset, spark=self.spark, llm=self.llm)
+        return selector.act(item, pred_sql=candidates)

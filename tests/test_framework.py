@@ -396,3 +396,33 @@ def test_profile_ops(spark):
     assert prof["r_regionkey"]["n_distinct"] == 5 and prof["r_regionkey"]["n_null"] == 0
     assert len(P.sample_values(spark.table("region"), "r_name", 3)) == 3
     assert "### Table = region" in P.describe_for_prompt(spark, "region")
+
+
+def test_fork_gather_agent(spark):
+    """LLM proposes two workflows (one broken generator, one gold); the
+    execution-consensus gather picks the working SQL."""
+    llm = MockLLM(
+        rules=[
+            (
+                r"Propose up to",
+                '["generator:gold"]\n["generator:llmgen"]',
+            ),
+            (r"Write ONE Spark SQL", "SELECT broken FROM nowhere"),
+            (r"failed with error", "SELECT broken FROM nowhere"),
+        ]
+    )
+    rows = [
+        {
+            "instance_id": 0,
+            "db_id": "tpch",
+            "db_type": "spark",
+            "question": "How many nations?",
+            "query": "SELECT count(*) AS n FROM nation",
+            "tables": ["nation"],
+        }
+    ]
+    eng = _mk_engine(spark, rows, llm)
+    eng.add_task("fg", "agent", "forkgather")
+    eng.execute(["fg"])
+    assert eng.dataset[0]["pred_sql"] == "SELECT count(*) AS n FROM nation"
+    assert eng.evaluate(["execute_accuracy"])["execute_accuracy"]["avg"] == 1.0
