@@ -144,16 +144,25 @@ def run_stream_to_table(
     the deterministic final result.
     """
     name = name or f"stream_{uuid.uuid4().hex[:10]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = df.sparkSession
+    # state-store count is fixed at stream start from shuffle.partitions;
+    # 16 keeps per-run store init cheap on local replays while any real
+    # deployment would set its own value before starting the query
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        q.awaitTermination(timeout_s)
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
-    return df.sparkSession.table(name)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
