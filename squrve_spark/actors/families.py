@@ -194,7 +194,7 @@ class LLMGenerator(SparkActor):
     SKILL = "LLM writes Spark SQL for the question; self-repairs on execution errors."
 
     PROMPT = (
-        "Database schema:\n{schema}\n\nWrite ONE Spark SQL query answering:\n"
+        "Database schema:\n{schema}\n{examples}\nWrite ONE Spark SQL query answering:\n"
         "{question}\nReturn only SQL."
     )
     DEBUG_PROMPT = (
@@ -202,15 +202,28 @@ class LLMGenerator(SparkActor):
         "Fix it. Schema:\n{schema}\nQuestion: {question}\nReturn only SQL."
     )
 
-    def __init__(self, *args, debug_turn_n: int = 2, **kwargs):
+    def __init__(self, *args, debug_turn_n: int = 2, fewshot=None, few_shot_num: int = 3,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         self.debug_turn_n = debug_turn_n
+        self.fewshot = fewshot  # optional squrve_spark.fewshot.FewShotStore
+        self.few_shot_num = few_shot_num
 
     def act(self, item: int, **kwargs) -> dict:
         row = self.row(item)
         schema = kwargs.get("schema_ddl") or row.get("schema_ddl") or self.schema_ddl(row)
         question = row.get("question", "")
-        sql = extract_sql(self.llm.complete(self.PROMPT.format(schema=schema, question=question)))
+        examples = ""
+        if self.fewshot is not None:
+            shots = self.fewshot.top_k(
+                question, row.get("db_type", "spark"), self.few_shot_num,
+                schema_terms=set(row.get("instance_schemas") or []),
+            )
+            if shots:
+                examples = f"\nExamples:\n{self.fewshot.render(shots)}\n"
+        sql = extract_sql(self.llm.complete(
+            self.PROMPT.format(schema=schema, question=question, examples=examples)
+        ))
         for _ in range(self.debug_turn_n):
             res = X.execute(self.spark, sql, row_cap=10)
             if res.error is None:
@@ -522,3 +535,90 @@ class ForkGatherAgent(SparkActor):
         row["pred_sql"] = candidates
         selector = FastExecSelector(dataset=self.dataset, spark=self.spark, llm=self.llm)
         return selector.act(item, pred_sql=candidates)
+
+
+@ActorPool.register("reducer")
+class VectorReducer(SparkActor):
+    """Vector-retrieval schema pruning: feature-hashed column index +
+    cosine top-k over the question (the retrieval core of LinkAlignReduce's
+    iterative loop; LLM filter rounds compose on top via PipelineActor)."""
+
+    NAME = "vector"
+    OUTPUT_NAME = "instance_schemas"
+    SKILL = "Prune schema to top-k columns by hashed-embedding cosine retrieval."
+
+    def __init__(self, *args, top_k: int = 40, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.top_k = top_k
+        self._index_cache: dict = {}
+
+    def act(self, item: int, **kwargs) -> dict:
+        from squrve_spark.index import ColumnIndex
+
+        row = self.row(item)
+        tables = tuple(self.tables_for(row))
+        key = (row.get("db_id", "default"), tables)
+        if key not in self._index_cache:
+            self._index_cache[key] = ColumnIndex.build(self.spark, list(tables), key[0])
+        index = self._index_cache[key]
+        row["schema_size"] = len(index.entries)
+        hits = index.retrieve(row.get("question", ""), k=self.top_k)
+        row["reduced_size"] = len(hits)
+        links = [f"{h['table_name']}.{h['column_name']}" for h in hits]
+        return {"instance_schemas": links, "schema_ddl": render_schema_ddl(hits)}
+
+
+@ActorPool.register("selector")
+class AgentDebateSelector(SparkActor):
+    """Two-agent debate (AgentDebateSelect.py:68-521 semantics): a Proposer
+    argues for a candidate using execution evidence, an Expert either agrees
+    (debate ends) or counters with a different index; bounded rounds, last
+    agreed/proposed index wins."""
+
+    NAME = "debate"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = "Proposer/Expert debate over candidate SQLs with execution evidence."
+
+    def __init__(self, *args, max_rounds: int = 2, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.max_rounds = max_rounds
+
+    @staticmethod
+    def _pick(text: str, n: int) -> Optional[int]:
+        nums = re.findall(r"\d+", text)
+        return int(nums[-1]) % n if nums else None  # prompt: "end with its index"
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        cands = row.get("pred_sql") or kwargs.get("pred_sql") or []
+        if isinstance(cands, str):
+            cands = [cands]
+        if not cands:
+            return {"pred_sql": ""}
+        if len(cands) == 1:
+            return {"pred_sql": cands[0]}
+        evidence = "\n\n".join(
+            f"[{i}] SQL: {sql}\nResult:\n"
+            f"{X.execute_sql(self.spark, sql, max_rows=5, max_chars=400)}"
+            for i, sql in enumerate(cands)
+        )
+        question = row.get("question", "")
+        choice = 0
+        for _ in range(self.max_rounds):
+            proposal = self.llm.complete(
+                f"You are the Proposer. Question: {question}\nCandidates:\n"
+                f"{evidence}\nArgue for the best candidate; end with its index."
+            )
+            p = self._pick(proposal, len(cands))
+            choice = choice if p is None else p
+            verdict = self.llm.complete(
+                f"You are the Expert. Question: {question}\nCandidates:\n{evidence}\n"
+                f"The Proposer chose [{choice}] arguing: {proposal}\n"
+                f"Reply AGREE, or the index of a better candidate."
+            )
+            if "AGREE" in verdict.upper():
+                break
+            v = self._pick(verdict, len(cands))
+            if v is not None:
+                choice = v
+        return {"pred_sql": cands[choice]}

@@ -783,3 +783,53 @@ def q_semi_join_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
         "p_partkey", "p_name"
     )
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(SUBSTR(c_name, 1, 8)) AS prefix,
+           CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+           CONCAT(c_name, '#', CAST(c_custkey AS VARCHAR)) AS tagged,
+           REPLACE(c_name, 'Customer', 'Cust') AS shortname,
+           CAST(POSITION('0' IN c_name) AS INTEGER) AS zero_at
+    FROM customer WHERE c_custkey <= 50
+    """,
+    tags=("A2", "strings"),
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: SUBSTR/UPPER/LENGTH/CONCAT/REPLACE/POSITION."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    return c.select(
+        "c_custkey",
+        F.upper(F.substring("c_name", 1, 8)).alias("prefix"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_custkey").cast("string")).alias("tagged"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("shortname"),
+        F.instr(F.col("c_name"), "0").cast("int").alias("zero_at"),
+    )
+
+
+@register(
+    "q_having_distinct",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(DISTINCT o_orderstatus) >= 2 AND COUNT(*) >= 10
+    """,
+    tags=("A7", "A8"),
+)
+def q_having_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over COUNT(DISTINCT) — distinct aggregation + post-agg filter."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+            F.count("*").alias("n_orders"),
+        )
+        .filter((F.col("n_statuses") >= 2) & (F.col("n_orders") >= 10))
+    )

@@ -1,0 +1,127 @@
+"""Few-shot retrieval, column vector index, vector reducer, debate selector."""
+
+from __future__ import annotations
+
+from squrve_spark.catalog import register_tables
+from squrve_spark.data import Dataset
+from squrve_spark.fewshot import FewShotStore, jaccard, mask_question, tokenize
+from squrve_spark.index import ColumnIndex
+from squrve_spark.llm import MockLLM
+from tests.conftest import SF_SMALL
+
+
+def test_mask_question():
+    masked = mask_question(
+        "total account balance per customer name",
+        {"customer.c_acctbal", "customer.c_name"},
+    )
+    assert "<m>" in masked and "total" in masked
+    # 'customer', 'name' masked (schema parts); shape words survive
+    assert "per" in masked
+
+
+def test_fewshot_topk_and_roundtrip(tmp_path):
+    store = FewShotStore()
+    store.add("spark", "how many orders are there", "SELECT count(*) FROM orders")
+    store.add("spark", "total revenue by nation", "SELECT ... GROUP BY n_name")
+    store.add("spark", "how many customers are there", "SELECT count(*) FROM customer")
+    top = store.top_k("how many suppliers are there", k=2)
+    assert {t["question"] for t in top} == {
+        "how many orders are there",
+        "how many customers are there",
+    }
+    p = tmp_path / "fs.json"
+    store.save(str(p))
+    assert len(FewShotStore.load(str(p)).examples["spark"]) == 3
+    assert "Q: how many orders are there" in store.render(top[:1])
+
+
+def test_column_index_retrieval(spark):
+    register_tables(spark, SF_SMALL)
+    idx = ColumnIndex.build(spark, ["customer", "orders", "nation"], "tpch")
+    hits = idx.retrieve("customer account balance", k=5)
+    names = [f"{h['table_name']}.{h['column_name']}" for h in hits]
+    assert "customer.c_acctbal" in names
+    df = idx.to_df(spark)
+    assert df.count() == len(idx.entries)
+    # deterministic across rebuilds (stable hashing)
+    idx2 = ColumnIndex.build(spark, ["customer", "orders", "nation"], "tpch")
+    assert [h["column_name"] for h in idx2.retrieve("customer account balance", k=5)] == [
+        h["column_name"] for h in hits
+    ]
+
+
+def test_vector_reducer(spark):
+    from squrve_spark.tasks import Engine
+
+    register_tables(spark, SF_SMALL)
+    rows = [
+        {
+            "instance_id": 0,
+            "question": "customer account balance",
+            "tables": ["customer", "orders"],
+            "gold_schemas": ["customer.c_acctbal"],
+        }
+    ]
+    eng = Engine(spark=spark, dataset=Dataset(rows))
+    eng.add_task("red", "reduce", "vector", top_k=5)
+    eng.execute(["red"])
+    assert "customer.c_acctbal" in eng.dataset[0]["instance_schemas"]
+    assert eng.evaluate(["reduce_recall"])["reduce_recall"]["avg"] == 1.0
+
+
+def test_debate_selector(spark):
+    from squrve_spark.tasks import Engine
+
+    register_tables(spark, SF_SMALL)
+    llm = MockLLM(
+        rules=[
+            (r"You are the Proposer", "The empty result disqualifies [1]; best is 0"),
+            (r"You are the Expert", "AGREE"),
+        ]
+    )
+    rows = [
+        {
+            "instance_id": 0,
+            "db_type": "spark",
+            "question": "count nations",
+            "query": "SELECT count(*) AS n FROM nation",
+            "pred_sql": [
+                "SELECT count(*) AS n FROM nation",
+                "SELECT count(*) AS n FROM nation WHERE n_nationkey < 0",
+            ],
+        }
+    ]
+    eng = Engine(spark=spark, llm=llm, dataset=Dataset(rows))
+    eng.add_task("sel", "select", "debate")
+    eng.execute(["sel"])
+    assert eng.dataset[0]["pred_sql"] == "SELECT count(*) AS n FROM nation"
+
+
+def test_llmgen_with_fewshot(spark):
+    from squrve_spark.tasks import Engine
+
+    register_tables(spark, SF_SMALL)
+    store = FewShotStore()
+    store.add("spark", "how many customers", "SELECT count(*) AS n FROM customer")
+    seen = {}
+
+    def responder(m, prompt):
+        seen["prompt"] = prompt
+        return "SELECT count(*) AS n FROM nation"
+
+    llm = MockLLM(rules=[(r"Write ONE Spark SQL", responder)])
+    rows = [
+        {
+            "instance_id": 0,
+            "db_type": "spark",
+            "question": "how many nations",
+            "query": "SELECT count(*) AS n FROM nation",
+            "tables": ["nation"],
+        }
+    ]
+    eng = Engine(spark=spark, llm=llm, dataset=Dataset(rows))
+    eng.add_task("gen", "generate", "llmgen", fewshot=store)
+    eng.execute(["gen"])
+    assert "Q: how many customers" in seen["prompt"]  # examples reached the prompt
+    assert eng.evaluate(["execute_accuracy"])["execute_accuracy"]["avg"] == 1.0
