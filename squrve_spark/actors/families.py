@@ -622,3 +622,48 @@ class AgentDebateSelector(SparkActor):
             if v is not None:
                 choice = v
         return {"pred_sql": cands[choice]}
+
+
+@ActorPool.register("optimizer")
+class MetaSQLOptimizer(SparkActor):
+    """Meta-SQL decomposition repair (AdaptiveOptimize.py:100-230 semantics):
+    decompose the failing SQL into atomic meta-SQLs, execute each to isolate
+    the failing clause, then repair with a diagnosis-specific prompt —
+    syntax errors get the parser message, logic errors get the clause that
+    broke. The decomposition/diagnosis is deterministic engine code
+    (squrve_spark.metasql); only the rewrite consults the LLM."""
+
+    NAME = "metasql"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = "Isolate the failing clause via meta-SQL decomposition, then targeted LLM repair."
+
+    def __init__(self, *args, max_round: int = 2, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.max_round = max_round
+
+    def act(self, item: int, **kwargs) -> dict:
+        from squrve_spark.metasql import diagnose
+
+        row = self.row(item)
+        sql = row.get("pred_sql") or kwargs.get("pred_sql") or ""
+        if isinstance(sql, list):
+            sql = sql[-1] if sql else ""
+        schema = row.get("schema_ddl") or ""
+        for _ in range(self.max_round):
+            report = diagnose(self.spark, sql)
+            if report.runs:
+                break
+            if report.diagnosis == "syntax":
+                problem = f"syntax error: {report.error}"
+            else:
+                problem = (
+                    f"logic error isolated to the {report.failing_clause or 'unknown'} "
+                    f"clause (statement runs without it); engine said: {report.error}"
+                )
+            sql = extract_sql(
+                self.llm.complete(
+                    f"SQL:\n{sql}\nDiagnosis: {problem}\nSchema:\n{schema}\n"
+                    f"Question: {row.get('question', '')}\nReturn the corrected SQL only."
+                )
+            )
+        return {"pred_sql": sql}

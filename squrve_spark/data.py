@@ -318,3 +318,43 @@ TPCH_FOREIGN_KEYS: list[tuple[str, str, str, str]] = [
     ("lineitem", "l_partkey", "part", "p_partkey"),
     ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# DataLoader: benchmark registry resolution
+
+
+class DataLoader:
+    """Resolve ``"benchmark:split:filter"`` identifiers into Datasets.
+
+    Reference analog: init_benchmark_dataset / generate_dataset
+    (data_manage.py:841-916, 1442-1479) against the sys_config benchmark
+    registry. The registry here maps benchmark -> split -> dataset JSON path
+    plus optional per-benchmark metadata (schema path, db dir); the third
+    identifier segment is the ``filter_dataset`` predicate DSL.
+    """
+
+    def __init__(self, registry: dict[str, dict], sample: float | int | None = None):
+        self.registry = registry
+        self.sample = sample
+
+    def resolve(self, identifier: str) -> Dataset:
+        parts = (identifier + "::").split(":")
+        bench, split, flt = parts[0], parts[1] or "dev", parts[2]
+        if bench not in self.registry:
+            raise KeyError(f"unknown benchmark {bench!r}")
+        entry = self.registry[bench]
+        splits = entry.get("splits", {})
+        if split not in splits:
+            raise KeyError(f"benchmark {bench!r} has no split {split!r}")
+        ds = Dataset(data_source=splits[split], sample=self.sample)
+        for row in ds:
+            row.setdefault("benchmark", bench)
+            if "db_type" not in row:
+                row["db_type"] = entry.get("db_type", "spark")
+        if flt:
+            ds = filter_dataset(ds, flt.split(","))
+        return ds
+
+    def schema_path(self, bench: str) -> Optional[str]:
+        return self.registry.get(bench, {}).get("schema")

@@ -426,3 +426,22 @@ def test_fork_gather_agent(spark):
     eng.execute(["fg"])
     assert eng.dataset[0]["pred_sql"] == "SELECT count(*) AS n FROM nation"
     assert eng.evaluate(["execute_accuracy"])["execute_accuracy"]["avg"] == 1.0
+
+
+def test_dataloader_registry(tmp_path):
+    import json as _json
+
+    from squrve_spark.data import DataLoader
+
+    data = [
+        {"instance_id": i, "question": f"q{i}", "db_size": i * 10} for i in range(6)
+    ]
+    p = tmp_path / "dev.json"
+    p.write_text(_json.dumps(data))
+    loader = DataLoader({"mybench": {"splits": {"dev": str(p)}, "db_type": "spark"}})
+    ds = loader.resolve("mybench:dev:")
+    assert len(ds) == 6 and ds[0]["db_type"] == "spark" and ds[0]["benchmark"] == "mybench"
+    filtered = loader.resolve("mybench:dev:db_size-me-30")
+    assert len(filtered) == 3
+    with pytest.raises(KeyError):
+        loader.resolve("nope:dev:")
