@@ -1,0 +1,110 @@
+"""Scale utilities: bucketed co-located joins, salted skew joins, two-phase
+aggregation.
+
+These are the explicit levers for the shapes AQE can't fix alone:
+
+  * **Bucketing** — pre-shuffle a fact table once at write time; every
+    future equi-join/aggregation on the bucket key is shuffle-free. The
+    single biggest lever for repeated joins over a 100 TB fact table.
+  * **Salting** — when one join key dominates (power-law keys), a plain
+    shuffle sends the hot key to one task. Salt the big side, replicate the
+    small side per salt: the hot key spreads over ``n_salts`` tasks.
+    (AQE's skew-join splits oversized partitions post-shuffle; salting acts
+    before the shuffle and also covers aggregations.)
+  * **Two-phase aggregation** — partial agg on (key, salt) then final on
+    key; bounds any single task's state for skewed group-bys beyond what
+    map-side partial aggregation already handles.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: Optional[list[str]] = None,
+) -> None:
+    """Persist as a bucketed (optionally sorted) managed table. Joins and
+    aggregations between tables bucketed the same way on the same keys run
+    with NO exchange (verified in tests/test_scale_ops.py)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables; bucket metadata makes it shuffle-free."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def _salt_col(n_salts: int) -> Column:
+    """Uniform pseudo-random salt, deterministic per (partition, row index):
+    spark_partition_id and monotonically_increasing_id are both plan-stable,
+    and correctness never depends on WHICH salt a row gets."""
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated.
+
+    Each big-side row gets one of ``n_salts`` salts; the small side is
+    exploded once per salt value, so the join key becomes (key..., salt) and
+    a hot key's rows spread across ``n_salts`` reducers. Result equals the
+    unsalted join exactly (the salt is a bijection on the small side).
+    """
+    big_s = big.withColumn("__salt", _salt_col(n_salts))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
+    )
+    out = big_s.join(small_s, on + ["__salt"], how)
+    return out.drop("__salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe aggregation: phase 1 aggregates on (keys..., salt), phase 2
+    merges partials per key. ``aggs`` maps column -> {sum,count,min,max}.
+    Only algebraic aggregates are supported (they decompose into partials).
+    """
+    salted = df.withColumn("__salt", _salt_col(n_salts))
+    partial_exprs = []
+    final_exprs = []
+    for col, fn in aggs.items():
+        fn = fn.lower()
+        p = f"__p_{fn}_{col}"
+        if fn == "sum":
+            partial_exprs.append(F.sum(col).alias(p))
+            final_exprs.append(F.sum(p).alias(f"sum_{col}"))
+        elif fn == "count":
+            partial_exprs.append(F.count(col).alias(p))
+            final_exprs.append(F.sum(p).alias(f"count_{col}"))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(p))
+            final_exprs.append(F.min(p).alias(f"min_{col}"))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(p))
+            final_exprs.append(F.max(p).alias(f"max_{col}"))
+        else:
+            raise ValueError(f"non-algebraic aggregate {fn!r} cannot be two-phased")
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)

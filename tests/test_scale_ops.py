@@ -1,0 +1,114 @@
+"""Scale utilities: bucketed joins are exchange-free, salted joins/aggs
+exactly match their unsalted equivalents."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from squrve_spark.catalog import load_table
+from squrve_spark.operators.scale import (
+    bucketed_join,
+    salted_join,
+    two_phase_agg,
+    write_bucketed_table,
+)
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _drop_table(spark, name):
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    orders = load_table(spark, SF_SMALL, "orders")
+    customer = load_table(spark, SF_SMALL, "customer")
+    _drop_table(spark, "b_orders")
+    _drop_table(spark, "b_customer")
+    write_bucketed_table(
+        orders.withColumnRenamed("o_custkey", "custkey"), "b_orders", ["custkey"], 8,
+        sort_cols=["custkey"],
+    )
+    write_bucketed_table(
+        customer.withColumnRenamed("c_custkey", "custkey"), "b_customer", ["custkey"], 8,
+        sort_cols=["custkey"],
+    )
+    # force sort-merge (tiny test tables would broadcast) to show the
+    # co-location property: a SMJ over same-bucketed tables needs NO shuffle
+    joined = spark.table("b_orders").hint("merge").join(
+        spark.table("b_customer"), ["custkey"]
+    )
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # bucket co-location
+    assert joined.count() == orders.join(customer, orders.o_custkey == customer.c_custkey).count()
+    _drop_table(spark, "b_orders")
+    _drop_table(spark, "b_customer")
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q")
+    )
+    salted = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        ["k"],
+        n_salts=4,
+    ).agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    assert salted.collect() == plain.collect()
+
+
+def test_two_phase_agg_matches_plain(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    plain = {
+        (r["l_returnflag"]): (r["s"], r["c"], r["mn"], r["mx"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("s"),
+            F.count("l_quantity").alias("c"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_quantity").alias("mx"),
+        )
+        .collect()
+    }
+    two = two_phase_agg(
+        li, ["l_returnflag"],
+        {"l_quantity": "sum"} | {},
+        n_salts=4,
+    )
+    # separate calls per aggregate type to exercise all branches
+    got_sum = {
+        r["l_returnflag"]: round(r["sum_l_quantity"], 2) for r in two.collect()
+    }
+    for key, (s, _c, _mn, _mx) in plain.items():
+        assert got_sum[key] == s
+    counts = two_phase_agg(li, ["l_returnflag"], {"l_quantity": "count"}, 4)
+    got_c = {r["l_returnflag"]: r["count_l_quantity"] for r in counts.collect()}
+    mins = two_phase_agg(li, ["l_returnflag"], {"l_quantity": "min"}, 4)
+    got_mn = {r["l_returnflag"]: r["min_l_quantity"] for r in mins.collect()}
+    for key, (_s, c, mn, _mx) in plain.items():
+        assert got_c[key] == c and got_mn[key] == mn
+
+
+def test_two_phase_agg_rejects_nonalgebraic(spark):
+    import pytest
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    with pytest.raises(ValueError):
+        two_phase_agg(li, ["l_returnflag"], {"l_quantity": "median"})
