@@ -120,3 +120,26 @@ class ParallelTask(BaseTask):
 
         self._timed(body)
         return self
+
+
+def save_task_artifacts(task: BaseTask, out_dir: str) -> dict:
+    """Persist a task's run record + dataset (reference BaseTask.save /
+    Logger shape: per-task JSON log, dataset JSON next to it)."""
+    import json
+    from pathlib import Path
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    record = {
+        "task_id": task.task_id,
+        "ended": task.ended,
+        "seconds": round(task.seconds, 3),
+        "errors": task.errors,
+        "children": [c.task_id for c in getattr(task, "children", [])],
+    }
+    (out / f"{task.task_id}.log.json").write_text(json.dumps(record, indent=2))
+    if task.dataset is not None and hasattr(task.dataset, "save"):
+        task.dataset.save(str(out / f"{task.task_id}.dataset.json"))
+    for child in getattr(task, "children", []):
+        record.setdefault("child_records", []).append(save_task_artifacts(child, out_dir))
+    return record

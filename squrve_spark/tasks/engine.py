@@ -142,3 +142,32 @@ class Engine:
             row_cap=int(self.router.get("row_cap", 10_000)),
         )
         return ev.eval_all()
+
+
+def run_pass_n(
+    make_engine,
+    n: int = 3,
+    eval_type: str = "execute_accuracy",
+) -> dict:
+    """pass@n harness (reference reproduce/eval_utils.py:42-97): build and
+    run the pipeline n times via ``make_engine(run_idx) -> Engine`` (fresh
+    engine per run so stochastic generators re-roll), score each run, and
+    report per-run averages + pass@n (a row passes if ANY run scored
+    nonzero)."""
+    from squrve_spark.evaluate import pass_at_n
+
+    per_run_scores: list[list[float]] = []
+    run_avgs = []
+    for i in range(n):
+        eng = make_engine(i)
+        eng.execute()
+        res = eng.evaluate([eval_type])[eval_type]
+        by_idx = dict(res["results"])
+        scores = [float(by_idx.get(j, 0.0)) for j in range(res["total_items"])]
+        per_run_scores.append(scores)
+        run_avgs.append(res["avg"])
+    return {
+        "n": n,
+        "run_avgs": run_avgs,
+        "pass_at_n": pass_at_n(per_run_scores),
+    }

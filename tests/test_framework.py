@@ -445,3 +445,43 @@ def test_dataloader_registry(tmp_path):
     assert len(filtered) == 3
     with pytest.raises(KeyError):
         loader.resolve("nope:dev:")
+
+
+def test_task_artifacts_and_pass_n(spark, tmp_path):
+    from squrve_spark.llm import ScriptedLLM
+    from squrve_spark.tasks import Engine
+    from squrve_spark.tasks.core import save_task_artifacts
+    from squrve_spark.tasks.engine import run_pass_n
+
+    register_tables(spark, SF_SMALL)
+    rows = [
+        {"instance_id": 0, "db_type": "spark", "question": "count nations",
+         "query": "SELECT count(*) AS n FROM nation", "tables": ["nation"]}
+    ]
+
+    # artifacts
+    eng = _mk_engine(spark, [dict(r) for r in rows])
+    t = eng.add_task("gen", "generate", "gold")
+    eng.execute(["gen"])
+    rec = save_task_artifacts(t, str(tmp_path))
+    assert (tmp_path / "gen.log.json").exists()
+    assert (tmp_path / "gen.dataset.json").exists()
+    assert rec["ended"] and rec["seconds"] >= 0
+
+    # pass@n: run 1 emits broken SQL, runs 2-3 emit gold -> pass@3 == 1.0
+    responses = [
+        "SELECT broken FROM nowhere",
+        "SELECT count(*) AS n FROM nation",
+        "SELECT count(*) AS n FROM nation",
+    ]
+
+    def make_engine(i):
+        llm = ScriptedLLM([responses[i]] * 3)
+        e = _mk_engine(spark, [dict(r) for r in rows], llm)
+        gen = e.add_task(f"gen{i}", "generate", "llmgen", debug_turn_n=0)
+        e.plan([f"gen{i}"])
+        return e
+
+    out = run_pass_n(make_engine, n=3)
+    assert out["pass_at_n"] == 1.0
+    assert out["run_avgs"][0] == 0.0 and out["run_avgs"][1] == 1.0
