@@ -189,3 +189,60 @@ def q_events_user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") >= 3)
     )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, epoch_us(ts) AS t,
+                      CAST(FLOOR(value * 100) AS BIGINT) AS click_cents
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.t,
+           c.click_cents, c.t AS click_t
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
+    """,
+    tags=("events", "asof-join"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase enriched with the latest prior
+    click per user (union + single window pass — one shuffle, no join
+    fan-out; squrve_spark.operators.temporal)."""
+    from squrve_spark.operators import temporal
+
+    e = load_table(spark, sf_dir, "events").withColumn("t", F.expr("ts_ns div 1000"))
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "t")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("t"),
+        F.floor(F.col("value") * 100).cast("long").alias("click_cents"),
+    )
+    out = temporal.asof_join(
+        purchases, clicks, ["user_id"], "t", "t", ["click_cents", "t"], suffix="_c"
+    )
+    return out.select(
+        "event_id", "user_id", "t",
+        F.col("click_cents_c").alias("click_cents"),
+        F.col("t_c").alias("click_t"),
+    )
+
+
+@register(
+    "q_time_range_pairs",
+    oracle="""
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           epoch_us(b.ts) - epoch_us(a.ts) AS dt
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000
+    """,
+    tags=("events", "range-join"),
+)
+def q_time_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-proximity pairs (same user within 1 h) via cell-blocked
+    equi-join instead of a per-user cross join."""
+    from squrve_spark.operators import temporal
+
+    e = load_table(spark, sf_dir, "events").withColumn("t", F.expr("ts_ns div 1000"))
+    return temporal.time_range_pairs(e, ["user_id"], "t", "event_id", 3_600_000_000)

@@ -1,0 +1,47 @@
+"""Temporal join operators: as-of semantics and range-pair completeness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from squrve_spark.operators import temporal
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (1, 5, "l0"), (2, 10, "m1")],
+        "k int, t long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100), (1, 10, 200), (1, 15, 300), (3, 1, 999)],
+        "k int, t long, rv int",
+    )
+    out = temporal.asof_join(left, right, ["k"], "t", "t", ["rv"])
+    got = {(r["k"], r["t"]): r["rv_r"] for r in out.collect()}
+    assert got[(1, 5)] is None  # no right row at or before t=5
+    assert got[(1, 10)] == 200  # inclusive: right at t=10 wins over t=8
+    assert got[(1, 20)] == 300  # latest prior
+    assert got[(2, 10)] is None  # key with no right rows
+    assert len(got) == 4  # left join: every left row survives
+
+
+def test_asof_join_tie_determinism(spark):
+    left = spark.createDataFrame([(1, 10, "x")], "k int, t long, lv string")
+    right = spark.createDataFrame(
+        [(1, 10, 5), (1, 10, 9)], "k int, t long, rv int"
+    )
+    out = temporal.asof_join(left, right, ["k"], "t", "t", ["rv"])
+    assert out.collect()[0]["rv_r"] == 9  # dedupe keeps the max value row
+
+
+def test_time_range_pairs_exact(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 100), (3, 140, 100), (4, 260, 100), (5, 0, 200)],
+        "id long, t long, k int",
+    )
+    out = temporal.time_range_pairs(df, ["k"], "t", "id", window=100)
+    rows = out.collect()
+    pairs = {(r["id_a"], r["id_b"]): r["dt"] for r in rows}
+    # |0-50|<=100, |50-140|<=100; |0-140|>100, |140-260|>100; key 200 isolated
+    assert pairs == {(1, 2): 50, (2, 3): 90}
+    assert len(rows) == len(pairs)  # duplicate-free without a distinct pass
