@@ -1,0 +1,644 @@
+"""Named text-to-SQL method actors: faithful control-flow re-implementations
+of the reference's canonical algorithms, each runnable against the mockable
+``LLMClient`` and executing all data-touching steps on Spark.
+
+Reference analogs (algorithm shape, not code):
+  * DIN-SQL   — /root/reference/core/actor/generator/DINSQLGenerate.py:27-713
+                (difficulty classes 163-212, tiered prompts 489-566)
+  * DAIL-SQL  — /root/reference/core/actor/generator/DAILSQLGenerate.py:1834-2418
+                (question masking 203-241, skeleton similarity selectors 344-354)
+  * MAC-SQL   — /root/reference/core/actor/generator/MACSQLGenerate.py:839-1072
+                (Selector 464+, Decomposer 564+, Refiner 649-830, MAX_ROUND 18)
+  * CHESS     — /root/reference/core/actor/generator/CHESSGenerate.py:57-648 and
+                selector unit tests /root/reference/core/actor/selector/CHESSSelect.py:109-177
+  * ReFoRCE   — /root/reference/core/actor/generator/ReFoRCEGenerate.py:20-650
+                (probe exploration, num_votes=3 / max_iter=5 at 37-38)
+  * RSL-SQL   — /root/reference/core/actor/generator/RSLSQLGenerate.py:250-1019
+                (bidirectional linking, binary selection, empty-result correction)
+  * Chase     — /root/reference/core/actor/selector/ChaseSelect.py:20-400
+                (consensus groups + pairwise LLM scoring)
+  * Recursive — /root/reference/core/actor/generator/RecursiveGenerate.py:21-247
+                (stage-0 per-table SQL, recursive JOIN merge)
+
+Every execution goes through ``squrve_spark.execution`` (row caps, job-group
+timeouts); result equivalence uses the EX comparator. LLM prompts are
+Spark-dialect (the reference's ``db_type``-specific prompt mechanism,
+sql_debug.py:120-248, collapsed to the single ``spark`` backend).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from squrve_spark import compare as C
+from squrve_spark import execution as X
+from squrve_spark import profile as P
+from squrve_spark.actors.base import ActorPool
+from squrve_spark.actors.families import SparkActor
+from squrve_spark.fewshot import jaccard, mask_question, tokenize
+from squrve_spark.llm import extract_sql
+
+_SQL_KEYWORDS = frozenset(
+    """select from where group by having order limit join left right full outer
+    inner on as and or not in exists between like distinct union all intersect
+    except case when then else end asc desc with cast null is count sum avg min
+    max""".split()
+)
+
+
+def sql_skeleton(sql: str) -> list[str]:
+    """DAIL-SQL query skeleton: keep SQL keywords, mask literals to ``<v>``
+    and identifiers to ``<c>`` (DAILSQLGenerate.py:203-241 semantics)."""
+    s = re.sub(r"'[^']*'|\"[^\"]*\"", " <v> ", sql)
+    s = re.sub(r"\b\d+(\.\d+)?\b", " <v> ", s)
+    out = []
+    for tok in re.findall(r"[A-Za-z_][A-Za-z_0-9.]*|<v>|[(),<>=!*]+", s):
+        low = tok.lower()
+        if low in _SQL_KEYWORDS or tok == "<v>" or not tok[0].isalpha() and tok[0] != "_":
+            out.append(low)
+        else:
+            out.append("<c>")
+    return out
+
+
+def identifiers_in_sql(sql: str, known: set[str]) -> list[str]:
+    """Schema elements referenced by ``sql``: every known ``table.column``
+    whose column (or qualified form) appears as an identifier token.
+    RSL-SQL's reverse linking direction (RSLSQLBiDirParse.py:14-500)."""
+    toks = {t.lower() for t in re.findall(r"[A-Za-z_][A-Za-z_0-9.]*", sql)}
+    hits = []
+    for tc in sorted(known):
+        table, col = tc.lower().split(".", 1)
+        if tc.lower() in toks or col in toks:
+            hits.append(tc)
+    return hits
+
+
+def group_by_equivalence(executed: list) -> list[list[int]]:
+    """Group candidate indexes by result-set equivalence (None == failed;
+    failures group together). Shared by consensus selection/voting."""
+    groups: list[list[int]] = []
+    for i, df_i in enumerate(executed):
+        for g in groups:
+            df_j = executed[g[0]]
+            if df_i is None or df_j is None:
+                equal = df_i is None and df_j is None
+            else:
+                equal = bool(C.compare_dataframes(df_i, df_j, ignore_order=True, strict_columns=True))
+            if equal:
+                g.append(i)
+                break
+        else:
+            groups.append([i])
+    return groups
+
+
+# ---------------------------------------------------------------------------
+# DIN-SQL
+
+
+@ActorPool.register("generator")
+class DINSQLGenerator(SparkActor):
+    """DIN-SQL: schema-link -> difficulty classification (EASY / NON-NESTED /
+    NESTED) -> tier-specific prompt -> LLM-only self-correction pass (the
+    reference's debug step never executes SQL)."""
+
+    NAME = "dinsql"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = "DIN-SQL tiered generation: classify difficulty, prompt per tier, LLM self-debug."
+
+    CLASSIFY_PROMPT = (
+        "Schema links: {links}\nQuestion: {question}\n"
+        "Classify the SQL this needs as exactly one of EASY (single table, no "
+        "nesting), NON-NESTED (joins, no subquery), NESTED (subquery or "
+        "INTERSECT/UNION/EXCEPT/IN/NOT IN). Answer with the label only."
+    )
+    EASY_PROMPT = "Schema:\n{schema}\nQuestion: {question}\nWrite ONE Spark SQL query. Return only SQL."
+    NON_NESTED_PROMPT = (
+        "Schema:\n{schema}\nSchema links: {links}\nQuestion: {question}\n"
+        "Think step by step about the joins needed, then write ONE Spark SQL query."
+    )
+    NESTED_PROMPT = (
+        "Schema:\n{schema}\nSchema links: {links}\nQuestion: {question}\n"
+        "Sub-questions:\n{subs}\nSolve each sub-question as SQL, then compose "
+        "the final Spark SQL query. Return the final SQL last."
+    )
+    DECOMPOSE_PROMPT = "Question: {question}\nList the sub-questions needed, numbered."
+    DEBUG_PROMPT = (
+        "For the question: {question}\nwith schema:\n{schema}\n"
+        "check this Spark SQL for bugs and return the corrected SQL "
+        "(or the same SQL if correct):\n{sql}"
+    )
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        schema = kwargs.get("schema_ddl") or row.get("schema_ddl") or self.schema_ddl(row)
+        question = row.get("question", "")
+        links = kwargs.get("schema_links") or row.get("schema_links") or []
+        label = self.llm.complete(
+            self.CLASSIFY_PROMPT.format(links=links, question=question)
+        ).strip().upper()
+        if "NESTED" in label and "NON" not in label:
+            subs_out = self.llm.complete(self.DECOMPOSE_PROMPT.format(question=question))
+            subs = [
+                re.sub(r"^\s*\d+[.)]\s*", "", ln).strip()
+                for ln in subs_out.splitlines()
+                if re.match(r"^\s*\d+[.)]", ln)
+            ] or [question]
+            prompt = self.NESTED_PROMPT.format(
+                schema=schema, links=links, question=question,
+                subs="\n".join(f"{i+1}. {s}" for i, s in enumerate(subs)),
+            )
+            label = "NESTED"
+        elif "NON" in label:
+            prompt = self.NON_NESTED_PROMPT.format(schema=schema, links=links, question=question)
+            label = "NON-NESTED"
+        else:
+            prompt = self.EASY_PROMPT.format(schema=schema, question=question)
+            label = "EASY"
+        sql = extract_sql(self.llm.complete(prompt))
+        sql = extract_sql(
+            self.llm.complete(self.DEBUG_PROMPT.format(question=question, schema=schema, sql=sql))
+        )
+        return {"pred_sql": sql, "difficulty": label}
+
+
+# ---------------------------------------------------------------------------
+# DAIL-SQL
+
+
+@ActorPool.register("generator")
+class DAILSQLGenerator(SparkActor):
+    """DAIL-SQL: select few-shot examples by BOTH masked-question similarity
+    and preliminary-SQL skeleton similarity, then generate with the chosen
+    examples (the EUCDISQUESTIONMASK-family hybrid selector, reduced to its
+    two similarity signals)."""
+
+    NAME = "dailsql"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = "DAIL-SQL: few-shot selection by masked-question + SQL-skeleton similarity."
+
+    PRELIM_PROMPT = "Schema:\n{schema}\nQuestion: {question}\nWrite ONE Spark SQL query. Return only SQL."
+    FINAL_PROMPT = (
+        "Examples:\n{examples}\nSchema:\n{schema}\nQuestion: {question}\n"
+        "Write ONE Spark SQL query. Return only SQL."
+    )
+
+    def __init__(self, *args, fewshot=None, few_shot_num: int = 3, candidate_pool: int = 10,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.fewshot = fewshot
+        self.few_shot_num = few_shot_num
+        self.candidate_pool = candidate_pool
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        schema = kwargs.get("schema_ddl") or row.get("schema_ddl") or self.schema_ddl(row)
+        question = row.get("question", "")
+        prelim = extract_sql(
+            self.llm.complete(self.PRELIM_PROMPT.format(schema=schema, question=question))
+        )
+        examples = ""
+        if self.fewshot is not None:
+            terms = set(row.get("instance_schemas") or [])
+            pool = self.fewshot.top_k(
+                question, row.get("db_type", "spark"), self.candidate_pool, schema_terms=terms
+            )
+            q_masked = mask_question(question, terms)
+            p_skel = sql_skeleton(prelim)
+            scored = sorted(
+                pool,
+                key=lambda ex: (
+                    jaccard(q_masked, mask_question(ex["question"], terms))
+                    + jaccard(p_skel, sql_skeleton(ex["sql"]))
+                ),
+                reverse=True,
+            )[: self.few_shot_num]
+            if scored:
+                examples = self.fewshot.render(scored)
+        sql = extract_sql(
+            self.llm.complete(
+                self.FINAL_PROMPT.format(examples=examples, schema=schema, question=question)
+            )
+        )
+        return {"pred_sql": sql}
+
+
+# ---------------------------------------------------------------------------
+# MAC-SQL
+
+
+@ActorPool.register("generator")
+class MACSQLGenerator(SparkActor):
+    """MAC-SQL three-agent loop: Selector prunes the schema to the most
+    question-relevant columns per table (top ``cols_per_table``, PKs always
+    kept — deterministic, from the catalog); Decomposer does CoT
+    decomposition + stepwise SQL; Refiner executes on Spark and repairs on
+    error up to ``MAX_ROUND`` times."""
+
+    NAME = "macsql"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = "MAC-SQL: schema-pruning Selector, CoT Decomposer, execute-and-fix Refiner."
+
+    MAX_ROUND = 3
+    COLS_PER_TABLE = 6
+
+    DECOMPOSE_PROMPT = (
+        "Schema (pruned):\n{schema}\nQuestion: {question}\n"
+        "Decompose into sub-questions; answer each with SQL; end with the "
+        "final Spark SQL query."
+    )
+    REFINE_PROMPT = (
+        "The SQL:\n{sql}\nfailed on Spark with:\n{error}\n"
+        "Schema:\n{schema}\nQuestion: {question}\nReturn the fixed SQL only."
+    )
+
+    def pruned_schema(self, row: dict) -> str:
+        q_toks = set(tokenize(row.get("question", "")))
+        lines = []
+        for table in self.tables_for(row):
+            cols = P.table_columns(self.spark, table)
+            def score(c):
+                parts = [p for p in re.split(r"[_\W]+", c["name"].lower()) if p]
+                return sum(p in q_toks for p in parts)
+            ranked = sorted(cols, key=score, reverse=True)[: self.COLS_PER_TABLE]
+            keep = {c["name"] for c in ranked} | {c["name"] for c in cols if c.get("pk")}
+            cols_txt = ", ".join(f"{c['name']} {c['type']}" for c in cols if c["name"] in keep)
+            lines.append(f"### Table = {table}, columns = [{cols_txt}]")
+        return "\n".join(lines)
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        question = row.get("question", "")
+        schema = self.pruned_schema(row)
+        out = self.llm.complete(self.DECOMPOSE_PROMPT.format(schema=schema, question=question))
+        sql = extract_sql(out)
+        rounds = 0
+        for _ in range(self.MAX_ROUND):
+            res = X.execute(self.spark, sql, row_cap=10)
+            if res.error is None:
+                break
+            rounds += 1
+            sql = extract_sql(
+                self.llm.complete(
+                    self.REFINE_PROMPT.format(sql=sql, error=res.error, schema=schema, question=question)
+                )
+            )
+        return {"pred_sql": sql, "refine_rounds": rounds}
+
+
+# ---------------------------------------------------------------------------
+# CHESS
+
+
+@ActorPool.register("generator")
+class CHESSGenerator(SparkActor):
+    """CHESS: keyword extraction -> column-value retrieval (sampled values
+    from the linked tables, matched against keywords) -> ``n_candidates``
+    generations -> LLM-generated natural-language unit tests score each
+    candidate (with its Spark execution preview as evidence) -> best scorer
+    wins; a final revise pass runs if the winner fails any test."""
+
+    NAME = "chessgen"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = "CHESS: retrieve value context, generate candidates, score with LLM unit tests."
+
+    N_CANDIDATES = 3
+    N_TESTS = 3
+    SAMPLE_K = 3
+
+    KEYWORD_PROMPT = "Question: {question}\nList the literal keywords/values it mentions, comma-separated."
+    GEN_PROMPT = (
+        "Schema:\n{schema}\nRelevant values:\n{values}\nQuestion: {question}\n"
+        "Write ONE Spark SQL query (variant {i}). Return only SQL."
+    )
+    TESTS_PROMPT = (
+        "Question: {question}\nWrite {n} short unit tests (one per line) that a "
+        "correct SQL answer must satisfy."
+    )
+    JUDGE_PROMPT = (
+        "Unit test: {test}\nSQL: {sql}\nExecution preview:\n{preview}\n"
+        "Does the SQL satisfy the test? Answer PASS or FAIL."
+    )
+    REVISE_PROMPT = (
+        "SQL: {sql}\nfailed unit tests:\n{failed}\nSchema:\n{schema}\n"
+        "Question: {question}\nReturn the revised SQL only."
+    )
+
+    def value_context(self, row: dict, keywords: list[str]) -> str:
+        hits = []
+        for table in self.tables_for(row):
+            for col in P.table_columns(self.spark, table):
+                if not col["type"].startswith(("string", "varchar", "char")):
+                    continue
+                try:
+                    vals = P.sample_values(self.spark.table(table), col["name"], self.SAMPLE_K)
+                except Exception:
+                    continue
+                for v in vals:
+                    sv = str(v)
+                    if any(k and k.lower() in sv.lower() for k in keywords):
+                        hits.append(f"{table}.{col['name']} = {sv!r}")
+        return "\n".join(sorted(set(hits))[:20])
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        schema = kwargs.get("schema_ddl") or row.get("schema_ddl") or self.schema_ddl(row)
+        question = row.get("question", "")
+        kw_out = self.llm.complete(self.KEYWORD_PROMPT.format(question=question))
+        keywords = [k.strip() for k in kw_out.split(",") if k.strip()]
+        values = self.value_context(row, keywords)
+        cands = []
+        for i in range(self.N_CANDIDATES):
+            cands.append(extract_sql(self.llm.complete(
+                self.GEN_PROMPT.format(schema=schema, values=values, question=question, i=i + 1)
+            )))
+        tests = [
+            ln.strip("-• \t")
+            for ln in self.llm.complete(
+                self.TESTS_PROMPT.format(question=question, n=self.N_TESTS)
+            ).splitlines()
+            if ln.strip()
+        ][: self.N_TESTS]
+        scored = []  # (passes, failed_tests, sql)
+        for sql in cands:
+            preview = X.execute_sql(self.spark, sql, max_rows=5, max_chars=500)
+            passes, failed = 0, []
+            for t in tests:
+                verdict = self.llm.complete(
+                    self.JUDGE_PROMPT.format(test=t, sql=sql, preview=preview)
+                )
+                if "PASS" in verdict.upper():
+                    passes += 1
+                else:
+                    failed.append(t)
+            scored.append((passes, failed, sql))
+        passes, failed, sql = max(scored, key=lambda s: s[0])
+        if failed:
+            sql = extract_sql(self.llm.complete(self.REVISE_PROMPT.format(
+                sql=sql, failed="\n".join(failed), schema=schema, question=question
+            )))
+        return {"pred_sql": sql, "unit_test_passes": passes}
+
+
+# ---------------------------------------------------------------------------
+# ReFoRCE
+
+
+@ActorPool.register("generator")
+class ReFoRCEGenerator(SparkActor):
+    """ReFoRCE: LLM proposes exploration probe SQLs that are executed on
+    Spark (row-capped) to reveal column contents; then ``NUM_VOTES``
+    independent candidates are generated with the probe evidence, each
+    self-refined on execution error (≤ ``MAX_ITER`` total refinements), and
+    the winner is the majority result-equivalence group's first member."""
+
+    NAME = "reforce"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = "ReFoRCE: probe columns with exploratory SQL, vote over self-refined candidates."
+
+    NUM_VOTES = 3
+    MAX_ITER = 5
+    MAX_PROBES = 3
+
+    PROBE_PROMPT = (
+        "Schema:\n{schema}\nQuestion: {question}\n"
+        "Propose up to {n} short exploratory Spark SQL probes (one per line, "
+        "each with LIMIT) to inspect relevant columns."
+    )
+    GEN_PROMPT = (
+        "Schema:\n{schema}\nProbe results:\n{probes}\nQuestion: {question}\n"
+        "Write ONE Spark SQL query (attempt {i}). Return only SQL."
+    )
+    REFINE_PROMPT = (
+        "The SQL:\n{sql}\nfailed with:\n{error}\nSchema:\n{schema}\n"
+        "Question: {question}\nReturn the fixed SQL only."
+    )
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        schema = kwargs.get("schema_ddl") or row.get("schema_ddl") or self.schema_ddl(row)
+        question = row.get("question", "")
+        probe_out = self.llm.complete(
+            self.PROBE_PROMPT.format(schema=schema, question=question, n=self.MAX_PROBES)
+        )
+        probe_sqls = [
+            ln.strip() for ln in probe_out.splitlines()
+            if re.match(r"^\s*(SELECT|WITH)\b", ln.strip(), re.IGNORECASE)
+        ][: self.MAX_PROBES]
+        probes = "\n".join(
+            f"> {p}\n{X.execute_sql(self.spark, p, max_rows=5, max_chars=300)}"
+            for p in probe_sqls
+        )
+        budget = self.MAX_ITER
+        cands, dfs = [], []
+        for i in range(self.NUM_VOTES):
+            sql = extract_sql(self.llm.complete(self.GEN_PROMPT.format(
+                schema=schema, probes=probes, question=question, i=i + 1
+            )))
+            res = X.execute(self.spark, sql, row_cap=1000)
+            while res.error is not None and budget > 0:
+                budget -= 1
+                sql = extract_sql(self.llm.complete(self.REFINE_PROMPT.format(
+                    sql=sql, error=res.error, schema=schema, question=question
+                )))
+                res = X.execute(self.spark, sql, row_cap=1000)
+            cands.append(sql)
+            dfs.append(res.df)
+        groups = group_by_equivalence(dfs)
+        viable = [g for g in groups if dfs[g[0]] is not None] or groups
+        best = max(viable, key=len)
+        return {"pred_sql": cands[best[0]], "votes": len(best)}
+
+
+# ---------------------------------------------------------------------------
+# RSL-SQL
+
+
+@ActorPool.register("generator")
+class RSLSQLGenerator(SparkActor):
+    """RSL-SQL: bidirectional schema linking (forward LLM column selection +
+    reverse extraction from a preliminary full-schema SQL), then TWO
+    candidates — one from the full schema, one from the slim linked schema —
+    chosen between by execution (binary selection); an empty-result
+    self-correction pass runs on the winner."""
+
+    NAME = "rslsql"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = "RSL-SQL: bidirectional linking, dual-candidate execution selection, empty-result repair."
+
+    FORWARD_PROMPT = (
+        "Schema:\n{schema}\nQuestion: {question}\n"
+        "List the needed columns as [table.column, ...] (at most 15)."
+    )
+    GEN_PROMPT = "Schema:\n{schema}\nQuestion: {question}\nWrite ONE Spark SQL query. Return only SQL."
+    CHOOSE_PROMPT = (
+        "Question: {question}\nCandidate 0: {a}\nResult:\n{ra}\n"
+        "Candidate 1: {b}\nResult:\n{rb}\nAnswer 0 or 1."
+    )
+    CORRECT_PROMPT = (
+        "The SQL:\n{sql}\nreturned no rows for question: {question}\n"
+        "Schema:\n{schema}\nIf the filters look wrong, return a corrected "
+        "Spark SQL query; else return the same SQL."
+    )
+
+    def known_columns(self, row: dict) -> set[str]:
+        out = set()
+        for table in self.tables_for(row):
+            for col in P.table_columns(self.spark, table):
+                out.add(f"{table}.{col['name']}")
+        return out
+
+    def slim_schema(self, row: dict, links: list[str]) -> str:
+        by_table: dict[str, list[str]] = {}
+        for tc in links:
+            t, c = tc.split(".", 1)
+            by_table.setdefault(t, []).append(c)
+        return "\n".join(
+            f"### Table = {t}, columns = [{', '.join(cs)}]" for t, cs in sorted(by_table.items())
+        )
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        schema = kwargs.get("schema_ddl") or row.get("schema_ddl") or self.schema_ddl(row)
+        question = row.get("question", "")
+        known = self.known_columns(row)
+        from squrve_spark.evaluate import parse_schema_links
+
+        forward = [
+            tc for tc in parse_schema_links(
+                self.llm.complete(self.FORWARD_PROMPT.format(schema=schema, question=question))
+            )
+            if tc in known
+        ][:15]
+        full_sql = extract_sql(
+            self.llm.complete(self.GEN_PROMPT.format(schema=schema, question=question))
+        )
+        reverse = identifiers_in_sql(full_sql, known)
+        links = sorted(set(forward) | set(reverse))
+        slim_sql = extract_sql(self.llm.complete(
+            self.GEN_PROMPT.format(schema=self.slim_schema(row, links) or schema, question=question)
+        ))
+        res_full = X.execute(self.spark, full_sql, row_cap=1000)
+        res_slim = X.execute(self.spark, slim_sql, row_cap=1000)
+        ok_full, ok_slim = res_full.error is None, res_slim.error is None
+        if ok_full != ok_slim:
+            sql, res = (full_sql, res_full) if ok_full else (slim_sql, res_slim)
+        elif not ok_full:
+            sql, res = full_sql, res_full
+        elif C.compare_dataframes(res_full.df, res_slim.df, ignore_order=True, strict_columns=True):
+            sql, res = slim_sql, res_slim  # agreement: prefer the slim-schema read
+        else:
+            pick = self.llm.complete(self.CHOOSE_PROMPT.format(
+                question=question,
+                a=full_sql, ra=X.execute_sql(self.spark, full_sql, max_rows=5, max_chars=300),
+                b=slim_sql, rb=X.execute_sql(self.spark, slim_sql, max_rows=5, max_chars=300),
+            ))
+            m = re.search(r"[01]", pick)
+            sql, res = ((full_sql, res_full), (slim_sql, res_slim))[int(m.group(0)) if m else 0]
+        if res.error is None and res.df is not None and res.df.empty:
+            sql = extract_sql(self.llm.complete(
+                self.CORRECT_PROMPT.format(sql=sql, question=question, schema=schema)
+            ))
+        return {"pred_sql": sql, "schema_links": links}
+
+
+# ---------------------------------------------------------------------------
+# Recursive generator
+
+
+@ActorPool.register("generator")
+class RecursiveGenerator(SparkActor):
+    """Recursive generation: stage 0 writes one per-table SQL for each
+    relevant table; later stages LLM-merge pairs via JOIN until one SQL
+    remains (RecursiveGenerate.py:21-247 shape)."""
+
+    NAME = "recursive"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = "Recursive: per-table SQLs first, then JOIN-merge stages to one query."
+
+    TABLES_PROMPT = "Schema:\n{schema}\nQuestion: {question}\nList the tables needed, comma-separated."
+    STAGE0_PROMPT = (
+        "Table:\n{table_ddl}\nQuestion: {question}\n"
+        "Write ONE Spark SQL query over ONLY this table extracting what the "
+        "question needs from it. Return only SQL."
+    )
+    MERGE_PROMPT = (
+        "Question: {question}\nSQL A:\n{a}\nSQL B:\n{b}\n"
+        "Merge A and B into ONE Spark SQL query (JOIN on their shared keys). "
+        "Return only SQL."
+    )
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        schema = kwargs.get("schema_ddl") or row.get("schema_ddl") or self.schema_ddl(row)
+        question = row.get("question", "")
+        t_out = self.llm.complete(self.TABLES_PROMPT.format(schema=schema, question=question))
+        known = set(self.tables_for(row))
+        tables = [t.strip() for t in t_out.split(",") if t.strip() in known] or sorted(known)[:1]
+        stage = [
+            extract_sql(self.llm.complete(self.STAGE0_PROMPT.format(
+                table_ddl=P.describe_for_prompt(self.spark, t), question=question
+            )))
+            for t in tables
+        ]
+        while len(stage) > 1:
+            merged = extract_sql(self.llm.complete(
+                self.MERGE_PROMPT.format(question=question, a=stage[0], b=stage[1])
+            ))
+            stage = [merged] + stage[2:]
+        return {"pred_sql": stage[0]}
+
+
+# ---------------------------------------------------------------------------
+# Chase selector
+
+
+@ActorPool.register("selector")
+class ChaseSelector(SparkActor):
+    """Chase selection: execute all candidates, group by result equivalence,
+    then run pairwise LLM comparisons between group representatives with
+    execution results as evidence; each pairwise win scores +1 for every
+    member of the winner's group; highest total score wins (ChaseSelect.py
+    consensus + pairwise accumulation)."""
+
+    NAME = "chase"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = "Chase: consensus groups + pairwise LLM comparison with execution evidence."
+
+    PAIR_PROMPT = (
+        "Question: {question}\nSQL A: {a}\nResult A:\n{ra}\n"
+        "SQL B: {b}\nResult B:\n{rb}\nWhich answers the question correctly? Answer A or B."
+    )
+
+    def act(self, item: int, **kwargs) -> dict:
+        row = self.row(item)
+        cands = row.get("pred_sql") or kwargs.get("pred_sql") or []
+        if isinstance(cands, str):
+            cands = [cands]
+        if not cands:
+            return {"pred_sql": ""}
+        if len(cands) == 1:
+            return {"pred_sql": cands[0]}
+        results = [X.execute(self.spark, sql, row_cap=1000) for sql in cands]
+        groups = group_by_equivalence([r.df for r in results])
+        groups = [g for g in groups if results[g[0]].df is not None] or groups
+        scores = {i: len(g) for g in groups for i in g}  # consensus prior
+        reps = [g[0] for g in groups]
+        previews = {
+            i: X.execute_sql(self.spark, cands[i], max_rows=5, max_chars=300) for i in reps
+        }
+        for ai in range(len(reps)):
+            for bi in range(ai + 1, len(reps)):
+                a, b = reps[ai], reps[bi]
+                out = self.llm.complete(self.PAIR_PROMPT.format(
+                    question=row.get("question", ""),
+                    a=cands[a], ra=previews[a], b=cands[b], rb=previews[b],
+                ))
+                winner = a if "A" in out.upper().replace("B", "", 0) and "B" not in out.upper()[:3] else b
+                win_group = next(g for g in groups if winner in g)
+                for i in win_group:
+                    scores[i] = scores.get(i, 0) + 1
+        best = max(scores, key=lambda i: (scores[i], -i))
+        return {"pred_sql": cands[best]}

@@ -1,0 +1,306 @@
+"""Named text-to-SQL method actors (squrve_spark/actors/named.py): each
+canonical algorithm driven end-to-end with a MockLLM, all execution on Spark.
+
+Mirrors the reference's per-method generator tests (SURVEY §5) — the LLM is
+scripted, the data-touching steps (schema from catalog, execution, EX
+comparison) are real.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from squrve_spark.actors.base import ActorPool
+from squrve_spark.actors.named import (
+    CHESSGenerator,
+    ChaseSelector,
+    DAILSQLGenerator,
+    DINSQLGenerator,
+    MACSQLGenerator,
+    RSLSQLGenerator,
+    ReFoRCEGenerator,
+    RecursiveGenerator,
+    group_by_equivalence,
+    identifiers_in_sql,
+    sql_skeleton,
+)
+from squrve_spark.catalog import register_tables
+from squrve_spark.fewshot import FewShotStore
+from squrve_spark.llm import MockLLM
+from tests.conftest import SF_SMALL
+
+GOOD_COUNT = "SELECT count(*) AS n FROM nation"
+
+
+def _row(question: str, tables: list[str], query: str = "") -> dict:
+    return {
+        "instance_id": 0,
+        "db_id": "tpch",
+        "db_type": "spark",
+        "question": question,
+        "query": query,
+        "tables": tables,
+    }
+
+
+# ---------------------------------------------------------------------------
+# pure helpers
+
+
+def test_sql_skeleton_masks_identifiers_and_literals():
+    skel = sql_skeleton("SELECT n_name FROM nation WHERE n_regionkey = 3 AND n_name = 'KENYA'")
+    assert skel.count("<c>") == 4  # n_name, nation, n_regionkey, n_name
+    assert skel.count("<v>") == 2  # 3, 'KENYA'
+    assert "select" in skel and "where" in skel and "and" in skel
+    # same shape, different identifiers -> identical skeletons
+    assert skel == sql_skeleton("SELECT r_name FROM region WHERE r_regionkey = 9 AND r_name = 'x'")
+
+
+def test_identifiers_in_sql_reverse_linking():
+    known = {"nation.n_name", "nation.n_regionkey", "region.r_name"}
+    hits = identifiers_in_sql("SELECT n_name FROM nation WHERE nation.n_regionkey > 0", known)
+    assert hits == ["nation.n_name", "nation.n_regionkey"]
+
+
+def test_group_by_equivalence_groups_failures_and_matches():
+    a = pd.DataFrame({"x": [1, 2]})
+    b = pd.DataFrame({"x": [2, 1]})  # same set, ignore_order
+    c = pd.DataFrame({"x": [9]})
+    groups = group_by_equivalence([a, b, c, None, None])
+    assert groups == [[0, 1], [2], [3, 4]]
+
+
+# ---------------------------------------------------------------------------
+# generators
+
+
+def test_dinsql_nested_tier(spark):
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (r"Classify the SQL", "NESTED"),
+            (r"List the sub-questions", "1. count the nations\n2. keep every region"),
+            (r"Sub-questions:", "SELECT count(*) FROM nation"),
+            (r"check this Spark SQL for bugs", GOOD_COUNT),
+        ]
+    )
+    actor = DINSQLGenerator(dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm)
+    out = actor.act(0)
+    assert out == {"pred_sql": GOOD_COUNT, "difficulty": "NESTED"}
+    nested_prompt = next(p for p in llm.calls if "Sub-questions:" in p)
+    assert "1. count the nations" in nested_prompt  # decomposition reached the tier prompt
+
+
+def test_dinsql_easy_tier_skips_decomposition(spark):
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (r"Classify the SQL", "EASY"),
+            (r"check this Spark SQL for bugs", GOOD_COUNT),
+            (r"Write ONE Spark SQL", GOOD_COUNT),
+        ]
+    )
+    out = DINSQLGenerator(
+        dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    assert out["difficulty"] == "EASY"
+    assert not any("Sub-questions" in p for p in llm.calls)
+
+
+def test_dailsql_selects_by_question_and_skeleton_similarity(spark):
+    register_tables(spark, SF_SMALL, ["nation"])
+    store = FewShotStore()
+    store.add("spark", "How many nations are there?", "SELECT count(*) FROM nation")
+    store.add("spark", "List every part name sorted by retail price",
+              "SELECT p_name FROM part ORDER BY p_retailprice")
+    llm = MockLLM(
+        rules=[
+            (r"Examples:", GOOD_COUNT),  # FINAL_PROMPT
+            (r"Write ONE Spark SQL", "SELECT count(*) FROM nation"),  # PRELIM_PROMPT
+        ]
+    )
+    actor = DAILSQLGenerator(
+        dataset=[_row("How many nations exist?", ["nation"])],
+        spark=spark, llm=llm, fewshot=store, few_shot_num=1,
+    )
+    out = actor.act(0)
+    assert out["pred_sql"] == GOOD_COUNT
+    final_prompt = llm.calls[-1]
+    assert "How many nations are there?" in final_prompt  # the similar example won
+    assert "retail price" not in final_prompt
+
+
+def test_macsql_refiner_repairs_on_execution_error(spark):
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (r"failed on Spark with", GOOD_COUNT),
+            (r"Decompose into sub-questions", "SELECT count(*) FROM missing_tbl"),
+        ]
+    )
+    out = MACSQLGenerator(
+        dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    assert out == {"pred_sql": GOOD_COUNT, "refine_rounds": 1}
+    assert "### Table = nation" in llm.calls[0]  # Selector's pruned schema reached the prompt
+
+
+def test_chess_unit_tests_score_candidates(spark):
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (r"List the literal keywords", "KENYA"),
+            (r"short unit tests", "1. result is a single number\n2. counts nation rows"),
+            (r"Answer PASS or FAIL", "PASS"),
+            (r"variant", GOOD_COUNT),
+        ]
+    )
+    out = CHESSGenerator(
+        dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    assert out == {"pred_sql": GOOD_COUNT, "unit_test_passes": 2}
+
+
+def test_chess_revises_when_winner_fails_a_test(spark):
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (r"List the literal keywords", ""),
+            (r"short unit tests", "1. result is a single number"),
+            (r"Answer PASS or FAIL", "FAIL"),
+            (r"failed unit tests", GOOD_COUNT),
+            (r"variant", "SELECT n_name FROM nation"),
+        ]
+    )
+    out = CHESSGenerator(
+        dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    assert out["pred_sql"] == GOOD_COUNT  # revise pass replaced the failing winner
+    assert out["unit_test_passes"] == 0
+
+
+def test_reforce_probes_refines_and_votes(spark):
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (r"exploratory Spark SQL probes", "SELECT n_name FROM nation LIMIT 2"),
+            (r"attempt 1\b", "SELECT * FROM missing_tbl"),
+            (r"attempt", GOOD_COUNT),
+            (r"failed with", GOOD_COUNT),
+        ]
+    )
+    out = ReFoRCEGenerator(
+        dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    assert out == {"pred_sql": GOOD_COUNT, "votes": 3}  # refined attempt 1 joins the majority
+    gen_prompt = next(p for p in llm.calls if "Probe results" in p)
+    assert "SELECT n_name FROM nation LIMIT 2" in gen_prompt  # probe evidence fed back
+
+
+def test_rslsql_bidirectional_links_prefer_slim_on_agreement(spark):
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (r"List the needed columns", "[nation.n_name]"),
+            (r"Write ONE Spark SQL", "SELECT n_name FROM nation"),
+        ]
+    )
+    out = RSLSQLGenerator(
+        dataset=[_row("Name the nations", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    assert out["pred_sql"] == "SELECT n_name FROM nation"
+    assert "nation.n_name" in out["schema_links"]
+    slim_prompts = [p for p in llm.calls if "### Table = nation, columns = [n_name]" in p]
+    assert slim_prompts  # the slim linked schema was actually used
+
+
+def test_rslsql_empty_result_correction(spark):
+    register_tables(spark, SF_SMALL, ["nation"])
+    empty_sql = "SELECT n_name FROM nation WHERE n_name = 'NO_SUCH'"
+    llm = MockLLM(
+        rules=[
+            (r"List the needed columns", "[nation.n_name]"),
+            (r"returned no rows", "SELECT n_name FROM nation"),
+            (r"Write ONE Spark SQL", empty_sql),
+        ]
+    )
+    out = RSLSQLGenerator(
+        dataset=[_row("Name the nations", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    assert out["pred_sql"] == "SELECT n_name FROM nation"
+
+
+def test_recursive_per_table_then_join_merge(spark):
+    register_tables(spark, SF_SMALL, ["nation", "region"])
+    merged = (
+        "SELECT n.n_name, r.r_name FROM nation n "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey"
+    )
+
+    def stage0(match, prompt):
+        return (
+            "SELECT n_name, n_regionkey FROM nation"
+            if "n_name" in prompt
+            else "SELECT r_name, r_regionkey FROM region"
+        )
+
+    llm = MockLLM(
+        rules=[
+            (r"List the tables needed", "nation, region"),
+            (r"over ONLY this table", stage0),
+            (r"Merge A and B", merged),
+        ]
+    )
+    out = RecursiveGenerator(
+        dataset=[_row("Nation names with their region names", ["nation", "region"])],
+        spark=spark, llm=llm,
+    ).act(0)
+    assert out["pred_sql"] == merged
+    merge_prompt = next(p for p in llm.calls if "Merge A and B" in p)
+    assert "FROM nation" in merge_prompt and "FROM region" in merge_prompt
+
+
+# ---------------------------------------------------------------------------
+# Chase selector
+
+
+def test_chase_consensus_plus_pairwise(spark):
+    register_tables(spark, SF_SMALL, ["nation"])
+    cands = [
+        GOOD_COUNT,
+        "SELECT count(*) AS n FROM nation WHERE 1=1",  # equivalent result
+        "SELECT 999 AS n",  # minority
+    ]
+    row = _row("How many nations?", ["nation"])
+    row["pred_sql"] = cands
+    llm = MockLLM(rules=[(r"Answer A or B", "A")])
+    out = ChaseSelector(dataset=[row], spark=spark, llm=llm).act(0)
+    assert out["pred_sql"] == GOOD_COUNT  # consensus group of 2 + pairwise win
+
+
+def test_chase_single_candidate_short_circuits(spark):
+    row = _row("q", ["nation"])
+    row["pred_sql"] = ["SELECT 1 AS one"]
+    llm = MockLLM()
+    out = ChaseSelector(dataset=[row], spark=spark, llm=llm).act(0)
+    assert out["pred_sql"] == "SELECT 1 AS one"
+    assert llm.calls == []
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+def test_named_actors_registered_in_pool():
+    for name, klass in [
+        ("dinsql", DINSQLGenerator),
+        ("dailsql", DAILSQLGenerator),
+        ("macsql", MACSQLGenerator),
+        ("chessgen", CHESSGenerator),
+        ("reforce", ReFoRCEGenerator),
+        ("rslsql", RSLSQLGenerator),
+        ("recursive", RecursiveGenerator),
+    ]:
+        assert ActorPool.resolve("generator", name) is klass
+    assert ActorPool.resolve("selector", "chase") is ChaseSelector
