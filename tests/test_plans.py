@@ -62,6 +62,30 @@ def test_no_cartesian_products(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_q18_aggregate_then_semi_join(spark):
+    # the HAVING key-set must enter lineitem as a (broadcast) semi-join,
+    # not as a full join followed by dedup
+    plan = formatted_plan(REGISTRY["q18_large_volume_customer"].fn(spark, SF_MED))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_scalar_subquery_not_nlj(spark):
+    # the scalar average threshold must plan as a ScalarSubquery stage, not
+    # a 1-row broadcast nested-loop join
+    plan = formatted_plan(REGISTRY["q22_idle_customers"].fn(spark, SF_MED))
+    assert "Subquery" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_q5_dims_broadcast(spark):
+    # supplier/nation/region broadcast; only the fact joins may shuffle
+    plan = formatted_plan(REGISTRY["q5_local_supplier_volume"].fn(spark, SF_MED))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
 def test_whole_stage_codegen_present(spark):
     # AQE reveals codegen spans only in the final (executed) plan
     df = REGISTRY["q1_pricing_summary"].fn(spark, SF_MED)
