@@ -41,7 +41,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table; normalizes the events nanosecond-timestamp column."""
+    """Load one table; normalizes the events nanosecond-timestamp column.
+
+    Memoized per (session, sf_dir, table): ``spark.read.parquet`` re-reads
+    file listings + footers on every call (~100 ms each — a 6-table join
+    paid ~0.6 s of pure metadata work per run). DataFrame plans are
+    immutable, so reuse is safe; the cache dies with the session object.
+    Reusing the object also memoizes its ``.rdd`` (spread's partition probe)
+    and keeps analyzed-plan fragments cacheable across queries.
+    """
+    cache = spark.__dict__.setdefault("_squrve_table_cache", {})
+    key = (os.path.abspath(sf_dir), name)
+    df = cache.get(key)
+    if df is not None:
+        return df
     apply_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -52,6 +65,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
             .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
         )
+    cache[key] = df
     return df
 
 
