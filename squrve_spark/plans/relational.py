@@ -61,42 +61,24 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_date
     FROM orders
     WHERE o_totalprice > 400000 AND o_orderstatus = 'F'
+      AND o_totalprice BETWEEN 400000 AND 600000
+      AND CAST(o_orderdate AS DATE) BETWEEN DATE '1993-01-01' AND DATE '1997-12-31'
     """,
     tags=("A1", "A2", "A3"),
 )
 def q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Selective scan: both predicates push down to the parquet reader."""
+    """Selective scan: comparison, equality, and numeric/date BETWEEN
+    predicates — all push down to the parquet reader (A1-A3 in one plan)."""
     o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
     return (
-        o.filter((F.col("o_totalprice") > 400000) & (F.col("o_orderstatus") == "F"))
-        .select("o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("o_date"))
-    )
-
-
-@register(
-    "q_between",
-    oracle="""
-    SELECT l_returnflag,
-           CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-    FROM lineitem
-    WHERE l_quantity BETWEEN 10 AND 20
-      AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
-    GROUP BY l_returnflag
-    """,
-    tags=("A3",),
-)
-def q_between(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BETWEEN predicates on numeric and date columns."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d = F.col("l_shipdate").cast("date")
-    return (
-        li.filter(
-            F.col("l_quantity").between(10, 20)
-            & d.between(F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date"))
+        o.filter(
+            (F.col("o_totalprice") > 400000)
+            & (F.col("o_orderstatus") == "F")
+            & F.col("o_totalprice").between(400000, 600000)
+            & d.between(F.lit("1993-01-01").cast("date"), F.lit("1997-12-31").cast("date"))
         )
-        .groupBy("l_returnflag")
-        .agg(F.count("*").alias("n_items"), dexact(F.sum(money("l_quantity"))).alias("total_qty"))
+        .select("o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("o_date"))
     )
 
 
@@ -319,106 +301,117 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A10: set operations
 # --------------------------------------------------------------------------
 @register(
-    "q_setop_intersect",
+    "q_setops",
     oracle="""
-    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    SELECT 'both_1995_1996' AS src, custkey FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    )
+    UNION ALL
+    SELECT 'never_finished' AS src, custkey FROM (
+        SELECT o_custkey AS custkey FROM orders
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'big_balance' AS src, c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
     """,
     tags=("A10",),
 )
-def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT: customers who ordered in both 1995 and 1996."""
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three A10 set operations in one tagged result: INTERSECT
+    (ordered in both 1995 and 1996), EXCEPT (no finished order), and a
+    UNION ALL over heterogeneous sources (bag semantics preserved)."""
     o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
     y = F.year("o_orderdate")
     a = o.filter(y == 1995).select(F.col("o_custkey").alias("custkey"))
     b = o.filter(y == 1996).select(F.col("o_custkey").alias("custkey"))
-    return a.intersect(b)
-
-
-@register(
-    "q_setop_except",
-    oracle="""
-    SELECT o_custkey AS custkey FROM orders
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    """,
-    tags=("A10",),
-)
-def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct semantics): buyers with no finished order."""
-    o = load_table(spark, sf_dir, "orders")
+    both = a.intersect(b).select(F.lit("both_1995_1996").alias("src"), "custkey")
     all_b = o.select(F.col("o_custkey").alias("custkey"))
     fin = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
-    return all_b.subtract(fin)
-
-
-@register(
-    "q_union_all",
-    oracle="""
-    SELECT o_custkey AS custkey, 'order_1995' AS src FROM orders WHERE year(o_orderdate) = 1995
-    UNION ALL
-    SELECT c_custkey AS custkey, 'big_balance' AS src FROM customer WHERE c_acctbal > 9000
-    """,
-    tags=("A10",),
-)
-def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL (bag semantics) of heterogeneous sources, tagged by origin."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    a = (
-        o.filter(F.year("o_orderdate") == 1995)
-        .select(F.col("o_custkey").alias("custkey"), F.lit("order_1995").alias("src"))
-    )
-    b = (
+    never = all_b.subtract(fin).select(F.lit("never_finished").alias("src"), "custkey")
+    rich = (
         c.filter(F.col("c_acctbal") > 9000)
-        .select(F.col("c_custkey").alias("custkey"), F.lit("big_balance").alias("src"))
+        .select(F.lit("big_balance").alias("src"), F.col("c_custkey").alias("custkey"))
     )
-    return a.unionAll(b)
+    return both.unionAll(never).unionAll(rich)
 
 
 # --------------------------------------------------------------------------
 # A11: subqueries — IN / NOT IN, correlated EXISTS, scalar
 # --------------------------------------------------------------------------
 @register(
-    "q_nested_not_in",
+    "q_sub_in_notin",
     oracle="""
-    SELECT p_partkey, p_name FROM part
+    SELECT 'heavy_part' AS src, p_partkey, p_name FROM part
+    WHERE p_partkey IN (
+        SELECT l_partkey FROM lineitem WHERE l_quantity > 49
+    )
+    UNION ALL
+    SELECT 'stale_part' AS src, p_partkey, p_name FROM part
     WHERE p_partkey NOT IN (
         SELECT l_partkey FROM lineitem WHERE CAST(l_shipdate AS DATE) > DATE '1999-06-30'
     )
     """,
     tags=("A11",),
 )
-def q_nested_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT IN subquery == left anti join (keys are non-null here)."""
+def q_sub_in_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN and NOT IN subqueries in one tagged result: IN == left-semi join,
+    NOT IN == left-anti join (keys are non-null here)."""
     p = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
+    heavy = li.filter(F.col("l_quantity") > 49).select("l_partkey")
     recent = li.filter(F.col("l_shipdate").cast("date") > F.lit("1999-06-30").cast("date")).select(
         "l_partkey"
     )
-    return p.join(recent, p.p_partkey == recent.l_partkey, "left_anti").select(
-        "p_partkey", "p_name"
+    in_side = (
+        p.join(heavy, p.p_partkey == heavy.l_partkey, "left_semi")
+        .select(F.lit("heavy_part").alias("src"), "p_partkey", "p_name")
     )
+    notin_side = (
+        p.join(recent, p.p_partkey == recent.l_partkey, "left_anti")
+        .select(F.lit("stale_part").alias("src"), "p_partkey", "p_name")
+    )
+    return in_side.unionAll(notin_side)
 
 
 @register(
-    "q_corr_exists",
+    "q_sub_exists",
     oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    SELECT 'urgent_buyer' AS src, c_custkey, c_name FROM customer c
     WHERE EXISTS (
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
     )
+    UNION ALL
+    SELECT 'rich_no_finished' AS src, c_custkey, c_name FROM customer c
+    WHERE c.c_acctbal > 9000 AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_orderstatus = 'F'
+    )
     """,
     tags=("A11",),
 )
-def q_corr_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated EXISTS == left semi join (Catalyst decorrelates the SQL
-    form to the same plan)."""
+def q_sub_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (left-semi) and NOT EXISTS (left-anti, TPC-H Q4/Q21
+    family) in one tagged result; Catalyst decorrelates the SQL form to the
+    same plans."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    finished = o.filter(F.col("o_orderstatus") == "F")
+    exists_side = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .select(F.lit("urgent_buyer").alias("src"), "c_custkey", "c_name")
+    )
+    not_exists_side = (
+        c.filter(F.col("c_acctbal") > 9000)
+        .join(finished, c.c_custkey == finished.o_custkey, "left_anti")
+        .select(F.lit("rich_no_finished").alias("src"), "c_custkey", "c_name")
+    )
+    return exists_side.unionAll(not_exists_side)
 
 
 @register(
@@ -481,125 +474,99 @@ def q_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_window_running",
+    "q_window_combo",
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-               AS running_spend
+               AS running_spend,
+           dense_rank() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS price_rnk,
+           CAST(lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+               AS prev_price
     FROM orders
     """,
     tags=("A13",),
 )
-def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running per-customer spend: ordered window frame over exact decimals."""
+def q_window_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 window surface in one pass: ordered running-sum frame over exact
+    decimals, dense_rank, and lag. Both specs partition on o_custkey so Spark
+    plans a single shuffle (two in-partition sorts)."""
     o = load_table(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    w_time = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_frame = w_time.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_price = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return o.select(
         "o_custkey",
         "o_orderkey",
-        dexact(F.sum(money("o_totalprice")).over(w)).alias("running_spend"),
-    )
-
-
-@register(
-    "q_window_rank_lag",
-    oracle="""
-    SELECT s_suppkey, s_name,
-           dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rnk,
-           lag(s_acctbal) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
-               AS prev_bal
-    FROM supplier
-    """,
-    tags=("A13",),
-)
-def q_window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dense_rank + lag in one window pass (single shuffle on the partition key)."""
-    s = load_table(spark, sf_dir, "supplier")
-    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), "s_suppkey")
-    return s.select(
-        "s_suppkey",
-        "s_name",
-        F.dense_rank().over(w).alias("rnk"),
-        F.lag("s_acctbal").over(w).alias("prev_bal"),
+        dexact(F.sum(money("o_totalprice")).over(w_frame)).alias("running_spend"),
+        F.dense_rank().over(w_price).alias("price_rnk"),
+        F.lag("o_totalprice").over(w_time).cast("double").alias("prev_price"),
     )
 
 
 # --------------------------------------------------------------------------
-# A15, A16: LIKE / ILIKE
+# A15, A16 + string functions: LIKE / ILIKE predicates feeding a
+# string-function projection surface
 # --------------------------------------------------------------------------
 @register(
-    "q_like_ilike",
+    "q_string_like",
     oracle="""
-    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+    SELECT p_partkey,
+           UPPER(SUBSTR(p_name, 1, 8)) AS prefix,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+           CONCAT(p_brand, '#', CAST(p_partkey AS VARCHAR)) AS tagged,
+           REPLACE(p_type, 'PROMO', 'PR') AS shorttype,
+           CAST(POSITION('a' IN p_name) AS INTEGER) AS a_at
     FROM part
     WHERE p_type ILIKE '%promo%' AND p_name LIKE '%a%'
-    GROUP BY p_brand
     """,
-    tags=("A15", "A16"),
+    tags=("A2", "A15", "A16", "strings"),
 )
-def q_like_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Case-insensitive ILIKE + case-sensitive LIKE pattern predicates."""
+def q_string_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive ILIKE + case-sensitive LIKE predicates feeding
+    SUBSTR/UPPER/LENGTH/CONCAT/REPLACE/POSITION projections."""
     p = load_table(spark, sf_dir, "part")
     return (
         p.filter(F.col("p_type").ilike("%promo%") & F.col("p_name").like("%a%"))
-        .groupBy("p_brand")
-        .agg(F.count("*").alias("n_parts"))
+        .select(
+            "p_partkey",
+            F.upper(F.substring("p_name", 1, 8)).alias("prefix"),
+            F.length("p_name").cast("int").alias("name_len"),
+            F.concat(F.col("p_brand"), F.lit("#"), F.col("p_partkey").cast("string")).alias(
+                "tagged"
+            ),
+            F.regexp_replace("p_type", "PROMO", "PR").alias("shorttype"),
+            F.instr(F.col("p_name"), "a").cast("int").alias("a_at"),
+        )
     )
 
 
 # --------------------------------------------------------------------------
-# A18: CAST / integer-division discipline
+# A18 + A19: date/time functions grouping CAST-disciplined ratio metrics
 # --------------------------------------------------------------------------
 @register(
-    "q_div_cast",
-    oracle="""
-    SELECT l_returnflag,
-           CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-                      / COUNT(*), 6) AS DOUBLE) AS avg_discount,
-           CAST(ROUND(CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS DOUBLE)
-                      / COUNT(*), 6) AS DOUBLE) AS big_qty_ratio
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    tags=("A18", "A20"),
-)
-def q_div_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ratio metrics with explicit CAST-to-DOUBLE before division (the
-    sqlite int/int trap from SURVEY §2.A A18, normalized Spark-side)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        dround(dexact(F.sum(money("l_discount"))) / F.count("*"), 6).alias("avg_discount"),
-        dround(
-            F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).cast("double") / F.count("*"),
-            6,
-        ).alias("big_qty_ratio"),
-    )
-
-
-# --------------------------------------------------------------------------
-# A19: date/time functions
-# --------------------------------------------------------------------------
-@register(
-    "q_date",
+    "q_date_ratio",
     oracle="""
     SELECT strftime(o_orderdate, '%Y') AS yr,
            month(o_orderdate) AS mth,
-           CAST(COUNT(*) AS BIGINT) AS n_orders
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS big_ratio,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_price
     FROM orders
     WHERE o_orderdate >= DATE '1995-01-01'
     GROUP BY 1, 2
     """,
-    tags=("A19",),
+    tags=("A18", "A19", "A20"),
 )
-def q_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date-part extraction; Spark `date_format` == sqlite/duckdb `strftime`
-    (the §7.4 transpile pair)."""
+def q_date_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction (Spark `date_format` == sqlite/duckdb `strftime`,
+    the §7.4 transpile pair) grouping ratio metrics with explicit
+    CAST-to-DOUBLE before division (the sqlite int/int trap from A18)."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
@@ -607,76 +574,60 @@ def q_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy").alias("yr"),
             F.month("o_orderdate").alias("mth"),
         )
-        .agg(F.count("*").alias("n_orders"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dround(
+                F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("big_ratio"),
+            (dexact(F.sum(money("o_totalprice"))) / F.count("*")).alias("avg_price"),
+        )
     )
 
 
 # --------------------------------------------------------------------------
-# A20, A21: CASE WHEN + conditional-aggregate arithmetic
+# A20, A21: CASE WHEN as grouping expression + conditional-aggregate
+# arithmetic (the reference's OpenSearchSQL rewrite pattern, SURVEY §2.A A21)
 # --------------------------------------------------------------------------
 @register(
-    "q_condagg",
+    "q_case_condagg",
     oracle="""
-    SELECT n_name,
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_value,
            CAST(COALESCE(SUM(CASE WHEN year(o_orderdate) = 1995
                                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
                 - COALESCE(SUM(CASE WHEN year(o_orderdate) = 1996
                                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
                 AS DOUBLE) AS yoy_delta
     FROM orders
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY n_name
-    """,
-    tags=("A20", "A21", "A5"),
-)
-def q_condagg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SUBTRACT-of-aggregates as conditional aggregation (reference's
-    OpenSearchSQL rewrite pattern, SURVEY §2.A A21)."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    y = F.year("o_orderdate")
-    zero = F.lit(0).cast(MONEY)
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            dexact(
-                F.coalesce(F.sum(F.when(y == 1995, money("o_totalprice"))), zero)
-                - F.coalesce(F.sum(F.when(y == 1996, money("o_totalprice"))), zero)
-            ).alias("yoy_delta")
-        )
-    )
-
-
-@register(
-    "q_case_grouping",
-    oracle="""
-    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
-                WHEN o_totalprice < 200000 THEN 'medium'
-                ELSE 'large' END AS band,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_value
-    FROM orders
     GROUP BY 1
     """,
-    tags=("A20",),
+    tags=("A20", "A21"),
 )
-def q_case_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE WHEN as a grouping expression (banding)."""
+def q_case_condagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN banding as the group key + SUBTRACT-of-conditional-aggregates
+    (1995 vs 1996 spend delta) in the same single-pass aggregation."""
     o = load_table(spark, sf_dir, "orders")
     band = (
         F.when(F.col("o_totalprice") < 50000, "small")
         .when(F.col("o_totalprice") < 200000, "medium")
         .otherwise("large")
     )
+    y = F.year("o_orderdate")
+    zero = F.lit(0).cast(MONEY)
     return (
         o.groupBy(band.alias("band"))
         .agg(
             F.count("*").alias("n_orders"),
             dexact(F.sum(money("o_totalprice"))).alias("band_value"),
+            dexact(
+                F.coalesce(F.sum(F.when(y == 1995, money("o_totalprice"))), zero)
+                - F.coalesce(F.sum(F.when(y == 1996, money("o_totalprice"))), zero)
+            ).alias("yoy_delta"),
         )
     )
 
@@ -720,28 +671,6 @@ def q_corr_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_not_exists_anti",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer c
-    WHERE c.c_acctbal > 9000 AND NOT EXISTS (
-        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
-                                 AND o.o_orderstatus = 'F'
-    )
-    """,
-    tags=("A11",),
-)
-def q_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS -> left-anti join (TPC-H Q4/Q21 family)."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    return (
-        c.filter(F.col("c_acctbal") > 9000)
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-    )
-
-
-@register(
     "q_grouping_sets",
     oracle="""
     SELECT n_name, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
@@ -763,51 +692,6 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY GROUPING SETS ((n_name), (o_orderstatus), (n_name, o_orderstatus))
         """
-    )
-
-
-@register(
-    "q_semi_join_in",
-    oracle="""
-    SELECT p_partkey, p_name FROM part
-    WHERE p_partkey IN (
-        SELECT l_partkey FROM lineitem WHERE l_quantity > 49
-    )
-    """,
-    tags=("A11",),
-)
-def q_semi_join_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-subquery -> left-semi join."""
-    p = load_table(spark, sf_dir, "part")
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
-    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
-        "p_partkey", "p_name"
-    )
-
-
-@register(
-    "q_string_funcs",
-    oracle="""
-    SELECT c_custkey,
-           UPPER(SUBSTR(c_name, 1, 8)) AS prefix,
-           CAST(LENGTH(c_name) AS INTEGER) AS name_len,
-           CONCAT(c_name, '#', CAST(c_custkey AS VARCHAR)) AS tagged,
-           REPLACE(c_name, 'Customer', 'Cust') AS shortname,
-           CAST(POSITION('0' IN c_name) AS INTEGER) AS zero_at
-    FROM customer WHERE c_custkey <= 50
-    """,
-    tags=("A2", "strings"),
-)
-def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String function surface: SUBSTR/UPPER/LENGTH/CONCAT/REPLACE/POSITION."""
-    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
-    return c.select(
-        "c_custkey",
-        F.upper(F.substring("c_name", 1, 8)).alias("prefix"),
-        F.length("c_name").cast("int").alias("name_len"),
-        F.concat(F.col("c_name"), F.lit("#"), F.col("c_custkey").cast("string")).alias("tagged"),
-        F.regexp_replace("c_name", "Customer", "Cust").alias("shortname"),
-        F.instr(F.col("c_name"), "0").cast("int").alias("zero_at"),
     )
 
 

@@ -18,6 +18,17 @@ ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 
 
+def test_all_oracles_within_driver_cap():
+    """The correctness driver truncates queries() at the first 50 entries
+    (observed in round 1: exactly registry positions 0-49 were checked).
+    Every oracle-declared query must therefore sit in the first 50 slots,
+    or its declared oracle is silently never verified."""
+    order = list(REGISTRY)
+    first_50 = set(order[:50])
+    declared = {n for n, s in REGISTRY.items() if s.oracle is not None}
+    assert declared <= first_50, f"oracles past the cap: {sorted(declared - first_50)}"
+
+
 def _norm_cell(v):
     if v is None:
         return None

@@ -28,6 +28,8 @@ def test_filter_pushdown_reaches_scan(spark):
     plan = formatted_plan(REGISTRY["q_scan_filter"].fn(spark, SF_MED))
     assert "PushedFilters: [IsNotNull(o_totalprice)" in plan
     assert "GreaterThan(o_totalprice,400000.0)" in plan
+    # the BETWEEN bounds push down too
+    assert "LessThanOrEqual(o_totalprice,600000.0)" in plan
 
 
 def test_column_pruning(spark):
