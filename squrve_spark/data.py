@@ -53,6 +53,9 @@ class Dataset:
     def __getitem__(self, i: int) -> dict:
         return self._rows[i]
 
+    def __setitem__(self, i: int, row: dict) -> None:
+        self._rows[i] = row
+
     def __iter__(self) -> Iterator[dict]:
         return iter(self._rows)
 

@@ -158,10 +158,22 @@ class Evaluator:
         if pred.error is not None or pred.df is None:
             return 0
         if pred.capped or gold.capped:
-            # too big to collect -> distributed signature comparison
-            p = self.spark.sql(X.transpile(pred_sql, dialect))
-            g = self.spark.sql(X.transpile(gold_sql, dialect))
-            return C.compare_spark_frames(p, g)
+            # too big to collect -> distributed signature comparison, under
+            # the same job-group timeout budget as the collect path (one
+            # pathological query must not stall the whole eval loop)
+            import uuid as _uuid
+
+            def _sig_compare():
+                p = self.spark.sql(X.transpile(pred_sql, dialect))
+                g = self.spark.sql(X.transpile(gold_sql, dialect))
+                return C.compare_spark_frames(p, g)
+
+            value, error = X._run_with_timeout(
+                self.spark, _sig_compare, budget, f"squrve-eval-{_uuid.uuid4().hex[:12]}"
+            )
+            if error is not None:
+                return 0
+            return value
         ignore_order = "order by" not in gold_sql.lower()
         return C.compare_dataframes(pred.df, gold.df, ignore_order=ignore_order)
 

@@ -92,14 +92,39 @@ def get_spark_sql_result(
     ``chunk_size`` batches (bounded driver memory, parity with the sqlite
     chunked export) and returns ``(True, None)``.
     """
+    if save_path is not None:
+        # Full (uncapped) export: stream partitions through toLocalIterator
+        # in chunk_size batches so driver memory stays bounded regardless of
+        # result size, under the same job-group timeout as the collect path.
+        save_path = Path(save_path)
+        save_path.parent.mkdir(parents=True, exist_ok=True)
+        normalized = transpile(sql_query, dialect) if dialect != "spark" else sql_query
+        group = f"squrve-{uuid.uuid4().hex[:12]}"
+
+        def run():
+            df: DataFrame = spark.sql(normalized)
+            cols = df.columns
+            buf: list = []
+            first = True
+            with open(save_path, "w", newline="") as fh:
+                for row in df.toLocalIterator(prefetchPartitions=True):
+                    buf.append(row)
+                    if len(buf) >= chunk_size:
+                        pd.DataFrame(buf, columns=cols).to_csv(
+                            fh, index=False, header=first
+                        )
+                        first = False
+                        buf.clear()
+                pd.DataFrame(buf, columns=cols).to_csv(fh, index=False, header=first)
+            return True
+
+        value, error = _run_with_timeout(spark, run, timeout_seconds, group)
+        if error is not None:
+            return None, error
+        return True, None
     res = execute(spark, sql_query, row_cap, timeout_seconds, dialect)
     if res.error is not None:
         return None, res.error
-    if save_path is not None:
-        save_path = Path(save_path)
-        save_path.parent.mkdir(parents=True, exist_ok=True)
-        res.df.to_csv(save_path, index=False)
-        return True, None
     return res.df, None
 
 

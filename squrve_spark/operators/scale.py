@@ -66,8 +66,16 @@ def salted_join(
     Each big-side row gets one of ``n_salts`` salts; the small side is
     exploded once per salt value, so the join key becomes (key..., salt) and
     a hot key's rows spread across ``n_salts`` reducers. Result equals the
-    unsalted join exactly (the salt is a bijection on the small side).
+    unsalted join exactly for ``how`` in {inner, left, left_semi, left_anti}.
+    Right/full outer joins are rejected: an unmatched small-side row exists
+    once per salt replica and would be emitted ``n_salts`` times.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}; {how!r} would "
+            "duplicate unmatched small-side rows once per salt replica"
+        )
     big_s = big.withColumn("__salt", _salt_col(n_salts))
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))

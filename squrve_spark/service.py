@@ -34,6 +34,12 @@ class ServiceState:
         self.llm = llm
         self.dataset = dataset or Dataset()
         self.pool = ThreadPoolExecutor(max_workers=8)
+        # Serializes dataset reads/mutations across ThreadingHTTPServer
+        # request threads; timed-out futures are tracked so their (still
+        # running) worker threads can't interleave stale row updates into a
+        # later request's response.
+        self.lock = threading.RLock()
+        self._abandoned: set = set()
 
     def find_row(self, instance_id) -> Optional[int]:
         for i, row in enumerate(self.dataset):
@@ -45,22 +51,31 @@ class ServiceState:
         """Run a declarative actor workflow for one instance; returns the
         updated row fields + optional execution/eval results."""
         instance_id = payload.get("instance_id")
-        idx = self.find_row(instance_id)
-        if idx is None:
-            # ad-hoc instance provided inline
-            row = {k: v for k, v in payload.items() if k != "task_lis"}
-            self.dataset.append(row)
-            idx = len(self.dataset) - 1
+        with self.lock:
+            idx = self.find_row(instance_id)
+            if idx is None:
+                # ad-hoc instance provided inline
+                row = {k: v for k, v in payload.items() if k != "task_lis"}
+                self.dataset.append(row)
+                idx = len(self.dataset) - 1
+            # run on a snapshot: a timed-out (abandoned) worker keeps
+            # mutating only its own copy, never the shared row
+            snapshot = Dataset([dict(self.dataset[idx])])
         task_lis = payload.get("task_lis") or ["generator:gold"]
         agent = WorkflowAgent(
-            dataset=self.dataset, spark=self.spark, llm=self.llm, actor_lis=task_lis
+            dataset=snapshot, spark=self.spark, llm=self.llm, actor_lis=task_lis
         )
-        fut = self.pool.submit(agent.run_on, idx)
+        fut = self.pool.submit(agent.run_on, 0)
         try:
             fut.result(timeout=TASK_MAX_WAIT_TIME)
         except FutTimeout:
+            fut.cancel()
+            self._abandoned.add(fut)
+            fut.add_done_callback(self._abandoned.discard)
             return {"instance_id": instance_id, "error": "task timeout"}
-        row = dict(self.dataset[idx])
+        with self.lock:
+            self.dataset[idx] = dict(snapshot[0])
+            row = dict(self.dataset[idx])
         out = {"instance_id": instance_id, "pred_sql": row.get("pred_sql")}
         if payload.get("execute") and row.get("pred_sql"):
             res = spark_execute(

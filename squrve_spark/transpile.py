@@ -47,7 +47,9 @@ _STRFTIME_MAP = {
     "%M": "mm",
     "%S": "ss",
     "%j": "DDD",
-    "%w": "u",  # note: sqlite 0=Sunday vs Spark u 1=Monday..7=Sunday; see below
+    # %w is handled in _rewrite_strftime (dayofweek arithmetic), not a
+    # pattern token: sqlite %w is '0'=Sunday..'6'=Saturday while Spark's
+    # date_format 'u' is 1=Monday..7=Sunday — every value would differ.
 }
 
 _STRFTIME = re.compile(
@@ -61,6 +63,9 @@ def _rewrite_strftime(seg: str) -> str:
         # pure-year/month extraction: prefer typed functions (prunable, typed)
         if fmt == "%Y":
             return f"CAST(year({expr}) AS STRING)"
+        # sqlite %w: '0'=Sunday..'6'=Saturday; Spark dayofweek is 1=Sunday..7
+        if fmt == "%w":
+            return f"CAST(dayofweek({expr}) - 1 AS STRING)"
         out = fmt
         for tok, pat in _STRFTIME_MAP.items():
             out = out.replace(tok, pat)

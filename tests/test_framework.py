@@ -47,6 +47,8 @@ from tests.conftest import SF_SMALL
         ("SELECT date(d, '+3 months') FROM t", "add_months(d, 3)"),
         ("SELECT date(d, '-7 days') FROM t", "date_add(d, -7)"),
         ("SELECT julianday(a) - julianday(b) FROM t", "datediff(a, b)"),
+        # sqlite %w is '0'=Sunday..'6'=Saturday; Spark dayofweek is 1=Sunday
+        ("SELECT strftime('%w', d) FROM t", "CAST(dayofweek(d) - 1 AS STRING)"),
     ],
 )
 def test_transpile_rules(src, expect):

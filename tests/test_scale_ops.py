@@ -6,6 +6,7 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
 from pyspark.sql import functions as F
 
 from squrve_spark.catalog import load_table
@@ -72,6 +73,38 @@ def test_salted_join_matches_plain_join(spark):
         n_salts=4,
     ).agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
     assert salted.collect() == plain.collect()
+
+
+def test_salted_join_rejects_right_outer(spark):
+    li = load_table(spark, SF_SMALL, "lineitem").select(F.col("l_orderkey").alias("k"))
+    o = load_table(spark, SF_SMALL, "orders").select(F.col("o_orderkey").alias("k"))
+    # right/full outer would emit each unmatched small-side row once per salt
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError):
+            salted_join(li, o, ["k"], n_salts=4, how=how)
+
+
+def test_save_path_exports_full_result(spark, tmp_path):
+    """save_path must bypass the row cap: full chunked CSV export."""
+    import pandas as pd
+
+    from squrve_spark.catalog import register_tables
+    from squrve_spark.execution import get_spark_sql_result
+
+    register_tables(spark, SF_SMALL, ["orders"])
+    n_total = spark.table("orders").count()
+    out = tmp_path / "export.csv"
+    res, err = get_spark_sql_result(
+        "SELECT o_orderkey, o_totalprice FROM orders",
+        spark,
+        save_path=out,
+        row_cap=10,  # far below n_total: the cap must NOT truncate the file
+        chunk_size=64,
+    )
+    assert err is None and res is True
+    exported = pd.read_csv(out)
+    assert len(exported) == n_total
+    assert list(exported.columns) == ["o_orderkey", "o_totalprice"]
 
 
 def test_two_phase_agg_matches_plain(spark):
