@@ -8,11 +8,10 @@ Three paths:
     (map-side projection), candidates = bucket collisions on signature
     bands, exact cosine re-rank on candidates only. The 100 TB path: turns
     the cross join into an equi-join; recall tunable via bands/bits.
-  * exact_neardup_pairs — exhaustive all-pairs cosine via numpy block
-    matmul (mapInPandas + broadcast unit-vector matrix): each Arrow batch
-    multiplies its rows against the shared matrix in BLAS. At true scale,
-    chunk BOTH sides on a block-id grid and run the same kernel per grid
-    cell; the per-cell math is unchanged.
+  * exact_neardup_pairs — exhaustive all-pairs cosine via a block-id grid
+    self-join: rows hash into blocks, each unordered block pair is a grid
+    cell, and a cogrouped applyInPandas runs the BLAS matmul kernel per
+    cell. No driver materialization; per-task memory is two blocks.
 
 Pairwise vector math in the DataFrame paths pre-normalizes to unit vectors
 once per row (norm computed once, not per pair) so a pair costs a single
@@ -194,36 +193,75 @@ def exact_neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Exhaustive embedding near-dup pairs (rounded cosine >= threshold).
 
-    numpy block matmul: the unit-vector matrix is broadcast once; each Arrow
-    batch of rows computes batch x corpus similarities in BLAS and emits only
-    pairs above threshold (id_a < id_b). Quadratic work, linear memory per
-    task. At 100 TB, replace the single broadcast with a block-id grid join —
-    the per-cell kernel is identical.
+    Block-id grid self-join — NO driver materialization: rows hash into
+    ``n_blocks`` blocks; every unordered block pair (i, j), i <= j, is one
+    grid cell. The left side replicates block i's rows to cells (i, i..N-1),
+    the right side block j's rows to cells (0..j, j); a cogrouped
+    ``applyInPandas`` runs the BLAS kernel (unit-normalize, L @ R.T,
+    threshold mask) per cell. Quadratic work total, but per-task memory is
+    two blocks (corpus_rows/n_blocks each) — size ``n_blocks`` so a block
+    fits an executor and the same plan runs at 100 TB. Each row is shipped
+    n_blocks+1 times (the standard all-pairs grid tradeoff).
     """
-    spark = df.sparkSession
-    src = df.select(id_col, vec_col)
-    pdf = src.toPandas()
-    ids = pdf[id_col].to_numpy(dtype=np.int64)
-    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    Mu = M / np.linalg.norm(M, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, Mu))
+    src = spread(df.select(id_col, vec_col))
+    src_b = src.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    )
+    # cell id = i * n_blocks + j for block pair (i, j), i <= j
+    left = src_b.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.sequence(F.col("blk"), F.lit(n_blocks - 1)),
+                lambda j: F.col("blk") * n_blocks + j,
+            )
+        ),
+    )
+    right = src_b.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("blk")),
+                lambda i: i * n_blocks + F.col("blk"),
+            )
+        ),
+    )
+    diag_cells = {i * n_blocks + i for i in range(n_blocks)}
 
-    src = spread(src)
+    def kernel(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame):
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        lid = lpdf[id_col].to_numpy(dtype=np.int64)
+        rid = rpdf[id_col].to_numpy(dtype=np.int64)
+        L = np.stack([np.asarray(v, dtype=np.float64) for v in lpdf[vec_col]])
+        R = np.stack([np.asarray(v, dtype=np.float64) for v in rpdf[vec_col]])
+        Lu = L / np.linalg.norm(L, axis=1, keepdims=True)
+        Ru = R / np.linalg.norm(R, axis=1, keepdims=True)
+        S = np.round(Lu @ Ru.T, 6)
+        mask = S >= threshold
+        if key[0] in diag_cells:
+            # same block on both sides: each unordered pair appears in both
+            # orientations — keep exactly the id-ordered one
+            mask &= lid[:, None] < rid[None, :]
+        else:
+            mask &= lid[:, None] != rid[None, :]
+        ii, jj = np.nonzero(mask)
+        a, b = lid[ii], rid[jj]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "sim": S[ii, jj]}
+        )
 
-    def gen(batches):
-        ids_c, mu_c = bc.value
-        for b in batches:
-            rid = b[id_col].to_numpy(dtype=np.int64)
-            R = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
-            Ru = R / np.linalg.norm(R, axis=1, keepdims=True)
-            S = np.round(Ru @ mu_c.T, 6)
-            ii, jj = np.nonzero((S >= threshold) & (rid[:, None] < ids_c[None, :]))
-            yield pd.DataFrame({"id_a": rid[ii], "id_b": ids_c[jj], "sim": S[ii, jj]})
-
-    return src.mapInPandas(gen, "id_a long, id_b long, sim double")
+    return (
+        left.groupBy("cell")
+        .cogroup(right.groupBy("cell"))
+        .applyInPandas(kernel, "id_a long, id_b long, sim double")
+    )
 
 
 def embedding_neardup_pairs(

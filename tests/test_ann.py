@@ -42,3 +42,49 @@ def test_lsh_topk_subset_property(spark, emb):
     approx = similarity.lsh_topk(emb, queries, dim=64, k=5, bands=16)
     recall = len(_pairs(approx) & _pairs(exact)) / len(_pairs(exact))
     assert recall >= 0.5
+
+
+def _numpy_neardup_reference(rows, threshold):
+    """Driver-side all-pairs reference for the block-grid implementation."""
+    import numpy as np
+
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    Mu = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = np.round(Mu @ Mu.T, 6)
+    out = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(n):
+            if ids[i] < ids[j] and S[i, j] >= threshold:
+                out.add((int(ids[i]), int(ids[j]), float(S[i, j])))
+    return out
+
+
+def test_exact_neardup_block_grid_matches_reference(spark, emb):
+    """Planted near-dups: perturbed copies of existing vectors must surface,
+    and the distributed block-grid result must equal the all-pairs numpy
+    reference exactly — for several n_blocks (incl. 1 = single cell)."""
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    base = [(r["vec_id"], list(r["embedding"])) for r in emb.limit(40).collect()]
+    rng = np.random.default_rng(7)
+    planted = [
+        (10_000 + vid, [x + rng.normal(0, 1e-3) for x in vec]) for vid, vec in base[:10]
+    ]
+    rows = base + planted
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in rows]
+    )
+    expect = _numpy_neardup_reference(rows, 0.99)
+    assert len(expect) >= 10  # every planted copy pairs with its source
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r["id_a"], r["id_b"], r["sim"])
+            for r in similarity.exact_neardup_pairs(
+                df, threshold=0.99, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == expect, f"n_blocks={n_blocks}"

@@ -60,7 +60,7 @@ def test_no_cartesian_products(spark, name):
     # BroadcastNestedLoopJoin is acceptable only for the deliberately
     # broadcast brute-force ANN baseline (inequality join against a tiny
     # broadcast side)
-    if "bruteforce" not in name and name != "emb_neardup_exact":
+    if "bruteforce" not in name:
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
