@@ -105,6 +105,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within blocks, via inverted index.
 
@@ -116,6 +117,15 @@ def ngram_jaccard_pairs(
     *shared* shingles, not with candidate-pair count x set size — the shape
     that survives 100 TB. Jaccard over hashed shingles equals string Jaccard
     modulo 64-bit collisions.
+
+    ``max_shingle_df`` is the skew guard for the join: a shingle occurring in
+    ``d`` documents of a block contributes ~d² join rows, so one universal
+    ("stop") shingle turns the equi-join quadratic in the block size. With a
+    cap, shingles whose per-block document frequency exceeds it are dropped
+    from the index (both sides) before the join — the standard move in
+    near-dup at scale. Set sizes keep counting ALL shingles, so a pair's
+    jaccard can only be *underestimated*, and only for pairs sharing a
+    dropped stop-shingle; with ``None`` (default) results are exact.
     """
     docs = with_hashed_shingles(
         df.select(id_col, *block_cols, text_col), text_col, n
@@ -128,6 +138,16 @@ def ngram_jaccard_pairs(
     inv = docs.select(
         F.col(id_col), *block_cols, F.size("sh").alias("sz"), F.explode("sh").alias("s")
     )
+    if max_shingle_df is not None:
+        # hot set is tiny by construction (|hot| <= index_rows / cap):
+        # broadcast anti-join keeps the index-side data un-shuffled
+        hot = (
+            inv.groupBy(*block_cols, "s")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select(*block_cols, "s")
+        )
+        inv = inv.join(F.broadcast(hot), [*block_cols, "s"], "left_anti")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
     cond.append(F.col("a.s") == F.col("b.s"))
     cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

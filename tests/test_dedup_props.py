@@ -21,6 +21,36 @@ def _pairs(df):
     return {(r["id_a"], r["id_b"]) for r in df.collect()}
 
 
+def test_df_cap_identical_pairs_at_fixture_scale(spark, docs):
+    """A generous document-frequency cap must not change results on the
+    fixture (no shingle is near-universal there) — the guard only bites on
+    true stop-shingles."""
+    base = dedup.ngram_jaccard_pairs(docs, ["lang", "source"], threshold=0.5)
+    capped = dedup.ngram_jaccard_pairs(
+        docs, ["lang", "source"], threshold=0.5, max_shingle_df=100
+    )
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_df_cap_drops_universal_shingle(spark):
+    """A shingle present in every doc must be excluded from the join under
+    the cap: without it the two unrelated docs pair up (the stop-shingle is
+    their whole intersection); with it they don't."""
+    from pyspark.sql import Row
+
+    stop = "the quick fox"  # one shared 3-gram across all docs
+    rows = [
+        Row(doc_id=1, text=f"{stop} alpha beta gamma delta"),
+        Row(doc_id=2, text=f"{stop} epsilon zeta eta theta"),
+        Row(doc_id=3, text=f"{stop} iota kappa lambda mu"),
+    ]
+    df = spark.createDataFrame(rows).withColumn("_b", F.lit(1))
+    loose = dedup.ngram_jaccard_pairs(df, ["_b"], threshold=0.05)
+    assert len(_pairs(loose)) == 3  # every pair shares the stop-shingle
+    capped = dedup.ngram_jaccard_pairs(df, ["_b"], threshold=0.05, max_shingle_df=2)
+    assert _pairs(capped) == set()  # guard removed the universal key
+
+
 def test_minhash_pairs_subset_of_exact(spark, docs):
     """Every LSH-surfaced pair passes exact Jaccard verification, so the
     minhash output must be a subset of the unblocked exact pairs at the
