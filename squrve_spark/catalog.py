@@ -103,10 +103,24 @@ def memo_checkpoint(df: DataFrame) -> DataFrame:
     loads of the same *overwritten* path within one session would hit —
     the engine only checkpoints frames derived from the read-only test
     tables.
+
+    Key construction: the canonicalized toString alone is NOT sufficient —
+    a canonicalized ``LogicalRelation`` prints only its (id-normalized)
+    output attributes, not the files it scans, so two reads of *different*
+    parquet paths with the same schema stringify identically (measured:
+    sf0.001 vs sf0.01 documents collide, serving one sf's checkpoint for
+    the other). The key therefore also folds in ``semanticHash`` (which
+    distinguishes in-memory LocalRelations by data) and the plan's input
+    file list (which distinguishes file scans by path).
     """
     spark = df.sparkSession
     cache = spark.__dict__.setdefault("_squrve_ckpt_cache", {})
-    key = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    qe = df._jdf.queryExecution()
+    key = (
+        qe.analyzed().canonicalized().toString(),
+        qe.analyzed().semanticHash(),
+        tuple(sorted(df.inputFiles())),
+    )
     hit = cache.get(key)
     if hit is None:
         while len(cache) >= 64:
