@@ -186,11 +186,14 @@ class DAILSQLGenerator(SparkActor):
     )
 
     def __init__(self, *args, fewshot=None, few_shot_num: int = 3, candidate_pool: int = 10,
-                 **kwargs):
+                 selector_type: Optional[str] = None, **kwargs):
         super().__init__(*args, **kwargs)
         self.fewshot = fewshot
         self.few_shot_num = few_shot_num
         self.candidate_pool = candidate_pool
+        # None keeps the hybrid Jaccard ranking below; a SELECTOR_TYPE name
+        # routes through the full selector registry (dail_selectors.py)
+        self.selector_type = selector_type
 
     def act(self, item: int, **kwargs) -> dict:
         row = self.row(item)
@@ -200,7 +203,22 @@ class DAILSQLGenerator(SparkActor):
             self.llm.complete(self.PRELIM_PROMPT.format(schema=schema, question=question))
         )
         examples = ""
-        if self.fewshot is not None:
+        if self.fewshot is not None and self.selector_type:
+            from squrve_spark.actors.dail_selectors import get_example_selector
+
+            terms = set(row.get("instance_schemas") or [])
+            pool = self.fewshot.examples.get(row.get("db_type", "spark"), [])
+            selector = get_example_selector(self.selector_type)(pool, schema_terms=terms)
+            target = {
+                "question": question,
+                "db_id": row.get("db_id"),
+                "query": row.get("query", ""),
+                "pre_sql": prelim,
+            }
+            scored = selector.get_examples(target, self.few_shot_num)
+            if scored:
+                examples = self.fewshot.render(scored)
+        elif self.fewshot is not None:
             terms = set(row.get("instance_schemas") or [])
             pool = self.fewshot.top_k(
                 question, row.get("db_type", "spark"), self.candidate_pool, schema_terms=terms
