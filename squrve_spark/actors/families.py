@@ -53,6 +53,16 @@ class SparkActor(Actor):
         )
         return render_schema_ddl(central_to_parallel(central))
 
+    def external_note(self, row: dict) -> str:
+        """Prompt block for the row's external knowledge (summarized by
+        ``squrve_spark.external.add_external``), '' when absent — every
+        reference generator consumes this evidence when a benchmark ships
+        it (SURVEY §2 B.1 ``add_external``)."""
+        from squrve_spark.external import external_text
+
+        ext = external_text(row)
+        return f"\nExternal knowledge:\n{ext}\n" if ext else ""
+
 
 # ---------------------------------------------------------------------------
 # Reducers — prune schema to fit LLM context
@@ -194,7 +204,7 @@ class LLMGenerator(SparkActor):
     SKILL = "LLM writes Spark SQL for the question; self-repairs on execution errors."
 
     PROMPT = (
-        "Database schema:\n{schema}\n{examples}\nWrite ONE Spark SQL query answering:\n"
+        "Database schema:\n{schema}\n{examples}{external}\nWrite ONE Spark SQL query answering:\n"
         "{question}\nReturn only SQL."
     )
     DEBUG_PROMPT = (
@@ -222,7 +232,8 @@ class LLMGenerator(SparkActor):
             if shots:
                 examples = f"\nExamples:\n{self.fewshot.render(shots)}\n"
         sql = extract_sql(self.llm.complete(
-            self.PROMPT.format(schema=schema, question=question, examples=examples)
+            self.PROMPT.format(schema=schema, question=question, examples=examples,
+                               external=self.external_note(row))
         ))
         for _ in range(self.debug_turn_n):
             res = X.execute(self.spark, sql, row_cap=10)

@@ -181,7 +181,7 @@ class DAILSQLGenerator(SparkActor):
 
     PRELIM_PROMPT = "Schema:\n{schema}\nQuestion: {question}\nWrite ONE Spark SQL query. Return only SQL."
     FINAL_PROMPT = (
-        "Examples:\n{examples}\nSchema:\n{schema}\nQuestion: {question}\n"
+        "Examples:\n{examples}\nSchema:\n{schema}\n{external}Question: {question}\n"
         "Write ONE Spark SQL query. Return only SQL."
     )
 
@@ -237,7 +237,8 @@ class DAILSQLGenerator(SparkActor):
                 examples = self.fewshot.render(scored)
         sql = extract_sql(
             self.llm.complete(
-                self.FINAL_PROMPT.format(examples=examples, schema=schema, question=question)
+                self.FINAL_PROMPT.format(examples=examples, schema=schema, question=question,
+                                         external=self.external_note(row))
             )
         )
         return {"pred_sql": sql}
