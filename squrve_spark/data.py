@@ -327,6 +327,66 @@ TPCH_FOREIGN_KEYS: list[tuple[str, str, str, str]] = [
 # DataLoader: benchmark registry resolution
 
 
+_REPO_ROOT = Path(__file__).resolve().parent.parent
+_SYS_CONFIG_PATH = Path(__file__).resolve().parent / "sys_config.json"
+
+
+def registry_from_sys_config(
+    config: dict | str | Path | None = None,
+    base_dir: str | Path | None = None,
+) -> dict[str, dict]:
+    """sys_config benchmark list -> DataLoader registry.
+
+    Reference analog: the registry at config/sys_config.json:30-199 as read
+    by ``init_benchmark_dataset`` (data_manage.py:841-916): each benchmark
+    has a ``root_path``; sub-benchmarks resolve to
+    ``{root}/{sub_id}/dataset.json`` (no-sub benchmarks to
+    ``{root}/dataset.json``, registered here under the default split name
+    ``dev``); a sub with ``use_local_external`` (or a benchmark-level
+    ``external`` flag) carries an ``external`` docs dir whose files rows
+    point at via relative ``external_path``. Relative root paths resolve
+    against ``base_dir`` (default: this repo's root, where the packaged
+    default registry's fixtures live).
+    """
+    if config is None:
+        config = _SYS_CONFIG_PATH
+    if isinstance(config, (str, Path)):
+        config = json.loads(Path(config).read_text())
+    base = Path(base_dir) if base_dir else _REPO_ROOT
+
+    registry: dict[str, dict] = {}
+    for meta in config.get("benchmark", []):
+        root = Path(meta.get("root_path", ""))
+        if not root.is_absolute():
+            root = base / root
+        splits: dict[str, dict] = {}
+        if meta.get("has_sub"):
+            for sub in meta.get("sub_data", []):
+                sub_id = sub["sub_id"]
+                ext = None
+                if sub.get("use_local_external"):
+                    ext = root / sub_id / "external"
+                elif meta.get("external"):
+                    ext = root / "external"
+                splits[sub_id] = {
+                    "path": str(root / sub_id / "dataset.json"),
+                    "external_dir": str(ext) if ext else None,
+                }
+            ext = None
+        else:
+            ext = root / "external" if meta.get("external") else None
+            splits["dev"] = {
+                "path": str(root / "dataset.json"),
+                "external_dir": str(ext) if ext else None,
+            }
+        registry[meta["id"]] = {
+            "splits": splits,
+            "db_type": meta.get("db_type", "spark"),
+            "meta_info": meta.get("meta_info", ""),
+        }
+    return registry
+
+
 class DataLoader:
     """Resolve ``"benchmark:split:filter"`` identifiers into Datasets.
 
@@ -334,11 +394,23 @@ class DataLoader:
     (data_manage.py:841-916, 1442-1479) against the sys_config benchmark
     registry. The registry here maps benchmark -> split -> dataset JSON path
     plus optional per-benchmark metadata (schema path, db dir); the third
-    identifier segment is the ``filter_dataset`` predicate DSL.
+    identifier segment is the ``filter_dataset`` predicate DSL. With no
+    caller-supplied registry, the packaged ``sys_config.json`` defaults
+    apply (fixture benchmarks over the driver testdata), so reference-style
+    configs (``"data_source": "tpch:dev:"``) run unmodified.
+
+    Split values are either a bare JSON path (caller-built registries) or a
+    ``{"path": ..., "external_dir": ...}`` dict (sys_config-derived); with
+    an ``external_dir``, each row's relative ``external_path`` is rewritten
+    to the absolute document location, ready for ``add_external``.
     """
 
-    def __init__(self, registry: dict[str, dict], sample: float | int | None = None):
-        self.registry = registry
+    def __init__(
+        self,
+        registry: Optional[dict[str, dict]] = None,
+        sample: float | int | None = None,
+    ):
+        self.registry = registry if registry is not None else registry_from_sys_config()
         self.sample = sample
 
     def resolve(self, identifier: str) -> Dataset:
@@ -350,11 +422,16 @@ class DataLoader:
         splits = entry.get("splits", {})
         if split not in splits:
             raise KeyError(f"benchmark {bench!r} has no split {split!r}")
-        ds = Dataset(data_source=splits[split], sample=self.sample)
+        spec = splits[split]
+        path = spec["path"] if isinstance(spec, dict) else spec
+        external_dir = spec.get("external_dir") if isinstance(spec, dict) else None
+        ds = Dataset(data_source=path, sample=self.sample)
         for row in ds:
             row.setdefault("benchmark", bench)
             if "db_type" not in row:
                 row["db_type"] = entry.get("db_type", "spark")
+            if external_dir and row.get("external_path"):
+                row["external_path"] = str(Path(external_dir) / row["external_path"])
         if flt:
             ds = filter_dataset(ds, flt.split(","))
         return ds

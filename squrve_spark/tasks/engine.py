@@ -71,6 +71,15 @@ class Engine:
         self.router = router or Router()
         self.spark = spark
         self.llm = llm
+        if dataset is None and self.router.get("data_source"):
+            # reference-style configs name a benchmark identifier instead of
+            # shipping rows ("data_source": "tpch:dev:", engine.py:112-180);
+            # resolve it against the sys_config registry defaults
+            from squrve_spark.data import DataLoader
+
+            dataset = DataLoader(sample=self.router.get("sample")).resolve(
+                self.router.get("data_source")
+            )
         self.dataset = dataset or Dataset()
         self.tasks: dict[str, BaseTask] = {}
         self.root: Optional[BaseTask] = None

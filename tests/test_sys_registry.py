@@ -1,0 +1,83 @@
+"""sys_config benchmark-registry defaults (squrve_spark/sys_config.json +
+data.registry_from_sys_config).
+
+Mirrors the reference registry flow (config/sys_config.json:30-199 read by
+init_benchmark_dataset, data_manage.py:841-916): a reference-style config
+naming ``"data_source": "tpch:dev:"`` must resolve, filter, attach external
+document paths, and round-trip through Router -> Engine -> EX evaluation
+without a caller-built registry.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from squrve_spark.catalog import register_tables
+from squrve_spark.config import Router
+from squrve_spark.data import DataLoader, registry_from_sys_config
+from squrve_spark.external import add_external
+from squrve_spark.llm import MockLLM
+from squrve_spark.tasks import Engine
+from tests.conftest import SF_SMALL
+
+
+def test_default_registry_shape():
+    reg = registry_from_sys_config()
+    assert set(reg) == {"tpch", "docs"}
+    dev = reg["tpch"]["splits"]["dev"]
+    assert Path(dev["path"]).is_file()
+    assert dev["external_dir"] and Path(dev["external_dir"]).is_dir()
+    # no-sub benchmark lands under the default split name
+    assert Path(reg["docs"]["splits"]["dev"]["path"]).is_file()
+
+
+def test_resolve_defaults_and_filter_dsl():
+    loader = DataLoader()  # no registry argument: sys_config defaults
+    ds = loader.resolve("tpch:dev:")
+    assert len(ds) == 5
+    assert all(r["benchmark"] == "tpch" and r["db_type"] == "spark" for r in ds)
+    easy = loader.resolve("tpch:dev:difficulty-e-easy")
+    assert {r["instance_id"] for r in easy} == {"tpch_dev_0", "tpch_dev_1"}
+    assert len(loader.resolve("docs::")) == 2
+    with pytest.raises(KeyError):
+        loader.resolve("nope:dev:")
+
+
+def test_resolve_attaches_absolute_external_paths(tmp_path):
+    row = next(r for r in DataLoader().resolve("tpch:dev:") if r.get("external_path"))
+    p = Path(row["external_path"])
+    assert p.is_absolute() and p.is_file()
+    assert "active region" in p.read_text()
+    # and the attached document flows through add_external
+    ds = DataLoader().resolve("tpch:dev:")
+    add_external(ds, MockLLM(default="[KD-1] r_regionkey < 3"), tmp_path)
+    ext_rows = [r for r in ds if "external" in r]
+    assert len(ext_rows) == 1
+    assert Path(ext_rows[0]["external"]).read_text() == "[KD-1] r_regionkey < 3"
+
+
+def test_reference_style_config_round_trips_to_ex_eval(spark, tmp_path):
+    """Config -> Router -> Engine (data_source resolution) -> gold generate
+    -> EX evaluation, the verdict's done-criterion."""
+    register_tables(spark, SF_SMALL)
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps({
+        "dataset": {"data_source": "tpch:dev:"},
+        "engine": {"eval_type": ["execute_accuracy"]},
+    }))
+    eng = Engine(Router(str(cfg)), spark=spark, llm=MockLLM())
+    assert len(eng.dataset) == 5  # resolved from the packaged registry
+    eng.add_task("gen", "generate", "gold")
+    eng.execute()
+    res = eng.evaluate()["execute_accuracy"]
+    assert res["avg"] == 1.0 and res["total_items"] == 5
+
+
+def test_sample_parameter_flows_from_config(spark, tmp_path):
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps({"dataset": {"data_source": "tpch:dev:", "sample": 2}}))
+    eng = Engine(Router(str(cfg)), spark=spark, llm=MockLLM())
+    assert len(eng.dataset) == 2
