@@ -3,15 +3,20 @@
 Reference analog: the Flask app (/root/reference/app/run.py) — a global
 Router+Engine at startup, ``POST /api/run`` and ``POST /api/run_batch``
 accepting ``{instance_id, task_lis}`` per request, per-request timeouts
-(task 1200 s / SQL 150 s), ``GET /healthz``. Implemented on the stdlib
-(``http.server``) — no web-framework dependency; the service is IO-thin,
-all real work happens in the engine's task/actor kernel on the shared
-SparkSession.
+(task 1200 s / SQL 150 s), ``GET /healthz``. ``POST /api/upload`` is the
+interactive-demo entry point (demo/gradio_demo.py:484-505 +
+demo/file_to_db.py): upload CSV/JSON/parquet files -> engine tables +
+extracted central schema, after which ``/api/run`` generates and executes
+against them. Implemented on the stdlib (``http.server``) — no
+web-framework dependency; the service is IO-thin, all real work happens in
+the engine's task/actor kernel on the shared SparkSession.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import threading
 from concurrent.futures import ThreadPoolExecutor, TimeoutError as FutTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -40,6 +45,10 @@ class ServiceState:
         # later request's response.
         self.lock = threading.RLock()
         self._abandoned: set = set()
+        # tables registered through /api/upload, in upload order; ad-hoc
+        # /api/run rows without an explicit table list fall back to these
+        # (the demo flow: upload, then ask questions over what you uploaded)
+        self.uploaded_tables: list[str] = []
 
     def find_row(self, instance_id) -> Optional[int]:
         for i, row in enumerate(self.dataset):
@@ -56,6 +65,8 @@ class ServiceState:
             if idx is None:
                 # ad-hoc instance provided inline
                 row = {k: v for k, v in payload.items() if k != "task_lis"}
+                if not row.get("tables") and self.uploaded_tables:
+                    row["tables"] = list(self.uploaded_tables)
                 self.dataset.append(row)
                 idx = len(self.dataset) - 1
             # run on a snapshot: a timed-out (abandoned) worker keeps
@@ -87,6 +98,39 @@ class ServiceState:
             ev = Evaluator(self.spark, Dataset([row]), ["execute_accuracy"])
             out["execute_accuracy"] = ev.eval(0, "execute_accuracy")
         return out
+
+    def upload(self, payload: dict) -> dict:
+        """Upload files -> engine tables + extracted central schema
+        (demo/file_to_db.py's pandas-to-sqlite flow, Spark-side).
+
+        ``files`` entries are either server-local paths or inline
+        ``{"name", "content"}`` documents (written to a temp dir first —
+        the stdlib server has no multipart parsing, and inline content is
+        how the demo ships small CSVs). Table names derive from file
+        stems; the extracted schema is what generation prompts render.
+        """
+        from squrve_spark.sources.ingest import ingest_files
+
+        specs = payload.get("files") or []
+        if not specs:
+            raise ValueError("no files to upload")
+        paths = []
+        for spec in specs:
+            if isinstance(spec, str):
+                paths.append(spec)
+            else:
+                d = tempfile.mkdtemp(prefix="squrve_upload_")
+                p = os.path.join(d, os.path.basename(spec["name"]))
+                with open(p, "w", encoding="utf-8") as f:
+                    f.write(spec["content"])
+                paths.append(p)
+        with self.lock:
+            schema = ingest_files(self.spark, paths, db_id=payload.get("db_id", "uploaded"))
+            tables = schema["table_names_original"]
+            for t in tables:
+                if t not in self.uploaded_tables:
+                    self.uploaded_tables.append(t)
+        return {"tables": tables, "schema": schema}
 
 
 def _make_handler(state: ServiceState):
@@ -120,6 +164,8 @@ def _make_handler(state: ServiceState):
                 elif self.path == "/api/run_batch":
                     items = payload.get("instances", [])
                     self._send(200, {"results": [state.run_instance(p) for p in items]})
+                elif self.path == "/api/upload":
+                    self._send(200, state.upload(payload))
                 else:
                     self._send(404, {"error": "not found"})
             except Exception as exc:  # noqa: BLE001 — service containment

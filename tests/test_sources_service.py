@@ -116,3 +116,52 @@ def test_api_run_batch_adhoc_instance(service):
     )
     assert len(out["results"]) == 1
     assert len(out["results"][0]["result"]) == 25
+
+
+# ---------------------------------------------------------------------------
+# upload -> generate -> execute (the interactive-demo flow,
+# demo/gradio_demo.py:484-505 + demo/file_to_db.py)
+
+
+def test_upload_then_generate_then_execute(spark):
+    from squrve_spark.llm import MockLLM
+
+    demo_sql = "SELECT count(*) AS n FROM sales WHERE amount > 10"
+    llm = MockLLM(rules=[(r"How many big sales", demo_sql)])
+    state = ServiceState(spark, llm=llm)
+    server = serve_background(state)
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        up = _post(f"{url}/api/upload", {"files": [
+            {"name": "sales.csv", "content": "product,amount\na,5\nb,20\nc,30\n"}
+        ]})
+        assert up["tables"] == ["sales"]
+        cols = {c for _t, c in up["schema"]["column_names_original"][1:]}
+        assert cols == {"product", "amount"}
+
+        out = _post(f"{url}/api/run", {
+            "instance_id": "demo1", "db_type": "spark",
+            "question": "How many big sales are there?",
+            "task_lis": ["generator:llmgen"], "execute": True,
+        })
+        assert out["pred_sql"] == demo_sql
+        assert out["result"] == [{"n": 2}]
+        # the uploaded table's schema reached the generation prompt
+        assert "sales" in llm.calls[0] and "amount" in llm.calls[0]
+    finally:
+        server.shutdown()
+
+
+def test_upload_accepts_server_local_paths(spark, tmp_path):
+    p = tmp_path / "stock.csv"
+    p.write_text("sku,qty\nx,1\ny,2\n")
+    state = ServiceState(spark)
+    server = serve_background(state)
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        up = _post(f"{url}/api/upload", {"files": [str(p)]})
+        assert up["tables"] == ["stock"]
+        assert state.uploaded_tables == ["stock"]
+        assert spark.table("stock").count() == 2
+    finally:
+        server.shutdown()
