@@ -304,3 +304,47 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# curation-stage operators: sampling / selection / packing
+# (rows-only for the driver — the 50-slot oracle cap is full; DuckDB parity
+# for the deterministic ones is asserted in tests/test_sampling.py instead)
+
+
+@register("doc_sample_per_lang", oracle=None, tags=("sampling", "no-oracle"))
+def doc_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-language sample by md5-hash rank (reproducible
+    across engines and reruns; DuckDB parity in tests/test_sampling.py)."""
+    from squrve_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sampling.deterministic_sample(docs, per_stratum=20, strata_cols=["lang"])
+
+
+@register("doc_topk_quality", oracle=None, tags=("sampling", "no-oracle"))
+def doc_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-5 documents per language by quality score (stopword ratio desc,
+    doc_id tie-break) — the curation 'keep the best per bucket' shape."""
+    from squrve_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return sampling.topk_per_group(
+        scored.select("doc_id", "lang", "stopword_ratio"),
+        ["lang"],
+        [F.col("stopword_ratio").desc(), F.col("doc_id")],
+        k=5,
+    )
+
+
+@register("doc_pack_budget", oracle=None, tags=("sampling", "no-oracle"))
+def doc_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing token packing at a 256-token budget over sharded
+    documents (pack invariants property-tested in tests/test_sampling.py)."""
+    from squrve_spark.operators import sampling
+
+    counts = text.token_count(load_table(spark, sf_dir, "documents"))
+    return sampling.pack_documents(
+        counts.select("doc_id", "n_tokens"), budget=256, num_shards=8
+    )
