@@ -223,15 +223,18 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              CAST(b.embedding AS DOUBLE[])), 6) AS DOUBLE) AS sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.42
     """,
     tags=("dedup", "similarity"),
 )
 def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exhaustive embedding near-dup pairs (cosine >= 0.9) — the correctness
-    baseline the LSH variant is tested against. numpy block matmul."""
+    """Exhaustive embedding near-dup pairs — the correctness baseline the
+    LSH variant is tested against. numpy block matmul. Threshold 0.42 is
+    calibrated to the synthetic fixtures (random vectors top out near
+    cosine 0.46), so the oracle compares a non-empty pair set (34 pairs at
+    sf0.01) instead of a vacuous 0-row match; real corpora use ~0.9."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.exact_neardup_pairs(emb, threshold=0.9)
+    return similarity.exact_neardup_pairs(emb, threshold=0.42)
 
 
 @register("emb_neardup_lsh", oracle=None, tags=("dedup", "similarity", "no-oracle"))

@@ -252,20 +252,24 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_inactive
     FROM customer
-    LEFT JOIN orders ON c_custkey = o_custkey
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+           ON c_custkey = o_custkey
     WHERE o_orderkey IS NULL
     GROUP BY c_mktsegment
     """,
     tags=("A6", "A23"),
 )
 def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IS NULL over outer-join output: customers with no orders (anti-join).
+    """IS NULL over outer-join output: customers with no high-value orders.
 
     Expressed as a left anti join — same semantics, and Spark skips
-    materializing the null-padded rows entirely.
+    materializing the null-padded rows entirely. The 300k threshold is
+    calibrated so the fixture data yields a NON-empty result (every
+    customer has some order at sf>=0.01, so the unfiltered variant was a
+    vacuous 0-row hash match).
     """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")

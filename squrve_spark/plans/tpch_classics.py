@@ -389,13 +389,17 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
             FROM customer WHERE c_acctbal > 0
           )
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_totalprice > 300000)
     GROUP BY n_name
     """,
     tags=("A7", "A11", "A23"),
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22: above-average-balance customers with no orders, by nation.
+    """TPC-H Q22 variant: above-average-balance customers with no HIGH-VALUE
+    orders (>300k), by nation — thresholded so the fixture data yields a
+    non-empty result (the classic no-orders predicate matches nobody at
+    sf>=0.01: every customer has orders, a vacuous 0-row hash match).
 
     The average is computed as exact-decimal sum / count, converted to double
     once — identical IEEE arithmetic on every engine, so the threshold
@@ -417,7 +421,8 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / COUNT(*)
                 FROM customer WHERE c_acctbal > 0
               )
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_totalprice > 300000)
         GROUP BY n_name
         """
     )
