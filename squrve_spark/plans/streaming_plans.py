@@ -88,3 +88,18 @@ def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("purchase_cents").alias("purchase_cents"),
     )
+
+
+@register("stream_dedup", oracle=None, tags=("streaming", "dedup", "no-oracle"))
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup under duplicated delivery: the event stream unioned
+    with itself (every row delivered twice) passes through
+    dropDuplicatesWithinWatermark on event_id; per-type counts must equal
+    the single-delivery batch counts (asserted in tests/test_streaming.py —
+    rows-only here, the oracle cap is full)."""
+    from squrve_spark.streaming.ops import dedup_stream
+
+    ev = read_event_stream(spark, sf_dir)
+    doubled = ev.union(read_event_stream(spark, sf_dir))
+    deduped = run_stream_to_table(dedup_stream(doubled), "append")
+    return deduped.groupBy("event_type").agg(F.count("*").alias("n_events"))

@@ -166,3 +166,21 @@ def run_stream_to_table(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication: drop re-delivered rows by key, keeping state
+    only within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The ingestion-side dedup primitive for a training-data pipeline: file
+    sources get re-listed, at-least-once buses re-deliver — keying on the
+    event id and bounding state by event time makes exactly-once semantics
+    out of duplicated input with O(keys-per-horizon) state, not O(corpus).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

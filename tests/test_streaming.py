@@ -153,3 +153,23 @@ def test_registry_streaming_entries(spark):
         assert name in REGISTRY
         df = REGISTRY[name].fn(spark, SF_SMALL)
         assert df.count() > 0
+
+
+def test_stream_dedup_collapses_duplicated_delivery(spark):
+    """Doubled delivery (stream unioned with itself) deduped by event_id
+    must equal single-delivery batch counts exactly."""
+    from squrve_spark.catalog import load_table
+    from squrve_spark.plans import REGISTRY
+
+    got = {
+        r["event_type"]: r["n_events"]
+        for r in REGISTRY["stream_dedup"].fn(spark, SF_SMALL).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and sum(got.values()) > 0
