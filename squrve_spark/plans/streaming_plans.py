@@ -103,3 +103,18 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = ev.union(read_event_stream(spark, sf_dir))
     deduped = run_stream_to_table(dedup_stream(doubled), "append")
     return deduped.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+@register("stream_attribution", oracle=None, tags=("streaming", "join", "no-oracle"))
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view -> purchase within 1 h, per user),
+    reduced to attributed-purchase counts per user. Batch parity asserted
+    in tests/test_streaming.py (rows-only here, the oracle cap is full)."""
+    from squrve_spark.streaming.ops import interval_join_stream
+
+    ev = read_event_stream(spark, sf_dir)
+    joined = run_stream_to_table(interval_join_stream(ev), "append")
+    return joined.groupBy("r_user").agg(
+        F.countDistinct("r_event").alias("n_attributed_purchases"),
+        F.count("*").alias("n_view_purchase_pairs"),
+    )

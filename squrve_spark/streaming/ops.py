@@ -184,3 +184,46 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def interval_join_stream(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each ``right_type`` event to
+    same-user ``left_type`` events that happened in the preceding
+    ``horizon`` (the click/view -> purchase attribution shape).
+
+    Both sides carry watermarks and the join condition bounds the time
+    delta, so Spark can expire buffered rows once the watermark passes the
+    interval — state stays O(events-per-horizon), the requirement for an
+    unbounded stream. Equi-key on user_id keeps it one shuffle per side.
+    """
+    horizon_expr = f"INTERVAL {horizon}"
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_event"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_event"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return left.join(
+        right,
+        F.expr(
+            f"l_user = r_user AND l_ts <= r_ts AND r_ts <= l_ts + {horizon_expr}"
+        ),
+    )

@@ -94,3 +94,30 @@ def test_whole_stage_codegen_present(spark):
     df.collect()
     plan = formatted_plan(df)
     assert "isFinalPlan=true" in plan and "codegen id" in plan
+
+
+def test_sampling_window_limit_pushed_below_exchange(spark):
+    """deterministic_sample must plan WindowGroupLimit on BOTH sides of the
+    strata exchange (partial per-partition top-k before the shuffle) — the
+    property that keeps the stratum sort bounded at scale."""
+    plan = formatted_plan(REGISTRY["doc_sample_per_lang"].fn(spark, SF_MED))
+    assert plan.count("WindowGroupLimit") >= 2
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read  # pruned: rank needs only id + strata cols
+
+
+def test_topk_quality_broadcasts_the_id_lang_side(spark):
+    plan = formatted_plan(REGISTRY["doc_topk_quality"].fn(spark, SF_MED))
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_packing_is_one_grouped_pandas_pass(spark):
+    import re
+
+    plan = formatted_plan(REGISTRY["doc_pack_budget"].fn(spark, SF_MED))
+    # one FlatMapGroupsInPandas node (formatted output names a node twice:
+    # once in the tree, once in the per-node detail section)
+    nodes = set(re.findall(r"\((\d+)\) FlatMapGroupsInPandas", plan))
+    assert len(nodes) == 1
+    assert "hashpartitioning(shard" in plan

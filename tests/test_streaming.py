@@ -173,3 +173,35 @@ def test_stream_dedup_collapses_duplicated_delivery(spark):
         .collect()
     }
     assert got == want and sum(got.values()) > 0
+
+
+def test_stream_attribution_matches_batch_interval_join(spark):
+    """Stream-stream interval join result == the equivalent batch join."""
+    from squrve_spark.catalog import load_table
+    from squrve_spark.plans import REGISTRY
+
+    got = {
+        (r["r_user"], r["n_attributed_purchases"], r["n_view_purchase_pairs"])
+        for r in REGISTRY["stream_attribution"].fn(spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events")
+    v = ev.filter(F.col("event_type") == "view").selectExpr(
+        "user_id AS l_user", "event_id AS l_event", "ts AS l_ts"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id AS r_user", "event_id AS r_event", "ts AS r_ts"
+    )
+    want = {
+        (r["r_user"], r["n_attributed_purchases"], r["n_view_purchase_pairs"])
+        for r in v.join(
+            p,
+            F.expr("l_user = r_user AND l_ts <= r_ts AND r_ts <= l_ts + INTERVAL 1 hour"),
+        )
+        .groupBy("r_user")
+        .agg(
+            F.countDistinct("r_event").alias("n_attributed_purchases"),
+            F.count("*").alias("n_view_purchase_pairs"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
