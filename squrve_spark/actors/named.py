@@ -186,7 +186,8 @@ class DAILSQLGenerator(SparkActor):
     )
 
     def __init__(self, *args, fewshot=None, few_shot_num: int = 3, candidate_pool: int = 10,
-                 selector_type: Optional[str] = None, **kwargs):
+                 selector_type: Optional[str] = None, repr_type: Optional[str] = None,
+                 example_format: Optional[str] = None, **kwargs):
         super().__init__(*args, **kwargs)
         self.fewshot = fewshot
         self.few_shot_num = few_shot_num
@@ -194,6 +195,10 @@ class DAILSQLGenerator(SparkActor):
         # None keeps the hybrid Jaccard ranking below; a SELECTOR_TYPE name
         # routes through the full selector registry (dail_selectors.py)
         self.selector_type = selector_type
+        # a REPR_TYPE name renders the final prompt through the prompt-
+        # representation registry (dail_prompts.py) instead of FINAL_PROMPT
+        self.repr_type = repr_type
+        self.example_format = example_format
 
     def act(self, item: int, **kwargs) -> dict:
         row = self.row(item)
@@ -203,6 +208,7 @@ class DAILSQLGenerator(SparkActor):
             self.llm.complete(self.PRELIM_PROMPT.format(schema=schema, question=question))
         )
         examples = ""
+        scored: list[dict] = []
         if self.fewshot is not None and self.selector_type:
             from squrve_spark.actors.dail_selectors import get_example_selector
 
@@ -235,6 +241,24 @@ class DAILSQLGenerator(SparkActor):
             )[: self.few_shot_num]
             if scored:
                 examples = self.fewshot.render(scored)
+        if self.repr_type:
+            from squrve_spark.actors.dail_prompts import EXAMPLE_TYPE, prompt_factory
+
+            icl = prompt_factory(
+                self.repr_type,
+                k_shot=self.few_shot_num,
+                example_format=self.example_format or EXAMPLE_TYPE.QA,
+            )
+            tables_spec = [
+                (t, self.spark.table(t).columns) for t in self.tables_for(row)
+            ]
+            target = {"question": question, "tables": tables_spec,
+                      "foreign_keys": row.get("foreign_keys") or []}
+            final_prompt = icl.format(target, scored)
+            ext = self.external_note(row)
+            if ext:
+                final_prompt = f"{ext}\n{final_prompt}"
+            return {"pred_sql": extract_sql(self.llm.complete(final_prompt))}
         sql = extract_sql(
             self.llm.complete(
                 self.FINAL_PROMPT.format(examples=examples, schema=schema, question=question,
