@@ -249,8 +249,11 @@ class LinkAlignGenerator(SparkActor):
             self.CLASSIFY_PROMPT.format(question=question, links=links)
         ).strip().upper()
         prompt = self.NESTED_PROMPT if "NESTED" in label else self.SIMPLE_PROMPT
+        # external evidence (add_external) precedes the schema, as in the
+        # reference's evidence-bearing generation prompts
         sql = extract_sql(self.llm.complete(
-            prompt.format(schema=schema, links=links, question=question)
+            self.external_note(row)
+            + prompt.format(schema=schema, links=links, question=question)
         ))
         debug_rounds = 0
         for _ in range(self.debug_turn_n):

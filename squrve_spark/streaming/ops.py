@@ -31,6 +31,12 @@ from squrve_spark.session import apply_runtime_confs
 
 US_PER_HOUR = 3_600_000_000
 
+# state-store count for local availableNow replays (see run_stream_to_table);
+# measured on local[32] at sf0.1: 8 halves state-store init for the
+# dropDuplicates path vs 16 with no slowdown elsewhere — any real deployment
+# sets spark.sql.shuffle.partitions itself before starting queries
+STREAM_SHUFFLE_PARTITIONS = 8
+
 
 def read_event_stream(
     spark: SparkSession,
@@ -146,10 +152,10 @@ def run_stream_to_table(
     name = name or f"stream_{uuid.uuid4().hex[:10]}"
     spark = df.sparkSession
     # state-store count is fixed at stream start from shuffle.partitions;
-    # 16 keeps per-run store init cheap on local replays while any real
-    # deployment would set its own value before starting the query
+    # a small value keeps per-run store init cheap on local replays while
+    # any real deployment would set its own value before starting the query
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     try:
         q = (
             df.writeStream.format("memory")
@@ -165,7 +171,13 @@ def run_stream_to_table(
                 q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    # detach the result from the memory sink: checkpoint the (small,
+    # aggregated) result to executor blocks, then drop the sink table —
+    # otherwise every call leaks a uuid-named in-memory table for the
+    # session's lifetime (unbounded in a service or bench loop)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def dedup_stream(
