@@ -240,9 +240,12 @@ def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("emb_neardup_lsh", oracle=None, tags=("dedup", "similarity", "no-oracle"))
 def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked embedding near-dup pairs (the scale path; subset-of-exact
-    property tested)."""
+    property tested). Threshold 0.42 matches emb_neardup_exact's fixture
+    calibration (synthetic vectors top out near cosine 0.46); 16 bands x 4
+    bits keeps sign-LSH recall ~0.95 at that low cosine — real corpora at
+    ~0.9 would use the coarser default banding."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(emb, threshold=0.9, dim=64)
+    return similarity.embedding_neardup_pairs(emb, threshold=0.42, dim=64, bands=16)
 
 
 @register(

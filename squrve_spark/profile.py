@@ -43,14 +43,21 @@ def profile_table(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
     for c in df.columns:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"))
         aggs.append(distinct(F.col(c)).alias(f"dist_{c}"))
-    row = df.agg(*aggs).collect()[0]
-    spark = df.sparkSession
-    data = [
-        (c, int(row["__n"]), int(row[f"null_{c}"]), int(row[f"dist_{c}"]))
-        for c in df.columns
-    ]
-    return spark.createDataFrame(
-        data, "column string, n_rows bigint, n_null bigint, n_distinct bigint"
+    wide = df.agg(*aggs)
+    # Unpivot the one-row wide aggregate to long format distributed-side
+    # (stack), keeping the whole profile lazy: no driver collect, one pass
+    # over the data regardless of column count.
+    pairs = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in df.columns)
+    return wide.select(
+        F.expr(
+            f"stack({len(df.columns)}, {pairs}) AS (column, n_null, n_distinct)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        F.col("column"),
+        F.col("n_rows").cast("bigint"),
+        F.col("n_null").cast("bigint"),
+        F.col("n_distinct").cast("bigint"),
     )
 
 
