@@ -17,7 +17,7 @@ restricted to the columns TESTDATA carries) expressed Spark-first:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from squrve_spark.catalog import load_table, register_tables
@@ -425,4 +425,233 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AND o_totalprice > 300000)
         GROUP BY n_name
         """
+    )
+
+
+# --------------------------------------------------------------------------
+# Extended TPC-H coverage (beyond the driver's 50-slot oracle cap: these
+# register oracle=None; DuckDB parity is asserted in tests/test_tpch_extra.py
+# instead — same hash-style compare, pytest-side).
+# TESTDATA carries no partsupp table, so Q2/Q9/Q11/Q16/Q20 have no faithful
+# analog; the remaining classic shapes are below, restricted to the columns
+# TESTDATA has (SURVEY §2.A composites; reference executes this SQL grade
+# via core/db_connect.py:139-147).
+# --------------------------------------------------------------------------
+
+
+@register("q6_forecast_revenue", oracle=None, tags=("A3", "A7", "no-oracle"))
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-scan filter + one-row aggregate.
+
+    The whole query is a parquet scan with every predicate pushed down
+    (shipdate range, discount band, quantity cap) and a map-side partial sum
+    — zero shuffles beyond the final 1-row exchange. The canonical
+    sanity-check that filter pushdown reaches the scan at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sd = F.col("l_shipdate").cast("date")
+    return (
+        li.filter(
+            (sd >= _d("1996-01-01"))
+            & (sd < _d("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dexact(F.sum(money("l_extendedprice") * money("l_discount"))).alias("revenue"))
+    )
+
+
+@register("q8_market_share", oracle=None, tags=("A5", "A20", "A21", "no-oracle"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — the two-role nation join.
+
+    nation joins twice under different roles (customer's nation restricts
+    the market region; supplier's nation is the share numerator) — both
+    broadcast (25 rows at any scale). The share is conditional aggregation
+    over exact-decimal volumes, divided once at the output boundary.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_nation = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    od = F.col("o_orderdate").cast("date")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (od >= _d("1996-01-01")) & (od <= _d("1997-12-31"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cust_nation), c.c_nationkey == F.col("cn_key"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_nation), s.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year(od).alias("o_year"),
+            revenue_expr().alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    target = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0).cast(MONEY)
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            dround(dexact(F.sum(target)) / dexact(F.sum("volume")), 6).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register("q13_order_distribution", oracle=None, tags=("A6", "A7", "A8", "no-oracle"))
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution via outer join.
+
+    LEFT OUTER join with the filter in the ON clause (urgent orders only —
+    the fixture's analog of Q13's comment exclusion; plain WHERE would
+    silently turn the join inner), then two aggregations: per-customer
+    count, then histogram of counts. Zero-order customers must survive as
+    c_count = 0 — the semantic the outer join exists to test.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority == "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register("q15_top_supplier", oracle=None, tags=("A11", "A12", "no-oracle"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier by quarterly revenue (CTE + scalar max).
+
+    The revenue CTE is computed once (Spark reuses the subtree across the
+    join and the scalar-max subquery via the SQL view), the max embeds as a
+    ScalarSubquery, and equality on exact-decimal revenue selects the
+    winner(s) deterministically — no double-evaluation of the aggregate,
+    no window over the whole supplier set.
+    """
+    register_tables(spark, sf_dir, ["supplier", "lineitem"])
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@register("q17_small_qty_revenue", oracle=None, tags=("A11", "no-oracle"))
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity-order revenue (correlated AVG subquery).
+
+    The correlated `l_quantity < 0.2 * AVG(l_quantity) per part` decorrelates
+    to a per-part aggregate joined back on partkey — one extra shuffle on
+    l_partkey instead of a per-row subquery. The brand/size slice of part is
+    tiny and broadcast; the per-part average is computed over ALL lineitems
+    of that part (not just the slice), matching TPC-H semantics.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 10)
+    )
+    per_part_avg = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.2).alias("qty_cap"))
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(per_part_avg.withColumnRenamed("l_partkey", "ap_key")),
+            li.l_partkey == F.col("ap_key"),
+        )
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            dround(dexact(F.sum(money("l_extendedprice"))) / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+@register("q21_waiting_supplier", oracle=None, tags=("A5", "A11", "no-oracle"))
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (shipdate-adapted): suppliers who held up multi-supplier
+    orders — their line shipped strictly later than every other supplier's.
+
+    TESTDATA has no receipt/commit dates, so lateness is "last to ship".
+    The classic EXISTS + NOT-EXISTS double self-join decorrelates into ONE
+    two-level aggregation: per (order, supplier) max shipdate, then per
+    order the latest/second-latest supplier ship times; the waiting supplier
+    is the unique latest in an order with >1 supplier. Two shuffles total
+    (orderkey, then suppkey) versus three self-join shuffles in the naive
+    translation — the shape that survives a 100x scale-up.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    per_os = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("supp_last_ship"))
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("supp_last_ship").desc(), F.col("l_suppkey")
+    )
+    ranked = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_last_ship",
+        F.count(F.lit(1)).over(Window.partitionBy("l_orderkey")).alias("n_supp"),
+        F.row_number().over(w).alias("rk"),
+        F.max("supp_last_ship")
+        .over(
+            Window.partitionBy("l_orderkey").orderBy(
+                F.col("supp_last_ship").desc(), F.col("l_suppkey")
+            )
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        .alias("next_best"),
+    )
+    waiting = ranked.filter(
+        (F.col("n_supp") > 1)
+        & (F.col("rk") == 1)
+        & (F.col("supp_last_ship") > F.col("next_best"))
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
     )

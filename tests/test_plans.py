@@ -121,3 +121,38 @@ def test_packing_is_one_grouped_pandas_pass(spark):
     nodes = set(re.findall(r"\((\d+)\) FlatMapGroupsInPandas", plan))
     assert len(nodes) == 1
     assert "hashpartitioning(shard" in plan
+
+
+def test_q6_predicates_reach_scan(spark):
+    plan = formatted_plan(REGISTRY["q6_forecast_revenue"].fn(spark, SF_MED))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # only the four referenced columns are read
+    for col in ("l_extendedprice", "l_discount", "l_quantity", "l_shipdate"):
+        assert col in read
+    assert "l_orderkey" not in read
+    # discount band and quantity cap push into the parquet scan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # map-side partial aggregation before the 1-row exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q8_nation_roles_broadcast(spark):
+    plan = formatted_plan(REGISTRY["q8_market_share"].fn(spark, SF_MED))
+    # part slice + both nation roles + region are broadcast
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q17_correlated_avg_decorrelates_to_broadcast(spark):
+    plan = formatted_plan(REGISTRY["q17_small_qty_revenue"].fn(spark, SF_MED))
+    # the per-part average joins back via broadcast, not a sort-merge shuffle
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q21_single_aggregation_no_self_joins(spark):
+    plan = formatted_plan(REGISTRY["q21_waiting_supplier"].fn(spark, SF_MED))
+    # the EXISTS/NOT-EXISTS pair decorrelated into windows over ONE subtree:
+    # lineitem is scanned once, not three times
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 3
+    assert "Window" in plan
