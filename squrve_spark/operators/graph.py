@@ -1,0 +1,101 @@
+"""Distributed connected components over near-duplicate pair sets.
+
+Every pairwise dedup operator in this package (exact groups, MinHash/LSH,
+SimHash, n-gram Jaccard, embedding near-dup) emits PAIRS; production
+dedup needs the transitive closure of those pairs — duplicate CLUSTERS —
+so one canonical document per cluster survives. The reference frames the
+same need as its dedup/eval grouping (SURVEY §2 pipeline rows); here it is
+the standard iterative min-label propagation expressed as DataFrame joins:
+
+* labels only ever DECREASE (monotone to the component minimum), so the
+  per-iteration convergence check is a single SUM aggregate — the sum of
+  labels strictly decreases until fixpoint, no change-join needed;
+* each iteration is one equi-join (edges ⋈ labels on dst) + one groupBy
+  min — both shuffle on ids, no driver materialization at any point;
+* lineage is truncated per iteration with an eager ``localCheckpoint``
+  (iterative DataFrame plans otherwise grow exponentially and re-execute
+  the whole history each pass);
+* iteration count is bounded by the component diameter. Near-dup clusters
+  are dense and shallow (diameter 2-4 in practice); ``max_iter`` guards
+  pathological chains and raises rather than silently mislabeling.
+
+At 100 TB the edge set (pairs) is orders of magnitude smaller than the
+corpus — components run on pairs only; the corpus joins in once at the end
+for canonical selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive closure of a pair set: (id, component) with component =
+    the minimum id reachable from ``id``. Only ids appearing in ``pairs``
+    are returned (singletons are their own component by definition and
+    need no computation — join back against the corpus for them)."""
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("id"), F.col("src").alias("comp")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.alias("l")
+            .join(nbr_min.alias("m"), F.col("l.id") == F.col("m.src"), "left")
+            .select(
+                F.col("l.id").alias("id"),
+                F.least(
+                    F.col("l.comp"), F.coalesce(F.col("m.nbr_comp"), F.col("l.comp"))
+                ).alias("comp"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if new_sum == prev_sum:  # monotone decrease stalled -> fixpoint
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        "(component diameter exceeds max_iter; raise it for chain-shaped graphs)"
+    )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Deduplicated corpus: keep the minimum-id document of every duplicate
+    cluster plus all singletons. Anti-join of the corpus against the
+    non-canonical member set — one broadcast-or-shuffle hash join; the
+    member set is pair-scale, not corpus-scale."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    losers = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")

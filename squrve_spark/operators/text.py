@@ -110,3 +110,41 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(canon).alias("fp_md5"),
         F.length(canon).alias("canon_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing — corpus hygiene before training. All patterns run as JVM
+# regexp_replace chains inside one codegen stage: zero shuffles, zero Python,
+# linear scan — the only shape that works on a 100 TB text column.
+# Pattern order matters: credit cards before generic phone shapes (16-digit
+# groups would otherwise half-match as phones), emails before bare domains.
+# --------------------------------------------------------------------------
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("credit_card", r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def mask_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None) -> DataFrame:
+    """Replace PII spans with typed placeholder tokens (in place unless
+    ``out_col`` names a new column)."""
+    expr = F.col(text_col)
+    for _, pattern, repl in PII_PATTERNS:
+        expr = F.regexp_replace(expr, pattern, repl)
+    return df.withColumn(out_col or text_col, expr)
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document count of each PII pattern class — the audit half of the
+    scrub (run it before AND after mask_pii; the after-counts must be 0)."""
+    return df.select(
+        "doc_id",
+        *[
+            F.regexp_count(F.col(text_col), F.lit(p)).cast("bigint").alias(f"n_{name}")
+            for name, p, _ in PII_PATTERNS
+        ],
+    )

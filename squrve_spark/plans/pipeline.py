@@ -354,3 +354,59 @@ def doc_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_documents(
         counts.select("doc_id", "n_tokens"), budget=256, num_shards=8
     )
+
+
+@register("dedup_components", oracle=None, tags=("dedup", "graph", "no-oracle"))
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: MinHash/LSH pairs -> iterative min-label
+    connected components (operators/graph.py) -> (doc_id, component_id).
+    Partition structure is verified against a union-find oracle in
+    tests/test_graph.py; component id = min doc id in the cluster, so the
+    output is fully deterministic."""
+    from squrve_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    return (
+        graph.connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), F.col("comp").alias("component_id"))
+        .orderBy("doc_id")
+    )
+
+
+@register("doc_decontaminate", oracle=None, tags=("decontam", "no-oracle"))
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scores: 4-gram overlap of every non-src0
+    document against the src0 slice standing in as the eval set. Returns
+    the contaminated band (n_hits >= 8 — fixture calibration separates
+    planted duplicated passages at 33-77 hits from incidental vocabulary
+    collisions at 0-2; see operators/decontam.py). Python-oracle parity in
+    tests/test_decontam.py."""
+    from squrve_spark.operators import decontam
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    scores = decontam.contamination_scores(train, ev, n=4)
+    return scores.filter(F.col("n_hits") >= 8).orderBy("doc_id")
+
+
+@register("doc_pii_audit", oracle=None, tags=("hygiene", "no-oracle"))
+def doc_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit per source: pattern-class counts before masking and
+    after (post_* must all be 0 — asserted in tests/test_hygiene.py). The
+    whole plan is one codegen stage of regexp ops + one groupBy on source:
+    linear scan, single small shuffle, the only shape viable at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    pre = text.pii_counts(docs).join(docs.select("doc_id", "source"), "doc_id")
+    post = text.pii_counts(text.mask_pii(docs)).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    classes = [c for c in pre.columns if c.startswith("n_")]
+    pre_agg = pre.groupBy("source").agg(
+        *[F.sum(c).alias(f"pre_{c[2:]}") for c in classes]
+    )
+    post_agg = post.groupBy("source").agg(
+        *[F.sum(c).alias(f"post_{c[2:]}") for c in classes]
+    )
+    return pre_agg.join(post_agg, "source").orderBy("source")

@@ -1,0 +1,119 @@
+"""Corpus-hygiene operators: decontamination parity against a pure-Python
+n-gram oracle, and PII masking round-trips on planted spans."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from squrve_spark.catalog import load_table
+from squrve_spark.operators import decontam
+from squrve_spark.operators.text import mask_pii, pii_counts
+from tests.conftest import SF_SMALL
+
+
+def _py_shingles(text: str, n: int) -> set:
+    toks = text.strip().split()
+    if len(toks) < n:
+        return set()
+    return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_contamination_scores_match_python_oracle(spark):
+    """Spark hashed-shingle overlap counts equal the exact token-tuple
+    overlap computed driver-side (xxhash64 collisions are negligible at
+    fixture scale)."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    ev = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_hits"])
+        for r in decontam.contamination_scores(train, ev, n=4).collect()
+    }
+
+    rows = docs.select("doc_id", "source", "text").collect()
+    ev_sh = set()
+    for r in rows:
+        if r["source"] == "src0":
+            ev_sh |= _py_shingles(r["text"], 4)
+    want = {}
+    for r in rows:
+        if r["source"] == "src0":
+            continue
+        sh = _py_shingles(r["text"], 4)
+        if sh:
+            want[r["doc_id"]] = (len(sh), len(sh & ev_sh))
+    assert got == want
+    assert any(h for _, h in want.values())  # fixture plants overlap — not vacuous
+
+
+def test_decontaminate_removes_exactly_contaminated(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    ev = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    scores = decontam.contamination_scores(train, ev, n=4)
+    bad = {r["doc_id"] for r in scores.filter(F.col("n_hits") >= 8).collect()}
+    kept = {
+        r["doc_id"]
+        for r in decontam.decontaminate(train, ev, n=4, min_hits=8).select("doc_id").collect()
+    }
+    all_train = {r["doc_id"] for r in train.select("doc_id").collect()}
+    assert kept == all_train - bad
+    assert bad  # planted duplicated passages must be caught
+
+
+def test_short_docs_kept_by_decontaminate(spark):
+    """Docs with fewer than n tokens cannot shingle; decontaminate must
+    keep them (no evidence), and contamination_scores must drop them."""
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="too short"), Row(doc_id=2, text="a b c d e f")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([Row(doc_id=9, text="a b c d e f")], "doc_id long, text string")
+    scored = {r["doc_id"] for r in decontam.contamination_scores(train, ev, n=4).collect()}
+    assert scored == {2}
+    kept = {r["doc_id"] for r in decontam.decontaminate(train, ev, n=4).select("doc_id").collect()}
+    assert kept == {1}
+
+
+PII_DOC = (
+    "contact john.doe+x@example.co.uk or call (415) 555-2671; "
+    "ssn 123-45-6789, card 4111 1111 1111 1111, host 10.0.0.254 ok"
+)
+
+
+def test_mask_pii_scrubs_all_planted_spans(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=PII_DOC), Row(doc_id=2, text="clean prose only")],
+        "doc_id long, text string",
+    )
+    masked = mask_pii(df)
+    txt = {r["doc_id"]: r["text"] for r in masked.collect()}
+    assert "<EMAIL>" in txt[1] and "<SSN>" in txt[1] and "<CARD>" in txt[1]
+    assert "<PHONE>" in txt[1] and "<IP>" in txt[1]
+    assert "example.co.uk" not in txt[1] and "6789" not in txt[1]
+    assert txt[2] == "clean prose only"
+    # audit after scrub: zero residual PII of any class
+    post = pii_counts(masked).collect()
+    assert all(r[c] == 0 for r in post for c in r.asDict() if c != "doc_id")
+
+
+def test_pii_counts_per_class(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text=PII_DOC)], "doc_id long, text string")
+    r = pii_counts(df).collect()[0]
+    assert r["n_email"] == 1 and r["n_ssn"] == 1 and r["n_credit_card"] == 1
+    assert r["n_ipv4"] == 1 and r["n_phone"] >= 1
+
+
+def test_pii_audit_registry_entry(spark):
+    from squrve_spark.plans.pipeline import doc_pii_audit
+
+    out = doc_pii_audit(spark, SF_SMALL)
+    rows = out.collect()
+    assert rows and out.columns[0] == "source"
+    # fixture prose is synthetic vocabulary soup: after masking, residual
+    # counts must be zero for every class (before-counts may be zero too)
+    for r in rows:
+        for c in out.columns:
+            if c.startswith("post_"):
+                assert r[c] == 0
