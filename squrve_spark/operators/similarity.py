@@ -127,24 +127,28 @@ def with_lsh_signature(
     return spread(df).withColumn("lsh_sig", pandas_udf(sig_fn, "long")(F.col(vec_col)))
 
 
-def _banded(df: DataFrame, role: str, dim: int, bands: int, bits: int, seed: int,
-            id_col: str, vec_col: str) -> DataFrame:
-    width = bits // bands
-    mask = (1 << width) - 1
-    sig = with_lsh_signature(df, dim, bits, seed, vec_col)
-    sig = with_vec_norm(sig, vec_col, f"{role}_v", f"{role}_n")
+def _banded(sig: DataFrame, role: str, bands: int, width: int, id_col: str) -> DataFrame:
+    """Explode a signed table into (id, sig, band_idx, band_val) — 16 bytes
+    of payload per banded row; vectors never enter the banding shuffle."""
     return sig.select(
         F.col(id_col).alias(f"{role}_id"),
-        f"{role}_v",
-        f"{role}_n",
+        F.col("lsh_sig").alias(f"{role}_sig"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.call_function(
-                    "shiftrightunsigned", F.col("lsh_sig"), b * width
-                ).bitwiseAND(F.lit(mask)),
+                lambda b: _band_expr(F.col("lsh_sig"), b, width),
             )
         ).alias("band_idx", "band_val"),
+    )
+
+
+def _first_collision(sig_a: Column, sig_b: Column, band_idx: Column, width: int) -> Column:
+    """True iff band_idx is the LOWEST band where the two signatures agree —
+    map-side arithmetic that keeps exactly one copy of each colliding pair,
+    replacing a wide dropDuplicates shuffle."""
+    return (band_idx == 0) | F.forall(
+        F.sequence(F.lit(0), band_idx - 1),
+        lambda j: _band_expr(sig_a, j, width) != _band_expr(sig_b, j, width),
     )
 
 
@@ -163,22 +167,38 @@ def lsh_topk(
 
     Bands of bits/bands hyperplane signs; a candidate shares >=1 band with the
     query. Join is an equi-join on (band_idx, band_val) — shuffle instead of
-    cross join; recall rises with bands.
+    cross join; recall rises with bands. Banded rows carry (id, signature)
+    only; pair uniqueness is the first-colliding-band predicate; vectors join
+    onto the already-small candidate set for the exact re-rank.
     """
-    qb = _banded(queries, "query", dim, bands, bits, seed, id_col, vec_col)
-    cb = _banded(corpus, "neighbor", dim, bands, bits, seed, id_col, vec_col)
+    width = bits // bands
+    qsig = with_vec_norm(
+        with_lsh_signature(queries, dim, bits, seed, vec_col), vec_col, "q_v", "q_n"
+    ).select(id_col, "lsh_sig", "q_v", "q_n")
+    csig = with_vec_norm(
+        with_lsh_signature(corpus, dim, bits, seed, vec_col), vec_col, "c_v", "c_n"
+    ).select(id_col, "lsh_sig", "c_v", "c_n")
+    csig = memo_checkpoint(csig)  # banding side + re-rank side share the scan
     cand = (
-        qb.join(cb, ["band_idx", "band_val"])
+        _banded(qsig, "query", bands, width, id_col)
+        .join(_banded(csig, "neighbor", bands, width, id_col), ["band_idx", "band_val"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .filter(
+            _first_collision(
+                F.col("query_sig"), F.col("neighbor_sig"), F.col("band_idx"), width
+            )
+        )
+        .select("query_id", "neighbor_id")
     )
-    scored = cand.withColumn(
-        "sim",
-        F.round(
-            dot_expr(F.col("query_v"), F.col("neighbor_v"))
-            / (F.col("query_n") * F.col("neighbor_n")),
-            6,
-        ).cast("double"),
+    scored = (
+        cand.join(qsig.select(F.col(id_col).alias("query_id"), "q_v", "q_n"), "query_id")
+        .join(csig.select(F.col(id_col).alias("neighbor_id"), "c_v", "c_n"), "neighbor_id")
+        .withColumn(
+            "sim",
+            F.round(
+                dot_expr(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")), 6
+            ).cast("double"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -264,6 +284,13 @@ def exact_neardup_pairs(
     )
 
 
+def _band_expr(sig_col: Column, band_idx: Column, width: int) -> Column:
+    mask = (1 << width) - 1
+    return F.call_function("shiftrightunsigned", sig_col, band_idx * width).bitwiseAND(
+        F.lit(mask)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -272,29 +299,40 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH blocking + exact verify."""
-    sig = with_lsh_signature(df, dim, seed=7, vec_col=vec_col)
-    sig = with_vec_norm(sig, vec_col, "v", "n")
+    """Embedding-cosine near-duplicate pairs via LSH blocking + exact verify.
+
+    Shuffle discipline for 100 TB: the band-explode join carries ONLY
+    (id, 64-bit signature) — 16 bytes/row xbands — never the vectors
+    (bands x corpus x vec_size shuffle otherwise). Pair uniqueness is a
+    first-colliding-band predicate on the two signatures (a pair is emitted
+    only from the lowest band where it collides) — pure map-side arithmetic
+    replacing a wide dropDuplicates shuffle. Vectors join back once per
+    side onto the candidate set, which the banding has already shrunk to
+    near-output size.
+    """
     width = 64 // bands
-    mask = (1 << width) - 1
-    chunked = sig.select(
+    sig = with_lsh_signature(df, dim, seed=7, vec_col=vec_col)
+    sig = with_vec_norm(sig, vec_col, "v", "n").select(id_col, "lsh_sig", "v", "n")
+    sig = memo_checkpoint(sig)  # band sides + both vector joins share this
+    slim = sig.select(
         F.col(id_col),
-        "v",
-        "n",
+        F.col("lsh_sig"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.call_function(
-                    "shiftrightunsigned", F.col("lsh_sig"), b * width
-                ).bitwiseAND(F.lit(mask)),
+                lambda b: _band_expr(F.col("lsh_sig"), b, width),
             )
         ).alias("band_idx", "band_val"),
     )
-    chunked = memo_checkpoint(chunked)  # sides of the band join share this
+    first_collision = F.forall(
+        F.sequence(F.lit(0), F.col("band_idx") - 1),
+        lambda j: _band_expr(F.col("sig_a"), j, width)
+        != _band_expr(F.col("sig_b"), j, width),
+    ) | (F.col("band_idx") == 0)
     cand = (
-        chunked.alias("a")
+        slim.alias("a")
         .join(
-            chunked.alias("b"),
+            slim.alias("b"),
             [
                 F.col("a.band_idx") == F.col("b.band_idx"),
                 F.col("a.band_val") == F.col("b.band_val"),
@@ -304,17 +342,24 @@ def embedding_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.v").alias("v_a"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.v").alias("v_b"),
-            F.col("b.n").alias("n_b"),
+            F.col("a.lsh_sig").alias("sig_a"),
+            F.col("b.lsh_sig").alias("sig_b"),
+            F.col("a.band_idx").alias("band_idx"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(first_collision)
     )
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("n").alias("n_a"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("n").alias("n_b"))
     sim = F.round(
         dot_expr(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
     ).cast("double")
-    return cand.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)
+    return (
+        cand.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
 
 
 def ivf_topk(

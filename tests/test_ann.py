@@ -88,3 +88,29 @@ def test_exact_neardup_block_grid_matches_reference(spark, emb):
             ).collect()
         }
         assert got == expect, f"n_blocks={n_blocks}"
+
+
+def test_neardup_first_collision_dedup_unique_and_complete(spark, emb):
+    """The first-colliding-band predicate must emit every LSH-colliding
+    pair exactly once: (a) output pairs are unique, (b) the pair set equals
+    the LSH-verified subset of the exhaustive reference — i.e. dedup by
+    predicate loses nothing vs the old dropDuplicates approach."""
+    out = similarity.embedding_neardup_pairs(emb, threshold=0.42)
+    rows = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert len(rows) == len(set(rows))  # no duplicate emissions
+    # completeness: every exhaustive near-dup pair whose signatures share
+    # >= 1 band must be in the output
+    sig = similarity.with_lsh_signature(emb, dim=64, seed=7)
+    sigs = {r["vec_id"]: r["lsh_sig"] for r in sig.collect()}
+    ref = _numpy_neardup_reference(
+        [(r["vec_id"], r["embedding"]) for r in emb.collect()], 0.42
+    )
+
+    def collides(a, b, bands=8, width=8):
+        mask = (1 << width) - 1
+        sa, sb = sigs[a] & (2**64 - 1), sigs[b] & (2**64 - 1)
+        return any(((sa >> (i * width)) & mask) == ((sb >> (i * width)) & mask)
+                   for i in range(bands))
+
+    want = {(a, b) for a, b, _ in ref if collides(a, b)}
+    assert set(rows) == want and want  # non-vacuous on the fixture
