@@ -362,20 +362,94 @@ def embedding_neardup_pairs(
     )
 
 
+def sampled_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> np.ndarray:
+    """Deterministic hash-ordered sample of unit corpus vectors — k-means
+    init (bounded collect of n_centroids rows)."""
+    cent_rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.stack([np.asarray(r[0], dtype=np.float64) for r in cent_rows])
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-4,
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd's) — the IVF coarse quantizer.
+
+    Per iteration:
+      * assign: one BLAS matmul per Arrow batch against the broadcast
+        centroid matrix (map-side only, no shuffle);
+      * update: element-wise cell sums via posexplode + groupBy(cell, pos)
+        SUM — hash aggregation partial-combines map-side, so the shuffle is
+        ~partitions x k x dim tiny rows regardless of corpus size; the
+        driver only ever holds the k x dim codebook (bounded collect).
+    Empty cells keep their previous centroid. Stops early when the max
+    centroid movement (1 - cos) drops below ``tol``. Deterministic: init is
+    the hash-ordered sample, sums are per-cell exact.
+    """
+    spark = corpus.sparkSession
+    Cu = sampled_centroids(corpus, n_centroids, id_col, vec_col)
+    vecs = spread(corpus).select(F.col(vec_col).cast("array<double>").alias("v"))
+    vecs = memo_checkpoint(vecs)  # one scan feeds every iteration
+    for _ in range(n_iter):
+        bc = spark.sparkContext.broadcast(Cu)
+
+        def assign_fn(col: pd.Series) -> pd.Series:
+            cu = bc.value
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in col])
+            Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
+            return pd.Series((Vu @ cu.T).argmax(axis=1).astype(np.int32))
+
+        assigned = vecs.withColumn("cell", pandas_udf(assign_fn, "int")(F.col("v")))
+        sums = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        new = Cu.copy()
+        acc = np.zeros_like(Cu)
+        seen = set()
+        for r in sums:
+            acc[r["cell"], r["pos"]] = r["s"]
+            seen.add(r["cell"])
+        for c in seen:
+            nrm = np.linalg.norm(acc[c])
+            if nrm > 0:
+                new[c] = acc[c] / nrm  # spherical: unit mean direction
+        shift = float(np.max(1.0 - np.sum(new * Cu, axis=1)))
+        Cu = new
+        if shift < tol:
+            break
+    return Cu
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    train_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the classic ANN scale path.
 
-    1. Centroids: a deterministic hash-ordered sample of corpus vectors
-       (k-means init without the iterations — adequate for routing; plug a
-       trained codebook for tighter cells).
+    1. Centroids: ``train_iters`` rounds of distributed spherical k-means
+       (``train_centroids``) seeded by a deterministic hash-ordered sample;
+       0 keeps the raw sample (k-means init without the iterations).
     2. Corpus vectors route to their nearest centroid (one cell each);
        queries probe their ``n_probe`` nearest cells.
     3. Candidates = equi-join on cell id; exact cosine re-rank keeps k.
@@ -384,14 +458,10 @@ def ivf_topk(
     the join is a shuffle on cell id, never a cross join. Routing is one
     BLAS matmul per Arrow batch against the broadcast centroid matrix.
     """
-    cent_rows = (
-        corpus.select(vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(n_centroids)
-        .collect()
-    )
-    C = np.stack([np.asarray(r[0], dtype=np.float64) for r in cent_rows])
-    Cu = C / np.linalg.norm(C, axis=1, keepdims=True)
+    if train_iters > 0:
+        Cu = train_centroids(corpus, n_centroids, train_iters, id_col, vec_col)
+    else:
+        Cu = sampled_centroids(corpus, n_centroids, id_col, vec_col)
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(Cu)
 

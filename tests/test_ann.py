@@ -114,3 +114,32 @@ def test_neardup_first_collision_dedup_unique_and_complete(spark, emb):
 
     want = {(a, b) for a, b, _ in ref if collides(a, b)}
     assert set(rows) == want and want  # non-vacuous on the fixture
+
+
+def test_kmeans_objective_monotone_and_full_probe_exact(spark, emb):
+    """Distributed spherical k-means must improve its own objective (mean
+    max-cosine to the nearest centroid) monotonically from the sampled
+    init, and trained-centroid IVF with a full probe must still reproduce
+    the exact top-k (routing never changes full-probe semantics)."""
+    import numpy as np
+
+    V = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    def objective(Cu):
+        return float((Vu @ Cu.T).max(axis=1).mean())
+
+    obj = [objective(similarity.sampled_centroids(emb, 8))]
+    for it in (1, 3):
+        obj.append(objective(similarity.train_centroids(emb, n_centroids=8, n_iter=it)))
+    assert obj == sorted(obj), obj  # each extra Lloyd round only improves
+    assert obj[-1] > obj[0]  # and strictly beats the raw sample on the fixture
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    trained_full = similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=8, train_iters=2
+    )
+    assert _pairs(trained_full) == _pairs(exact)
