@@ -410,3 +410,18 @@ def doc_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(c).alias(f"post_{c[2:]}") for c in classes]
     )
     return pre_agg.join(post_agg, "source").orderBy("source")
+
+
+@register("doc_shard_manifest", oracle=None, tags=("sink", "no-oracle"))
+def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-writer audit: deterministic hash-shard assignment + per-shard
+    doc/token balance (sinks.write_training_shards planning half). Pure row
+    function of doc_id — DuckDB parity over written output asserted in
+    tests/test_sinks.py."""
+    from squrve_spark import sinks
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = text.token_count(docs).select("doc_id", "n_tokens")
+    return sinks.shard_manifest(
+        docs.join(counts, "doc_id"), n_shards=8, token_col="n_tokens"
+    )
