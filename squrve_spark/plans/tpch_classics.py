@@ -655,3 +655,65 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register("q4_order_priority", oracle=None, tags=("A11", "A7", "no-oracle"))
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (shipdate-adapted): priority distribution of orders with a
+    late line. TESTDATA has no commit/receipt dates, so "late" is a line
+    shipped >60 days after the order date (ref semantics: ANY late line
+    qualifies the order — once).
+
+    The EXISTS decorrelates into a LEFT SEMI hash join on orderkey with the
+    lateness comparison as the join residual — one shuffle, no duplicate
+    orders to re-distinct, the aggregation input stays order-grained.
+    """
+    od = F.col("o_orderdate").cast("date")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (od >= _d("1996-07-01")) & (od < _d("1996-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate.cast("date") > F.date_add(od, 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register("q12_ship_class", oracle=None, tags=("A20", "A21", "no-oracle"))
+def q12_ship_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipmode-adapted): line counts by priority class per ship
+    class. TESTDATA has no l_shipmode, so lines classify by ship delay
+    (<=30 days FAST, else SLOW) — same CASE-classified conditional-agg
+    shape as the original.
+
+    One join orders<->lineitem (shuffle on orderkey), classification and
+    both conditional sums are map-side expressions; output is 2 rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sd = F.col("l_shipdate").cast("date")
+    od = F.col("o_orderdate").cast("date")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        (sd >= _d("1996-01-01")) & (sd < _d("1997-01-01"))
+    )
+    ship_class = F.when(F.datediff(sd, od) <= 30, "FAST").otherwise("SLOW")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.select(
+            ship_class.alias("ship_class"),
+            F.when(high, 1).otherwise(0).alias("is_high"),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum("is_high").cast("bigint").alias("high_line_count"),
+            F.sum(1 - F.col("is_high")).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )

@@ -78,6 +78,30 @@ ORACLES = {
         AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
                           WHERE l2.l_partkey = lineitem.l_partkey)
     """,
+    "q4_order_priority": """
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND CAST(l_shipdate AS DATE)
+                          > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q12_ship_class": """
+      SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                 CAST(l_shipdate AS DATE)) <= 30
+                  THEN 'FAST' ELSE 'SLOW' END AS ship_class,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      GROUP BY 1 ORDER BY ship_class
+    """,
     "q21_waiting_supplier": """
       WITH per_os AS (
         SELECT l_orderkey, l_suppkey, MAX(CAST(l_shipdate AS DATE)) AS supp_last_ship
