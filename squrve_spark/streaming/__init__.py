@@ -15,4 +15,5 @@ from squrve_spark.streaming.ops import (  # noqa: F401
     run_stream_to_table,
     session_counts_stream,
     user_running_state_stream,
+    write_stream_exactly_once,
 )

@@ -239,3 +239,45 @@ def interval_join_stream(
             f"l_user = r_user AND l_ts <= r_ts AND r_ts <= l_ts + {horizon_expr}"
         ),
     )
+
+
+def write_stream_exactly_once(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_s: float = 300.0,
+) -> None:
+    """Drain a streaming DataFrame into parquet with exactly-once delivery:
+    ``foreachBatch`` + idempotent per-batch directory overwrite.
+
+    Spark's streaming checkpoint gives at-least-once batch execution: after
+    a crash the last uncommitted micro-batch REPLAYS with the same
+    batch_id. The sink makes the replay harmless by making the write a pure
+    function of (batch content, batch_id): each batch lands in its own
+    ``batch_id=<id>/`` hive-style directory with mode=overwrite, so a
+    replayed batch replaces its own partial output instead of appending
+    duplicates — at-least-once execution + idempotent write = exactly-once
+    output. Readers see the whole corpus via partition discovery over
+    ``out_dir`` (batch_id becomes a normal partition column).
+
+    Re-invoking with the same checkpoint is a no-op on an exhausted source
+    (availableNow resumes from the committed offsets) — restart safety is
+    tested in tests/test_streaming.py.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # no schema-less empty dirs
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()

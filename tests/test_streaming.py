@@ -205,3 +205,36 @@ def test_stream_attribution_matches_batch_interval_join(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_exactly_once_sink_restart_and_replay(spark, tmp_path):
+    """foreachBatch parquet sink: (a) drains the full source once, (b) a
+    restart on the same checkpoint is a no-op (offsets committed), (c) a
+    replay of the same batch (fresh checkpoint, same out_dir) OVERWRITES its
+    own directory instead of appending — the idempotence that turns
+    at-least-once execution into exactly-once output."""
+    from squrve_spark.streaming import write_stream_exactly_once
+
+    out, ck1, ck2 = (str(tmp_path / d) for d in ("out", "ck1", "ck2"))
+    n_src = load_table(spark, SF_SMALL, "events").count()
+
+    ev = read_event_stream(spark, SF_SMALL).select("event_id", "user_id", "event_type")
+    write_stream_exactly_once(ev, out, ck1)
+    back = spark.read.parquet(out)
+    assert back.count() == n_src
+    assert "batch_id" in back.columns  # hive partition discovery
+    assert {r["event_id"] for r in back.select("event_id").collect()} == {
+        r["event_id"]
+        for r in load_table(spark, SF_SMALL, "events").select("event_id").collect()
+    }
+
+    # restart, same checkpoint: source exhausted, nothing re-emitted
+    ev2 = read_event_stream(spark, SF_SMALL).select("event_id", "user_id", "event_type")
+    write_stream_exactly_once(ev2, out, ck1)
+    assert spark.read.parquet(out).count() == n_src
+
+    # replay, fresh checkpoint: same batches re-execute against the same
+    # out_dir and must replace themselves, not double the corpus
+    ev3 = read_event_stream(spark, SF_SMALL).select("event_id", "user_id", "event_type")
+    write_stream_exactly_once(ev3, out, ck2)
+    assert spark.read.parquet(out).count() == n_src
