@@ -29,11 +29,18 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def run_pass(spark, sf_dir: str) -> dict[str, float]:
+def run_pass(spark, sf_dir: str, errors: dict[str, str]) -> dict[str, float]:
+    """Time every registered query; a failing query records its error and the
+    pass continues — one broken plan must never zero out the whole bench
+    signal (that is exactly what happened in round 2)."""
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
         t0 = time.monotonic()
-        force(REGISTRY[name].fn(spark, sf_dir))
+        try:
+            force(REGISTRY[name].fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — isolate per query, keep going
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(time.monotonic() - t0, 3)
     return timings
 
@@ -43,24 +50,34 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("squrve-bench")
 
-    cold = run_pass(spark, sf_dir)
-    steady = run_pass(spark, sf_dir)
+    errors: dict[str, str] = {}
+    cold = run_pass(spark, sf_dir, errors)
+    steady = run_pass(spark, sf_dir, errors)
 
     total = round(sum(steady.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_seconds_all_queries_steady_state",
-                "value": total,
-                "unit": "sec",
-                "queries": steady,
-                "sf": sf,
-                "n_queries": len(steady),
-                "cold_total_sec": round(sum(cold.values()), 3),
-            }
-        )
-    )
+    out = {
+        "metric": "total_wall_seconds_all_queries_steady_state",
+        "value": total,
+        "unit": "sec",
+        "queries": steady,
+        "sf": sf,
+        "n_queries": len(steady),
+        "cold_total_sec": round(sum(cold.values()), 3),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — always emit a parseable line
+        print(json.dumps({
+            "metric": "total_wall_seconds_all_queries_steady_state",
+            "value": None,
+            "unit": "sec",
+            "queries": {},
+            "fatal": f"{type(exc).__name__}: {exc}"[:1000],
+        }))
+        raise SystemExit(1)

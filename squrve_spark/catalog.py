@@ -9,11 +9,14 @@ from the Spark catalog.
 Scale notes:
   * Registration is metadata-only (lazy scans); per-query re-registration is
     cheap and idempotent.
-  * ``events`` ships nanosecond timestamps (unsupported by Spark's reader);
-    we read them as epoch-nanos longs (``spark.sql.legacy.parquet.nanosAsLong``)
-    and expose both ``ts`` (microsecond-truncated timestamp_ntz, the analytic
-    column) and ``ts_ns`` (exact long, the join/sort key) — conversion is a
-    codegen'd projection, no Python involved.
+  * ``events`` time is normalized schema-adaptively: the fixture has shipped
+    ``ts`` as TIMESTAMP(NANOS) (reads as ``bigint`` under
+    ``spark.sql.legacy.parquet.nanosAsLong``), as ``timestamp[us]`` (reads as
+    TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ), and could ship plain
+    TIMESTAMP. Whatever arrives, the loader exposes BOTH ``ts`` (TIMESTAMP —
+    the analytic/watermark column; session TZ is pinned UTC so NTZ->TIMESTAMP
+    casts are value-stable) and ``ts_ns`` (epoch-nanos long — the exact
+    join/sort key). Conversion is a codegen'd projection, no Python involved.
 """
 
 from __future__ import annotations
@@ -40,8 +43,35 @@ ALL_TABLES = TPCH_TABLES + AUX_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_time(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to (ts TIMESTAMP, ts_ns long)
+    regardless of how the parquet encoded it.
+
+    Accepted encodings (all observed across driver fixture generations):
+      * ``bigint``        — epoch nanoseconds (TIMESTAMP(NANOS) parquet read
+                            under ``nanosAsLong``): exact ns kept, ts derived.
+      * ``timestamp_ntz`` — parquet timestamp[us] without tz: cast to
+                            TIMESTAMP (session TZ pinned UTC => value-stable),
+                            ts_ns derived as ``unix_micros(ts) * 1000``.
+      * ``timestamp``     — ts_ns derived the same way.
+    Works for batch and streaming frames alike (pure column projection).
+    """
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
+        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_ns", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
+        )
+    return df.select(
+        "event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table; normalizes the events nanosecond-timestamp column.
+    """Load one table; normalizes the events time column (any encoding).
 
     Memoized per (session, sf_dir, table): ``spark.read.parquet`` re-reads
     file listings + footers on every call (~100 ms each — a 6-table join
@@ -58,13 +88,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ts arrived as epoch-nanos long; keep exact ns and add a usable timestamp
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-            .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
-        )
+    if name == "events":
+        df = normalize_events_time(df)
     cache[key] = df
     return df
 

@@ -5,10 +5,12 @@ These go beyond the reference's sqlite surface (SURVEY §2.A notes A17 as
 dialect-only) — they're first-class here because Spark has native support and
 the target workload (large-scale log/event analytics) needs them.
 
-Events timestamps: the parquet stores TIMESTAMP(NANOS). Spark reads them as
-epoch-ns longs (catalog.load_table), DuckDB truncates to microseconds on read
-— so every derived time value here is computed from the microsecond basis
-(``ts_ns div 1000`` == DuckDB ``epoch_us(ts)``) to be engine-identical.
+Events timestamps: the fixture's ``ts`` encoding has varied across driver
+generations (TIMESTAMP(NANOS), timestamp[us]/NTZ). ``catalog.
+normalize_events_time`` adapts to whichever arrives and always exposes
+``ts_ns`` (epoch-nanos long); every derived time value here is computed from
+the microsecond basis (``ts_ns div 1000`` == DuckDB ``epoch_us(ts)``) so
+Spark and the DuckDB oracle are engine-identical regardless of encoding.
 """
 
 from __future__ import annotations

@@ -20,8 +20,10 @@ from pyspark.sql import SparkSession
 
 # Confs that must hold on ANY session running engine queries (runtime-settable).
 RUNTIME_CONFS: dict[str, str] = {
-    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's reader
-    # rejects; read as epoch-nanos long and convert (see catalog.load_table).
+    # some fixture generations ship events.parquet with TIMESTAMP(NANOS),
+    # which Spark's reader rejects; this conf makes those read as epoch-nanos
+    # longs instead of erroring. catalog.normalize_events_time then adapts to
+    # whichever encoding actually arrived (bigint / timestamp / timestamp_ntz).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     # classic (non-ANSI) arithmetic: silent 64-bit wraparound, lax casts —

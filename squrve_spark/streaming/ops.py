@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
+from squrve_spark.catalog import normalize_events_time
 from squrve_spark.session import apply_runtime_confs
 
 US_PER_HOUR = 3_600_000_000
@@ -44,20 +45,17 @@ def read_event_stream(
     max_files_per_trigger: int | None = None,
     glob: str = "events.parquet",
 ) -> DataFrame:
-    """File-source stream with the same column normalization as the batch
-    loader (epoch-nanos long -> ts timestamp + exact ts_ns)."""
+    """File-source stream with the same schema-adaptive time normalization
+    as the batch loader (`catalog.normalize_events_time`): whatever encoding
+    the parquet ships ``ts`` in (epoch-nanos long, TIMESTAMP, TIMESTAMP_NTZ),
+    the stream exposes ``ts`` as TIMESTAMP (watermark-eligible; session TZ is
+    pinned UTC so the NTZ cast is value-stable) plus exact ``ts_ns``."""
     apply_runtime_confs(spark)
     schema: StructType = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
     reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(sf_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-        )
-    return df
+    return normalize_events_time(reader.parquet(sf_dir))
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -165,10 +163,15 @@ def run_stream_to_table(
             .start()
         )
         try:
-            q.awaitTermination(timeout_s)
+            finished = q.awaitTermination(timeout_s)
         finally:
             if q.isActive:
                 q.stop()
+        if not finished:
+            raise TimeoutError(
+                f"stream drain '{name}' did not finish within {timeout_s}s — "
+                "result would be a silently-truncated partial drain"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # detach the result from the memory sink: checkpoint the (small,
@@ -246,6 +249,7 @@ def write_stream_exactly_once(
     out_dir: str,
     checkpoint_dir: str,
     timeout_s: float = 300.0,
+    reset_output: bool = False,
 ) -> None:
     """Drain a streaming DataFrame into parquet with exactly-once delivery:
     ``foreachBatch`` + idempotent per-batch directory overwrite.
@@ -263,11 +267,44 @@ def write_stream_exactly_once(
     Re-invoking with the same checkpoint is a no-op on an exhausted source
     (availableNow resumes from the committed offsets) — restart safety is
     tested in tests/test_streaming.py.
+
+    Exactly-once scope: the idempotence guarantee holds for SAME-CHECKPOINT
+    restarts (replayed batch_ids overwrite their own directories). Re-running
+    against the same ``out_dir`` with a FRESH checkpoint is not safe in
+    general — different micro-batch boundaries would leave stale
+    higher-numbered ``batch_id=`` dirs alongside new data — so this function
+    refuses to start when ``out_dir`` already holds batch dirs but
+    ``checkpoint_dir`` has no commit log. Pass ``reset_output=True`` to
+    explicitly clear the stale batch dirs and re-drain from scratch.
+
+    An all-empty drain still writes an empty batch-0 directory (schema, zero
+    rows) so ``spark.read.parquet(out_dir)`` works after any completed drain.
     """
+    import os as _os
+
+    has_commits = _os.path.isdir(_os.path.join(checkpoint_dir, "commits")) and bool(
+        _os.listdir(_os.path.join(checkpoint_dir, "commits"))
+    )
+    has_output = _os.path.isdir(out_dir) and any(
+        d.startswith("batch_id=") for d in _os.listdir(out_dir)
+    )
+    if has_output and not has_commits:
+        if not reset_output:
+            raise ValueError(
+                f"out_dir {out_dir!r} holds prior batch output but checkpoint "
+                f"{checkpoint_dir!r} has no commit log: a fresh-checkpoint rerun "
+                "can duplicate data under different batch boundaries. Clear "
+                "out_dir (reset_output=True) or reuse the original checkpoint."
+            )
+        import shutil as _shutil
+
+        for d in _os.listdir(out_dir):
+            if d.startswith("batch_id="):
+                _shutil.rmtree(_os.path.join(out_dir, d))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return  # no schema-less empty dirs
+        if batch_id > 0 and batch_df.isEmpty():
+            return  # batch 0 always lands (schema for readers); later empties skip
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     q = (
@@ -277,7 +314,12 @@ def write_stream_exactly_once(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
     finally:
         if q.isActive:
             q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"exactly-once drain into {out_dir!r} did not finish within "
+            f"{timeout_s}s — output is a partial prefix, not the full stream"
+        )

@@ -233,8 +233,11 @@ def test_exactly_once_sink_restart_and_replay(spark, tmp_path):
     write_stream_exactly_once(ev2, out, ck1)
     assert spark.read.parquet(out).count() == n_src
 
-    # replay, fresh checkpoint: same batches re-execute against the same
-    # out_dir and must replace themselves, not double the corpus
+    # replay with a FRESH checkpoint into the same out_dir: refused by
+    # default (different micro-batch boundaries could strand stale
+    # batch_id dirs => duplicates); reset_output=True clears and re-drains
     ev3 = read_event_stream(spark, SF_SMALL).select("event_id", "user_id", "event_type")
-    write_stream_exactly_once(ev3, out, ck2)
+    with pytest.raises(ValueError, match="fresh-checkpoint"):
+        write_stream_exactly_once(ev3, out, ck2)
+    write_stream_exactly_once(ev3, out, ck2, reset_output=True)
     assert spark.read.parquet(out).count() == n_src
