@@ -30,5 +30,7 @@ def oracle_sql() -> dict[str, str]:
     from squrve_spark.plans import REGISTRY
 
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None and not spec.defer_oracle
     }

@@ -37,8 +37,13 @@ _FRONT = [
 
 
 def _canonicalize() -> None:
-    oracle = [n for n, s in REGISTRY.items() if s.oracle is not None]
-    rows_only = [n for n, s in REGISTRY.items() if s.oracle is None]
+    # driver-checked oracles must all land in the first 50 slots; queries
+    # whose oracle is deferred (pytest-parity only, defer_oracle=True) order
+    # with the rows-only block so they never displace a driver-checked one
+    oracle = [
+        n for n, s in REGISTRY.items() if s.oracle is not None and not s.defer_oracle
+    ]
+    rows_only = [n for n in REGISTRY if n not in set(oracle)]
     missing = [n for n in _FRONT if n not in REGISTRY]
     assert not missing, f"_FRONT names not registered: {missing}"
     ordered = (

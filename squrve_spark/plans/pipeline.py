@@ -318,17 +318,51 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for the deterministic ones is asserted in tests/test_sampling.py instead)
 
 
-@register("doc_sample_per_lang", oracle=None, tags=("sampling", "no-oracle"))
+@register(
+    "doc_sample_per_lang",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 20
+    """,
+    tags=("sampling",),
+)
 def doc_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20-per-language sample by md5-hash rank (reproducible
-    across engines and reruns; DuckDB parity in tests/test_sampling.py)."""
+    across engines and reruns — md5 rank is an engine-portable uniform draw,
+    so the DuckDB oracle selects the identical set)."""
     from squrve_spark.operators import sampling
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return sampling.deterministic_sample(docs, per_stratum=20, strata_cols=["lang"])
 
 
-@register("doc_topk_quality", oracle=None, tags=("sampling", "no-oracle"))
+@register(
+    "doc_topk_quality",
+    # independent DuckDB reimplementation of the same quality signal
+    # (whitespace tokens -> stopword ratio -> best-5 per language)
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang,
+               ROUND(len(list_filter(w, t -> list_contains({STOPWORDS_EN!r}, t)))
+                     / len(w), 4) AS stopword_ratio
+        FROM toks
+    )
+    SELECT doc_id, lang, stopword_ratio, CAST(rk AS INTEGER) AS rank FROM (
+        SELECT doc_id, lang, stopword_ratio,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY stopword_ratio DESC, doc_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+    tags=("sampling",),
+)
 def doc_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-5 documents per language by quality score (stopword ratio desc,
     doc_id tie-break) — the curation 'keep the best per bucket' shape."""

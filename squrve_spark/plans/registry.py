@@ -28,16 +28,33 @@ class QuerySpec:
     oracle: Optional[str]  # DuckDB SQL or None (rows-only check)
     doc: str = ""
     tags: tuple = field(default_factory=tuple)
+    # defer_oracle=True: the oracle is verified by pytest parity only and NOT
+    # exposed to the driver — used for queries squeezed out of the driver's
+    # 50-slot correctness cap. They order after the driver-checked block.
+    defer_oracle: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, tags: tuple = (), doc: str = ""):
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple = (),
+    doc: str = "",
+    defer_oracle: bool = False,
+):
     """Decorator registering ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            tags=tags,
+            defer_oracle=defer_oracle,
+        )
         return fn
 
     return deco

@@ -94,6 +94,7 @@ def q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
     tags=("A4", "A7"),
+    defer_oracle=True,  # subsumed by q_having_distinct/composites; pytest-parity only
 )
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global COUNT(DISTINCT) — Spark expands to partial aggregation, no collect."""
@@ -199,6 +200,7 @@ def q_multijoin_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     """,
     tags=("A5",),
+    defer_oracle=True,  # joins driver-checked via q_join_agg/q_multijoin/TPC-H; pytest-parity only
 )
 def q_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-join: same-nation customer pairs (deduped by key ordering)."""
@@ -289,6 +291,7 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     tags=("A9",),
+    defer_oracle=True,  # top-k driver-checked via q3/q10/q18 composites; pytest-parity only
 )
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k: Spark plans TakeOrderedAndProject (per-partition heap, no full

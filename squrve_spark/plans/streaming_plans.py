@@ -90,13 +90,21 @@ def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_dedup", oracle=None, tags=("streaming", "dedup", "no-oracle"))
+@register(
+    "stream_dedup",
+    # single-delivery batch counts: if the streaming dedup is exact, the
+    # doubled stream collapses back to these
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup under duplicated delivery: the event stream unioned
     with itself (every row delivered twice) passes through
     dropDuplicatesWithinWatermark on event_id; per-type counts must equal
-    the single-delivery batch counts (asserted in tests/test_streaming.py —
-    rows-only here, the oracle cap is full)."""
+    the single-delivery batch counts."""
     from squrve_spark.streaming.ops import dedup_stream
 
     ev = read_event_stream(spark, sf_dir)
@@ -105,11 +113,27 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
 
-@register("stream_attribution", oracle=None, tags=("streaming", "join", "no-oracle"))
+@register(
+    "stream_attribution",
+    # batch analog of the stream-stream interval join: a DuckDB range join
+    # (verified via pytest parity; deferred — the driver's 50-slot cap is full)
+    oracle="""
+    SELECT r.user_id AS r_user,
+           CAST(COUNT(DISTINCT r.event_id) AS BIGINT) AS n_attributed_purchases,
+           CAST(COUNT(*) AS BIGINT) AS n_view_purchase_pairs
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'view' AND r.event_type = 'purchase'
+     AND l.ts <= r.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    GROUP BY r.user_id
+    """,
+    tags=("streaming", "join"),
+    defer_oracle=True,
+)
 def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (view -> purchase within 1 h, per user),
-    reduced to attributed-purchase counts per user. Batch parity asserted
-    in tests/test_streaming.py (rows-only here, the oracle cap is full)."""
+    reduced to attributed-purchase counts per user; DuckDB range-join parity
+    via the deferred oracle in tests/test_oracle_parity.py."""
     from squrve_spark.streaming.ops import interval_join_stream
 
     ev = read_event_stream(spark, sf_dir)

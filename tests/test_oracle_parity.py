@@ -25,8 +25,17 @@ def test_all_oracles_within_driver_cap():
     or its declared oracle is silently never verified."""
     order = list(REGISTRY)
     first_50 = set(order[:50])
-    declared = {n for n, s in REGISTRY.items() if s.oracle is not None}
+    declared = {
+        n for n, s in REGISTRY.items() if s.oracle is not None and not s.defer_oracle
+    }
     assert declared <= first_50, f"oracles past the cap: {sorted(declared - first_50)}"
+    # deferred oracles exist precisely because the cap is full — the driver
+    # must never see them, and pytest must still parity-check them
+    import __spark_entry__ as em
+
+    assert set(em.oracle_sql()) == declared
+    deferred = {n for n, s in REGISTRY.items() if s.oracle and s.defer_oracle}
+    assert deferred <= set(ORACLE_QUERIES)
 
 
 def _norm_cell(v):
