@@ -10,7 +10,12 @@ driver harness use ``MockLLM`` / ``ScriptedLLM``.
 
 from __future__ import annotations
 
+import json
+import os
 import re
+import time
+import urllib.error
+import urllib.request
 from typing import Callable, Optional
 
 
@@ -29,6 +34,82 @@ class LLMClient:
     def reinit_client(self) -> None:
         """Parity hook (the reference re-creates clients across process
         boundaries); a no-op for stateless clients."""
+
+
+class HTTPLLMClient(LLMClient):
+    """Generic OpenAI-compatible chat-completions adapter (stdlib only).
+
+    Reference analog: the per-vendor wrappers in ``/root/reference/core/llm/``
+    (``OpenaiModel.py:12-60`` et al.) all speak the same public
+    ``POST {base_url}/chat/completions`` shape; one configurable client
+    covers them. Nothing is bundled: ``base_url`` and ``model`` are required,
+    the key comes from the caller or the standard ``OPENAI_API_KEY`` env var.
+
+    Retries transient failures (HTTP 429/5xx, connection errors) with
+    exponential backoff; deterministic surfaces (tests, driver runs) keep
+    using MockLLM/ScriptedLLM — this class is the live-deployment hook.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        model: str,
+        api_key: str | None = None,
+        temperature: float = 0.75,
+        top_p: float = 0.9,
+        max_tokens: int = 8000,
+        timeout_s: float = 300.0,
+        max_retries: int = 3,
+        retry_base_s: float = 0.5,
+    ):
+        super().__init__(temperature=temperature, top_p=top_p, max_tokens=max_tokens)
+        self.base_url = base_url.rstrip("/")
+        self.model = model
+        self.api_key = api_key if api_key is not None else os.environ.get("OPENAI_API_KEY", "")
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.retry_base_s = retry_base_s
+
+    def _request(self, payload: dict) -> dict:
+        req = urllib.request.Request(
+            f"{self.base_url}/chat/completions",
+            data=json.dumps(payload).encode("utf-8"),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {self.api_key}",
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    def complete(self, prompt: str, system: str | None = None, **kwargs) -> str:
+        messages = ([{"role": "system", "content": system}] if system else []) + [
+            {"role": "user", "content": prompt}
+        ]
+        payload = {
+            "model": self.model,
+            "messages": messages,
+            "temperature": kwargs.get("temperature", self.temperature),
+            "top_p": kwargs.get("top_p", self.top_p),
+            "max_tokens": kwargs.get("max_tokens", self.max_tokens),
+        }
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                body = self._request(payload)
+                return body["choices"][0]["message"]["content"]
+            except urllib.error.HTTPError as e:
+                last_err = e
+                if e.code not in (429, 500, 502, 503, 504):
+                    raise  # 4xx config errors: retrying can't help
+            except (urllib.error.URLError, TimeoutError, json.JSONDecodeError, KeyError) as e:
+                last_err = e
+            if attempt < self.max_retries:
+                time.sleep(self.retry_base_s * (2**attempt))
+        raise RuntimeError(
+            f"LLM request failed after {self.max_retries + 1} attempts: {last_err}"
+        ) from last_err
 
 
 class MockLLM(LLMClient):

@@ -1,0 +1,116 @@
+"""HTTPLLMClient against a local fake chat-completions server — verifies the
+public OpenAI-compatible wire shape (path, auth header, payload fields,
+response parsing) and the retry/backoff behavior, with no network and no
+bundled endpoints."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from squrve_spark.llm import HTTPLLMClient
+
+
+class _FakeChatServer:
+    """Tiny chat-completions endpoint: scripted per-request status codes."""
+
+    def __init__(self, statuses: list[int]):
+        self.statuses = list(statuses)
+        self.requests: list[dict] = []
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 — http.server API
+                body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+                outer.requests.append(
+                    {"path": self.path, "auth": self.headers.get("Authorization"), "body": body}
+                )
+                status = outer.statuses.pop(0) if outer.statuses else 200
+                if status != 200:
+                    self.send_response(status)
+                    self.end_headers()
+                    return
+                resp = json.dumps(
+                    {
+                        "choices": [
+                            {"message": {"role": "assistant", "content": "SELECT 1"}}
+                        ]
+                    }
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(resp)))
+                self.end_headers()
+                self.wfile.write(resp)
+
+            def log_message(self, *a):  # silence test output
+                pass
+
+        self.server = HTTPServer(("127.0.0.1", 0), Handler)
+        self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self.thread.start()
+
+    @property
+    def url(self) -> str:
+        return f"http://127.0.0.1:{self.server.server_port}/v1"
+
+    def shutdown(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def test_happy_path_wire_shape():
+    srv = _FakeChatServer([200])
+    try:
+        client = HTTPLLMClient(srv.url, model="test-model", api_key="k123",
+                               temperature=0.2, max_tokens=64)
+        out = client.complete("write sql", system="you are a sql engine")
+        assert out == "SELECT 1"
+        [req] = srv.requests
+        assert req["path"] == "/v1/chat/completions"
+        assert req["auth"] == "Bearer k123"
+        assert req["body"]["model"] == "test-model"
+        assert req["body"]["temperature"] == 0.2
+        assert req["body"]["max_tokens"] == 64
+        assert req["body"]["messages"][0] == {"role": "system", "content": "you are a sql engine"}
+        assert req["body"]["messages"][1] == {"role": "user", "content": "write sql"}
+    finally:
+        srv.shutdown()
+
+
+def test_retries_transient_then_succeeds():
+    srv = _FakeChatServer([503, 429, 200])
+    try:
+        client = HTTPLLMClient(srv.url, model="m", api_key="k",
+                               max_retries=3, retry_base_s=0.01)
+        assert client.complete("p") == "SELECT 1"
+        assert len(srv.requests) == 3
+    finally:
+        srv.shutdown()
+
+
+def test_non_retryable_4xx_raises_immediately():
+    srv = _FakeChatServer([401])
+    try:
+        client = HTTPLLMClient(srv.url, model="m", api_key="bad",
+                               max_retries=3, retry_base_s=0.01)
+        with pytest.raises(Exception):
+            client.complete("p")
+        assert len(srv.requests) == 1  # no retry on auth errors
+    finally:
+        srv.shutdown()
+
+
+def test_exhausted_retries_raise_runtime_error():
+    srv = _FakeChatServer([500, 500, 500])
+    try:
+        client = HTTPLLMClient(srv.url, model="m", api_key="k",
+                               max_retries=2, retry_base_s=0.01)
+        with pytest.raises(RuntimeError, match="after 3 attempts"):
+            client.complete("p")
+        assert len(srv.requests) == 3
+    finally:
+        srv.shutdown()
