@@ -18,6 +18,8 @@ shuffle shape (the brief's option (a) — no Python in the path):
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -92,6 +94,7 @@ def time_range_pairs(
     ts_col: str,
     id_col: str,
     window: int,
+    n_salts: Optional[int] = None,
 ) -> DataFrame:
     """Unordered pairs (id_a < id_b) of rows with the same key whose
     timestamps differ by at most ``window`` (same time unit as ``ts_col``).
@@ -102,7 +105,18 @@ def time_range_pairs(
     (a, b) row pair matches on at most ONE of them — the output is
     duplicate-free by construction, no distinct pass (= no second shuffle)
     needed.
+
+    Skew guard (``n_salts``): at scale a hot user concentrates one
+    (key, cell) in a single shuffle task. With ``n_salts`` set, side a takes
+    a uniform pseudo-random salt and side b replicates across all salts
+    (salt joins the shuffle key), spreading the hot key's candidate
+    generation over ``n_salts`` tasks. Each (a, b) candidate still appears
+    exactly once — a's salt is single-valued — so the result is identical;
+    the cost is b's shuffle volume x ``n_salts`` (standard replicate-one-
+    side salting; worth it exactly when a key is hot enough to straggle).
     """
+    from squrve_spark.operators.scale import _salt_col
+
     cell = (F.col(ts_col) / F.lit(window)).cast("long")
     a = df.select(
         *key_cols, F.col(id_col).alias("id_a"), F.col(ts_col).alias("ts_a"),
@@ -114,6 +128,12 @@ def time_range_pairs(
     )
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in key_cols]
     cond += [F.col("a.cell") == F.col("b.cell"), F.col("a.id_a") < F.col("b.id_b")]
+    if n_salts is not None:
+        a = a.withColumn("__salt", _salt_col(n_salts))
+        b = b.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+        )
+        cond.append(F.col("a.__salt") == F.col("b.__salt"))
     pairs = (
         a.alias("a")
         .join(b.alias("b"), cond)

@@ -45,3 +45,19 @@ def test_time_range_pairs_exact(spark):
     # |0-50|<=100, |50-140|<=100; |0-140|>100, |140-260|>100; key 200 isolated
     assert pairs == {(1, 2): 50, (2, 3): 90}
     assert len(rows) == len(pairs)  # duplicate-free without a distinct pass
+
+
+def test_time_range_pairs_salted_equals_unsalted(spark):
+    """Skew guard: salting must not change the pair set — only spread the
+    hot (key, cell) across tasks. Uses a skewed input (one hot key)."""
+    rows = [(i, (i * 13) % 500, 1) for i in range(400)]  # hot key 1
+    rows += [(1000 + i, i * 40, 2) for i in range(50)]  # normal key 2
+    df = spark.createDataFrame(rows, "id long, t long, k int")
+    plain = temporal.time_range_pairs(df, ["k"], "t", "id", window=60)
+    salted = temporal.time_range_pairs(df, ["k"], "t", "id", window=60, n_salts=4)
+    key = lambda r: (r["k"], r["id_a"], r["id_b"], r["dt"])  # noqa: E731
+    p, s = sorted(map(key, plain.collect())), sorted(map(key, salted.collect()))
+    assert p == s and len(p) > 0
+    # the salt must be part of the shuffle key (the whole point)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan and "hashpartitioning" in plan
