@@ -570,7 +570,18 @@ class VectorReducer(SparkActor):
         tables = tuple(self.tables_for(row))
         key = (row.get("db_id", "default"), tables)
         if key not in self._index_cache:
-            self._index_cache[key] = ColumnIndex.build(self.spark, list(tables), key[0])
+            import os as _os
+
+            store = _os.environ.get("SQURVE_INDEX_STORE")
+            if store:
+                # persisted warm path (reference keeps per-db stores on disk)
+                self._index_cache[key] = ColumnIndex.build_or_load(
+                    self.spark, list(tables), store, db_id=key[0]
+                )
+            else:
+                self._index_cache[key] = ColumnIndex.build(
+                    self.spark, list(tables), key[0]
+                )
         index = self._index_cache[key]
         row["schema_size"] = len(index.entries)
         hits = index.retrieve(row.get("question", ""), k=self.top_k)

@@ -22,6 +22,7 @@ timeouts). LLM calls go through the mockable ``LLMClient``.
 from __future__ import annotations
 
 import math
+import os
 import re
 from concurrent.futures import ThreadPoolExecutor
 
@@ -76,7 +77,16 @@ class LinkAlignReducer(SparkActor):
         tables = tuple(self.tables_for(row))
         key = (row.get("db_id", "default"), tables)
         if key not in self._index_cache:
-            self._index_cache[key] = ColumnIndex.build(self.spark, list(tables), key[0])
+            store = os.environ.get("SQURVE_INDEX_STORE")
+            if store:
+                # persisted warm path (reference keeps per-db stores on disk)
+                self._index_cache[key] = ColumnIndex.build_or_load(
+                    self.spark, list(tables), store, db_id=key[0]
+                )
+            else:
+                self._index_cache[key] = ColumnIndex.build(
+                    self.spark, list(tables), key[0]
+                )
         return self._index_cache[key]
 
     def act(self, item: int, **kwargs) -> dict:

@@ -16,6 +16,8 @@ path (cosine via similarity.py) when the corpus is instead document-scale.
 
 from __future__ import annotations
 
+import json
+import os
 import re
 from typing import Optional
 
@@ -87,6 +89,66 @@ class ColumnIndex:
         return [
             {**self.entries[i], "score": round(float(sims[i]), 6)} for i in order
         ]
+
+    def save(self, path: str) -> None:
+        """Persist the index as parquet (entries JSON + embedding vectors)
+        plus a meta sidecar — the analog of the reference's per-db persisted
+        vector stores (``core/data_manage.py:1352-1423`` persists a
+        llama_index store per db and skips rebuild when it exists).
+
+        Parquet (via pyarrow, driver-side — the index is driver-sized by
+        design) keeps the store engine-portable: Spark, DuckDB, or pandas
+        can read the vectors directly.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(path, exist_ok=True)
+        table = pa.table(
+            {
+                "entry_json": [json.dumps(e, sort_keys=True) for e in self.entries],
+                "embedding": [self.matrix[i].tolist() for i in range(len(self.entries))],
+            }
+        )
+        pq.write_table(table, os.path.join(path, "index.parquet"))
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"dim": self.dim, "n_entries": len(self.entries)}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "ColumnIndex":
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        t = pq.read_table(os.path.join(path, "index.parquet"))
+        entries = [json.loads(s) for s in t.column("entry_json").to_pylist()]
+        vecs = t.column("embedding").to_pylist()
+        matrix = (
+            np.array(vecs, dtype=np.float64)
+            if vecs
+            else np.zeros((0, meta["dim"]))
+        )
+        return cls(entries, matrix, meta["dim"])
+
+    @classmethod
+    def build_or_load(
+        cls,
+        spark: SparkSession,
+        tables: list[str],
+        store_dir: str,
+        db_id: str = "default",
+        dim: int = 256,
+        descriptions: Optional[dict[str, str]] = None,
+    ) -> "ColumnIndex":
+        """Reference-parity warm path: reuse the persisted store for
+        ``db_id`` when present, else build and persist it (mirrors
+        ``build_index``'s 'if vector_store.exists(): continue')."""
+        path = os.path.join(store_dir, db_id)
+        if os.path.isfile(os.path.join(path, "meta.json")):
+            return cls.load(path)
+        idx = cls.build(spark, tables, db_id=db_id, dim=dim, descriptions=descriptions)
+        idx.save(path)
+        return idx
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         """Export as a DataFrame (table, column, embedding) — feeds the

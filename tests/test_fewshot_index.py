@@ -125,3 +125,27 @@ def test_llmgen_with_fewshot(spark):
     eng.execute(["gen"])
     assert "Q: how many customers" in seen["prompt"]  # examples reached the prompt
     assert eng.evaluate(["execute_accuracy"])["execute_accuracy"]["avg"] == 1.0
+
+
+def test_column_index_persist_roundtrip(spark, tmp_path):
+    """save/load round-trip + build_or_load warm reuse (reference analog:
+    per-db persisted vector stores, skipped when already present)."""
+    register_tables(spark, SF_SMALL)
+    store = str(tmp_path / "vstore")
+    idx = ColumnIndex.build_or_load(spark, ["customer", "nation"], store, db_id="tpch")
+    loaded = ColumnIndex.load(store + "/tpch")
+    assert loaded.dim == idx.dim
+    assert loaded.entries == idx.entries
+    q = "customer account balance"
+    assert [h["column_name"] for h in loaded.retrieve(q, k=5)] == [
+        h["column_name"] for h in idx.retrieve(q, k=5)
+    ]
+    # warm path: a second build_or_load must NOT rebuild — poison the store
+    # dir mtime-free by checking identity of retrievals after deleting a
+    # source table registration (load path never touches the catalog)
+    spark.catalog.dropTempView("customer")
+    warm = ColumnIndex.build_or_load(spark, ["customer", "nation"], store, db_id="tpch")
+    assert [h["column_name"] for h in warm.retrieve(q, k=5)] == [
+        h["column_name"] for h in idx.retrieve(q, k=5)
+    ]
+    register_tables(spark, SF_SMALL)  # restore the view for later tests
