@@ -149,6 +149,16 @@ def _make_handler(state: ServiceState):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok"})
+            elif self.path in ("/", "/index.html"):
+                # interactive demo page (reference: demo/gradio_demo.py)
+                from squrve_spark.demo_ui import DEMO_HTML
+
+                data = DEMO_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
             else:
                 self._send(404, {"error": "not found"})
 

@@ -165,3 +165,13 @@ def test_upload_accepts_server_local_paths(spark, tmp_path):
         assert spark.table("stock").count() == 2
     finally:
         server.shutdown()
+
+
+def test_demo_ui_page(service):
+    """GET / serves the self-contained demo page (gradio-demo analog)."""
+    with urllib.request.urlopen(f"{service}/", timeout=10) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/html")
+        body = resp.read().decode()
+    assert "/api/upload" in body and "/api/run" in body
+    assert "<title>squrve_spark demo</title>" in body
