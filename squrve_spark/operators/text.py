@@ -112,6 +112,86 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals, all JVM-side (codegen, no shuffle):
+
+      * ``dup_line_frac``      — 1 - distinct/total over newline-split lines
+      * ``dup_para_frac``      — same over blank-line-split paragraphs
+      * ``symbol_word_ratio``  — '#'/'...' symbol count over word count
+      * ``terminal_line_frac`` — fraction of lines ending in terminal
+                                 punctuation (C4's line-quality rule)
+
+    High duplicate-line/paragraph fractions flag boilerplate (nav bars,
+    cookie banners, scraped templates); low terminal-punctuation fraction
+    flags non-prose. The expensive top-n-gram repetition signal lives in
+    ``top_ngram_frac`` (Arrow-batched, per-row Counter) — split out so the
+    cheap JVM signals can run alone at full scan speed.
+    """
+    staged = spread(df).withColumn(
+        "_lines", F.filter(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x) != "")
+    ).withColumn(
+        "_paras", F.filter(F.split(F.col(text_col), r"\n\s*\n"), lambda x: F.trim(x) != "")
+    )
+    n_lines = F.size(F.col("_lines"))
+    n_paras = F.size(F.col("_paras"))
+    n_words = F.size(tokens_expr(text_col))
+    n_sym = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"(#|\.\.\.)"), 1))
+    n_terminal = F.size(
+        F.filter(F.col("_lines"), lambda x: F.trim(x).rlike(r"[.!?\"']$"))
+    )
+    frac = lambda num, den: F.round(num / F.greatest(den, F.lit(1)), 4).cast("double")  # noqa: E731
+    return staged.select(
+        "doc_id",
+        frac(n_lines - F.size(F.array_distinct(F.col("_lines"))), n_lines).alias(
+            "dup_line_frac"
+        ),
+        frac(n_paras - F.size(F.array_distinct(F.col("_paras"))), n_paras).alias(
+            "dup_para_frac"
+        ),
+        frac(n_sym, n_words).alias("symbol_word_ratio"),
+        frac(n_terminal, n_lines).alias("terminal_line_frac"),
+    )
+
+
+def top_ngram_frac(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """Fraction of tokens covered by the single most frequent token n-gram
+    (Gopher's top-n-gram character-fraction signal, token-based).
+
+    A JVM expression for "mode of the n-gram multiset" is O(rows x grams^2)
+    (aggregate over distinct x filter per distinct); a per-row Counter is
+    O(grams). So this one signal runs as an Arrow-batched pandas iterator —
+    still map-side, no shuffle, and only (doc_id, text) crosses the JVM/
+    Python boundary.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("top_ngram_frac", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            out = []
+            for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
+                toks = (txt or "").strip().split()
+                grams = [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                if not grams:
+                    out.append((doc_id, 0.0))
+                    continue
+                top = Counter(grams).most_common(1)[0][1]
+                out.append((doc_id, round(top * n / len(toks), 4)))
+            yield pd.DataFrame(out, columns=["doc_id", "top_ngram_frac"])
+
+    return spread(df).select("doc_id", text_col).mapInPandas(kernel, schema)
+
+
 # --------------------------------------------------------------------------
 # PII scrubbing — corpus hygiene before training. All patterns run as JVM
 # regexp_replace chains inside one codegen stage: zero shuffles, zero Python,

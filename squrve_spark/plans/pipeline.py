@@ -100,6 +100,47 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "doc_repetition",
+    # deferred: the driver's 50-slot cap is full; exact DuckDB parity runs in
+    # tests/test_oracle_parity.py
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines,
+               list_filter(regexp_split_to_array(text, '\n\s*\n'), x -> trim(x) != '') AS paras,
+               len(regexp_extract_all(text, '(#|\.\.\.)', 1)) AS n_sym,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_words
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(ROUND((len(lines) - len(list_distinct(lines))) / greatest(len(lines), 1), 4) AS DOUBLE)
+               AS dup_line_frac,
+           CAST(ROUND((len(paras) - len(list_distinct(paras))) / greatest(len(paras), 1), 4) AS DOUBLE)
+               AS dup_para_frac,
+           CAST(ROUND(n_sym / greatest(n_words, 1), 4) AS DOUBLE) AS symbol_word_ratio,
+           CAST(ROUND(len(list_filter(lines, x -> regexp_matches(trim(x), '[.!?"'']$')))
+                      / greatest(len(lines), 1), 4) AS DOUBLE) AS terminal_line_frac
+    FROM t
+    """,
+    tags=("text", "hygiene"),
+    defer_oracle=True,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals (duplicate line and
+    paragraph fractions, symbol-to-word ratio, C4 terminal-punctuation line
+    fraction) — all JVM codegen, no shuffle."""
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_top_ngram", oracle=None, tags=("text", "hygiene", "no-oracle"))
+def doc_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-bigram token coverage per document (Gopher's most-frequent-n-gram
+    fraction; Arrow-batched Counter kernel — python-oracle parity in
+    tests/test_hygiene.py)."""
+    return text.top_ngram_frac(load_table(spark, sf_dir, "documents"), n=2)
+
+
 def _langid_oracle() -> str:
     score = {
         lang: f"len(list_filter(toks, x -> list_contains([{', '.join(repr(m) for m in markers)}], x)))"

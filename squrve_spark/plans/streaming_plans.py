@@ -107,8 +107,13 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single-delivery batch counts."""
     from squrve_spark.streaming.ops import dedup_stream
 
-    ev = read_event_stream(spark, sf_dir)
-    doubled = ev.union(read_event_stream(spark, sf_dir))
+    # project BEFORE dedup: the state store holds full rows per key, so
+    # carrying only (event_id, ts, event_type) instead of all 7 columns
+    # halves per-key state — the lever that matters when the horizon holds
+    # billions of keys
+    cols = ["event_id", "ts", "event_type"]
+    ev = read_event_stream(spark, sf_dir).select(*cols)
+    doubled = ev.union(read_event_stream(spark, sf_dir).select(*cols))
     deduped = run_stream_to_table(dedup_stream(doubled), "append")
     return deduped.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
@@ -142,3 +147,44 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("r_event").alias("n_attributed_purchases"),
         F.count("*").alias("n_view_purchase_pairs"),
     )
+
+
+@register(
+    "stream_enrich",
+    # batch analog of the stream-static feature join (deferred: driver cap
+    # is full; exact parity in tests/test_oracle_parity.py)
+    oracle="""
+    WITH user_feat AS (
+        SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(f.user_total) AS BIGINT) AS sum_user_total
+    FROM events e JOIN user_feat f USING (user_id)
+    GROUP BY e.event_type
+    """,
+    tags=("streaming", "join"),
+    defer_oracle=True,
+)
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: each streamed event picks up a static
+    per-user feature row (broadcast map-side hash join, no state store),
+    then rolls up per event type. The canonical feature-store shape."""
+    from squrve_spark.catalog import load_table, memo_checkpoint
+    from squrve_spark.streaming import enrich_stream
+
+    # checkpoint the static side: a stream-static join re-executes the
+    # static plan EVERY micro-batch; materializing the aggregate once turns
+    # each batch's work into a broadcast-hash probe only
+    feat = memo_checkpoint(
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_total"))
+    )
+    ev = read_event_stream(spark, sf_dir).select("user_id", "event_type")
+    enriched = enrich_stream(ev, feat, on=["user_id"], how="inner")
+    agg = enriched.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("user_total").alias("sum_user_total"),
+    )
+    return run_stream_to_table(agg, "complete")

@@ -36,6 +36,9 @@ _READERS = {
     ".json": lambda spark, path, schema: spark.read.json(path),
     ".jsonl": lambda spark, path, schema: spark.read.json(path),
     ".parquet": lambda spark, path, schema: spark.read.parquet(path),
+    # ORC is native to Spark (vectorized reader, predicate pushdown like
+    # parquet) — common in Hive-era lakes a 100 TB migration reads from
+    ".orc": lambda spark, path, schema: spark.read.orc(path),
 }
 
 

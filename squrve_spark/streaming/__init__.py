@@ -9,6 +9,7 @@ the test contract is streaming == batch on the same data.
 
 from squrve_spark.streaming.ops import (  # noqa: F401
     dedup_stream,
+    enrich_stream,
     interval_join_stream,
     hourly_counts_stream,
     read_event_stream,

@@ -244,6 +244,27 @@ def interval_join_stream(
     )
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach a (small) static dimension /
+    feature table to each streaming row.
+
+    The canonical feature-store shape: the static side is planned ONCE and
+    broadcast to every task, so each micro-batch pays a map-side hash join —
+    no shuffle of the stream, no state store (unlike stream-stream joins).
+    At 100 TB of stream, the only requirement is that ``dim`` stays
+    broadcast-sized; a bigger dim drops ``broadcast_dim`` and shuffles
+    per micro-batch instead.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=on, how=how)
+
+
 def write_stream_exactly_once(
     df: DataFrame,
     out_dir: str,

@@ -117,3 +117,42 @@ def test_pii_audit_registry_entry(spark):
         for c in out.columns:
             if c.startswith("post_"):
                 assert r[c] == 0
+
+
+def test_repetition_stats_handcrafted(spark):
+    """Known boilerplate shapes -> exact expected fractions."""
+    from squrve_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 non-blank lines, 'nav bar' twice -> dup_line_frac 1/4
+            (1, "nav bar\nreal sentence one.\nnav bar\nanother line here!"),
+            # 2 identical paragraphs -> dup_para_frac 1/2; no terminal punct
+            (2, "same para\n\nsame para"),
+            # symbols: 2 '#' + 1 '...' over 7 whitespace tokens (the
+            # symbols themselves tokenize as words)
+            (3, "# header # and some text ..."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["dup_line_frac"] == 0.25
+    assert got[1]["terminal_line_frac"] == 0.5  # '.' and '!' lines of 4
+    assert got[2]["dup_para_frac"] == 0.5
+    assert got[2]["terminal_line_frac"] == 0.0
+    assert got[3]["symbol_word_ratio"] == round(3 / 7, 4)
+
+
+def test_top_ngram_frac_python_oracle(spark):
+    """Arrow kernel vs a direct per-row Counter recomputation at sf0.001."""
+    from collections import Counter
+
+    from squrve_spark.operators.text import top_ngram_frac
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    got = {r["doc_id"]: r["top_ngram_frac"] for r in top_ngram_frac(docs, n=2).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        toks = (row["text"] or "").strip().split()
+        grams = [tuple(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        want = round(Counter(grams).most_common(1)[0][1] * 2 / len(toks), 4) if grams else 0.0
+        assert got[row["doc_id"]] == want, row["doc_id"]

@@ -175,3 +175,14 @@ def test_demo_ui_page(service):
         body = resp.read().decode()
     assert "/api/upload" in body and "/api/run" in body
     assert "<title>squrve_spark demo</title>" in body
+
+
+def test_ingest_orc(spark, tmp_path):
+    """ORC is Spark-native (vectorized read, pushdown) — round-trip a small
+    table and ingest it back as a view."""
+    src = spark.createDataFrame([(1, "ann"), (2, "bob")], "id int, name string")
+    path = str(tmp_path / "folks.orc")
+    src.write.mode("overwrite").orc(path)
+    df = ingest_file(spark, path, table_name="folks")
+    assert sorted((r["id"], r["name"]) for r in df.collect()) == [(1, "ann"), (2, "bob")]
+    assert spark.sql("SELECT count(*) AS n FROM folks").collect()[0]["n"] == 2
