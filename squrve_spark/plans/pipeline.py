@@ -133,6 +133,39 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "doc_top_values",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    oracle="""
+    WITH long AS (
+        SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS value
+        FROM documents WHERE lang IS NOT NULL
+        UNION ALL
+        SELECT 'source', CAST(source AS VARCHAR)
+        FROM documents WHERE source IS NOT NULL
+    ), c AS (
+        SELECT col_name, value, COUNT(*) AS n FROM long GROUP BY 1, 2
+    )
+    SELECT col_name, value, CAST(n AS BIGINT) AS n, CAST(rk AS INTEGER) AS rank
+    FROM (
+        SELECT col_name, value, n,
+               row_number() OVER (PARTITION BY col_name ORDER BY n DESC, value) AS rk
+        FROM c
+    ) WHERE rk <= 5
+    """,
+    tags=("profiling",),
+    defer_oracle=True,
+)
+def doc_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column heavy hitters (top-5 most frequent values of lang/source)
+    in one stack-unpivot pass — the value-grounding feed for SQL generation
+    prompts (§2.C)."""
+    from squrve_spark.profile import top_values
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_values(docs, k=5, columns=["lang", "source"])
+
+
 @register("doc_top_ngram", oracle=None, tags=("text", "hygiene", "no-oracle"))
 def doc_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-bigram token coverage per document (Gopher's most-frequent-n-gram

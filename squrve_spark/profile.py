@@ -61,6 +61,39 @@ def profile_table(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
     )
 
 
+def top_values(df: DataFrame, k: int = 5, columns: list[str] | None = None) -> DataFrame:
+    """Per-column top-k most frequent values in ONE pass over the data:
+    unpivot columns to long (column, value) rows via ``stack`` (map-side,
+    no Python), count per (column, value) — partial aggregation combines
+    map-side so the shuffle carries at most (distinct values) rows — then a
+    window row_number keeps k per column.
+
+    The heavy-hitters feed for value-grounded SQL generation (the
+    reference's value-retrieval scaler probes column values the same way,
+    OpenSearchSQLScale.py:630). Output: (col_name, value string, n, rank).
+
+    At 100 TB: one shuffle keyed by (column, value); a pathologically
+    high-cardinality column contributes many small groups, not one hot one
+    (count-min/approx sketches only become necessary when even the distinct
+    set won't shuffle — plug in F.approx_count_distinct-style sketches at
+    that point).
+    """
+    cols = columns or df.columns
+    pairs = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+    long = df.select(
+        F.expr(f"stack({len(cols)}, {pairs}) AS (col_name, value)")
+    ).where(F.col("value").isNotNull())
+    counts = long.groupBy("col_name", "value").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("col_name").orderBy(F.col("n").desc(), F.col("value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("col_name", "value", F.col("n").cast("bigint"), F.col("rank").cast("int"))
+    )
+
+
 def sample_values(df: DataFrame, column: str, k: int = 3) -> list:
     """k distinct non-null sample values of one column (pruned scan)."""
     rows = (
