@@ -1,0 +1,83 @@
+"""Executable plan audits: the scale claims in docstrings (pushdown, pruning,
+broadcast, no cartesian fan-out, bounded shuffles) asserted against the
+actual physical plans, so a regression in plan shape fails CI rather than
+surfacing as a 100 TB incident.
+
+These assert on plan STRUCTURE (operator presence/counts), not timings —
+stable across machines and Spark minor versions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from squrve_spark.plans import REGISTRY
+from tests.conftest import SF_MED
+
+
+def plan_of(spark, name: str) -> str:
+    return REGISTRY[name].fn(spark, SF_MED)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q_scan_filter")
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
+    # projection pruning reaches the scan: untouched wide columns absent
+    assert "l_comment" not in plan
+    # a scan+filter+project needs no shuffle at all
+    assert "Exchange" not in plan
+
+
+def test_tpch_q3_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 1  # customer side broadcast
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle-join at sf
+
+
+def test_decontaminate_is_broadcast_semi_join(spark):
+    plan = plan_of(spark, "doc_decontaminate")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bruteforce_topk_broadcasts_queries_no_cartesian(spark):
+    """The exact baseline broadcasts the (small) query side; the corpus
+    stays partitioned — a CartesianProduct would mean both sides shuffle."""
+    plan = plan_of(spark, "sim_bruteforce_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_stats_is_map_only(spark):
+    """doc_repetition claims 'no shuffle': the only allowed exchange is
+    spread()'s RoundRobin re-balance of a single-file local read (a no-op
+    at real scale); no hash exchange may appear."""
+    plan = plan_of(spark, "doc_repetition")
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # spread() only
+
+
+def test_q1_partial_aggregation(spark):
+    """Pricing summary must map-side combine (partial_ aggregate functions)
+    before its single hash exchange."""
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_no_join_operator(spark):
+    """The as-of join is a union + window — zero join fan-out by design."""
+    plan = plan_of(spark, "q_asof_join")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n, s in REGISTRY.items() if "streaming" not in s.tags],
+)
+def test_no_cartesian_anywhere(spark, name):
+    """No registered batch query may plan a CartesianProduct."""
+    assert "CartesianProduct" not in plan_of(spark, name)
