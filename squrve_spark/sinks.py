@@ -64,6 +64,97 @@ def write_training_shards(
     )
 
 
+def upsert_partitioned(
+    spark,
+    new_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: str,
+) -> None:
+    """Key-based upsert into a hive-partitioned parquet dataset, rewriting
+    ONLY the partitions the new batch touches (dynamic partition overwrite).
+
+    The parquet-only MERGE shape for a periodically re-ingested corpus:
+      1. partitions touched = distinct ``partition_col`` values in the batch;
+      2. survivors = existing rows of those partitions whose key does NOT
+         appear in the batch (left anti join — new rows win);
+      3. write survivors + batch with partitionOverwriteMode=dynamic, so
+         untouched partitions' files are never rewritten (or even read:
+         step 2's scan partition-prunes on the touched set).
+
+    At 100 TB the cost is proportional to the touched partitions, not the
+    dataset; the anti join broadcasts when the batch is small. Not atomic
+    across partitions (parquet has no transaction log — a lakehouse format
+    adds that); each partition's overwrite is individually atomic-ish via
+    Spark's commit protocol.
+    """
+    import os
+
+    if not os.path.isdir(path):
+        new_df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return
+    touched = [r[0] for r in new_df.select(partition_col).distinct().collect()]
+    existing = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
+    survivors = existing.join(
+        F.broadcast(new_df.select(*key_cols).distinct()), on=key_cols, how="left_anti"
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            survivors.select(*new_df.columns)
+            .unionByName(new_df)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    partition_col: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ``ceil(bytes / target_file_bytes)`` files (per partition directory when
+    ``partition_col`` is given). Returns the file count written.
+
+    The standing maintenance job of any long-running ingestion: streaming
+    sinks and per-batch writers accrete small files until open/footer
+    overhead dominates scans. Compaction here is one read + one
+    round-robin repartition + one write — no data transformation, safe to
+    re-run. Write goes to a temp sibling then atomically renames over the
+    original (best-effort on object stores; on HDFS/local the rename is
+    atomic).
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dns, fns in os.walk(path)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return n_files
+
+
 def shard_manifest(
     df: DataFrame,
     n_shards: int,

@@ -90,3 +90,90 @@ def test_shard_manifest_matches_duckdb(spark, duck):
             "hive_partitioning=1) GROUP BY shard ORDER BY shard"
         ).fetchall()
     assert {int(s): n for s, n in rows} == got
+
+
+def test_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
+    from squrve_spark.sinks import upsert_partitioned
+    import os
+
+    path = str(tmp_path / "corpus")
+    base = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p3")],
+        "id long, val string, part string",
+    )
+    upsert_partitioned(spark, base, path, ["id"], "part")
+
+    def files_of(part):
+        d = os.path.join(path, f"part={part}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    p3_before = files_of("p3")
+
+    # batch updates id=2 (p1), inserts id=5 (p2); p3 untouched
+    batch = spark.createDataFrame(
+        [(2, "B2", "p1"), (5, "e", "p2")], "id long, val string, part string"
+    )
+    upsert_partitioned(spark, batch, path, ["id"], "part")
+
+    got = {
+        (r["id"], r["part"]): r["val"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "p1"): "a", (2, "p1"): "B2", (3, "p2"): "c",
+        (4, "p3"): "d", (5, "p2"): "e",
+    }
+    # dynamic overwrite must leave untouched partitions' files alone
+    assert files_of("p3") == p3_before
+
+
+def test_upsert_partitioned_first_write_bootstraps(spark, tmp_path):
+    from squrve_spark.sinks import upsert_partitioned
+
+    path = str(tmp_path / "fresh")
+    df = spark.createDataFrame([(1, "x", "p1")], "id long, val string, part string")
+    upsert_partitioned(spark, df, path, ["id"], "part")
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from squrve_spark.sinks import compact_parquet
+    import os
+
+    path = str(tmp_path / "many")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(37).write.parquet(path)  # 37 tiny files
+
+    def count_files():
+        return sum(
+            1 for _dp, _dn, fns in os.walk(path) for f in fns if f.endswith(".parquet")
+        )
+
+    assert count_files() >= 37
+    before = sorted((r["id"], r["v"]) for r in spark.read.parquet(path).collect())
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n == 1 and count_files() == 1
+    after = sorted((r["id"], r["v"]) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+
+def test_partitioned_read_prunes_partitions(spark, tmp_path):
+    """Partition filter must reach the scan (PartitionFilters), so a query
+    over one partition never lists/reads the others at 100 TB."""
+    from squrve_spark.sinks import upsert_partitioned
+
+    path = str(tmp_path / "pruned")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", f"p{i % 5}") for i in range(50)],
+        "id long, val string, part string",
+    )
+    upsert_partitioned(spark, df, path, ["id"], "part")
+    q = spark.read.parquet(path).filter(F.col("part") == "p3").select("id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the equality predicate must land in PartitionFilters (directory-level
+    # pruning), not PushedFilters (row-group level) — inputFiles() is not
+    # filter-aware, so the plan is the observable contract
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "part" in pf and "p3" in pf
+    assert q.count() == 10
