@@ -24,6 +24,33 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 32,
+) -> None:
+    """Write parquet range-clustered on ``cluster_cols``: rows are range-
+    partitioned then sorted within each file, so every file covers a narrow
+    min/max band of the cluster key.
+
+    The data-skipping lever for non-partition keys: parquet stores per-
+    row-group min/max stats, and a pushed range/equality predicate on the
+    cluster key lets the reader skip whole files/row groups whose band
+    can't match. (The single-column analog of Z-ordering; multi-column
+    lists cluster hierarchically.) One range exchange (sampled boundaries —
+    use the deterministic shard sink when byte-reproducibility matters
+    more than clustering).
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

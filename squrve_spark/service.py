@@ -99,6 +99,24 @@ class ServiceState:
             out["execute_accuracy"] = ev.eval(0, "execute_accuracy")
         return out
 
+    def explain(self, payload: dict) -> dict:
+        """Physical-plan introspection for a SQL string: the same
+        `.explain("formatted")` surface the engine's plan audits use,
+        exposed over HTTP so a user can check pushdown/broadcast shape
+        before running on the big cluster."""
+        sql = payload.get("sql")
+        if not sql:
+            raise ValueError("missing 'sql'")
+        df = self.spark.sql(sql)
+        qe = df._jdf.queryExecution()
+        return {
+            "formatted": qe.explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    payload.get("mode", "formatted")
+                )
+            ),
+        }
+
     def upload(self, payload: dict) -> dict:
         """Upload files -> engine tables + extracted central schema
         (demo/file_to_db.py's pandas-to-sqlite flow, Spark-side).
@@ -176,6 +194,8 @@ def _make_handler(state: ServiceState):
                     self._send(200, {"results": [state.run_instance(p) for p in items]})
                 elif self.path == "/api/upload":
                     self._send(200, state.upload(payload))
+                elif self.path == "/api/explain":
+                    self._send(200, state.explain(payload))
                 else:
                     self._send(404, {"error": "not found"})
             except Exception as exc:  # noqa: BLE001 — service containment

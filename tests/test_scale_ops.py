@@ -145,3 +145,28 @@ def test_two_phase_agg_rejects_nonalgebraic(spark):
     li = load_table(spark, SF_SMALL, "lineitem")
     with pytest.raises(ValueError):
         two_phase_agg(li, ["l_returnflag"], {"l_quantity": "median"})
+
+
+def test_write_range_clustered_bands_are_disjoint(spark, tmp_path):
+    """Each output file must cover a narrow, non-overlapping band of the
+    cluster key — the property parquet min/max skipping relies on."""
+    from squrve_spark.operators.scale import write_range_clustered
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 20000).withColumn("k", (F.col("id") * 7919) % 20000)
+    write_range_clustered(df, path, ["k"], n_files=8)
+    back = spark.read.parquet(path)
+    bands = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(bands) >= 4  # range partitioner used several files
+    spans = sorted((r["lo"], r["hi"]) for r in bands)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint bands
+    assert sum(r["n"] for r in bands) == 20000
+    # a narrow range predicate is pushed to the scan
+    q = back.filter((F.col("k") >= 100) & (F.col("k") < 200))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(k,100)" in plan

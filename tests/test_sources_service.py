@@ -186,3 +186,9 @@ def test_ingest_orc(spark, tmp_path):
     df = ingest_file(spark, path, table_name="folks")
     assert sorted((r["id"], r["name"]) for r in df.collect()) == [(1, "ann"), (2, "bob")]
     assert spark.sql("SELECT count(*) AS n FROM folks").collect()[0]["n"] == 2
+
+
+def test_api_explain(service):
+    out = _post(f"{service}/api/explain", {"sql": "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey"})
+    assert "HashAggregate" in out["formatted"] or "Aggregate" in out["formatted"]
+    assert "Exchange" in out["formatted"]
