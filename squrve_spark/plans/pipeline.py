@@ -166,6 +166,43 @@ def doc_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_values(docs, k=5, columns=["lang", "source"])
 
 
+def _numeric_profile_oracle() -> str:
+    cols = ["n_chars", "doc_id"]
+    selects = []
+    for c in cols:
+        selects.append(f"""
+        SELECT '{c}' AS col_name,
+               CAST(COUNT({c}) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(ROUND(CAST(MIN({c}) AS DOUBLE), 4) AS DOUBLE) AS min,
+               CAST(ROUND(CAST(MAX({c}) AS DOUBLE), 4) AS DOUBLE) AS max,
+               CAST(ROUND(AVG({c}), 4) AS DOUBLE) AS mean,
+               CAST(ROUND(quantile_cont({c}, 0.25), 4) AS DOUBLE) AS q25,
+               CAST(ROUND(quantile_cont({c}, 0.50), 4) AS DOUBLE) AS q50,
+               CAST(ROUND(quantile_cont({c}, 0.75), 4) AS DOUBLE) AS q75
+        FROM documents""")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "doc_numeric_profile",
+    # deferred: driver cap full; parity in tests/test_oracle_parity.py.
+    # Spark exact `percentile` and DuckDB `quantile_cont` both linearly
+    # interpolate, so values agree at 4 dp.
+    oracle=_numeric_profile_oracle(),
+    tags=("profiling",),
+    defer_oracle=True,
+)
+def doc_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass numeric distribution summary (count/nulls/min/max/mean/
+    quartiles) per column — exact percentiles here for oracle parity; the
+    operator defaults to mergeable approx_percentile sketches at scale."""
+    from squrve_spark.profile import numeric_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return numeric_summary(docs, ["n_chars", "doc_id"], exact=True)
+
+
 @register("doc_top_ngram", oracle=None, tags=("text", "hygiene", "no-oracle"))
 def doc_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-bigram token coverage per document (Gopher's most-frequent-n-gram

@@ -94,6 +94,57 @@ def top_values(df: DataFrame, k: int = 5, columns: list[str] | None = None) -> D
     )
 
 
+def numeric_summary(
+    df: DataFrame,
+    columns: list[str],
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    exact: bool = False,
+) -> DataFrame:
+    """Per-numeric-column distribution summary in ONE aggregate pass:
+    (col_name, n, n_null, min, max, mean, q25, q50, q75).
+
+    ``exact=False`` (scale default) uses ``approx_percentile`` (a
+    t-digest-style sketch — mergeable, so the whole summary is map-side
+    partial aggregation + one tiny reduce); ``exact=True`` uses
+    ``percentile`` (exact interpolated, holds per-column values in memory —
+    for test-scale oracle parity only).
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    aggs = []
+    for c in columns:
+        qs = ", ".join(str(q) for q in quantiles)
+        aggs += [
+            F.count(F.col(c)).alias(f"n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.avg(c).alias(f"mean_{c}"),
+            F.expr(f"{fn}(`{c}`, array({qs}))").alias(f"q_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', n_{c}, null_{c}, CAST(min_{c} AS DOUBLE), CAST(max_{c} AS DOUBLE), "
+        f"mean_{c}, q_{c}[0], q_{c}[1], q_{c}[2]"
+        for c in columns
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(columns)}, {parts}) AS "
+            "(col_name, n, n_null, min, max, mean, q25, q50, q75)"
+        )
+    ).select(
+        "col_name",
+        F.col("n").cast("bigint"),
+        F.col("n_null").cast("bigint"),
+        F.round("min", 4).cast("double").alias("min"),
+        F.round("max", 4).cast("double").alias("max"),
+        F.round("mean", 4).cast("double").alias("mean"),
+        F.round("q25", 4).cast("double").alias("q25"),
+        F.round("q50", 4).cast("double").alias("q50"),
+        F.round("q75", 4).cast("double").alias("q75"),
+    )
+
+
 def sample_values(df: DataFrame, column: str, k: int = 3) -> list:
     """k distinct non-null sample values of one column (pruned scan)."""
     rows = (
