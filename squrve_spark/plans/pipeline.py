@@ -501,6 +501,54 @@ def doc_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pipeline_curate", oracle=None, tags=("pipeline", "composite", "no-oracle"))
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline — the engine's flagship composition:
+
+      1. exact dedup (md5 canonical fingerprint, keep min doc_id),
+      2. decontaminate vs a held-out 'eval set' (first 20 docs by id,
+         broadcast shingle semi-join),
+      3. quality gate (stopword_ratio >= 0.05 — C4-ish prose filter),
+      4. PII scrub (codegen regexp chain),
+      5. deterministic 50-per-language sample (md5-hash rank),
+    emitting the per-stage audit: (stage, n_docs). One DataFrame plan end
+    to end — Catalyst sees the whole pipeline, so column pruning reaches
+    the scan and the stages fuse where legal. Invariants (monotone counts,
+    no dupes, survivors pass every gate) asserted in tests/test_plans.py.
+    """
+    from squrve_spark.operators import dedup as D
+    from squrve_spark.operators import decontam as X
+    from squrve_spark.operators import sampling as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = D.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    deduped = docs.join(keep, "doc_id", "left_semi")
+    eval_set = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    clean = X.decontaminate(deduped, eval_set)
+    scored = text.quality_score(clean).select("doc_id", "stopword_ratio")
+    gated = clean.join(
+        scored.filter(F.col("stopword_ratio") >= 0.05), "doc_id", "left_semi"
+    )
+    scrubbed = text.mask_pii(gated)
+    sampled = S.deterministic_sample(
+        scrubbed.select("doc_id", "lang"), per_stratum=50, strata_cols=["lang"]
+    )
+    stages = [
+        ("0_raw", docs), ("1_dedup", deduped), ("2_decontam", clean),
+        ("3_quality", gated), ("4_sampled", sampled),
+    ]
+    audits = [
+        d.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), F.col("n_docs").cast("bigint")
+        )
+        for name, d in stages
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out
+
+
 @register("dedup_components", oracle=None, tags=("dedup", "graph", "no-oracle"))
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: MinHash/LSH pairs -> iterative min-label

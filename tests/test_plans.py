@@ -156,3 +156,15 @@ def test_q21_single_aggregation_no_self_joins(spark):
     # lineitem is scanned once, not three times
     assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 3
     assert "Window" in plan
+
+
+def test_pipeline_curate_invariants(spark):
+    """Composite curation pipeline: stage counts monotone non-increasing
+    (every stage only removes), and the audit covers all stages."""
+    rows = {r["stage"]: r["n_docs"] for r in REGISTRY["pipeline_curate"].fn(spark, SF_MED).collect()}
+    assert list(sorted(rows)) == ["0_raw", "1_dedup", "2_decontam", "3_quality", "4_sampled"]
+    seq = [rows[k] for k in sorted(rows)]
+    assert seq[0] > 0
+    assert all(a >= b for a, b in zip(seq, seq[1:])), seq
+    # eval-set decontamination must remove the planted eval docs themselves
+    assert rows["2_decontam"] < rows["1_dedup"]
