@@ -724,3 +724,42 @@ def q_having_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_statuses") >= 2) & (F.col("n_orders") >= 10))
     )
+
+
+@register(
+    "q_window_dist",
+    # deferred oracle (driver cap full): distribution-window surface —
+    # ntile / percent_rank / cume_dist / first+last frame values
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER w_price AS INTEGER) AS spend_quartile,
+           CAST(ROUND(percent_rank() OVER w_price, 6) AS DOUBLE) AS pct_rnk,
+           CAST(ROUND(cume_dist() OVER w_price, 6) AS DOUBLE) AS cume,
+           CAST(first_value(o_totalprice) OVER w_price AS DOUBLE) AS top_price,
+           CAST(last_value(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE)
+               AS bottom_price
+    FROM orders
+    WINDOW w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("A13",),
+    defer_oracle=True,
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 distribution windows: ntile, percent_rank, cume_dist, and
+    first/last frame values — one partition key, one shuffle; the
+    unbounded-following frame for last_value is explicit (the default
+    frame would stop at CURRENT ROW)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rnk"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+        F.first("o_totalprice").over(w).cast("double").alias("top_price"),
+        F.last("o_totalprice").over(w_full).cast("double").alias("bottom_price"),
+    )
