@@ -33,13 +33,24 @@ def asof_join(
     right_ts: str,
     right_vals: list[str],
     suffix: str = "_r",
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` per key (left rows without a match keep NULLs).
+    """As-of join (pandas ``merge_asof`` semantics, distributed): for each
+    left row, the nearest right row per key at or before (``backward``,
+    default) / at or after (``forward``) its timestamp; left rows without a
+    match keep NULLs. ``tolerance`` (same unit as the ts columns) nulls out
+    matches farther than the bound.
+
+    Same single-shuffle union+window plan for both directions (forward just
+    reverses the window order); tolerance adds one carried column and a
+    codegen'd conditional — no extra shuffle.
 
     Right side is first made unique per (key, ts) — deterministically, by
     descending natural column order — so ties are stable across engines.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # dedupe right per (key, ts): keep the lexicographically-last value row
     dedup_w = W.partitionBy(*key_cols, right_ts).orderBy(
         *[F.col(v).desc() for v in right_vals]
@@ -70,20 +81,37 @@ def asof_join(
         "__side",
         "__t",
     )
-    unioned = l_full.unionByName(r_tagged)
-    # right rows (side 0) sort before left rows at equal ts -> inclusive <=
+    unioned = l_full.unionByName(r_tagged).withColumn(
+        "__rt__c", F.when(F.col("__side") == 0, F.col("__t"))
+    )
+    # right rows (side 0) sort before left rows at equal ts -> inclusive
+    # bound in BOTH directions (forward reverses the ts order, keeping the
+    # side tie-break, so an equal-ts right row still precedes the left row)
+    order = [F.col("__t").asc() if direction == "backward" else F.col("__t").desc(),
+             F.col("__side").asc()]
     w = (
         W.partitionBy(*key_cols)
-        .orderBy("__t", "__side")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    carry_cols = [f"{v}{suffix}__c" for v in right_vals] + ["__rt__c"]
+    out_names = [f"{v}{suffix}" for v in right_vals] + ["__rt"]
     carried = unioned.select(
         "*",
         *[
-            F.last(f"{v}{suffix}__c", ignorenulls=True).over(w).alias(f"{v}{suffix}")
-            for v in right_vals
+            F.last(c, ignorenulls=True).over(w).alias(o)
+            for c, o in zip(carry_cols, out_names)
         ],
     )
+    if tolerance is not None:
+        within = F.abs(F.col("__t") - F.col("__rt")) <= F.lit(tolerance)
+        carried = carried.select(
+            *[c for c in carried.columns if c not in out_names],
+            *[
+                F.when(within, F.col(f"{v}{suffix}")).alias(f"{v}{suffix}")
+                for v in right_vals
+            ],
+        )
     out_cols = list(left.columns) + [f"{v}{suffix}" for v in right_vals]
     return carried.filter(F.col("__side") == 1).select(*out_cols)
 

@@ -61,3 +61,54 @@ def test_time_range_pairs_salted_equals_unsalted(spark):
     # the salt must be part of the shuffle key (the whole point)
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan and "hashpartitioning" in plan
+
+
+def test_asof_join_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (1, 99, "l3")], "k int, t long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 200), (1, 30, 300)], "k int, t long, rv int"
+    )
+    out = temporal.asof_join(left, right, ["k"], "t", "t", ["rv"], direction="forward")
+    got = {r["t"]: r["rv_r"] for r in out.collect()}
+    assert got[10] == 100  # inclusive: equal ts matches
+    assert got[20] == 300  # earliest right at or after 20
+    assert got[99] is None  # nothing after
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(1, 100, "x"), (1, 500, "y")], "k int, t long, lv string")
+    right = spark.createDataFrame([(1, 90, 7)], "k int, t long, rv int")
+    out = temporal.asof_join(left, right, ["k"], "t", "t", ["rv"], tolerance=50)
+    got = {r["t"]: r["rv_r"] for r in out.collect()}
+    assert got[100] == 7      # |100-90| <= 50
+    assert got[500] is None   # beyond tolerance -> nulled
+    # unbounded still matches both
+    out2 = temporal.asof_join(left, right, ["k"], "t", "t", ["rv"])
+    assert {r["t"]: r["rv_r"] for r in out2.collect()} == {100: 7, 500: 7}
+
+
+def test_asof_join_pandas_merge_asof_parity(spark):
+    """Randomized parity against pandas.merge_asof (both directions)."""
+    import pandas as pd
+
+    rng = __import__("random").Random(7)
+    lrows = [(k, rng.randrange(0, 1000)) for k in (1, 2) for _ in range(40)]
+    rrows = [(k, rng.randrange(0, 1000), rng.randrange(100)) for k in (1, 2, 3) for _ in range(25)]
+    # unique right (key, ts) to make semantics well-defined for comparison
+    seen = set(); rrows = [r for r in rrows if not (r[:2] in seen or seen.add(r[:2]))]
+    left = spark.createDataFrame(lrows, "k int, t long")
+    right = spark.createDataFrame(rrows, "k int, t long, rv int")
+    for direction in ("backward", "forward"):
+        got = temporal.asof_join(left, right, ["k"], "t", "t", ["rv"], direction=direction)
+        gsort = sorted(((r["k"], r["t"], r["rv_r"]) for r in got.collect()),
+                       key=lambda x: (x[0], x[1], -1 if x[2] is None else x[2]))
+        lp = pd.DataFrame(lrows, columns=["k", "t"]).sort_values("t")
+        rp = pd.DataFrame(rrows, columns=["k", "t", "rv"]).sort_values("t")
+        want = pd.merge_asof(lp, rp, on="t", by="k", direction=direction)
+        wsort = sorted(
+            ((int(r.k), int(r.t), None if pd.isna(r.rv) else int(r.rv))
+             for r in want.itertuples()),
+            key=lambda x: (x[0], x[1], -1 if x[2] is None else x[2]))
+        assert gsort == wsort, direction
