@@ -50,9 +50,10 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("squrve-bench")
 
-    errors: dict[str, str] = {}
-    cold = run_pass(spark, sf_dir, errors)
-    steady = run_pass(spark, sf_dir, errors)
+    cold_errors: dict[str, str] = {}
+    steady_errors: dict[str, str] = {}
+    cold = run_pass(spark, sf_dir, cold_errors)
+    steady = run_pass(spark, sf_dir, steady_errors)
 
     total = round(sum(steady.values()), 3)
     out = {
@@ -64,8 +65,12 @@ def main() -> None:
         "n_queries": len(steady),
         "cold_total_sec": round(sum(cold.values()), 3),
     }
-    if errors:
-        out["errors"] = errors
+    # per-pass attribution: a transient cold-pass failure with a clean
+    # steady timing must not read as "broken query"
+    if steady_errors:
+        out["errors"] = steady_errors
+    if cold_errors:
+        out["cold_errors"] = cold_errors
     print(json.dumps(out))
 
 

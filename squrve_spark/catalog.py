@@ -65,9 +65,12 @@ def normalize_events_time(df: DataFrame) -> DataFrame:
         df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
             "ts_ns", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
         )
-    return df.select(
-        "event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props"
-    )
+    # column order is normalized but the SET is whatever the fixture ships —
+    # hard-coding a column list here would crash on the next fixture drift
+    # (the exact failure mode this function exists to prevent)
+    lead = ["event_id", "ts", "ts_ns"]
+    rest = [c for c in df.columns if c not in lead]
+    return df.select(*[c for c in lead if c in df.columns], *rest)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -75,11 +75,26 @@ async function run() {
               : (out.pred_sql || "") + (out.exec_error ? "\\nexec error: " + out.exec_error : "");
   const rows = out.result || [];
   const div = document.getElementById("result");
-  if (!rows.length) { div.innerHTML = "<p class='muted'>no rows</p>"; return; }
+  div.textContent = "";
+  if (!rows.length) {
+    const p = document.createElement("p");
+    p.className = "muted"; p.textContent = "no rows";
+    div.appendChild(p); return;
+  }
+  // build via DOM + textContent: uploaded data is untrusted, innerHTML
+  // concatenation would execute markup embedded in cells/column names
   const cols = Object.keys(rows[0]);
-  div.innerHTML = "<table><tr>" + cols.map(c => "<th>" + c + "</th>").join("") + "</tr>" +
-    rows.map(r => "<tr>" + cols.map(c => "<td>" + String(r[c]) + "</td>").join("") + "</tr>").join("") +
-    "</table>";
+  const table = document.createElement("table");
+  const head = table.insertRow();
+  for (const c of cols) {
+    const th = document.createElement("th");
+    th.textContent = c; head.appendChild(th);
+  }
+  for (const r of rows) {
+    const tr = table.insertRow();
+    for (const c of cols) tr.insertCell().textContent = String(r[c]);
+  }
+  div.appendChild(table);
 }
 </script>
 </body>

@@ -130,6 +130,12 @@ class ColumnIndex:
         )
         return cls(entries, matrix, meta["dim"])
 
+    @staticmethod
+    def store_path(store_dir: str, db_id: str, tables: list[str]) -> str:
+        """Deterministic per-(db_id, table set) store location."""
+        tables_key = _stable_hash("\x00".join(sorted(tables)))
+        return os.path.join(store_dir, f"{db_id}_{tables_key:08x}")
+
     @classmethod
     def build_or_load(
         cls,
@@ -140,10 +146,16 @@ class ColumnIndex:
         dim: int = 256,
         descriptions: Optional[dict[str, str]] = None,
     ) -> "ColumnIndex":
-        """Reference-parity warm path: reuse the persisted store for
-        ``db_id`` when present, else build and persist it (mirrors
-        ``build_index``'s 'if vector_store.exists(): continue')."""
-        path = os.path.join(store_dir, db_id)
+        """Reference-parity warm path: reuse the persisted store for this
+        (db_id, table set) when present, else build and persist it (mirrors
+        ``build_index``'s 'if vector_store.exists(): continue').
+
+        The store path folds in a hash of the sorted table list: the same
+        db_id queried over different table subsets must not share a store —
+        a db-only key would serve an index missing the extra tables'
+        columns and silently degrade schema linking.
+        """
+        path = cls.store_path(store_dir, db_id, tables)
         if os.path.isfile(os.path.join(path, "meta.json")):
             return cls.load(path)
         idx = cls.build(spark, tables, db_id=db_id, dim=dim, descriptions=descriptions)

@@ -5,10 +5,11 @@ Both are expressed as compositions of built-in operators chosen for their
 shuffle shape (the brief's option (a) — no Python in the path):
 
   * **as-of join** — union the two sides, one window pass per key ordered
-    by (time, side), carry the last right-side value forward
-    (``last(..., ignoreNulls=True)``). ONE shuffle on the key, zero join
-    fan-out — the classic log-enrichment shape that survives 100 TB where a
-    naive inequality join explodes.
+    by (time, side), carry the last right-side ROW forward as a struct
+    (``last(struct, ignoreNulls=True)`` — struct-packed so a null VALUE in
+    the nearest row is preserved, not skipped for an older non-null). ONE
+    shuffle on the key, zero join fan-out — the classic log-enrichment
+    shape that survives 100 TB where a naive inequality join explodes.
   * **time-range pairs** — bucket time into ``window`` -sized cells; a pair
     within ``window`` must land in the same or adjacent cell, so candidates
     come from an equi-join on (key, cell) with the right side exploded to
@@ -81,9 +82,19 @@ def asof_join(
         "__side",
         "__t",
     )
-    unioned = l_full.unionByName(r_tagged).withColumn(
-        "__rt__c", F.when(F.col("__side") == 0, F.col("__t"))
+    # the matched right row travels as ONE struct (non-null iff the row is a
+    # right row): carrying value columns independently with
+    # last(ignorenulls) would skip a nearest right row whose VALUE is null
+    # and resurrect an older row's value — and tolerance must be checked
+    # against the ts of the row the values actually came from
+    pack = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__t").alias("__rt"),
+            *[F.col(f"{v}{suffix}__c").alias(f"v{i}") for i, v in enumerate(right_vals)],
+        ),
     )
+    unioned = l_full.unionByName(r_tagged).withColumn("__pack", pack)
     # right rows (side 0) sort before left rows at equal ts -> inclusive
     # bound in BOTH directions (forward reverses the ts order, keeping the
     # side tie-break, so an equal-ts right row still precedes the left row)
@@ -94,26 +105,17 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carry_cols = [f"{v}{suffix}__c" for v in right_vals] + ["__rt__c"]
-    out_names = [f"{v}{suffix}" for v in right_vals] + ["__rt"]
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(o)
-            for c, o in zip(carry_cols, out_names)
-        ],
-    )
+    carried = unioned.withColumn("__m", F.last("__pack", ignorenulls=True).over(w))
+    matched = F.col("__m").isNotNull()
     if tolerance is not None:
-        within = F.abs(F.col("__t") - F.col("__rt")) <= F.lit(tolerance)
-        carried = carried.select(
-            *[c for c in carried.columns if c not in out_names],
-            *[
-                F.when(within, F.col(f"{v}{suffix}")).alias(f"{v}{suffix}")
-                for v in right_vals
-            ],
+        matched = matched & (
+            F.abs(F.col("__t") - F.col("__m.__rt")) <= F.lit(tolerance)
         )
-    out_cols = list(left.columns) + [f"{v}{suffix}" for v in right_vals]
-    return carried.filter(F.col("__side") == 1).select(*out_cols)
+    out_vals = [
+        F.when(matched, F.col(f"__m.v{i}")).alias(f"{v}{suffix}")
+        for i, v in enumerate(right_vals)
+    ]
+    return carried.filter(F.col("__side") == 1).select(*left.columns, *out_vals)
 
 
 def time_range_pairs(

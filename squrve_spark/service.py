@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 import threading
 from concurrent.futures import ThreadPoolExecutor, TimeoutError as FutTimeout
@@ -107,6 +108,15 @@ class ServiceState:
         sql = payload.get("sql")
         if not sql:
             raise ValueError("missing 'sql'")
+        # spark.sql() EXECUTES commands (DDL/DML) eagerly — only queries are
+        # lazy. An explain endpoint must never run side effects, so admit
+        # only query-rooted statements.
+        head = re.sub(r"(--[^\n]*\n|/\*.*?\*/|\s)+", " ", sql, flags=re.S).strip()
+        first = (head.split(None, 1) or [""])[0].upper().lstrip("(")
+        if first not in ("SELECT", "WITH", "VALUES", "TABLE"):
+            raise ValueError(
+                f"explain accepts query statements only (got {first or 'empty'!r})"
+            )
         df = self.spark.sql(sql)
         qe = df._jdf.queryExecution()
         return {

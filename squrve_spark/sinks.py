@@ -94,7 +94,14 @@ def upsert_partitioned(
         new_df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return
     touched = [r[0] for r in new_df.select(partition_col).distinct().collect()]
-    existing = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
+    # isin() never matches NULL: a batch touching the null partition would
+    # silently drop that partition's survivors. Build the predicate
+    # null-safely.
+    non_null = [t for t in touched if t is not None]
+    pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(t is None for t in touched):
+        pred = pred | F.col(partition_col).isNull()
+    existing = spark.read.parquet(path).filter(pred)
     survivors = existing.join(
         F.broadcast(new_df.select(*key_cols).distinct()), on=key_cols, how="left_anti"
     )
@@ -125,10 +132,18 @@ def compact_parquet(
     The standing maintenance job of any long-running ingestion: streaming
     sinks and per-batch writers accrete small files until open/footer
     overhead dominates scans. Compaction here is one read + one
-    round-robin repartition + one write — no data transformation, safe to
-    re-run. Write goes to a temp sibling then atomically renames over the
-    original (best-effort on object stores; on HDFS/local the rename is
-    atomic).
+    repartition + one write — no data transformation, safe to re-run.
+
+    With ``partition_col``, rows repartition BY the partition column so
+    each hive partition lands wholly in one task and writes one file
+    (repartitioning round-robin would scatter every partition across all
+    tasks and multiply files instead of merging them).
+
+    NOT atomic: the swap is two renames (old out, new in); a crash between
+    them leaves the data under ``<path>__old_*`` needing a manual rename
+    back, and a concurrent reader can see ``path`` briefly missing. True
+    atomic compaction needs a table format with a transaction log
+    (Delta/Iceberg); parquet directories can't express it.
     """
     import math
     import os
@@ -144,15 +159,23 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
     tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
-    writer = df.repartition(n_files).write.mode("overwrite")
     if partition_col:
-        writer = writer.partitionBy(partition_col)
+        writer = (
+            df.repartition(n_files, F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+        )
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
     writer.parquet(tmp)
+    written = sum(
+        1 for _dp, _dns, fns in os.walk(tmp) for f in fns if f.endswith(".parquet")
+    )
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
     shutil.move(path, old)
     shutil.move(tmp, path)
     shutil.rmtree(old)
-    return n_files
+    return written
 
 
 def shard_manifest(

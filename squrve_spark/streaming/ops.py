@@ -295,21 +295,29 @@ def write_stream_exactly_once(
     general — different micro-batch boundaries would leave stale
     higher-numbered ``batch_id=`` dirs alongside new data — so this function
     refuses to start when ``out_dir`` already holds batch dirs but
-    ``checkpoint_dir`` has no commit log. Pass ``reset_output=True`` to
-    explicitly clear the stale batch dirs and re-drain from scratch.
+    ``checkpoint_dir`` has never started (no offsets log; a crashed-
+    mid-batch checkpoint HAS an offsets log and restarts fine). Pass
+    ``reset_output=True`` to explicitly clear the stale batch dirs and
+    re-drain from scratch.
 
     An all-empty drain still writes an empty batch-0 directory (schema, zero
     rows) so ``spark.read.parquet(out_dir)`` works after any completed drain.
     """
     import os as _os
 
-    has_commits = _os.path.isdir(_os.path.join(checkpoint_dir, "commits")) and bool(
-        _os.listdir(_os.path.join(checkpoint_dir, "commits"))
+    # A checkpoint that has STARTED (offsets log exists) is a legitimate
+    # same-checkpoint restart even if no batch committed yet — a crash
+    # between foreachBatch's write and the commit-log record leaves
+    # has_output=True with an empty commits/ dir, and the idempotent
+    # per-batch overwrite recovers it correctly. Only a checkpoint with no
+    # offsets at all is genuinely FRESH and unsafe against existing output.
+    has_started = _os.path.isdir(_os.path.join(checkpoint_dir, "offsets")) and bool(
+        _os.listdir(_os.path.join(checkpoint_dir, "offsets"))
     )
     has_output = _os.path.isdir(out_dir) and any(
         d.startswith("batch_id=") for d in _os.listdir(out_dir)
     )
-    if has_output and not has_commits:
+    if has_output and not has_started:
         if not reset_output:
             raise ValueError(
                 f"out_dir {out_dir!r} holds prior batch output but checkpoint "

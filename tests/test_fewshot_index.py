@@ -133,7 +133,7 @@ def test_column_index_persist_roundtrip(spark, tmp_path):
     register_tables(spark, SF_SMALL)
     store = str(tmp_path / "vstore")
     idx = ColumnIndex.build_or_load(spark, ["customer", "nation"], store, db_id="tpch")
-    loaded = ColumnIndex.load(store + "/tpch")
+    loaded = ColumnIndex.load(ColumnIndex.store_path(store, "tpch", ["customer", "nation"]))
     assert loaded.dim == idx.dim
     assert loaded.entries == idx.entries
     q = "customer account balance"
@@ -149,3 +149,15 @@ def test_column_index_persist_roundtrip(spark, tmp_path):
         h["column_name"] for h in idx.retrieve(q, k=5)
     ]
     register_tables(spark, SF_SMALL)  # restore the view for later tests
+
+
+def test_store_keyed_by_table_set_not_just_db_id(spark, tmp_path):
+    """Same db_id over different table subsets must get different stores —
+    a db-only key would serve the smaller index for the bigger request."""
+    register_tables(spark, SF_SMALL)
+    store = str(tmp_path / "vstore2")
+    small = ColumnIndex.build_or_load(spark, ["nation"], store, db_id="x")
+    big = ColumnIndex.build_or_load(spark, ["nation", "customer"], store, db_id="x")
+    assert len(big.entries) > len(small.entries)
+    cols = {e["column_name"] for e in big.entries}
+    assert "c_acctbal" in cols  # customer columns present despite warm small store

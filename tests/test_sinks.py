@@ -177,3 +177,51 @@ def test_partitioned_read_prunes_partitions(spark, tmp_path):
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "part" in pf and "p3" in pf
     assert q.count() == 10
+
+
+def test_compact_parquet_partitioned_merges_within_partitions(spark, tmp_path):
+    """Partitioned compaction must MERGE each hive partition's files (one
+    per partition), never scatter partitions across round-robin tasks."""
+    from squrve_spark.sinks import compact_parquet
+    import os
+
+    path = str(tmp_path / "many_parts")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}") for i in range(300)], "id long, part string"
+    )
+    df.repartition(10).write.partitionBy("part").parquet(path)  # ~30 files
+
+    def files_per_part():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("part="):
+                out[d] = sum(
+                    1 for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")
+                )
+        return out
+
+    assert all(n >= 2 for n in files_per_part().values())
+    before = sorted((r["id"], r["part"]) for r in spark.read.parquet(path).collect())
+    written = compact_parquet(spark, path, target_file_bytes=1 << 30, partition_col="part")
+    per = files_per_part()
+    assert set(per.values()) == {1}, per  # one file per partition
+    assert written == sum(per.values())
+    after = sorted((r["id"], r["part"]) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+
+def test_upsert_partitioned_null_partition_survivors_kept(spark, tmp_path):
+    """Rows already in the NULL partition must survive an upsert that
+    touches the NULL partition (isin() alone never matches NULL)."""
+    from squrve_spark.sinks import upsert_partitioned
+
+    path = str(tmp_path / "nullpart")
+    base = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (3, "c", "p1")],
+        "id long, val string, part string",
+    )
+    upsert_partitioned(spark, base, path, ["id"], "part")
+    batch = spark.createDataFrame([(9, "z", None)], "id long, val string, part string")
+    upsert_partitioned(spark, batch, path, ["id"], "part")
+    got = sorted((r["id"], r["val"], r["part"]) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "a", None), (2, "b", None), (3, "c", "p1"), (9, "z", None)]

@@ -192,3 +192,20 @@ def test_api_explain(service):
     out = _post(f"{service}/api/explain", {"sql": "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey"})
     assert "HashAggregate" in out["formatted"] or "Aggregate" in out["formatted"]
     assert "Exchange" in out["formatted"]
+
+
+def test_api_explain_rejects_side_effects(service):
+    req = urllib.request.Request(
+        f"{service}/api/explain",
+        json.dumps({"sql": "DROP TABLE orders"}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=120)
+        raise AssertionError("expected HTTP 500 for DDL explain")
+    except urllib.error.HTTPError as e:
+        body = json.loads(e.read())
+        assert "query statements only" in body["error"]
+    # the table must still exist
+    ok = _post(f"{service}/api/explain", {"sql": "SELECT count(*) FROM orders"})
+    assert "formatted" in ok

@@ -112,3 +112,17 @@ def test_asof_join_pandas_merge_asof_parity(spark):
              for r in want.itertuples()),
             key=lambda x: (x[0], x[1], -1 if x[2] is None else x[2]))
         assert gsort == wsort, direction
+
+
+def test_asof_join_null_value_in_nearest_row_is_preserved(spark):
+    """The nearest right row wins even when its value is NULL — carrying
+    values independently would resurrect an older non-null value (and leak
+    it past the tolerance bound)."""
+    left = spark.createDataFrame([(1, 12, "x")], "k int, t long, lv string")
+    right = spark.createDataFrame(
+        [(1, 1, 5), (1, 10, None)], "k int, t long, rv int"
+    )
+    out = temporal.asof_join(left, right, ["k"], "t", "t", ["rv"])
+    assert out.collect()[0]["rv_r"] is None  # nearest row (t=10) has NULL rv
+    out_tol = temporal.asof_join(left, right, ["k"], "t", "t", ["rv"], tolerance=5)
+    assert out_tol.collect()[0]["rv_r"] is None  # and never rv=5 from t=1
