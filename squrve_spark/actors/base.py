@@ -87,9 +87,14 @@ class ActorPool:
         pool = cls._families.get(family, {})
         if name in pool:
             return pool[name]
-        lowered = name.lower()
+        # punctuation-insensitive prefix match: reference configs spell
+        # variants like "DIN_SQLGenerator" / "DINSQLGenerator" / "dinsql"
+        import re as _re
+
+        canon = _re.sub(r"[^a-z0-9]", "", name.lower())
         for key, klass in pool.items():
-            if lowered.startswith(key.lower()) or key.lower().startswith(lowered):
+            k = _re.sub(r"[^a-z0-9]", "", key.lower())
+            if canon.startswith(k) or k.startswith(canon):
                 return klass
         raise KeyError(f"no actor named {name!r} in family {family!r}")
 

@@ -132,6 +132,51 @@ class Engine:
         self.root = parse_exec_process(exec_process, self.tasks)
         return self.root
 
+    # -- config-driven construction (reference startup_run/run.py flow) ----
+
+    _TASK_TYPE_ALIASES = {
+        "GenerateTask": "generate",
+        "ReduceTask": "reduce",
+        "ParseTask": "parse",
+        "DecomposeTask": "decompose",
+        "ScaleTask": "scale",
+        "OptimizeTask": "optimize",
+        "SelectTask": "select",
+        "AgentTask": "agent",
+    }
+
+    def build_from_router(self) -> "Engine":
+        """Construct tasks from the router's ``task.task_meta`` section —
+        the reference's config-driven entry point (startup_run/
+        startup_config.json: task_meta rows with task_type
+        'GenerateTask' etc. and meta.task.<family>_type actor names;
+        core/engine.py builds the task list from it). ``task.exec_process``
+        (when present) becomes the plan; otherwise tasks run in declared
+        order."""
+        section = self.router.section("task") or {}
+        for m in section.get("task_meta") or []:
+            raw_type = m.get("task_type", "")
+            ttype = self._TASK_TYPE_ALIASES.get(raw_type) or raw_type.lower().removesuffix(
+                "task"
+            )
+            meta_cfg = m.get("meta") or {}
+            if isinstance(meta_cfg, dict):
+                meta_cfg = meta_cfg.get("task", meta_cfg)
+            actor = (
+                meta_cfg.get(f"{ttype}_type")
+                or m.get(f"{ttype}_type")
+                or ttype
+            )
+            kwargs = {
+                k: v
+                for k, v in meta_cfg.items()
+                if not k.endswith("_type") and k not in ("task_id", "task_type")
+            }
+            self.add_task(m["task_id"], ttype, actor, **kwargs)
+        if section.get("exec_process"):
+            self.plan(section["exec_process"])
+        return self
+
     # -- run & score --------------------------------------------------------
 
     def execute(self, exec_process=None) -> BaseTask:

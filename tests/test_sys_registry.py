@@ -81,3 +81,37 @@ def test_sample_parameter_flows_from_config(spark, tmp_path):
     cfg.write_text(json.dumps({"dataset": {"data_source": "tpch:dev:", "sample": 2}}))
     eng = Engine(Router(str(cfg)), spark=spark, llm=MockLLM())
     assert len(eng.dataset) == 2
+
+
+def test_config_driven_build_and_cli_flow(spark, tmp_path):
+    """Reference startup_run flow: a JSON config declaring task_meta builds
+    the engine, executes, and evaluates without programmatic add_task."""
+    register_tables(spark, SF_SMALL)
+    cfg = {
+        "dataset": {"data_source": "tpch:dev:"},
+        "task": {
+            "task_meta": [
+                {
+                    "task_id": "gen",
+                    "task_type": "GenerateTask",
+                    "meta": {"task": {"generate_type": "gold"}},
+                }
+            ]
+        },
+        "experiment": {"eval_type": ["execute_accuracy"]},
+    }
+    p = tmp_path / "startup_config.json"
+    p.write_text(json.dumps(cfg))
+    eng = Engine(router=Router(config_path=str(p)), spark=spark, llm=MockLLM())
+    eng.build_from_router()
+    eng.execute()
+    res = eng.evaluate()["execute_accuracy"]
+    assert res["avg"] == 1.0
+    assert all(r.get("pred_sql") for r in eng.dataset)
+
+
+def test_actor_resolution_handles_reference_spellings():
+    from squrve_spark.actors.base import ActorPool
+
+    for name in ("DINSQLGenerator", "DIN_SQLGenerator", "dinsql", "DIN_SQL"):
+        assert ActorPool.resolve("generator", name).NAME == "dinsql"
