@@ -153,6 +153,34 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_ngram_freq(
+    df: DataFrame, n: int = 2, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level top-k token n-gram frequency table — the vocabulary/
+    collocation statistic an LM data pipeline reports per corpus snapshot.
+
+    Plan shape: tokens -> n-gram array (JVM ``transform`` over an index
+    ``sequence``, no Python) -> ``explode`` -> groupBy count. The groupBy
+    partial-aggregates map-side, so the single shuffle carries one row per
+    DISTINCT n-gram per task — bounded by vocabulary, not corpus. Top-k via
+    count-desc sort + limit (TakeOrdered, no full sort at the driver).
+    Ties break on the n-gram string so the selected set is deterministic.
+    """
+    toks = tokens_expr(text_col)
+    staged = spread(df).select(toks.alias("_toks")).filter(F.size("_toks") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - n),
+        lambda i: F.concat_ws(" ", *[F.element_at("_toks", i + j + 1) for j in range(n)]),
+    )
+    return (
+        staged.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), "ngram")
+        .limit(k)
+    )
+
+
 def top_ngram_frac(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
     """Fraction of tokens covered by the single most frequent token n-gram
     (Gopher's top-n-gram character-fraction signal, token-based).

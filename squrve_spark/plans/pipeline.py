@@ -203,6 +203,31 @@ def doc_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric_summary(docs, ["n_chars", "doc_id"], exact=True)
 
 
+@register(
+    "doc_ngram_freq",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    oracle=r"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS l FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2
+    ), grams AS (
+        SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS ngram
+        FROM toks
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM grams GROUP BY ngram
+    ORDER BY freq DESC, ngram LIMIT 100
+    """,
+    tags=("text", "corpus-stats"),
+    defer_oracle=True,
+)
+def doc_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-100 bigram frequency table (vocabulary/collocation
+    snapshot): JVM n-gram expansion + map-side-combined count, shuffle
+    bounded by distinct-bigram vocabulary."""
+    return text.corpus_ngram_freq(load_table(spark, sf_dir, "documents"), n=2, k=100)
+
+
 @register("doc_top_ngram", oracle=None, tags=("text", "hygiene", "no-oracle"))
 def doc_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-bigram token coverage per document (Gopher's most-frequent-n-gram
