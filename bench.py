@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line with per-query wall seconds.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract: the per-query timing map (now 80+ entries, ~3.4 KB) is
+written to BENCH_DETAIL.json and printed as an EARLY stdout line; the LAST
+stdout line is a compact summary — guaranteed to fit the driver's bounded
+tail capture, which in round 3 started mid-way through the big line and
+left the round with ``parsed: null``.
 
 Methodology: two passes over the registry. The first (cold) pass pays
 per-plan one-time costs — Catalyst analysis, whole-stage codegen compilation,
@@ -56,21 +61,31 @@ def main() -> None:
     steady = run_pass(spark, sf_dir, steady_errors)
 
     total = round(sum(steady.values()), 3)
+    detail = {
+        "queries": steady,
+        "cold_queries": cold,
+        "sf": sf,
+        "errors": steady_errors,
+        "cold_errors": cold_errors,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    # Early line carries the full map for humans reading the whole log ...
+    print(json.dumps(detail))
+    # ... but the FINAL line is compact: a broken query must make the
+    # headline fail loudly (value=null), never silently shrink the sum.
     out = {
         "metric": "total_wall_seconds_all_queries_steady_state",
-        "value": total,
+        "value": None if steady_errors else total,
         "unit": "sec",
-        "queries": steady,
         "sf": sf,
         "n_queries": len(steady),
+        "n_errors": len(steady_errors),
         "cold_total_sec": round(sum(cold.values()), 3),
+        "detail": "BENCH_DETAIL.json",
     }
-    # per-pass attribution: a transient cold-pass failure with a clean
-    # steady timing must not read as "broken query"
-    if steady_errors:
-        out["errors"] = steady_errors
-    if cold_errors:
-        out["cold_errors"] = cold_errors
     print(json.dumps(out))
 
 
@@ -82,7 +97,8 @@ if __name__ == "__main__":
             "metric": "total_wall_seconds_all_queries_steady_state",
             "value": None,
             "unit": "sec",
-            "queries": {},
+            "n_queries": 0,
+            "n_errors": 1,
             "fatal": f"{type(exc).__name__}: {exc}"[:1000],
         }))
         raise SystemExit(1)

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import tempfile
 import threading
 from concurrent.futures import ThreadPoolExecutor, TimeoutError as FutTimeout
@@ -100,6 +99,34 @@ class ServiceState:
             out["execute_accuracy"] = ev.eval(0, "execute_accuracy")
         return out
 
+    def _reject_commands(self, sql: str) -> None:
+        """Raise ValueError if the parsed (unresolved) plan contains any
+        command/DML node. Verified against PySpark 4.1: plain queries parse
+        to Project/UnresolvedWith/GlobalLimit/... with no Command or
+        ParsedStatement node, while INSERT (incl. the ``WITH ... INSERT``
+        first-token bypass), MERGE/UPDATE/DELETE, DDL, CACHE and SET all
+        carry one."""
+        jvm = self.spark._jvm
+        plan = self.spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+        bad = [
+            jvm.java.lang.Class.forName(n)
+            for n in (
+                "org.apache.spark.sql.catalyst.plans.logical.Command",
+                "org.apache.spark.sql.catalyst.plans.logical.ParsedStatement",
+            )
+        ]
+        stack = [plan]
+        while stack:
+            node = stack.pop()
+            for cls in bad:
+                if cls.isInstance(node):
+                    raise ValueError(
+                        "explain accepts query statements only (got "
+                        f"{node.getClass().getSimpleName()})"
+                    )
+            children = node.children()
+            stack.extend(children.apply(i) for i in range(children.size()))
+
     def explain(self, payload: dict) -> dict:
         """Physical-plan introspection for a SQL string: the same
         `.explain("formatted")` surface the engine's plan audits use,
@@ -110,13 +137,14 @@ class ServiceState:
             raise ValueError("missing 'sql'")
         # spark.sql() EXECUTES commands (DDL/DML) eagerly — only queries are
         # lazy. An explain endpoint must never run side effects, so admit
-        # only query-rooted statements.
-        head = re.sub(r"(--[^\n]*\n|/\*.*?\*/|\s)+", " ", sql, flags=re.S).strip()
-        first = (head.split(None, 1) or [""])[0].upper().lstrip("(")
-        if first not in ("SELECT", "WITH", "VALUES", "TABLE"):
-            raise ValueError(
-                f"explain accepts query statements only (got {first or 'empty'!r})"
-            )
+        # only query statements. Token-sniffing the first keyword is NOT
+        # enough: Spark's grammar allows ``WITH cte AS (...) INSERT INTO``,
+        # which starts with WITH yet executes DML. Parse first and walk the
+        # unresolved logical plan, rejecting any Command (DDL/CACHE/SET/...)
+        # or ParsedStatement (InsertIntoStatement etc.) node anywhere in the
+        # tree — DML cannot hide inside a subquery expression, so walking
+        # ``children`` is exhaustive.
+        self._reject_commands(sql)
         df = self.spark.sql(sql)
         qe = df._jdf.queryExecution()
         return {
@@ -208,6 +236,8 @@ def _make_handler(state: ServiceState):
                     self._send(200, state.explain(payload))
                 else:
                     self._send(404, {"error": "not found"})
+            except ValueError as exc:  # client error: bad/forbidden request
+                self._send(400, {"error": str(exc)})
             except Exception as exc:  # noqa: BLE001 — service containment
                 self._send(500, {"error": str(exc)})
 

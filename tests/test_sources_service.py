@@ -202,10 +202,45 @@ def test_api_explain_rejects_side_effects(service):
     )
     try:
         urllib.request.urlopen(req, timeout=120)
-        raise AssertionError("expected HTTP 500 for DDL explain")
+        raise AssertionError("expected HTTP 4xx for DDL explain")
     except urllib.error.HTTPError as e:
+        assert e.code == 400
         body = json.loads(e.read())
         assert "query statements only" in body["error"]
     # the table must still exist
     ok = _post(f"{service}/api/explain", {"sql": "SELECT count(*) FROM orders"})
     assert "formatted" in ok
+
+
+def test_api_explain_rejects_cte_insert_bypass(service, spark):
+    """Regression (round-3 verdict): ``WITH cte AS (...) INSERT INTO``
+    starts with WITH, so a first-token allowlist admits it and spark.sql()
+    executes the INSERT eagerly. The parse-and-walk guard must reject it
+    and the target table must stay empty."""
+    spark.sql("DROP TABLE IF EXISTS explain_bypass_tgt")
+    spark.sql("CREATE TABLE explain_bypass_tgt (a INT) USING parquet")
+    try:
+        req = urllib.request.Request(
+            f"{service}/api/explain",
+            json.dumps({
+                "sql": "WITH x AS (SELECT 1 AS a) "
+                       "INSERT INTO explain_bypass_tgt SELECT a FROM x"
+            }).encode(),
+            {"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            raise AssertionError("expected HTTP 4xx for WITH...INSERT explain")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            body = json.loads(e.read())
+            assert "query statements only" in body["error"]
+        assert spark.table("explain_bypass_tgt").count() == 0
+        # plain WITH ... SELECT still explains fine
+        ok = _post(f"{service}/api/explain", {
+            "sql": "WITH x AS (SELECT o_custkey FROM orders) "
+                   "SELECT count(*) AS n FROM x"
+        })
+        assert "formatted" in ok
+    finally:
+        spark.sql("DROP TABLE IF EXISTS explain_bypass_tgt")
