@@ -536,9 +536,10 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
       3. quality gate (stopword_ratio >= 0.05 — C4-ish prose filter),
       4. PII scrub (codegen regexp chain),
       5. deterministic 50-per-language sample (md5-hash rank),
-    emitting the per-stage audit: (stage, n_docs). One DataFrame plan end
-    to end — Catalyst sees the whole pipeline, so column pruning reaches
-    the scan and the stages fuse where legal. Invariants (monotone counts,
+    emitting the per-stage audit: (stage, n_docs). Each gate is derived
+    once as a per-doc survival flag and stages 0-3 come from ONE
+    aggregation over the flag frame (plus a small checkpointed sample
+    count) — no stage-prefix recomputation. Invariants (monotone counts,
     no dupes, survivors pass every gate) asserted in tests/test_plans.py.
     """
     from squrve_spark.operators import dedup as D
@@ -546,32 +547,62 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from squrve_spark.operators import sampling as S
 
     docs = load_table(spark, sf_dir, "documents")
-    keep = D.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
-    deduped = docs.join(keep, "doc_id", "left_semi")
+    # Survival FLAGS instead of materialized per-stage corpora: the round-3
+    # audit unioned five count plans that each re-derived all earlier stages
+    # (raw scanned 5x, dedup 4x, ...). Here each gate is derived once, the
+    # per-doc verdicts are joined into one narrow (doc_id, lang, s1..s3)
+    # frame, and stages 0-3 fall out of a SINGLE aggregation. Gate
+    # independence makes this sound: dedup-keep, contamination (vs the fixed
+    # eval set) and quality are all per-document predicates, so scoring them
+    # on the full corpus and AND-ing flags equals scoring each on the
+    # previous stage's survivors.
+    keepers = D.exact_dedup_groups(docs).select(
+        F.col("keep_id").alias("doc_id"), F.lit(True).alias("f_keep")
+    )
     eval_set = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
-    clean = X.decontaminate(deduped, eval_set)
-    scored = text.quality_score(clean).select("doc_id", "stopword_ratio")
-    gated = clean.join(
-        scored.filter(F.col("stopword_ratio") >= 0.05), "doc_id", "left_semi"
+    bad = (
+        X.contamination_scores(docs, eval_set)
+        .filter(F.col("n_hits") >= 1)
+        .select("doc_id", F.lit(True).alias("f_bad"))
     )
-    scrubbed = text.mask_pii(gated)
-    sampled = S.deterministic_sample(
-        scrubbed.select("doc_id", "lang"), per_stratum=50, strata_cols=["lang"]
-    )
-    stages = [
-        ("0_raw", docs), ("1_dedup", deduped), ("2_decontam", clean),
-        ("3_quality", gated), ("4_sampled", sampled),
-    ]
-    audits = [
-        d.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(name).alias("stage"), F.col("n_docs").cast("bigint")
+    quality = text.quality_score(docs).select("doc_id", "stopword_ratio")
+    s1 = F.coalesce(F.col("f_keep"), F.lit(False))
+    s2 = s1 & F.col("f_bad").isNull()
+    flagged = (
+        docs.select("doc_id", "lang")
+        .join(keepers, "doc_id", "left")
+        .join(bad, "doc_id", "left")
+        .join(quality, "doc_id", "left")
+        .select(
+            "doc_id", "lang",
+            s1.alias("s1"), s2.alias("s2"),
+            (s2 & (F.col("stopword_ratio") >= 0.05)).alias("s3"),
         )
-        for name, d in stages
-    ]
-    out = audits[0]
-    for a in audits[1:]:
-        out = out.unionByName(a)
-    return out
+    )
+    # Narrow frame (id, lang, 3 bools) — localCheckpoint is cheap at any
+    # scale and guarantees the two consumers below (head agg + sample count)
+    # compute the gates once instead of replaying the joins. Non-eager keeps
+    # plan construction lazy for plan-shape tests.
+    flagged = flagged.localCheckpoint(eager=False)
+    gated = flagged.filter(F.col("s3")).select("doc_id", "lang")
+    # mask_pii sits between the gate and the sample in the full pipeline; it
+    # rewrites text only (drops no rows), and the audit projects just
+    # (doc_id, lang), so Catalyst prunes the masking expressions away —
+    # the count is identical and the stage costs nothing here.
+    sampled = S.deterministic_sample(gated, per_stratum=50, strata_cols=["lang"])
+    head = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("raw"),
+        F.sum(F.col("s1").cast("bigint")).alias("dedup"),
+        F.sum(F.col("s2").cast("bigint")).alias("decontam"),
+        F.sum(F.col("s3").cast("bigint")).alias("quality"),
+    ).selectExpr(
+        "stack(4, '0_raw', raw, '1_dedup', dedup, '2_decontam', decontam, "
+        "'3_quality', quality) AS (stage, n_docs)"
+    )
+    tail = sampled.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).select(
+        F.lit("4_sampled").alias("stage"), "n_docs"
+    )
+    return head.unionByName(tail)
 
 
 @register("dedup_components", oracle=None, tags=("dedup", "graph", "no-oracle"))

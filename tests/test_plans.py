@@ -168,3 +168,15 @@ def test_pipeline_curate_invariants(spark):
     assert all(a >= b for a, b in zip(seq, seq[1:])), seq
     # eval-set decontamination must remove the planted eval docs themselves
     assert rows["2_decontam"] < rows["1_dedup"]
+
+
+def test_pipeline_curate_audit_no_stage_replay(spark):
+    """Regression (round-3 verdict): the audit used to union five count
+    plans that each re-derived all earlier stages (raw scanned 5x, dedup
+    4x...). Now the gates land in one checkpointed flag frame: the returned
+    plan must read that frame (ExistingRDD), never re-scan documents
+    parquet per stage."""
+    plan = formatted_plan(REGISTRY["pipeline_curate"].fn(spark, SF_MED))
+    assert "documents" not in plan  # no parquet re-scan in the audit plan
+    # two consumers of the checkpointed flag frame (tree + detail lines)
+    assert plan.count("Scan ExistingRDD") <= 4
