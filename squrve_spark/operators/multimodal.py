@@ -8,8 +8,10 @@ Spark-side plumbing (schema, batch shape, partition sizing) is real and
 tested, while the codec itself is stubbed — image/audio libraries are not in
 this container.
 
-``SQURVE_FAKE_DECODE=1`` (default in tests) swaps the codec for a
-deterministic fake so the full pipeline is exercisable end-to-end.
+``SQURVE_FAKE_DECODE=1`` (explicitly set in tests; default OFF) swaps the
+codec for a deterministic fake so the full pipeline is exercisable
+end-to-end. With the default config an unrecognized payload yields an
+``ok=false`` row — never silently fabricated dimensions.
 """
 
 from __future__ import annotations
@@ -68,17 +70,27 @@ def parse_image_header(payload: bytes) -> Optional[tuple[int, int, int]]:
     return None
 
 
-def _decode_image(payload: bytes) -> tuple[int, int, int]:
+def fake_decode_default() -> bool:
+    """Resolve the fake-codec flag from the environment (driver side).
+
+    Defaults to OFF (round-3 verdict): with the fake on by default, a prod
+    user decoding a JPEG would get silently fabricated dimensions. Tests
+    that exercise the fake branch opt in explicitly.
+    """
+    return os.environ.get("SQURVE_FAKE_DECODE", "0") == "1"
+
+
+def _decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, int]:
     """Decode an image payload -> (width, height, channels).
 
     Recognized formats (BMP/PNG) decode for real via their headers; anything
-    else uses the deterministic fake behind SQURVE_FAKE_DECODE (full pixel
-    codecs aren't in this container) or raises.
+    else uses the deterministic fake when ``fake`` is set (full pixel codecs
+    aren't in this container) or raises.
     """
     parsed = parse_image_header(payload)
     if parsed is not None:
         return parsed
-    if os.environ.get("SQURVE_FAKE_DECODE", "1") == "1":
+    if fake:
         h = hashlib.sha256(payload).digest()
         return (h[0] % 64 + 1, h[1] % 64 + 1, 3)
     raise NotImplementedError(
@@ -93,13 +105,20 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
 
 
-def extract_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def extract_media_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    fake_decode: Optional[bool] = None,
+) -> DataFrame:
     """Decode+profile binary payloads via mapInPandas (Arrow batches).
 
     Only (doc_id, payload) is shipped to Python — project before the map so
-    the Arrow transfer doesn't carry unused columns.
+    the Arrow transfer doesn't carry unused columns. ``fake_decode`` is
+    resolved on the DRIVER (None -> SQURVE_FAKE_DECODE env, default off)
+    and captured in the closure, so worker environments don't matter.
     """
     src = spread(df.select("doc_id", payload_col))
+    fake = fake_decode_default() if fake_decode is None else fake_decode
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,7 +127,7 @@ def extract_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame
             for doc_id, p in zip(pdf["doc_id"], payloads):
                 b = bytes(p)
                 try:
-                    w, h, c = _decode_image(b)
+                    w, h, c = _decode_image(b, fake=fake)
                     ok = True
                 except NotImplementedError:
                     w = h = c = None

@@ -43,19 +43,47 @@ def test_parse_rejects_non_images():
     assert multimodal.parse_image_header(b"") is None
 
 
-def test_pipeline_real_decode_branch(spark):
-    """End-to-end mapInPandas over mixed payloads: real headers decode to
-    their true dimensions; non-image payloads take the fake (ok stays true
-    under SQURVE_FAKE_DECODE default)."""
+def _mixed_payloads(spark):
     rows = [
         (1, bytearray(make_bmp(640, 480))),
         (2, bytearray(make_png(320, 200))),
         (3, bytearray(b"not an image at all")),
     ]
-    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_pipeline_real_decode_branch_default_honest(spark, monkeypatch):
+    """Default config (round-4): real headers decode to true dimensions;
+    an unrecognized payload yields ok=false with NULL dims — never silently
+    fabricated ones."""
+    monkeypatch.delenv("SQURVE_FAKE_DECODE", raising=False)
+    df = _mixed_payloads(spark)
     got = {r["doc_id"]: r for r in multimodal.extract_media_meta(df).collect()}
     assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (640, 480, 3)
     assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (320, 200, 4)
     assert got[1]["ok"] and got[2]["ok"]
-    assert got[3]["ok"]  # fake branch, deterministic
+    assert not got[3]["ok"]
+    assert got[3]["width"] is None and got[3]["height"] is None
+    # byte-level profiling still real for the undecodable row
     assert got[3]["n_bytes"] == len(b"not an image at all")
+
+
+def test_pipeline_fake_decode_opt_in(spark):
+    """Explicit opt-in (fake_decode=True or SQURVE_FAKE_DECODE=1): the
+    deterministic fake stands in for the missing pixel codec."""
+    df = _mixed_payloads(spark)
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.extract_media_meta(df, fake_decode=True).collect()
+    }
+    assert got[3]["ok"]  # fake branch, deterministic
+    assert got[3]["width"] is not None
+    # real-header rows are identical with or without the fake
+    assert (got[1]["width"], got[1]["height"]) == (640, 480)
+
+
+def test_fake_decode_env_resolution(monkeypatch):
+    monkeypatch.delenv("SQURVE_FAKE_DECODE", raising=False)
+    assert multimodal.fake_decode_default() is False
+    monkeypatch.setenv("SQURVE_FAKE_DECODE", "1")
+    assert multimodal.fake_decode_default() is True
