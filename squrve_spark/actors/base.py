@@ -92,6 +92,11 @@ class ActorPool:
         import re as _re
 
         canon = _re.sub(r"[^a-z0-9]", "", name.lower())
+        if not canon:
+            # a name like "_" canonicalizes to "", which startswith() treats
+            # as a universal prefix — it must not resolve to an arbitrary
+            # first pool entry
+            raise KeyError(f"no actor named {name!r} in family {family!r}")
         for key, klass in pool.items():
             k = _re.sub(r"[^a-z0-9]", "", key.lower())
             if canon.startswith(k) or k.startswith(canon):

@@ -214,7 +214,10 @@ def top_ngram_frac(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFra
                     out.append((doc_id, 0.0))
                     continue
                 top = Counter(grams).most_common(1)[0][1]
-                out.append((doc_id, round(top * n / len(toks), 4)))
+                # overlapping occurrences ('a a a', n=2 -> 2*2/3) can push
+                # the raw ratio past 1.0; clamp so downstream threshold
+                # filters see a true fraction
+                out.append((doc_id, min(1.0, round(top * n / len(toks), 4))))
             yield pd.DataFrame(out, columns=["doc_id", "top_ngram_frac"])
 
     return spread(df).select("doc_id", text_col).mapInPandas(kernel, schema)

@@ -154,5 +154,20 @@ def test_top_ngram_frac_python_oracle(spark):
     for row in docs.select("doc_id", "text").collect():
         toks = (row["text"] or "").strip().split()
         grams = [tuple(toks[i : i + 2]) for i in range(len(toks) - 1)]
-        want = round(Counter(grams).most_common(1)[0][1] * 2 / len(toks), 4) if grams else 0.0
+        want = (
+            min(1.0, round(Counter(grams).most_common(1)[0][1] * 2 / len(toks), 4))
+            if grams
+            else 0.0
+        )
         assert got[row["doc_id"]] == want, row["doc_id"]
+
+
+def test_top_ngram_frac_clamped_to_one(spark):
+    """Overlapping occurrences ('a a a' with n=2: 2 occurrences * 2 tokens
+    / 3 tokens = 1.33 raw) must clamp to 1.0 — it is a fraction."""
+    from squrve_spark.operators.text import top_ngram_frac
+
+    df = spark.createDataFrame([(1, "a a a"), (2, "b c d")], "doc_id long, text string")
+    got = {r["doc_id"]: r["top_ngram_frac"] for r in top_ngram_frac(df, n=2).collect()}
+    assert got[1] == 1.0
+    assert got[2] == round(2 / 3, 4)

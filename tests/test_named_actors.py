@@ -304,3 +304,13 @@ def test_named_actors_registered_in_pool():
     ]:
         assert ActorPool.resolve("generator", name) is klass
     assert ActorPool.resolve("selector", "chase") is ChaseSelector
+
+
+def test_pool_rejects_punctuation_only_names():
+    """A name canonicalizing to '' ('_', '-') must raise, not prefix-match
+    every pool key and silently resolve to an arbitrary first entry."""
+    import pytest
+
+    for bogus in ("_", "-", "__", "!!"):
+        with pytest.raises(KeyError):
+            ActorPool.resolve("generator", bogus)
