@@ -83,6 +83,9 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY r_name
     """,
     tags=("A17",),
+    # rotated out of the driver cap in round 4 for doc_numeric_profile;
+    # exact parity stays in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARRAY_AGG surface: collect + canonical sort (collect_list order is
@@ -112,6 +115,10 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     tags=("events", "window-agg"),
+    # rotated out of the driver cap in round 4 for doc_ngram_freq: the same
+    # hourly rollup is driver-checked as stream_hourly_counts (identical
+    # counts at every fixture SF); exact parity stays in test_oracle_parity
+    defer_oracle=True,
 )
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling hourly rollup of the event log (batch form of the streaming

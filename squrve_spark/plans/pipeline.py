@@ -102,8 +102,8 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_repetition",
-    # deferred: the driver's 50-slot cap is full; exact DuckDB parity runs in
-    # tests/test_oracle_parity.py
+    # driver-checked since round 4 (rotated in for q_null_handling, which is
+    # subsumed by the outer-join/TPC-H composites)
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
@@ -124,7 +124,6 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t
     """,
     tags=("text", "hygiene"),
-    defer_oracle=True,
 )
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/boilerplate signals (duplicate line and
@@ -186,12 +185,11 @@ def _numeric_profile_oracle() -> str:
 
 @register(
     "doc_numeric_profile",
-    # deferred: driver cap full; parity in tests/test_oracle_parity.py.
-    # Spark exact `percentile` and DuckDB `quantile_cont` both linearly
-    # interpolate, so values agree at 4 dp.
+    # driver-checked since round 4 (rotated in for q_array_agg, subsumed by
+    # composites). Spark exact `percentile` and DuckDB `quantile_cont` both
+    # linearly interpolate, so values agree at 4 dp.
     oracle=_numeric_profile_oracle(),
     tags=("profiling",),
-    defer_oracle=True,
 )
 def doc_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass numeric distribution summary (count/nulls/min/max/mean/
@@ -205,7 +203,8 @@ def doc_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_ngram_freq",
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    # driver-checked since round 4 (rotated in for q_events_hourly, whose
+    # aggregation is identically driver-checked via stream_hourly_counts)
     oracle=r"""
     WITH toks AS (
         SELECT regexp_split_to_array(trim(text), '\s+') AS l FROM documents
@@ -219,7 +218,6 @@ def doc_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY freq DESC, ngram LIMIT 100
     """,
     tags=("text", "corpus-stats"),
-    defer_oracle=True,
 )
 def doc_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus top-100 bigram frequency table (vocabulary/collocation

@@ -260,6 +260,10 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_mktsegment
     """,
     tags=("A6", "A23"),
+    # rotated out of the driver cap in round 4 for doc_repetition: NULL/outer
+    # semantics stay driver-checked via q_outer_join; exact parity here runs
+    # in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IS NULL over outer-join output: customers with no high-value orders.
