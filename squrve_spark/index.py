@@ -53,12 +53,49 @@ def _features_stable(text: str, dim: int) -> np.ndarray:
 
 
 class ColumnIndex:
-    """In-memory column retrieval index: (entries, unit-vector matrix)."""
+    """In-memory column retrieval index: (entries, unit-vector matrix).
 
-    def __init__(self, entries: list[dict], matrix: np.ndarray, dim: int):
+    ``encode_fn`` (optional) plugs in a real embedding model — the
+    reference defaults to ``BAAI/bge-large-en-v1.5``
+    (``core/base.py:131``); this engine ships no model, so the
+    deterministic feature-hash encoder is the default. A custom encoder
+    takes ``list[str] -> (n, dim) array-like``; outputs are l2-normalized
+    here so cosine retrieval is encoder-agnostic. ``encoder_name`` tags
+    the persisted store — a store built with one encoder must never be
+    served to another (see ``build_or_load``).
+    """
+
+    DEFAULT_ENCODER = "feature-hash-v1"
+
+    def __init__(
+        self,
+        entries: list[dict],
+        matrix: np.ndarray,
+        dim: int,
+        encoder_name: str = DEFAULT_ENCODER,
+        encode_fn=None,
+    ):
         self.entries = entries
         self.matrix = matrix
         self.dim = dim
+        self.encoder_name = encoder_name
+        self.encode_fn = encode_fn
+
+    @staticmethod
+    def _encode(
+        texts: list[str], dim: int, encode_fn=None
+    ) -> np.ndarray:
+        if encode_fn is None:
+            rows = [_features_stable(t, dim) for t in texts]
+            return np.stack(rows) if rows else np.zeros((0, dim))
+        m = np.asarray(encode_fn(texts), dtype=np.float64)
+        if m.ndim != 2 or m.shape[0] != len(texts) or m.shape[1] != dim:
+            raise ValueError(
+                f"encode_fn returned shape {m.shape}, expected ({len(texts)}, {dim})"
+            )
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return m / norms
 
     @classmethod
     def build(
@@ -68,22 +105,28 @@ class ColumnIndex:
         db_id: str = "default",
         dim: int = 256,
         descriptions: Optional[dict[str, str]] = None,
+        encode_fn=None,
+        encoder_name: Optional[str] = None,
     ) -> "ColumnIndex":
         central = central_schema_from_catalog(
             spark, db_id, tables, descriptions=descriptions or {}
         )
         entries = central_to_parallel(central)
-        rows = []
-        for e in entries:
-            doc = f"{e['table_name']} {e['column_name']} {e.get('column_descriptions','')}"
-            rows.append(_features_stable(doc, dim))
-        return cls(entries, np.stack(rows) if rows else np.zeros((0, dim)), dim)
+        docs = [
+            f"{e['table_name']} {e['column_name']} {e.get('column_descriptions','')}"
+            for e in entries
+        ]
+        matrix = cls._encode(docs, dim, encode_fn)
+        name = encoder_name or (
+            cls.DEFAULT_ENCODER if encode_fn is None else "custom"
+        )
+        return cls(entries, matrix, dim, encoder_name=name, encode_fn=encode_fn)
 
     def retrieve(self, text: str, k: int = 10) -> list[dict]:
         """Top-k columns by cosine; deterministic tie-break by entry order."""
         if not self.entries:
             return []
-        q = _features_stable(text, self.dim)
+        q = self._encode([text], self.dim, self.encode_fn)[0]
         sims = self.matrix @ q
         order = np.argsort(-sims, kind="stable")[:k]
         return [
@@ -112,10 +155,17 @@ class ColumnIndex:
         )
         pq.write_table(table, os.path.join(path, "index.parquet"))
         with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump({"dim": self.dim, "n_entries": len(self.entries)}, f)
+            json.dump(
+                {
+                    "dim": self.dim,
+                    "n_entries": len(self.entries),
+                    "encoder": self.encoder_name,
+                },
+                f,
+            )
 
     @classmethod
-    def load(cls, path: str) -> "ColumnIndex":
+    def load(cls, path: str, encode_fn=None) -> "ColumnIndex":
         import pyarrow.parquet as pq
 
         with open(os.path.join(path, "meta.json")) as f:
@@ -128,13 +178,33 @@ class ColumnIndex:
             if vecs
             else np.zeros((0, meta["dim"]))
         )
-        return cls(entries, matrix, meta["dim"])
+        return cls(
+            entries,
+            matrix,
+            meta["dim"],
+            encoder_name=meta.get("encoder", cls.DEFAULT_ENCODER),
+            encode_fn=encode_fn,
+        )
 
     @staticmethod
-    def store_path(store_dir: str, db_id: str, tables: list[str]) -> str:
-        """Deterministic per-(db_id, table set) store location."""
+    def store_path(
+        store_dir: str,
+        db_id: str,
+        tables: list[str],
+        dim: int = 256,
+        descriptions: Optional[dict[str, str]] = None,
+        encoder_name: str = DEFAULT_ENCODER,
+    ) -> str:
+        """Deterministic store location keyed by EVERYTHING that shapes the
+        vectors: (db_id, sorted table set, dim, descriptions fingerprint,
+        encoder). A (db_id, tables)-only key silently reused a store built
+        with a different dim or different column descriptions (round-3
+        advice); any such change now lands in a fresh path."""
         tables_key = _stable_hash("\x00".join(sorted(tables)))
-        return os.path.join(store_dir, f"{db_id}_{tables_key:08x}")
+        desc_key = _stable_hash(
+            json.dumps(descriptions or {}, sort_keys=True) + f"|{dim}|{encoder_name}"
+        )
+        return os.path.join(store_dir, f"{db_id}_{tables_key:08x}_{desc_key:08x}")
 
     @classmethod
     def build_or_load(
@@ -145,20 +215,33 @@ class ColumnIndex:
         db_id: str = "default",
         dim: int = 256,
         descriptions: Optional[dict[str, str]] = None,
+        encode_fn=None,
+        encoder_name: Optional[str] = None,
     ) -> "ColumnIndex":
         """Reference-parity warm path: reuse the persisted store for this
-        (db_id, table set) when present, else build and persist it (mirrors
+        configuration when present, else build and persist it (mirrors
         ``build_index``'s 'if vector_store.exists(): continue').
 
-        The store path folds in a hash of the sorted table list: the same
-        db_id queried over different table subsets must not share a store —
-        a db-only key would serve an index missing the extra tables'
-        columns and silently degrade schema linking.
+        The store path folds in the sorted table list, dim, descriptions
+        fingerprint and encoder name: the same db_id under any different
+        configuration must not share a store. On load the meta is
+        belt-and-braces validated (dim + encoder); mismatch rebuilds.
         """
-        path = cls.store_path(store_dir, db_id, tables)
+        name = encoder_name or (
+            cls.DEFAULT_ENCODER if encode_fn is None else "custom"
+        )
+        path = cls.store_path(
+            store_dir, db_id, tables, dim=dim, descriptions=descriptions,
+            encoder_name=name,
+        )
         if os.path.isfile(os.path.join(path, "meta.json")):
-            return cls.load(path)
-        idx = cls.build(spark, tables, db_id=db_id, dim=dim, descriptions=descriptions)
+            idx = cls.load(path, encode_fn=encode_fn)
+            if idx.dim == dim and idx.encoder_name == name:
+                return idx
+        idx = cls.build(
+            spark, tables, db_id=db_id, dim=dim, descriptions=descriptions,
+            encode_fn=encode_fn, encoder_name=name,
+        )
         idx.save(path)
         return idx
 

@@ -161,3 +161,75 @@ def test_store_keyed_by_table_set_not_just_db_id(spark, tmp_path):
     assert len(big.entries) > len(small.entries)
     cols = {e["column_name"] for e in big.entries}
     assert "c_acctbal" in cols  # customer columns present despite warm small store
+
+
+def test_store_keyed_by_dim_and_descriptions(spark, tmp_path):
+    """Round-3 advice: a store built with a different dim or different
+    column descriptions must NOT be silently reused for the same
+    (db_id, tables)."""
+    register_tables(spark, SF_SMALL)
+    store = str(tmp_path / "vstore3")
+    a = ColumnIndex.build_or_load(spark, ["nation"], store, db_id="x", dim=64)
+    b = ColumnIndex.build_or_load(spark, ["nation"], store, db_id="x", dim=128)
+    assert a.dim == 64 and b.dim == 128  # db-only key would have served 64
+    c = ColumnIndex.build_or_load(
+        spark, ["nation"], store, db_id="x", dim=64,
+        descriptions={"nation.n_name": "country name in caps"},
+    )
+    assert c.entries != a.entries  # description reached the rebuilt store
+    # identical config still warm-reuses
+    warm = ColumnIndex.build_or_load(spark, ["nation"], store, db_id="x", dim=64)
+    assert warm.entries == a.entries
+
+
+def test_pluggable_encoder_hook(spark, tmp_path):
+    """A custom encode_fn (stand-in for a real model like bge-large) drives
+    both build and retrieve, round-trips through the persisted store, and
+    never shares a store with the feature-hash default."""
+    import numpy as np
+
+    register_tables(spark, SF_SMALL)
+    calls = {"n": 0}
+
+    def fake_encoder(texts):
+        # deterministic 'model': one-hot on text length mod dim + a marker
+        calls["n"] += 1
+        m = np.zeros((len(texts), 32))
+        for i, t in enumerate(texts):
+            m[i, len(t) % 32] = 1.0
+            m[i, 0] += 0.5
+        return m
+
+    store = str(tmp_path / "vstore4")
+    idx = ColumnIndex.build_or_load(
+        spark, ["nation"], store, db_id="x", dim=32,
+        encode_fn=fake_encoder, encoder_name="fake-v1",
+    )
+    assert calls["n"] == 1 and idx.encoder_name == "fake-v1"
+    hits = idx.retrieve("nation key", k=3)
+    assert calls["n"] == 2  # query embedded through the same encoder
+    assert len(hits) == 3
+    # rows are l2-normalized regardless of what the encoder emitted
+    assert np.allclose(np.linalg.norm(idx.matrix, axis=1), 1.0)
+    # warm reload keeps the encoder wired for queries
+    warm = ColumnIndex.build_or_load(
+        spark, ["nation"], store, db_id="x", dim=32,
+        encode_fn=fake_encoder, encoder_name="fake-v1",
+    )
+    assert warm.encoder_name == "fake-v1"
+    assert [h["column_name"] for h in warm.retrieve("nation key", k=3)] == [
+        h["column_name"] for h in hits
+    ]
+    # the default feature-hash store for the same (db_id, tables) is separate
+    default = ColumnIndex.build_or_load(spark, ["nation"], store, db_id="x", dim=32)
+    assert default.encoder_name == ColumnIndex.DEFAULT_ENCODER
+
+
+def test_encoder_shape_validation():
+    import numpy as np
+    import pytest
+
+    with pytest.raises(ValueError):
+        ColumnIndex._encode(["a", "b"], 8, lambda ts: np.zeros((1, 8)))
+    with pytest.raises(ValueError):
+        ColumnIndex._encode(["a"], 8, lambda ts: np.zeros((1, 4)))
