@@ -36,6 +36,7 @@ def asof_join(
     suffix: str = "_r",
     direction: str = "backward",
     tolerance: int | None = None,
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """As-of join (pandas ``merge_asof`` semantics, distributed): for each
     left row, the nearest right row per key at or before (``backward``,
@@ -49,9 +50,26 @@ def asof_join(
 
     Right side is first made unique per (key, ts) — deterministically, by
     descending natural column order — so ties are stable across engines.
+
+    **Hot-key bound**: the default plan's window partitions by ``key_cols``
+    alone, so ONE task sorts and scans a key's entire timeline — fine for
+    event-per-user data, a straggler when one key holds a large share of
+    the rows. ``chunk_size`` (same unit as the ts columns) switches to a
+    two-pass plan whose per-task work is bounded by (key, time-chunk):
+
+      1. the carry window runs per (key, chunk) — bounded partitions;
+      2. a per-(key, chunk) aggregate (latest right row of each chunk — one
+         row per key x chunk, tiny) gets a cumulative carry ordered by
+         chunk, and rows unmatched within their own chunk take the previous
+         chunks' carry via an equi-join on (key, chunk).
+
+    Results are identical for any chunk_size (property-tested); pick it so
+    a (key, chunk) slice fits a task comfortably.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if chunk_size is not None and chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
     # dedupe right per (key, ts): keep the lexicographically-last value row
     dedup_w = W.partitionBy(*key_cols, right_ts).orderBy(
         *[F.col(v).desc() for v in right_vals]
@@ -100,12 +118,43 @@ def asof_join(
     # side tie-break, so an equal-ts right row still precedes the left row)
     order = [F.col("__t").asc() if direction == "backward" else F.col("__t").desc(),
              F.col("__side").asc()]
-    w = (
-        W.partitionBy(*key_cols)
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    carried = unioned.withColumn("__m", F.last("__pack", ignorenulls=True).over(w))
+    if chunk_size is None:
+        w = (
+            W.partitionBy(*key_cols)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        carried = unioned.withColumn("__m", F.last("__pack", ignorenulls=True).over(w))
+    else:
+        backward = direction == "backward"
+        u = unioned.withColumn(
+            "__chunk", F.floor(F.col("__t") / F.lit(chunk_size)).cast("long")
+        )
+        w_local = (
+            W.partitionBy(*key_cols, "__chunk")
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        local = u.withColumn("__m_loc", F.last("__pack", ignorenulls=True).over(w_local))
+        # chunk summary: one row per (key, chunk). The pack struct leads
+        # with __rt, so max/min of the struct IS the latest/earliest right
+        # row of the chunk (right (key, ts) rows are unique after dedup).
+        ext = F.max("__pack") if backward else F.min("__pack")
+        summary = u.groupBy(*key_cols, "__chunk").agg(ext.alias("__cp"))
+        cum_w = W.partitionBy(*key_cols).orderBy(F.col("__chunk").asc())
+        cum_w = (
+            cum_w.rowsBetween(W.unboundedPreceding, -1)
+            if backward
+            else cum_w.rowsBetween(1, W.unboundedFollowing)
+        )
+        cum = (F.max if backward else F.min)("__cp").over(cum_w)
+        prev = summary.select(
+            *key_cols, "__chunk", cum.alias("__m_cross")
+        )
+        carried = (
+            local.join(prev, [*key_cols, "__chunk"], "left")
+            .withColumn("__m", F.coalesce("__m_loc", "__m_cross"))
+        )
     matched = F.col("__m").isNotNull()
     if tolerance is not None:
         matched = matched & (

@@ -126,3 +126,53 @@ def test_asof_join_null_value_in_nearest_row_is_preserved(spark):
     assert out.collect()[0]["rv_r"] is None  # nearest row (t=10) has NULL rv
     out_tol = temporal.asof_join(left, right, ["k"], "t", "t", ["rv"], tolerance=5)
     assert out_tol.collect()[0]["rv_r"] is None  # and never rv=5 from t=1
+
+
+def test_asof_join_chunked_equals_unchunked(spark):
+    """Hot-key scale path: the two-pass (key, chunk)-bounded plan must be
+    result-identical to the single-window plan for every direction x
+    tolerance x chunk_size combination, on randomized skewed data (one hot
+    key owning most rows, boundary-straddling timestamps, chunks with no
+    right rows)."""
+    import random
+
+    rng = random.Random(41)
+    lrows, rrows = [], []
+    for i in range(300):
+        k = 1 if rng.random() < 0.8 else rng.randint(2, 4)  # hot key 1
+        lrows.append((k, rng.randint(0, 400)))
+    seen = set()
+    for i in range(120):
+        k = 1 if rng.random() < 0.8 else rng.randint(2, 5)
+        t = rng.randint(0, 400)
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rrows.append((k, t, rng.randint(0, 999)))
+    left = spark.createDataFrame(lrows, "k int, t long")
+    right = spark.createDataFrame(rrows, "k int, t long, rv int")
+
+    def norm(df):
+        return sorted(
+            ((r["k"], r["t"], r["rv_r"]) for r in df.collect()),
+            key=lambda x: (x[0], x[1], -1 if x[2] is None else x[2]),
+        )
+
+    for direction in ("backward", "forward"):
+        for tolerance in (None, 25):
+            base = norm(temporal.asof_join(
+                left, right, ["k"], "t", "t", ["rv"],
+                direction=direction, tolerance=tolerance,
+            ))
+            for chunk in (1, 37, 100, 10_000):  # sub-unit .. everything-in-one
+                got = norm(temporal.asof_join(
+                    left, right, ["k"], "t", "t", ["rv"],
+                    direction=direction, tolerance=tolerance, chunk_size=chunk,
+                ))
+                assert got == base, (direction, tolerance, chunk)
+
+
+def test_asof_join_chunked_rejects_bad_chunk():
+    import pytest
+
+    with pytest.raises(ValueError):
+        temporal.asof_join(None, None, ["k"], "t", "t", ["rv"], chunk_size=0)
