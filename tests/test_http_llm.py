@@ -15,10 +15,12 @@ from squrve_spark.llm import HTTPLLMClient
 
 
 class _FakeChatServer:
-    """Tiny chat-completions endpoint: scripted per-request status codes."""
+    """Tiny chat-completions endpoint: scripted per-request status codes
+    and a configurable assistant reply."""
 
-    def __init__(self, statuses: list[int]):
+    def __init__(self, statuses: list[int], content: str = "SELECT 1"):
         self.statuses = list(statuses)
+        self.content = content
         self.requests: list[dict] = []
         outer = self
 
@@ -36,7 +38,7 @@ class _FakeChatServer:
                 resp = json.dumps(
                     {
                         "choices": [
-                            {"message": {"role": "assistant", "content": "SELECT 1"}}
+                            {"message": {"role": "assistant", "content": outer.content}}
                         ]
                     }
                 ).encode()
@@ -112,5 +114,49 @@ def test_exhausted_retries_raise_runtime_error():
         with pytest.raises(RuntimeError, match="after 3 attempts"):
             client.complete("p")
         assert len(srv.requests) == 3
+    finally:
+        srv.shutdown()
+
+
+def test_cli_e2e_with_http_llm(spark, tmp_path, capsys):
+    """Full reference-style entry point against a live-shaped backend:
+    ``python -m squrve_spark config.json`` with ``llm: {use: "http"}``
+    resolves the HTTP adapter, the LLM-backed generator round-trips through
+    the fake chat server, and the CLI's JSON output reports EX accuracy
+    (round-3 verdict item 9)."""
+    srv = _FakeChatServer([200], content="SELECT count(*) AS n FROM nation")
+    try:
+        cfg = tmp_path / "config.json"
+        cfg.write_text(json.dumps({
+            "dataset": {"data_source": "tpch:dev:", "sample": 1},
+            "llm": {
+                "use": "http",
+                "base_url": srv.url,
+                "model_name": "fake-model",
+                "temperature": 0.0,
+                "max_token": 128,
+            },
+            "task": {
+                "task_meta": [
+                    {
+                        "task_id": "gen",
+                        "task_type": "GenerateTask",
+                        "meta": {"task": {"generate_type": "llmgen"}},
+                    }
+                ]
+            },
+            "experiment": {"eval_type": ["execute_accuracy"]},
+        }))
+        from squrve_spark.__main__ import main
+
+        rc = main([str(cfg)])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0
+        assert out["metrics"]["execute_accuracy"]["avg"] == 1.0
+        [pred] = out["predictions"]
+        assert pred["instance_id"] == "tpch_dev_0"
+        assert "nation" in pred["pred_sql"]
+        # the generation really went over the wire
+        assert srv.requests and srv.requests[0]["body"]["model"] == "fake-model"
     finally:
         srv.shutdown()
