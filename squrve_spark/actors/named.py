@@ -100,35 +100,155 @@ def group_by_equivalence(executed: list) -> list[list[int]]:
 
 @ActorPool.register("generator")
 class DINSQLGenerator(SparkActor):
-    """DIN-SQL: schema-link -> difficulty classification (EASY / NON-NESTED /
-    NESTED) -> tier-specific prompt -> LLM-only self-correction pass (the
-    reference's debug step never executes SQL)."""
+    """DIN-SQL, the paper's four documented stages with the reference's
+    prompt section frames (DINSQLGenerate.py:49-530): (1) schema linking
+    ("Let's think step by step" CoT ending in ``Schema_links: [...]``),
+    (2) difficulty classification (EASY / NON-NESTED / NESTED with the
+    nested tier's sub-questions parsed from the classification CoT's
+    ``questions = [...]`` list), (3) a tier-specific prompt — easy
+    Q/Schema_links/SQL triples, medium with an
+    ``Intermediate_representation`` step, hard with sub-question stepping —
+    and (4) an LLM-only self-correction pass with the reference's numbered
+    fixing rules (the debug step never executes SQL). Few-shot bodies are
+    compact TPC-H-schema analogs of the reference's Spider-schema examples;
+    the stage instructions and output markers match the reference verbatim
+    so downstream parsers (``Schema_links:``, ``Label:``) are
+    format-compatible."""
 
     NAME = "dinsql"
     OUTPUT_NAME = "pred_sql"
-    SKILL = "DIN-SQL tiered generation: classify difficulty, prompt per tier, LLM self-debug."
+    SKILL = "DIN-SQL tiered generation: link schema, classify difficulty, prompt per tier, LLM self-debug."
 
+    LINK_PROMPT = (
+        "# Find the schema_links for generating SQL queries for each question "
+        "based on the database schema and Foreign keys.\n"
+        "Table nation, columns = [*,n_nationkey,n_name,n_regionkey]\n"
+        "Table region, columns = [*,r_regionkey,r_name]\n"
+        "Foreign_keys = [nation.n_regionkey = region.r_regionkey]\n"
+        'Q: "Find the names of nations in the AMERICA region."\n'
+        "A: Let's think step by step. In the question, we are asked for 'the "
+        "names of nations', so we need column = [nation.n_name]. The region "
+        "filter needs column = [region.r_name] and the comparison value "
+        '"AMERICA". The join needs foreign key '
+        "[nation.n_regionkey = region.r_regionkey].\n"
+        "Schema_links: [nation.n_name,nation.n_regionkey = "
+        "region.r_regionkey,region.r_name,AMERICA]\n\n"
+        "{schema}\n"
+        'Q: "{question}"\n'
+        "A: Let's think step by step."
+    )
     CLASSIFY_PROMPT = (
-        "Schema links: {links}\nQuestion: {question}\n"
-        "Classify the SQL this needs as exactly one of EASY (single table, no "
-        "nesting), NON-NESTED (joins, no subquery), NESTED (subquery or "
-        "INTERSECT/UNION/EXCEPT/IN/NOT IN). Answer with the label only."
+        "# For the given question, classify it as EASY, NON-NESTED, or NESTED "
+        "based on nested queries and JOIN.\n"
+        "\nif need nested queries: predict NESTED\n"
+        "elif need JOIN and don't need nested queries: predict NON-NESTED\n"
+        "elif don't need JOIN and don't need nested queries: predict EASY\n\n"
+        "{schema}\n"
+        'Q: "How many regions are there?"\n'
+        "schema_links: [region.*]\n"
+        "A: Let's think step by step. The SQL query for the question needs "
+        "these tables = [region], so we don't need JOIN.\n"
+        "Plus, it doesn't require nested queries with (INTERSECT, UNION, "
+        'EXCEPT, IN, NOT IN), and we need the answer to the questions = [""].\n'
+        "So, we don't need JOIN and don't need nested queries, then the SQL "
+        'query can be classified as "EASY".\n'
+        'Label: "EASY"\n\n'
+        'Q: "Find the nations that have no orders."\n'
+        "schema_links: [nation.n_name,nation.n_nationkey = "
+        "customer.c_nationkey,customer.c_custkey = orders.o_custkey]\n"
+        "A: Let's think step by step. The SQL query for the question needs "
+        "these tables = [nation,customer,orders], so we need JOIN.\n"
+        "Plus, it requires nested queries with (INTERSECT, UNION, EXCEPT, IN, "
+        'NOT IN), and we need the answer to the questions = ["Which nations '
+        'have orders?"].\n'
+        "So, we need JOIN and need nested queries, then the SQL query can be "
+        'classified as "NESTED".\n'
+        'Label: "NESTED"\n\n'
+        'Q: "{question}"\n'
+        "schema_links: {links}\n"
+        "A: Let's think step by step."
     )
-    EASY_PROMPT = "Schema:\n{schema}\nQuestion: {question}\nWrite ONE Spark SQL query. Return only SQL."
-    NON_NESTED_PROMPT = (
-        "Schema:\n{schema}\nSchema links: {links}\nQuestion: {question}\n"
-        "Think step by step about the joins needed, then write ONE Spark SQL query."
+    EASY_PROMPT = (
+        "# Use the schema links to generate the SQL queries for each of the "
+        "questions.\n{schema}\n"
+        "### Here are some reference examples:\n#\n"
+        'Q: "How many regions are there?"\n'
+        "Schema_links: [region.*]\n"
+        "SQL: SELECT count(*) FROM region\n\n"
+        'Q: "Find the names of nations with nation key below 5."\n'
+        "Schema_links: [nation.n_name,nation.n_nationkey,5]\n"
+        "SQL: SELECT n_name FROM nation WHERE n_nationkey < 5\n"
+        "###\n"
+        'Q: "{question}"\nSchema_links: {links}\nSQL:'
     )
-    NESTED_PROMPT = (
-        "Schema:\n{schema}\nSchema links: {links}\nQuestion: {question}\n"
-        "Sub-questions:\n{subs}\nSolve each sub-question as SQL, then compose "
-        "the final Spark SQL query. Return the final SQL last."
+    MEDIUM_PROMPT = (
+        "# Use the schema links and Intermediate_representation to generate "
+        "the SQL queries for each of the questions.\n{schema}\n"
+        "### Here are some reference examples:\n#\n"
+        'Q: "Find the names of customers in nations of the ASIA region."\n'
+        "Schema_links: [customer.c_name,customer.c_nationkey = "
+        "nation.n_nationkey,nation.n_regionkey = region.r_regionkey,"
+        "region.r_name,ASIA]\n"
+        "A: Let's think step by step. For creating the SQL for the given "
+        "question, we need to join these tables = [customer,nation,region]. "
+        "First, create an intermediate representation, then use it to "
+        "construct the SQL query.\n"
+        "Intermediate_representation: select customer.c_name from customer , "
+        'nation , region where region.r_name = "ASIA"\n'
+        "SQL: SELECT c_name FROM customer JOIN nation ON c_nationkey = "
+        "n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = "
+        "'ASIA'\n"
+        "###\n"
+        'Q: "{question}"\nSchema_links: {links}\n'
+        "A: Let's think step by step."
     )
-    DECOMPOSE_PROMPT = "Question: {question}\nList the sub-questions needed, numbered."
+    HARD_PROMPT = (
+        "# Use the intermediate representation and the schema links to "
+        "generate the SQL queries for each of the questions.\n{schema}\n"
+        "### Here are some reference examples:\n#\n"
+        '[Question]: "Find the nations that have no orders."\n'
+        "schema_links: [nation.n_name,nation.n_nationkey = "
+        "customer.c_nationkey,customer.c_custkey = orders.o_custkey]\n"
+        "[Analysis]: Let's think step by step. \"Find the nations that have "
+        'no orders." can be solved by knowing the answer to the following '
+        'sub-question "Which nations have orders?".\n'
+        'The SQL query for the sub-question "Which nations have orders?" is '
+        "SELECT DISTINCT n_nationkey FROM nation JOIN customer ON n_nationkey "
+        "= c_nationkey JOIN orders ON c_custkey = o_custkey\n"
+        'So, the answer to the question "Find the nations that have no '
+        'orders." is =\n'
+        "Intermediate_representation: select nation.n_name from nation where "
+        "@.@ not in (the sub-query)\n"
+        "SQL: SELECT n_name FROM nation WHERE n_nationkey NOT IN (SELECT "
+        "c_nationkey FROM customer JOIN orders ON c_custkey = o_custkey)\n"
+        "###\n"
+        'Q: "{question}"\nschema_links: {links}\n'
+        "A: Let's think step by step. \"{question}\" can be solved by knowing "
+        'the answer to the following sub-question "{subs}".\n'
+        'The SQL query for the sub-question"'
+    )
     DEBUG_PROMPT = (
-        "For the question: {question}\nwith schema:\n{schema}\n"
-        "check this Spark SQL for bugs and return the corrected SQL "
-        "(or the same SQL if correct):\n{sql}"
+        "#### For the given question, use the provided tables, columns, "
+        "foreign keys, and primary keys to fix the given Spark SQL QUERY for "
+        "any issues. If there are any problems, fix them. If there are no "
+        "issues, return the Spark SQL QUERY as is.\n"
+        "#### Use the following instructions for fixing the SQL QUERY:\n"
+        "1) Use the database values that are explicitly mentioned in the "
+        "question.\n"
+        "2) Pay attention to the columns that are used for the JOIN by using "
+        "the Foreign_keys.\n"
+        "3) Use DESC and DISTINCT when needed.\n"
+        "4) Pay attention to the columns that are used for the GROUP BY "
+        "statement.\n"
+        "5) Pay attention to the columns that are used for the SELECT "
+        "statement.\n"
+        "6) Only change the GROUP BY clause when necessary (Avoid redundant "
+        "columns in GROUP BY).\n"
+        "7) Use GROUP BY on one column only.\n\n"
+        "{schema}\n#### Question: {question}\n"
+        "#### Original Spark SQL QUERY\n{sql}\n"
+        "#### Output only the fixed SQL query, without any explanation or "
+        "extra text:"
     )
 
     def act(self, item: int, **kwargs) -> dict:
@@ -136,27 +256,39 @@ class DINSQLGenerator(SparkActor):
         schema = kwargs.get("schema_ddl") or row.get("schema_ddl") or self.schema_ddl(row)
         question = row.get("question", "")
         links = kwargs.get("schema_links") or row.get("schema_links") or []
-        label = self.llm.complete(
-            self.CLASSIFY_PROMPT.format(links=links, question=question)
-        ).strip().upper()
-        if "NESTED" in label and "NON" not in label:
-            subs_out = self.llm.complete(self.DECOMPOSE_PROMPT.format(question=question))
-            subs = [
-                re.sub(r"^\s*\d+[.)]\s*", "", ln).strip()
-                for ln in subs_out.splitlines()
-                if re.match(r"^\s*\d+[.)]", ln)
-            ] or [question]
-            prompt = self.NESTED_PROMPT.format(
-                schema=schema, links=links, question=question,
-                subs="\n".join(f"{i+1}. {s}" for i, s in enumerate(subs)),
+        if not links:
+            link_out = self.llm.complete(
+                self.LINK_PROMPT.format(schema=schema, question=question)
             )
+            m = re.search(r"Schema_links:\s*\[([^\]]*)\]", link_out)
+            links = (
+                [s.strip() for s in m.group(1).split(",") if s.strip()] if m else []
+            )
+        cls_out = self.llm.complete(
+            self.CLASSIFY_PROMPT.format(schema=schema, question=question, links=links)
+        )
+        m = re.search(r'Label:\s*"?([A-Z-]+)"?', cls_out)
+        label = (m.group(1) if m else cls_out).strip().upper()
+        if "NESTED" in label and "NON" not in label:
             label = "NESTED"
+            # the reference reads sub-questions out of the classification
+            # CoT's `questions = ["..."]` list (DINSQLGenerate.py:654-662)
+            qm = re.search(r"questions\s*=\s*\[(.*?)\]", cls_out, re.S)
+            subs = re.findall(r'"([^"]+)"', qm.group(1)) if qm else []
+            prompt = self.HARD_PROMPT.format(
+                schema=schema, question=question, links=links,
+                subs="; ".join(subs) or question,
+            )
         elif "NON" in label:
-            prompt = self.NON_NESTED_PROMPT.format(schema=schema, links=links, question=question)
             label = "NON-NESTED"
+            prompt = self.MEDIUM_PROMPT.format(
+                schema=schema, links=links, question=question
+            )
         else:
-            prompt = self.EASY_PROMPT.format(schema=schema, question=question)
             label = "EASY"
+            prompt = self.EASY_PROMPT.format(
+                schema=schema, links=links, question=question
+            )
         sql = extract_sql(self.llm.complete(prompt))
         sql = extract_sql(
             self.llm.complete(self.DEBUG_PROMPT.format(question=question, schema=schema, sql=sql))
@@ -339,9 +471,18 @@ class MACSQLGenerator(SparkActor):
 class CHESSGenerator(SparkActor):
     """CHESS: keyword extraction -> column-value retrieval (sampled values
     from the linked tables, matched against keywords) -> ``n_candidates``
-    generations -> LLM-generated natural-language unit tests score each
-    candidate (with its Spark execution preview as evidence) -> best scorer
-    wins; a final revise pass runs if the winner fails any test."""
+    generations -> LLM-generated natural-language unit tests evaluate ALL
+    candidates together per test (with Spark execution previews as
+    evidence) -> best scorer wins; a final revise pass runs if the winner
+    fails any test.
+
+    The unit-test generation and evaluation prompts reproduce the
+    reference's documented templates (CHESSPrompt.py:22-60
+    ``template_evaluate`` and :1669-1710 ``template_generate_unit_tests``):
+    ``** Instructions / Database Schema / Question / Candidate SQL Queries /
+    Unit Test / Output Format **`` sections, ``<Thinking>``/``<Answer>``
+    tags, 'The answer SQL query should ...' test phrasing, and per-line
+    ``Candidate Response #N: [Passed]/[Failed]`` verdicts."""
 
     NAME = "chessgen"
     OUTPUT_NAME = "pred_sql"
@@ -357,12 +498,61 @@ class CHESSGenerator(SparkActor):
         "Write ONE Spark SQL query (variant {i}). Return only SQL."
     )
     TESTS_PROMPT = (
-        "Question: {question}\nWrite {n} short unit tests (one per line) that a "
-        "correct SQL answer must satisfy."
+        "** Instructions: **\n"
+        "Given the following question, database schema, and candidate "
+        "responses, generate a set of {n} unit tests that would evaluate the "
+        "correctness of SQL queries that would answer the question.\n"
+        "Unit tests should be designed in a way that distinguish the "
+        "candidate responses from each other.\n"
+        "- The unit tests should cover various aspects of the question and "
+        "ensure comprehensive evaluation.\n"
+        "- Each unit test should be clearly stated and should include the "
+        "expected outcome.\n"
+        "- The unit test should be formatted like 'The answer SQL query "
+        "should mention...', 'The answer SQL query should state...', 'The "
+        "answer SQL query should use...', etc. followed by the expected "
+        "outcome.\n"
+        "- First think step by step how you can design the unit tests to "
+        "distinguish the candidate responses using the <Thinking> tags.\n"
+        "- After the thinking process, provide the list of unit tests in the "
+        "<Answer> tags.\n\n"
+        "** Database Schema: **\n{schema}\n\n"
+        "** Question: **\nQuestion: {question}\n\n"
+        "** Candidate SQL Queries: **\n{candidates}\n\n"
+        "** Output Format: **\n"
+        "<Thinking> Your step by step reasoning here. </Thinking>\n"
+        "<Answer>\n"
+        "output should be only a list of strings (e.g. ['unit test #1', "
+        "'unit test #2', 'unit test #3']).\n"
+        "</Answer>"
     )
-    JUDGE_PROMPT = (
-        "Unit test: {test}\nSQL: {sql}\nExecution preview:\n{preview}\n"
-        "Does the SQL satisfy the test? Answer PASS or FAIL."
+    EVALUATE_PROMPT = (
+        "** Instructions: **\n"
+        "Given the following question, database schema, a candidate SQL "
+        "query response, and unit tests, evaluate whether or not the "
+        "response passes each unit test.\n"
+        "- In your evaluation, you should consider how the responses align "
+        "with the given unit test.\n"
+        "- Provide reasoning before you return your evaluation inside the "
+        "<Thinking> tags.\n"
+        "- At the end of your evaluation, you must finish with a list of "
+        "verdicts corresponding to each candidate responses in <Answer> and "
+        "</Answer> tags.\n"
+        "- You must include a verdict with one of these formatted options: "
+        "'[Passed]' or '[Failed]'\n"
+        "- Each verdict should be on a new line and correspond to the "
+        "candidate response in the same order as they are provided.\n\n"
+        "** Database Schema: **\n{schema}\n\n"
+        "** Question: **\nQuestion: {question}\n\n"
+        "** Candidate SQL Queries: **\n{candidates}\n\n"
+        "** Unit Test: **\n{test}\n\n"
+        "** Output Format: **\n"
+        "<Thinking> Your step by step reasoning here. </Thinking>\n"
+        "<Answer>\n"
+        "Candidate Response #1: [Passed]\n"
+        "Candidate Response #2: [Failed]\n"
+        "...\n"
+        "</Answer>"
     )
     REVISE_PROMPT = (
         "SQL: {sql}\nfailed unit tests:\n{failed}\nSchema:\n{schema}\n"
@@ -397,32 +587,53 @@ class CHESSGenerator(SparkActor):
             cands.append(extract_sql(self.llm.complete(
                 self.GEN_PROMPT.format(schema=schema, values=values, question=question, i=i + 1)
             )))
-        tests = [
-            ln.strip("-• \t")
-            for ln in self.llm.complete(
-                self.TESTS_PROMPT.format(question=question, n=self.N_TESTS)
-            ).splitlines()
-            if ln.strip()
-        ][: self.N_TESTS]
-        scored = []  # (passes, failed_tests, sql)
-        for sql in cands:
-            preview = X.execute_sql(self.spark, sql, max_rows=5, max_chars=500)
-            passes, failed = 0, []
-            for t in tests:
-                verdict = self.llm.complete(
-                    self.JUDGE_PROMPT.format(test=t, sql=sql, preview=preview)
-                )
-                if "PASS" in verdict.upper():
-                    passes += 1
+        # candidates (with execution previews as grounding evidence) are
+        # presented TOGETHER: tests are generated to distinguish them, and
+        # each test evaluates all candidates in one call (reference flow)
+        cands_block = "\n".join(
+            f"Candidate Response #{i + 1}: {sql}\nExecution preview:\n"
+            f"{X.execute_sql(self.spark, sql, max_rows=5, max_chars=500)}"
+            for i, sql in enumerate(cands)
+        )
+        tests = self._parse_tests(
+            self.llm.complete(self.TESTS_PROMPT.format(
+                question=question, n=self.N_TESTS, schema=schema,
+                candidates=cands_block,
+            ))
+        )[: self.N_TESTS]
+        passes_per = [0] * len(cands)
+        failed_per: list[list[str]] = [[] for _ in cands]
+        for t in tests:
+            out = self.llm.complete(self.EVALUATE_PROMPT.format(
+                schema=schema, question=question, candidates=cands_block, test=t
+            ))
+            verdicts = dict(re.findall(
+                r"Candidate Response #(\d+):\s*\[(Passed|Failed)\]", out
+            ))
+            for i in range(len(cands)):
+                if verdicts.get(str(i + 1), "Failed") == "Passed":
+                    passes_per[i] += 1
                 else:
-                    failed.append(t)
-            scored.append((passes, failed, sql))
-        passes, failed, sql = max(scored, key=lambda s: s[0])
+                    failed_per[i].append(t)
+        best = max(range(len(cands)), key=lambda i: passes_per[i])
+        passes, failed, sql = passes_per[best], failed_per[best], cands[best]
         if failed:
             sql = extract_sql(self.llm.complete(self.REVISE_PROMPT.format(
                 sql=sql, failed="\n".join(failed), schema=schema, question=question
             )))
         return {"pred_sql": sql, "unit_test_passes": passes}
+
+    @staticmethod
+    def _parse_tests(out: str) -> list[str]:
+        """Unit tests from the <Answer> list-of-strings block; plain lines
+        as the fallback when the LLM skips the tags."""
+        m = re.search(r"<Answer>(.*?)</Answer>", out, re.S)
+        body = m.group(1) if m else out
+        quoted = re.findall(r"'((?:[^'\\]|\\.)+)'|\"((?:[^\"\\]|\\.)+)\"", body)
+        tests = [a or b for a, b in quoted]
+        if tests:
+            return tests
+        return [ln.strip("-• \t") for ln in body.splitlines() if ln.strip()]
 
 
 # ---------------------------------------------------------------------------

@@ -79,33 +79,96 @@ def test_dinsql_nested_tier(spark):
     register_tables(spark, SF_SMALL, ["nation"])
     llm = MockLLM(
         rules=[
-            (r"Classify the SQL", "NESTED"),
-            (r"List the sub-questions", "1. count the nations\n2. keep every region"),
-            (r"Sub-questions:", "SELECT count(*) FROM nation"),
-            (r"check this Spark SQL for bugs", GOOD_COUNT),
+            (r"Find the schema_links", "Schema_links: [nation.n_nationkey]"),
+            (
+                r"classify it as EASY, NON-NESTED, or NESTED",
+                'it requires nested queries, and we need the answer to the '
+                'questions = ["count the nations"].\nLabel: "NESTED"',
+            ),
+            (r"intermediate representation and the schema links",
+             "SELECT count(*) FROM nation"),
+            (r"fixing the SQL QUERY", GOOD_COUNT),
         ]
     )
     actor = DINSQLGenerator(dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm)
     out = actor.act(0)
     assert out == {"pred_sql": GOOD_COUNT, "difficulty": "NESTED"}
-    nested_prompt = next(p for p in llm.calls if "Sub-questions:" in p)
-    assert "1. count the nations" in nested_prompt  # decomposition reached the tier prompt
+    hard_prompt = next(p for p in llm.calls if "[Analysis]" in p)
+    # the classification CoT's sub-question reached the hard-tier stepping
+    assert 'sub-question "count the nations"' in hard_prompt
+    # linking stage output reached classification
+    cls_prompt = next(p for p in llm.calls if "classify it as EASY" in p)
+    assert "nation.n_nationkey" in cls_prompt
 
 
 def test_dinsql_easy_tier_skips_decomposition(spark):
     register_tables(spark, SF_SMALL, ["nation"])
     llm = MockLLM(
         rules=[
-            (r"Classify the SQL", "EASY"),
-            (r"check this Spark SQL for bugs", GOOD_COUNT),
-            (r"Write ONE Spark SQL", GOOD_COUNT),
+            (r"Find the schema_links", "Schema_links: [nation.*]"),
+            (r"classify it as EASY, NON-NESTED, or NESTED", 'Label: "EASY"'),
+            (r"fixing the SQL QUERY", GOOD_COUNT),
+            (r"Use the schema links to generate", GOOD_COUNT),
         ]
     )
     out = DINSQLGenerator(
         dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
     ).act(0)
     assert out["difficulty"] == "EASY"
-    assert not any("Sub-questions" in p for p in llm.calls)
+    assert not any("[Analysis]" in p for p in llm.calls)
+
+
+def test_dinsql_prompt_section_fidelity(spark):
+    """The four stages carry the reference's documented section frames
+    (DINSQLGenerate.py:49-530): schema-linking instruction + Schema_links
+    output, the three-way classification rule block + Label output, the
+    per-tier markers (reference-examples header, Intermediate_representation,
+    sub-question stepping), and the numbered self-correction rules."""
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (r"Find the schema_links", "Schema_links: [nation.n_nationkey]"),
+            (
+                r"classify it as EASY",
+                'questions = ["which nations exist"].\nLabel: "NESTED"',
+            ),
+            (r".", GOOD_COUNT),
+        ]
+    )
+    DINSQLGenerator(dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm).act(0)
+    link, cls, hard, debug = llm.calls
+    assert link.startswith(
+        "# Find the schema_links for generating SQL queries for each question"
+    )
+    assert "Foreign_keys = [" in link and "Let's think step by step" in link
+    assert "# For the given question, classify it as EASY, NON-NESTED, or NESTED" in cls
+    assert "if need nested queries: predict NESTED" in cls
+    assert 'Label: "EASY"' in cls and 'Label: "NESTED"' in cls  # few-shot labels
+    assert "# Use the intermediate representation and the schema links" in hard
+    assert "### Here are some reference examples:" in hard
+    assert "[Question]:" in hard and "[Analysis]:" in hard
+    assert "Intermediate_representation:" in hard
+    assert 'The SQL query for the sub-question"' in hard
+    assert "#### Use the following instructions for fixing the SQL QUERY:" in debug
+    assert "7) Use GROUP BY on one column only." in debug
+    assert "#### Original Spark SQL QUERY" in debug
+
+
+def test_dinsql_medium_tier_intermediate_representation(spark):
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (r"Find the schema_links", "Schema_links: [nation.n_name]"),
+            (r"classify it as EASY", 'Label: "NON-NESTED"'),
+            (r".", GOOD_COUNT),
+        ]
+    )
+    out = DINSQLGenerator(
+        dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    assert out["difficulty"] == "NON-NESTED"
+    medium = next(p for p in llm.calls if "Intermediate_representation" in p)
+    assert "# Use the schema links and Intermediate_representation" in medium
 
 
 def test_dailsql_selects_by_question_and_skeleton_similarity(spark):
@@ -151,8 +214,20 @@ def test_chess_unit_tests_score_candidates(spark):
     llm = MockLLM(
         rules=[
             (r"List the literal keywords", "KENYA"),
-            (r"short unit tests", "1. result is a single number\n2. counts nation rows"),
-            (r"Answer PASS or FAIL", "PASS"),
+            (
+                r"generate a set of \d+ unit tests",
+                "<Thinking>distinguish on shape</Thinking>\n<Answer>\n"
+                "['The answer SQL query should return a single number', "
+                "'The answer SQL query should use count on nation rows']\n"
+                "</Answer>",
+            ),
+            (
+                r"evaluate whether or not the response passes",
+                "<Thinking>all count</Thinking>\n<Answer>\n"
+                "Candidate Response #1: [Passed]\n"
+                "Candidate Response #2: [Passed]\n"
+                "Candidate Response #3: [Passed]\n</Answer>",
+            ),
             (r"variant", GOOD_COUNT),
         ]
     )
@@ -167,8 +242,16 @@ def test_chess_revises_when_winner_fails_a_test(spark):
     llm = MockLLM(
         rules=[
             (r"List the literal keywords", ""),
-            (r"short unit tests", "1. result is a single number"),
-            (r"Answer PASS or FAIL", "FAIL"),
+            (
+                r"generate a set of \d+ unit tests",
+                "<Answer>\n['The answer SQL query should return a single number']\n</Answer>",
+            ),
+            (
+                r"evaluate whether or not the response passes",
+                "<Answer>\nCandidate Response #1: [Failed]\n"
+                "Candidate Response #2: [Failed]\n"
+                "Candidate Response #3: [Failed]\n</Answer>",
+            ),
             (r"failed unit tests", GOOD_COUNT),
             (r"variant", "SELECT n_name FROM nation"),
         ]
@@ -178,6 +261,79 @@ def test_chess_revises_when_winner_fails_a_test(spark):
     ).act(0)
     assert out["pred_sql"] == GOOD_COUNT  # revise pass replaced the failing winner
     assert out["unit_test_passes"] == 0
+
+
+def test_chess_evaluates_candidates_jointly_per_test(spark):
+    """One evaluate call per unit test covers ALL candidates (the reference
+    flow), and per-candidate verdicts pick the best scorer."""
+    register_tables(spark, SF_SMALL, ["nation"])
+    variant_sqls = iter([
+        "SELECT n_name FROM nation",
+        GOOD_COUNT,
+        "SELECT 1",
+    ])
+    llm = MockLLM(
+        rules=[
+            (r"List the literal keywords", ""),
+            (
+                r"generate a set of \d+ unit tests",
+                "<Answer>\n['The answer SQL query should use count', "
+                "'The answer SQL query should target nation']\n</Answer>",
+            ),
+            (
+                r"evaluate whether or not the response passes",
+                "<Answer>\nCandidate Response #1: [Failed]\n"
+                "Candidate Response #2: [Passed]\n"
+                "Candidate Response #3: [Failed]\n</Answer>",
+            ),
+            (r"variant", lambda m, p: next(variant_sqls)),
+        ]
+    )
+    out = CHESSGenerator(
+        dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    assert out == {"pred_sql": GOOD_COUNT, "unit_test_passes": 2}
+    evals = [p for p in llm.calls if "evaluate whether or not" in p]
+    assert len(evals) == 2  # one call per unit test, not per candidate
+    assert all("Candidate Response #3" in p for p in evals)
+
+
+def test_chess_prompt_template_fidelity(spark):
+    """Templates carry the reference's documented sections
+    (CHESSPrompt.py:22-60, 1669-1710): starred section headers,
+    <Thinking>/<Answer> tags, the 'should mention/state/use' phrasing
+    rule, and [Passed]/[Failed] verdict format."""
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (r"List the literal keywords", ""),
+            (
+                r"generate a set of \d+ unit tests",
+                "<Answer>\n['The answer SQL query should use count']\n</Answer>",
+            ),
+            (
+                r"evaluate whether",
+                "<Answer>\nCandidate Response #1: [Passed]\n"
+                "Candidate Response #2: [Passed]\n"
+                "Candidate Response #3: [Passed]\n</Answer>",
+            ),
+            (r"variant", GOOD_COUNT),
+        ]
+    )
+    CHESSGenerator(dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm).act(0)
+    gen = next(p for p in llm.calls if "generate a set of" in p)
+    for section in ("** Instructions: **", "** Database Schema: **",
+                    "** Question: **", "** Candidate SQL Queries: **",
+                    "** Output Format: **"):
+        assert section in gen, section
+    assert "distinguish the candidate responses from each other" in gen
+    assert "'The answer SQL query should mention...'" in gen
+    assert "<Thinking>" in gen and "<Answer>" in gen
+    ev = next(p for p in llm.calls if "evaluate whether" in p)
+    assert "** Unit Test: **" in ev
+    assert "'[Passed]' or '[Failed]'" in ev
+    assert "Candidate Response #1: [Passed]" in ev  # output-format example
+    assert "Execution preview:" in ev  # Spark grounding kept alongside
 
 
 def test_reforce_probes_refines_and_votes(spark):
