@@ -70,6 +70,86 @@ def deterministic_sample(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by md5-hash bucketing.
+
+    ``weights`` maps split name -> fraction (must sum to ~1, insertion
+    order defines the hash-space layout). A row's bucket is the first 8 hex
+    digits of ``md5(id)`` compared against cumulative-weight thresholds —
+    hex strings compare lexicographically exactly like their numeric
+    values, so the thresholds are plain string comparisons.
+
+    Scale shape: MAP-ONLY — no shuffle, no RNG, no state. The same row
+    lands in the same split on any engine, any cluster topology, any rerun
+    (the property seeded ``randomSplit`` lacks: it reshuffles with
+    partitioning). Adding rows never moves existing rows between splits.
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    cum = 0.0
+    expr = None
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        threshold = format(min(int(cum * 16**8), 16**8 - 1), "08x")
+        cond = h < F.lit(threshold)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample sources to target mixing proportions (training-mixture
+    construction, e.g. '60% web, 30% code, 10% books').
+
+    The largest total T satisfying ``w_s * T <= n_s`` for every source s is
+    ``T = min(n_s / w_s)``; each source keeps its ``floor(w_s * T)``
+    lowest-``md5(id)`` rows — the deterministic uniform draw used across
+    this module. Sources absent from ``weights`` are dropped.
+
+    Scale shape: one tiny per-source count aggregate (broadcast back), one
+    window rank per source (single shuffle on ``source_col``). With few
+    sources a hot source serializes its rank into one task — at real scale
+    swap the rank for a hash-prefix threshold cut at ``k_s / n_s`` of hash
+    space (the ``prefilter_factor`` idea) and the plan is map-only.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.filter(F.col(source_col).isin(list(weights)))
+        .groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    t = min(counts[s] / w for s, w in weights.items() if s in counts)
+    quota = {s: int(w * t) for s, w in weights.items() if s in counts}
+    quota_col = F.coalesce(
+        *[F.when(F.col(source_col) == s, F.lit(k)) for s, k in quota.items()]
+    ) if quota else F.lit(0)
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(source_col).isin(list(quota)))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota_col)
+        .drop("_rk")
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
 ) -> DataFrame:

@@ -223,6 +223,65 @@ def top_ngram_frac(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFra
     return spread(df).select("doc_id", text_col).mapInPandas(kernel, schema)
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms
+    (Robertson/Sparck-Jones formula, the lexical-search baseline every
+    retrieval pipeline needs next to the embedding ANN path).
+
+    Returns ``(id_col, bm25)`` for documents containing >= 1 query term,
+    score rounded to 4 dp (engine-portable hash compare).
+
+    Scale shape — all built-ins, three bounded joins, nothing
+    corpus-x-corpus:
+      * per-doc term frequencies: map-side array filter against the
+        broadcast-literal query terms, then explode -> groupBy
+        (id, term) — shuffle volume is only rows CONTAINING query terms;
+      * corpus stats (N, avgdl): one scalar aggregate, broadcast cross
+        join (1 row);
+      * document frequencies: groupBy term over the tf table — bounded by
+        |query_terms| rows, broadcast back.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = F.array(*[F.lit(t.lower()) for t in query_terms])
+    toks = spread(df).select(
+        F.col(id_col),
+        F.transform(tokens_expr(text_col), lambda t: F.lower(t)).alias("_w"),
+    )
+    base = toks.select(
+        id_col,
+        F.size("_w").alias("dl"),
+        F.explode(F.filter(F.col("_w"), lambda t: F.array_contains(terms, t))).alias("term"),
+    )
+    tf = base.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.first("dl").cast("double").alias("dl"),
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.size("_w")).alias("avgdl"),
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("dft"))
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
+    score = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(score), 4).alias("bm25"))
+    )
+
+
 # --------------------------------------------------------------------------
 # PII scrubbing — corpus hygiene before training. All patterns run as JVM
 # regexp_replace chains inside one codegen stage: zero shuffles, zero Python,

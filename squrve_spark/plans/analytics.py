@@ -255,3 +255,103 @@ def q_time_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events").withColumn("t", F.expr("ts_ns div 1000"))
     return temporal.time_range_pairs(e, ["user_id"], "t", "event_id", 3_600_000_000)
+
+
+@register(
+    "q_events_funnel",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t1
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t2
+        GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+    tags=("events", "funnel"),
+    defer_oracle=True,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click after view -> purchase
+    after that click): per-stage user counts where each stage's event must
+    occur at-or-after the user's previous stage time.
+
+    Shape: three user-keyed aggregates chained by broadcast-friendly joins
+    on the shrinking user set — the stage tables are one row per user, so
+    every join after the first aggregation is bounded by |users|, never by
+    |events|. The same plan holds at 100 TB because events are filtered by
+    type BEFORE the shuffle (predicate reaches the scan)."""
+    e = load_table(spark, sf_dir, "events").withColumn("t", F.expr("ts_ns div 1000"))
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("t").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") >= F.col("t1"))
+        .groupBy("user_id").agg(F.min("t").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") >= F.col("t2"))
+        .select("user_id").distinct()
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage("1_view", v)
+        .unionByName(stage("2_click", c))
+        .unionByName(stage("3_purchase", p))
+    )
+
+
+@register(
+    "q_events_rolling",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS t_us,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cents_1h
+    FROM events
+    """,
+    tags=("events", "rolling-window"),
+    defer_oracle=True,
+)
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user spend (RANGE window frame — value-based, so
+    equal-timestamp peers aggregate identically on every engine; summed as
+    floor-cents BIGINT because double sums are order-dependent).
+
+    Shape: ONE shuffle on user_id + one sort — the native windowed
+    analytics path; at scale the frame is bounded by each user's 1-hour
+    event density, not their history length."""
+    e = load_table(spark, sf_dir, "events").withColumn("t_us", F.expr("ts_ns div 1000"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-US_PER_HOUR, 0)
+    )
+    return e.select(
+        "event_id", "user_id", "t_us",
+        F.sum(F.floor(F.col("value") * 100).cast("long")).over(w)
+        .cast("bigint").alias("cents_1h"),
+    )

@@ -672,3 +672,109 @@ def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sinks.shard_manifest(
         docs.join(counts, "doc_id"), n_shards=8, token_col="n_tokens"
     )
+
+
+@register(
+    "doc_hash_split",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # Thresholds: cum-weight fractions of the 8-hex-digit md5 space —
+    # 0.8 -> 'cccccccc', 0.9 -> 'e6666666' (hex compares like its value).
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("sampling", "split"),
+    defer_oracle=True,
+)
+def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5 bucketing —
+    map-only, no RNG, stable under reruns/topology changes, and adding
+    documents never moves existing ones between splits."""
+    from squrve_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return sampling.hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+@register(
+    "doc_weighted_mix",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    oracle="""
+    WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    c AS (
+        SELECT source, COUNT(*) AS n FROM documents
+        WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+    ), t AS (
+        SELECT MIN(n / wt) AS t FROM c JOIN w USING (source)
+    ), q AS (
+        SELECT w.source, CAST(FLOOR(w.wt * t.t) AS BIGINT) AS k
+        FROM w JOIN c USING (source), t
+    ), r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    )
+    SELECT doc_id, source FROM r JOIN q USING (source) WHERE rk <= k
+    """,
+    tags=("sampling", "mixing"),
+    defer_oracle=True,
+)
+def doc_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: downsample three sources to 50/30/20
+    proportions (largest total satisfying every source's supply), selection
+    by md5-rank — the deterministic uniform draw."""
+    from squrve_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.weighted_mix(docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+
+
+@register(
+    "doc_bm25",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> lower(t)) AS w
+        FROM documents
+    ), base AS (
+        SELECT doc_id, len(w) AS dl,
+               unnest(list_filter(w, t -> list_contains(
+                   ['spark', 'window', 'merge'], t))) AS term
+        FROM toks
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf,
+               CAST(any_value(dl) AS DOUBLE) AS dl
+        FROM base GROUP BY doc_id, term
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(len(w)) AS avgdl FROM toks
+    ), dft AS (
+        SELECT term, CAST(COUNT(*) AS DOUBLE) AS dft FROM tf GROUP BY term
+    )
+    SELECT doc_id,
+           ROUND(SUM(ln(1 + (n - dft + 0.5) / (dft + 0.5))
+                     * tf * 2.2
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+    FROM tf JOIN dft USING (term), stats
+    GROUP BY doc_id
+    """,
+    tags=("text", "search"),
+    defer_oracle=True,
+)
+def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical relevance of every document against the query
+    {spark, window, merge} — the keyword-search baseline next to the
+    embedding ANN path (operators/text.py:bm25_scores; shuffle bounded by
+    rows containing query terms, stats/DF tables broadcast)."""
+    return text.bm25_scores(
+        load_table(spark, sf_dir, "documents"), ["spark", "window", "merge"]
+    )

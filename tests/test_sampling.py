@@ -132,3 +132,97 @@ def test_stratified_sample_runs(spark):
 def test_registry_entries_run(spark, name):
     df = REGISTRY[name].fn(spark, SF_SMALL)
     assert df.columns and df.count() > 0
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id")
+    out = sampling.hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    n = len(rows)
+    from collections import Counter
+
+    c = Counter(rows.values())
+    assert set(c) <= {"train", "val", "test"}
+    # md5 is uniform: 80/10/10 within a loose tolerance at fixture size
+    assert 0.6 * n <= c["train"] <= 0.95 * n
+    # rerun is identical (no RNG)
+    again = {r["doc_id"]: r["split"] for r in sampling.hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert again == rows
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """Adding rows must never move existing rows between splits (the
+    property seeded randomSplit lacks)."""
+    half = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    full = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = {r["doc_id"]: r["split"] for r in sampling.hash_split(half, w).collect()}
+    big = {r["doc_id"]: r["split"] for r in sampling.hash_split(full, w).collect()}
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    docs = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        sampling.hash_split(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_hash_split_is_map_only(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id")
+    out = sampling.hash_split(docs, {"train": 0.9, "test": 0.1})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: pure projection
+
+
+def test_weighted_mix_quotas_and_determinism(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "source")
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = sampling.weighted_mix(docs, weights)
+    rows = [(r["doc_id"], r["source"]) for r in out.collect()]
+    from collections import Counter
+
+    per_src = Counter(s for _, s in rows)
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.filter(F.col("source").isin(list(weights)))
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    t = min(counts[s] / w for s, w in weights.items())
+    assert per_src == {s: int(w * t) for s, w in weights.items()}
+    # achieved proportions match the target mixture (within flooring)
+    total = sum(per_src.values())
+    for s, w in weights.items():
+        assert abs(per_src[s] / total - w) < 0.05
+    # deterministic rerun
+    again = [(r["doc_id"], r["source"]) for r in sampling.weighted_mix(docs, weights).collect()]
+    assert sorted(again) == sorted(rows)
+
+
+def test_weighted_mix_drops_unlisted_sources(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "source")
+    out = sampling.weighted_mix(docs, {"src0": 1.0})
+    srcs = {r["source"] for r in out.collect()}
+    assert srcs == {"src0"}
+
+
+def test_bm25_hand_computed(spark):
+    """Two tiny docs, one query term each way — verify against the formula
+    by hand: idf = ln(1 + (N - df + .5)/(df + .5)), tf-part with k1=1.2,
+    b=0.75."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "spark spark fast"), (2, "slow engine here"), (3, "spark once more there")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bm25"] for r in text.bm25_scores(df, ["spark"]).collect()}
+    assert set(got) == {1, 3}  # doc 2 has no query terms
+    n, avgdl = 3.0, (3 + 3 + 4) / 3
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def score(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert got[1] == round(score(2, 3), 4)
+    assert got[3] == round(score(1, 4), 4)
