@@ -287,38 +287,39 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     after that click): per-stage user counts where each stage's event must
     occur at-or-after the user's previous stage time.
 
-    Shape: three user-keyed aggregates chained by broadcast-friendly joins
-    on the shrinking user set — the stage tables are one row per user, so
-    every join after the first aggregation is bounded by |users|, never by
-    |events|. The same plan holds at 100 TB because events are filtered by
-    type BEFORE the shuffle (predicate reaches the scan)."""
-    e = load_table(spark, sf_dir, "events").withColumn("t", F.expr("ts_ns div 1000"))
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id").agg(F.min("t").alias("t1"))
+    Shape: ONE events scan. Cumulative RANGE windows per user carry the
+    earliest view at-or-before each event (``t1m``) and then the earliest
+    view-qualified click at-or-before each event (``t2m``) — an event
+    qualifies for its stage exactly when the previous stage's carry is
+    non-null. RANGE frames (value-based) make equal-timestamp peers
+    deterministic. The per-user flag aggregate is co-partitioned with the
+    window shuffle, so the whole funnel is one exchange + one sort — the
+    naive per-stage join formulation (the oracle SQL) replays the events
+    scan per stage and is equivalent, which the parity test proves."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("t")
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("t") >= F.col("t1"))
-        .groupBy("user_id").agg(F.min("t").alias("t2"))
+    cum = (
+        W.partitionBy("user_id").orderBy("t")
+        .rangeBetween(W.unboundedPreceding, 0)
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("t") >= F.col("t2"))
-        .select("user_id").distinct()
+    is_view = F.col("event_type") == "view"
+    e = e.withColumn("t1m", F.min(F.when(is_view, F.col("t"))).over(cum))
+    qual_click = (F.col("event_type") == "click") & F.col("t1m").isNotNull()
+    e = e.withColumn("t2m", F.min(F.when(qual_click, F.col("t"))).over(cum))
+    qual_purchase = (F.col("event_type") == "purchase") & F.col("t2m").isNotNull()
+    per_user = e.groupBy("user_id").agg(
+        F.max(is_view.cast("int")).alias("f1"),
+        F.max(qual_click.cast("int")).alias("f2"),
+        F.max(qual_purchase.cast("int")).alias("f3"),
     )
-
-    def stage(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
-            F.lit(name).alias("stage"), "n_users"
-        )
-
-    return (
-        stage("1_view", v)
-        .unionByName(stage("2_click", c))
-        .unionByName(stage("3_purchase", p))
+    return per_user.agg(
+        F.sum("f1").cast("bigint").alias("1_view"),
+        F.sum("f2").cast("bigint").alias("2_click"),
+        F.sum("f3").cast("bigint").alias("3_purchase"),
+    ).selectExpr(
+        "stack(3, '1_view', `1_view`, '2_click', `2_click`, "
+        "'3_purchase', `3_purchase`) AS (stage, n_users)"
     )
 
 

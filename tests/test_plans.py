@@ -180,3 +180,12 @@ def test_pipeline_curate_audit_no_stage_replay(spark):
     assert "documents" not in plan  # no parquet re-scan in the audit plan
     # two consumers of the checkpointed flag frame (tree + detail lines)
     assert plan.count("Scan ExistingRDD") <= 4
+
+
+def test_events_funnel_single_scan_single_user_shuffle(spark):
+    """The funnel's cumulative-window formulation must read events ONCE and
+    shuffle once on user_id (plus the final singleton agg) — never replay
+    the scan per stage like the naive per-stage join formulation."""
+    plan = formatted_plan(REGISTRY["q_events_funnel"].fn(spark, SF_MED))
+    assert plan.count("Scan parquet") <= 2  # tree line + detail line
+    assert plan.count("Exchange (") <= 2  # user window + singleton agg
