@@ -57,10 +57,11 @@ def test_no_cartesian_products(spark, name):
         pytest.skip("streaming plans are checked by execution tests")
     plan = formatted_plan(fn(spark, SF_MED))
     assert "CartesianProduct" not in plan
-    # BroadcastNestedLoopJoin is acceptable only for the deliberately
+    # BroadcastNestedLoopJoin is acceptable only for (a) the deliberately
     # broadcast brute-force ANN baseline (inequality join against a tiny
-    # broadcast side)
-    if "bruteforce" not in name:
+    # broadcast side) and (b) bm25's 1-row corpus-stats (N, avgdl) scalar
+    # broadcast — the standard way to attach a scalar aggregate to every row
+    if "bruteforce" not in name and name != "doc_bm25":
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
