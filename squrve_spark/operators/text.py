@@ -181,6 +181,53 @@ def corpus_ngram_freq(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with optional overlap
+    — the context-length segmentation step before tokenization/embedding.
+
+    Output: ``(id_col, chunk_id, chunk_text, n_chunk_tokens)``, one row per
+    chunk; ``chunk_id`` is the 0-based window index, windows start every
+    ``chunk_tokens - overlap`` tokens, the final window is short. An empty
+    document yields one empty chunk (row-preserving: every input doc
+    appears).
+
+    Scale shape: MAP-ONLY — JVM ``sequence`` of window starts +
+    ``posexplode`` + ``slice``; no Python, no shuffle, output rows ~
+    n_tokens / step per doc.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    step = chunk_tokens - overlap
+    toks = tokens_expr(text_col)
+    staged = spread(df).select(F.col(id_col), toks.alias("_toks"))
+    # windows start every `step`; the bound n - overlap - 1 stops once the
+    # remaining tokens are fully covered by the previous window (a start at
+    # >= n - overlap would yield a chunk that is pure overlap). Coverage:
+    # if the last start s had s + chunk < n, then s + step <= n - overlap - 1
+    # would also be a start — contradiction, so every token lands somewhere.
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("_toks") - overlap - 1, F.lit(0)),
+        F.lit(step),
+    )
+    exploded = staged.select(
+        id_col, "_toks", F.posexplode(starts).alias("chunk_id", "_start")
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )
+
+
 def top_ngram_frac(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
     """Fraction of tokens covered by the single most frequent token n-gram
     (Gopher's top-n-gram character-fraction signal, token-based).

@@ -778,3 +778,36 @@ def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_scores(
         load_table(spark, sf_dir, "documents"), ["spark", "window", "merge"]
     )
+
+
+@register(
+    "doc_chunk",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # Window starts every step=48 tokens up to len - overlap - 1 (DuckDB
+    # range() is bound-exclusive, Spark sequence() inclusive: +1).
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ), s AS (
+        SELECT doc_id, w,
+               unnest(range(0, greatest(len(w) - 16 - 1, 0) + 1, 48)) AS start
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS INTEGER) AS chunk_id,
+           array_to_string(list_slice(w, start + 1, start + 64), ' ') AS chunk_text,
+           CAST(len(list_slice(w, start + 1, start + 64)) AS INTEGER)
+               AS n_chunk_tokens
+    FROM s
+    """,
+    tags=("text", "chunking"),
+    defer_oracle=True,
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks with 16-token overlap — the context-window
+    segmentation step before tokenization/embedding (map-only JVM
+    sequence + posexplode + slice; operators/text.py:chunk_documents)."""
+    return text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )

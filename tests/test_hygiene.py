@@ -171,3 +171,47 @@ def test_top_ngram_frac_clamped_to_one(spark):
     got = {r["doc_id"]: r["top_ngram_frac"] for r in top_ngram_frac(df, n=2).collect()}
     assert got[1] == 1.0
     assert got[2] == round(2 / 3, 4)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from squrve_spark.operators.text import chunk_documents
+
+    txt = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, chunk_tokens=8, overlap=4).collect()
+    )
+    # n=10, chunk=8, step=4, bound n-overlap-1=5 -> starts 0, 4 only (a
+    # start at 8 would be pure overlap)
+    assert [r[0] for r in rows] == [0, 1]
+    assert rows[0][1].split() == [f"w{i}" for i in range(8)]
+    assert rows[1][1].split() == [f"w{i}" for i in range(4, 10)]
+    assert rows[1][2] == 6  # short tail
+    # every token covered
+    covered = set(w for _, t, _ in rows for w in t.split())
+    assert covered == set(txt.split())
+
+
+def test_chunk_documents_no_overlap_and_empty_doc(spark):
+    from squrve_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=2).collect()
+    got = {(r["doc_id"], r["chunk_id"]): r["chunk_text"] for r in out}
+    assert got[(1, 0)] == "a b" and got[(1, 1)] == "c d" and got[(1, 2)] == "e"
+    assert got[(2, 0)] == ""  # row-preserving: empty doc -> one empty chunk
+
+
+def test_chunk_documents_validation_and_map_only(spark):
+    import pytest
+
+    from squrve_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+    plan = chunk_documents(df, 4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: no shuffle
