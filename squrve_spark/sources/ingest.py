@@ -43,16 +43,46 @@ _READERS = {
 
 
 def _read_xlsx(spark: SparkSession, path: str) -> DataFrame:
-    """XLSX via pandas->Arrow->Spark (driver-side read — spreadsheet files
-    are small by construction). Gated on openpyxl availability."""
-    try:
-        import pandas as pd
+    """XLSX via the engine's pure-stdlib OOXML parser (``sources/xlsx.py``)
+    -> pandas -> Arrow -> Spark. Driver-side read — spreadsheet files are
+    small by construction (reference analog: ``core/utils.py:157-186``
+    reads xlsx via pandas/openpyxl; this container has no openpyxl, so the
+    zip-of-XML format is parsed directly)."""
+    import pandas as pd
 
-        pdf = pd.read_excel(path)  # needs openpyxl; raises ImportError without
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "xlsx ingestion needs openpyxl, which is not in this container"
-        ) from exc
+    from squrve_spark.sources.xlsx import read_xlsx
+
+    header, rows = read_xlsx(path)
+    if not header:
+        raise ValueError(f"xlsx file has no header row: {path}")
+    cols: dict[str, list] = {h: [] for h in header}
+    for row in rows:
+        for h, v in zip(header, row):
+            cols[h].append(v)
+    # Column-wise type unification: numeric columns stay numeric (int/float
+    # mix widens to float); any other mix stringifies — same contract as
+    # CSV inferSchema.
+    series = {}
+    for h, vals in cols.items():
+        present = [v for v in vals if v is not None]
+        if present and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in present
+        ):
+            dtype = (
+                "float64"
+                if any(isinstance(v, float) for v in present)
+                else "Int64"
+            )
+            series[h] = pd.array(vals, dtype=dtype)
+        elif present and all(isinstance(v, bool) for v in present):
+            series[h] = pd.array(vals, dtype="boolean")
+        else:
+            series[h] = pd.array(
+                [str(v) if v is not None else None for v in vals],
+                dtype="string",
+            )
+    pdf = pd.DataFrame(series, columns=header)
     return spark.createDataFrame(pdf)
 
 
