@@ -1,0 +1,310 @@
+"""Pure-Python/numpy image codecs: real full-pixel BMP and PNG decode.
+
+The container ships no image library (PIL/opencv), so the engine implements
+the two formats whose specs make dependency-free decoding practical:
+
+- **BMP** (BITMAPINFOHEADER, BI_RGB uncompressed): 8-bit palette, 24-bit
+  BGR, 32-bit BGRA; bottom-up and top-down row orders; 4-byte row padding.
+- **PNG** (RFC 2083): zlib IDAT inflate via the stdlib, full scanline
+  unfiltering (None/Sub/Up/Average/Paeth), bit depth 8, color types
+  0/2/3/4/6, non-interlaced. Adam7 interlacing raises (the pipeline's
+  ``ok=false`` path), as do other formats (JPEG needs a DCT codec).
+
+This replaces the round-3 header-only decode: ``width/height/channels`` AND
+the pixel array are now genuinely parsed from the payload. Scale note: these
+codecs run inside Arrow-batched ``mapInPandas`` workers (one Python call per
+image); for production JPEG/video throughput a native codec plugs into
+``decode_image`` — the Spark-side plumbing is identical.
+
+Encoders (``encode_bmp``/``encode_png``) exist so tests and payload
+construction can build REAL on-format files without any library; the PNG
+encoder can force any filter type per scanline so every decoder branch is
+round-trip-tested.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Optional
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BMP
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit BI_RGB bottom-up BMP bytes."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_bmp expects (H, W, 3) RGB")
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = bytearray()
+    bgr = arr[:, :, ::-1]  # BMP stores BGR
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows += bgr[y].tobytes() + pad
+    pixel_data = bytes(rows)
+    data_offset = 14 + 40
+    file_size = data_offset + len(pixel_data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return header + dib + pixel_data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BI_RGB BMP -> (H, W, 3) uint8 RGB. Supports 8bpp palette, 24bpp,
+    32bpp (alpha dropped); bottom-up (height>0) and top-down (height<0)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS(32bpp default masks)
+        raise NotImplementedError(f"BMP compression {compression} not supported")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"BMP bpp {bpp} not supported")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    stride = (w * bpp // 8 + 3) // 4 * 4
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_offset)
+    grid = raw.reshape(h, stride)
+    if not top_down:
+        grid = grid[::-1]
+    if bpp == 8:
+        clr_used = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_off = 14 + dib_size
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=clr_used * 4, offset=pal_off
+        ).reshape(clr_used, 4)[:, :3][:, ::-1]  # BGRA entries -> RGB
+        idx = grid[:, :w]
+        return pal[idx]
+    n = bpp // 8
+    px = grid[:, : w * n].reshape(h, w, n)
+    rgb = px[:, :, :3][:, :, ::-1]  # BGR(A) -> RGB
+    return np.ascontiguousarray(rgb)
+
+
+# ---------------------------------------------------------------------------
+# PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
+    """Undo PNG per-scanline filtering. Sequential by spec (each byte depends
+    on the reconstructed left/up neighbors); scanlines here are small —
+    production throughput routes through a native codec at the same seam."""
+    out = bytearray(h * stride)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = raw[pos + 1 : pos + 1 + stride]
+        pos += 1 + stride
+        o = y * stride
+        prev_o = o - stride
+        if ftype == 0:
+            out[o : o + stride] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                left = out[o + i - bpp] if i >= bpp else 0
+                out[o + i] = (line[i] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                up = out[prev_o + i] if y > 0 else 0
+                out[o + i] = (line[i] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = out[o + i - bpp] if i >= bpp else 0
+                up = out[prev_o + i] if y > 0 else 0
+                out[o + i] = (line[i] + (left + up) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = out[o + i - bpp] if i >= bpp else 0
+                up = out[prev_o + i] if y > 0 else 0
+                ul = out[prev_o + i - bpp] if (y > 0 and i >= bpp) else 0
+                out[o + i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (H, W, C) uint8 (palette images expand to RGB). Bit depth 8,
+    non-interlaced; all five scanline filters."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    ihdr = None
+    plte = None
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} not supported")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color_type}")
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    flat = _unfilter(raw, h, stride, channels)
+    arr = np.frombuffer(bytes(flat), dtype=np.uint8).reshape(h, w, channels)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[arr[:, :, 0]]
+    return arr
+
+
+def _filter_line(
+    ftype: int, line: np.ndarray, prev: np.ndarray, bpp: int
+) -> bytes:
+    cur = line.astype(np.int32)
+    left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]]) if len(cur) >= bpp else np.zeros_like(cur)
+    up = prev.astype(np.int32)
+    if ftype == 0:
+        out = cur
+    elif ftype == 1:
+        out = cur - left
+    elif ftype == 2:
+        out = cur - up
+    elif ftype == 3:
+        out = cur - (left + up) // 2
+    elif ftype == 4:
+        ul = (
+            np.concatenate([np.zeros(bpp, np.int32), up[:-bpp]])
+            if len(up) >= bpp
+            else np.zeros_like(up)
+        )
+        p = left + up - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+        out = cur - pred
+    else:
+        raise ValueError(f"bad filter type {ftype}")
+    return (out % 256).astype(np.uint8).tobytes()
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int | str = 0) -> bytes:
+    """uint8 array (H,W) gray, (H,W,3) RGB, or (H,W,4) RGBA -> PNG bytes.
+
+    ``filter_type``: 0-4 applies that filter to every scanline; ``"cycle"``
+    rotates through all five so decoders can be exercised on each branch.
+    """
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, channels = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = w * channels
+    flat = arr.reshape(h, stride)
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = (y % 5) if filter_type == "cycle" else int(filter_type)
+        lines.append(ft)
+        lines += _filter_line(ft, flat[y], prev, channels)
+        prev = flat[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dispatch + transforms
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-dispatch full-pixel decode. Raises NotImplementedError for
+    formats without a dependency-free codec (JPEG/WebP/...)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "no dependency-free codec for this format; plug PIL/opencv into "
+        "decode_image for JPEG/WebP"
+    )
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via pure index sampling (no interpolation
+    libs). Deterministic: sample centers at (i + 0.5) * scale."""
+    h, w = arr.shape[:2]
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return arr[rows][:, cols]
+
+
+def text_to_bmp(text: str, width: int = 16) -> bytes:
+    """Deterministic text -> real 24-bit BMP: utf-8 bytes fill an RGB grid
+    row-major, zero-padded to a full final row. Used to build REAL image
+    payloads from the fixture corpus (the testdata ships no media)."""
+    b = text.encode("utf-8")
+    row_bytes = width * 3
+    h = max(1, (len(b) + row_bytes - 1) // row_bytes)
+    buf = np.zeros(h * row_bytes, dtype=np.uint8)
+    buf[: len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return encode_bmp(buf.reshape(h, width, 3))
+
+
+def split_frames(payload: bytes) -> list[bytes]:
+    """Split a concatenated-BMP 'video' payload into frames using each BMP
+    header's declared file size. A real container demuxer (mp4/mkv) plugs in
+    at this seam; the downstream sampling/decode plumbing is identical."""
+    frames = []
+    pos = 0
+    while pos + 6 <= len(payload) and payload[pos : pos + 2] == b"BM":
+        size = struct.unpack_from("<I", payload, pos + 2)[0]
+        if size < 54 or pos + size > len(payload):
+            break
+        frames.append(payload[pos : pos + size])
+        pos += size
+    return frames

@@ -3,10 +3,15 @@
 Design (per the 100 TB pipeline brief): image/audio/video live as
 ``binary`` columns (or object-store path columns) with a struct of typed
 metadata. Decode / feature-extract run as Arrow-batched pandas iterators
-(``mapInPandas``) so each Python worker touches a whole batch at once; the
-Spark-side plumbing (schema, batch shape, partition sizing) is real and
-tested, while the codec itself is stubbed — image/audio libraries are not in
-this container.
+(``mapInPandas``) so each Python worker touches a whole batch at once.
+
+Since round 4 the decode is REAL for BMP and PNG: ``operators/codecs.py``
+implements full-pixel dependency-free codecs (zlib inflate + scanline
+unfiltering for PNG; palette/24/32bpp rows for BMP), and
+``extract_pixel_stats`` / ``extract_frame_stats`` compute genuine pixel
+features and frame sampling. Formats that need a native codec (JPEG/WebP/
+real video containers) still yield honest ``ok=false`` rows — the plumbing
+seam (`decode_image`) is where PIL/opencv plugs in.
 
 ``SQURVE_FAKE_DECODE=1`` (explicitly set in tests; default OFF) swaps the
 codec for a deterministic fake so the full pipeline is exercisable
@@ -149,6 +154,158 @@ def extract_media_meta(
             )
 
     return src.mapInPandas(decode_batches, MEDIA_META_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_val", T.DoubleType()),
+        T.StructField("std_val", T.DoubleType()),
+        T.StructField("thumb_mean", T.DoubleType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_sampled", T.IntegerType()),
+        T.StructField("mean_sampled", T.DoubleType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def attach_image_payload(
+    df: DataFrame, text_col: str = "text", width: int = 16
+) -> DataFrame:
+    """Materialize a REAL 24-bit BMP 'payload' column built deterministically
+    from the text bytes (`codecs.text_to_bmp`) — the fixtures ship no media,
+    so the corpus supplies the bytes and the payload is a genuine on-format
+    image the full-pixel decoder parses for real. Arrow-batched pandas UDF;
+    only the text column crosses the Python boundary."""
+    from pyspark.sql.functions import pandas_udf
+
+    from squrve_spark.operators.codecs import text_to_bmp
+
+    @pandas_udf(T.BinaryType())
+    def to_bmp(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: text_to_bmp(t or "", width=width))
+
+    return df.withColumn("payload", to_bmp(F.col(text_col)))
+
+
+def attach_video_payload(
+    df: DataFrame, text_col: str = "text", n_frames: int = 4, width: int = 8
+) -> DataFrame:
+    """Materialize a concatenated-BMP 'video' payload: the text split into
+    ``n_frames`` chunks, one real BMP frame per chunk (`codecs.split_frames`
+    demuxes by each header's declared size)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from squrve_spark.operators.codecs import text_to_bmp
+
+    @pandas_udf(T.BinaryType())
+    def to_frames(texts: pd.Series) -> pd.Series:
+        def build(t: str) -> bytes:
+            t = t or ""
+            step = max(1, (len(t) + n_frames - 1) // n_frames)
+            chunks = [t[i : i + step] for i in range(0, len(t), step)] or [""]
+            return b"".join(text_to_bmp(c, width=width) for c in chunks)
+
+        return texts.map(build)
+
+    return df.withColumn("payload", to_frames(F.col(text_col)))
+
+
+def extract_pixel_stats(
+    df: DataFrame, payload_col: str = "payload", thumb: int = 4
+) -> DataFrame:
+    """FULL-PIXEL decode + feature extraction over binary payloads
+    (mapInPandas, Arrow batches): real BMP/PNG codecs (`operators/codecs.py`)
+    produce the pixel array; features are per-image mean/std and the mean of
+    a nearest-neighbor ``thumb x thumb`` resize (exercising the resize path
+    distributed). Undecodable formats yield honest ``ok=false`` rows."""
+    src = spread(df.select("doc_id", payload_col))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from squrve_spark.operators.codecs import decode_image, resize_nearest
+
+        for pdf in it:
+            out = []
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    arr = decode_image(bytes(p))
+                    th = resize_nearest(arr, thumb, thumb)
+                    out.append(
+                        (
+                            doc_id,
+                            arr.shape[1],
+                            arr.shape[0],
+                            arr.shape[2],
+                            round(float(np.mean(arr)), 6),
+                            round(float(np.std(arr)), 6),
+                            round(float(np.mean(th)), 6),
+                            True,
+                        )
+                    )
+                except (NotImplementedError, ValueError):
+                    out.append((doc_id, None, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PIXEL_STATS_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+def extract_frame_stats(
+    df: DataFrame, payload_col: str = "payload", every_k: int = 2
+) -> DataFrame:
+    """Frame-sample + decode over 'video' payloads (mapInPandas): demux
+    frames, keep every ``every_k``-th (deterministic stride sampling — the
+    standard cheap policy for training-frame extraction), decode the kept
+    frames for real, and emit per-doc frame counts + sampled-pixel mean."""
+    src = spread(df.select("doc_id", payload_col))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from squrve_spark.operators.codecs import decode_image, split_frames
+
+        for pdf in it:
+            out = []
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                frames = split_frames(bytes(p))
+                sampled = frames[::every_k]
+                if not sampled:
+                    out.append((doc_id, 0, 0, None, False))
+                    continue
+                try:
+                    vals = np.concatenate(
+                        [decode_image(f).reshape(-1) for f in sampled]
+                    )
+                    out.append(
+                        (
+                            doc_id,
+                            len(frames),
+                            len(sampled),
+                            round(float(np.mean(vals)), 6),
+                            True,
+                        )
+                    )
+                except (NotImplementedError, ValueError):
+                    out.append((doc_id, len(frames), len(sampled), None, False))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAME_STATS_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(batches, FRAME_STATS_SCHEMA)
 
 
 def payload_meta_sql(df: DataFrame, payload_col: str = "payload") -> DataFrame:

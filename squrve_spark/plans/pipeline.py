@@ -407,6 +407,34 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_pixel_stats",
+    oracle=None,
+    tags=("multimodal", "no-oracle"),
+)
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL full-pixel decode: corpus text -> genuine 24-bit BMP payloads ->
+    pure-Python/numpy codec decode -> per-image mean/std + thumbnail mean
+    (nearest-neighbor resize). Pixel values are the utf-8 bytes, so pytest
+    cross-checks the distributed stats against a driver-side pure
+    computation (`tests/test_multimodal.py`)."""
+    docs = multimodal.attach_image_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_pixel_stats(docs)
+
+
+@register(
+    "multimodal_frames",
+    oracle=None,
+    tags=("multimodal", "no-oracle"),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample plumbing over concatenated-BMP 'video' payloads: demux by
+    header size, stride-sample every 2nd frame, decode kept frames for real,
+    emit per-doc counts + sampled-pixel mean."""
+    docs = multimodal.attach_video_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_frame_stats(docs, every_k=2)
+
+
+@register(
     "doc_profile",
     oracle="""
     SELECT 'doc_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,

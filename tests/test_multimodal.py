@@ -87,3 +87,132 @@ def test_fake_decode_env_resolution(monkeypatch):
     assert multimodal.fake_decode_default() is False
     monkeypatch.setenv("SQURVE_FAKE_DECODE", "1")
     assert multimodal.fake_decode_default() is True
+
+
+# ---------------------------------------------------------------------------
+# round 4: REAL full-pixel codecs (operators/codecs.py) + pixel/frame stats
+
+
+def test_codec_roundtrips():
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    rng = np.random.default_rng(11)
+    for h, w in [(5, 7), (1, 1), (3, 16)]:
+        a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(C.decode_bmp(C.encode_bmp(a)), a)
+    for ch in (1, 3, 4):
+        shape = (6, 5) if ch == 1 else (6, 5, ch)
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        exp = a[:, :, None] if ch == 1 else a
+        for ft in [0, 1, 2, 3, 4, "cycle"]:
+            assert np.array_equal(C.decode_png(C.encode_png(a, filter_type=ft)), exp), (ch, ft)
+
+
+def test_codec_palette_png_and_8bpp_bmp():
+    import struct as st
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    # palette PNG: indices 0..3 -> 4-color palette, expanded to RGB
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], np.uint8)
+    idx = np.array([[0, 1], [2, 3]], np.uint8)
+    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    import zlib
+
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    png = (
+        C._PNG_SIG
+        + C._png_chunk(b"IHDR", ihdr)
+        + C._png_chunk(b"PLTE", pal.tobytes())
+        + C._png_chunk(b"IDAT", zlib.compress(raw))
+        + C._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(C.decode_png(png), pal[idx])
+    # 8bpp palette BMP (bottom-up, stride padded to 4)
+    w, h = 3, 2
+    stride = (w + 3) // 4 * 4
+    pal_bytes = b"".join(
+        bytes([b, g, r, 0]) for (r, g, b) in [(9, 8, 7), (1, 2, 3)]
+    ) + b"\x00" * 4 * 254
+    rows = bytes([0, 1, 0]) + b"\x00" * (stride - w) + bytes([1, 1, 1]) + b"\x00" * (stride - w)
+    data_offset = 14 + 40 + len(pal_bytes)
+    header = st.pack("<2sIHHI", b"BM", data_offset + len(rows), 0, 0, data_offset)
+    dib = st.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(rows), 0, 0, 256, 0)
+    arr = C.decode_bmp(header + dib + pal_bytes + rows)
+    # bottom-up: first stored row is the BOTTOM image row
+    assert arr.shape == (2, 3, 3)
+    assert arr[1].tolist() == [[9, 8, 7], [1, 2, 3], [9, 8, 7]]
+    assert arr[0].tolist() == [[1, 2, 3]] * 3
+
+
+def test_codec_rejects_unsupported():
+    import pytest
+
+    from squrve_spark.operators import codecs as C
+
+    with pytest.raises(NotImplementedError):
+        C.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    # Adam7 interlace flag
+    import struct as st
+
+    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    png = C._PNG_SIG + C._png_chunk(b"IHDR", ihdr) + C._png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        C.decode_png(png)
+
+
+def test_text_to_bmp_pixels_are_text_bytes():
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    t = "pixel payload from corpus text éü"
+    arr = C.decode_bmp(C.text_to_bmp(t, width=5))
+    b = t.encode("utf-8")
+    flat = arr.reshape(-1)
+    assert np.array_equal(flat[: len(b)], np.frombuffer(b, dtype=np.uint8))
+    assert (flat[len(b):] == 0).all()
+
+
+def test_pixel_stats_distributed_matches_driver(spark):
+    """The distributed mapInPandas stats must equal a pure driver-side
+    computation with the same codecs — end-to-end proof the full-pixel
+    decode is real, not fabricated."""
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    texts = [(1, "alpha beta gamma delta"), (2, "x"), (3, "Z" * 100)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.extract_pixel_stats(
+            multimodal.attach_image_payload(df)
+        ).collect()
+    }
+    for doc_id, text in texts:
+        arr = C.decode_image(C.text_to_bmp(text, width=16))
+        th = C.resize_nearest(arr, 4, 4)
+        r = got[doc_id]
+        assert r["ok"]
+        assert (r["width"], r["height"], r["channels"]) == (16, arr.shape[0], 3)
+        assert r["mean_val"] == round(float(np.mean(arr)), 6)
+        assert r["std_val"] == round(float(np.std(arr)), 6)
+        assert r["thumb_mean"] == round(float(np.mean(th)), 6)
+
+
+def test_frame_stats_sampling(spark):
+    from squrve_spark.operators import codecs as C
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789")], "doc_id long, text string"
+    )
+    vid = multimodal.attach_video_payload(df, n_frames=4, width=8)
+    payload = bytes(vid.collect()[0]["payload"])
+    assert len(C.split_frames(payload)) == 4
+    r = multimodal.extract_frame_stats(vid, every_k=2).collect()[0]
+    assert (r["n_frames"], r["n_sampled"]) == (4, 2)
+    assert r["ok"] and r["mean_sampled"] is not None
