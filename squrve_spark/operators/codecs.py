@@ -295,6 +295,74 @@ def text_to_bmp(text: str, width: int = 16) -> bytes:
     return encode_bmp(buf.reshape(h, width, 3))
 
 
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) audio
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 samples (n,) mono or (n, ch) -> RIFF/WAVE PCM bytes."""
+    samples = np.asarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.reshape(-1).tobytes()  # interleaved frames
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (
+        b"WAVEfmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM -> ((n, ch) int16 array, sample_rate). Supports 8-bit
+    unsigned (rescaled to int16) and 16-bit signed PCM; walks chunks so
+    extra sections (LIST/fact) are skipped per the RIFF spec."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        chunk = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif cid == b"data":
+            data = chunk
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, rate, _byte_rate, _block, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"WAV format {audio_format} (non-PCM) not supported")
+    if bits == 16:
+        arr = np.frombuffer(data, dtype="<i2")
+    elif bits == 8:
+        arr = (np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128) * 256
+        arr = arr.astype(np.int16)
+    else:
+        raise NotImplementedError(f"WAV bit depth {bits} not supported")
+    n = len(arr) // ch
+    return arr[: n * ch].reshape(n, ch), rate
+
+
+def text_to_wav(text: str, rate: int = 8000, channels: int = 1) -> bytes:
+    """Deterministic text -> real PCM WAV: utf-8 bytes become centered int16
+    samples ((b - 128) << 8). Real on-format audio built from the fixture
+    corpus (the testdata ships no media)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    samples = ((b.astype(np.int32) - 128) << 8).astype(np.int16)
+    n = max(1, len(samples) // channels)
+    samples = np.resize(samples, (n, channels)) if len(samples) else np.zeros((1, channels), np.int16)
+    return encode_wav(samples, rate=rate)
+
+
 def split_frames(payload: bytes) -> list[bytes]:
     """Split a concatenated-BMP 'video' payload into frames using each BMP
     header's declared file size. A real container demuxer (mp4/mkv) plugs in

@@ -308,6 +308,78 @@ def extract_frame_stats(
     return src.mapInPandas(batches, FRAME_STATS_SCHEMA)
 
 
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def attach_audio_payload(
+    df: DataFrame, text_col: str = "text", rate: int = 8000
+) -> DataFrame:
+    """Materialize a REAL PCM WAV 'payload' column built deterministically
+    from the text bytes (`codecs.text_to_wav`)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from squrve_spark.operators.codecs import text_to_wav
+
+    @pandas_udf(T.BinaryType())
+    def to_wav(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: text_to_wav(t or "", rate=rate))
+
+    return df.withColumn("payload", to_wav(F.col(text_col)))
+
+
+def extract_audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL PCM decode + audio feature extraction (mapInPandas): the stdlib
+    RIFF parser (`codecs.decode_wav`) yields the sample array; features are
+    duration, RMS, and peak amplitude. Non-PCM/unknown payloads yield honest
+    ``ok=false`` rows (a native codec for mp3/flac plugs into the same seam)."""
+    src = spread(df.select("doc_id", payload_col))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from squrve_spark.operators.codecs import decode_wav
+
+        for pdf in it:
+            out = []
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    arr, rate = decode_wav(bytes(p))
+                    n, ch = arr.shape
+                    flat = arr.astype(np.float64)
+                    out.append(
+                        (
+                            doc_id,
+                            rate,
+                            ch,
+                            n,
+                            round(n / rate, 6),
+                            round(float(np.sqrt(np.mean(flat * flat))), 6),
+                            int(np.max(np.abs(arr.astype(np.int32)))),
+                            True,
+                        )
+                    )
+                except (NotImplementedError, ValueError):
+                    out.append(
+                        (doc_id, None, None, None, None, None, None, False)
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
 def payload_meta_sql(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """JVM-only payload profiling (no decode): byte length + md5.
 

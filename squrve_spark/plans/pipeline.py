@@ -435,6 +435,19 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_stats",
+    oracle=None,
+    tags=("multimodal", "no-oracle"),
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM audio decode: corpus text -> genuine RIFF/WAVE payloads ->
+    stdlib chunk-walking parser -> per-doc duration/RMS/peak. Driver-parity
+    tested in `tests/test_multimodal.py`."""
+    docs = multimodal.attach_audio_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_audio_stats(docs)
+
+
+@register(
     "doc_profile",
     oracle="""
     SELECT 'doc_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -216,3 +216,65 @@ def test_frame_stats_sampling(spark):
     r = multimodal.extract_frame_stats(vid, every_k=2).collect()[0]
     assert (r["n_frames"], r["n_sampled"]) == (4, 2)
     assert r["ok"] and r["mean_sampled"] is not None
+
+
+def test_wav_roundtrip_and_8bit():
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    rng = np.random.default_rng(3)
+    for ch in (1, 2):
+        s = rng.integers(-32768, 32767, (50, ch), dtype=np.int16)
+        arr, rate = C.decode_wav(C.encode_wav(s, rate=16000))
+        assert rate == 16000 and np.array_equal(arr, s)
+    # 8-bit PCM branch: hand-build the file
+    import struct as st
+
+    data = bytes([0, 128, 255])
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVEfmt " + st.pack("<I", len(fmt)) + fmt
+        + b"data" + st.pack("<I", len(data)) + data + b"\x00"  # odd-size pad
+    )
+    wav = b"RIFF" + st.pack("<I", len(body)) + body
+    arr, rate = C.decode_wav(wav)
+    assert arr[:, 0].tolist() == [(0 - 128) * 256, 0, (255 - 128) * 256]
+
+
+def test_wav_rejects_non_pcm():
+    import struct as st
+    import pytest
+
+    from squrve_spark.operators import codecs as C
+
+    fmt = st.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    body = b"WAVEfmt " + st.pack("<I", len(fmt)) + fmt + b"data" + st.pack("<I", 0)
+    with pytest.raises(NotImplementedError):
+        C.decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)
+    with pytest.raises(ValueError):
+        C.decode_wav(b"not audio")
+
+
+def test_audio_stats_distributed_matches_driver(spark):
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    texts = [(1, "some pcm audio text"), (2, "A" * 64)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.extract_audio_stats(
+            multimodal.attach_audio_payload(df)
+        ).collect()
+    }
+    for doc_id, text in texts:
+        arr, rate = C.decode_wav(C.text_to_wav(text))
+        flat = arr.astype(np.float64)
+        r = got[doc_id]
+        assert r["ok"] and r["sample_rate"] == 8000 and r["channels"] == 1
+        assert r["n_samples"] == arr.shape[0]
+        assert r["duration_sec"] == round(arr.shape[0] / rate, 6)
+        assert r["rms"] == round(float(np.sqrt(np.mean(flat * flat))), 6)
+        assert r["peak"] == int(np.max(np.abs(arr.astype(np.int32))))
