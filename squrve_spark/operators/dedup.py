@@ -337,3 +337,85 @@ def simhash_pairs(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level span dedup (RefinedWeb/MassiveText-style sub-document dedup)
+
+
+def corpus_span_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 8,
+) -> DataFrame:
+    """Per-doc duplicated-span statistics ACROSS the corpus.
+
+    Sub-document dedup signal (the RefinedWeb/MassiveText recipe dedups at
+    paragraph/span level, not whole documents): split each doc into
+    fixed-``span``-token windows, count each span's occurrences over the
+    WHOLE corpus, and report per doc how many of its spans also appear
+    elsewhere. Complements `text.repetition_stats` (within-doc dup lines)
+    and `exact_dedup_groups` (whole-doc): this catches boilerplate shared
+    between otherwise-distinct documents.
+
+    Plan shape at 100 TB: spans are xxhash64 longs (strings never leave the
+    map side); the corpus count is one groupBy(hash) with map-side partial
+    aggregation — shuffle bounded by DISTINCT span count, not corpus size;
+    the count join back to (doc, span) is a plain equi-join Catalyst plans
+    with AQE. The span array is built once behind a memo_checkpoint so the
+    explode doesn't re-evaluate the slice/concat tree per emitted row.
+
+    Returns (id_col, n_spans, dup_spans, dup_frac) — dup_frac rounded to 6dp
+    for cross-engine hash stability. 64-bit span-hash collisions are the
+    usual xxhash64 tradeoff (~n^2/2^65 expected false merges), accepted to
+    keep the shuffle narrow.
+    """
+    toks = F.split(F.col(text_col), " ")
+    staged = spread(df.select(id_col, text_col)).withColumn("_t", toks)
+    n_sp = F.greatest(
+        F.ceil(F.size(F.col("_t")) / F.lit(float(span))), F.lit(1)
+    ).cast("int")
+    span_hashes = F.transform(
+        F.sequence(F.lit(0), n_sp - 1),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", F.slice(F.col("_t"), i * span + 1, span))
+        ),
+    )
+    spans = memo_checkpoint(
+        staged.withColumn("_spans", span_hashes).select(id_col, "_spans")
+    )
+    exploded = spans.select(id_col, F.explode("_spans").alias("h"))
+    counts = exploded.groupBy("h").agg(F.count("*").alias("c"))
+    per_doc = (
+        exploded.join(counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_spans"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_spans",
+        "dup_spans",
+        F.round(F.col("dup_spans") / F.col("n_spans"), 6).alias("dup_frac"),
+    )
+
+
+def filter_span_dup_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 8,
+    max_frac: float = 0.5,
+) -> DataFrame:
+    """Drop documents whose corpus-duplicated-span fraction exceeds
+    ``max_frac`` (left-semi join on the stats — original columns preserved,
+    no row explosion leaves this operator)."""
+    keep = corpus_span_dup_stats(df, text_col, id_col, span).filter(
+        F.col("dup_frac") <= max_frac
+    )
+    return df.join(keep.select(id_col), id_col, "left_semi")

@@ -39,6 +39,39 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_span_dup",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+        SELECT d.doc_id,
+               array_to_string(d.t[(g.i*8+1):(g.i*8+8)], ' ') AS span
+        FROM d, LATERAL (
+            SELECT unnest(range(0, GREATEST(CAST(ceil(len(d.t)/8.0) AS BIGINT), 1))) AS i
+        ) g
+    ),
+    counts AS (SELECT span, count(*) AS c FROM spans GROUP BY span)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+           ROUND(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
+    FROM spans s JOIN counts c USING (span)
+    GROUP BY s.doc_id
+    """,
+    tags=("dedup",),
+)
+def doc_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-span stats (RefinedWeb-style sub-document
+    dedup signal): 8-token windows counted across the whole corpus; per-doc
+    duplicated fraction. Spans shuffle as xxhash64 longs — shuffle volume
+    bounded by distinct-span count."""
+    return dedup.corpus_span_dup_stats(
+        load_table(spark, sf_dir, "documents"), span=8
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,

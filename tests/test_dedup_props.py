@@ -101,3 +101,34 @@ def test_exact_dedup_survivor_is_min_id(spark, docs):
     total = docs.count()
     assert groups.agg(F.sum("n_copies")).collect()[0][0] == total
     assert groups.count() <= total  # grouping never invents rows
+
+
+def test_span_dup_stats_and_filter(spark):
+    """Hand-built corpus: doc 1 and 2 share one 4-token span; doc 3 is
+    unique. Stats and the max_frac filter must reflect exactly that."""
+    from squrve_spark.operators.dedup import (
+        corpus_span_dup_stats,
+        filter_span_dup_docs,
+    )
+
+    rows = [
+        (1, "a b c d x y z w"),       # spans: "a b c d", "x y z w"
+        (2, "a b c d q r s t"),       # shares "a b c d"
+        (3, "unique words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in corpus_span_dup_stats(df, span=4).collect()
+    }
+    assert (got[1]["n_spans"], got[1]["dup_spans"]) == (2, 1)
+    assert (got[2]["n_spans"], got[2]["dup_spans"]) == (2, 1)
+    assert (got[3]["n_spans"], got[3]["dup_spans"]) == (1, 0)
+    assert got[1]["dup_frac"] == 0.5
+    # max_frac 0.4 drops docs 1 and 2, keeps 3
+    kept = {r["doc_id"] for r in filter_span_dup_docs(df, span=4, max_frac=0.4).collect()}
+    assert kept == {3}
+    # short doc (< span tokens) forms exactly one whole-text span
+    short = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    r = corpus_span_dup_stats(short, span=4).collect()[0]
+    assert (r["n_spans"], r["dup_spans"]) == (1, 0)
