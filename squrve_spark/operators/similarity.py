@@ -504,3 +504,121 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv:2303.09540)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    eps: float = 0.95,
+    n_centroids: int = 16,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup over an embedding column: k-means clustering, then
+    near-duplicate pruning WITHIN each cluster only.
+
+    The SemDeDup recipe: pairwise cosine is only ever computed inside a
+    cluster, so total work is sum(|cell|^2) instead of |corpus|^2 — with k
+    clusters of balanced size that is a k-fold reduction, and the knob
+    scales: at 100 TB raise ``n_centroids`` until a cell fits one executor
+    task (cells are the applyInPandas groups; the cluster assignment itself
+    is a map-side broadcast-codebook BLAS matmul, no shuffle, and the only
+    shuffle is the groupBy(cell)).
+
+    Within a cell, items whose rounded cosine >= ``eps`` chain into
+    duplicate components (union-find in the kernel); per component the
+    KEPT representative follows the paper's rule — lowest cosine to the
+    cluster centroid (the most "outlying" copy carries the most information
+    for training), deterministic id tie-break.
+
+    Returns one row per input vector: (id, cell, centroid_sim, keep,
+    rep_id) where rep_id is the kept representative of the item's duplicate
+    component (rep_id == id for kept rows).
+    """
+    Cu = train_centroids(df, n_centroids, train_iters, id_col, vec_col)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(Cu)
+
+    def assign_fn(vecs: pd.Series) -> pd.Series:
+        cu = bc.value
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.Series((Vu @ cu.T).argmax(axis=1).astype(np.int32))
+
+    assigned = (
+        spread(df.select(id_col, vec_col))
+        .withColumn("cell", pandas_udf(assign_fn, "int")(F.col(vec_col)))
+    )
+
+    out_schema = (
+        f"{id_col} long, cell int, centroid_sim double, keep boolean, rep_id long"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        cu = bc.value
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        cell = int(pdf["cell"].iloc[0])
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
+        csim = np.round(Vu @ cu[cell], 6)
+        n = len(ids)
+        # order rows by id for determinism regardless of arrow batch order
+        order = np.argsort(ids)
+        Vu, ids, csim = Vu[order], ids[order], csim[order]
+        S = np.round(Vu @ Vu.T, 6)
+        parent = list(range(n))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ii, jj = np.nonzero(S >= eps)
+        for a, b in zip(ii, jj):
+            if a < b:
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        comps: dict[int, list[int]] = {}
+        for i in range(n):
+            comps.setdefault(find(i), []).append(i)
+        keep = np.zeros(n, dtype=bool)
+        rep = np.empty(n, dtype=np.int64)
+        for members in comps.values():
+            # paper rule: keep the member least similar to the centroid
+            best = min(members, key=lambda i: (csim[i], ids[i]))
+            keep[best] = True
+            for i in members:
+                rep[i] = ids[best]
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": np.full(n, cell, dtype=np.int32),
+                "centroid_sim": csim,
+                "keep": keep,
+                "rep_id": rep,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(kernel, out_schema)
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    eps: float = 0.95,
+    n_centroids: int = 16,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Surviving rows only (left-semi join on the keep flags) — the drop-in
+    corpus filter form of `semantic_dedup`."""
+    keep = semantic_dedup(df, eps, n_centroids, train_iters, id_col, vec_col)
+    return df.join(
+        keep.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+    )

@@ -415,6 +415,20 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, threshold=0.42, dim=64, bands=16)
 
 
+@register("emb_semdedup", oracle=None, tags=("dedup", "similarity", "no-oracle"))
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (cluster -> within-cell cosine prune, keep
+    the lowest-centroid-sim representative). Deterministic: hash-seeded
+    k-means + id tie-breaks; invariants property-tested in tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # eps 0.42 matches the fixture's near-dup band (embeddings are
+    # near-orthogonal synthetic vectors) so the prune actually fires:
+    # 484/500 kept at sf0.01.
+    return similarity.semantic_dedup(
+        emb, eps=0.42, n_centroids=8, train_iters=2
+    ).orderBy("vec_id")
+
+
 @register(
     "multimodal_meta",
     oracle="""

@@ -143,3 +143,82 @@ def test_kmeans_objective_monotone_and_full_probe_exact(spark, emb):
         emb, queries, k=5, n_centroids=8, n_probe=8, train_iters=2
     )
     assert _pairs(trained_full) == _pairs(exact)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (r4)
+
+
+def _semdedup_frames(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    # two far-apart direction groups + exact copies inside each
+    base_a = rng.normal(size=8)
+    base_b = -base_a  # antipodal: never near-dup of group a
+    rows = []
+    for i in range(6):
+        v = base_a + rng.normal(scale=0.01, size=8)  # tight near-dup cluster
+        rows.append((i, [float(x) for x in v]))
+    for i in range(6, 12):
+        v = base_b + rng.normal(scale=1.5, size=8)  # loose, mostly distinct
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semdedup_invariants(spark):
+    import numpy as np
+
+    from squrve_spark.operators.similarity import semantic_dedup
+
+    df = _semdedup_frames(spark)
+    eps = 0.95
+    out = semantic_dedup(df, eps=eps, n_centroids=2, train_iters=2).collect()
+    assert len(out) == 12  # one row per input, none lost
+    rows = {r["vec_id"]: r for r in out}
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], float) for r in df.collect()}
+    unit = {k: v / np.linalg.norm(v) for k, v in vecs.items()}
+
+    # kept rows within one cell are pairwise below eps
+    kept = [r for r in out if r["keep"]]
+    for a in kept:
+        for b in kept:
+            if a["vec_id"] < b["vec_id"] and a["cell"] == b["cell"]:
+                sim = round(float(unit[a["vec_id"]] @ unit[b["vec_id"]]), 6)
+                assert sim < eps, (a["vec_id"], b["vec_id"], sim)
+    # every dropped row has a same-cell neighbor at >= eps, and its rep is
+    # kept, same cell, with centroid_sim <= its own (paper keep rule)
+    for r in out:
+        if r["keep"]:
+            assert r["rep_id"] == r["vec_id"]
+            continue
+        rep = rows[r["rep_id"]]
+        assert rep["keep"] and rep["cell"] == r["cell"]
+        assert rep["centroid_sim"] <= r["centroid_sim"] + 1e-9
+        same_cell = [
+            o for o in out
+            if o["cell"] == r["cell"] and o["vec_id"] != r["vec_id"]
+        ]
+        assert any(
+            round(float(unit[r["vec_id"]] @ unit[o["vec_id"]]), 6) >= eps
+            for o in same_cell
+        )
+    # the tight cluster (ids 0-5) collapses to one representative
+    tight_kept = [r for r in kept if r["vec_id"] < 6]
+    assert len(tight_kept) == 1
+
+
+def test_semdedup_eps_one_keeps_all_and_filter_form(spark):
+    from squrve_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_keep,
+    )
+
+    df = _semdedup_frames(spark)
+    out = semantic_dedup(df, eps=1.000001, n_centroids=2, train_iters=1).collect()
+    assert all(r["keep"] for r in out)
+    survivors = semantic_dedup_keep(df, eps=0.95, n_centroids=2, train_iters=2)
+    flags = semantic_dedup(df, eps=0.95, n_centroids=2, train_iters=2)
+    assert {r["vec_id"] for r in survivors.collect()} == {
+        r["vec_id"] for r in flags.collect() if r["keep"]
+    }
