@@ -1,0 +1,137 @@
+"""Fasttext-style linear quality classifier: hashed bag-of-words features,
+driver-trained logistic head, JVM-side scoring.
+
+The standard LLM-corpus quality filter (the GPT-3/LLaMA recipe: score every
+document against a small trained classifier, keep high scorers) needs two
+halves with very different scale profiles:
+
+- **Training** is small-data (a labeled sample, thousands of rows) — it runs
+  driver-side with numpy full-batch gradient descent. Features for the
+  sample are computed BY SPARK (`bucket_counts`) so the training-time hash
+  function is bit-identical to the scoring-time hash (both are Spark's
+  ``xxhash64``) — no Python reimplementation to drift.
+- **Scoring** is corpus-scale — it must be map-only and JVM-side. The model
+  is a ``dim``-bucket weight vector folded into the plan as an array
+  literal; the score is one ``aggregate`` over the token array
+  (``w[xxhash64(token) mod dim]`` mean + bias => sigmoid), whole-stage
+  codegen, zero Python, zero shuffle.
+
+Model form: fasttext with a 1-dim output collapses to exactly this — the
+mean of per-token scalar weights through a sigmoid.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from squrve_spark.catalog import spread
+from squrve_spark.operators.text import tokens_expr
+
+DEFAULT_DIM = 256
+
+
+def _bucket_expr(token: Column, dim: int) -> Column:
+    return F.pmod(F.xxhash64(F.lower(token)), F.lit(dim))
+
+
+def bucket_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """(id, bucket, n) hashed-token counts — the training-feature extractor.
+    Explode + groupBy with map-side partial agg; output is bounded by
+    rows x distinct-buckets-per-doc, collected only for the labeled SAMPLE."""
+    toks = spread(df.select(id_col, text_col)).select(
+        id_col, F.explode(tokens_expr(text_col)).alias("_t")
+    )
+    return (
+        toks.select(id_col, _bucket_expr(F.col("_t"), dim).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+@dataclass
+class LinearTextModel:
+    weights: np.ndarray  # (dim,)
+    bias: float
+    dim: int
+
+
+def train_quality_model(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = DEFAULT_DIM,
+    epochs: int = 2000,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+) -> LinearTextModel:
+    """Driver-side logistic regression on Spark-hashed mean features.
+
+    ``labeled`` must be a SAMPLE-sized frame (rows bounded by driver
+    memory); features come from `bucket_counts` so train and score share
+    the exact hash. Deterministic: full-batch GD from zero init."""
+    feats = bucket_counts(labeled, text_col, id_col, dim).collect()
+    labels = {
+        r[id_col]: float(r[label_col])
+        for r in labeled.select(id_col, label_col).collect()
+    }
+    ids = sorted(labels)
+    row_of = {d: i for i, d in enumerate(ids)}
+    X = np.zeros((len(ids), dim))
+    for r in feats:
+        X[row_of[r[id_col]], r["bucket"]] += r["n"]
+    totals = X.sum(axis=1, keepdims=True)
+    totals[totals == 0] = 1.0
+    X /= totals  # mean-of-token-weights form (fasttext average pooling)
+    y = np.array([labels[d] for d in ids])
+    w = np.zeros(dim)
+    b = 0.0
+    for _ in range(epochs):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g / len(y) + l2 * w)
+        b -= lr * float(np.mean(g))
+    return LinearTextModel(weights=w, bias=b, dim=dim)
+
+
+def score_expr(model: LinearTextModel, text_col: str = "text") -> Column:
+    """Catalyst-only scoring expression: sigmoid(bias + mean_t w[h(t)]).
+    The weight table rides the plan as a ``dim``-element array literal —
+    evaluated in whole-stage codegen, no Python boundary, no shuffle."""
+    w = F.array(*[F.lit(round(float(x), 9)) for x in model.weights])
+    toks = tokens_expr(text_col)
+    total = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(w, _bucket_expr(t, model.dim).cast("int") + 1),
+    )
+    mean = F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+    z = mean + F.lit(round(float(model.bias), 9))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def score_documents(
+    df: DataFrame,
+    model: LinearTextModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Map-only corpus scoring: (id, quality_prob, quality_pred)."""
+    prob = F.round(score_expr(model, text_col), 6)
+    return spread(df).select(
+        id_col,
+        prob.alias("quality_prob"),
+        (prob >= threshold).alias("quality_pred"),
+    )

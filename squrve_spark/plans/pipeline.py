@@ -415,6 +415,28 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, threshold=0.42, dim=64, bands=16)
 
 
+@register("doc_quality_model", oracle=None, tags=("text", "no-oracle"))
+def doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality-classifier filter (the GPT-3/LLaMA corpus recipe):
+    logistic head on Spark-hashed bag-of-words, trained driver-side on a
+    deterministic hash-ordered sample, scored corpus-wide as a pure Catalyst
+    expression — map-only, zero Python. The label distills the heuristic
+    quality signal (stopword ratio >= corpus median) into the cheap linear
+    scorer — the classic distill-an-expensive-filter pattern."""
+    from squrve_spark.operators import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    sr = text.quality_score(docs).select("doc_id", "stopword_ratio")
+    sample = (
+        docs.join(sr, "doc_id")
+        .orderBy(F.xxhash64("doc_id"))
+        .limit(200)
+        .withColumn("label", (F.col("stopword_ratio") >= 0.06).cast("int"))
+    )
+    model = classifier.train_quality_model(sample)
+    return classifier.score_documents(docs, model).orderBy("doc_id")
+
+
 @register("emb_semdedup", oracle=None, tags=("dedup", "similarity", "no-oracle"))
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (cluster -> within-cell cosine prune, keep
