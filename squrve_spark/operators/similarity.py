@@ -622,3 +622,176 @@ def semantic_dedup_keep(
     return df.join(
         keep.filter(F.col("keep")).select(id_col), id_col, "left_semi"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — Jégou et al. 2011, "Product quantization
+# for nearest neighbor search" (IEEE TPAMI)
+
+
+def train_pq(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 32,
+    sample: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks: split the (unit-normalized) vector into ``m``
+    subspaces and k-means each independently -> (m, ksub, dim/m) array.
+
+    PQ training classically runs on a bounded sample (the codebooks are a
+    property of the distribution, not the corpus); the sample here is the
+    deterministic hash-ordered collect used everywhere else in this module,
+    and the per-subspace Lloyd iterations are driver-side numpy — the only
+    thing that ever leaves the driver is the (m * ksub * dsub) codebook.
+    """
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample)
+        .collect()
+    )
+    V = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    n, dim = V.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for s in range(m):
+        X = V[:, s * dsub : (s + 1) * dsub]
+        C = X[: ksub].copy()  # deterministic init: first ksub sample rows
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = a == c
+                if mask.any():
+                    C[c] = X[mask].mean(axis=0)
+        books[s] = C
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only PQ encoding: each unit vector -> ``m`` uint8 code indices
+    (the 100 TB memory story: dim*4 bytes -> m bytes per vector). Broadcast
+    codebooks, one BLAS pass per Arrow batch, no shuffle."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(codebooks))
+
+    def encode_fn(vecs: pd.Series) -> pd.Series:
+        books = bc.value
+        m, ksub, dsub = books.shape
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        codes = np.empty((len(V), m), dtype=np.int32)
+        for s in range(m):
+            X = V[:, s * dsub : (s + 1) * dsub]
+            d2 = ((X[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return spread(df).select(
+        id_col, pandas_udf(encode_fn, "array<int>")(F.col(vec_col)).alias("pq_codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k with exact re-rank.
+
+    1. Corpus encodes to m-byte codes (map-only).
+    2. Queries broadcast with their per-subspace inner-product lookup tables
+       (LUT[s, code] = <q_s, c_{s,code}>); each corpus partition scores its
+       shard by LUT gather-sum — approximate sim without touching vectors.
+    3. The kernel emits only its LOCAL top (k * refine) per query, so the
+       shuffle is partitions x queries x (k*refine) rows, independent of
+       corpus size; a window keeps the global candidates.
+    4. Exact cosine re-rank on the candidate set (vectors join onto
+       candidates only) -> final k. Recall is tuned by ``refine``/``ksub``.
+    """
+    spark = corpus.sparkSession
+    books = np.ascontiguousarray(codebooks)
+    m, ksub, dsub = books.shape
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    # LUTs: (n_q, m, ksub) per-subspace inner products
+    luts = np.einsum("qsd,skd->qsk", Q.reshape(len(Q), m, dsub), books)
+    bc = spark.sparkContext.broadcast((qids, luts))
+    n_local = k * refine
+
+    codes = pq_encode(corpus, books, id_col, vec_col)
+
+    def shard_topk(it):
+        q_ids, lut = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["pq_codes"]])
+            # approx sim: sum_s LUT[q, s, C[i, s]]  -> (n_q, n_rows)
+            sims = np.zeros((len(q_ids), len(ids)))
+            for s in range(lut.shape[1]):
+                sims += lut[:, s, :][:, C[:, s]]
+            take = min(n_local, len(ids))
+            top = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                sel = top[qi]
+                keep = sel[ids[sel] != q_ids[qi]]
+                out_q.extend([q_ids[qi]] * len(keep))
+                out_n.extend(ids[keep])
+                out_s.extend(np.round(sims[qi, keep], 6))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adist": out_s}
+            )
+
+    local = codes.mapInPandas(
+        shard_topk, "query_id long, neighbor_id long, adist double"
+    )
+    w_cand = W.partitionBy("query_id").orderBy(
+        F.col("adist").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        local.withColumn("crank", F.row_number().over(w_cand))
+        .filter(F.col("crank") <= n_local)
+        .select("query_id", "neighbor_id")
+    )
+    c = with_vec_norm(corpus, vec_col, "c_v", "c_n").select(
+        F.col(id_col).alias("neighbor_id"), "c_v", "c_n"
+    )
+    q = with_vec_norm(queries, vec_col, "q_v", "q_n").select(
+        F.col(id_col).alias("query_id"), "q_v", "q_n"
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "sim",
+            F.round(
+                dot_expr(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")), 6
+            ).cast("double"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

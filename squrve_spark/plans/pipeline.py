@@ -556,6 +556,18 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
 
 
+@register("sim_pq_topk", oracle=None, tags=("similarity", "ann", "no-oracle"))
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou 2011): m-byte codes, broadcast
+    query LUTs, per-partition local top-k (shuffle independent of corpus
+    size), exact re-rank. Recall-vs-bruteforce property tested in
+    tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    books = similarity.train_pq(emb, m=8, ksub=32)
+    return similarity.pq_topk(emb, queries, books, k=5, refine=4)
+
+
 # ---------------------------------------------------------------------------
 # curation-stage operators: sampling / selection / packing
 # (rows-only for the driver — the 50-slot oracle cap is full; DuckDB parity

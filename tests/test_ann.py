@@ -222,3 +222,59 @@ def test_semdedup_eps_one_keeps_all_and_filter_form(spark):
     assert {r["vec_id"] for r in survivors.collect()} == {
         r["vec_id"] for r in flags.collect() if r["keep"]
     }
+
+
+# ---------------------------------------------------------------------------
+# product quantization (r4)
+
+
+def test_pq_codebooks_and_encoding(spark):
+    import numpy as np
+
+    from squrve_spark.operators.similarity import pq_encode, train_pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq(emb, m=8, ksub=16, sample=256, iters=5)
+    assert books.shape == (8, 16, 8)  # dim 64 / m 8
+    codes = pq_encode(emb, books).collect()
+    n = emb.count()
+    assert len(codes) == n
+    for r in codes[:20]:
+        cs = list(r["pq_codes"])
+        assert len(cs) == 8 and all(0 <= c < 16 for c in cs)
+    # deterministic: re-train + re-encode gives identical codes
+    books2 = train_pq(emb, m=8, ksub=16, sample=256, iters=5)
+    assert np.array_equal(books, books2)
+
+
+def test_pq_topk_recall_vs_bruteforce(spark):
+    from squrve_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+        train_pq,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    books = train_pq(emb, m=8, ksub=32)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = pq_topk(emb, queries, books, k=5, refine=8)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ap = {}
+    sims = {}
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        sims[(r["query_id"], r["neighbor_id"])] = r["sim"]
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    # re-rank sims are EXACT cosine — spot-check against the exact run
+    exact_sims = {
+        (r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()
+    }
+    shared = set(sims) & set(exact_sims)
+    assert shared
+    for key in shared:
+        assert abs(sims[key] - exact_sims[key]) < 1e-9
