@@ -725,6 +725,85 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.unionByName(tail)
 
 
+@register("pipeline_curate_v2", oracle=None, tags=("pipeline", "no-oracle"))
+def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 curation composite — the r4 operator set as one survival-flag
+    plan (same one-pass audit shape as `pipeline_curate`):
+
+      1. exact dedup (keep min doc_id per canonical fingerprint),
+      2. corpus span-dedup gate (8-token cross-doc duplicated-span
+         fraction <= 0.5 — sub-document boilerplate),
+      3. decontaminate vs the held-out eval set (broadcast shingles),
+      4. TRAINED quality-model gate (hashed-BoW logistic scorer distilled
+         from the stopword-ratio heuristic; scoring is a pure Catalyst
+         expression),
+      5. deterministic 50-per-language sample.
+
+    Every gate is a per-document predicate scored once on the full corpus
+    (span-dup fraction is measured on the PRE-dedup corpus by design — an
+    exact copy should count as boilerplate evidence, not hide it), so the
+    AND-ed flags equal staged filtering; counts come from ONE aggregation
+    over a checkpointed narrow flag frame.
+    """
+    from squrve_spark.operators import classifier as C
+    from squrve_spark.operators import dedup as D
+    from squrve_spark.operators import decontam as X
+    from squrve_spark.operators import sampling as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = D.exact_dedup_groups(docs).select(
+        F.col("keep_id").alias("doc_id"), F.lit(True).alias("f_keep")
+    )
+    span = D.corpus_span_dup_stats(docs, span=8).select("doc_id", "dup_frac")
+    eval_set = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    bad = (
+        X.contamination_scores(docs, eval_set)
+        .filter(F.col("n_hits") >= 1)
+        .select("doc_id", F.lit(True).alias("f_bad"))
+    )
+    sr = text.quality_score(docs).select("doc_id", "stopword_ratio")
+    sample_lbl = (
+        docs.join(sr, "doc_id")
+        .orderBy(F.xxhash64("doc_id"))
+        .limit(200)
+        .withColumn("label", (F.col("stopword_ratio") >= 0.06).cast("int"))
+    )
+    model = C.train_quality_model(sample_lbl)
+    scored = C.score_documents(docs, model).select("doc_id", "quality_pred")
+    s1 = F.coalesce(F.col("f_keep"), F.lit(False))
+    s2 = s1 & (F.col("dup_frac") <= 0.5)
+    s3 = s2 & F.col("f_bad").isNull()
+    flagged = (
+        docs.select("doc_id", "lang")
+        .join(keepers, "doc_id", "left")
+        .join(span, "doc_id", "left")
+        .join(bad, "doc_id", "left")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id", "lang",
+            s1.alias("s1"), s2.alias("s2"), s3.alias("s3"),
+            (s3 & F.coalesce(F.col("quality_pred"), F.lit(False))).alias("s4"),
+        )
+    )
+    flagged = flagged.localCheckpoint(eager=False)
+    gated = flagged.filter(F.col("s4")).select("doc_id", "lang")
+    sampled = S.deterministic_sample(gated, per_stratum=50, strata_cols=["lang"])
+    head = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("raw"),
+        F.sum(F.col("s1").cast("bigint")).alias("dedup"),
+        F.sum(F.col("s2").cast("bigint")).alias("spandup"),
+        F.sum(F.col("s3").cast("bigint")).alias("decontam"),
+        F.sum(F.col("s4").cast("bigint")).alias("quality"),
+    ).selectExpr(
+        "stack(5, '0_raw', raw, '1_dedup', dedup, '2_spandup', spandup, "
+        "'3_decontam', decontam, '4_quality', quality) AS (stage, n_docs)"
+    )
+    tail = sampled.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).select(
+        F.lit("5_sampled").alias("stage"), "n_docs"
+    )
+    return head.unionByName(tail)
+
+
 @register("dedup_components", oracle=None, tags=("dedup", "graph", "no-oracle"))
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: MinHash/LSH pairs -> iterative min-label

@@ -66,6 +66,35 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_counts",
+    oracle="""
+    WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+    w AS (
+        SELECT event_type,
+               (t // 900000000 - i.i) * 900000000 AS win_start_us
+        FROM e, LATERAL (SELECT unnest(range(0, 4)) AS i) i
+    )
+    SELECT event_type,
+           win_start_us // 60000000 AS bucket_min,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+    tags=("streaming", "events", "window-agg"),
+    # deferred: the 50-slot driver cap is full; exact DuckDB parity runs in
+    # tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1h window / 15min slide) per-type rollup run as a
+    stream — each event contributes to 4 overlapping windows (the trending /
+    rate-monitor shape; watermark bounds the 4x state overlap)."""
+    from squrve_spark.streaming.ops import sliding_counts_stream
+
+    ev = read_event_stream(spark, sf_dir)
+    return run_stream_to_table(sliding_counts_stream(ev), "complete")
+
+
+@register(
     "stream_user_state",
     oracle="""
     SELECT user_id,

@@ -83,6 +83,31 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window rollup: each event lands in
+    duration/slide overlapping windows (here 4), the standard trending /
+    rate-monitor shape. State is windows-in-flight x keys, bounded by the
+    watermark exactly like the tumbling case — the overlap multiplies state
+    by duration/slide, which is the knob to mind at scale."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "event_type",
+            (F.unix_micros(F.col("win.start")) / 60_000_000)
+            .cast("long")
+            .alias("bucket_min"),
+            "n_events",
+        )
+    )
+
+
 def session_counts_stream(events: DataFrame, gap: str = "30 minutes",
                           watermark: str = "2 hours") -> DataFrame:
     """Native session windows per user: one row per (user, session) with the

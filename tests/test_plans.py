@@ -171,6 +171,24 @@ def test_pipeline_curate_invariants(spark):
     assert rows["2_decontam"] < rows["1_dedup"]
 
 
+def test_pipeline_curate_v2_invariants(spark):
+    """r4 composite (span-dedup + trained-model gates): monotone stage
+    counts, full audit coverage, and each r4 gate actually fires at sf0.01
+    (span-dup and the model both remove documents)."""
+    rows = {
+        r["stage"]: r["n_docs"]
+        for r in REGISTRY["pipeline_curate_v2"].fn(spark, SF_MED).collect()
+    }
+    assert sorted(rows) == [
+        "0_raw", "1_dedup", "2_spandup", "3_decontam", "4_quality", "5_sampled",
+    ]
+    seq = [rows[k] for k in sorted(rows)]
+    assert seq[0] > 0
+    assert all(a >= b for a, b in zip(seq, seq[1:])), seq
+    assert rows["2_spandup"] < rows["1_dedup"]      # span gate fires
+    assert rows["4_quality"] < rows["3_decontam"]   # model gate fires
+
+
 def test_pipeline_curate_audit_no_stage_replay(spark):
     """Regression (round-3 verdict): the audit used to union five count
     plans that each re-derived all earlier stages (raw scanned 5x, dedup
