@@ -365,3 +365,34 @@ def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             for name, p, _ in PII_PATTERNS
         ],
     )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon character entropy (bits) — the cheap gibberish /
+    low-diversity signal (near-0 for 'aaaa...', ~4+ for natural prose).
+
+    Stays ENTIRELY in whole-stage codegen: chars = split(text, ''), counts
+    via filter-size per distinct char (O(distinct x len) per doc — distinct
+    is alphabet-bounded, so this beats shipping the corpus through an Arrow
+    kernel), entropy folded with one ``aggregate``. Map-only, zero shuffle,
+    zero Python. Rounded to 6dp for cross-engine hash stability.
+    """
+    chars = F.split(F.col(text_col), "")
+    n = F.size(chars)
+    distinct = F.array_distinct(chars)
+    counts = F.transform(
+        distinct, lambda c: F.size(F.filter(chars, lambda x: x == c))
+    )
+    # H = -sum( (k/n) * log2(k/n) )
+    h = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, k: acc
+        - (k / n) * F.log2(k.cast("double") / n.cast("double")),
+    )
+    return spread(df).select(
+        "doc_id",
+        n.alias("n_chars_obs"),
+        F.size(distinct).alias("n_distinct_chars"),
+        F.round(F.when(n > 0, h).otherwise(F.lit(0.0)), 6).alias("char_entropy"),
+    )

@@ -356,3 +356,49 @@ def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("value") * 100).cast("long")).over(w)
         .cast("bigint").alias("cents_1h"),
     )
+
+
+@register(
+    "q_events_retention",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+    SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+           CAST(e.day - f.cohort_day AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("events", "analytics"),
+    # deferred: the 50-slot driver cap is full; exact DuckDB parity in
+    # tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    distinct actives per (cohort_day, day_offset) — the standard
+    growth-analytics triangle.
+
+    Shape: the cohort day is a MIN window over user_id — ONE shuffle on
+    user_id, no events-vs-events self-join (the naive formulation scans
+    and shuffles twice); the final (cohort, offset) distinct-count is the
+    second and last shuffle, keyed on a small composite."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 1000 div 86400000000").alias("day")
+    )
+    w = W.partitionBy("user_id")
+    cohorted = e.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        cohorted.groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.col("cohort_day").cast("long").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+        )
+    )

@@ -415,6 +415,28 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, threshold=0.42, dim=64, bands=16)
 
 
+@register(
+    "doc_char_entropy",
+    oracle="""
+    WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+               FROM documents)
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_chars_obs,
+           CAST(count(DISTINCT ch) AS INTEGER) AS n_distinct_chars,
+           ROUND(entropy(ch), 6) AS char_entropy
+    FROM c GROUP BY doc_id
+    """,
+    tags=("text",),
+    # deferred: driver cap full; DuckDB's entropy() is base-2 like the
+    # Spark-side log2 fold — exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per doc (gibberish/low-diversity signal) —
+    map-only whole-stage codegen, zero Python, zero shuffle."""
+    return text.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
 @register("doc_quality_model", oracle=None, tags=("text", "no-oracle"))
 def doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality-classifier filter (the GPT-3/LLaMA corpus recipe):
