@@ -88,3 +88,92 @@ def decontaminate(
     )
     bad = scores.filter(F.col("n_hits") >= min_hits).select(id_col)
     return docs.join(bad, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter variant (r4): constant-size broadcast for huge eval sets
+
+
+def build_shingle_bloom(
+    eval_docs: DataFrame,
+    n: int = 4,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    text_col: str = "text",
+):
+    """Build a Bloom filter over the eval set's DISTINCT shingle hashes ->
+    (numpy int64 words, m_bits, k).
+
+    The probe positions are computed BY SPARK (``pmod(xxhash64(sh, i),
+    m_bits)``) and collected — the scoring side evaluates the identical
+    expressions, so there is no Python reimplementation of xxhash64 to
+    drift (same trick as the trained classifier's feature hashing). The
+    collect is bounded by the DISTINCT eval shingle count; the artifact that
+    ships to every executor afterwards is m_bits/8 bytes REGARDLESS of eval
+    size — that's the point vs the exact semi-join set, which broadcasts
+    8 bytes per shingle. Standard Bloom tradeoff: no false negatives,
+    FPR ~ (1 - e^(-k*n/m))^k.
+    """
+    import numpy as np
+
+    ev = (
+        with_hashed_shingles(eval_docs, text_col=text_col, n=n)
+        .select(F.explode("sh").alias("sh"))
+        .distinct()
+    )
+    probes = ev.select(
+        *[
+            F.pmod(F.xxhash64(F.col("sh"), F.lit(i)), F.lit(m_bits)).alias(f"p{i}")
+            for i in range(k)
+        ]
+    ).collect()
+    words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    for r in probes:
+        for i in range(k):
+            idx = r[f"p{i}"]
+            words[idx >> 6] |= np.uint64(1) << np.uint64(idx & 63)
+    return words.view(np.int64), m_bits, k
+
+
+def _might_contain_expr(col, words_col, m_bits: int, k: int):
+    """ALL k probe bits set — pure Catalyst (xxhash64 + shift + mask)."""
+    test = F.lit(True)
+    for i in range(k):
+        idx = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(words_col, (idx / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftrightunsigned", word, (idx % 64).cast("int")
+        ).bitwiseAND(F.lit(1))
+        test = test & (bit == 1)
+    return test
+
+
+def contamination_scores_bloom(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 4,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filtered contamination counts: (id, n_shingles, n_hits).
+
+    Corpus side is MAP-ONLY — no join at all: each document counts its
+    shingles that hit the filter with one ``filter``+``size`` over the
+    shingle array, entirely in whole-stage codegen. Compared to the exact
+    path (broadcast LEFT SEMI + groupBy shuffle), this trades a documented
+    false-positive rate for zero shuffle and a constant-size broadcast;
+    superset property (bloom_hits >= exact hits, no false negatives) is
+    asserted in tests/test_hygiene.py.
+    """
+    words, m_bits, k = build_shingle_bloom(eval_docs, n, m_bits, k, text_col)
+    words_arr = F.array(*[F.lit(int(w)) for w in words])
+    shingled = with_hashed_shingles(docs, text_col=text_col, n=n)
+    return shingled.select(
+        F.col(id_col),
+        F.size("sh").alias("n_shingles"),
+        F.size(
+            F.filter("sh", lambda s: _might_contain_expr(s, words_arr, m_bits, k))
+        ).cast("bigint").alias("n_hits"),
+    )

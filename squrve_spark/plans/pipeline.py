@@ -747,6 +747,18 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.unionByName(tail)
 
 
+@register("doc_decontam_bloom", oracle=None, tags=("hygiene", "no-oracle"))
+def doc_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (constant-size broadcast, MAP-ONLY
+    corpus side — zero shuffle, zero join; superset-of-exact property
+    tested in tests/test_hygiene.py)."""
+    from squrve_spark.operators import decontam as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    return X.contamination_scores_bloom(docs, eval_set).orderBy("doc_id")
+
+
 @register("pipeline_curate_v2", oracle=None, tags=("pipeline", "no-oracle"))
 def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 curation composite — the r4 operator set as one survival-flag

@@ -215,3 +215,29 @@ def test_chunk_documents_validation_and_map_only(spark):
         chunk_documents(df, chunk_tokens=4, overlap=4)
     plan = chunk_documents(df, 4)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only: no shuffle
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    """Bloom path: no false negatives (per-doc hits >= exact hits) and a
+    tiny false-positive excess at the default sizing; map-only plan (no
+    Exchange, no join)."""
+    from squrve_spark.operators.decontam import (
+        contamination_scores,
+        contamination_scores_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_set = docs.filter("doc_id < 20").select("doc_id", "text")
+    exact = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_scores(docs, eval_set).collect()
+    }
+    bloom_df = contamination_scores_bloom(docs, eval_set)
+    bloom = {r["doc_id"]: r["n_hits"] for r in bloom_df.collect()}
+    assert set(bloom) == set(exact)
+    assert all(bloom[d] >= exact[d] for d in exact)
+    excess = sum(bloom[d] - exact[d] for d in exact)
+    total = sum(r["n_shingles"] for r in bloom_df.collect())
+    assert excess <= max(5, 0.01 * total), (excess, total)
+    plan = bloom_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
