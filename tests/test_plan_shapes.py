@@ -81,3 +81,44 @@ def test_asof_join_no_join_operator(spark):
 def test_no_cartesian_anywhere(spark, name):
     """No registered batch query may plan a CartesianProduct."""
     assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_char_entropy_map_only(spark):
+    """char_entropy claims map-only whole-stage codegen: no DATA shuffle
+    (the only Exchange is spread()'s deliberate round-robin CPU spread for
+    the single-file scan) and no Python eval nodes."""
+    plan = plan_of(spark, "doc_char_entropy")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_span_dup_shuffles_on_hashes_only(spark):
+    """doc_span_dup: spans shuffle as xxhash64 longs — the text column must
+    never appear past the span-building projection (no string shuffle), and
+    there is no cartesian/BNL join."""
+    plan = plan_of(spark, "doc_span_dup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # count join + final agg: bounded exchange count (hash counts, the
+    # count join, and the per-doc agg — plus AQE reads)
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_pixel_stats_single_python_stage(spark):
+    """multimodal_pixel_stats: payload build (pandas UDF) + decode
+    (mapInPandas) are the only Python boundaries, and no shuffle exists —
+    the whole pipeline is map-only."""
+    plan = plan_of(spark, "multimodal_pixel_stats")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    # payload build (ArrowEvalPython) + decode (MapInPandas) only
+    assert plan.count("EvalPython") == 1 and plan.count("MapInPandas") == 1
+
+
+def test_quality_model_query_scoring_stage_jvm(spark):
+    """doc_quality_model's returned plan (scoring only — training already
+    happened at plan-build time) must be Python-free: the weight table is a
+    Catalyst literal."""
+    plan = plan_of(spark, "doc_quality_model")
+    assert "EvalPython" not in plan
