@@ -419,26 +419,74 @@ class MACSQLGenerator(SparkActor):
     MAX_ROUND = 3
     COLS_PER_TABLE = 6
 
-    DECOMPOSE_PROMPT = (
-        "Schema (pruned):\n{schema}\nQuestion: {question}\n"
-        "Decompose into sub-questions; answer each with SQL; end with the "
-        "final Spark SQL query."
+    # The reference's five SQL-writing constraints, carried verbatim in both
+    # the decomposer and refiner prompts (MACSQLGenerate.py:204-210, 438-443)
+    CONSTRAINTS = (
+        "【Constraints】\n"
+        "- In `SELECT <column>`, just select needed columns in the "
+        "【Question】 without any unnecessary column or value\n"
+        "- In `FROM <table>` or `JOIN <table>`, do not include unnecessary "
+        "table\n"
+        "- If use max or min func, `JOIN <table>` FIRST, THEN use "
+        "`SELECT MAX(<column>)` or `SELECT MIN(<column>)`\n"
+        "- If [Value examples] of <column> has 'None' or None, use "
+        "`JOIN <table>` or `WHERE <column> is NOT NULL` is better\n"
+        "- If use `ORDER BY <column> ASC|DESC`, add `GROUP BY <column>` "
+        "before to select distinct values"
     )
+
+    # Decomposer frame (reference MACSQLGenerate.py:204-346): bracketed
+    # 【Database schema】/【Question】 sections, the constraint block, the
+    # step-by-step sub-question cue, and the worked example's stepping
+    # shape (Sub question N -> ```sql block, ending "Question Solved.").
+    DECOMPOSE_PROMPT = (
+        "Given a 【Database schema】 description and the 【Question】, you "
+        "need to use valid Spark SQL and understand the database, then "
+        "decompose the question into subquestions for text-to-SQL "
+        "generation.\nWhen generating SQL, we should always consider "
+        "constraints:\n{constraints}\n\n==========\n\n"
+        "【Database schema】\n{schema}\n【Question】\n{question}\n\n"
+        "Decompose the question into sub questions, considering "
+        "【Constraints】, and generate the SQL after thinking step by "
+        "step:\nSub question 1: ...\nSQL\n```sql\n...\n```\n...\n"
+        "End with the final SQL and the line: Question Solved."
+    )
+
+    # Refiner frame (reference MACSQLGenerate.py:434-461): 【Instruction】,
+    # the same constraint block, 【old SQL】 fenced block, the engine error
+    # section, and the 【correct SQL】 output cue.
     REFINE_PROMPT = (
-        "The SQL:\n{sql}\nfailed on Spark with:\n{error}\n"
-        "Schema:\n{schema}\nQuestion: {question}\nReturn the fixed SQL only."
+        "【Instruction】\nWhen executing SQL below, some errors occurred, "
+        "please fix up SQL based on query and database info.\nSolve the "
+        "task step by step if you need to. Using SQL format in the code "
+        "block, and indicate script type in the code block.\nWhen you find "
+        "an answer, verify the answer carefully.\n{constraints}\n"
+        "【Query】\n-- {question}\n【Database info】\n{schema}\n"
+        "【old SQL】\n```sql\n{sql}\n```\n【Spark SQL error】\n{error}\n\n"
+        "Now please fixup old SQL and generate new SQL again.\n【correct SQL】"
     )
 
     def pruned_schema(self, row: dict) -> str:
+        """Deterministic Selector (catalog-driven analog of the reference's
+        LLM Selector, MACSQLGenerate.py:112-137): its documented rules are
+        applied literally — tables with <= 10 columns are kept whole
+        ('keep_all', Requirement 1), otherwise columns rank by
+        question-relevance and the top 6 survive (Instruction 2); PKs are
+        always retained so joins stay expressible."""
         q_toks = set(tokenize(row.get("question", "")))
         lines = []
         for table in self.tables_for(row):
             cols = P.table_columns(self.spark, table)
-            def score(c):
-                parts = [p for p in re.split(r"[_\W]+", c["name"].lower()) if p]
-                return sum(p in q_toks for p in parts)
-            ranked = sorted(cols, key=score, reverse=True)[: self.COLS_PER_TABLE]
-            keep = {c["name"] for c in ranked} | {c["name"] for c in cols if c.get("pk")}
+            if len(cols) <= 10:  # reference 'keep_all' rule
+                keep = {c["name"] for c in cols}
+            else:
+                def score(c):
+                    parts = [p for p in re.split(r"[_\W]+", c["name"].lower()) if p]
+                    return sum(p in q_toks for p in parts)
+                ranked = sorted(cols, key=score, reverse=True)[: self.COLS_PER_TABLE]
+                keep = {c["name"] for c in ranked} | {
+                    c["name"] for c in cols if c.get("pk")
+                }
             cols_txt = ", ".join(f"{c['name']} {c['type']}" for c in cols if c["name"] in keep)
             lines.append(f"### Table = {table}, columns = [{cols_txt}]")
         return "\n".join(lines)
@@ -447,7 +495,11 @@ class MACSQLGenerator(SparkActor):
         row = self.row(item)
         question = row.get("question", "")
         schema = self.pruned_schema(row)
-        out = self.llm.complete(self.DECOMPOSE_PROMPT.format(schema=schema, question=question))
+        out = self.llm.complete(
+            self.DECOMPOSE_PROMPT.format(
+                schema=schema, question=question, constraints=self.CONSTRAINTS
+            )
+        )
         sql = extract_sql(out)
         rounds = 0
         for _ in range(self.MAX_ROUND):
@@ -457,7 +509,13 @@ class MACSQLGenerator(SparkActor):
             rounds += 1
             sql = extract_sql(
                 self.llm.complete(
-                    self.REFINE_PROMPT.format(sql=sql, error=res.error, schema=schema, question=question)
+                    self.REFINE_PROMPT.format(
+                        sql=sql,
+                        error=res.error,
+                        schema=schema,
+                        question=question,
+                        constraints=self.CONSTRAINTS,
+                    )
                 )
             )
         return {"pred_sql": sql, "refine_rounds": rounds}

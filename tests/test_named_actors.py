@@ -198,8 +198,9 @@ def test_macsql_refiner_repairs_on_execution_error(spark):
     register_tables(spark, SF_SMALL, ["nation"])
     llm = MockLLM(
         rules=[
-            (r"failed on Spark with", GOOD_COUNT),
-            (r"Decompose into sub-questions", "SELECT count(*) FROM missing_tbl"),
+            (r"please fixup old SQL", GOOD_COUNT),
+            (r"Decompose the question into sub questions",
+             "SELECT count(*) FROM missing_tbl"),
         ]
     )
     out = MACSQLGenerator(
@@ -207,6 +208,43 @@ def test_macsql_refiner_repairs_on_execution_error(spark):
     ).act(0)
     assert out == {"pred_sql": GOOD_COUNT, "refine_rounds": 1}
     assert "### Table = nation" in llm.calls[0]  # Selector's pruned schema reached the prompt
+
+
+def test_macsql_prompt_section_fidelity(spark):
+    """Decomposer + Refiner carry the reference's documented frames
+    (MACSQLGenerate.py:204-210 constraints; :434-461 refiner sections):
+    bracketed 【...】 sections, the five constraint bullets, the
+    step-by-step cue / 'Question Solved.' terminator, and the
+    【old SQL】/【correct SQL】 refiner structure."""
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (r"please fixup old SQL", GOOD_COUNT),
+            (r"Decompose the question into sub questions",
+             "SELECT count(*) FROM missing_tbl"),
+        ]
+    )
+    MACSQLGenerator(
+        dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    dec = llm.calls[0]
+    for frag in (
+        "【Database schema】", "【Question】", "【Constraints】",
+        "just select needed columns",
+        "do not include unnecessary table",
+        "`JOIN <table>` FIRST, THEN use `SELECT MAX(<column>)`",
+        "is NOT NULL",
+        "add `GROUP BY <column>` before to select distinct values",
+        "thinking step by step",
+        "Question Solved.",
+    ):
+        assert frag in dec, frag
+    ref = llm.calls[-1]
+    for frag in (
+        "【Instruction】", "【Constraints】", "【Query】", "【Database info】",
+        "【old SQL】", "【Spark SQL error】", "【correct SQL】",
+    ):
+        assert frag in ref, frag
 
 
 def test_chess_unit_tests_score_candidates(spark):
