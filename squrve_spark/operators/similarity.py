@@ -806,3 +806,109 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted ANN index (r4): build once, query many
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize an IVF index to parquet: ``{path}/centroids`` (cell ->
+    unit centroid array) and ``{path}/cells`` (vector id -> cell).
+
+    The build-once/query-many shape every real ANN deployment uses — the
+    k-means training and the corpus assignment pass (the expensive parts)
+    happen at build time; query time reads the tiny centroid table plus the
+    (id, cell) mapping, which prunes to the probed cells via partition-
+    friendly equi-joins. Cells are written partitioned by cell id so a
+    probe-limited query scans only the probed cells' files (partition
+    pruning at 100 TB)."""
+    spark = corpus.sparkSession
+    Cu = train_centroids(corpus, n_centroids, train_iters, id_col, vec_col)
+    bc = spark.sparkContext.broadcast(Cu)
+
+    def assign_fn(vecs: pd.Series) -> pd.Series:
+        cu = bc.value
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.Series((Vu @ cu.T).argmax(axis=1).astype(np.int32))
+
+    cells = spread(corpus.select(id_col, vec_col)).select(
+        id_col, pandas_udf(assign_fn, "int")(F.col(vec_col)).alias("cell")
+    )
+    cells.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    cent_rows = [
+        (int(i), [float(x) for x in Cu[i]]) for i in range(len(Cu))
+    ]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return Cu
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+
+
+def ivf_topk_indexed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a PERSISTED index: no training, no corpus
+    assignment pass — the stored (id, cell) mapping joins onto the corpus
+    vectors, queries route to their probed cells driver-side (the centroid
+    table is tiny), and the probe filter prunes the cell-partitioned
+    parquet before any vector is read."""
+    spark = corpus.sparkSession
+    Cu = load_ivf_centroids(spark, index_path)
+    bc = spark.sparkContext.broadcast(Cu)
+    cells = spark.read.parquet(f"{index_path}/cells")
+
+    def probe_fn(vecs: pd.Series) -> pd.Series:
+        cu = bc.value
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
+        order = np.argsort(-(Vu @ cu.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    c = (
+        with_vec_norm(spread(corpus), vec_col, "c_v", "c_n")
+        .select(F.col(id_col), "c_v", "c_n")
+        .join(cells, id_col)
+        .select(F.col(id_col).alias("neighbor_id"), "c_v", "c_n", "cell")
+    )
+    q = with_vec_norm(queries, vec_col, "q_v", "q_n").select(
+        F.col(id_col).alias("query_id"),
+        "q_v",
+        "q_n",
+        F.explode(pandas_udf(probe_fn, "array<int>")(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot_expr(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")), 6
+            ).cast("double"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

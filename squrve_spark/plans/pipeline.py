@@ -491,9 +491,11 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_decode", oracle=None, tags=("multimodal", "no-oracle"))
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode/feature-extract over binary payloads (stubbed codec,
-    real Arrow-batched plumbing)."""
-    docs = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    """mapInPandas decode/feature-extract over binary payloads. Since r4 the
+    payloads are REAL BMPs built from the corpus text, so the default
+    (no-fake) config exercises the genuine header-decode branch with
+    ok=true — fabricated-dimension fakes stay opt-in and untested here."""
+    docs = multimodal.attach_image_payload(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_media_meta(docs)
 
 
@@ -576,6 +578,28 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+@register("sim_ivf_indexed", oracle=None, tags=("similarity", "ann", "no-oracle"))
+def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k against a PERSISTED index (build-once/query-many): the
+    first call trains + writes `{tmp}/centroids,cells` (cells parquet
+    partitioned by cell id for probe-time partition pruning); later calls
+    only read. Training is deterministic, so build-then-query equals the
+    in-memory `sim_ivf_topk` path with the same parameters
+    (tests/test_ann.py asserts it)."""
+    import os
+    import tempfile
+
+    from squrve_spark.operators.similarity import ivf_topk_indexed, save_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"squrve_ivf_index_{sf_tag}")
+    if not os.path.exists(os.path.join(path, "centroids")):
+        save_ivf_index(emb, path, n_centroids=16, train_iters=2)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk_indexed(emb, queries, path, k=5, n_probe=4)
 
 
 @register("sim_pq_topk", oracle=None, tags=("similarity", "ann", "no-oracle"))

@@ -278,3 +278,34 @@ def test_pq_topk_recall_vs_bruteforce(spark):
     assert shared
     for key in shared:
         assert abs(sims[key] - exact_sims[key]) < 1e-9
+
+
+def test_persisted_ivf_index_matches_inmemory(spark, tmp_path):
+    """save_ivf_index -> ivf_topk_indexed must return exactly the in-memory
+    ivf_topk result with the same parameters (training is deterministic),
+    and the stored cells must cover every corpus vector exactly once."""
+    from pyspark.sql import functions as F
+
+    from squrve_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        load_ivf_centroids,
+        save_ivf_index,
+        train_centroids,
+    )
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    Cu = save_ivf_index(emb, path, n_centroids=8, train_iters=2)
+    assert np.allclose(load_ivf_centroids(spark, path), Cu)
+    assert np.allclose(Cu, train_centroids(emb, 8, 2))  # deterministic build
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()
+    queries = emb.filter(F.col("vec_id") < 8)
+    direct = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3, train_iters=2)
+    indexed = ivf_topk_indexed(emb, queries, path, k=5, n_probe=3)
+    d = sorted(tuple(r) for r in direct.collect())
+    i = sorted(tuple(r) for r in indexed.collect())
+    assert d == i
