@@ -66,3 +66,38 @@ def test_sql_functions_stay_jvm_side(spark):
     )
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan
+
+
+def test_chunk_udtf_matches_jvm_operator(spark):
+    """The SQL-callable UDTF and the map-only JVM chunker implement ONE
+    windowing rule: identical output on the fixture corpus sample."""
+    from squrve_spark.functions.udtfs import register_udtfs
+    from squrve_spark.operators.text import chunk_documents
+
+    assert "sq_chunk_text" in register_udtfs(spark)
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("doc_id < 30")
+        .select("doc_id", "text")
+    )
+    docs.createOrReplaceTempView("_chunk_docs")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, c.chunk_id, c.chunk AS chunk_text, c.n_chunk_tokens "
+        "FROM _chunk_docs d, LATERAL sq_chunk_text(d.text, 16, 4) c"
+    )
+    via_jvm = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    u = sorted(tuple(r) for r in via_udtf.collect())
+    j = sorted(tuple(r) for r in via_jvm.collect())
+    assert u == j and len(u) > 30
+
+
+def test_chunk_udtf_rejects_bad_params(spark):
+    from squrve_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError, Exception)):
+        spark.sql("SELECT * FROM sq_chunk_text('a b c', 4, 9)").collect()
