@@ -1,0 +1,101 @@
+"""Custom Spark DataSource for the file-per-column schema store.
+
+The reference persists database schemas as one JSON file per column
+(``{base}/{db_id}/{table}_{column}.json`` — reference
+``core/data_manage.py:1126-1136, 1593-1601``), and its retrieval pipeline
+reads thousands of such files. This module exposes that store to Spark as a
+first-class batch source via the Python Data Source API (Spark 4)::
+
+    register_schema_source(spark)
+    df = spark.read.format("squrve_schema").load("/path/to/schema_store")
+    df.filter("db_id = 'tpch'").select("table_name", "column_name")
+
+Why a data source instead of ``spark.read.json``: the store is a TREE of
+tiny per-column files where db_id lives in the DIRECTORY name, the natural
+unit of listing is the db directory, and files must tolerate missing keys
+uniformly. The reader partitions BY DATABASE DIRECTORY (one InputPartition
+per db_id, the natural pruning unit) and parses files executor-side — the
+driver only lists directories, so a store with a million columns across
+thousands of dbs scales by adding executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+SCHEMA_DDL = (
+    "db_id string, db_type string, table_name string, column_name string, "
+    "column_types string, column_descriptions string, primary_key boolean, "
+    "foreign_key string, source_file string"
+)
+
+_FIELDS = (
+    "db_id", "db_type", "table_name", "column_name", "column_types",
+    "column_descriptions", "primary_key", "foreign_key",
+)
+
+
+class _DbPartition(InputPartition):
+    def __init__(self, db_dir: str):
+        self.db_dir = db_dir
+
+
+class SchemaStoreReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("squrve_schema source needs a path (.load(path))")
+
+    def partitions(self):
+        # one partition per db directory — the store's natural pruning unit;
+        # a flat directory of json files is treated as a single anonymous db
+        subdirs = sorted(
+            os.path.join(self.path, d)
+            for d in os.listdir(self.path)
+            if os.path.isdir(os.path.join(self.path, d))
+        )
+        return [_DbPartition(d) for d in subdirs] or [_DbPartition(self.path)]
+
+    def read(self, partition: _DbPartition):
+        db_dir = partition.db_dir
+        for fn in sorted(os.listdir(db_dir)):
+            if not fn.endswith(".json"):
+                continue
+            fp = os.path.join(db_dir, fn)
+            try:
+                with open(fp) as fh:
+                    col = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                continue  # tolerate partial writes, like the reference loader
+            if not isinstance(col, dict):
+                continue
+            yield tuple(
+                (
+                    bool(col.get(f, False))
+                    if f == "primary_key"
+                    else (None if col.get(f) is None else str(col.get(f)))
+                )
+                for f in _FIELDS
+            ) + (fp,)
+
+
+class SchemaStoreDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "squrve_schema"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> SchemaStoreReader:
+        return SchemaStoreReader(self.options)
+
+
+def register_schema_source(spark: SparkSession) -> None:
+    """Idempotent registration of the 'squrve_schema' format."""
+    spark.dataSource.register(SchemaStoreDataSource)

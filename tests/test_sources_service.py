@@ -244,3 +244,60 @@ def test_api_explain_rejects_cte_insert_bypass(service, spark):
         assert "formatted" in ok
     finally:
         spark.sql("DROP TABLE IF EXISTS explain_bypass_tgt")
+
+
+# ---------------------------------------------------------------------------
+# custom Python DataSource over the file-per-column schema store (r4)
+
+
+def test_schema_store_datasource_roundtrip(spark, tmp_path):
+    """central -> parallel files -> spark.read.format('squrve_schema') ->
+    parallel_to_central must round-trip; partitions are per-db directories."""
+    from squrve_spark.data import (
+        central_schema_from_catalog,
+        central_to_parallel,
+        parallel_to_central,
+        save_parallel_schema,
+    )
+    from squrve_spark.sources.schema_source import register_schema_source
+
+    register_tables(spark, SF_SMALL, ["nation", "region"])
+    central = central_schema_from_catalog(spark, "tpch_mini", ["nation", "region"])
+    cols = central_to_parallel(central)
+    save_parallel_schema(cols, str(tmp_path))
+    # second db in the same store — must come back distinguishable
+    central2 = dict(central, db_id="other_db")
+    save_parallel_schema(central_to_parallel(central2), str(tmp_path))
+
+    register_schema_source(spark)
+    df = spark.read.format("squrve_schema").load(str(tmp_path))
+    assert df.count() == 2 * len(cols)
+    assert set(r["db_id"] for r in df.select("db_id").distinct().collect()) == {
+        "tpch_mini", "other_db",
+    }
+    got = sorted(
+        (
+            {
+                "db_id": r["db_id"], "db_type": r["db_type"],
+                "table_name": r["table_name"], "column_name": r["column_name"],
+                "column_types": r["column_types"],
+                "column_descriptions": r["column_descriptions"] or "",
+                "primary_key": r["primary_key"], "foreign_key": r["foreign_key"] or "",
+            }
+            for r in df.filter("db_id = 'tpch_mini'").collect()
+        ),
+        key=lambda c: (c["table_name"], c["column_name"]),
+    )
+    want = sorted(cols, key=lambda c: (c["table_name"], c["column_name"]))
+    assert [parallel_to_central(got)["table_names_original"]] == [
+        parallel_to_central(want)["table_names_original"]
+    ]
+    assert {(c["table_name"], c["column_name"]) for c in got} == {
+        (c["table_name"], c["column_name"]) for c in want
+    }
+    # malformed file is tolerated (reference loader behavior)
+    (tmp_path / "tpch_mini" / "broken.json").write_text("{not json")
+    assert (
+        spark.read.format("squrve_schema").load(str(tmp_path)).count()
+        == 2 * len(cols)
+    )
