@@ -167,6 +167,24 @@ def test_upload_accepts_server_local_paths(spark, tmp_path):
         server.shutdown()
 
 
+def test_upload_accepts_xlsx(spark, tmp_path):
+    """XLSX flows through /api/upload end-to-end now that the pure-stdlib
+    OOXML reader backs ingest_file (no openpyxl in the container)."""
+    from squrve_spark.sources.xlsx import write_xlsx
+
+    p = tmp_path / "inventory.xlsx"
+    write_xlsx(str(p), ["sku", "qty"], [["x", 1], ["y", 2], ["z", 3]])
+    state = ServiceState(spark)
+    server = serve_background(state)
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        up = _post(f"{url}/api/upload", {"files": [str(p)]})
+        assert up["tables"] == ["inventory"]
+        assert spark.sql("SELECT sum(qty) AS s FROM inventory").collect()[0]["s"] == 6
+    finally:
+        server.shutdown()
+
+
 def test_demo_ui_page(service):
     """GET / serves the self-contained demo page (gradio-demo analog)."""
     with urllib.request.urlopen(f"{service}/", timeout=10) as resp:
