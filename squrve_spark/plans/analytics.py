@@ -402,3 +402,57 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "q_events_resample",
+    oracle="""
+    WITH e AS (
+        SELECT epoch_us(ts) // 3600000000 AS b,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    a AS (SELECT b, COUNT(*) AS n, SUM(cents) AS c FROM e GROUP BY b),
+    g AS (
+        SELECT unnest(range((SELECT MIN(b) FROM a),
+                            (SELECT MAX(b) FROM a) + 1)) AS b
+    )
+    SELECT CAST(g.b AS BIGINT) AS bucket_hr,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(a.c, 0) AS BIGINT) AS value_cents
+    FROM g LEFT JOIN a USING (b)
+    """,
+    tags=("events", "analytics"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resampling: EVERY hour bucket between the corpus
+    min and max appears, empty ones as zeros — the regularized series a
+    monitoring/forecast consumer needs (a groupBy alone silently drops
+    empty buckets).
+
+    Shape: one agg shuffle on bucket; the dense bucket grid comes from a
+    1-row min/max scalar broadcast exploded through `sequence` (same
+    sanctioned 1-row-broadcast pattern as bm25's corpus stats) and left-
+    joins the sparse aggregate — grid size is (time span / granularity),
+    independent of event count."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 1000 div 3600000000").alias("b"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    agg = e.groupBy("b").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("c")
+    )
+    bounds = agg.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("b")
+    )
+    return (
+        grid.join(agg, "b", "left")
+        .select(
+            F.col("b").cast("long").alias("bucket_hr"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("value_cents"),
+        )
+    )

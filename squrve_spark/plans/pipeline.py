@@ -235,6 +235,42 @@ def doc_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_value_outliers",
+    oracle="""
+    WITH f AS (
+        SELECT quantile_cont(value, 0.25) AS q25,
+               quantile_cont(value, 0.75) AS q75
+        FROM events
+    )
+    SELECT e.event_id,
+           ROUND(CAST(e.value AS DOUBLE), 6) AS value,
+           CASE WHEN e.value < f.q25 - 1.5 * (f.q75 - f.q25)
+                THEN 'low' ELSE 'high' END AS fence
+    FROM events e, f
+    WHERE e.value < f.q25 - 1.5 * (f.q75 - f.q25)
+       OR e.value > f.q75 + 1.5 * (f.q75 - f.q25)
+    """,
+    tags=("profiling", "events"),
+    # deferred: driver cap full; Spark exact percentile == DuckDB
+    # quantile_cont (both linear-interpolated) -> exact parity in pytest.
+    # events.value has a long purchase tail, so the fence actually fires
+    # (463 rows at sf0.01; l_extendedprice/o_totalprice have none).
+    defer_oracle=True,
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier sweep on events.value: quantile pass (exact here
+    for parity; sketch at scale) + map-only filter against the 1-row fence
+    broadcast. The data-quality pre-training sweep shape."""
+    from squrve_spark.profile import numeric_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    out = numeric_outliers(ev, "value", "event_id", exact=True)
+    return out.select(
+        "event_id", F.round("value", 6).alias("value"), "fence"
+    )
+
+
+@register(
     "doc_ngram_freq",
     # driver-checked since round 4 (rotated in for q_events_hourly, whose
     # aggregation is identically driver-checked via stream_hourly_counts)

@@ -171,3 +171,40 @@ def describe_for_prompt(spark: SparkSession, table: str, k: int = 3) -> str:
         rendered = ", ".join(repr(s)[:40] for s in samples)
         lines.append(f"  {col['name']} ({col['type']}): e.g. {rendered}")
     return "\n".join(lines)
+
+
+def numeric_outliers(
+    df: DataFrame,
+    column: str,
+    id_col: str,
+    k: float = 1.5,
+    exact: bool = False,
+) -> DataFrame:
+    """Tukey-fence outlier flags for one numeric column: rows outside
+    [q25 - k*IQR, q75 + k*IQR] -> (id, value, fence tag).
+
+    Two-pass shape: pass 1 computes the two quantiles (sketch by default,
+    exact for oracle parity); pass 2 is a map-only filter against the 1-row
+    fence broadcast — no sort, no per-row window, scales linearly. The
+    standard data-quality sweep before training on numeric features.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    fences = df.agg(
+        F.expr(f"{fn}(`{column}`, 0.25)").alias("q25"),
+        F.expr(f"{fn}(`{column}`, 0.75)").alias("q75"),
+    ).select(
+        (F.col("q25") - k * (F.col("q75") - F.col("q25"))).alias("lo"),
+        (F.col("q75") + k * (F.col("q75") - F.col("q25"))).alias("hi"),
+    )
+    return (
+        df.select(id_col, column)
+        .crossJoin(F.broadcast(fences))  # 1-row scalar broadcast
+        .filter((F.col(column) < F.col("lo")) | (F.col(column) > F.col("hi")))
+        .select(
+            id_col,
+            F.col(column).cast("double").alias("value"),
+            F.when(F.col(column) < F.col("lo"), F.lit("low"))
+            .otherwise(F.lit("high"))
+            .alias("fence"),
+        )
+    )
