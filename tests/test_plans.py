@@ -59,9 +59,10 @@ def test_no_cartesian_products(spark, name):
     assert "CartesianProduct" not in plan
     # BroadcastNestedLoopJoin is acceptable only for (a) the deliberately
     # broadcast brute-force ANN baseline (inequality join against a tiny
-    # broadcast side) and (b) bm25's 1-row corpus-stats (N, avgdl) scalar
-    # broadcast — the standard way to attach a scalar aggregate to every row
-    if "bruteforce" not in name and name != "doc_bm25":
+    # broadcast side) and (b) 1-row scalar-aggregate broadcasts — bm25's
+    # corpus stats (N, avgdl) and the outlier sweep's Tukey fences — the
+    # standard way to attach a scalar aggregate to every row
+    if "bruteforce" not in name and name not in ("doc_bm25", "event_value_outliers"):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
