@@ -192,3 +192,53 @@ def shard_manifest(
     if token_col is not None:
         aggs.append(F.sum(token_col).cast("bigint").alias("n_tokens"))
     return sharded.groupBy(SHARD_COL).agg(*aggs).orderBy(SHARD_COL)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup ingestion (r4): the daily-batch crawl pattern
+
+
+def incremental_dedup_ingest(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest a new batch against a PERSISTED fingerprint store: return only
+    documents whose canonical fingerprint has never been seen (not in the
+    store, not earlier in this batch), and append the survivors'
+    fingerprints to the store.
+
+    The production shape for continuous corpus building — each day's crawl
+    dedups against ALL history without ever re-reading historical text:
+    the store holds (fingerprint, id) only, so the anti-join's build side
+    is a fraction of corpus size and the new batch (the small side) streams
+    against it. Within-batch dupes collapse to the min-id copy first so two
+    copies arriving together can't both pass. The append is an atomic-ish
+    parquet directory append (new files only); re-running the same batch is
+    idempotent at the RESULT level: already-stored fingerprints are
+    filtered, so a replay returns 0 rows and appends 0 fingerprints.
+    """
+    import os
+
+    spark = new_docs.sparkSession
+    # same canonical form as operators/text.fingerprint / exact_dedup_groups
+    canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    batch = new_docs.withColumn("_fp", F.md5(canon))
+    # within-batch: keep min-id per fingerprint
+    w_keep = batch.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    batch = batch.join(w_keep, [id_col, "_fp"], "left_semi")
+    if os.path.exists(store_path):
+        # anti-join on the narrow (fp) store — a hash shuffle on the 128-bit
+        # key; the store is the big side and cannot be broadcast, but its
+        # shuffled payload is 32 bytes/row regardless of historical text size
+        seen = spark.read.parquet(store_path).select("_fp")
+        batch = batch.join(seen, "_fp", "left_anti")
+    # EAGER checkpoint before the append: the survivor set must be pinned,
+    # because a lazy plan re-evaluated after the append would re-read the
+    # store, see its own fingerprints, and yield zero rows.
+    survivors = batch.localCheckpoint()
+    survivors.select("_fp", F.col(id_col).alias("first_id")).write.mode(
+        "append"
+    ).parquet(store_path)
+    return survivors.drop("_fp")

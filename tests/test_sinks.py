@@ -225,3 +225,31 @@ def test_upsert_partitioned_null_partition_survivors_kept(spark, tmp_path):
     upsert_partitioned(spark, batch, path, ["id"], "part")
     got = sorted((r["id"], r["val"], r["part"]) for r in spark.read.parquet(path).collect())
     assert got == [(1, "a", None), (2, "b", None), (3, "c", "p1"), (9, "z", None)]
+
+
+def test_incremental_dedup_ingest(spark, tmp_path):
+    """Batch 1 seeds the store; batch 2 drops cross-batch and within-batch
+    dupes; replaying batch 2 is a no-op (idempotent at result level)."""
+    from squrve_spark.sinks import incremental_dedup_ingest
+
+    store = str(tmp_path / "fp_store")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "ALPHA   beta")],
+        "doc_id long, text string",
+    )
+    out1 = incremental_dedup_ingest(b1, store)
+    # within-batch: doc 3 is a canonical dup of doc 1 (case/whitespace)
+    assert {r["doc_id"] for r in out1.collect()} == {1, 2}
+    b2 = spark.createDataFrame(
+        [(10, "gamma delta"), (11, "epsilon zeta"), (12, "epsilon  ZETA")],
+        "doc_id long, text string",
+    )
+    out2 = incremental_dedup_ingest(b2, store)
+    assert {r["doc_id"] for r in out2.collect()} == {11}
+    # replay: everything already stored
+    out3 = incremental_dedup_ingest(b2, store)
+    assert out3.count() == 0
+    # the store holds exactly the distinct fingerprints
+    assert spark.read.parquet(store).count() == 3
+    # returned frame stays valid AFTER the store append (eager checkpoint)
+    assert out2.count() == 1
