@@ -1,0 +1,110 @@
+"""Custom streaming DataSource: deterministic parquet replay with offsets.
+
+The engine's streaming tests replay the driver-provided events parquet via
+the file source, which offers no control over batch boundaries. This module
+adds a first-class streaming source (Python Data Source API, Spark 4)::
+
+    register_replay_source(spark)
+    stream = (spark.readStream.format("squrve_replay")
+              .option("path", f"{sf_dir}/events.parquet")
+              .option("batch_rows", "1000")
+              .option("order_col", "event_id")
+              .load())
+
+Rows replay in a DETERMINISTIC total order (``order_col``) in fixed-size
+micro-batches, and progress is tracked by a row-offset — so a restart from
+a checkpoint resumes exactly where it stopped and ``readBetweenOffsets``
+re-serves any batch bit-identically (the exactly-once replay contract).
+
+Scale stance: this is a TEST/REPLAY tool — rows pass through the driver
+(``SimpleDataSourceStreamReader``), which is exactly right for
+deterministic replay of bounded fixtures and wrong for production volumes;
+production streams use the file/Kafka sources. The value here is the
+controllable, offset-addressable batch boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StructType
+
+_ARROW_TO_DDL = {
+    "int64": "bigint",
+    "int32": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+}
+
+
+def _file_schema_ddl(path: str) -> str:
+    import pyarrow.parquet as pq
+
+    fields = []
+    for f in pq.read_schema(path):
+        t = str(f.type)
+        if t.startswith("timestamp"):
+            ddl = "timestamp"
+        else:
+            ddl = _ARROW_TO_DDL.get(t)
+        if ddl is None:
+            raise ValueError(f"replay source: unsupported column type {t} ({f.name})")
+        fields.append(f"{f.name} {ddl}")
+    return ", ".join(fields)
+
+
+class _ReplayReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("squrve_replay needs .option('path', ...)")
+        self.batch_rows = int(options.get("batch_rows", "1000"))
+        self.order_col = options.get("order_col", None)
+
+    def _table(self):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self.path)
+        if self.order_col:
+            t = t.sort_by(self.order_col)
+        return t
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def _rows_between(self, start: int, end: int):
+        t = self._table().slice(start, max(end - start, 0))
+        cols = t.column_names
+        for batch in t.to_pylist():
+            yield tuple(batch[c] for c in cols)
+
+    def read(self, start: dict):
+        begin = start["row"]
+        n = self._table().num_rows
+        end = min(begin + self.batch_rows, n)
+        # the runtime requires an ITERATOR here (it drains lazily into its
+        # prefetch cache); a list raises TypeError inside latestOffset
+        return iter(list(self._rows_between(begin, end))), {"row": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay contract: identical rows for an already-served range
+        return iter(list(self._rows_between(start["row"], end["row"])))
+
+
+class ReplayDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "squrve_replay"
+
+    def schema(self) -> str:
+        return _file_schema_ddl(self.options["path"])
+
+    def simpleStreamReader(self, schema: StructType) -> _ReplayReader:
+        return _ReplayReader(self.options)
+
+
+def register_replay_source(spark: SparkSession) -> None:
+    spark.dataSource.register(ReplayDataSource)

@@ -241,3 +241,44 @@ def test_exactly_once_sink_restart_and_replay(spark, tmp_path):
         write_stream_exactly_once(ev3, out, ck2)
     write_stream_exactly_once(ev3, out, ck2, reset_output=True)
     assert spark.read.parquet(out).count() == n_src
+
+
+def test_replay_stream_source_matches_batch(spark, tmp_path):
+    """Custom streaming DataSource (squrve_replay): an availableNow drain
+    must reproduce the batch read exactly, in deterministic micro-batches
+    of the configured size."""
+    from squrve_spark.sources.replay_stream import register_replay_source
+
+    register_replay_source(spark)
+    path = "/root/testdata/sf0.001/events.parquet"
+    batch = spark.read.parquet(path)
+    n = batch.count()
+    stream = (
+        spark.readStream.format("squrve_replay")
+        .option("path", path)
+        .option("batch_rows", "700")
+        .option("order_col", "event_id")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("replay_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # Python stream sources don't support Trigger.AvailableNow (Spark warns
+    # and degrades); drain by processing until the offset stops advancing
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("replay_out")
+    assert got.count() == n
+    # exact content equality with the batch read
+    b = sorted(tuple(r) for r in batch.collect())
+    s = sorted(tuple(r) for r in got.collect())
+    assert b == s
+    # micro-batches respected the configured size (ceil(n/700) batches)
+    progress = q.recentProgress
+    rows_per_batch = [p["numInputRows"] for p in progress if p["numInputRows"]]
+    assert max(rows_per_batch) <= 700
+    assert sum(rows_per_batch) == n
