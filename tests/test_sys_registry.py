@@ -115,3 +115,28 @@ def test_actor_resolution_handles_reference_spellings():
 
     for name in ("DINSQLGenerator", "DIN_SQLGenerator", "dinsql", "DIN_SQL"):
         assert ActorPool.resolve("generator", name).NAME == "dinsql"
+
+
+def test_reproduce_configs_build_and_execute(spark):
+    """Every config in reproduce/ (the reference reproduce/ layout analog)
+    must Router->Engine->execute()->evaluate() without error; the gold
+    config must reach EX 1.0; named-method configs run their full actor
+    pipelines against the MockLLM (predictions present, possibly empty
+    SQL strings — the pipeline contract, not the model's quality)."""
+    import glob
+    import os
+
+    register_tables(spark, SF_SMALL)
+    configs = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "reproduce", "*.json")))
+    assert len(configs) >= 5
+    for cfg in configs:
+        eng = Engine(router=Router(config_path=cfg), spark=spark, llm=MockLLM())
+        eng.build_from_router()
+        eng.execute()
+        res = eng.evaluate()["execute_accuracy"]
+        assert res["total_items"] == 5, cfg
+        assert all("pred_sql" in r for r in eng.dataset), cfg
+        if cfg.endswith("tpch-gold.json"):
+            assert res["avg"] == 1.0
