@@ -451,6 +451,26 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, threshold=0.42, dim=64, bands=16)
 
 
+@register("doc_bpe_tokens", oracle=None, tags=("text", "no-oracle"))
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BPE tokenization (Sennrich 2016): Spark word counts ->
+    driver merge training -> broadcast merge table -> map-only distributed
+    encode. Output (doc_id, n_bpe_tokens, n_words) — the sequence-length
+    budget every packing/curriculum step consumes. Deterministic: training
+    ties break lexicographically; roundtrip + parity in tests/test_bpe.py."""
+    from squrve_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, n_merges=200)
+    enc = bpe.encode_documents(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.size(F.filter(F.col("tokens"), lambda t: t.endswith(bpe.EOW)))
+        .alias("n_words"),
+    ).orderBy("doc_id")
+
+
 @register(
     "doc_char_entropy",
     oracle="""
