@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from squrve_spark.catalog import spread
+from squrve_spark.catalog import memo_checkpoint, spread
 
 # Small multilingual stopword/marker lists for the heuristic operators.
 STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"]
@@ -395,4 +395,56 @@ def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         n.alias("n_chars_obs"),
         F.size(distinct).alias("n_distinct_chars"),
         F.round(F.when(n > 0, h).otherwise(F.lit(0.0)), 6).alias("char_entropy"),
+    )
+
+
+def lm_cross_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document cross-entropy (bits/token) under an add-one-smoothed
+    bigram LM trained on the SAME corpus — the CCNet-style statistical
+    quality signal (docs that look unlike the corpus score high).
+
+    p(b|a) = (c(a,b) + 1) / (c(a) + V); score = avg over the doc's bigrams
+    of -log2 p. All counts come from two corpus aggregations (bigram table
+    bounded by vocab^2, unigram by vocab); the per-doc pass is an equi-join
+    of the doc's bigrams onto the tables plus one groupBy — every shuffle
+    is vocabulary- or corpus-row-bounded, nothing quadratic. V (distinct
+    token count) is a scalar aggregate collected driver-side and folded in
+    as a literal (avoids a nested-loop scalar broadcast in the plan).
+
+    Docs with fewer than 2 tokens have no bigrams and are omitted (no
+    defined cross-entropy). Rounded to 6dp for cross-engine stability.
+    """
+    toks = F.transform(tokens_expr(text_col), lambda t: F.lower(t))
+    staged = spread(df.select(id_col, text_col)).select(
+        id_col, toks.alias("_t")
+    )
+    staged = memo_checkpoint(staged)
+    uni = staged.select(F.explode("_t").alias("w")).groupBy("w").agg(
+        F.count("*").alias("cu")
+    )
+    uni = memo_checkpoint(uni)
+    v = uni.count()  # scalar: distinct vocabulary size
+    pairs = staged.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))).alias("a"),
+                F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))).alias("b"),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bg = pairs.groupBy("a", "b").agg(F.count("*").alias("cb"))
+    scored = (
+        pairs.join(bg, ["a", "b"])
+        .join(uni.withColumnRenamed("w", "a"), "a")
+        .withColumn(
+            "_nlp",
+            -F.log2((F.col("cb") + 1) / (F.col("cu") + F.lit(v))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("_nlp"), 6).alias("lm_cross_entropy"),
     )

@@ -451,6 +451,45 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, threshold=0.42, dim=64, bands=16)
 
 
+@register(
+    "doc_lm_cross_entropy",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT t.doc_id, t.w[g.i] AS a, t.w[g.i + 1] AS b
+        FROM t, LATERAL (SELECT unnest(range(1, len(t.w))) AS i) g
+    ),
+    bg AS (SELECT a, b, count(*) AS cb FROM pairs GROUP BY a, b),
+    uni AS (
+        SELECT u.a AS w, count(*) AS cu
+        FROM (SELECT unnest(w) AS a FROM t) u GROUP BY u.a
+    ),
+    v AS (SELECT count(*) AS v FROM uni)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           ROUND(avg(-log2((bg.cb + 1.0) / (uni.cu + v.v))), 6)
+               AS lm_cross_entropy
+    FROM pairs p
+    JOIN bg USING (a, b)
+    JOIN uni ON uni.w = p.a
+    CROSS JOIN v
+    GROUP BY p.doc_id
+    """,
+    tags=("text",),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per doc (CCNet-style statistical quality
+    signal): add-one-smoothed corpus bigram model, avg -log2 p per doc.
+    Vocabulary-bounded shuffles only; V folded as a driver scalar."""
+    return text.lm_cross_entropy(load_table(spark, sf_dir, "documents"))
+
+
 @register("doc_bpe_tokens", oracle=None, tags=("text", "no-oracle"))
 def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained BPE tokenization (Sennrich 2016): Spark word counts ->
