@@ -72,6 +72,12 @@ def parse_image_header(payload: bytes) -> Optional[tuple[int, int, int]]:
         channels = _PNG_CHANNELS.get(payload[25])
         if width > 0 and height > 0 and channels:
             return (width, height, channels)
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        width = int.from_bytes(payload[6:8], "little")
+        height = int.from_bytes(payload[8:10], "little")
+        if width > 0 and height > 0:
+            # palette-indexed -> effectively 3 channels after expansion
+            return (width, height, 3)
     return None
 
 

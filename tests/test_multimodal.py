@@ -278,3 +278,9 @@ def test_audio_stats_distributed_matches_driver(spark):
         assert r["duration_sec"] == round(arr.shape[0] / rate, 6)
         assert r["rms"] == round(float(np.sqrt(np.mean(flat * flat))), 6)
         assert r["peak"] == int(np.max(np.abs(arr.astype(np.int32))))
+
+
+def test_parse_gif_header():
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00\x00\x00"
+    assert multimodal.parse_image_header(gif) == (320, 200, 3)
+    assert multimodal.parse_image_header(b"GIF00a" + b"\x00" * 8) is None
