@@ -448,3 +448,80 @@ def lm_cross_entropy(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.avg("_nlp"), 6).alias("lm_cross_entropy"),
     )
+
+
+def all_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """ONE-SCAN combined signal extraction: every per-document text signal
+    (token/length stats, quality ratios, canonical fingerprint, character
+    entropy, marker language-ID) computed in a single projection pipeline
+    over a single FileScan — zero joins, zero shuffles, zero Python.
+
+    At 100 TB this is the shape that matters: five separate signal queries
+    scan the corpus five times; composing their expressions into one stage
+    scans once (plan-asserted in tests/test_plan_shapes.py). Semantics are
+    the INDIVIDUAL operators' — equality against the joined single-op
+    outputs is asserted in tests/test_oracle_parity.py's deferred oracle
+    and tests/test_plans.py.
+    """
+    staged = (
+        spread(df)
+        .withColumn("_toks", tokens_expr(text_col))
+        .withColumn(
+            "_toks_low", F.transform(tokens_expr(text_col), lambda t: F.lower(t))
+        )
+        .withColumn("_chars", F.split(F.col(text_col), ""))
+    )
+    toks = F.col("_toks")
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, n: acc + n
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"([^A-Za-z0-9_\s])"), 1)
+    )
+    n_chars = F.length(F.col(text_col))
+    canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    chars = F.col("_chars")
+    n_ch = F.size(chars)
+    distinct_ch = F.array_distinct(chars)
+    counts = F.transform(
+        distinct_ch, lambda c: F.size(F.filter(chars, lambda x: x == c))
+    )
+    entropy = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, k: acc - (k / n_ch) * F.log2(k.cast("double") / n_ch.cast("double")),
+    )
+    langs = sorted(LANG_MARKERS)
+    for lang in langs:
+        marr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        staged = staged.withColumn(
+            f"_s_{lang}",
+            F.size(F.filter(F.col("_toks_low"), lambda t: F.array_contains(marr, t))),
+        )
+    staged = staged.withColumn(
+        "_best", F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
+    )
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"_s_{lang}") == F.col("_best")) & (F.col("_best") > 0),
+            F.lit(lang),
+        ).otherwise(pred)
+    return staged.select(
+        "doc_id",
+        n_chars.alias("n_chars_obs"),
+        n_tok.alias("n_tokens"),
+        F.round(tok_chars / n_tok, 4).cast("double").alias("avg_token_len"),
+        F.round(n_stop / n_tok, 4).cast("double").alias("stopword_ratio"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+        .cast("double")
+        .alias("punct_ratio"),
+        F.md5(canon).alias("fp_md5"),
+        F.round(F.when(n_ch > 0, entropy).otherwise(F.lit(0.0)), 6).alias(
+            "char_entropy"
+        ),
+        pred.alias("pred_lang"),
+    )

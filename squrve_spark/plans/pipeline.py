@@ -451,6 +451,50 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, threshold=0.42, dim=64, bands=16)
 
 
+def _signals_oracle() -> str:
+    return rf"""
+    WITH q AS (
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars_obs,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(ROUND(list_sum(list_transform(toks, x -> length(x))) / len(toks), 4) AS DOUBLE)
+                   AS avg_token_len,
+               CAST(ROUND(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                          / len(toks), 4) AS DOUBLE) AS stopword_ratio,
+               CAST(ROUND(len(regexp_extract_all(text, '([^A-Za-z0-9_\s])', 1))
+                          / greatest(length(text), 1), 4) AS DOUBLE) AS punct_ratio,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5
+        FROM (SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents)
+    ),
+    e AS (
+        SELECT doc_id, ROUND(entropy(ch), 6) AS char_entropy
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+        GROUP BY doc_id
+    ),
+    l AS ({_langid_oracle()})
+    SELECT q.*, e.char_entropy, l.pred_lang
+    FROM q JOIN e USING (doc_id) JOIN l USING (doc_id)
+    """
+
+
+@register(
+    "doc_signals",
+    oracle=_signals_oracle(),
+    tags=("text",),
+    # deferred: driver cap full; the oracle composes the individual signal
+    # oracles by join — exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-SCAN combined signal extraction (token stats, quality ratios,
+    fingerprint, char entropy, language-ID) — five signal families, a
+    single FileScan, zero joins/shuffles/Python. The scan-once shape that
+    matters at 100 TB; plan-asserted in tests/test_plan_shapes.py."""
+    return text.all_signals(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "doc_lm_cross_entropy",
     oracle=r"""

@@ -122,3 +122,13 @@ def test_quality_model_query_scoring_stage_jvm(spark):
     Catalyst literal."""
     plan = plan_of(spark, "doc_quality_model")
     assert "EvalPython" not in plan
+
+
+def test_doc_signals_single_scan_map_only(spark):
+    """doc_signals: five signal families in ONE FileScan, no joins, no data
+    shuffle, no Python."""
+    plan = plan_of(spark, "doc_signals")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "EvalPython" not in plan
