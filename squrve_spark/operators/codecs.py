@@ -262,12 +262,18 @@ def encode_png(arr: np.ndarray, filter_type: int | str = 0) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-dispatch full-pixel decode. Raises NotImplementedError for
-    formats without a dependency-free codec (JPEG/WebP/...)."""
+    """Magic-dispatch full-pixel decode (GIF -> first frame). Raises
+    NotImplementedError for formats without a dependency-free codec
+    (JPEG/WebP/...)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        frames = decode_gif(payload)
+        if not frames:
+            raise ValueError("GIF with no image frames")
+        return frames[0]
     raise NotImplementedError(
         "no dependency-free codec for this format; plug PIL/opencv into "
         "decode_image for JPEG/WebP"
@@ -364,9 +370,16 @@ def text_to_wav(text: str, rate: int = 8000, channels: int = 1) -> bytes:
 
 
 def split_frames(payload: bytes) -> list[bytes]:
-    """Split a concatenated-BMP 'video' payload into frames using each BMP
-    header's declared file size. A real container demuxer (mp4/mkv) plugs in
-    at this seam; the downstream sampling/decode plumbing is identical."""
+    """Demux a 'video' payload into per-frame image payloads.
+
+    Two real container-ish forms: concatenated BMPs (split on each header's
+    declared file size) and animated GIF (frames re-encoded as standalone
+    single-frame GIFs so downstream per-frame decode is uniform). A real
+    demuxer (mp4/mkv) plugs in at this seam; the downstream sampling/decode
+    plumbing is identical.
+    """
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return [encode_gif([f]) for f in decode_gif(payload)]
     frames = []
     pos = 0
     while pos + 6 <= len(payload) and payload[pos : pos + 2] == b"BM":
@@ -376,3 +389,200 @@ def split_frames(payload: bytes) -> list[bytes]:
         frames.append(payload[pos : pos + size])
         pos += size
     return frames
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): full LZW pixel decode, all frames
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW: dynamic code width, CLEAR resets the table, EOI
+    terminates. Returns the index stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+        next_code = eoi + 1
+
+    width = min_code_size + 1
+    next_code = eoi + 1
+    reset()
+    acc = 0
+    nbits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + [prev[0]]  # the KwKwK case
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + [entry[0]])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> list[np.ndarray]:
+    """GIF -> list of (h, w, 3) uint8 RGB frames (each frame standalone on
+    its own sub-rectangle size; disposal/composition is a player concern,
+    frame pixel data is decoded fully — palette, LZW, interlace)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    pos = 6
+    flags = payload[pos + 4]
+    pos += 7  # logical screen descriptor
+    global_pal = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 0x07) + 1)
+        global_pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n * 3, offset=pos
+        ).reshape(n, 3)
+        pos += n * 3
+    frames: list[np.ndarray] = []
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+        w = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        iflags = payload[pos + 8]
+        pos += 9
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 ** ((iflags & 0x07) + 1)
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=n * 3, offset=pos
+            ).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF frame without a palette")
+        min_code = payload[pos]
+        pos += 1
+        chunks = bytearray()
+        while payload[pos]:
+            size = payload[pos]
+            chunks += payload[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        pos += 1
+        idx = np.array(_lzw_decode(bytes(chunks), min_code), dtype=np.int64)[
+            : w * h
+        ]
+        grid = idx.reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
+            order = [
+                y for start, step in _GIF_INTERLACE_PASSES
+                for y in range(start, h, step)
+            ]
+            deinter = np.empty_like(grid)
+            deinter[order] = grid
+            grid = deinter
+        frames.append(pal[grid].astype(np.uint8))
+    return frames
+
+
+def encode_gif(frames: list[np.ndarray], interlace: bool = False) -> bytes:
+    """RGB frames -> animated GIF (one shared global palette built from the
+    union of colors; <= 256 distinct required). LZW layer uses the classic
+    clear-early scheme: literal codes with a CLEAR before the table would
+    force a width increase — valid output any decoder accepts, chosen so
+    the encoder stays simple (compression is not the goal here)."""
+    colors = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in frames], axis=0), axis=0
+    )
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs <= 256 colors, got {len(colors)}")
+    pal_size = 2
+    while pal_size < max(len(colors), 2):
+        pal_size *= 2
+    pal = np.zeros((pal_size, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    lookup = {tuple(c): i for i, c in enumerate(colors)}
+    min_code = max(2, pal_size.bit_length() - 1)
+    clear = 1 << min_code
+    eoi = clear + 1
+    depth_bits = (pal_size.bit_length() - 1) - 1  # descriptor field
+
+    out = bytearray(b"GIF89a")
+    w0, h0 = frames[0].shape[1], frames[0].shape[0]
+    out += struct.pack("<HHBBB", w0, h0, 0x80 | (depth_bits & 7), 0, 0)
+    out += pal.tobytes()
+    for f in frames:
+        h, w = f.shape[:2]
+        iflags = 0x40 if interlace else 0
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+        grid = f.reshape(-1, 3)
+        idx = np.array([lookup[tuple(px)] for px in grid], dtype=np.int64)
+        if interlace:
+            order = [
+                y for start, step in _GIF_INTERLACE_PASSES
+                for y in range(start, h, step)
+            ]
+            idx = idx.reshape(h, w)[order].reshape(-1)
+        # bit-pack: CLEAR, then literals with a CLEAR re-issued whenever the
+        # next added table entry would widen the code
+        width = min_code + 1
+        codes = [clear]
+        budget = (1 << width) - eoi - 2  # literals before width would grow
+        count = 0
+        for v in idx:
+            if count == budget:
+                codes.append(clear)
+                count = 0
+            codes.append(int(v))
+            count += 1
+        codes.append(eoi)
+        acc = 0
+        nbits = 0
+        packed = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                packed.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            packed.append(acc & 0xFF)
+        out += bytes([min_code])
+        for i in range(0, len(packed), 255):
+            chunk = packed[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
