@@ -242,3 +242,59 @@ def incremental_dedup_ingest(
         "append"
     ).parquet(store_path)
     return survivors.drop("_fp")
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance (r4): the materialized-rollup pattern
+
+
+def incremental_rollup(
+    spark,
+    batch: DataFrame,
+    store_path: str,
+    group_cols: list[str],
+    agg_exprs: dict[str, str],
+    partition_col: str,
+) -> DataFrame:
+    """Maintain a persisted additive rollup as batches arrive: aggregate the
+    batch, MERGE with the stored partial aggregates for the touched
+    partitions (sum-merge — requires additive measures: counts/sums; avg
+    must be carried as sum+count), and upsert only those partitions.
+
+    ``agg_exprs`` maps output column -> SQL aggregate over the batch (e.g.
+    {"n_events": "count(*)", "value_cents": "sum(cents)"}). The measures
+    merge by SUM, which is exactly the algebraic-aggregate contract that
+    makes map-side partial aggregation correct inside one query — applied
+    here ACROSS batches. Cost per batch ~ batch size + touched-partition
+    rollup rows; the full history is never re-read. Returns the updated
+    rollup rows for the touched partitions.
+    """
+    agg = batch.groupBy(*group_cols).agg(
+        *[F.expr(e).cast("long").alias(name) for name, e in agg_exprs.items()]
+    )
+    measures = list(agg_exprs)
+    import os
+
+    if os.path.isdir(store_path):
+        touched = [
+            r[0] for r in agg.select(partition_col).distinct().collect()
+        ]
+        non_null = [t for t in touched if t is not None]
+        pred = (
+            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        )
+        if any(t is None for t in touched):
+            pred = pred | F.col(partition_col).isNull()
+        existing = spark.read.parquet(store_path).filter(pred)
+        merged = (
+            existing.unionByName(agg)
+            .groupBy(*group_cols)
+            .agg(*[F.sum(m).cast("long").alias(m) for m in measures])
+        )
+    else:
+        merged = agg
+    merged = merged.localCheckpoint()  # pin before the store rewrite
+    upsert_partitioned(
+        spark, merged, store_path, key_cols=group_cols, partition_col=partition_col
+    )
+    return merged

@@ -253,3 +253,37 @@ def test_incremental_dedup_ingest(spark, tmp_path):
     assert spark.read.parquet(store).count() == 3
     # returned frame stays valid AFTER the store append (eager checkpoint)
     assert out2.count() == 1
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    """Two batches merged incrementally must equal the one-shot aggregate
+    over their union; untouched partitions keep their rows."""
+    from squrve_spark.sinks import incremental_rollup
+
+    store = str(tmp_path / "rollup")
+    b1 = spark.createDataFrame(
+        [("d1", "click", 2), ("d1", "buy", 10), ("d2", "click", 1)],
+        "day string, et string, cents int",
+    )
+    b2 = spark.createDataFrame(
+        [("d2", "click", 4), ("d2", "buy", 7), ("d3", "click", 5)],
+        "day string, et string, cents int",
+    )
+    aggs = {"n": "count(*)", "cents": "sum(cents)"}
+    incremental_rollup(spark, b1, store, ["day", "et"], aggs, "day")
+    out2 = incremental_rollup(spark, b2, store, ["day", "et"], aggs, "day")
+    # returned frame = touched partitions only (d2, d3)
+    assert {r["day"] for r in out2.collect()} == {"d2", "d3"}
+    stored = {
+        (r["day"], r["et"]): (r["n"], r["cents"])
+        for r in spark.read.parquet(store).collect()
+    }
+    full = b1.unionByName(b2).groupBy("day", "et").agg(
+        F.expr("count(*)").alias("n"), F.expr("sum(cents)").alias("cents")
+    )
+    expect = {
+        (r["day"], r["et"]): (r["n"], r["cents"]) for r in full.collect()
+    }
+    assert stored == expect
+    # d1 was untouched by batch 2 and survived intact
+    assert stored[("d1", "buy")] == (1, 10)
