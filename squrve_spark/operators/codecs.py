@@ -1,14 +1,20 @@
-"""Pure-Python/numpy image codecs: real full-pixel BMP and PNG decode.
+"""Pure-Python/numpy media codecs: real full-pixel/sample decode.
 
-The container ships no image library (PIL/opencv), so the engine implements
-the two formats whose specs make dependency-free decoding practical:
+The container ships no media library (PIL/opencv/ffmpeg), so the engine
+implements the formats dependency-free:
 
 - **BMP** (BITMAPINFOHEADER, BI_RGB uncompressed): 8-bit palette, 24-bit
   BGR, 32-bit BGRA; bottom-up and top-down row orders; 4-byte row padding.
 - **PNG** (RFC 2083): zlib IDAT inflate via the stdlib, full scanline
   unfiltering (None/Sub/Up/Average/Paeth), bit depth 8, color types
-  0/2/3/4/6, non-interlaced. Adam7 interlacing raises (the pipeline's
-  ``ok=false`` path), as do other formats (JPEG needs a DCT codec).
+  0/2/3/4/6, non-interlaced (Adam7 raises — the ``ok=false`` path).
+- **GIF** (87a/89a): complete LZW decode, global/local palettes, 4-pass
+  interlace, every animation frame; encoder with clear-early literal LZW.
+- **JPEG** (baseline, in ``operators/jpeg.py``): full entropy decode +
+  IDCT, tables read from the file; 4:4:4 / 4:2:0 encoder.
+- **WAV** (RIFF PCM): 8/16-bit chunk-walking parser + writer.
+
+WebP/AVIF and real video containers still raise (honest ``ok=false``).
 
 This replaces the round-3 header-only decode: ``width/height/channels`` AND
 the pixel array are now genuinely parsed from the payload. Scale note: these
@@ -274,9 +280,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         if not frames:
             raise ValueError("GIF with no image frames")
         return frames[0]
+    if payload[:2] == b"\xff\xd8":
+        from squrve_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         "no dependency-free codec for this format; plug PIL/opencv into "
-        "decode_image for JPEG/WebP"
+        "decode_image for WebP/AVIF/..."
     )
 
 

@@ -78,6 +78,25 @@ def parse_image_header(payload: bytes) -> Optional[tuple[int, int, int]]:
         if width > 0 and height > 0:
             # palette-indexed -> effectively 3 channels after expansion
             return (width, height, 3)
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        # JPEG: scan markers for the frame header (any SOFn carries dims)
+        pos = 2
+        while pos + 9 <= len(payload) and payload[pos] == 0xFF:
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker == 0xD9 or marker == 0xDA:
+                break
+            seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                height = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+                width = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+                channels = payload[pos + 9]
+                if width > 0 and height > 0 and channels in (1, 3, 4):
+                    return (width, height, channels)
+                return None
+            pos += 2 + seg_len
     return None
 
 

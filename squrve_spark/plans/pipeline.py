@@ -667,6 +667,38 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_stats",
+    oracle=None,
+    tags=("multimodal", "no-oracle"),
+)
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode distributed: corpus text -> pixel grid ->
+    `jpeg.encode_jpeg` (DCT + Huffman + bitstream) payloads -> full
+    entropy-decode + IDCT in the pixel-stats kernel. Exercises the complete
+    lossy codec path end-to-end on every document."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    from squrve_spark.operators.codecs import text_to_bmp, decode_bmp
+    from squrve_spark.operators.jpeg import encode_jpeg
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    @pandas_udf(T.BinaryType())
+    def to_jpeg(texts):
+        import pandas as pd
+
+        return texts.map(
+            lambda t: encode_jpeg(decode_bmp(text_to_bmp(t or "", width=16)), quality=90)
+        )
+
+    with_payload = docs.select("doc_id", "text").withColumn(
+        "payload", to_jpeg(F.col("text"))
+    )
+    return multimodal.extract_pixel_stats(with_payload)
+
+
+@register(
     "multimodal_audio_stats",
     oracle=None,
     tags=("multimodal", "no-oracle"),

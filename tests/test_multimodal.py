@@ -154,7 +154,10 @@ def test_codec_rejects_unsupported():
     from squrve_spark.operators import codecs as C
 
     with pytest.raises(NotImplementedError):
-        C.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+        C.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # no WebP codec
+    with pytest.raises(ValueError):
+        # JPEG now has a real codec: garbage after SOI is a PARSE error
+        C.decode_image(b"\xff\xd8\x00\xe0 jpeg-ish")
     # Adam7 interlace flag
     import struct as st
 
@@ -340,3 +343,58 @@ def test_gif_frame_stats_distributed(spark):
     assert (r["n_frames"], r["n_sampled"], r["ok"]) == (5, 3, True)
     expect = np.concatenate([f.reshape(-1) for f in frames[::2]])
     assert r["mean_sampled"] == round(float(np.mean(expect)), 6)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (late r4)
+
+
+def test_jpeg_roundtrip_444_and_420():
+    import numpy as np
+
+    from squrve_spark.operators import jpeg as J
+
+    h, w = 24, 33
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(yy * 3 + 20) % 256, (xx * 2 + 80) % 256, ((yy + xx) * 2 + 40) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    for sub, tol in ((False, 4), (True, 8)):
+        dec = J.decode_jpeg(J.encode_jpeg(img, quality=90, subsample=sub))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= tol, (sub, err.max())
+    # flat image survives exactly; odd dims in 4:2:0 crop correctly
+    flat = np.full((16, 16, 3), 77, np.uint8)
+    assert np.array_equal(J.decode_jpeg(J.encode_jpeg(flat, 95)), flat)
+    odd = np.stack([yy[:17, :9] * 7 % 256] * 3, axis=2).astype(np.uint8)
+    d = J.decode_jpeg(J.encode_jpeg(odd, 85, subsample=True))
+    assert d.shape == (17, 9, 3)
+
+
+def test_jpeg_through_pipeline_seams():
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+    from squrve_spark.operators import jpeg as J
+
+    img = np.full((10, 12, 3), 130, np.uint8)
+    payload = J.encode_jpeg(img, quality=92)
+    # decode_image dispatch
+    assert np.array_equal(C.decode_image(payload), img)
+    # header path reports true dims without full decode
+    assert multimodal.parse_image_header(payload) == (12, 10, 3)
+
+
+def test_jpeg_rejects_progressive():
+    import struct as st
+    import pytest
+
+    from squrve_spark.operators import jpeg as J
+
+    # minimal SOF2 (progressive) frame header
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + st.pack(">HBHHB", 17, 8, 8, 8, 3) \
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]) + b"\xff\xd9"
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg(sof2)
