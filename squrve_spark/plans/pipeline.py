@@ -481,11 +481,11 @@ def _signals_oracle() -> str:
 
 @register(
     "doc_signals",
+    # driver-checked since late r4 (rotated in for q_rollup — A8 keeps
+    # three other driver reps); the oracle composes the individual signal
+    # oracles by join
     oracle=_signals_oracle(),
     tags=("text",),
-    # deferred: driver cap full; the oracle composes the individual signal
-    # oracles by join — exact parity in tests/test_oracle_parity.py
-    defer_oracle=True,
 )
 def doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE-SCAN combined signal extraction (token stats, quality ratios,
