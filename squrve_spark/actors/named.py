@@ -268,7 +268,11 @@ class DINSQLGenerator(SparkActor):
             self.CLASSIFY_PROMPT.format(schema=schema, question=question, links=links)
         )
         m = re.search(r'Label:\s*"?([A-Z-]+)"?', cls_out)
-        label = (m.group(1) if m else cls_out).strip().upper()
+        # no Label: line -> default to EASY. Substring-matching the whole
+        # CoT is actively wrong: the few-shot phrasing "doesn't require
+        # nested queries" contains 'NESTED' and would misroute EASY
+        # questions to the hard tier (review finding, late r4).
+        label = m.group(1).strip().upper() if m else "EASY"
         if "NESTED" in label and "NON" not in label:
             label = "NESTED"
             # the reference reads sub-questions out of the classification

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import udtf
 
+from squrve_spark.operators.text import jvm_tokens
+
 
 @udtf(returnType="chunk_id int, chunk string, n_chunk_tokens int")
 class ChunkTextUDTF:
@@ -31,11 +33,9 @@ class ChunkTextUDTF:
     def eval(self, text: str, size: int, overlap: int):  # noqa: D102
         if size is None or size <= 0 or overlap is None or not 0 <= overlap < size:
             raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
-        toks = (text or "").strip().split()
+        # jvm_tokens mirrors tokens_expr exactly, including empty text -> ['']
+        toks = jvm_tokens(text)
         step = size - overlap
-        # mirror tokens_expr: empty text tokenizes to [''] (one empty token)
-        if not toks:
-            toks = [""]
         last_start = max(len(toks) - overlap - 1, 0)
         chunk_id = 0
         for start in range(0, last_start + 1, step):

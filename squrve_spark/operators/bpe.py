@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from squrve_spark.catalog import spread
-from squrve_spark.operators.text import tokens_expr
+from squrve_spark.operators.text import jvm_tokens, tokens_expr
 
 EOW = "▁"  # end-of-word marker (SentencePiece's visible space)
 
@@ -155,7 +155,13 @@ def encode_documents(
             out = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 toks: list[str] = []
-                for w in (text or "").split():
+                # ASCII-\s+ split mirrors the JVM tokens_expr used by the
+                # trainer's word counts — Python's default Unicode .split()
+                # would tokenize NBSP-joined words differently from the
+                # merge table's training vocabulary
+                for w in jvm_tokens(text):
+                    if not w:
+                        continue
                     if w not in cache:
                         cache[w] = encode_word(w, ranks)
                     toks.extend(cache[w])

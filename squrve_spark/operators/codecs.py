@@ -74,7 +74,21 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     w, h_signed = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS(32bpp default masks)
+    if compression == 3:
+        # BI_BITFIELDS: honor it ONLY for the default BGRA layout — masks
+        # declaring any other channel order would silently decode with
+        # swapped channels under the fixed BGR assumption below (review
+        # finding, late r4)
+        # masks sit at byte 54 both for BITMAPINFOHEADER (appended after
+        # the 40-byte header) and V4/V5 (embedded at the same offset)
+        if bpp != 32 or len(payload) < 66:
+            raise NotImplementedError("BI_BITFIELDS BMP variant not supported")
+        masks = struct.unpack_from("<III", payload, 54)
+        if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise NotImplementedError(
+                f"BI_BITFIELDS masks {tuple(hex(m) for m in masks)} not supported"
+            )
+    elif compression != 0:
         raise NotImplementedError(f"BMP compression {compression} not supported")
     if bpp not in (8, 24, 32):
         raise NotImplementedError(f"BMP bpp {bpp} not supported")

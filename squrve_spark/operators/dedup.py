@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from squrve_spark.catalog import memo_checkpoint, spread
-from squrve_spark.operators.text import tokens_expr
+from squrve_spark.operators.text import canon_expr, tokens_expr
 
 NUM_HASHES = 64
 _RNG = np.random.RandomState(42)
@@ -48,7 +48,7 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     Returns one row per distinct text: (fp_md5, keep_id, n_copies).
     """
-    canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    canon = canon_expr(text_col)
     # no spread(): md5 is cheap relative to the groupBy shuffle that already
     # redistributes the data
     return (

@@ -280,7 +280,11 @@ def extract_pixel_stats(
                             True,
                         )
                     )
-                except (NotImplementedError, ValueError):
+                except Exception:  # noqa: BLE001 — per-payload isolation:
+                    # corrupt/truncated payloads raise zlib.error,
+                    # IndexError, struct.error, TypeError... from deep in
+                    # the codecs; ANY decode failure must become an
+                    # ok=false row, never fail the executor task
                     out.append((doc_id, None, None, None, None, None, None, False))
             yield pd.DataFrame(
                 out, columns=[f.name for f in PIXEL_STATS_SCHEMA.fields]
@@ -306,12 +310,14 @@ def extract_frame_stats(
         for pdf in it:
             out = []
             for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
-                frames = split_frames(bytes(p))
-                sampled = frames[::every_k]
-                if not sampled:
-                    out.append((doc_id, 0, 0, None, False))
-                    continue
+                # demux INSIDE the guard: a corrupt container (bad GIF LZW,
+                # truncated BMP header) must yield ok=false, not kill the task
                 try:
+                    frames = split_frames(bytes(p))
+                    sampled = frames[::every_k]
+                    if not sampled:
+                        out.append((doc_id, 0, 0, None, False))
+                        continue
                     vals = np.concatenate(
                         [decode_image(f).reshape(-1) for f in sampled]
                     )
@@ -324,8 +330,8 @@ def extract_frame_stats(
                             True,
                         )
                     )
-                except (NotImplementedError, ValueError):
-                    out.append((doc_id, len(frames), len(sampled), None, False))
+                except Exception:  # noqa: BLE001 — per-payload isolation
+                    out.append((doc_id, 0, 0, None, False))
             yield pd.DataFrame(
                 out, columns=[f.name for f in FRAME_STATS_SCHEMA.fields]
             )
@@ -394,7 +400,7 @@ def extract_audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFram
                             True,
                         )
                     )
-                except (NotImplementedError, ValueError):
+                except Exception:  # noqa: BLE001 — per-payload isolation
                     out.append(
                         (doc_id, None, None, None, None, None, None, False)
                     )

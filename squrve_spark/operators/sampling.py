@@ -127,14 +127,24 @@ def weighted_mix(
     """
     if not weights:
         raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be > 0, got {weights}")
     counts = {
         r[source_col]: r["n"]
         for r in df.filter(F.col(source_col).isin(list(weights)))
         .groupBy(source_col).agg(F.count("*").alias("n")).collect()
     }
-    if not counts:
-        return df.filter(F.lit(False))
-    t = min(counts[s] / w for s, w in weights.items() if s in counts)
+    missing = sorted(set(weights) - set(counts))
+    if missing:
+        # a weighted source with zero supply makes the documented
+        # 'w_s * T <= n_s for EVERY source' constraint give T = 0; silently
+        # renormalizing over the present sources would ship a corpus with
+        # the wrong mixture — fail loudly instead (review finding, late r4)
+        raise ValueError(
+            f"weighted sources have no rows: {missing}; drop them from "
+            "weights (and renormalize) to mix without them"
+        )
+    t = min(counts[s] / w for s, w in weights.items())
     quota = {s: int(w * t) for s, w in weights.items() if s in counts}
     quota_col = F.coalesce(
         *[F.when(F.col(source_col) == s, F.lit(k)) for s, k in quota.items()]

@@ -8,6 +8,8 @@ parallel map-side projections — no shuffle at all.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -24,6 +26,18 @@ LANG_MARKERS: dict[str, list[str]] = {
     "fr": ["le", "la", "les", "et", "est", "une", "que"],
     "es": ["el", "los", "las", "es", "una", "que", "por"],
 }
+
+
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
+
+def jvm_tokens(text: str) -> list[str]:
+    """Exact Python port of ``tokens_expr`` (= split(trim(text), '\\s+')):
+    Spark ``trim`` strips SPACES only, and Java ``\\s`` is ASCII-only —
+    Python's default Unicode whitespace handling would split on NBSP etc.
+    and silently diverge from the JVM tokenization (review finding, late
+    r4). Empty text yields [''], matching the Column expression."""
+    return _WS_ASCII.split((text or "").strip(" "))
 
 
 def tokens_expr(text_col: str = "text") -> Column:
@@ -100,11 +114,20 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return staged.select("doc_id", pred.alias("pred_lang"), F.col("_best").alias("marker_hits"))
 
 
+def canon_expr(text_col: str = "text") -> Column:
+    """THE canonical text form for exact dedup: lowercase, whitespace
+    collapsed. Single source of truth — `fingerprint`, `all_signals`,
+    `dedup.exact_dedup_groups` and the PERSISTED store in
+    `sinks.incremental_dedup_ingest` must all hash the same form, or stored
+    fingerprints silently desynchronize from fresh ones."""
+    return F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: md5 over lowercase,
     whitespace-collapsed text — the exact-dedup key at scale (128-bit, no
     birthday collisions at 10^12 docs)."""
-    canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    canon = canon_expr(text_col)
     return spread(df).select(
         "doc_id",
         F.md5(canon).alias("fp_md5"),
@@ -482,7 +505,7 @@ def all_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_extract_all(F.col(text_col), F.lit(r"([^A-Za-z0-9_\s])"), 1)
     )
     n_chars = F.length(F.col(text_col))
-    canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    canon = canon_expr(text_col)
     chars = F.col("_chars")
     n_ch = F.size(chars)
     distinct_ch = F.array_distinct(chars)

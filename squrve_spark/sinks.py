@@ -222,9 +222,11 @@ def incremental_dedup_ingest(
     import os
 
     spark = new_docs.sparkSession
-    # same canonical form as operators/text.fingerprint / exact_dedup_groups
-    canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    batch = new_docs.withColumn("_fp", F.md5(canon))
+    from squrve_spark.operators.text import canon_expr
+
+    # single-source canonical form (text.canon_expr) — the PERSISTED store
+    # must never drift from exact_dedup_groups' hashing
+    batch = new_docs.withColumn("_fp", F.md5(canon_expr(text_col)))
     # within-batch: keep min-id per fingerprint
     w_keep = batch.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     batch = batch.join(w_keep, [id_col, "_fp"], "left_semi")

@@ -63,14 +63,22 @@ class _ReplayReader(SimpleDataSourceStreamReader):
             raise ValueError("squrve_replay needs .option('path', ...)")
         self.batch_rows = int(options.get("batch_rows", "1000"))
         self.order_col = options.get("order_col", None)
+        self._cached = None
 
     def _table(self):
-        import pyarrow.parquet as pq
+        # cache per reader instance: read() consults the table twice per
+        # micro-batch and the runtime calls read() once per batch — without
+        # this the file is re-read+re-sorted ~2 x n/batch_rows times
+        # (review finding, late r4). The source replays a FIXED fixture, so
+        # staleness is not a concern by contract.
+        if self._cached is None:
+            import pyarrow.parquet as pq
 
-        t = pq.read_table(self.path)
-        if self.order_col:
-            t = t.sort_by(self.order_col)
-        return t
+            t = pq.read_table(self.path)
+            if self.order_col:
+                t = t.sort_by(self.order_col)
+            self._cached = t
+        return self._cached
 
     def initialOffset(self) -> dict:
         return {"row": 0}

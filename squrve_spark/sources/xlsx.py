@@ -159,6 +159,18 @@ def read_xlsx(
     header = [
         str(h) if h is not None else f"col_{i}" for i, h in enumerate(header_raw)
     ]
+    # duplicate headers mangle pandas-style ('a', 'a.1', 'a.2') — column
+    # names must be unique keys downstream (a collision would interleave
+    # two columns' values into one)
+    seen: dict[str, int] = {}
+    for i, h in enumerate(header):
+        if h in seen:
+            k = seen[h] + 1
+            while f"{h}.{k}" in seen:  # mangled name may itself collide
+                k += 1
+            seen[h] = k
+            header[i] = f"{h}.{k}"
+        seen[header[i]] = seen.get(header[i], 0)
     rows = [r + [None] * (width - len(r)) for r in grid[1:]]
     return header, rows
 

@@ -398,3 +398,57 @@ def test_jpeg_rejects_progressive():
         + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]) + b"\xff\xd9"
     with pytest.raises(NotImplementedError):
         J.decode_jpeg(sof2)
+
+
+def test_corrupt_payloads_yield_ok_false_not_task_failure(spark):
+    """Review regression (late r4): corrupt/truncated payloads raise
+    zlib.error / IndexError / struct.error / TypeError deep in the codecs —
+    every kernel must isolate them to ok=false rows."""
+    import struct as st
+    import zlib
+
+    from squrve_spark.operators import codecs as C
+
+    # PNG with corrupt IDAT (zlib.error), truncated GIF (IndexError),
+    # JPEG with SOS before SOF (TypeError path), plain garbage
+    bad_png = (
+        C._PNG_SIG
+        + C._png_chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + C._png_chunk(b"IDAT", b"not zlib data")
+        + C._png_chunk(b"IEND", b"")
+    )
+    bad_gif = C.encode_gif(
+        [__import__("numpy").zeros((4, 4, 3), dtype="uint8")]
+    )[:20]
+    bad_jpeg = b"\xff\xd8\xff\xda" + st.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
+    rows = [(1, bytearray(bad_png)), (2, bytearray(bad_gif)),
+            (3, bytearray(bad_jpeg)), (4, bytearray(b"garbage"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = multimodal.extract_pixel_stats(df).collect()
+    assert len(got) == 4 and all(not r["ok"] for r in got)
+    got_f = multimodal.extract_frame_stats(df).collect()
+    assert len(got_f) == 4 and all(not r["ok"] for r in got_f)
+    # truncated WAV fmt chunk (struct.error)
+    bad_wav = b"RIFF" + st.pack("<I", 20) + b"WAVEfmt " + st.pack("<I", 16) + b"\x01\x00"
+    dfa = spark.createDataFrame([(1, bytearray(bad_wav))], "doc_id long, payload binary")
+    ra = multimodal.extract_audio_stats(dfa).collect()[0]
+    assert not ra["ok"]
+
+
+def test_bitfields_bmp_with_nondefault_masks_rejected():
+    import struct as st
+    import pytest
+
+    from squrve_spark.operators import codecs as C
+
+    # 32bpp BI_BITFIELDS declaring RGBA masks (R=0x000000FF) — decoding
+    # with the BGR assumption would swap channels; must refuse
+    header = st.pack("<2sIHHI", b"BM", 14 + 40 + 12 + 4, 0, 0, 14 + 40 + 12)
+    dib = st.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 3, 4, 0, 0, 0, 0)
+    masks = st.pack("<III", 0x000000FF, 0x0000FF00, 0x00FF0000)
+    with pytest.raises(NotImplementedError):
+        C.decode_bmp(header + dib + masks + b"\x01\x02\x03\x04")
+    # default BGRA masks still decode
+    masks_ok = st.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+    arr = C.decode_bmp(header + dib + masks_ok + b"\x01\x02\x03\x04")
+    assert arr.shape == (1, 1, 3)

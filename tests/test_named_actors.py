@@ -508,3 +508,26 @@ def test_pool_rejects_punctuation_only_names():
     for bogus in ("_", "-", "__", "!!"):
         with pytest.raises(KeyError):
             ActorPool.resolve("generator", bogus)
+
+
+def test_dinsql_missing_label_defaults_to_easy(spark):
+    """Review regression (late r4): a classification CoT with NO 'Label:'
+    line must default to EASY — the old fallback substring-matched 'NESTED'
+    in the CoT phrasing ("doesn't require nested queries") and misrouted
+    EASY questions to the hard tier."""
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (r"Find the schema_links", "Schema_links: [nation.n_nationkey]"),
+            (
+                r"classify it as EASY, NON-NESTED, or NESTED",
+                "This question doesn't require nested queries with "
+                "(INTERSECT, UNION, EXCEPT) so it is simple.",  # no Label:
+            ),
+            (r".", GOOD_COUNT),
+        ]
+    )
+    out = DINSQLGenerator(
+        dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    assert out["difficulty"] == "EASY"

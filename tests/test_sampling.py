@@ -226,3 +226,16 @@ def test_bm25_hand_computed(spark):
 
     assert got[1] == round(score(2, 3), 4)
     assert got[3] == round(score(1, 4), 4)
+
+
+def test_weighted_mix_rejects_missing_supply_and_bad_weights(spark):
+    """Review regression (late r4): a weighted source with zero rows must
+    fail loudly (the constraint gives T=0; silent renormalization ships the
+    wrong mixture), and non-positive weights are invalid."""
+    import pytest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError, match="no rows"):
+        sampling.weighted_mix(docs, {"src0": 0.5, "no_such_src": 0.5})
+    with pytest.raises(ValueError, match="> 0"):
+        sampling.weighted_mix(docs, {"src0": 0.0, "src1": 1.0})

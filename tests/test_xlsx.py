@@ -102,3 +102,22 @@ def test_ingest_xlsx_mixed_column_stringifies(spark, tmp_path):
     df = ingest_file(spark, str(p))
     assert dict(df.dtypes)["k"] == "string"
     assert {r["k"] for r in df.collect()} == {"1", "two"}
+
+
+def test_duplicate_headers_mangled(spark, tmp_path):
+    """Review regression (late r4): duplicate headers previously collapsed
+    into one dict key (crash or silently interleaved columns); now they
+    mangle pandas-style."""
+    p = str(tmp_path / "dup.xlsx")
+    write_xlsx(p, ["a", "a", "b", "a"], [[1, 2, "x", 9], [3, 4, "y", 8]])
+    h, r = read_xlsx(p)
+    assert h == ["a", "a.1", "b", "a.2"]
+    assert r == [[1, 2, "x", 9], [3, 4, "y", 8]]
+    df = ingest_file(spark, p, table_name="dup_tbl")
+    assert df.columns == ["a", "a.1", "b", "a.2"]
+    assert df.count() == 2
+    # pathological: mangled name collides with a literal header
+    p2 = str(tmp_path / "dup2.xlsx")
+    write_xlsx(p2, ["a", "a", "a.1"], [[1, 2, 3]])
+    h2, _ = read_xlsx(p2)
+    assert len(set(h2)) == 3
