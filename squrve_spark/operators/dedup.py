@@ -348,6 +348,7 @@ def corpus_span_dup_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     span: int = 8,
+    stride: int | None = None,
 ) -> DataFrame:
     """Per-doc duplicated-span statistics ACROSS the corpus.
 
@@ -373,13 +374,27 @@ def corpus_span_dup_stats(
     """
     toks = F.split(F.col(text_col), " ")
     staged = spread(df.select(id_col, text_col)).withColumn("_t", toks)
-    n_sp = F.greatest(
-        F.ceil(F.size(F.col("_t")) / F.lit(float(span))), F.lit(1)
-    ).cast("int")
+    stride = span if stride is None else stride
+    if not 1 <= stride <= span:
+        raise ValueError(f"need 1 <= stride <= span, got {stride}/{span}")
+    n = F.size(F.col("_t"))
+    if stride == span:
+        # non-overlapping tiling (RefinedWeb block form): short final
+        # window included, every token covered exactly once
+        n_sp = F.greatest(F.ceil(n / F.lit(float(span))), F.lit(1)).cast("int")
+    else:
+        # overlapping sliding windows (Lee et al. 2022 exact-substring
+        # form): FULL windows only, starts every `stride` tokens; docs
+        # shorter than `span` contribute one whole-text window. Output
+        # row count multiplies by span/stride — the precision/cost knob.
+        n_sp = F.greatest(
+            (F.floor((n - span) / F.lit(float(stride))) + 1).cast("int"),
+            F.lit(1),
+        )
     span_hashes = F.transform(
         F.sequence(F.lit(0), n_sp - 1),
         lambda i: F.xxhash64(
-            F.concat_ws(" ", F.slice(F.col("_t"), i * span + 1, span))
+            F.concat_ws(" ", F.slice(F.col("_t"), i * stride + 1, span))
         ),
     )
     spans = memo_checkpoint(

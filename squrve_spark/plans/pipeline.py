@@ -72,6 +72,42 @@ def doc_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_sliding_dup",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+        SELECT d.doc_id,
+               array_to_string(d.t[(g.i*2+1):(g.i*2+8)], ' ') AS span
+        FROM d, LATERAL (
+            SELECT unnest(range(0, GREATEST(
+                CAST(floor((len(d.t) - 8) / 2.0) AS BIGINT) + 1, 1))) AS i
+        ) g
+    ),
+    counts AS (SELECT span, count(*) AS c FROM spans GROUP BY span)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+           ROUND(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
+    FROM spans s JOIN counts c USING (span)
+    GROUP BY s.doc_id
+    """,
+    tags=("dedup",),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def doc_sliding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window duplicated-substring stats (Lee et al. 2022's
+    exact-substring dedup signal, stride-2 8-token windows): overlapping
+    windows catch shared passages that fixed tiling (`doc_span_dup`) splits
+    across block boundaries; stride is the precision/cost knob."""
+    return dedup.corpus_span_dup_stats(
+        load_table(spark, sf_dir, "documents"), span=8, stride=2
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,

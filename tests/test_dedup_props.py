@@ -132,3 +132,25 @@ def test_span_dup_stats_and_filter(spark):
     short = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
     r = corpus_span_dup_stats(short, span=4).collect()[0]
     assert (r["n_spans"], r["dup_spans"]) == (1, 0)
+
+
+def test_sliding_span_windows(spark):
+    """stride < span: overlapping windows catch passages that fixed tiling
+    splits across block boundaries."""
+    from squrve_spark.operators.dedup import corpus_span_dup_stats
+    import pytest
+
+    # shared 4-token passage "p q r s" offset differently in the two docs —
+    # fixed 4-token tiling never aligns it, stride-1 sliding does
+    rows = [
+        (1, "a b p q r s x y"),
+        (2, "c p q r s z w v"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fixed = {r["doc_id"]: r["dup_spans"] for r in corpus_span_dup_stats(df, span=4).collect()}
+    assert fixed == {1: 0, 2: 0}
+    sliding = {r["doc_id"]: r["dup_spans"] for r in
+               corpus_span_dup_stats(df, span=4, stride=1).collect()}
+    assert sliding[1] >= 1 and sliding[2] >= 1
+    with pytest.raises(ValueError):
+        corpus_span_dup_stats(df, span=4, stride=5)
