@@ -438,3 +438,41 @@ class DataLoader:
 
     def schema_path(self, bench: str) -> Optional[str]:
         return self.registry.get(bench, {}).get("schema")
+
+
+def schema_diff(old_central: dict, new_central: dict) -> dict:
+    """Schema drift report between two central-format snapshots: the
+    continuous-ingestion guard (a crawl source changing its schema should
+    fail loudly before a 100 TB write, not after).
+
+    Returns {added_tables, removed_tables, added_columns, removed_columns,
+    type_changes} with columns as 'table.column' strings and type_changes
+    as (qualified, old_type, new_type). Pure metadata — no data scan.
+    """
+    def cols_of(c: dict) -> dict[str, str]:
+        tables = c.get("table_names_original", [])
+        types = c.get("column_types", [])
+        out = {}
+        for i, (t_idx, col) in enumerate(c.get("column_names_original", [])):
+            if t_idx == STAR_TABLE_IDX:
+                continue
+            out[f"{tables[t_idx]}.{col}"] = (
+                types[i] if i < len(types) else "text"
+            )
+        return out
+
+    old_t = set(old_central.get("table_names_original", []))
+    new_t = set(new_central.get("table_names_original", []))
+    old_c = cols_of(old_central)
+    new_c = cols_of(new_central)
+    return {
+        "added_tables": sorted(new_t - old_t),
+        "removed_tables": sorted(old_t - new_t),
+        "added_columns": sorted(set(new_c) - set(old_c)),
+        "removed_columns": sorted(set(old_c) - set(new_c)),
+        "type_changes": sorted(
+            (q, old_c[q], new_c[q])
+            for q in set(old_c) & set(new_c)
+            if old_c[q] != new_c[q]
+        ),
+    }

@@ -487,3 +487,36 @@ def test_task_artifacts_and_pass_n(spark, tmp_path):
     out = run_pass_n(make_engine, n=3)
     assert out["pass_at_n"] == 1.0
     assert out["run_avgs"][0] == 0.0 and out["run_avgs"][1] == 1.0
+
+
+def test_schema_diff_reports_drift(spark):
+    """Continuous-ingestion schema guard: added/removed tables and columns
+    plus type changes between two central-format snapshots."""
+    import copy
+
+    from squrve_spark.catalog import register_tables
+    from squrve_spark.data import central_schema_from_catalog, schema_diff
+    from tests.conftest import SF_SMALL
+
+    register_tables(spark, SF_SMALL, ["nation", "region"])
+    old = central_schema_from_catalog(spark, "d", ["nation", "region"])
+    new = copy.deepcopy(old)
+    # drop region table, change one type, add a column to nation
+    new["table_names_original"] = ["nation"]
+    keep, types = [], []
+    for (t_idx, col), ty in zip(old["column_names_original"], old["column_types"]):
+        t_name = old["table_names_original"][t_idx] if t_idx >= 0 else None
+        if t_name == "region":
+            continue
+        keep.append([0 if t_name == "nation" else t_idx, col])
+        types.append("bigint" if col == "n_nationkey" and ty != "bigint" else ty)
+    keep.append([0, "ingest_ts"]); types.append("timestamp")
+    new["column_names_original"], new["column_types"] = keep, types
+    d = schema_diff(old, new)
+    assert d["removed_tables"] == ["region"]
+    assert d["added_columns"] == ["nation.ingest_ts"]
+    assert all(c.startswith("region.") for c in d["removed_columns"])
+    assert d["added_tables"] == []
+    # identical snapshots -> empty diff everywhere
+    d0 = schema_diff(old, old)
+    assert all(not v for v in d0.values())
