@@ -217,3 +217,44 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("user_total").alias("sum_user_total"),
     )
     return run_stream_to_table(agg, "complete")
+
+
+@register(
+    "stream_anomaly",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, value,
+               epoch_us(ts) AS t
+        FROM events
+    ),
+    s AS (
+        SELECT event_id, user_id, value,
+               avg(value)        OVER w AS mu,
+               stddev_samp(value) OVER w AS sd,
+               count(*)          OVER w AS k
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           CAST(k AS BIGINT) AS n_prior,
+           COALESCE(k >= 2 AND sd > 0 AND value > mu + 3 * sd, FALSE)
+               AS is_anomaly
+    FROM s
+    """,
+    tags=("streaming", "events", "stateful"),
+    # deferred: driver cap full. The compared columns are INTEGER/BOOLEAN
+    # only (no float z-scores) so Welford-vs-window float-path differences
+    # cannot produce hash mismatches off the 3-sigma boundary; exact parity
+    # in tests/test_oracle_parity.py.
+    defer_oracle=True,
+)
+def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user streaming anomaly detection (value > mean + 3 stddev of the
+    user's PRIOR history) via applyInPandasWithState Welford state — the
+    incremental rolling-statistics shape built-in windowed aggs can't
+    express. availableNow single-batch drain makes the flags deterministic."""
+    from squrve_spark.streaming.ops import anomaly_stream
+
+    ev = read_event_stream(spark, sf_dir)
+    return run_stream_to_table(anomaly_stream(ev), "update")

@@ -377,3 +377,52 @@ def write_stream_exactly_once(
             f"exactly-once drain into {out_dir!r} did not finish within "
             f"{timeout_s}s — output is a partial prefix, not the full stream"
         )
+
+
+_ANOM_STATE = "n long, mean double, m2 double"
+_ANOM_OUT = "event_id long, user_id long, n_prior long, is_anomaly boolean"
+
+
+def _update_anomaly(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Welford running mean/variance per user; an event is anomalous when
+    its value exceeds mean + 3 sample-stddev of the user's PRIOR history
+    (>= 2 prior observations). State is three numbers per key."""
+    import math
+
+    n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_ns", "event_id"])  # deterministic order
+        for eid, v in zip(pdf["event_id"], pdf["value"]):
+            v = float(v)
+            flag = False
+            if n >= 2:
+                sd = math.sqrt(m2 / (n - 1))
+                flag = sd > 0 and v > mean + 3 * sd
+            rows.append((int(eid), int(key[0]), n, flag))
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+    state.update((n, mean, m2))  # commit state BEFORE yielding (proven pattern)
+    yield pd.DataFrame(
+        rows, columns=["event_id", "user_id", "n_prior", "is_anomaly"]
+    )
+
+
+def anomaly_stream(events: DataFrame) -> DataFrame:
+    """Per-user streaming anomaly flags (value > mean + 3 stddev of PRIOR
+    history) via ``applyInPandasWithState`` — the rolling-statistics shape
+    windowed aggregations can't express incrementally. State per key is a
+    fixed 3-tuple (Welford), so memory is #users x 24 bytes at any scale."""
+    return (
+        events.select("event_id", "user_id", "value", "ts_ns")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_anomaly,
+            outputStructType=_ANOM_OUT,
+            stateStructType=_ANOM_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
