@@ -532,6 +532,50 @@ def doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_report",
+    oracle=rf"""
+    WITH t AS (
+        SELECT lang, source,
+               length(text) AS n_chars,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           ROUND(avg(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                     * 1.0 / len(toks)), 6) AS mean_stopword_ratio
+    FROM t GROUP BY lang, source
+    """,
+    tags=("profiling", "text"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus snapshot report — doc/token/char volumes
+    + mean quality signal per stratum, the dashboard every corpus release
+    ships with. ONE scan + one small groupBy (keys bounded by
+    langs x sources); signal expressions inline so nothing is recomputed."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens_expr("text")
+    stop_arr = F.array(*[F.lit(s) for s in text.STOPWORDS_EN])
+    sr = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / F.size(toks)
+    staged = docs.select(
+        "lang", "source",
+        F.length("text").alias("_nc"),
+        F.size(toks).alias("_nt"),
+        sr.alias("_sr"),
+    )
+    return staged.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.sum("_nc").cast("long").alias("n_chars"),
+        F.round(F.avg("_sr"), 6).alias("mean_stopword_ratio"),
+    )
+
+
+@register(
     "doc_lm_cross_entropy",
     oracle=r"""
     WITH t AS (
