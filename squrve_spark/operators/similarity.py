@@ -384,20 +384,58 @@ def train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tol: float = 1e-4,
+    sample: int | None = None,
 ) -> np.ndarray:
-    """Distributed spherical k-means (Lloyd's) — the IVF coarse quantizer.
+    """Spherical k-means (Lloyd's) — the IVF coarse quantizer.
 
-    Per iteration:
-      * assign: one BLAS matmul per Arrow batch against the broadcast
-        centroid matrix (map-side only, no shuffle);
-      * update: element-wise cell sums via posexplode + groupBy(cell, pos)
-        SUM — hash aggregation partial-combines map-side, so the shuffle is
-        ~partitions x k x dim tiny rows regardless of corpus size; the
-        driver only ever holds the k x dim codebook (bounded collect).
+    Two training modes:
+
+    * ``sample=None`` (default): fully distributed. Per iteration:
+      assign is one BLAS matmul per Arrow batch against the broadcast
+      centroid matrix (map-side only, no shuffle); update is element-wise
+      cell sums via posexplode + groupBy(cell, pos) SUM — hash aggregation
+      partial-combines map-side, so the shuffle is ~partitions x k x dim
+      tiny rows regardless of corpus size; the driver only ever holds the
+      k x dim codebook (bounded collect).
+    * ``sample=N``: bounded-sample driver training — ONE deterministic
+      hash-ordered collect of N unit vectors, then Lloyd iterations as
+      in-memory numpy. This is the standard large-scale recipe (faiss
+      trains billion-vector coarse quantizers on <=1M samples): the
+      codebook is a property of the *distribution*, not the corpus, so
+      per-iteration full scans buy nothing. Use it whenever N rows cover
+      the distribution; assignment over the full corpus stays distributed
+      in the callers. Per-iteration Spark-job overhead drops to zero.
+
     Empty cells keep their previous centroid. Stops early when the max
     centroid movement (1 - cos) drops below ``tol``. Deterministic: init is
-    the hash-ordered sample, sums are per-cell exact.
+    the hash-ordered sample prefix, sums are per-cell exact.
     """
+    if sample is not None:
+        rows = (
+            corpus.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col)))
+            .limit(max(int(sample), n_centroids))
+            .collect()
+        )
+        V = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+        Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
+        # identical init to the distributed path: the first n_centroids
+        # rows of the same hash ordering (== sampled_centroids)
+        Cu = Vu[:n_centroids].copy()
+        for _ in range(n_iter):
+            cells = (Vu @ Cu.T).argmax(axis=1)
+            new = Cu.copy()
+            for c in np.unique(cells):
+                s = Vu[cells == c].sum(axis=0)
+                nrm = np.linalg.norm(s)
+                if nrm > 0:
+                    new[c] = s / nrm  # spherical: unit mean direction
+            shift = float(np.max(1.0 - np.sum(new * Cu, axis=1)))
+            Cu = new
+            if shift < tol:
+                break
+        return Cu
+
     spark = corpus.sparkSession
     Cu = sampled_centroids(corpus, n_centroids, id_col, vec_col)
     vecs = spread(corpus).select(F.col(vec_col).cast("array<double>").alias("v"))
@@ -517,6 +555,7 @@ def semantic_dedup(
     train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int | None = 16384,
 ) -> DataFrame:
     """Semantic dedup over an embedding column: k-means clustering, then
     near-duplicate pruning WITHIN each cluster only.
@@ -538,8 +577,16 @@ def semantic_dedup(
     Returns one row per input vector: (id, cell, centroid_sim, keep,
     rep_id) where rep_id is the kept representative of the item's duplicate
     component (rep_id == id for kept rows).
+
+    Codebook training defaults to the bounded-sample driver path
+    (``train_sample`` rows; see ``train_centroids``) — the SemDeDup paper
+    itself clusters on a fixed sample, and the per-iteration distributed
+    jobs were the dominant cost of this operator at small scale. Pass
+    ``train_sample=None`` to force full-corpus distributed Lloyd.
     """
-    Cu = train_centroids(df, n_centroids, train_iters, id_col, vec_col)
+    Cu = train_centroids(
+        df, n_centroids, train_iters, id_col, vec_col, sample=train_sample
+    )
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(Cu)
 
@@ -615,10 +662,13 @@ def semantic_dedup_keep(
     train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int | None = 16384,
 ) -> DataFrame:
     """Surviving rows only (left-semi join on the keep flags) — the drop-in
     corpus filter form of `semantic_dedup`."""
-    keep = semantic_dedup(df, eps, n_centroids, train_iters, id_col, vec_col)
+    keep = semantic_dedup(
+        df, eps, n_centroids, train_iters, id_col, vec_col, train_sample
+    )
     return df.join(
         keep.filter(F.col("keep")).select(id_col), id_col, "left_semi"
     )

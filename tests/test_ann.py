@@ -309,3 +309,34 @@ def test_persisted_ivf_index_matches_inmemory(spark, tmp_path):
     d = sorted(tuple(r) for r in direct.collect())
     i = sorted(tuple(r) for r in indexed.collect())
     assert d == i
+
+
+def test_sampled_centroid_training_matches_distributed(spark):
+    """Bounded-sample driver-side Lloyd (`train_centroids(sample=N)`) must
+    reproduce the distributed trainer exactly when the sample covers the
+    corpus (same hash-ordered init, same per-cell sums), and semantic_dedup
+    must make identical keep/rep decisions under either trainer — the fast
+    path is a pure perf substitution, not a semantics change."""
+    import numpy as np
+
+    from squrve_spark.operators.similarity import semantic_dedup, train_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Cd = train_centroids(emb, 8, 2)
+    Cs = train_centroids(emb, 8, 2, sample=1 << 20)
+    assert float(np.max(1.0 - np.sum(Cd * Cs, axis=1))) < 1e-12
+
+    a = semantic_dedup(emb, eps=0.42, n_centroids=8, train_iters=2).orderBy("vec_id")
+    b = semantic_dedup(
+        emb, eps=0.42, n_centroids=8, train_iters=2, train_sample=None
+    ).orderBy("vec_id")
+    ra, rb = a.collect(), b.collect()
+    # decisions identical; centroid_sim agrees to float epsilon (its stored
+    # value is round(.,6), so a sim sitting ON a rounding boundary may print
+    # one ulp apart between the two trainers)
+    assert [(r["vec_id"], r["cell"], r["keep"], r["rep_id"]) for r in ra] == [
+        (r["vec_id"], r["cell"], r["keep"], r["rep_id"]) for r in rb
+    ]
+    assert all(
+        abs(x["centroid_sim"] - y["centroid_sim"]) <= 1.5e-6 for x, y in zip(ra, rb)
+    )
