@@ -1,0 +1,162 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): pick raw-corpus documents whose hashed n-gram
+distribution matches a TARGET corpus. The standard pretraining-data
+recipe for "make 100 TB of crawl look like Wikipedia/books".
+
+Spark-first shape (no reference analog — the reference is text-to-SQL;
+this belongs to the training-data-pipeline extension surface):
+
+1. **Features**: hashed token buckets. The bucket function is the
+   engine-portable md5-hex prefix (``conv(substr(md5(tok),1,8),16,10)
+   % B`` — bit-identical to DuckDB's ``('0x'||substr(md5(tok),1,8))::
+   BIGINT % B``), so the whole operator has an exact cross-engine
+   oracle, same trick as `operators/sampling.py`'s md5-rank draws.
+2. **Two bucket distributions** (target + raw): explode + groupBy(bucket)
+   COUNT — hash aggregation partial-combines map-side, so each shuffle is
+   bounded by ``n_buckets`` rows regardless of corpus size.
+3. **Per-bucket log-likelihood-ratio weights** ``w_b = ln p̂_t(b) −
+   ln p̂_r(b)`` (add-one smoothed), collected driver-side (B doubles) and
+   inlined as a Catalyst array literal — corpus scoring is then MAP-ONLY
+   whole-stage codegen (``aggregate`` over the token array), zero Python,
+   zero joins: the same broadcast-weight-table pattern as
+   `operators/classifier.py::score_expr`.
+4. **Importance resampling**: Gumbel-top-k over ``score + g`` where the
+   Gumbel noise derives from ``md5(doc_id)`` (deterministic and
+   engine-portable, no RNG) — equivalent to sampling without replacement
+   with probability ∝ exp(score) (Vieira 2014), which is exactly the
+   paper's importance-resampling step.
+
+At 100 TB: steps 2-3 are one scan each over target/raw with B-bounded
+shuffles; step 4 is a map-only score + TakeOrdered top-n. Nothing is
+quadratic, nothing collects corpus-sized state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from squrve_spark.catalog import spread
+from squrve_spark.operators.text import tokens_expr
+
+DEFAULT_BUCKETS = 1024
+
+
+def bucket_expr(token: Column, n_buckets: int) -> Column:
+    """Engine-portable token bucket: first 8 md5 hex digits as an int,
+    mod ``n_buckets``. DuckDB equivalent:
+    ``('0x' || substr(md5(tok), 1, 8))::BIGINT % n_buckets``."""
+    return (
+        F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
+def bucket_distribution(
+    df: DataFrame, text_col: str = "text", n_buckets: int = DEFAULT_BUCKETS
+) -> DataFrame:
+    """(bucket, n) hashed-unigram counts for a corpus — one scan, shuffle
+    bounded by ``n_buckets`` (map-side partial combine)."""
+    toks = spread(df.select(text_col)).select(
+        F.explode(tokens_expr(text_col)).alias("_t")
+    )
+    return (
+        toks.select(bucket_expr(F.col("_t"), n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def dsir_bucket_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> np.ndarray:
+    """Add-one-smoothed per-bucket log-likelihood-ratio weights
+    ``w_b = ln((ct_b+1)/(Tt+B)) − ln((cr_b+1)/(Tr+B))`` as a length-B
+    array. Driver holds only the two B-long count vectors."""
+    ct = np.zeros(n_buckets, dtype=np.float64)
+    cr = np.zeros(n_buckets, dtype=np.float64)
+    for r in bucket_distribution(target, text_col, n_buckets).collect():
+        ct[r["bucket"]] = r["n"]
+    for r in bucket_distribution(raw, text_col, n_buckets).collect():
+        cr[r["bucket"]] = r["n"]
+    return np.log((ct + 1.0) / (ct.sum() + n_buckets)) - np.log(
+        (cr + 1.0) / (cr.sum() + n_buckets)
+    )
+
+
+def score_expr(
+    weights: np.ndarray, text_col: str = "text"
+) -> Column:
+    """Catalyst-only importance score: sum over the doc's tokens of the
+    token-bucket weight. The weight table rides the plan as an array
+    literal; evaluation is whole-stage codegen, no Python boundary."""
+    n_buckets = len(weights)
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    return F.aggregate(
+        tokens_expr(text_col),
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(w, bucket_expr(t, n_buckets).cast("int") + 1),
+    )
+
+
+def gumbel_expr(id_col: str = "doc_id") -> Column:
+    """Deterministic engine-portable Gumbel(0,1) draw per row:
+    ``u = (md5-hex-prefix(id) + 0.5) / 2^32`` then ``−ln(−ln u)``.
+    DuckDB equivalent uses the identical md5 prefix, so resampling
+    decisions replay bit-for-bit across engines and reruns."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    return -F.log(-F.log(u))
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Per-document importance score (map-only once the two B-bounded
+    distribution passes are done): (id, dsir_score)."""
+    w = dsir_bucket_weights(raw, target, text_col, n_buckets)
+    return spread(raw).select(
+        id_col, score_expr(w, text_col).alias("dsir_score")
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Gumbel-top-k importance resampling: the ``n`` kept documents,
+    (id, dsir_score), sampled without replacement ∝ exp(score).
+    TakeOrdered top-n — per-partition heaps, no global sort."""
+    w = dsir_bucket_weights(raw, target, text_col, n_buckets)
+    # two-step projection: the per-token fold is evaluated ONCE — Catalyst's
+    # CollapseProject leaves multiply-referenced non-cheap expressions in
+    # their own Project, so `_key` reuses the computed score column
+    scored = spread(raw).select(
+        id_col, score_expr(w, text_col).alias("dsir_score")
+    )
+    keyed = scored.withColumn(
+        "_key", F.col("dsir_score") + gumbel_expr(id_col)
+    )
+    return (
+        keyed.orderBy(F.col("_key").desc(), F.col(id_col))
+        .limit(n)
+        .select(id_col, "dsir_score")
+    )

@@ -1248,6 +1248,62 @@ def doc_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_dsir_select",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    tok AS (
+        SELECT d.doc_id, d.lang,
+               ('0x' || substr(md5(t.tok), 1, 8))::BIGINT % 1024 AS bk
+        FROM d, LATERAL (SELECT unnest(d.toks) AS tok) t
+    ),
+    tc AS (SELECT bk, count(*) AS c FROM tok WHERE lang = 'en' GROUP BY bk),
+    rc AS (SELECT bk, count(*) AS c FROM tok GROUP BY bk),
+    tot AS (SELECT (SELECT sum(c) FROM tc) AS tt,
+                   (SELECT sum(c) FROM rc) AS tr),
+    w AS (
+        SELECT g.bk,
+               ln((COALESCE(tc.c, 0) + 1.0) / (tot.tt + 1024))
+             - ln((COALESCE(rc.c, 0) + 1.0) / (tot.tr + 1024)) AS w
+        FROM (SELECT unnest(range(0, 1024)) AS bk) g
+        LEFT JOIN tc USING (bk) LEFT JOIN rc USING (bk), tot
+    ),
+    score AS (
+        SELECT tok.doc_id, sum(w.w) AS s
+        FROM tok JOIN w USING (bk)
+        GROUP BY tok.doc_id
+    ),
+    keyed AS (
+        SELECT doc_id, s,
+               s + (-ln(-ln(
+                   (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                    + 0.5) / 4294967296.0))) AS k
+        FROM score
+    )
+    SELECT doc_id, ROUND(s, 6) AS dsir_score
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 100
+    """,
+    tags=("curation", "sampling"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): select the 100 raw
+    docs whose hashed-unigram distribution best matches the English target
+    slice, via Gumbel-top-k over add-one-smoothed log-likelihood-ratio
+    scores. Engine-portable md5 bucketing makes the whole pipeline (hash →
+    distributions → score → resample) exactly replayable in DuckDB."""
+    from squrve_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir.dsir_resample(docs, target, n=100, n_buckets=1024)
+    return out.select("doc_id", F.round("dsir_score", 6).alias("dsir_score"))
+
+
+@register(
     "doc_bm25",
     # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
     oracle=r"""
