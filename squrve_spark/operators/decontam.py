@@ -177,3 +177,55 @@ def contamination_scores_bloom(
             F.filter("sh", lambda s: _might_contain_expr(s, words_arr, m_bits, k))
         ).cast("bigint").alias("n_hits"),
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EMBEDDING-SPACE decontamination: flag corpus vectors whose max
+    cosine to ANY eval vector reaches ``threshold`` — catches paraphrased
+    benchmark leakage that verbatim n-gram overlap misses (the reason
+    modern decontam runs both a lexical and a semantic pass).
+
+    Scale shape: eval sets are tiny by definition, so the UNIT eval matrix
+    broadcasts (|eval| x dim doubles) and the corpus pass is MAP-ONLY — one
+    Arrow-batched BLAS matmul per batch, no join, no shuffle, no
+    corpus-sized state; the same broadcast-matrix pattern as
+    `similarity.semantic_dedup`'s cell assignment. Returns one row per
+    corpus vector: (id, max_sim rounded to 6, contaminated flag on the
+    rounded value so the decision is engine-stable).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    from squrve_spark.catalog import spread
+
+    spark = corpus.sparkSession
+    rows = eval_df.select(vec_col).collect()
+    E = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    Eu = E / np.linalg.norm(E, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(Eu)
+
+    @pandas_udf("double")
+    def max_sim(vecs):  # pd.Series -> pd.Series (hints omitted: pd is
+        # function-local here, so string annotations would not resolve)
+        eu = bc.value
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.Series((Vu @ eu.T).max(axis=1))
+
+    staged = spread(corpus.select(id_col, vec_col)).withColumn(
+        "_m", max_sim(F.col(vec_col))
+    )
+    sim6 = F.round(F.col("_m"), 6)
+    return staged.select(
+        id_col,
+        sim6.alias("max_sim"),
+        (sim6 >= F.lit(threshold)).alias("contaminated"),
+    )

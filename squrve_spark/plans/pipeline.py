@@ -1034,6 +1034,44 @@ def doc_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.contamination_scores_bloom(docs, eval_set).orderBy("doc_id")
 
 
+@register(
+    "emb_decontam",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE vec_id % 20 = 0
+    ),
+    corp AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE vec_id % 20 <> 0
+    ),
+    sims AS (
+        SELECT c.vec_id, MAX(list_cosine_similarity(c.e, ev.e)) AS m
+        FROM corp c, ev GROUP BY c.vec_id
+    )
+    SELECT vec_id,
+           CAST(ROUND(m, 6) AS DOUBLE) AS max_sim,
+           ROUND(m, 6) >= 0.38 AS contaminated
+    FROM sims
+    """,
+    tags=("hygiene", "similarity"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def emb_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: max cosine of every corpus vector against
+    a broadcast eval matrix (every-20th vector held out), flag >= 0.38 —
+    the paraphrase-leakage pass lexical n-gram decontam can't catch.
+    Map-only Arrow BLAS; threshold calibrated so the flag fires on the
+    fixture (12/475 at sf0.01; random-vector cosines top out near 0.49)."""
+    from squrve_spark.operators.decontam import semantic_contamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter("vec_id % 20 = 0")
+    corp = emb.filter("vec_id % 20 <> 0")
+    return semantic_contamination(corp, ev, threshold=0.38)
+
+
 @register("pipeline_curate_v2", oracle=None, tags=("pipeline", "no-oracle"))
 def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 curation composite — the r4 operator set as one survival-flag

@@ -241,3 +241,22 @@ def test_bloom_contamination_superset_of_exact(spark):
     assert excess <= max(5, 0.01 * total), (excess, total)
     plan = bloom_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_semantic_contamination_flags_planted_leak(spark):
+    """A corpus vector IDENTICAL to an eval vector must score max_sim 1.0
+    and be flagged; orthogonal vectors must score 0 and pass."""
+    from squrve_spark.operators.decontam import semantic_contamination
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corp = spark.createDataFrame(
+        [(0, [2.0, 0.0, 0.0]),   # same direction as eval 100 -> leak
+         (1, [0.0, 0.0, 5.0])],  # orthogonal to both -> clean
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in semantic_contamination(corp, ev, 0.9).collect()}
+    assert out[0]["max_sim"] == 1.0 and out[0]["contaminated"]
+    assert out[1]["max_sim"] == 0.0 and not out[1]["contaminated"]
