@@ -962,3 +962,60 @@ def ivf_topk_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-side k-means cell assignment: broadcast the unit codebook, one
+    BLAS matmul per Arrow batch — (id, vec, cell), no shuffle."""
+    bc = df.sparkSession.sparkContext.broadcast(centroids)
+
+    def assign_fn(vecs: pd.Series) -> pd.Series:
+        cu = bc.value
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.Series((Vu @ cu.T).argmax(axis=1).astype(np.int32))
+
+    return spread(df.select(id_col, vec_col)).withColumn(
+        "cell", pandas_udf(assign_fn, "int")(F.col(vec_col))
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    per_cluster: int,
+    n_centroids: int = 16,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int | None = 16384,
+) -> DataFrame:
+    """Diversity-preserving selection: k-means the embedding space, keep at
+    most ``per_cluster`` vectors PER CELL (md5-rank draw within the cell —
+    the engine's deterministic, engine-portable uniform). Uniform sampling
+    over-represents dense modes; capping per cluster flattens the topic
+    distribution — the cluster-balanced selection step used by
+    diversity-aware curation recipes (and the sampling dual of SemDeDup's
+    within-cell pruning).
+
+    Scale shape: codebook trains on a bounded sample (see
+    ``train_centroids``), assignment is map-only, and the only shuffle is
+    the per-cell window rank — keyed by cell, k-bounded output. Returns
+    (id, cell, rank) for the kept rows.
+    """
+    Cu = train_centroids(
+        df, n_centroids, train_iters, id_col, vec_col, sample=train_sample
+    )
+    assigned = assign_cells(df, Cu, id_col, vec_col)
+    w = W.partitionBy("cell").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_cluster)
+        .select(id_col, "cell", "rank")
+    )

@@ -1055,8 +1055,7 @@ def doc_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sims
     """,
     tags=("hygiene", "similarity"),
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
-    defer_oracle=True,
+    # driver-checked since late r4 (q_having_distinct rotated to deferred)
 )
 def emb_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC decontamination: max cosine of every corpus vector against
@@ -1070,6 +1069,20 @@ def emb_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = emb.filter("vec_id % 20 = 0")
     corp = emb.filter("vec_id % 20 <> 0")
     return semantic_contamination(corp, ev, threshold=0.38)
+
+
+@register(
+    "emb_cluster_sample", oracle=None, tags=("curation", "similarity", "no-oracle")
+)
+def emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sample: k-means the embedding space
+    (bounded-sample training), keep <= 30 vectors per cell by md5-rank —
+    flattens dense topic modes that uniform sampling over-represents.
+    Per-cell cap + determinism property-tested in tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cluster_balanced_sample(
+        emb, per_cluster=30, n_centroids=8, train_iters=2
+    ).orderBy("vec_id")
 
 
 @register("pipeline_curate_v2", oracle=None, tags=("pipeline", "no-oracle"))
@@ -1324,8 +1337,7 @@ def doc_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM keyed ORDER BY k DESC, doc_id LIMIT 100
     """,
     tags=("curation", "sampling"),
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
-    defer_oracle=True,
+    # driver-checked since late r4 (q_scalar_subquery rotated to deferred)
 )
 def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): select the 100 raw

@@ -438,6 +438,9 @@ def q_sub_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     tags=("A11",),
+    # deferred since late r4 (rotated out for doc_dsir_select): A11 stays
+    # driver-checked via q_sub_exists + q_corr_min_subquery
+    defer_oracle=True,
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery threshold (above-average balance).
@@ -720,6 +723,9 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(DISTINCT o_orderstatus) >= 2 AND COUNT(*) >= 10
     """,
     tags=("A7", "A8"),
+    # deferred since late r4 (rotated out for emb_decontam): A7/A8 stay
+    # driver-checked via q1_pricing_summary + q_join_agg + q_grouping_sets
+    defer_oracle=True,
 )
 def q_having_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING over COUNT(DISTINCT) — distinct aggregation + post-agg filter."""

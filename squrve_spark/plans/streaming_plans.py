@@ -258,3 +258,25 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_event_stream(spark, sf_dir)
     return run_stream_to_table(anomaly_stream(ev), "update")
+
+
+@register(
+    "stream_top_keys",
+    oracle=r"""
+    SELECT CAST(regexp_extract(props, '(\d+)', 1) AS INTEGER) AS k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1 ORDER BY n DESC, k LIMIT 20
+    """,
+    tags=("streaming", "events"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def stream_top_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: incremental per-key counts over the parsed
+    props payload (complete mode, one counter per distinct key), exact
+    top-20 selected on the drained batch result (count desc, key asc)."""
+    from squrve_spark.streaming.ops import top_keys_stream
+
+    ev = read_event_stream(spark, sf_dir)
+    out = run_stream_to_table(top_keys_stream(ev), "complete")
+    return out.orderBy(F.col("n").desc(), "k").limit(20)

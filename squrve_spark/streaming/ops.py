@@ -426,3 +426,17 @@ def anomaly_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def top_keys_stream(events: DataFrame) -> DataFrame:
+    """Streaming frequency table over the parsed ``props`` payload key —
+    the heavy-hitters shape: incremental groupBy count whose state is one
+    counter per DISTINCT key (exact because the fixture's key domain is
+    bounded; an unbounded domain would swap in a space-saving/CMS sketch
+    kernel via applyInPandasWithState, same plan shape). Top-k selection
+    happens AFTER the drain on the batch result — ordering inside a
+    streaming aggregation is not incremental."""
+    keyed = events.select(
+        F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("int").alias("k")
+    )
+    return keyed.groupBy("k").agg(F.count("*").cast("long").alias("n"))

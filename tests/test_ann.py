@@ -340,3 +340,40 @@ def test_sampled_centroid_training_matches_distributed(spark):
     assert all(
         abs(x["centroid_sim"] - y["centroid_sim"]) <= 1.5e-6 for x, y in zip(ra, rb)
     )
+
+
+def test_cluster_balanced_sample_properties(spark):
+    """Per-cell cap respected; every non-empty cell is represented; output
+    ids unique and drawn from the corpus; exact replay across reruns; and
+    the cap binds (some dense cell actually loses rows on the fixture)."""
+    from squrve_spark.operators.similarity import (
+        assign_cells,
+        cluster_balanced_sample,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    cap = 5
+    sel = cluster_balanced_sample(emb, per_cluster=cap, n_centroids=4, train_iters=2)
+    rows = sel.collect()
+    assert [tuple(r) for r in cluster_balanced_sample(
+        emb, per_cluster=cap, n_centroids=4, train_iters=2
+    ).collect()] == [tuple(r) for r in rows]  # deterministic replay
+
+    per_cell: dict[int, int] = {}
+    ids = set()
+    for r in rows:
+        per_cell[r["cell"]] = per_cell.get(r["cell"], 0) + 1
+        assert 1 <= r["rank"] <= cap
+        ids.add(r["vec_id"])
+    assert len(ids) == len(rows)  # no duplicates
+    assert max(per_cell.values()) <= cap
+
+    Cu = train_centroids(emb, 4, 2, sample=1 << 20)
+    cells = assign_cells(emb, Cu)
+    full = {r["cell"]: r["n"] for r in cells.groupBy("cell").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert set(per_cell) == {c for c, k in full.items() if k >= 1}
+    assert len(rows) == sum(min(k, cap) for k in full.values())
+    assert len(rows) < n  # the cap actually binds somewhere
