@@ -460,3 +460,35 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("value_cents"),
         )
     )
+
+
+@register(
+    "q_events_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS min_k,
+           CAST(max(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "variant"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload analytics via Spark 4 VARIANT: parse_json on
+    the props column ONCE into the binary variant encoding, typed
+    variant_get extraction, aggregate per event type — the schema-on-read
+    path for ingesting JSON event payloads without a fixed schema (at
+    scale, parse once at ingest and store the variant column; shredded
+    parquet reads then prune untouched fields). DuckDB oracle uses its
+    native JSON operators on the same payloads."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(k.cast("long")).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
