@@ -777,3 +777,33 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).cast("double").alias("top_price"),
         F.last("o_totalprice").over(w_full).cast("double").alias("bottom_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery (per-group top-n without a window function)
+# --------------------------------------------------------------------------
+_LATERAL_SQL = """
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) c
+"""
+
+
+@register(
+    "q_lateral_topn",
+    oracle=_LATERAL_SQL,
+    tags=("A11", "lateral"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: per-nation top-2 customers by balance —
+    the correlated table-subquery surface (ANSI lateral, Spark >= 3.2);
+    Catalyst decorrelates into a ranked join, DuckDB runs the IDENTICAL SQL
+    string as the oracle. Deterministic: unique c_name tie-break."""
+    register_tables(spark, sf_dir, tables=["nation", "customer"])
+    return spark.sql(_LATERAL_SQL)
