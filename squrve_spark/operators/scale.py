@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -217,3 +218,55 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def with_global_offset(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "offset",
+    n_parts: int = 32,
+) -> DataFrame:
+    """EXCLUSIVE global running sum of ``value_col`` in ``order_cols``
+    order — without the single-task global window.
+
+    The canonical two-phase distributed cumsum:
+      1. range-partition + sort on the order key (one range exchange);
+      2. per-partition totals -> driver (n_parts longs) -> broadcast
+         EXCLUSIVE prefix per partition id;
+      3. within each partition a parallel window running sum; global
+         offset = partition prefix + local running sum − own value.
+
+    A bare ``sum() OVER (ORDER BY ...)`` forces every row through ONE
+    task; this plan's critical path is one partition's sort. Exact: long
+    arithmetic, deterministic given a total order key.
+    """
+    from squrve_spark.catalog import memo_checkpoint
+
+    part = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+    # materialize ONCE: the range exchange samples its boundaries, and the
+    # totals pass and the window pass must see the SAME partition ids
+    part = memo_checkpoint(part.withColumn("_pid", F.spark_partition_id()))
+    totals = {
+        r["_pid"]: r["s"]
+        for r in part.groupBy("_pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
+        .collect()
+    }
+    prefix, acc = {}, 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += totals[pid]
+    pmap = F.create_map(
+        *[F.lit(x) for kv in sorted(prefix.items()) for x in kv]
+    )
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    inclusive = F.sum(F.col(value_col).cast("long")).over(w)
+    return part.withColumn(
+        out_col,
+        pmap[F.col("_pid")] + inclusive - F.col(value_col).cast("long"),
+    ).drop("_pid")

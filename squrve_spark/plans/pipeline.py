@@ -1427,3 +1427,57 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(
         load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
     )
+
+
+@register(
+    "doc_pack_chunks",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(off AS BIGINT) AS tok_offset,
+           CAST(floor(off / 512.0) AS BIGINT) AS chunk_first,
+           CAST(floor((off + n_tokens - 1) / 512.0) AS BIGINT) AS chunk_last
+    FROM o
+    """,
+    tags=("curation", "packing"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequential packing layout: concatenate the corpus in
+    doc_id order and slice into 512-token training chunks — each doc's
+    global token offset and first/last chunk ids. The offset is the
+    TWO-PHASE distributed cumulative sum (`scale.with_global_offset`:
+    range partition -> per-partition totals -> broadcast exclusive prefix
+    -> parallel per-partition window), never a single-task global window;
+    the oracle states the same math AS a global window, which DuckDB can
+    afford single-node."""
+    from squrve_spark.operators.scale import with_global_offset
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(text.tokens_expr("text")).cast("long").alias("n_tokens")
+    )
+    o = with_global_offset(t, ["doc_id"], "n_tokens", out_col="tok_offset")
+    L = 512.0
+    return o.select(
+        "doc_id",
+        "n_tokens",
+        "tok_offset",
+        F.floor(F.col("tok_offset") / L).cast("long").alias("chunk_first"),
+        F.floor((F.col("tok_offset") + F.col("n_tokens") - 1) / L)
+        .cast("long")
+        .alias("chunk_last"),
+    )

@@ -212,3 +212,28 @@ def test_zordered_write_skips_on_both_columns(spark, tmp_path):
     # z-order: BOTH columns materially narrowed
     assert z_user < 0.6 and z_val < 0.6, (z_user, z_val)
     assert z_val < r_val / 1.5  # and the second column beats 1-D clearly
+
+
+def test_global_offset_matches_single_task_window(spark):
+    """The two-phase distributed cumsum must equal the textbook global
+    window exactly, for several partition counts (including n_parts larger
+    than the row count, which leaves empty partitions)."""
+    from pyspark.sql import Window
+
+    from squrve_spark.operators.scale import with_global_offset
+
+    rows = [(i, (i * 7919) % 101) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    expect = {
+        r["k"]: r["o"]
+        for r in df.withColumn(
+            "o", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    for n_parts in (1, 7, 32, 1000):
+        got = {
+            r["k"]: r["offset"]
+            for r in with_global_offset(df, ["k"], "v", n_parts=n_parts).collect()
+        }
+        assert got == expect, n_parts
