@@ -208,6 +208,11 @@ def semantic_contamination(
 
     spark = corpus.sparkSession
     rows = eval_df.select(vec_col).collect()
+    if not rows:
+        raise ValueError(
+            "semantic_contamination: eval_df is empty — an empty eval set "
+            "would silently mark the whole corpus clean"
+        )
     E = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     Eu = E / np.linalg.norm(E, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast(Eu)
@@ -217,7 +222,12 @@ def semantic_contamination(
         # function-local here, so string annotations would not resolve)
         eu = bc.value
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        # zero-norm (degenerate) corpus vectors: cosine is undefined —
+        # defined here as 0.0 (matches nothing) rather than NaN, which
+        # Spark's NaN-is-largest ordering would flag as contaminated
+        n[n == 0] = np.inf
+        Vu = V / n
         return pd.Series((Vu @ eu.T).max(axis=1))
 
     staged = spread(corpus.select(id_col, vec_col)).withColumn(

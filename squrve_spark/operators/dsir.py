@@ -145,13 +145,10 @@ def dsir_resample(
     """Gumbel-top-k importance resampling: the ``n`` kept documents,
     (id, dsir_score), sampled without replacement ∝ exp(score).
     TakeOrdered top-n — per-partition heaps, no global sort."""
-    w = dsir_bucket_weights(raw, target, text_col, n_buckets)
     # two-step projection: the per-token fold is evaluated ONCE — Catalyst's
     # CollapseProject leaves multiply-referenced non-cheap expressions in
     # their own Project, so `_key` reuses the computed score column
-    scored = spread(raw).select(
-        id_col, score_expr(w, text_col).alias("dsir_score")
-    )
+    scored = dsir_scores(raw, target, text_col, id_col, n_buckets)
     keyed = scored.withColumn(
         "_key", F.col("dsir_score") + gumbel_expr(id_col)
     )

@@ -206,6 +206,11 @@ def write_zordered(
         F.min(F.col(col_b).cast("double")),
         F.max(F.col(col_b).cast("double")),
     ).first()
+    if any(x is None for x in stats):
+        # empty frame or an all-null z column: no grid exists — write
+        # as-is (correct, just unclustered) instead of crashing the job
+        df.write.mode("overwrite").parquet(path)
+        return
     a_min, a_max, b_min, b_max = (float(x) for x in stats)
     z = zvalue_expr(
         F.col(col_a), F.col(col_b), a_min, a_max, b_min, b_max, bits

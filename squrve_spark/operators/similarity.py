@@ -426,7 +426,11 @@ def train_centroids(
             cells = (Vu @ Cu.T).argmax(axis=1)
             new = Cu.copy()
             for c in np.unique(cells):
-                s = Vu[cells == c].sum(axis=0)
+                # sum RAW vectors, exactly like the distributed update
+                # below (magnitude-weighted mean direction) — unit vectors
+                # are only for the assignment matmul. Summing Vu here
+                # would silently diverge on non-unit corpora.
+                s = V[cells == c].sum(axis=0)
                 nrm = np.linalg.norm(s)
                 if nrm > 0:
                     new[c] = s / nrm  # spherical: unit mean direction
@@ -588,18 +592,8 @@ def semantic_dedup(
         df, n_centroids, train_iters, id_col, vec_col, sample=train_sample
     )
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(Cu)
-
-    def assign_fn(vecs: pd.Series) -> pd.Series:
-        cu = bc.value
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
-        return pd.Series((Vu @ cu.T).argmax(axis=1).astype(np.int32))
-
-    assigned = (
-        spread(df.select(id_col, vec_col))
-        .withColumn("cell", pandas_udf(assign_fn, "int")(F.col(vec_col)))
-    )
+    bc = spark.sparkContext.broadcast(Cu)  # kernel needs centroid sims
+    assigned = assign_cells(df, Cu, id_col, vec_col)
 
     out_schema = (
         f"{id_col} long, cell int, centroid_sim double, keep boolean, rep_id long"
@@ -882,17 +876,7 @@ def save_ivf_index(
     pruning at 100 TB)."""
     spark = corpus.sparkSession
     Cu = train_centroids(corpus, n_centroids, train_iters, id_col, vec_col)
-    bc = spark.sparkContext.broadcast(Cu)
-
-    def assign_fn(vecs: pd.Series) -> pd.Series:
-        cu = bc.value
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
-        return pd.Series((Vu @ cu.T).argmax(axis=1).astype(np.int32))
-
-    cells = spread(corpus.select(id_col, vec_col)).select(
-        id_col, pandas_udf(assign_fn, "int")(F.col(vec_col)).alias("cell")
-    )
+    cells = assign_cells(corpus, Cu, id_col, vec_col).select(id_col, "cell")
     cells.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
     cent_rows = [
         (int(i), [float(x) for x in Cu[i]]) for i in range(len(Cu))

@@ -561,12 +561,14 @@ _MARKUP_STEPS: list[tuple[str, str]] = [
     # remaining tags must LOOK like tags (name or /name) — a bare '<'
     # in prose ("a < b") is not markup and survives
     (r"</?[A-Za-z][^>]*>", " "),
+    # entity decode: &amp; strictly LAST, or the escaped literal
+    # "&amp;lt;" would double-decode into a phantom "<"
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;|&apos;", "'"),
+    (r"&amp;", "&"),
     (r"[ \t]+", " "),                              # collapse runs
     (r" ?\n ?", "\n"),
     (r"\n{2,}", "\n"),

