@@ -1,4 +1,9 @@
-"""Config-driven batch runner: ``python -m squrve_spark config.json``.
+"""Config-driven batch runner: ``python -m squrve_spark config.json``,
+plus a direct query runner: ``python -m squrve_spark --query NAME
+[--sf-dir DIR] [--out PATH] [--limit N]`` — runs any registry entry
+(every SURVEY §2 operator and data-pipeline query) from the command
+line, printing a JSON summary and optionally writing the result as
+parquet. ``--query list`` prints the registry inventory.
 
 Reference analog: ``startup_run/run.py`` — Router(config_path) -> Engine ->
 execute() -> evaluate(), with the whole pipeline (data source, tasks, eval
@@ -36,9 +41,55 @@ def _build_llm(router):
     return MockLLM()
 
 
+def _run_query(argv: list[str]) -> int:
+    """--query NAME [--sf-dir DIR] [--out PATH] [--limit N]"""
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="python -m squrve_spark")
+    ap.add_argument("--query", required=True)
+    ap.add_argument("--sf-dir", default=None)
+    ap.add_argument("--out", default=None, help="write result parquet here")
+    ap.add_argument("--limit", type=int, default=10, help="rows in the JSON sample")
+    args = ap.parse_args(argv)
+
+    from squrve_spark.catalog import DEFAULT_SF_DIR
+    from squrve_spark.plans import REGISTRY
+
+    if args.query == "list":
+        for name, spec in REGISTRY.items():
+            tier = ("driver" if spec.oracle and not spec.defer_oracle
+                    else "deferred" if spec.oracle else "rows-only")
+            print(json.dumps({"query": name, "tier": tier, "tags": list(spec.tags)}))
+        return 0
+    if args.query not in REGISTRY:
+        print(f"unknown query {args.query!r}; try --query list", file=sys.stderr)
+        return 2
+
+    from squrve_spark.session import get_spark
+
+    spark = get_spark("squrve-query")
+    df = REGISTRY[args.query].fn(spark, args.sf_dir or DEFAULT_SF_DIR)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    else:
+        n = df.count()
+    sample = [row.asDict() for row in df.limit(args.limit).collect()]
+    print(json.dumps(
+        {"query": args.query, "rows": n, "out": args.out, "sample": sample},
+        default=str,
+    ))
+    return 0
+
+
 def main(argv: list[str]) -> int:
+    if argv and argv[0] == "--query":
+        return _run_query(argv)
     if len(argv) != 1:
-        print("usage: python -m squrve_spark <config.json>", file=sys.stderr)
+        print(
+            "usage: python -m squrve_spark <config.json> | --query NAME [...]",
+            file=sys.stderr,
+        )
         return 2
     from squrve_spark.config import Router
     from squrve_spark.session import get_spark

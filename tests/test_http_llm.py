@@ -160,3 +160,29 @@ def test_cli_e2e_with_http_llm(spark, tmp_path, capsys):
         assert srv.requests and srv.requests[0]["body"]["model"] == "fake-model"
     finally:
         srv.shutdown()
+
+
+def test_cli_query_runner(spark, capsys, tmp_path):
+    """--query runs a registry entry end-to-end: JSON summary on stdout,
+    parquet written when --out is given, `--query list` enumerates."""
+    import json as J
+
+    from squrve_spark.__main__ import main
+
+    out = tmp_path / "res"
+    rc = main([
+        "--query", "doc_token_count", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", str(out), "--limit", "3",
+    ])
+    assert rc == 0
+    payload = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["query"] == "doc_token_count" and payload["rows"] > 0
+    assert len(payload["sample"]) == 3
+    assert spark.read.parquet(str(out)).count() == payload["rows"]
+
+    rc = main(["--query", "list"])
+    assert rc == 0
+    lines = [J.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    names = {x["query"] for x in lines}
+    assert "q1_pricing_summary" in names and len(names) > 100
+    assert main(["--query", "no_such_query"]) == 2

@@ -132,3 +132,36 @@ def test_doc_signals_single_scan_map_only(spark):
     assert "Join" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert "EvalPython" not in plan
+
+
+def test_dsir_scoring_is_jvm_only(spark):
+    """DSIR corpus scoring claims 'map-only whole-stage codegen, zero
+    Python': once the two B-bounded distribution passes built the weight
+    table, the scoring frame must contain no Python evaluator and no hash
+    exchange (the only allowed exchange is spread()'s round-robin)."""
+    from squrve_spark.catalog import load_table
+    from squrve_spark.operators import dsir
+
+    docs = load_table(spark, SF_MED, "documents")
+    target = docs.filter("lang = 'en'")
+    scored = dsir.dsir_scores(docs, target, n_buckets=256)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # spread() only
+
+
+def test_semantic_contamination_single_stage(spark):
+    """emb_decontam claims map-only: one Arrow-batched Python eval, no
+    join, no hash exchange — the eval matrix rides a broadcast variable,
+    not a join side."""
+    from squrve_spark.catalog import load_table
+    from squrve_spark.operators.decontam import semantic_contamination
+
+    emb = load_table(spark, SF_MED, "embeddings")
+    out = semantic_contamination(
+        emb.filter("vec_id % 20 <> 0"), emb.filter("vec_id % 20 = 0"), 0.38
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # spread() only
