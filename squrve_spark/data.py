@@ -212,7 +212,7 @@ def central_to_parallel(central: dict) -> list[dict]:
             continue
         out.append(
             {
-                "db_id": central["db_id"],
+                "db_id": central.get("db_id", ""),
                 "db_type": central.get("db_type", "spark"),
                 "table_name": tables[t_idx],
                 "column_name": col,
@@ -450,16 +450,14 @@ def schema_diff(old_central: dict, new_central: dict) -> dict:
     as (qualified, old_type, new_type). Pure metadata — no data scan.
     """
     def cols_of(c: dict) -> dict[str, str]:
-        tables = c.get("table_names_original", [])
-        types = c.get("column_types", [])
-        out = {}
-        for i, (t_idx, col) in enumerate(c.get("column_names_original", [])):
-            if t_idx == STAR_TABLE_IDX:
-                continue
-            out[f"{tables[t_idx]}.{col}"] = (
-                types[i] if i < len(types) else "text"
-            )
-        return out
+        # ONE central-format traversal in this module: reuse
+        # central_to_parallel (same star-skip and 'text' type fallback)
+        if not c.get("column_names_original"):
+            return {}
+        return {
+            f"{col['table_name']}.{col['column_name']}": col["column_types"]
+            for col in central_to_parallel(c)
+        }
 
     old_t = set(old_central.get("table_names_original", []))
     new_t = set(new_central.get("table_names_original", []))

@@ -45,6 +45,15 @@ def tokens_expr(text_col: str = "text") -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+def stopword_count_expr(toks):
+    """Count of STOPWORDS_EN tokens in a token-array column — THE stopword
+    expression; quality_score / all_signals / corpus_report must all use
+    this one definition so their oracles can't drift apart."""
+    stop_arr = F.array(*[F.lit(x) for x in STOPWORDS_EN])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+
+
+
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("tokens", tokens_expr(text_col))
 
@@ -74,8 +83,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     tok_chars = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, n: acc + n
     )
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_stop = stopword_count_expr(toks)
     n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"([^A-Za-z0-9_\s])"), 1))
     n_chars = F.length(F.col(text_col))
     return staged.select(
@@ -499,8 +507,7 @@ def all_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     tok_chars = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, n: acc + n
     )
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_stop = stopword_count_expr(toks)
     n_punct = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(r"([^A-Za-z0-9_\s])"), 1)
     )

@@ -559,8 +559,7 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs x sources); signal expressions inline so nothing is recomputed."""
     docs = load_table(spark, sf_dir, "documents")
     toks = text.tokens_expr("text")
-    stop_arr = F.array(*[F.lit(s) for s in text.STOPWORDS_EN])
-    sr = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / F.size(toks)
+    sr = text.stopword_count_expr(toks) / F.size(toks)
     staged = docs.select(
         "lang", "source",
         F.length("text").alias("_nc"),

@@ -391,19 +391,32 @@ def _update_anomaly(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
 
     n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
     rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_ns", "event_id"])  # deterministic order
-        for eid, v in zip(pdf["event_id"], pdf["value"]):
-            v = float(v)
-            flag = False
-            if n >= 2:
-                sd = math.sqrt(m2 / (n - 1))
-                flag = sd > 0 and v > mean + 3 * sd
-            rows.append((int(eid), int(key[0]), n, flag))
-            n += 1
-            d = v - mean
-            mean += d / n
-            m2 += d * (v - mean)
+    # concat FIRST: a group's rows can span several Arrow batches with no
+    # cross-batch ordering guarantee — sorting each chunk independently
+    # would interleave out-of-time-order at >maxRecordsPerBatch group
+    # sizes. Order on the MICROSECOND basis (ts_ns // 1000 == epoch_us)
+    # per the fixture contract, so ns-resolution sources tie-break like
+    # the oracle's (epoch_us, event_id).
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:  # NoTimeout means data-driven calls only, but be safe
+        state.update((n, mean, m2))
+        yield pd.DataFrame(columns=["event_id", "user_id", "n_prior", "is_anomaly"])
+        return
+    pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    pdf = pdf.assign(_t_us=pdf["ts_ns"] // 1000).sort_values(["_t_us", "event_id"])
+    for eid, v in zip(pdf["event_id"], pdf["value"]):
+        v = float(v)
+        flag = False
+        if n >= 2:
+            # Welford m2 can drift an ulp below zero on near-constant
+            # streams — clamp, don't crash the query
+            sd = math.sqrt(max(m2, 0.0) / (n - 1))
+            flag = sd > 0 and v > mean + 3 * sd
+        rows.append((int(eid), int(key[0]), n, flag))
+        n += 1
+        d = v - mean
+        mean += d / n
+        m2 += d * (v - mean)
     state.update((n, mean, m2))  # commit state BEFORE yielding (proven pattern)
     yield pd.DataFrame(
         rows, columns=["event_id", "user_id", "n_prior", "is_anomaly"]

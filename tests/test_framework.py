@@ -509,7 +509,8 @@ def test_schema_diff_reports_drift(spark):
         if t_name == "region":
             continue
         keep.append([0 if t_name == "nation" else t_idx, col])
-        types.append("bigint" if col == "n_nationkey" and ty != "bigint" else ty)
+        # UNCONDITIONAL type mutation so type_changes is actually asserted
+        types.append("drifted_type" if col == "n_nationkey" else ty)
     keep.append([0, "ingest_ts"]); types.append("timestamp")
     new["column_names_original"], new["column_types"] = keep, types
     d = schema_diff(old, new)
@@ -517,6 +518,10 @@ def test_schema_diff_reports_drift(spark):
     assert d["added_columns"] == ["nation.ingest_ts"]
     assert all(c.startswith("region.") for c in d["removed_columns"])
     assert d["added_tables"] == []
+    old_ty = dict(
+        zip([c for _, c in old["column_names_original"]], old["column_types"])
+    )["n_nationkey"]
+    assert d["type_changes"] == [("nation.n_nationkey", old_ty, "drifted_type")]
     # identical snapshots -> empty diff everywhere
     d0 = schema_diff(old, old)
     assert all(not v for v in d0.values())
