@@ -25,7 +25,13 @@ import json
 import os
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 SCHEMA_DDL = (
@@ -84,6 +90,53 @@ class SchemaStoreReader(DataSourceReader):
             ) + (fp,)
 
 
+class _WroteFiles(WriterCommitMessage):
+    def __init__(self, n: int):
+        self.n = n
+
+
+class SchemaStoreWriter(DataSourceWriter):
+    """Executor-side writer for the file-per-column tree: each input row
+    becomes ``{path}/{db_id}/{table}_{column}.json`` (the reference's
+    save_parallel_schema layout, but written DISTRIBUTED — one task per
+    input partition, no driver collect). ``mode("overwrite")`` clears the
+    tree up front (driver-side, before tasks launch); ``append`` upserts
+    per file. Writes are atomic-per-file via os.replace of a temp file, so
+    the partial-write tolerance in the reader is only needed for foreign
+    writers."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("squrve_schema sink needs a path (.save(path))")
+        if overwrite and os.path.isdir(self.path):
+            import shutil
+
+            shutil.rmtree(self.path)
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> "_WroteFiles":
+        n = 0
+        for row in iterator:
+            col = row.asDict()
+            col.pop("source_file", None)
+            db_dir = os.path.join(self.path, str(col.get("db_id") or "default"))
+            os.makedirs(db_dir, exist_ok=True)
+            fn = f"{col.get('table_name')}_{col.get('column_name')}.json"
+            tmp = os.path.join(db_dir, f".{fn}.tmp-{os.getpid()}")
+            with open(tmp, "w") as fh:
+                json.dump(col, fh, indent=2)
+            os.replace(tmp, os.path.join(db_dir, fn))
+            n += 1
+        return _WroteFiles(n)
+
+    def commit(self, messages) -> None:
+        return None
+
+    def abort(self, messages) -> None:
+        return None
+
+
 class SchemaStoreDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -94,6 +147,9 @@ class SchemaStoreDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SchemaStoreReader:
         return SchemaStoreReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> SchemaStoreWriter:
+        return SchemaStoreWriter(self.options, overwrite)
 
 
 def register_schema_source(spark: SparkSession) -> None:

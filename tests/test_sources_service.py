@@ -319,3 +319,45 @@ def test_schema_store_datasource_roundtrip(spark, tmp_path):
         spark.read.format("squrve_schema").load(str(tmp_path)).count()
         == 2 * len(cols)
     )
+
+
+def test_schema_source_write_roundtrip(spark, tmp_path):
+    """df.write.format('squrve_schema') writes the file-per-column tree
+    DISTRIBUTED (reference save_parallel_schema layout): read-back equals
+    the written rows, overwrite clears stale dbs, append upserts."""
+    from squrve_spark.sources.schema_source import register_schema_source
+
+    register_schema_source(spark)
+    rows = [
+        ("dbA", "spark", "t1", "c1", "bigint", "", True, ""),
+        ("dbA", "spark", "t1", "c2", "text", "desc", False, "[t2(c9)]"),
+        ("dbB", "spark", "t2", "c9", "double", "", False, ""),
+    ]
+    ddl = ("db_id string, db_type string, table_name string, column_name string, "
+           "column_types string, column_descriptions string, primary_key boolean, "
+           "foreign_key string")
+    df = spark.createDataFrame(rows, ddl)
+    store = str(tmp_path / "store")
+    df.write.format("squrve_schema").mode("overwrite").save(store)
+
+    back = spark.read.format("squrve_schema").load(store)
+    got = sorted(
+        tuple(r[c] for c in df.columns) for r in back.collect()
+    )
+    assert got == sorted(rows)
+
+    # overwrite drops dbB when the new frame no longer contains it
+    df.filter("db_id = 'dbA'").write.format("squrve_schema").mode(
+        "overwrite"
+    ).save(store)
+    assert {r["db_id"] for r in spark.read.format("squrve_schema").load(store).collect()} == {"dbA"}
+
+    # append upserts: same (table, column) file replaced, new one added
+    upd = spark.createDataFrame(
+        [("dbA", "spark", "t1", "c1", "DECIMAL", "", True, ""),
+         ("dbB", "spark", "t3", "x", "text", "", False, "")], ddl
+    )
+    upd.write.format("squrve_schema").mode("append").save(store)
+    final = spark.read.format("squrve_schema").load(store)
+    m = {(r["table_name"], r["column_name"]): r["column_types"] for r in final.collect()}
+    assert m[("t1", "c1")] == "DECIMAL" and ("t3", "x") in m and ("t1", "c2") in m
