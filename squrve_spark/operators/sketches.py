@@ -1,0 +1,116 @@
+"""Mergeable distinct-count sketches (Apache DataSketches HLL via Spark's
+built-in ``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``).
+
+Why sketches are a first-class 100 TB primitive: ``COUNT(DISTINCT)`` is
+NOT algebraic — exact partials can't merge, so exact distinct forces a
+full shuffle of the key domain and can never be maintained incrementally.
+An HLL sketch is a fixed-size (~2^lgk bytes) register array whose union
+is associative and order-insensitive, which restores the two properties
+everything else in this engine leans on:
+
+  * **map-side partial aggregation** — each task sketches its shard, the
+    shuffle moves sketches (KBs), not keys;
+  * **cross-batch incrementality** — a persisted per-group sketch store
+    merges each arriving batch in O(batch + touched groups), the exact
+    pattern of `sinks.incremental_rollup`, which sums can use but
+    distinct counts cannot (without this module).
+
+Determinism: the DataSketches HLL build hashes items and is insertion-
+order-insensitive, so estimates are stable across partitionings and
+reruns (asserted in tests/test_sketches.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from squrve_spark.catalog import spread
+
+
+def distinct_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-group HLL sketch + estimate: (group..., sketch binary,
+    n_distinct_est). One hash shuffle whose payload is sketches, not
+    keys — the scan side partial-aggregates per task."""
+    return (
+        spread(df)
+        .groupBy(*group_cols)
+        .agg(F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("sketch"))
+        .withColumn(
+            "n_distinct_est", F.hll_sketch_estimate("sketch").cast("long")
+        )
+    )
+
+
+def union_estimate(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Re-aggregate sketches to a coarser grouping (possibly global:
+    ``group_cols=[]``) by register-wise union — the rollup exact distinct
+    cannot express. Returns (group..., n_distinct_est)."""
+    agg = (
+        sketches.groupBy(*group_cols)
+        if group_cols
+        else sketches.groupBy()
+    )
+    return agg.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("long")
+        .alias("n_distinct_est")
+    )
+
+
+def incremental_distinct(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_path: str,
+    key_col: str,
+    group_cols: list[str],
+    lgk: int = 12,
+) -> DataFrame:
+    """Maintain a persisted per-group distinct-count sketch as batches
+    arrive: sketch the batch, UNION with the stored sketches for the
+    touched groups, rewrite only those rows. The incremental-maintenance
+    contract `sinks.incremental_rollup` gives additive measures, extended
+    to the non-additive distinct count — history is never re-read, store
+    size is #groups x 2^lgk bytes regardless of history length.
+
+    Returns the updated (group..., sketch, n_distinct_est) rows for the
+    touched groups.
+    """
+    agg = (
+        spread(batch)
+        .groupBy(*group_cols)
+        .agg(F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("sketch"))
+    )
+    if os.path.isdir(store_path):
+        existing = spark.read.parquet(store_path)
+        touched = agg.select(*group_cols).distinct()
+        # merge = union_agg over (stored ∪ batch) sketches per group;
+        # untouched groups pass through unchanged
+        merged_touched = (
+            existing.join(touched, group_cols, "left_semi")
+            .select(*group_cols, "sketch")
+            .unionByName(agg)
+            .groupBy(*group_cols)
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+        )
+        untouched = existing.join(touched, group_cols, "left_anti").select(
+            *group_cols, "sketch"
+        )
+        out = merged_touched.unionByName(untouched)
+    else:
+        out = agg
+    out = out.withColumn(
+        "n_distinct_est", F.hll_sketch_estimate("sketch").cast("long")
+    ).localCheckpoint()  # pin before overwriting the store being read
+    out.write.mode("overwrite").parquet(store_path)
+    updated = out.join(
+        agg.select(*group_cols).distinct(), group_cols, "left_semi"
+    )
+    return updated

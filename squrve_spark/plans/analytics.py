@@ -544,3 +544,24 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(vals).cast("long").alias("n_events"),
         F.round(fold, 6).cast("double").alias("ewma"),
     )
+
+
+@register(
+    "event_distinct_sketch",
+    oracle=None,
+    tags=("events", "sketch", "no-oracle"),
+)
+def event_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via mergeable HLL sketches (the
+    100 TB COUNT(DISTINCT) recipe: partials are fixed-size register
+    arrays, so map-side combine and cross-batch maintenance both work,
+    which exact distinct cannot do). DataSketches estimates are
+    hash-based and order-insensitive -> deterministic output; accuracy
+    (<5% err), rollup-union, and incremental-store maintenance are
+    property-tested in tests/test_sketches.py. No oracle: DuckDB's HLL
+    is a different sketch implementation."""
+    from squrve_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = sketches.distinct_sketch(ev, "user_id", ["event_type"])
+    return sk.select("event_type", "n_distinct_est").orderBy("event_type")

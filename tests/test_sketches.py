@@ -1,0 +1,83 @@
+"""HLL distinct-count sketches: accuracy vs exact, merge associativity,
+partitioning/rerun determinism, and cross-batch incremental maintenance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from squrve_spark.catalog import load_table
+from squrve_spark.operators import sketches
+from tests.conftest import SF_MED
+
+
+def test_sketch_estimates_close_to_exact_and_deterministic(spark):
+    ev = load_table(spark, SF_MED, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    sk = sketches.distinct_sketch(ev, "user_id", ["event_type"])
+    est = {r["event_type"]: r["n_distinct_est"] for r in sk.collect()}
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) / exact[k] < 0.05, (k, est[k], exact[k])
+
+    # determinism across partitionings and reruns (hash-based, order-free)
+    re = sketches.distinct_sketch(ev.repartition(7), "user_id", ["event_type"])
+    assert {r["event_type"]: r["n_distinct_est"] for r in re.collect()} == est
+
+
+def test_union_estimate_rolls_up(spark):
+    ev = load_table(spark, SF_MED, "events")
+    sk = sketches.distinct_sketch(ev, "user_id", ["event_type"])
+    total = sketches.union_estimate(sk, []).first()["n_distinct_est"]
+    exact_total = ev.agg(F.countDistinct("user_id")).first()[0]
+    assert abs(total - exact_total) / exact_total < 0.05
+    # union of per-group sketches must NOT be the sum of estimates
+    # (the whole point: users appear under several event types)
+    assert total < sum(
+        r["n_distinct_est"] for r in sk.collect()
+    )
+
+
+def test_incremental_distinct_matches_single_shot(spark, tmp_path):
+    """Three batches merged through the persisted store must estimate the
+    same as one sketch over the concatenation, and untouched groups pass
+    through unchanged."""
+    ev = load_table(spark, SF_MED, "events").select("event_type", "user_id")
+    store = str(tmp_path / "sk_store")
+    batches = [
+        ev.filter("user_id % 3 = 0"),
+        ev.filter("user_id % 3 = 1"),
+        ev.filter("user_id % 3 = 2"),
+    ]
+    for b in batches:
+        sketches.incremental_distinct(spark, b, store, "user_id", ["event_type"])
+    final = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in spark.read.parquet(store)
+        .withColumn("n_distinct_est", F.hll_sketch_estimate("sketch").cast("long"))
+        .collect()
+    }
+    single = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in sketches.distinct_sketch(ev, "user_id", ["event_type"]).collect()
+    }
+    assert final == single  # HLL union is exact-associative, not approximate-associative
+
+    # a batch touching ONE group leaves the others' stored sketches intact
+    before = {
+        r["event_type"]: bytes(r["sketch"])
+        for r in spark.read.parquet(store).collect()
+    }
+    one = ev.filter("event_type = 'click'").limit(10)
+    sketches.incremental_distinct(spark, one, store, "user_id", ["event_type"])
+    after = {
+        r["event_type"]: bytes(r["sketch"])
+        for r in spark.read.parquet(store).collect()
+    }
+    for k in before:
+        if k != "click":
+            assert after[k] == before[k]
