@@ -71,10 +71,15 @@ def _run_query(argv: list[str]) -> int:
     df = REGISTRY[args.query].fn(spark, args.sf_dir or DEFAULT_SF_DIR)
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
-        n = spark.read.parquet(args.out).count()
+        # sample from the written parquet — re-collecting from `df` would
+        # re-execute the whole plan a second time
+        written = spark.read.parquet(args.out)
+        n = written.count()
+        sample = [row.asDict() for row in written.limit(args.limit).collect()]
     else:
+        rows = df.limit(max(args.limit, 0)).collect() if args.limit else []
         n = df.count()
-    sample = [row.asDict() for row in df.limit(args.limit).collect()]
+        sample = [row.asDict() for row in rows]
     print(json.dumps(
         {"query": args.query, "rows": n, "out": args.out, "sample": sample},
         default=str,

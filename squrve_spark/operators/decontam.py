@@ -214,7 +214,16 @@ def semantic_contamination(
             "would silently mark the whole corpus clean"
         )
     E = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
-    Eu = E / np.linalg.norm(E, axis=1, keepdims=True)
+    en = np.linalg.norm(E, axis=1, keepdims=True)
+    if not (en > 0).any():
+        raise ValueError(
+            "semantic_contamination: every eval vector is zero-norm — "
+            "cosine is undefined against the whole eval set"
+        )
+    # zero-norm EVAL rows match nothing (a 0/0 NaN row would propagate
+    # through the max and flag the ENTIRE corpus under NaN-is-largest)
+    en[en == 0] = np.inf
+    Eu = E / en
     bc = spark.sparkContext.broadcast(Eu)
 
     @pandas_udf("double")

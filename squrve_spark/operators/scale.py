@@ -246,16 +246,21 @@ def with_global_offset(
     task; this plan's critical path is one partition's sort. Exact: long
     arithmetic, deterministic given a total order key.
     """
-    from squrve_spark.catalog import memo_checkpoint
-
+    # null values contribute 0 to the running sum (the window-equivalence
+    # contract: sum() OVER ... skips nulls, so the offset keeps advancing
+    # past null rows instead of going null)
+    v = F.coalesce(F.col(value_col).cast("long"), F.lit(0))
     part = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
-    # materialize ONCE: the range exchange samples its boundaries, and the
-    # totals pass and the window pass must see the SAME partition ids
-    part = memo_checkpoint(part.withColumn("_pid", F.spark_partition_id()))
+    # materialize ONCE (plain eager localCheckpoint, NOT memo_checkpoint —
+    # the plan-keyed memo cache would serve stale offsets if a caller
+    # rewrote the same input path within a session): the range exchange
+    # samples its boundaries, and the totals pass and the window pass
+    # must see the SAME partition ids
+    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
     totals = {
         r["_pid"]: r["s"]
         for r in part.groupBy("_pid")
-        .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
+        .agg(F.coalesce(F.sum(v), F.lit(0)).alias("s"))
         .collect()
     }
     prefix, acc = {}, 0
@@ -270,8 +275,7 @@ def with_global_offset(
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    inclusive = F.sum(F.col(value_col).cast("long")).over(w)
+    inclusive = F.sum(v).over(w)
     return part.withColumn(
-        out_col,
-        pmap[F.col("_pid")] + inclusive - F.col(value_col).cast("long"),
+        out_col, pmap[F.col("_pid")] + inclusive - v
     ).drop("_pid")

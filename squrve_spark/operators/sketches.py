@@ -11,9 +11,10 @@ everything else in this engine leans on:
   * **map-side partial aggregation** — each task sketches its shard, the
     shuffle moves sketches (KBs), not keys;
   * **cross-batch incrementality** — a persisted per-group sketch store
-    merges each arriving batch in O(batch + touched groups), the exact
-    pattern of `sinks.incremental_rollup`, which sums can use but
-    distinct counts cannot (without this module).
+    merges each arriving batch in O(batch + store), where the store is
+    #groups fixed-size sketches (never the raw history) — the
+    `sinks.incremental_rollup` pattern, which sums can use but distinct
+    counts cannot (without this module).
 
 Determinism: the DataSketches HLL build hashes items and is insertion-
 order-insensitive, so estimates are stable across partitionings and
@@ -75,10 +76,14 @@ def incremental_distinct(
 ) -> DataFrame:
     """Maintain a persisted per-group distinct-count sketch as batches
     arrive: sketch the batch, UNION with the stored sketches for the
-    touched groups, rewrite only those rows. The incremental-maintenance
-    contract `sinks.incremental_rollup` gives additive measures, extended
-    to the non-additive distinct count — history is never re-read, store
-    size is #groups x 2^lgk bytes regardless of history length.
+    touched groups. The incremental-maintenance contract
+    `sinks.incremental_rollup` gives additive measures, extended to the
+    non-additive distinct count — raw HISTORY is never re-read; what is
+    re-read/rewritten per batch is the sketch STORE itself, which is
+    #groups x ~2^lgk bytes regardless of history length (for a group
+    cardinality where even that matters, partition the store by a group
+    hash and upsert touched partitions via `sinks.upsert_partitioned` —
+    same shape, smaller rewrite).
 
     Returns the updated (group..., sketch, n_distinct_est) rows for the
     touched groups.
@@ -87,10 +92,11 @@ def incremental_distinct(
         spread(batch)
         .groupBy(*group_cols)
         .agg(F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("sketch"))
+        .localCheckpoint()  # ONE batch pass feeds merge + touched + result
     )
+    touched = agg.select(*group_cols).distinct()
     if os.path.isdir(store_path):
         existing = spark.read.parquet(store_path)
-        touched = agg.select(*group_cols).distinct()
         # merge = union_agg over (stored ∪ batch) sketches per group;
         # untouched groups pass through unchanged
         merged_touched = (
@@ -110,7 +116,4 @@ def incremental_distinct(
         "n_distinct_est", F.hll_sketch_estimate("sketch").cast("long")
     ).localCheckpoint()  # pin before overwriting the store being read
     out.write.mode("overwrite").parquet(store_path)
-    updated = out.join(
-        agg.select(*group_cols).distinct(), group_cols, "left_semi"
-    )
-    return updated
+    return out.join(touched, group_cols, "left_semi")

@@ -524,10 +524,14 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-key timelines must fit a task — same bound as every sequence op
     here; see asof_join's chunked variant for the hot-key escape hatch."""
     ev = load_table(spark, sf_dir, "events")
-    # order on the MICROSECOND basis (ts_ns div 1000 == epoch_us(ts)) per
-    # the fixture-contract convention — raw ns would tie-break differently
-    # from the oracle's epoch_us on a nanosecond-resolution source
-    t_us = F.expr("CAST(ts_ns DIV 1000 AS BIGINT)").alias("t_us")
+    # order on the MICROSECOND basis per the fixture-contract convention —
+    # raw ns would tie-break differently from the oracle's epoch_us on a
+    # nanosecond-resolution source. FLOOR division (DuckDB epoch_us floors;
+    # Spark DIV truncates toward zero, differing for pre-epoch timestamps)
+    t_us = F.expr(
+        "CAST(CASE WHEN ts_ns % 1000 < 0 THEN ts_ns DIV 1000 - 1 "
+        "ELSE ts_ns DIV 1000 END AS BIGINT)"
+    ).alias("t_us")
     arr = ev.select(t_us, "event_id", "user_id", "value").groupBy("user_id").agg(
         F.array_sort(
             F.collect_list(F.struct("t_us", "event_id", F.col("value")))

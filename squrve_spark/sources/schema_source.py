@@ -99,28 +99,36 @@ class SchemaStoreWriter(DataSourceWriter):
     """Executor-side writer for the file-per-column tree: each input row
     becomes ``{path}/{db_id}/{table}_{column}.json`` (the reference's
     save_parallel_schema layout, but written DISTRIBUTED — one task per
-    input partition, no driver collect). ``mode("overwrite")`` clears the
-    tree up front (driver-side, before tasks launch); ``append`` upserts
-    per file. Writes are atomic-per-file via os.replace of a temp file, so
-    the partial-write tolerance in the reader is only needed for foreign
-    writers."""
+    input partition, no driver collect).
+
+    Job-level safety: tasks write into a hidden STAGING tree next to the
+    target; ``commit()`` (driver, after every task succeeded) swaps it in
+    — ``overwrite`` replaces the whole store via rename, ``append``
+    upserts file-by-file via os.replace — and ``abort()`` just drops the
+    staging tree, so a failed/cancelled job never damages the existing
+    store. Per-file writes inside staging are atomic too (temp +
+    os.replace), so the reader's partial-write tolerance is only needed
+    for foreign writers."""
 
     def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("squrve_schema sink needs a path (.save(path))")
-        if overwrite and os.path.isdir(self.path):
-            import shutil
-
-            shutil.rmtree(self.path)
-        os.makedirs(self.path, exist_ok=True)
+        self.overwrite = overwrite
+        self.staging = os.path.join(
+            os.path.dirname(os.path.abspath(self.path)),
+            f".{os.path.basename(self.path)}.staging-{uuid.uuid4().hex[:12]}",
+        )
+        os.makedirs(self.staging, exist_ok=True)
 
     def write(self, iterator) -> "_WroteFiles":
         n = 0
         for row in iterator:
             col = row.asDict()
             col.pop("source_file", None)
-            db_dir = os.path.join(self.path, str(col.get("db_id") or "default"))
+            db_dir = os.path.join(self.staging, str(col.get("db_id") or "default"))
             os.makedirs(db_dir, exist_ok=True)
             fn = f"{col.get('table_name')}_{col.get('column_name')}.json"
             tmp = os.path.join(db_dir, f".{fn}.tmp-{os.getpid()}")
@@ -131,10 +139,27 @@ class SchemaStoreWriter(DataSourceWriter):
         return _WroteFiles(n)
 
     def commit(self, messages) -> None:
-        return None
+        import shutil
+
+        if self.overwrite:
+            if os.path.isdir(self.path):
+                shutil.rmtree(self.path)
+            os.replace(self.staging, self.path)
+            return
+        # append: upsert staged files into the live tree one atomic
+        # os.replace at a time, then drop the staging tree
+        for db in sorted(os.listdir(self.staging)):
+            src_dir = os.path.join(self.staging, db)
+            dst_dir = os.path.join(self.path, db)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fn in sorted(os.listdir(src_dir)):
+                os.replace(os.path.join(src_dir, fn), os.path.join(dst_dir, fn))
+        shutil.rmtree(self.staging)
 
     def abort(self, messages) -> None:
-        return None
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
 
 
 class SchemaStoreDataSource(DataSource):
