@@ -81,3 +81,40 @@ def test_incremental_distinct_matches_single_shot(spark, tmp_path):
     for k in before:
         if k != "click":
             assert after[k] == before[k]
+
+
+def test_streaming_incremental_distinct_via_foreachbatch(spark, tmp_path):
+    """The streaming integration: micro-batches drain through foreachBatch
+    into the persisted sketch store; after the stream finishes, the store's
+    estimates equal a single-shot sketch of the whole source — distinct
+    counts maintained incrementally over a stream, which exact
+    COUNT(DISTINCT) cannot do without unbounded state."""
+    from squrve_spark.streaming.ops import read_event_stream
+
+    store = str(tmp_path / "stream_sk")
+    ev = read_event_stream(spark, SF_MED, max_files_per_trigger=1)
+    q = (
+        ev.select("event_type", "user_id")
+        .writeStream.foreachBatch(
+            lambda b, _id: sketches.incremental_distinct(
+                b.sparkSession, b, store, "user_id", ["event_type"]
+            )
+            and None
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    final = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in spark.read.parquet(store)
+        .withColumn("n_distinct_est", F.hll_sketch_estimate("sketch").cast("long"))
+        .collect()
+    }
+    batch = load_table(spark, SF_MED, "events")
+    single = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in sketches.distinct_sketch(batch, "user_id", ["event_type"]).collect()
+    }
+    assert final == single
