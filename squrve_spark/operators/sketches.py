@@ -117,3 +117,96 @@ def incremental_distinct(
     ).localCheckpoint()  # pin before overwriting the store being read
     out.write.mode("overwrite").parquet(store_path)
     return out.join(touched, group_cols, "left_semi")
+
+
+def audience_overlap(
+    df: DataFrame,
+    key_col: str,
+    seg_a,
+    seg_b,
+) -> DataFrame:
+    """Set-operation estimates between two audience segments via THETA
+    sketches — the capability HLL lacks: theta retains hashed samples, so
+    INTERSECTION and DIFFERENCE cardinalities compose, not just union.
+    ``seg_a``/``seg_b`` are boolean Columns; output is one row with
+    est_a / est_b / est_union / est_intersection / est_a_minus_b.
+
+    One scan, two conditionally-fed sketch aggregates (map-side partial,
+    KB-sized shuffle payload). Estimates are EXACT while a sketch stays
+    under its nominal-entries threshold (2^12 by default) and unbiased
+    approximations beyond — the audience-overlap dashboard at 100 TB.
+    """
+    sk = df.agg(
+        F.theta_sketch_agg(F.when(seg_a, F.col(key_col))).alias("sa"),
+        F.theta_sketch_agg(F.when(seg_b, F.col(key_col))).alias("sb"),
+    )
+    return sk.select(
+        F.theta_sketch_estimate("sa").cast("long").alias("est_a"),
+        F.theta_sketch_estimate("sb").cast("long").alias("est_b"),
+        F.theta_sketch_estimate(F.theta_union("sa", "sb"))
+        .cast("long")
+        .alias("est_union"),
+        F.theta_sketch_estimate(F.theta_intersection("sa", "sb"))
+        .cast("long")
+        .alias("est_intersection"),
+        F.theta_sketch_estimate(F.theta_difference("sa", "sb"))
+        .cast("long")
+        .alias("est_a_minus_b"),
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: list[float] = (0.5, 0.95),
+) -> DataFrame:
+    """Per-group KLL quantile sketches + extracted quantiles — the
+    MERGEABLE quantile: per-group sketches re-aggregate to any coarser
+    grouping via ``kll_sketch_merge_double`` (see ``merge_quantiles``),
+    which exact percentiles cannot do (quantiles don't compose) and
+    which makes distribution summaries maintainable across batches the
+    same way `incremental_distinct` maintains distinct counts."""
+    agg = (
+        spread(df)
+        .groupBy(*group_cols)
+        .agg(
+            F.kll_sketch_agg_double(F.col(value_col).cast("double")).alias(
+                "kll"
+            )
+        )
+    )
+    cols = [
+        F.kll_sketch_get_quantile_double("kll", F.lit(float(q)))
+        .alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return agg.select(*group_cols, "kll", *cols)
+
+
+def merge_quantiles(
+    sketches: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float] = (0.5, 0.95),
+) -> DataFrame:
+    """Roll per-group KLL sketches up to a coarser grouping (``[]`` =
+    global) and extract quantiles from the MERGED sketch."""
+    agg = (
+        sketches.groupBy(*group_cols) if group_cols else sketches.groupBy()
+    )
+    # kll_sketch_merge_double is a BINARY scalar (no aggregate form):
+    # collect the per-group sketches (bounded by #groups, KBs each) and
+    # left-fold the pairwise merge
+    lst = agg.agg(F.collect_list("kll").alias("_l"))
+    folded = F.aggregate(
+        F.slice(F.col("_l"), 2, F.greatest(F.size("_l") - 1, F.lit(0))),
+        F.element_at(F.col("_l"), 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    merged = lst.select(*(group_cols or []), folded.alias("kll"))
+    cols = [
+        F.kll_sketch_get_quantile_double("kll", F.lit(float(q)))
+        .alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return merged.select(*(group_cols or []), *cols)

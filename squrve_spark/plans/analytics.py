@@ -569,3 +569,67 @@ def event_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sk = sketches.distinct_sketch(ev, "user_id", ["event_type"])
     return sk.select("event_type", "n_distinct_est").orderBy("event_type")
+
+
+@register(
+    "event_audience_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND value > 300),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'error')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS est_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS est_b,
+           CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+                AS BIGINT) AS est_union,
+           CAST((SELECT count(*) FROM a JOIN b USING (user_id)) AS BIGINT)
+               AS est_intersection,
+           CAST((SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+                AS BIGINT) AS est_a_minus_b
+    """,
+    tags=("events", "sketch"),
+    # deferred: driver cap full. Theta sketches are EXACT below their
+    # nominal-entries threshold (2^12 entries; fixture segments are
+    # hundreds), so the estimates equal the oracle's exact set-op
+    # cardinalities at every fixture SF. Beyond ~4k distinct keys per
+    # segment the sketch turns unbiased-approximate and this oracle
+    # would need a tolerance check instead.
+    defer_oracle=True,
+)
+def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set-operation dashboard via THETA sketches: big-spender
+    purchasers vs users who hit errors — distinct/union/INTERSECTION/
+    DIFFERENCE cardinalities from one scan + two KB-sized sketches
+    (intersection/difference are the set ops HLL fundamentally cannot
+    express). Exact below the sketch threshold; property + oracle tested."""
+    from squrve_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.audience_overlap(
+        ev,
+        "user_id",
+        (F.col("event_type") == "purchase") & (F.col("value") > 300),
+        F.col("event_type") == "error",
+    )
+
+
+@register(
+    "event_value_quantiles",
+    oracle=None,
+    tags=("events", "sketch", "no-oracle"),
+)
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value p50/p95 via MERGEABLE KLL sketches (quantiles
+    don't compose; sketches do — per-group summaries roll up to any
+    coarser grouping and maintain across batches). Accuracy + merge
+    properties tested in tests/test_sketches.py; no oracle: KLL is
+    sampling-based and engine-specific."""
+    from squrve_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = sketches.quantile_sketch(ev, "value", ["event_type"], [0.5, 0.95])
+    return sk.select(
+        "event_type",
+        F.round("p50", 2).alias("p50"),
+        F.round("p95", 2).alias("p95"),
+    ).orderBy("event_type")

@@ -118,3 +118,60 @@ def test_streaming_incremental_distinct_via_foreachbatch(spark, tmp_path):
         for r in sketches.distinct_sketch(batch, "user_id", ["event_type"]).collect()
     }
     assert final == single
+
+
+def test_theta_audience_overlap_exact_below_threshold(spark):
+    """Theta sketches are exact below their nominal-entries threshold, so
+    on the fixture the five set-op estimates must EQUAL the exact
+    cardinalities — including intersection and difference, which HLL
+    cannot express at all."""
+    ev = load_table(spark, SF_MED, "events")
+    seg_a = (F.col("event_type") == "purchase") & (F.col("value") > 300)
+    seg_b = F.col("event_type") == "error"
+    got = sketches.audience_overlap(ev, "user_id", seg_a, seg_b).first()
+
+    a = {
+        r[0]
+        for r in ev.filter(seg_a).select("user_id").distinct().collect()
+    }
+    b = {
+        r[0]
+        for r in ev.filter(seg_b).select("user_id").distinct().collect()
+    }
+    assert 0 < len(a) < len(b)  # non-degenerate segments on the fixture
+    assert got["est_a"] == len(a)
+    assert got["est_b"] == len(b)
+    assert got["est_union"] == len(a | b)
+    assert got["est_intersection"] == len(a & b)
+    assert got["est_a_minus_b"] == len(a - b)
+
+
+def test_kll_quantile_sketch_accuracy_and_merge(spark):
+    """Per-group KLL quantiles land near the exact percentiles, and the
+    MERGED global sketch (quantiles don't compose — sketches do) lands
+    near the exact global percentiles."""
+    ev = load_table(spark, SF_MED, "events")
+    sk = sketches.quantile_sketch(ev, "value", ["event_type"], [0.5, 0.95])
+    exact = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    span = ev.agg(F.max("value") - F.min("value")).first()[0]
+    for r in sk.collect():
+        e50, e95 = exact[r["event_type"]]
+        assert abs(r["p50"] - e50) / span < 0.02
+        assert abs(r["p95"] - e95) / span < 0.02
+
+    g = sketches.merge_quantiles(sk, [], [0.5, 0.95]).first()
+    g50, g95 = (
+        ev.agg(
+            F.expr("percentile(value, 0.5)"), F.expr("percentile(value, 0.95)")
+        ).first()
+    )
+    assert abs(g["p50"] - g50) / span < 0.02
+    assert abs(g["p95"] - g95) / span < 0.02
