@@ -136,7 +136,7 @@ def audience_overlap(
     under its nominal-entries threshold (2^12 by default) and unbiased
     approximations beyond — the audience-overlap dashboard at 100 TB.
     """
-    sk = df.agg(
+    sk = spread(df).agg(
         F.theta_sketch_agg(F.when(seg_a, F.col(key_col))).alias("sa"),
         F.theta_sketch_agg(F.when(seg_b, F.col(key_col))).alias("sb"),
     )
@@ -155,6 +155,13 @@ def audience_overlap(
     )
 
 
+def _qlabel(q: float) -> str:
+    """Column label for a quantile: p50, p95, p99_9 — round-then-format
+    (int() would truncate 0.29*100 == 28.999... to p28) with '.' -> '_'
+    so 0.99 and 0.999 never collide."""
+    return "p" + f"{round(float(q) * 100, 4):g}".replace(".", "_")
+
+
 def quantile_sketch(
     df: DataFrame,
     value_col: str,
@@ -163,7 +170,7 @@ def quantile_sketch(
 ) -> DataFrame:
     """Per-group KLL quantile sketches + extracted quantiles — the
     MERGEABLE quantile: per-group sketches re-aggregate to any coarser
-    grouping via ``kll_sketch_merge_double`` (see ``merge_quantiles``),
+    grouping via ``kll_merge_agg_double`` (see ``merge_quantiles``),
     which exact percentiles cannot do (quantiles don't compose) and
     which makes distribution summaries maintainable across batches the
     same way `incremental_distinct` maintains distinct counts."""
@@ -178,7 +185,7 @@ def quantile_sketch(
     )
     cols = [
         F.kll_sketch_get_quantile_double("kll", F.lit(float(q)))
-        .alias(f"p{int(q * 100)}")
+        .alias(_qlabel(q))
         for q in quantiles
     ]
     return agg.select(*group_cols, "kll", *cols)
@@ -194,19 +201,12 @@ def merge_quantiles(
     agg = (
         sketches.groupBy(*group_cols) if group_cols else sketches.groupBy()
     )
-    # kll_sketch_merge_double is a BINARY scalar (no aggregate form):
-    # collect the per-group sketches (bounded by #groups, KBs each) and
-    # left-fold the pairwise merge
-    lst = agg.agg(F.collect_list("kll").alias("_l"))
-    folded = F.aggregate(
-        F.slice(F.col("_l"), 2, F.greatest(F.size("_l") - 1, F.lit(0))),
-        F.element_at(F.col("_l"), 1),
-        lambda acc, x: F.kll_sketch_merge_double(acc, x),
-    )
-    merged = lst.select(*(group_cols or []), folded.alias("kll"))
+    # kll_merge_agg_double (Spark 4.1) is the TRUE aggregate merge —
+    # map-side partial merging, no driver-shaped collect_list fold
+    merged = agg.agg(F.kll_merge_agg_double("kll").alias("kll"))
     cols = [
         F.kll_sketch_get_quantile_double("kll", F.lit(float(q)))
-        .alias(f"p{int(q * 100)}")
+        .alias(_qlabel(q))
         for q in quantiles
     ]
-    return merged.select(*(group_cols or []), *cols)
+    return merged.select(*(group_cols or []), "kll", *cols)

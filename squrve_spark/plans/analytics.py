@@ -575,9 +575,10 @@ def event_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_audience_overlap",
     oracle="""
     WITH a AS (SELECT DISTINCT user_id FROM events
-               WHERE event_type = 'purchase' AND value > 300),
+               WHERE event_type = 'purchase' AND value > 300
+                 AND user_id IS NOT NULL),
          b AS (SELECT DISTINCT user_id FROM events
-               WHERE event_type = 'error')
+               WHERE event_type = 'error' AND user_id IS NOT NULL)
     SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS est_a,
            CAST((SELECT count(*) FROM b) AS BIGINT) AS est_b,
            CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))

@@ -92,7 +92,15 @@ def test_streaming_incremental_distinct_via_foreachbatch(spark, tmp_path):
     from squrve_spark.streaming.ops import read_event_stream
 
     store = str(tmp_path / "stream_sk")
-    ev = read_event_stream(spark, SF_MED, max_files_per_trigger=1)
+    # the fixture ships ONE parquet file = one micro-batch; rewrite it as
+    # three files so maxFilesPerTrigger=1 actually produces THREE batches
+    # and the store-merge branch (not just first-write) is exercised
+    src = str(tmp_path / "multi")
+    load_table(spark, SF_MED, "events").repartition(3).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) >= 3
+    ev = read_event_stream(spark, src, max_files_per_trigger=1, glob="part-*.parquet")
     q = (
         ev.select("event_type", "user_id")
         .writeStream.foreachBatch(
