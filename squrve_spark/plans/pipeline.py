@@ -1484,3 +1484,89 @@ def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chunk_last"),
     )
+
+
+@register(
+    "doc_pack_sequences",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents WHERE doc_id < 60
+    ),
+    o AS (
+        SELECT doc_id, toks,
+               COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off
+        FROM t
+    ),
+    pos AS (
+        SELECT o.doc_id,
+               o.off + g.i - 1 AS gpos,
+               o.toks[g.i] AS tok
+        FROM o, LATERAL (
+            SELECT unnest(range(1, len(o.toks) + 1)) AS i
+        ) g
+    )
+    SELECT CAST(gpos // 128 AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           md5(string_agg(tok, ' ' ORDER BY gpos)) AS tokens_md5
+    FROM pos
+    GROUP BY 1
+    """,
+    tags=("curation", "packing"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED sequential packing (the GPT training-batch recipe,
+    completing `doc_pack_chunks`' layout computation): concatenate the
+    corpus slice in doc_id order and emit the actual 128-token training
+    chunks — token membership, cross-doc boundaries (first/last doc), and
+    an md5 over the in-order token stream so the full packed content is
+    hash-verified cross-engine.
+
+    Plan shape: per-doc offsets from the two-phase distributed cumsum,
+    posexplode to (global position, token) — shuffle is #tokens rows of
+    (long, token) — then one groupBy(chunk). No single-task global window
+    anywhere; the oracle states the same math with DuckDB's window."""
+    from squrve_spark.operators.scale import with_global_offset
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    t = docs.select(
+        "doc_id",
+        text.tokens_expr("text").alias("toks"),
+    ).withColumn("n_tokens", F.size("toks").cast("long"))
+    o = with_global_offset(t, ["doc_id"], "n_tokens", out_col="off")
+    pos = o.select(
+        "doc_id",
+        F.posexplode("toks").alias("i", "tok"),
+        F.col("off"),
+    ).select(
+        "doc_id",
+        (F.col("off") + F.col("i")).alias("gpos"),
+        "tok",
+    )
+    return (
+        pos.withColumn("chunk_id", F.expr("gpos div 128"))
+        .groupBy("chunk_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("gpos", "tok"))
+                        ),
+                        lambda x: x["tok"],
+                    ),
+                )
+            ).alias("tokens_md5"),
+        )
+    )
