@@ -718,18 +718,38 @@ class ReFoRCEGenerator(SparkActor):
     MAX_ITER = 5
     MAX_PROBES = 3
 
+    # Prompt frames carry the reference's documented sections
+    # (ReFoRCEGenerate.py:100-116 exploration, 118-137 self-refine,
+    # 252-258 self-correct), with db_type fixed to Spark SQL and the
+    # probe budget parameterized ({n} vs the reference's literal 10).
     PROBE_PROMPT = (
         "Schema:\n{schema}\nQuestion: {question}\n"
-        "Propose up to {n} short exploratory Spark SQL probes (one per line, "
-        "each with LIMIT) to inspect relevant columns."
+        "Write at most {n} Spark SQL queries from simple to complex to "
+        "understand values in related columns.\n"
+        "Each query should be different. Don't query about any SCHEMA or "
+        "checking data types. You can write SELECT query only.\n"
+        "Try to use DISTINCT. For each SQL LIMIT 20 rows.\n"
+        "Write annotations to describe each SQL in format ```sql\n"
+        "--Description: \n```.\n"
+        "You can only use tables in the provided schema.\n"
     )
     GEN_PROMPT = (
-        "Schema:\n{schema}\nProbe results:\n{probes}\nQuestion: {question}\n"
-        "Write ONE Spark SQL query (attempt {i}). Return only SQL."
+        "Database schema:\n{schema}\n"
+        "Some few-shot examples after column exploration may be helpful:\n"
+        "{probes}\n"
+        "Task: {question}\n"
+        "Please think step by step and answer only one complete SQL in "
+        "Spark SQL dialect in ```sql``` format (attempt {i}).\n"
+        "Here are some useful tips for answering:\n"
+        "When asked something without stating name or id, return both of them.\n"
+        "When asked percentage decrease, you should return a positive value.\n"
     )
     REFINE_PROMPT = (
-        "The SQL:\n{sql}\nfailed with:\n{error}\nSchema:\n{schema}\n"
-        "Question: {question}\nReturn the fixed SQL only."
+        "Input sql:\n{sql}\nThe error information is:\n{error}\n"
+        "Database schema:\n{schema}\nTask: {question}\n"
+        "Please correct it based on previous context and output the "
+        "thinking process with only one sql query in ```sql``` format. "
+        "Don't just analyze without SQL or output several SQLs.\n"
     )
 
     def act(self, item: int, **kwargs) -> dict:

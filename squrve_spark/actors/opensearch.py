@@ -209,11 +209,37 @@ class OpenSearchSQLGenerator(SparkActor):
         "Classify its answer style as one of COUNT, LIST, COMPARE, AGGREGATE, "
         "OTHER. Answer with the label only."
     )
+    # carries the reference TMP_PROMPT frame (OpenSearchSQLGenerate.py:
+    # 110-141): expert header, schema + #values evidence blocks, the two
+    # numbered attention rules (integer division cast — REAL there,
+    # DOUBLE here — and ignore-unneeded-#values), the SQL-like rewrite
+    # instruction, and the structured #reason/#columns/#values/#SELECT/
+    # #SQL-like/#SQL answer format (extract_sql reads the #SQL line).
     GEN_PROMPT = (
-        "Schema:\n{schema}\nRelevant column values:\n{values}\n"
-        "Question ({style} style): {question}\n"
-        "Write ONE Spark SQL query (attempt {i}). When dividing integers, "
-        "CAST the numerator AS DOUBLE. Return only SQL."
+        "You are an SQL expert, and now I would like you to write SQL "
+        "based on the question.\n"
+        "/* Database schema */\n{schema}\n"
+        "#values in db:\n{values}\n"
+        "/* Based on the database schema and the question, pay attention "
+        "to the following */\n"
+        "1. For parts involving division that contain integer types, CAST "
+        "them to DOUBLE.\n"
+        "2. #values in db display part values from the database. Please "
+        "ignore the unnecessary values.\n"
+        'Please rewrite the question to SQL-like query in the format: '
+        '"Show #SELECT (table.column), WHERE condition are xxx (refer to '
+        '#values), Group by/Order By (refer to columns).\n'
+        "/* Answer the following: {question} ({style} style, attempt {i}) */\n"
+        "Please answer the question in the following format without any "
+        "other content:\n"
+        "```\n"
+        "#reason: Analyze how to generate SQL based on the question.\n"
+        "#columns: All columns ultimately used in SQL\n"
+        "#values: the filter in SQL\n"
+        "#SELECT: SELECT content\n"
+        "#SQL-like: SQL-like statements ignoring Join conditions\n"
+        "#SQL: SQL\n"
+        "```\n"
     )
 
     @staticmethod

@@ -159,7 +159,15 @@ def extract_sql(text: str) -> str:
     first SELECT/WITH-rooted statement, else the raw text."""
     fence = re.search(r"```(?:sql)?\s*(.*?)```", text, re.DOTALL | re.IGNORECASE)
     if fence:
-        return fence.group(1).strip().rstrip(";")
+        text = fence.group(1).strip().rstrip(";")
+        if "#SQL:" not in text:
+            return text
+    # OpenSearch-style structured answers end with an explicit '#SQL:' line
+    # (and earlier lines like '#reason'/' #SQL-like' may contain the word
+    # SELECT) — prefer the marked final SQL when present
+    marked = re.search(r"(?is)#SQL:\s*(.+)", text)
+    if marked:
+        return marked.group(1).strip().rstrip(";")
     stmt = re.search(r"(?is)\b(SELECT|WITH)\b.*", text)
     if stmt:
         return stmt.group(0).strip().rstrip(";")

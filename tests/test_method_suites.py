@@ -425,3 +425,40 @@ def test_suite_actors_registered():
         ("selector", "opensearchselect"),
     ]:
         assert ActorPool.resolve(family, name), f"{family}:{name}"
+
+
+def test_opensearch_prompt_tmp_frame_fidelity(spark):
+    """The generation prompt carries the reference TMP_PROMPT frame
+    (OpenSearchSQLGenerate.py:110-141): expert header, schema/#values
+    blocks, the numbered attention rules, the SQL-like rewrite
+    instruction, and the structured answer format; and extract_sql reads
+    a structured '#SQL:' answer correctly (earlier #reason/#SQL-like
+    lines containing the word SELECT must not win)."""
+    from squrve_spark.llm import extract_sql
+
+    register_tables(spark, SF_SMALL, ["nation"])
+    structured = (
+        "#reason: the question want to count, so the SQL SELECT count(*)\n"
+        "#columns: nation.n_nationkey\n#values: (none)\n#SELECT: count\n"
+        "#SQL-like: Show count(nation.n_nationkey)\n"
+        f"#SQL: {GOOD_COUNT}"
+    )
+    llm = MockLLM(rules=[
+        (r"Classify its answer style", "COUNT"),
+        (r"attempt", structured),
+    ])
+    out = OpenSearchSQLGenerator(
+        dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    assert out["pred_sql"] == GOOD_COUNT  # structured answer parsed to the #SQL line
+    gen = next(p for p in llm.calls if "attempt 1" in p)
+    assert gen.startswith(
+        "You are an SQL expert, and now I would like you to write SQL"
+    )
+    assert "/* Database schema */" in gen
+    assert "#values in db" in gen
+    assert "1. For parts involving division that contain integer types, CAST" in gen
+    assert "2. #values in db display part values from the database." in gen
+    assert "Please rewrite the question to SQL-like query in the format:" in gen
+    assert "#SQL-like: SQL-like statements ignoring Join conditions" in gen
+    assert extract_sql(structured) == GOOD_COUNT

@@ -378,18 +378,52 @@ def test_reforce_probes_refines_and_votes(spark):
     register_tables(spark, SF_SMALL, ["nation"])
     llm = MockLLM(
         rules=[
-            (r"exploratory Spark SQL probes", "SELECT n_name FROM nation LIMIT 2"),
+            (r"understand values in related columns", "SELECT n_name FROM nation LIMIT 2"),
             (r"attempt 1\b", "SELECT * FROM missing_tbl"),
             (r"attempt", GOOD_COUNT),
-            (r"failed with", GOOD_COUNT),
+            (r"The error information is", GOOD_COUNT),
         ]
     )
     out = ReFoRCEGenerator(
         dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
     ).act(0)
     assert out == {"pred_sql": GOOD_COUNT, "votes": 3}  # refined attempt 1 joins the majority
-    gen_prompt = next(p for p in llm.calls if "Probe results" in p)
+    gen_prompt = next(p for p in llm.calls if "column exploration" in p)
     assert "SELECT n_name FROM nation LIMIT 2" in gen_prompt  # probe evidence fed back
+
+
+def test_reforce_prompt_section_fidelity(spark):
+    """The three ReFoRCE stages carry the reference's documented frames
+    (ReFoRCEGenerate.py:100-116 exploration, 118-137 self-refine, 252-258
+    self-correct)."""
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (r"understand values in related columns", "SELECT n_name FROM nation LIMIT 2"),
+            (r"attempt 1\b", "SELECT * FROM missing_tbl"),
+            (r"attempt", GOOD_COUNT),
+            (r"The error information is", GOOD_COUNT),
+        ]
+    )
+    ReFoRCEGenerator(
+        dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    probe = llm.calls[0]
+    assert "Spark SQL queries from simple to complex to understand values" in probe
+    assert "Don't query about any SCHEMA or checking data types" in probe
+    assert "Try to use DISTINCT. For each SQL LIMIT 20 rows." in probe
+    assert "--Description:" in probe
+    assert "You can only use tables in the provided schema." in probe
+    gen = next(p for p in llm.calls if "attempt 1" in p)
+    assert gen.startswith("Database schema:")
+    assert "Some few-shot examples after column exploration may be helpful:" in gen
+    assert "Please think step by step and answer only one complete SQL" in gen
+    assert "When asked something without stating name or id, return both of them." in gen
+    assert "When asked percentage decrease, you should return a positive value." in gen
+    refine = next(p for p in llm.calls if "The error information is" in p)
+    assert refine.startswith("Input sql:")
+    assert "Please correct it based on previous context" in refine
+    assert "Don't just analyze without SQL or output several SQLs." in refine
 
 
 def test_rslsql_bidirectional_links_prefer_slim_on_agreement(spark):
