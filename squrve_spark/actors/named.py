@@ -809,15 +809,56 @@ class RSLSQLGenerator(SparkActor):
         "List the needed columns as [table.column, ...] (at most 15)."
     )
     GEN_PROMPT = "Schema:\n{schema}\nQuestion: {question}\nWrite ONE Spark SQL query. Return only SQL."
+    # binary selection + self-correction carry the reference's documented
+    # frames (RSLSQLGenerate.py:234-243 BINARY_PROMPT — incl. its literal
+    # "the  question" spacing — and 181-232 SELF_CORRECTION_PROMPT's
+    # header/Input/Output/Note sections); answers come back as the
+    # reference's {{"sql": ...}} json, parsed with an extract_sql fallback
+    # so plain-SQL replies keep working.
     CHOOSE_PROMPT = (
-        "Question: {question}\nCandidate 0: {a}\nResult:\n{ra}\n"
-        "Candidate 1: {b}\nResult:\n{rb}\nAnswer 0 or 1."
+        "{table_info}\n\n"
+        "### Select the best SQL query to answer the  question:\n\n"
+        "{candidate_sql}\n\n"
+        "Your answer should be returned by json format.\n"
+        "{{\n"
+        '    "sql": "...",# your SQL query\n'
+        "}}\n"
     )
     CORRECT_PROMPT = (
-        "The SQL:\n{sql}\nreturned no rows for question: {question}\n"
-        "Schema:\n{schema}\nIf the filters look wrong, return a corrected "
-        "Spark SQL query; else return the same SQL."
+        "You are an AI agent responsible for generating the correct SQL "
+        "statements based on the following information:\n"
+        "- Database structure information: including table names, fields, "
+        "relationships between tables (such as foreign keys, etc.).\n"
+        "- The first three rows of values in the table: sample data for "
+        "understanding the content and data distribution of the table.\n"
+        "- User questions: queries or questions in natural language form.\n"
+        "- Hint: Information for prompting, this message is very important.\n"
+        "\n### Input:\n"
+        "- Database structure information:\n{schema}\n"
+        "- The first three rows of values in the table:\n{samples}\n"
+        "- User questions: {question}\n"
+        "- Hint: the previous SQL returned no rows; if the filters look "
+        "wrong, correct them, else keep the same SQL:\n{sql}\n"
+        "\n### Output:\n"
+        '- Return the result in json format, the format is '
+        '{{"sql": "SQL statement that meets the user question requirements"}}\n'
+        "\n### Note:\n"
+        "- Ensure that the SQL statement accurately reflects the query "
+        "requirements and conditions in the user question.\n"
+        "- In the generated SQL statement, table names and field names "
+        "need to be enclosed in backquotes, such as `table_name`, "
+        "`column_name`.\n"
     )
+
+    @staticmethod
+    def _json_sql(text: str) -> str | None:
+        """Parse the reference's {"sql": "..."} answer shape; None when
+        the reply is not in that format (callers fall back to extract_sql)."""
+        m = re.search(r'"sql"\s*:\s*"((?:[^"\\]|\\.)*)"', text, re.DOTALL)
+        if not m:
+            return None
+        sql = m.group(1).encode().decode("unicode_escape").strip()
+        return sql if sql and sql != "..." else None
 
     def known_columns(self, row: dict) -> set[str]:
         out = set()
@@ -866,17 +907,38 @@ class RSLSQLGenerator(SparkActor):
         elif C.compare_dataframes(res_full.df, res_slim.df, ignore_order=True, strict_columns=True):
             sql, res = slim_sql, res_slim  # agreement: prefer the slim-schema read
         else:
+            cand_block = "\n\n".join(
+                f"Candidate {i}:\n{s}\nExecution result:\n"
+                + X.execute_sql(self.spark, s, max_rows=5, max_chars=300)
+                for i, s in enumerate((full_sql, slim_sql))
+            )
             pick = self.llm.complete(self.CHOOSE_PROMPT.format(
-                question=question,
-                a=full_sql, ra=X.execute_sql(self.spark, full_sql, max_rows=5, max_chars=300),
-                b=slim_sql, rb=X.execute_sql(self.spark, slim_sql, max_rows=5, max_chars=300),
+                table_info=f"{schema}\nQuestion: {question}",
+                candidate_sql=cand_block,
             ))
-            m = re.search(r"[01]", pick)
-            sql, res = ((full_sql, res_full), (slim_sql, res_slim))[int(m.group(0)) if m else 0]
+            chosen = self._json_sql(pick)
+            norm = lambda s: re.sub(r"\s+", " ", s).strip().rstrip(";")  # noqa: E731
+            if chosen is not None and norm(chosen) == norm(slim_sql):
+                sql, res = slim_sql, res_slim
+            elif chosen is not None and norm(chosen) == norm(full_sql):
+                sql, res = full_sql, res_full
+            else:
+                m = re.search(r"[01]", pick)
+                sql, res = ((full_sql, res_full), (slim_sql, res_slim))[
+                    int(m.group(0)) if m else 0
+                ]
         if res.error is None and res.df is not None and res.df.empty:
-            sql = extract_sql(self.llm.complete(
-                self.CORRECT_PROMPT.format(sql=sql, question=question, schema=schema)
+            samples = "\n".join(
+                f"-- {t}\n"
+                + X.execute_sql(
+                    self.spark, f"SELECT * FROM {t} LIMIT 3", max_rows=3, max_chars=300
+                )
+                for t in self.tables_for(row)
+            )
+            reply = self.llm.complete(self.CORRECT_PROMPT.format(
+                sql=sql, question=question, schema=schema, samples=samples
             ))
+            sql = self._json_sql(reply) or extract_sql(reply)
         return {"pred_sql": sql, "schema_links": links}
 
 

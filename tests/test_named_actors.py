@@ -565,3 +565,44 @@ def test_dinsql_missing_label_defaults_to_easy(spark):
         dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
     ).act(0)
     assert out["difficulty"] == "EASY"
+
+
+def test_rslsql_binary_selection_json_frame_fidelity(spark):
+    """When the two candidates disagree, the binary selection carries the
+    reference BINARY_PROMPT frame (RSLSQLGenerate.py:234-243) and the
+    {"sql": ...} json answer selects the matching candidate; the
+    self-correction frame carries the reference header/Input/Output/Note
+    sections (181-232)."""
+    register_tables(spark, SF_SMALL, ["nation"])
+    full_sql = "SELECT count(*) AS n FROM nation"
+    slim_sql = "SELECT n_name FROM nation WHERE n_name = 'NO_SUCH'"
+
+    def gen(match, prompt):
+        # the slim linked schema exposes ONLY n_name; the full schema DDL
+        # also lists n_regionkey
+        return full_sql if "n_regionkey" in prompt else slim_sql
+
+    llm = MockLLM(
+        rules=[
+            (r"List the needed columns", "[nation.n_name]"),
+            (r"Select the best SQL query", '{"sql": "%s"}' % slim_sql),
+            (r"returned no rows", '{"sql": "SELECT n_name FROM nation"}'),
+            (r"Write ONE Spark SQL", gen),
+        ]
+    )
+    out = RSLSQLGenerator(
+        dataset=[_row("Name the nations", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    # json-picked slim candidate was empty -> self-corrected via json reply
+    assert out["pred_sql"] == "SELECT n_name FROM nation"
+    choose = next(p for p in llm.calls if "Select the best SQL query" in p)
+    assert "### Select the best SQL query to answer the  question:" in choose
+    assert "Your answer should be returned by json format." in choose
+    assert "Candidate 0:" in choose and "Candidate 1:" in choose
+    correct = next(p for p in llm.calls if "returned no rows" in p)
+    assert correct.startswith(
+        "You are an AI agent responsible for generating the correct SQL"
+    )
+    assert "### Input:" in correct and "### Output:" in correct and "### Note:" in correct
+    assert "The first three rows of values in the table:" in correct
+    assert "need to be enclosed in backquotes" in correct
