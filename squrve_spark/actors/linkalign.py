@@ -218,18 +218,59 @@ class LinkAlignGenerator(SparkActor):
     OUTPUT_NAME = "pred_sql"
     SKILL = "LinkAlign: retrieve-reduce schema, link, classify, generate, debug on execution errors."
 
+    # classification + nested-tier frames carry the reference's documented
+    # sections (LinkAlignGenerate.py:145-162 classification_prompt_maker,
+    # 205-231 the [Instructions] block with its 7 numbered requirements);
+    # the classifier additionally answers SIMPLE-or-NESTED (this engine
+    # keeps a simple tier where the reference treats every question as
+    # NESTED) and its `questions = [...]` breakdown feeds the nested tier
+    # as the reference's sub_questions step line.
     CLASSIFY_PROMPT = (
-        "Question: {question}\nSchema links: {links}\n"
-        "Does the SQL need a subquery or set operation? Answer SIMPLE or NESTED."
+        "# [Instruction]\n"
+        "For the given question, classify it as NESTED. \n"
+        "Break down the problem into sub-problems and list them in the "
+        "`List` format: questions = [q1,q2,q3..], e.g. questions = "
+        "['Which courses have prerequisite?']\n"
+        "If no subquery or set operation is needed, answer SIMPLE instead.\n"
+        "Question: {question}\n"
+        "schema_links: {links}\n"
+        "A: Let's think step by step."
     )
     SIMPLE_PROMPT = (
         "Schema:\n{schema}\nSchema links: {links}\nQuestion: {question}\n"
         "Write ONE Spark SQL query. Return only SQL."
     )
     NESTED_PROMPT = (
-        "Schema:\n{schema}\nSchema links: {links}\nQuestion: {question}\n"
-        "The query needs nesting (subquery / set operation). Think in steps, "
-        "then write ONE final Spark SQL query. Return only SQL."
+        "[Instructions]\n"
+        "Use the intermediate representation, schema links, and the "
+        "provided prior knowledge (including field and table information) "
+        "to generate the correct SQL queries for each question. The SQL "
+        "queries must be syntactically correct and logically aligned with "
+        "the requirements of the question. \n"
+        "You need to follow below requirements:\n"
+        "1. Understand the question: Carefully analyze the question to "
+        "identify the relevant data and the required result.\n"
+        "2. Consult the schema: Use the schema links provided to identify "
+        "the tables, fields, and relationships (including foreign keys "
+        "and primary keys) necessary to answer the question.\n"
+        "3. Leverage prior knowledge: Utilize any domain-specific "
+        "knowledge, field names, table relationships, and query logic to "
+        "craft an accurate SQL query.\n"
+        "4. Use intermediate representations: Where applicable, break "
+        "down the query into logical components such as CTEs (Common "
+        "Table Expressions), subqueries, and joins.\n"
+        "5. Adhere to DBMS syntax: Ensure that the SQL queries comply "
+        "with the syntax specifications of Spark SQL.\n"
+        "6. Correct complex queries: For complex queries, use appropriate "
+        "techniques (e.g., CTEs, subqueries) to avoid errors and improve "
+        "readability.\n"
+        "7. Return only the SQL query: Provide the final, corrected SQL "
+        "query without any explanations.\n\n"
+        "### [Question]: {question}\n"
+        "### [Provided Database Schema]:\n{schema}\n"
+        "Schema links: {links}\n"
+        "Let's think step by step. Question can be solved by knowing the "
+        'answer to the following sub-question "{sub_questions}".'
     )
     DEBUG_PROMPT = (
         "The SQL:\n{sql}\nfailed with error:\n{error}\n"
@@ -255,16 +296,24 @@ class LinkAlignGenerator(SparkActor):
             dataset=self.dataset, spark=self.spark, llm=self.llm
         )
         links = parser.act(item).get("schema_links") or reduced["instance_schemas"]
-        label = self.llm.complete(
+        reply = self.llm.complete(
             self.CLASSIFY_PROMPT.format(question=question, links=links)
-        ).strip().upper()
-        prompt = self.NESTED_PROMPT if "NESTED" in label else self.SIMPLE_PROMPT
+        )
+        label = reply.strip().upper()
+        m = re.search(r"questions\s*=\s*\[(.*?)\]", reply, re.DOTALL)
+        sub_questions = (m.group(1).strip() if m else "") or question
+        if "NESTED" in label:
+            body = self.NESTED_PROMPT.format(
+                schema=schema, links=links, question=question,
+                sub_questions=sub_questions,
+            )
+        else:
+            body = self.SIMPLE_PROMPT.format(
+                schema=schema, links=links, question=question
+            )
         # external evidence (add_external) precedes the schema, as in the
         # reference's evidence-bearing generation prompts
-        sql = extract_sql(self.llm.complete(
-            self.external_note(row)
-            + prompt.format(schema=schema, links=links, question=question)
-        ))
+        sql = extract_sql(self.llm.complete(self.external_note(row) + body))
         debug_rounds = 0
         for _ in range(self.debug_turn_n):
             res = X.execute(self.spark, sql, row_cap=10)

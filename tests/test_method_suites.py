@@ -125,7 +125,7 @@ def test_linkalign_generator_debug_loop(spark):
     llm = MockLLM(
         rules=[
             (r"failed with error", GOOD_COUNT),
-            (r"Answer SIMPLE or NESTED", "SIMPLE"),
+            (r"classify it as NESTED", "SIMPLE"),
             (r"plausibly needed", "[nation.n_name]"),
             (r"schema elements needed", "[nation.n_name]"),
             (r"Write ONE Spark SQL", "SELECT cnt(*) FROM nation"),
@@ -462,3 +462,34 @@ def test_opensearch_prompt_tmp_frame_fidelity(spark):
     assert "Please rewrite the question to SQL-like query in the format:" in gen
     assert "#SQL-like: SQL-like statements ignoring Join conditions" in gen
     assert extract_sql(structured) == GOOD_COUNT
+
+
+def test_linkalign_prompt_frame_fidelity(spark):
+    """Classification and nested-tier prompts carry the reference's
+    documented frames (LinkAlignGenerate.py:145-162, 205-231): the
+    [Instruction] breakdown block with `questions = [...]` output and the
+    step-by-step close, and the [Instructions] 7-requirement block with
+    [Question]/[Provided Database Schema] sections and the sub-question
+    step line fed from the classifier's breakdown."""
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (r"classify it as NESTED",
+             'questions = ["which nations exist"]\nLabel: "NESTED"'),
+            (r".", GOOD_COUNT),
+        ]
+    )
+    LinkAlignGenerator(
+        dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    cls = next(p for p in llm.calls if "classify it as NESTED" in p)
+    assert cls.startswith("# [Instruction]")
+    assert "list them in the `List` format: questions = [q1,q2,q3..]" in cls
+    assert cls.rstrip().endswith("A: Let's think step by step.")
+    gen = next(p for p in llm.calls if "[Instructions]" in p)
+    assert "Use the intermediate representation, schema links, and the" in gen
+    assert "5. Adhere to DBMS syntax: Ensure that the SQL queries comply" in gen
+    assert "7. Return only the SQL query:" in gen
+    assert "### [Question]: How many nations?" in gen
+    assert "### [Provided Database Schema]:" in gen
+    assert '"which nations exist"' in gen  # classifier breakdown fed through
