@@ -957,16 +957,100 @@ class RecursiveGenerator(SparkActor):
     SKILL = "Recursive: per-table SQLs first, then JOIN-merge stages to one query."
 
     TABLES_PROMPT = "Schema:\n{schema}\nQuestion: {question}\nList the tables needed, comma-separated."
+    # stage-0 and merge frames carry the reference's documented prompts
+    # (RecursivePrompt.py:106-158 STAGE0_SINGLE_TABLE_SQL_PROMPT,
+    # 160-242 RECURSIVE_MERGE_SQL_PROMPT): one JSON-array call covers all
+    # tables, then per-stage merge planning with active-query ids,
+    # execution evidence, and the is_final / merge_operations answer
+    # shapes. Unparseable replies fall back to extract_sql pairwise
+    # merging so plain-SQL LLMs still work.
     STAGE0_PROMPT = (
-        "Table:\n{table_ddl}\nQuestion: {question}\n"
-        "Write ONE Spark SQL query over ONLY this table extracting what the "
-        "question needs from it. Return only SQL."
+        "You are an expert SQL query generator specializing in "
+        "decomposing complex queries into single-table operations.\n\n"
+        "Your task is to generate independent SQL queries for EACH table "
+        "in the provided schema.\n\n"
+        "### Important Rules:\n"
+        "1. **One SQL per table**: Generate exactly ONE SQL statement for "
+        "each table in the schema.\n"
+        "2. **Single table only**: Each SQL must query ONLY ONE table - "
+        "no JOINs, no subqueries referencing other tables.\n"
+        "3. **Maximum coverage**: Select all columns that might be "
+        "relevant to answering the question from that table.\n"
+        "4. **Appropriate filtering**: Apply WHERE clauses only when you "
+        "can determine specific filter conditions from the question that "
+        "apply to this table alone.\n"
+        "5. **No cross-table logic**: Do not try to implement any logic "
+        "that requires data from multiple tables.\n\n"
+        "### Database Schema:\n{schema}\n\n"
+        "### Question to Answer:\n{question}\n\n"
+        "### Output Format:\n"
+        "Respond with a JSON array containing one object for each table. "
+        "Each object must have the following structure:\n"
+        "```json\n"
+        "[\n"
+        "  {{\n"
+        '    "table": "table_name",\n'
+        '    "sub_question": "...",\n'
+        '    "chain_of_thought": "...",\n'
+        '    "sql": "SELECT column1, column2, ... FROM table_name WHERE ..."\n'
+        "  }}\n"
+        "]\n"
+        "```\n"
+        "Only output the JSON array as your response."
     )
     MERGE_PROMPT = (
-        "Question: {question}\nSQL A:\n{a}\nSQL B:\n{b}\n"
-        "Merge A and B into ONE Spark SQL query (JOIN on their shared keys). "
-        "Return only SQL."
+        "You are an expert SQL query planner specializing in "
+        "progressively merging single-table queries into a complete SQL "
+        "solution through a step-by-step recursive process.\n\n"
+        "### Background:\n"
+        "You are in **Stage {stage}** of a recursive SQL construction "
+        "process.\n"
+        "- Currently there are **{active_count} active queries** "
+        "available for merging (listed below).\n\n"
+        "### Original Question:\n{question}\n\n"
+        "### Database Schema:\n{schema}\n\n"
+        "### Active Queries Available for Merging:\n{previous_sqls}\n\n"
+        "### Task: Plan the Next Merge Step\n"
+        "**CRITICAL RULES:**\n"
+        "1. **Pairwise Only**: Each merge combines EXACTLY TWO of the "
+        "active queries listed above. Reference them by their query IDs.\n"
+        "2. **Write executable SQL**: The merged SQL must be a valid, "
+        "self-contained SQL statement — directly reference the base "
+        "tables (not the query IDs).\n"
+        "3. **Progressive narrowing**: Each merge should tighten the data "
+        "scope toward the final answer.\n\n"
+        "### Output Format:\n"
+        "**If this merge produces the FINAL answer:**\n"
+        "```json\n"
+        '{{\n  "is_final": true,\n  "final_sql": "..."\n}}\n'
+        "```\n"
+        "**If more merging stages are needed:**\n"
+        "```json\n"
+        "{{\n"
+        '  "is_final": false,\n'
+        '  "merge_operations": [\n'
+        "    {{\n"
+        '      "source_query_ids": ["query_X", "query_Y"],\n'
+        '      "sql": "..."\n'
+        "    }}\n"
+        "  ]\n"
+        "}}\n"
+        "```\n"
+        "Only output the JSON as your response."
     )
+
+    MAX_STAGES = 6
+
+    @staticmethod
+    def _json_block(text: str):
+        import json as _json
+
+        fence = re.search(r"```(?:json)?\s*(.*?)```", text, re.DOTALL)
+        payload = fence.group(1) if fence else text
+        try:
+            return _json.loads(payload.strip())
+        except (ValueError, TypeError):
+            return None
 
     def act(self, item: int, **kwargs) -> dict:
         row = self.row(item)
@@ -975,17 +1059,51 @@ class RecursiveGenerator(SparkActor):
         t_out = self.llm.complete(self.TABLES_PROMPT.format(schema=schema, question=question))
         known = set(self.tables_for(row))
         tables = [t.strip() for t in t_out.split(",") if t.strip() in known] or sorted(known)[:1]
-        stage = [
-            extract_sql(self.llm.complete(self.STAGE0_PROMPT.format(
-                table_ddl=P.describe_for_prompt(self.spark, t), question=question
-            )))
-            for t in tables
-        ]
-        while len(stage) > 1:
-            merged = extract_sql(self.llm.complete(
-                self.MERGE_PROMPT.format(question=question, a=stage[0], b=stage[1])
+        table_ddl = "\n".join(P.describe_for_prompt(self.spark, t) for t in tables)
+        reply = self.llm.complete(
+            self.STAGE0_PROMPT.format(schema=table_ddl, question=question)
+        )
+        parsed = self._json_block(reply)
+        if isinstance(parsed, list) and all(
+            isinstance(o, dict) and o.get("sql") for o in parsed
+        ):
+            stage = [o["sql"] for o in parsed]
+        else:  # plain-SQL reply: treat it as one query per line fallback
+            stage = [extract_sql(reply)]
+        n_stage = 0
+        while len(stage) > 1 and n_stage < self.MAX_STAGES:
+            n_stage += 1
+            previews = "\n".join(
+                f"query_{i}:\n{sql}\nExecution result:\n"
+                + X.execute_sql(self.spark, sql, max_rows=3, max_chars=200)
+                for i, sql in enumerate(stage)
+            )
+            reply = self.llm.complete(self.MERGE_PROMPT.format(
+                stage=n_stage, active_count=len(stage), question=question,
+                schema=schema, previous_sqls=previews,
             ))
-            stage = [merged] + stage[2:]
+            plan = self._json_block(reply)
+            if isinstance(plan, dict) and plan.get("is_final") and plan.get("final_sql"):
+                return {"pred_sql": plan["final_sql"]}
+            if isinstance(plan, dict) and plan.get("merge_operations"):
+                consumed: set[int] = set()
+                next_stage: list[str] = []
+                for op in plan["merge_operations"]:
+                    ids = [
+                        int(m.group(1))
+                        for qid in op.get("source_query_ids", [])
+                        if (m := re.search(r"(\d+)", str(qid)))
+                    ]
+                    ids = [i for i in ids if 0 <= i < len(stage) and i not in consumed]
+                    if len(ids) == 2 and op.get("sql"):
+                        consumed.update(ids)
+                        next_stage.append(op["sql"])
+                next_stage += [s for i, s in enumerate(stage) if i not in consumed]
+                if len(next_stage) < len(stage):
+                    stage = next_stage
+                    continue
+            # unparseable or non-reducing plan: deterministic pairwise fallback
+            stage = [extract_sql(reply)] + stage[2:]
         return {"pred_sql": stage[0]}
 
 

@@ -460,24 +460,28 @@ def test_rslsql_empty_result_correction(spark):
 
 
 def test_recursive_per_table_then_join_merge(spark):
+    """Stage 0 answers the reference's JSON-array format (one object per
+    table); the merge stage plans via the is_final JSON shape; prompts
+    carry the documented frames (RecursivePrompt.py:106-158, 160-242)."""
     register_tables(spark, SF_SMALL, ["nation", "region"])
     merged = (
         "SELECT n.n_name, r.r_name FROM nation n "
         "JOIN region r ON n.n_regionkey = r.r_regionkey"
     )
-
-    def stage0(match, prompt):
-        return (
-            "SELECT n_name, n_regionkey FROM nation"
-            if "n_name" in prompt
-            else "SELECT r_name, r_regionkey FROM region"
-        )
-
+    stage0_json = (
+        '```json\n[\n'
+        ' {"table": "nation", "sub_question": "names", '
+        '"chain_of_thought": "...", "sql": "SELECT n_name, n_regionkey FROM nation"},\n'
+        ' {"table": "region", "sub_question": "regions", '
+        '"chain_of_thought": "...", "sql": "SELECT r_name, r_regionkey FROM region"}\n'
+        ']\n```'
+    )
+    final_json = '{"is_final": true, "final_sql": "%s"}' % merged
     llm = MockLLM(
         rules=[
             (r"List the tables needed", "nation, region"),
-            (r"over ONLY this table", stage0),
-            (r"Merge A and B", merged),
+            (r"decomposing complex queries into single-table operations", stage0_json),
+            (r"Plan the Next Merge Step", final_json),
         ]
     )
     out = RecursiveGenerator(
@@ -485,8 +489,53 @@ def test_recursive_per_table_then_join_merge(spark):
         spark=spark, llm=llm,
     ).act(0)
     assert out["pred_sql"] == merged
-    merge_prompt = next(p for p in llm.calls if "Merge A and B" in p)
-    assert "FROM nation" in merge_prompt and "FROM region" in merge_prompt
+    stage0 = next(p for p in llm.calls if "single-table operations" in p)
+    assert "### Important Rules:" in stage0
+    assert "2. **Single table only**" in stage0
+    assert "Only output the JSON array as your response." in stage0
+    merge = next(p for p in llm.calls if "Plan the Next Merge Step" in p)
+    assert "**Stage 1** of a recursive SQL construction process" in merge
+    assert "**2 active queries**" in merge
+    assert "query_0:" in merge and "query_1:" in merge
+    assert "Execution result:" in merge  # execution evidence fed to the planner
+    assert '"is_final": true' in merge and '"merge_operations"' in merge
+
+
+def test_recursive_merge_operations_stage_then_final(spark):
+    """A non-final plan consumes two queries via merge_operations and the
+    next stage finishes; plain-SQL replies fall back to pairwise merge."""
+    register_tables(spark, SF_SMALL, ["nation", "region", "customer"])
+    stage0_json = (
+        '[{"table": "nation", "sql": "SELECT n_name, n_regionkey FROM nation"},'
+        ' {"table": "region", "sql": "SELECT r_name, r_regionkey FROM region"},'
+        ' {"table": "customer", "sql": "SELECT c_custkey, c_nationkey FROM customer"}]'
+    )
+    mid = ("SELECT n.n_name, r.r_name, n.n_nationkey FROM nation n "
+           "JOIN region r ON n.n_regionkey = r.r_regionkey")
+    final = (mid.replace("SELECT", "SELECT c.c_custkey,", 1)
+             + " JOIN customer c ON c.c_nationkey = n.n_nationkey")
+
+    def planner(match, prompt):
+        if "**3 active queries**" in prompt:
+            return ('{"is_final": false, "merge_operations": '
+                    '[{"source_query_ids": ["query_0", "query_1"], "sql": "%s"}]}' % mid)
+        return '{"is_final": true, "final_sql": "%s"}' % final
+
+    llm = MockLLM(
+        rules=[
+            (r"List the tables needed", "nation, region, customer"),
+            (r"decomposing complex queries into single-table operations", stage0_json),
+            (r"Plan the Next Merge Step", planner),
+        ]
+    )
+    out = RecursiveGenerator(
+        dataset=[_row("Customers with nation and region names",
+                      ["nation", "region", "customer"])],
+        spark=spark, llm=llm,
+    ).act(0)
+    assert out["pred_sql"] == final
+    stage2 = [p for p in llm.calls if "**2 active queries**" in p]
+    assert stage2 and mid in stage2[0]  # the merged query carried into stage 2
 
 
 # ---------------------------------------------------------------------------
