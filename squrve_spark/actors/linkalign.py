@@ -299,10 +299,19 @@ class LinkAlignGenerator(SparkActor):
         reply = self.llm.complete(
             self.CLASSIFY_PROMPT.format(question=question, links=links)
         )
-        label = reply.strip().upper()
+        # CoT replies mention both labels while reasoning ("it is not
+        # NESTED ... answer SIMPLE") — prefer an explicit Label: line,
+        # else the LAST label word; default NESTED (the reference treats
+        # every question as nested)
+        lm = re.search(r'Label:\s*"?([A-Z-]+)"?', reply, re.IGNORECASE)
+        if lm:
+            nested = "NESTED" in lm.group(1).upper()
+        else:
+            words = re.findall(r"\b(SIMPLE|NESTED)\b", reply.upper())
+            nested = words[-1] == "NESTED" if words else True
         m = re.search(r"questions\s*=\s*\[(.*?)\]", reply, re.DOTALL)
         sub_questions = (m.group(1).strip() if m else "") or question
-        if "NESTED" in label:
+        if nested:
             body = self.NESTED_PROMPT.format(
                 schema=schema, links=links, question=question,
                 sub_questions=sub_questions,
@@ -326,6 +335,6 @@ class LinkAlignGenerator(SparkActor):
         return {
             "pred_sql": sql,
             "schema_links": links,
-            "difficulty": "NESTED" if "NESTED" in label else "SIMPLE",
+            "difficulty": "NESTED" if nested else "SIMPLE",
             "debug_rounds": debug_rounds,
         }

@@ -37,7 +37,7 @@ from squrve_spark import profile as P
 from squrve_spark.actors.base import ActorPool
 from squrve_spark.actors.families import SparkActor
 from squrve_spark.fewshot import jaccard, mask_question, tokenize
-from squrve_spark.llm import extract_sql
+from squrve_spark.llm import extract_sql, normalize_sql
 
 _SQL_KEYWORDS = frozenset(
     """select from where group by having order limit join left right full outer
@@ -759,10 +759,18 @@ class ReFoRCEGenerator(SparkActor):
         probe_out = self.llm.complete(
             self.PROBE_PROMPT.format(schema=schema, question=question, n=self.MAX_PROBES)
         )
-        probe_sqls = [
+        # the prompt asks for annotated ```sql blocks (possibly multi-line);
+        # fall back to bare SELECT/WITH lines for terse repliers
+        blocks = [
+            b.strip()
+            for b in re.findall(r"```(?:sql)?\s*(.*?)```", probe_out,
+                                re.DOTALL | re.IGNORECASE)
+            if re.search(r"(?is)\b(SELECT|WITH)\b", b)
+        ]
+        probe_sqls = (blocks or [
             ln.strip() for ln in probe_out.splitlines()
             if re.match(r"^\s*(SELECT|WITH)\b", ln.strip(), re.IGNORECASE)
-        ][: self.MAX_PROBES]
+        ])[: self.MAX_PROBES]
         probes = "\n".join(
             f"> {p}\n{X.execute_sql(self.spark, p, max_rows=5, max_chars=300)}"
             for p in probe_sqls
@@ -854,10 +862,16 @@ class RSLSQLGenerator(SparkActor):
     def _json_sql(text: str) -> str | None:
         """Parse the reference's {"sql": "..."} answer shape; None when
         the reply is not in that format (callers fall back to extract_sql)."""
+        import json as _json
+
         m = re.search(r'"sql"\s*:\s*"((?:[^"\\]|\\.)*)"', text, re.DOTALL)
         if not m:
             return None
-        sql = m.group(1).encode().decode("unicode_escape").strip()
+        try:
+            # json unescape (NOT unicode_escape, which mojibakes non-ASCII)
+            sql = _json.loads('"' + m.group(1) + '"').strip()
+        except ValueError:
+            return None
         return sql if sql and sql != "..." else None
 
     def known_columns(self, row: dict) -> set[str]:
@@ -917,15 +931,21 @@ class RSLSQLGenerator(SparkActor):
                 candidate_sql=cand_block,
             ))
             chosen = self._json_sql(pick)
-            norm = lambda s: re.sub(r"\s+", " ", s).strip().rstrip(";")  # noqa: E731
-            if chosen is not None and norm(chosen) == norm(slim_sql):
+            if chosen is not None and normalize_sql(chosen) == normalize_sql(slim_sql):
                 sql, res = slim_sql, res_slim
-            elif chosen is not None and norm(chosen) == norm(full_sql):
+            elif chosen is not None and normalize_sql(chosen) == normalize_sql(full_sql):
                 sql, res = full_sql, res_full
+            elif chosen is not None:
+                # the reference uses the returned SQL directly — a
+                # reformatted variant of a candidate is still the answer
+                sql, res = chosen, X.execute(self.spark, chosen, row_cap=1000)
             else:
-                m = re.search(r"[01]", pick)
+                # no json answer at all: a bare digit reply picks by index
+                # (scanning arbitrary text for [01] would hit literals
+                # like LIMIT 10)
+                m = re.fullmatch(r"\s*([01])\s*", pick)
                 sql, res = ((full_sql, res_full), (slim_sql, res_slim))[
-                    int(m.group(0)) if m else 0
+                    int(m.group(1)) if m else 0
                 ]
         if res.error is None and res.df is not None and res.df.empty:
             samples = "\n".join(
@@ -1071,11 +1091,20 @@ class RecursiveGenerator(SparkActor):
         else:  # plain-SQL reply: treat it as one query per line fallback
             stage = [extract_sql(reply)]
         n_stage = 0
+        preview_cache: dict[str, str] = {}
+
+        def preview(sql: str) -> str:
+            # carried-over queries survive several stages — execute once
+            if sql not in preview_cache:
+                preview_cache[sql] = X.execute_sql(
+                    self.spark, sql, max_rows=3, max_chars=200
+                )
+            return preview_cache[sql]
+
         while len(stage) > 1 and n_stage < self.MAX_STAGES:
             n_stage += 1
             previews = "\n".join(
-                f"query_{i}:\n{sql}\nExecution result:\n"
-                + X.execute_sql(self.spark, sql, max_rows=3, max_chars=200)
+                f"query_{i}:\n{sql}\nExecution result:\n" + preview(sql)
                 for i, sql in enumerate(stage)
             )
             reply = self.llm.complete(self.MERGE_PROMPT.format(
@@ -1095,15 +1124,23 @@ class RecursiveGenerator(SparkActor):
                         if (m := re.search(r"(\d+)", str(qid)))
                     ]
                     ids = [i for i in ids if 0 <= i < len(stage) and i not in consumed]
-                    if len(ids) == 2 and op.get("sql"):
+                    # exactly two DISTINCT sources (["query_0","query_0"]
+                    # must not count as a pair)
+                    if len(set(ids)) == 2 and op.get("sql"):
                         consumed.update(ids)
                         next_stage.append(op["sql"])
                 next_stage += [s for i, s in enumerate(stage) if i not in consumed]
                 if len(next_stage) < len(stage):
                     stage = next_stage
                     continue
-            # unparseable or non-reducing plan: deterministic pairwise fallback
-            stage = [extract_sql(reply)] + stage[2:]
+            # unparseable or non-reducing plan: pairwise fallback, but ONLY
+            # when the reply actually contains SQL — a malformed JSON plan
+            # must never be executed as a query
+            fallback = extract_sql(reply)
+            if re.match(r"(?is)\s*(SELECT|WITH)\b", fallback):
+                stage = [fallback] + stage[2:]
+            else:
+                break  # keep the best current candidate instead of garbage
         return {"pred_sql": stage[0]}
 
 

@@ -244,9 +244,11 @@ class OpenSearchSQLGenerator(SparkActor):
 
     @staticmethod
     def align(sql: str) -> str:
-        """Alignment pass: collapse whitespace and drop a trailing semicolon
-        so textually-equivalent candidates vote together."""
-        return re.sub(r"\s+", " ", sql).strip().rstrip(";").strip()
+        """Alignment pass (delegates to the shared normalizer) so
+        textually-equivalent candidates vote together."""
+        from squrve_spark.llm import normalize_sql
+
+        return normalize_sql(sql)
 
     def act(self, item: int, **kwargs) -> dict:
         row = self.row(item)

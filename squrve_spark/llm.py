@@ -157,10 +157,10 @@ class ScriptedLLM(LLMClient):
 def extract_sql(text: str) -> str:
     """Pull the SQL out of an LLM response: fenced block first, else the
     first SELECT/WITH-rooted statement, else the raw text."""
-    fence = re.search(r"```(?:sql)?\s*(.*?)```", text, re.DOTALL | re.IGNORECASE)
+    fence = re.search(r"```([a-zA-Z]*)\s*(.*?)```", text, re.DOTALL)
     if fence:
-        text = fence.group(1).strip().rstrip(";")
-        if "#SQL:" not in text:
+        text = fence.group(2).strip().rstrip(";")
+        if not re.search(r"(?i)#sql:", text):
             return text
     # OpenSearch-style structured answers end with an explicit '#SQL:' line
     # (and earlier lines like '#reason'/' #SQL-like' may contain the word
@@ -172,3 +172,10 @@ def extract_sql(text: str) -> str:
     if stmt:
         return stmt.group(0).strip().rstrip(";")
     return text.strip().rstrip(";")
+
+
+def normalize_sql(sql: str) -> str:
+    """Whitespace-collapsed, semicolon-stripped canonical text form — THE
+    normalizer for textual candidate equality (vote alignment, json-answer
+    matching); one definition so equivalence semantics can't drift."""
+    return re.sub(r"\s+", " ", sql).strip().rstrip(";").strip()

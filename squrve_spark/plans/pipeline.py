@@ -1540,7 +1540,13 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         text.tokens_expr("text").alias("toks"),
     ).withColumn("n_tokens", F.size("toks").cast("long"))
-    o = with_global_offset(t, ["doc_id"], "n_tokens", out_col="off")
+    # offsets computed on the SLIM (doc_id, n_tokens) frame — the cumsum's
+    # range shuffle + checkpoint must never materialize the token arrays —
+    # then joined back onto the token frame by doc_id
+    slim = with_global_offset(
+        t.select("doc_id", "n_tokens"), ["doc_id"], "n_tokens", out_col="off"
+    ).select("doc_id", "off")
+    o = t.join(slim, "doc_id")
     pos = o.select(
         "doc_id",
         F.posexplode("toks").alias("i", "tok"),

@@ -493,3 +493,23 @@ def test_linkalign_prompt_frame_fidelity(spark):
     assert "### [Question]: How many nations?" in gen
     assert "### [Provided Database Schema]:" in gen
     assert '"which nations exist"' in gen  # classifier breakdown fed through
+
+
+def test_linkalign_cot_classification_reads_label_not_substring(spark):
+    """Regression (review late-r4): a CoT reply that MENTIONS 'NESTED'
+    while concluding SIMPLE must classify as SIMPLE — the label comes from
+    the Label: line (or the last label word), never a bare substring test."""
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (r"classify it as NESTED",
+             "Let's think step by step. No subquery is needed, so it is "
+             'not NESTED.\nLabel: "SIMPLE"'),
+            (r".", GOOD_COUNT),
+        ]
+    )
+    out = LinkAlignGenerator(
+        dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    assert out["difficulty"] == "SIMPLE"
+    assert not any("[Instructions]" in p for p in llm.calls)  # simple tier used

@@ -655,3 +655,19 @@ def test_rslsql_binary_selection_json_frame_fidelity(spark):
     assert "### Input:" in correct and "### Output:" in correct and "### Note:" in correct
     assert "The first three rows of values in the table:" in correct
     assert "need to be enclosed in backquotes" in correct
+
+
+def test_extract_sql_and_json_sql_edge_cases():
+    """Regression (review late-r4): json fences never leak their tag into
+    the 'SQL'; lowercase #sql: markers parse; _json_sql unescapes via JSON
+    semantics (non-ASCII survives, no unicode_escape mojibake)."""
+    from squrve_spark.llm import extract_sql
+
+    assert extract_sql('```json\n{"is_final": true}\n```') == '{"is_final": true}'
+    assert (
+        extract_sql("```\n#reason: uses SELECT\n#sql: SELECT 1 AS x\n```")
+        == "SELECT 1 AS x"
+    )
+    got = RSLSQLGenerator._json_sql('{"sql": "SELECT \'caf\\u00e9\' AS c"}')
+    assert got == "SELECT 'café' AS c"
+    assert RSLSQLGenerator._json_sql("no json here") is None
