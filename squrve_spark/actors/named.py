@@ -864,15 +864,22 @@ class RSLSQLGenerator(SparkActor):
         the reply is not in that format (callers fall back to extract_sql)."""
         import json as _json
 
-        m = re.search(r'"sql"\s*:\s*"((?:[^"\\]|\\.)*)"', text, re.DOTALL)
-        if not m:
-            return None
-        try:
-            # json unescape (NOT unicode_escape, which mojibakes non-ASCII)
-            sql = _json.loads('"' + m.group(1) + '"').strip()
-        except ValueError:
-            return None
-        return sql if sql and sql != "..." else None
+        # Scan ALL '"sql":' matches, preferring the last statement-rooted one:
+        # prompts echo the output-format template ('{"sql": "SQL statement that
+        # meets..."}') before the actual answer, so the first match may be the
+        # English placeholder rather than the SQL.
+        best = None
+        for m in re.finditer(r'"sql"\s*:\s*"((?:[^"\\]|\\.)*)"', text, re.DOTALL):
+            try:
+                # json unescape (NOT unicode_escape, which mojibakes non-ASCII)
+                sql = _json.loads('"' + m.group(1) + '"').strip()
+            except ValueError:
+                continue
+            if not sql or sql == "...":
+                continue
+            if re.match(r"(?is)\s*(SELECT|WITH)\b", sql):
+                best = sql  # keep the LAST statement-rooted candidate
+        return best
 
     def known_columns(self, row: dict) -> set[str]:
         out = set()

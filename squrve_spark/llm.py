@@ -157,9 +157,16 @@ class ScriptedLLM(LLMClient):
 def extract_sql(text: str) -> str:
     """Pull the SQL out of an LLM response: fenced block first, else the
     first SELECT/WITH-rooted statement, else the raw text."""
-    fence = re.search(r"```([a-zA-Z]*)\s*(.*?)```", text, re.DOTALL)
+    fence = re.search(r"```([a-zA-Z]*)([ \t]*\n|[ \t]+|(?=```))(.*?)```", text, re.DOTALL)
     if fence:
-        text = fence.group(2).strip().rstrip(";")
+        tag, sep, payload = fence.group(1), fence.group(2), fence.group(3)
+        # Only treat the leading word as a language tag when it's a known tag
+        # or sits on its own line; otherwise it's part of the SQL itself
+        # ("```SELECT a FROM t```" must not lose its SELECT).
+        known_tag = tag.lower() in ("", "sql", "sqlite", "json", "python", "text", "plaintext", "mysql", "postgresql")
+        if not known_tag and "\n" not in sep:
+            payload = tag + sep + payload
+        text = payload.strip().rstrip(";")
         if not re.search(r"(?i)#sql:", text):
             return text
     # OpenSearch-style structured answers end with an explicit '#SQL:' line

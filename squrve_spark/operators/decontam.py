@@ -230,6 +230,8 @@ def semantic_contamination(
     def max_sim(vecs):  # pd.Series -> pd.Series (hints omitted: pd is
         # function-local here, so string annotations would not resolve)
         eu = bc.value
+        if len(vecs) == 0:  # empty Arrow batch (AQE/empty-partition paths)
+            return pd.Series(dtype="float64")
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         n = np.linalg.norm(V, axis=1, keepdims=True)
         # zero-norm (degenerate) corpus vectors: cosine is undefined —

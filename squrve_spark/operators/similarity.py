@@ -119,6 +119,8 @@ def with_lsh_signature(
     shifts = np.arange(bits, dtype=np.uint64)
 
     def sig_fn(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch (AQE/empty-partition paths)
+            return pd.Series(dtype="int64")
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         bitmat = (V @ planes.T) > 0  # n x bits
         sigs = (bitmat.astype(np.uint64) << shifts[None, :]).sum(axis=1).astype(np.int64)
@@ -449,6 +451,8 @@ def train_centroids(
 
         def assign_fn(col: pd.Series) -> pd.Series:
             cu = bc.value
+            if len(col) == 0:  # empty Arrow batch
+                return pd.Series(dtype="int32")
             V = np.stack([np.asarray(x, dtype=np.float64) for x in col])
             Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
             return pd.Series((Vu @ cu.T).argmax(axis=1).astype(np.int32))
@@ -510,6 +514,8 @@ def ivf_topk(
     def cells_fn(top_n: int):
         def fn(vecs: pd.Series) -> pd.Series:
             cu = bc.value
+            if len(vecs) == 0:  # empty Arrow batch
+                return pd.Series(dtype="object")
             V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
             Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
             sims = Vu @ cu.T  # n x n_centroids
@@ -733,6 +739,8 @@ def pq_encode(
     def encode_fn(vecs: pd.Series) -> pd.Series:
         books = bc.value
         m, ksub, dsub = books.shape
+        if len(vecs) == 0:  # empty Arrow batch
+            return pd.Series(dtype="object")
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         V /= np.linalg.norm(V, axis=1, keepdims=True)
         codes = np.empty((len(V), m), dtype=np.int32)
@@ -913,6 +921,8 @@ def ivf_topk_indexed(
 
     def probe_fn(vecs: pd.Series) -> pd.Series:
         cu = bc.value
+        if len(vecs) == 0:  # empty Arrow batch
+            return pd.Series(dtype="object")
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
         order = np.argsort(-(Vu @ cu.T), axis=1)[:, :n_probe].astype(np.int32)
@@ -960,6 +970,8 @@ def assign_cells(
 
     def assign_fn(vecs: pd.Series) -> pd.Series:
         cu = bc.value
+        if len(vecs) == 0:  # empty Arrow batch
+            return pd.Series(dtype="int32")
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
         return pd.Series((Vu @ cu.T).argmax(axis=1).astype(np.int32))

@@ -98,8 +98,18 @@ class _WroteFiles(WriterCommitMessage):
 class SchemaStoreWriter(DataSourceWriter):
     """Executor-side writer for the file-per-column tree: each input row
     becomes ``{path}/{db_id}/{table}_{column}.json`` (the reference's
-    save_parallel_schema layout, but written DISTRIBUTED — one task per
-    input partition, no driver collect).
+    save_parallel_schema layout, one write task per input partition, no
+    driver collect).
+
+    FILESYSTEM REQUIREMENT (same as the reader): ``path`` must be on a
+    filesystem visible to BOTH the driver and every executor — local disk
+    in local mode, or a shared mount (NFS/FUSE) on a cluster. Tasks write
+    into a staging tree and the driver swaps it in at ``commit()``; with
+    executor-local disks those writes would be invisible to the driver
+    and silently lost. For cluster-native storage, write the DataFrame as
+    parquet/JSON via the normal Hadoop-committer path instead; this sink
+    exists for byte-level compatibility with the reference's on-disk
+    store layout.
 
     Job-level safety: tasks write into a hidden STAGING tree next to the
     target; ``commit()`` (driver, after every task succeeded) swaps it in
@@ -141,6 +151,27 @@ class SchemaStoreWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import shutil
 
+        # Runtime guard for the shared-filesystem requirement: every file a
+        # task reported written must be visible here on the driver. On a
+        # cluster with executor-local disks the staging tree would be empty
+        # — fail loudly instead of committing a silently-truncated store.
+        expected = sum(m.n for m in messages if m is not None)
+        staged = (
+            sum(
+                len([f for f in os.listdir(os.path.join(self.staging, d)) if f.endswith(".json")])
+                for d in os.listdir(self.staging)
+                if os.path.isdir(os.path.join(self.staging, d))
+            )
+            if os.path.isdir(self.staging)
+            else 0
+        )
+        if staged < expected:
+            shutil.rmtree(self.staging, ignore_errors=True)
+            raise RuntimeError(
+                f"squrve_schema sink: tasks reported {expected} files written but "
+                f"only {staged} are visible to the driver — the target path is not "
+                "on a driver+executor-shared filesystem (see SchemaStoreWriter docs)"
+            )
         if self.overwrite:
             if os.path.isdir(self.path):
                 shutil.rmtree(self.path)

@@ -671,3 +671,33 @@ def test_extract_sql_and_json_sql_edge_cases():
     got = RSLSQLGenerator._json_sql('{"sql": "SELECT \'caf\\u00e9\' AS c"}')
     assert got == "SELECT 'café' AS c"
     assert RSLSQLGenerator._json_sql("no json here") is None
+
+
+def test_extract_sql_tagless_fence_keeps_select():
+    """Regression (ADVICE r5): a fence whose payload starts immediately with
+    SELECT/WITH (no language tag, no newline) must not have the keyword
+    swallowed as a tag."""
+    from squrve_spark.llm import extract_sql
+
+    assert extract_sql("```SELECT a FROM t```") == "SELECT a FROM t"
+    assert (
+        extract_sql("```WITH x AS (SELECT 1) SELECT * FROM x```")
+        == "WITH x AS (SELECT 1) SELECT * FROM x"
+    )
+    # a real tag on its own line still strips
+    assert extract_sql("```sql\nSELECT a FROM t\n```") == "SELECT a FROM t"
+    assert extract_sql("```sql SELECT a FROM t```") == "SELECT a FROM t"
+
+
+def test_json_sql_skips_echoed_template_placeholder():
+    """Regression (ADVICE r5): a reply that echoes the output-format line
+    ('{"sql": "SQL statement that meets the user question requirements"}')
+    before the real answer must adopt the LAST statement-rooted value, and
+    a reply containing ONLY the placeholder parses as None."""
+    placeholder = '{"sql": "SQL statement that meets the user question requirements"}'
+    reply = (
+        "The output format is " + placeholder + "\n"
+        'Answer: {"sql": "SELECT `a` FROM `t` WHERE `b` = 1"}'
+    )
+    assert RSLSQLGenerator._json_sql(reply) == "SELECT `a` FROM `t` WHERE `b` = 1"
+    assert RSLSQLGenerator._json_sql(placeholder) is None
