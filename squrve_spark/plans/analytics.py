@@ -474,7 +474,6 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("events", "variant"),
     # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
-    defer_oracle=True,
 )
 def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload analytics via Spark 4 VARIANT: parse_json on
@@ -512,7 +511,6 @@ def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("events", "timeseries"),
     # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
-    defer_oracle=True,
 )
 def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially weighted moving average of event value

@@ -134,6 +134,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("text",),
+    # rotated out of the driver 50-cap in r5 (stable since r2;
+    # composites + pytest parity still cover it)
+    defer_oracle=True,
 )
 def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counting."""
@@ -1519,7 +1522,6 @@ def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("curation", "packing"),
     # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
-    defer_oracle=True,
 )
 def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATERIALIZED sequential packing (the GPT training-batch recipe,
