@@ -58,11 +58,20 @@ class LinkAlignReducer(SparkActor):
     )
 
     def __init__(self, *args, reserve_size: int = 80, decay: float = 0.7,
-                 llm_filter: bool = True, **kwargs):
+                 llm_filter: bool = True, encode_fn=None,
+                 encoder_name: str | None = None, encoder_dim: int = 256,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         self.reserve_size = reserve_size
         self.decay = decay
         self.llm_filter = llm_filter
+        # pluggable embedding model (reference: Config.embed_model_name ->
+        # bge-large; here any list[str] -> (n, dim) callable, e.g.
+        # index.ngram_projection_encoder). Flows through build_or_load so
+        # persisted stores are keyed per encoder and never cross-served.
+        self.encode_fn = encode_fn
+        self.encoder_name = encoder_name
+        self.encoder_dim = encoder_dim
         self._index_cache: dict = {}
 
     @staticmethod
@@ -81,11 +90,15 @@ class LinkAlignReducer(SparkActor):
             if store:
                 # persisted warm path (reference keeps per-db stores on disk)
                 self._index_cache[key] = ColumnIndex.build_or_load(
-                    self.spark, list(tables), store, db_id=key[0]
+                    self.spark, list(tables), store, db_id=key[0],
+                    dim=self.encoder_dim, encode_fn=self.encode_fn,
+                    encoder_name=self.encoder_name,
                 )
             else:
                 self._index_cache[key] = ColumnIndex.build(
-                    self.spark, list(tables), key[0]
+                    self.spark, list(tables), key[0],
+                    dim=self.encoder_dim, encode_fn=self.encode_fn,
+                    encoder_name=self.encoder_name,
                 )
         return self._index_cache[key]
 

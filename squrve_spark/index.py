@@ -52,6 +52,35 @@ def _features_stable(text: str, dim: int) -> np.ndarray:
     return v / n if n else v
 
 
+def ngram_projection_encoder(dim: int = 64, seed: int = 7):
+    """Deterministic stand-in for a neural text encoder (the reference's
+    default is ``BAAI/bge-large-en-v1.5``, core/base.py:131 — not
+    installable here): char n-gram (3..5) term frequencies hashed into a
+    4096-dim sparse space, log-scaled, then a seeded Rademacher random
+    projection down to ``dim``. Unlike a one-hot fake this produces DENSE
+    embeddings where near-duplicate texts land close in cosine and
+    unrelated texts don't, so retrieval quality through the
+    ``encode_fn`` seam is actually exercised. Returns a
+    ``list[str] -> (n, dim)`` callable for ColumnIndex/``build_or_load``.
+    """
+    sparse_dim = 4096
+    rng = np.random.default_rng(seed)
+    proj = rng.choice([-1.0, 1.0], size=(sparse_dim, dim)) / np.sqrt(dim)
+
+    def encode(texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), dim))
+        for i, t in enumerate(texts):
+            v = np.zeros(sparse_dim)
+            s = f"^{(t or '').lower()}$"
+            for n in (3, 4, 5):
+                for j in range(len(s) - n + 1):
+                    v[_stable_hash(s[j : j + n]) % sparse_dim] += 1.0
+            out[i] = np.log1p(v) @ proj
+        return out
+
+    return encode
+
+
 class ColumnIndex:
     """In-memory column retrieval index: (entries, unit-vector matrix).
 

@@ -233,3 +233,93 @@ def test_encoder_shape_validation():
         ColumnIndex._encode(["a", "b"], 8, lambda ts: np.zeros((1, 8)))
     with pytest.raises(ValueError):
         ColumnIndex._encode(["a"], 8, lambda ts: np.zeros((1, 4)))
+
+
+def test_encoder_e2e_through_linkalign_and_persisted_store(
+    spark, tmp_path, monkeypatch
+):
+    """r4 verdict #7: a deterministic NON-trivial encoder (char-ngram TF +
+    seeded random projection — index.ngram_projection_encoder) drives
+    LinkAlign reduction end-to-end through the persisted build_or_load
+    path: the store is keyed per encoder (never cross-served with the
+    feature-hash default), warm reload serves retrieval identically, and
+    retrieval through the dense encoder still surfaces the gold column."""
+    import os
+
+    import numpy as np
+
+    from squrve_spark.actors.linkalign import LinkAlignReducer
+    from squrve_spark.index import ngram_projection_encoder
+
+    register_tables(spark, SF_SMALL, ["customer", "orders", "nation"])
+    store = str(tmp_path / "estore")
+    monkeypatch.setenv("SQURVE_INDEX_STORE", store)
+    enc = ngram_projection_encoder(dim=64, seed=7)
+
+    row = {
+        "instance_id": 0,
+        "question": "customer account balance",
+        "tables": ["customer", "orders", "nation"],
+        "db_id": "tpch",
+    }
+    red = LinkAlignReducer(
+        dataset=[dict(row)], spark=spark, llm=None, llm_filter=False,
+        encode_fn=enc, encoder_name="ngram-proj-v1", encoder_dim=64,
+    )
+    out = red.act(0)
+    assert "customer.c_acctbal" in out["instance_schemas"]
+
+    # exactly one store dir, tagged with the custom encoder
+    dirs = sorted(os.listdir(store))
+    assert len(dirs) == 1
+    idx = ColumnIndex.load(os.path.join(store, dirs[0]), encode_fn=enc)
+    assert idx.encoder_name == "ngram-proj-v1" and idx.dim == 64
+    # the persisted vectors are DENSE projections, not one-hot fakes
+    assert (np.abs(idx.matrix) > 1e-9).mean() > 0.9
+
+    # the default feature-hash reducer must NOT reuse that store
+    red_default = LinkAlignReducer(
+        dataset=[dict(row)], spark=spark, llm=None, llm_filter=False,
+    )
+    red_default.act(0)
+    assert len(os.listdir(store)) == 2  # second store, different key
+
+    # warm path: a fresh reducer with the same encoder LOADS (no rebuild)
+    # and retrieves identically
+    calls = {"n": 0}
+
+    def counting_enc(texts):
+        calls["n"] += 1
+        return enc(texts)
+
+    red_warm = LinkAlignReducer(
+        dataset=[dict(row)], spark=spark, llm=None, llm_filter=False,
+        encode_fn=counting_enc, encoder_name="ngram-proj-v1", encoder_dim=64,
+    )
+    out_warm = red_warm.act(0)
+    assert out_warm["instance_schemas"] == out["instance_schemas"]
+    # encoder invoked only for the QUERY (retrieval), never for a rebuild
+    assert calls["n"] == 1
+    assert len(os.listdir(store)) == 2
+
+
+def test_ngram_projection_encoder_properties():
+    """The stand-in encoder behaves like an embedding model: deterministic,
+    near-duplicate texts close in cosine, unrelated texts far."""
+    import numpy as np
+
+    from squrve_spark.index import ngram_projection_encoder
+
+    enc = ngram_projection_encoder(dim=64, seed=7)
+    texts = [
+        "customer account balance",
+        "customer account balances",  # near-duplicate
+        "lineitem ship date quantity",  # unrelated
+    ]
+    m = enc(texts)
+    assert m.shape == (3, 64)
+    assert np.allclose(m, enc(texts))  # deterministic
+    u = m / np.linalg.norm(m, axis=1, keepdims=True)
+    near = float(u[0] @ u[1])
+    far = float(u[0] @ u[2])
+    assert near > 0.8 and far < 0.5 and near > far
