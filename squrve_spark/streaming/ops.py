@@ -164,6 +164,7 @@ def run_stream_to_table(
     output_mode: str,
     name: str | None = None,
     timeout_s: float = 300.0,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame with Trigger.AvailableNow into an
     in-memory table; returns the result as a batch DataFrame.
@@ -171,6 +172,13 @@ def run_stream_to_table(
     This is how streaming plans become hash-checkable: availableNow
     processes the full source then terminates, so the memory table holds
     the deterministic final result.
+
+    ``metrics_out`` (optional dict, filled in place) receives the drained
+    query's state-store telemetry — ``state_operators``: the FINAL
+    micro-batch's stateOperators list (numRowsTotal, numRowsUpdated,
+    memoryUsedBytes, ...), plus ``num_batches`` and ``num_output_rows``.
+    This turns 100x-scale state claims (e.g. 'anomaly state is 3 numbers
+    per user') into executable assertions — see tests/test_streaming.py.
     """
     name = name or f"stream_{uuid.uuid4().hex[:10]}"
     spark = df.sparkSession
@@ -197,6 +205,16 @@ def run_stream_to_table(
                 f"stream drain '{name}' did not finish within {timeout_s}s — "
                 "result would be a silently-truncated partial drain"
             )
+        if metrics_out is not None:
+            progs = _progress_dicts(q)
+            with_state = [p for p in progs if p.get("stateOperators")]
+            metrics_out["num_batches"] = len(progs)
+            metrics_out["state_operators"] = (
+                with_state[-1]["stateOperators"] if with_state else []
+            )
+            metrics_out["num_output_rows"] = sum(
+                (p.get("sink") or {}).get("numOutputRows") or 0 for p in progs
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # detach the result from the memory sink: checkpoint the (small,
@@ -205,6 +223,21 @@ def run_stream_to_table(
     # session's lifetime (unbounded in a service or bench loop)
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
+    return out
+
+
+def _progress_dicts(q) -> list[dict]:
+    """StreamingQuery.recentProgress as plain dicts across PySpark versions
+    (older returns dicts; newer returns StreamingQueryProgress objects)."""
+    import json as _json
+
+    out = []
+    for p in q.recentProgress:
+        if isinstance(p, dict):
+            out.append(p)
+        else:
+            j = p.json() if callable(getattr(p, "json", None)) else p.json
+            out.append(_json.loads(j))
     return out
 
 

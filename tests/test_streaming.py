@@ -282,3 +282,36 @@ def test_replay_stream_source_matches_batch(spark, tmp_path):
     rows_per_batch = [p["numInputRows"] for p in progress if p["numInputRows"]]
     assert max(rows_per_batch) <= 700
     assert sum(rows_per_batch) == n
+
+
+def test_state_store_telemetry_bounds(spark):
+    """r4 verdict #8: state-store size claims are executable. The anomaly
+    and running-state operators keep EXACTLY one state row per user (state
+    is a fixed-width tuple, so state memory is O(#users) at any scale);
+    the drained query's stateOperators metrics prove it."""
+    from squrve_spark.streaming.ops import anomaly_stream, read_event_stream
+
+    n_users = load_table(spark, SF_SMALL, "events").select("user_id").distinct().count()
+
+    m_anom: dict = {}
+    ev = read_event_stream(spark, SF_SMALL)
+    run_stream_to_table(anomaly_stream(ev), "update", metrics_out=m_anom)
+    ops = m_anom["state_operators"]
+    assert len(ops) == 1, f"one stateful operator expected, got {ops}"
+    assert ops[0]["numRowsTotal"] == n_users
+    assert 0 < ops[0]["memoryUsedBytes"] < 50 * 1024 * 1024
+    assert m_anom["num_batches"] >= 1
+
+    m_state: dict = {}
+    ev2 = read_event_stream(spark, SF_SMALL)
+    run_stream_to_table(user_running_state_stream(ev2), "update", metrics_out=m_state)
+    ops2 = m_state["state_operators"]
+    assert len(ops2) == 1 and ops2[0]["numRowsTotal"] == n_users
+
+    # stateless drain reports no state operators (and the sink row count)
+    m_none: dict = {}
+    ev3 = read_event_stream(spark, SF_SMALL)
+    flat = ev3.select("event_id", "user_id")
+    out = run_stream_to_table(flat, "append", metrics_out=m_none)
+    assert m_none["state_operators"] == []
+    assert m_none["num_output_rows"] == out.count()
