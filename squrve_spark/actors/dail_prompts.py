@@ -131,7 +131,12 @@ class DAILPrompt:
                 parts.append("/* Solve by analogy with the cases above. */")
             if self.with_rule:
                 parts.append(f"/* {_RULE} */")
-            parts.append(f"/* Answer the following: {question} */")
+            if self.cot:
+                # SQLCOTPrompt folds the CoT cue INTO the question line
+                # (template_question, DAILSQLGenerate.py:1144)
+                parts.append(f"/* {_COT} Answer the following: {question} */")
+            else:
+                parts.append(f"/* Answer the following: {question} */")
             sep = "\n\n"
         elif self.base == "text":
             parts = [f"Given the following database schema:\n{schema}"]
@@ -163,11 +168,15 @@ class DAILPrompt:
             fk = _fk_block(self.base, example.get("foreign_keys") or [])
             if fk:
                 parts.insert(1, fk)
-        if self.cot:
+        if self.cot and self.base != "sql":  # sql folds CoT into the question
             parts.append(_COT)
         return sep.join(parts)
 
     def format_target(self, example: dict) -> str:
+        if self.cot and self.base == "sql":
+            # SQLCOTPrompt.format_target: the CoT question IS the target —
+            # no 'SELECT ' completion stub (the model reasons first)
+            return self.format_question(example)
         suffix = "\nA: SELECT " if self.base == "baseline" else "\nSELECT "
         return self.format_question(example) + suffix
 
@@ -206,13 +215,24 @@ class ICLPrompt:
         self.k_shot = k_shot
         self.example_format = example_format
 
+    # every reference example style shares this prefix line
+    # (get_example_prefix, DAILSQLGenerate.py:1256-1303)
+    EXAMPLE_PREFIX = "/* Some SQL examples are provided based on similar problems: */\n"
+
     def format(self, target: dict, examples: list[dict]) -> str:
         blocks = [
             format_example(ex, self.example_format, self.prompt)
             for ex in examples[: self.k_shot]
         ]
-        blocks.append(self.prompt.format_target(target))
-        return "\n\n".join(blocks)
+        rendered_target = self.prompt.format_target(target)
+        if blocks:
+            return (
+                self.EXAMPLE_PREFIX
+                + "\n\n".join(blocks)
+                + "\n\n"
+                + rendered_target
+            )
+        return rendered_target
 
 
 def prompt_factory(repr_type: str, k_shot: int, example_format: str) -> ICLPrompt:

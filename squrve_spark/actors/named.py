@@ -28,12 +28,14 @@ sql_debug.py:120-248, collapsed to the single ``spark`` backend).
 
 from __future__ import annotations
 
+import json
 import re
 from typing import Optional
 
 from squrve_spark import compare as C
 from squrve_spark import execution as X
 from squrve_spark import profile as P
+from squrve_spark.actors import example_banks
 from squrve_spark.actors.base import ActorPool
 from squrve_spark.actors.families import SparkActor
 from squrve_spark.fewshot import jaccard, mask_question, tokenize
@@ -168,61 +170,28 @@ class DINSQLGenerator(SparkActor):
         "schema_links: {links}\n"
         "A: Let's think step by step."
     )
+    # Tier prompts = instruction line + {schema} + the full-size example
+    # bank (reference scale and line shapes; bodies are this engine's own
+    # TPC-H-domain examples — actors/example_banks.py) + the target lines
+    # exactly as the reference's prompt makers glue them
+    # (DINSQLGenerate.py:501-515).
     EASY_PROMPT = (
         "# Use the schema links to generate the SQL queries for each of the "
-        "questions.\n{schema}\n"
-        "### Here are some reference examples:\n#\n"
-        'Q: "How many regions are there?"\n'
-        "Schema_links: [region.*]\n"
-        "SQL: SELECT count(*) FROM region\n\n"
-        'Q: "Find the names of nations with nation key below 5."\n'
-        "Schema_links: [nation.n_name,nation.n_nationkey,5]\n"
-        "SQL: SELECT n_name FROM nation WHERE n_nationkey < 5\n"
-        "###\n"
-        'Q: "{question}"\nSchema_links: {links}\nSQL:'
+        "questions.\n{schema}\n" + example_banks.DIN_EASY_BANK
+        + 'Q: "{question}"\nSchema_links: {links}\nSQL:'
     )
     MEDIUM_PROMPT = (
         "# Use the schema links and Intermediate_representation to generate "
         "the SQL queries for each of the questions.\n{schema}\n"
-        "### Here are some reference examples:\n#\n"
-        'Q: "Find the names of customers in nations of the ASIA region."\n'
-        "Schema_links: [customer.c_name,customer.c_nationkey = "
-        "nation.n_nationkey,nation.n_regionkey = region.r_regionkey,"
-        "region.r_name,ASIA]\n"
-        "A: Let's think step by step. For creating the SQL for the given "
-        "question, we need to join these tables = [customer,nation,region]. "
-        "First, create an intermediate representation, then use it to "
-        "construct the SQL query.\n"
-        "Intermediate_representation: select customer.c_name from customer , "
-        'nation , region where region.r_name = "ASIA"\n'
-        "SQL: SELECT c_name FROM customer JOIN nation ON c_nationkey = "
-        "n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = "
-        "'ASIA'\n"
-        "###\n"
-        'Q: "{question}"\nSchema_links: {links}\n'
+        + example_banks.DIN_MEDIUM_BANK
+        + 'Q: "{question}"\nSchema_links: {links}\n'
         "A: Let's think step by step."
     )
     HARD_PROMPT = (
         "# Use the intermediate representation and the schema links to "
         "generate the SQL queries for each of the questions.\n{schema}\n"
-        "### Here are some reference examples:\n#\n"
-        '[Question]: "Find the nations that have no orders."\n'
-        "schema_links: [nation.n_name,nation.n_nationkey = "
-        "customer.c_nationkey,customer.c_custkey = orders.o_custkey]\n"
-        "[Analysis]: Let's think step by step. \"Find the nations that have "
-        'no orders." can be solved by knowing the answer to the following '
-        'sub-question "Which nations have orders?".\n'
-        'The SQL query for the sub-question "Which nations have orders?" is '
-        "SELECT DISTINCT n_nationkey FROM nation JOIN customer ON n_nationkey "
-        "= c_nationkey JOIN orders ON c_custkey = o_custkey\n"
-        'So, the answer to the question "Find the nations that have no '
-        'orders." is =\n'
-        "Intermediate_representation: select nation.n_name from nation where "
-        "@.@ not in (the sub-query)\n"
-        "SQL: SELECT n_name FROM nation WHERE n_nationkey NOT IN (SELECT "
-        "c_nationkey FROM customer JOIN orders ON c_custkey = o_custkey)\n"
-        "###\n"
-        'Q: "{question}"\nschema_links: {links}\n'
+        + example_banks.DIN_HARD_BANK
+        + 'Q: "{question}"\nschema_links: {links}\n'
         "A: Let's think step by step. \"{question}\" can be solved by knowing "
         'the answer to the following sub-question "{subs}".\n'
         'The SQL query for the sub-question"'
@@ -578,9 +547,18 @@ class CHESSGenerator(SparkActor):
         "distinguish the candidate responses using the <Thinking> tags.\n"
         "- After the thinking process, provide the list of unit tests in the "
         "<Answer> tags.\n\n"
+        "VERY IMPORTANT:\n"
+        "All of the unit tests should consider the logic of the SQL query do "
+        "not consider the formatting of the output or output values.\n\n"
+        "You are provided with different clusters of the candidate "
+        "responses. Each cluster contains similar responses based on their "
+        "results.\n"
+        "You MUST generate test cases that can distinguish between the "
+        "candidate responses in each cluster and the test case should "
+        "promote the candidate responses that you think are correct.\n\n"
         "** Database Schema: **\n{schema}\n\n"
         "** Question: **\nQuestion: {question}\n\n"
-        "** Candidate SQL Queries: **\n{candidates}\n\n"
+        "** Candidate Clusters: **\n{candidates}\n\n"
         "** Output Format: **\n"
         "<Thinking> Your step by step reasoning here. </Thinking>\n"
         "<Answer>\n"
@@ -616,9 +594,111 @@ class CHESSGenerator(SparkActor):
         "...\n"
         "</Answer>"
     )
+    # template_revise_one shape (CHESSPrompt.py:1403-1668): Task
+    # Description / Procedure / Output Format prose, the 【...】-bracketed
+    # task sections, and the <FINAL_ANSWER> xml delimiter contract.
     REVISE_PROMPT = (
-        "SQL: {sql}\nfailed unit tests:\n{failed}\nSchema:\n{schema}\n"
-        "Question: {question}\nReturn the revised SQL only."
+        "**Task Description:**\n"
+        "You are an SQL database expert tasked with correcting a SQL query. "
+        "A previous attempt to run a query did not yield the correct "
+        "results, either due to errors in execution or because the result "
+        "returned was empty or unexpected. Your role is to analyze the "
+        "error based on the provided database schema and the details of the "
+        "failed execution, and then provide a corrected version of the SQL "
+        "query.\n\n"
+        "**Procedure:**\n"
+        "1. Review Database Schema:\n"
+        "\t- Examine the table creation statements to understand the "
+        "database structure.\n"
+        "2. Analyze Query Requirements:\n"
+        "\t- Original Question: Consider what information the query is "
+        "supposed to retrieve.\n"
+        "\t- Executed SQL Query: Review the SQL query that was previously "
+        "executed and led to an error or incorrect result.\n"
+        "\t- Execution Result: Analyze the outcome of the executed query to "
+        "identify why it failed (e.g., syntax errors, incorrect column "
+        "references, logical mistakes).\n"
+        "\t- Failed Unit Tests: the failed unit tests below describe logical "
+        "properties the correct query must satisfy.\n"
+        "3. Correct the Query:\n"
+        "\t- Modify the SQL query to address the identified issues, ensuring "
+        "it correctly fetches the requested data according to the database "
+        "schema and query requirements.\n\n"
+        "**Output Format:**\n\n"
+        "Present your corrected query as a single line of SQL code, "
+        "enclosed within XML delimiter tags <FINAL_ANSWER> and "
+        "</FINAL_ANSWER>. Ensure there are no line breaks within the "
+        "query.\n\n"
+        "======= Your task =======\n"
+        "**************************\n"
+        "【Table creation statements】\n{schema}\n\n"
+        "**************************\n"
+        "The original question is:\n"
+        "Question:\n{question}\n\n"
+        "The SQL query executed was:\n{sql}\n\n"
+        "The failed unit tests:\n{failed}\n\n"
+        "**************************\n"
+        "Based on the question, table schemas and the previous query, "
+        "analyze the result try to fix the query.\n\n"
+        "Give very detailed analysis first. When you are OK with the fixed "
+        "query, output the query string ONLY inside the xml delimiter "
+        "<FINAL_ANSWER></FINAL_ANSWER>.\n"
+        "Inside the xml delimiter it should be the query in plain text. You "
+        "cannot modify the database schema or the question, just output the "
+        "corrected query.\n"
+        "Make sure you only output one single query. The query should be a "
+        "one liner without any line breaks.\n\n"
+        "Example of correct format:\n"
+        "<FINAL_ANSWER>\n"
+        "SELECT column FROM table WHERE condition\n"
+        "</FINAL_ANSWER>"
+    )
+    # template_revise_two shape (CHESSPrompt.py:1280-1322): numbered
+    # database-admin instructions + JSON chain_of_thought/revised_SQL
+    # answer contract, rules re-grounded in Spark SQL semantics.
+    REVISE_ADMIN_PROMPT = (
+        "Objective: Your objective is to make sure a query follows the "
+        "database admin instructions and use the correct conditions.\n\n"
+        "Database Schema:\n{schema}\n\n"
+        "Database admin instructions:\n"
+        "1. When you need to find the highest or lowest values based on a "
+        "certain condition, using ORDER BY + LIMIT 1 is preferred over "
+        "using MAX/MIN within sub queries.\n"
+        "2. If the predicted query includes an ORDER BY clause to sort the "
+        "results, you should only include the column(s) used for sorting "
+        "in the SELECT clause if the question specifically asks for them. "
+        "Otherwise, omit these columns from the SELECT.\n"
+        "3. If the question doesn't specify exactly which columns to "
+        "select, between name column and key column, prefer to select the "
+        "key column.\n"
+        "4. Make sure you only output the information that is asked in the "
+        "question. If the question asks for a specific column, make sure "
+        "to only include that column in the SELECT clause, nothing more.\n"
+        "5. The predicted query should return all of the information asked "
+        "in the question without any missing or extra information.\n"
+        "6. No matter how many things the question asks, you should only "
+        "return one Spark SQL query as the answer having all the "
+        "information asked in the question.\n"
+        "7. Never concatenate columns in the SELECT clause.\n"
+        "8. If you are joining multiple tables, make sure to use alias "
+        "names for the tables and use the alias names to reference the "
+        "columns in the query. Use T1, T2, T3, ... as alias names.\n"
+        "9. If you are doing a logical operation on a column, such as "
+        "mathematical operations and sorting, make sure to filter null "
+        "values within those columns.\n\n"
+        "Question:\n{question}\n\n"
+        "Predicted query:\n{sql}\n\n"
+        "Query result:\n{result}\n\n"
+        "Please respond with a JSON object structured as follows (if the "
+        "sql query is correct, return the query as it is):\n\n"
+        "{{\n"
+        '    "chain_of_thought_reasoning": "Your thought process on how '
+        "you arrived at the solution. You don't need to explain the "
+        'instructions that are satisfied.",\n'
+        '    "revised_SQL": "Your revised SQL query."\n'
+        "}}\n\n"
+        "Take a deep breath and think step by step to find the correct "
+        "Spark SQL query."
     )
 
     def value_context(self, row: dict, keywords: list[str]) -> str:
@@ -652,15 +732,30 @@ class CHESSGenerator(SparkActor):
         # candidates (with execution previews as grounding evidence) are
         # presented TOGETHER: tests are generated to distinguish them, and
         # each test evaluates all candidates in one call (reference flow)
+        previews = [
+            X.execute_sql(self.spark, sql, max_rows=5, max_chars=500)
+            for sql in cands
+        ]
         cands_block = "\n".join(
-            f"Candidate Response #{i + 1}: {sql}\nExecution preview:\n"
-            f"{X.execute_sql(self.spark, sql, max_rows=5, max_chars=500)}"
-            for i, sql in enumerate(cands)
+            f"Candidate Response #{i + 1}: {sql}\nExecution preview:\n{pv}"
+            for i, (sql, pv) in enumerate(zip(cands, previews))
+        )
+        # test GENERATION sees result-equivalence CLUSTERS (the reference's
+        # 'Candidate Clusters' section): candidates sharing an execution
+        # result group together, and tests must split the clusters apart
+        by_result: dict[str, list[int]] = {}
+        for i, pv in enumerate(previews):
+            by_result.setdefault(pv, []).append(i)
+        cluster_block = "\n\n".join(
+            f"Cluster #{ci + 1}:\n"
+            + "\n".join(f"Candidate Response #{i + 1}: {cands[i]}" for i in idxs)
+            + f"\nShared execution result:\n{pv}"
+            for ci, (pv, idxs) in enumerate(by_result.items())
         )
         tests = self._parse_tests(
             self.llm.complete(self.TESTS_PROMPT.format(
                 question=question, n=self.N_TESTS, schema=schema,
-                candidates=cands_block,
+                candidates=cluster_block,
             ))
         )[: self.N_TESTS]
         passes_per = [0] * len(cands)
@@ -680,10 +775,42 @@ class CHESSGenerator(SparkActor):
         best = max(range(len(cands)), key=lambda i: passes_per[i])
         passes, failed, sql = passes_per[best], failed_per[best], cands[best]
         if failed:
-            sql = extract_sql(self.llm.complete(self.REVISE_PROMPT.format(
+            out = self.llm.complete(self.REVISE_PROMPT.format(
                 sql=sql, failed="\n".join(failed), schema=schema, question=question
-            )))
+            ))
+            sql = self._final_answer(out) or extract_sql(out)
         return {"pred_sql": sql, "unit_test_passes": passes}
+
+    @staticmethod
+    def _final_answer(text: str) -> str | None:
+        """SQL from the <FINAL_ANSWER> xml delimiter (revise contract);
+        None when absent so callers fall back to extract_sql."""
+        m = re.search(r"<FINAL_ANSWER>(.*?)</FINAL_ANSWER>", text, re.S)
+        if not m:
+            return None
+        sql = " ".join(m.group(1).split()).rstrip(";")
+        return sql or None
+
+    def revise_with_instructions(self, sql: str, row: dict) -> str:
+        """The reference's SECOND revise mode (template_revise_two): check
+        the query against the numbered database-admin instructions and
+        return the JSON-answered revised_SQL (unchanged when the reply is
+        unparseable — a broken revise must never destroy a working query).
+        """
+        schema = row.get("schema_ddl") or self.schema_ddl(row)
+        result = X.execute_sql(self.spark, sql, max_rows=5, max_chars=500)
+        out = self.llm.complete(self.REVISE_ADMIN_PROMPT.format(
+            schema=schema, question=row.get("question", ""), sql=sql,
+            result=result,
+        ))
+        m = re.search(r'"revised_SQL"\s*:\s*"((?:[^"\\]|\\.)*)"', out, re.S)
+        if not m:
+            return sql
+        try:
+            revised = json.loads('"' + m.group(1) + '"').strip()
+        except ValueError:
+            return sql
+        return revised if re.match(r"(?is)\s*(SELECT|WITH)\b", revised) else sql
 
     @staticmethod
     def _parse_tests(out: str) -> list[str]:

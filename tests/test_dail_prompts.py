@@ -114,3 +114,36 @@ def test_dailsql_generator_with_repr_and_selector(spark):
     final = llm.calls[-1]
     assert "### How many regions are there?" in final  # selected example, NS style
     assert "# nation(n_nationkey" in final             # catalog-derived schema
+
+def test_cot_folds_into_question_line_for_sql_base():
+    """r5 (verdict #4): SQLCOT matches the reference's template_question
+    ('/* Let's think step by step. Answer the following: ... */',
+    DAILSQLGenerate.py:1144) and its format_target carries NO 'SELECT '
+    completion stub."""
+    p = DAILPrompt(REPR_TYPE.CODE_REPRESENTATION_COT)
+    ex = {"question": "How many nations?", "tables": [("nation", ["n_nationkey"])]}
+    q = p.format_question(ex)
+    assert "/* Let's think step by step. Answer the following: How many nations? */" in q
+    assert not q.rstrip().endswith("Let's think step by step.")  # folded, not appended
+    assert p.format_target(ex) == q  # no SELECT stub for the CoT variant
+    # non-sql COT bases keep the trailing cue (reference classes are
+    # degenerate copies there; the trailing form preserves the CoT signal)
+    t = DAILPrompt(REPR_TYPE.TEXT_REPRESENTATION_COT).format_question(ex)
+    assert t.rstrip().endswith("Let's think step by step.")
+
+
+def test_icl_prompt_carries_shared_example_prefix():
+    """Every reference example style opens with the same prefix line
+    (get_example_prefix, DAILSQLGenerate.py:1256-1303)."""
+    icl = prompt_factory(REPR_TYPE.CODE_REPRESENTATION, k_shot=2, example_format=EXAMPLE_TYPE.QA)
+    target = {"question": "How many nations?", "tables": [("nation", ["n_nationkey"])]}
+    exs = [
+        {"question": "How many regions?", "sql": "SELECT count(*) FROM region"},
+        {"question": "How many parts?", "sql": "SELECT count(*) FROM part"},
+    ]
+    out = icl.format(target, exs)
+    assert out.startswith("/* Some SQL examples are provided based on similar problems: */\n")
+    assert out.count("Q: How many") == 2
+    # zero-shot: no prefix line
+    zero = prompt_factory(REPR_TYPE.CODE_REPRESENTATION, k_shot=0, example_format=EXAMPLE_TYPE.QA)
+    assert "similar problems" not in zero.format(target, exs)

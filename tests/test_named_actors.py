@@ -361,12 +361,17 @@ def test_chess_prompt_template_fidelity(spark):
     CHESSGenerator(dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm).act(0)
     gen = next(p for p in llm.calls if "generate a set of" in p)
     for section in ("** Instructions: **", "** Database Schema: **",
-                    "** Question: **", "** Candidate SQL Queries: **",
+                    "** Question: **", "** Candidate Clusters: **",
                     "** Output Format: **"):
         assert section in gen, section
     assert "distinguish the candidate responses from each other" in gen
     assert "'The answer SQL query should mention...'" in gen
     assert "<Thinking>" in gen and "<Answer>" in gen
+    # r5: the cluster framing (CHESSPrompt.py:1685-1687) — candidates
+    # grouped by shared execution result, VERY IMPORTANT logic-only rule
+    assert "VERY IMPORTANT:" in gen
+    assert "clusters of the candidate responses" in gen
+    assert "Cluster #1:" in gen and "Shared execution result:" in gen
     ev = next(p for p in llm.calls if "evaluate whether" in p)
     assert "** Unit Test: **" in ev
     assert "'[Passed]' or '[Failed]'" in ev
@@ -701,3 +706,145 @@ def test_json_sql_skips_echoed_template_placeholder():
     )
     assert RSLSQLGenerator._json_sql(reply) == "SELECT `a` FROM `t` WHERE `b` = 1"
     assert RSLSQLGenerator._json_sql(placeholder) is None
+
+
+def test_chess_revise_frame_and_final_answer_parse(spark):
+    """r5 (verdict #4): the revise pass carries template_revise_one's
+    documented prose (Task Description / Procedure / Output Format, the
+    【Table creation statements】 task section, one-liner rule) and adopts
+    the SQL inside <FINAL_ANSWER> tags."""
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (r"List the literal keywords", ""),
+            (
+                r"generate a set of \d+ unit tests",
+                "<Answer>\n['The answer SQL query should return a single number']\n</Answer>",
+            ),
+            (
+                r"evaluate whether",
+                "<Answer>\nCandidate Response #1: [Failed]\n"
+                "Candidate Response #2: [Failed]\n"
+                "Candidate Response #3: [Failed]\n</Answer>",
+            ),
+            (
+                r"You are an SQL database expert tasked with correcting",
+                "Step 1: the filter is wrong.\n<FINAL_ANSWER>\n"
+                + GOOD_COUNT + "\n</FINAL_ANSWER>",
+            ),
+            (r"variant", "SELECT n_name FROM nation"),
+        ]
+    )
+    out = CHESSGenerator(
+        dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    assert out["pred_sql"] == GOOD_COUNT
+    rev = next(p for p in llm.calls if "tasked with correcting" in p)
+    for frag in (
+        "**Task Description:**", "**Procedure:**", "1. Review Database Schema:",
+        "2. Analyze Query Requirements:", "3. Correct the Query:",
+        "**Output Format:**", "======= Your task =======",
+        "【Table creation statements】", "The SQL query executed was:",
+        "The failed unit tests:", "<FINAL_ANSWER></FINAL_ANSWER>",
+        "one liner without any line breaks",
+    ):
+        assert frag in rev, frag
+
+
+def test_chess_admin_revise_json_contract(spark):
+    """r5 (verdict #4): the second revise mode (template_revise_two shape)
+    carries the numbered admin instructions and the JSON
+    chain_of_thought_reasoning/revised_SQL answer contract; unparseable or
+    non-statement replies leave the query unchanged."""
+    register_tables(spark, SF_SMALL, ["nation"])
+    fixed = "SELECT count(*) AS n FROM nation WHERE n_nationkey IS NOT NULL"
+    llm = MockLLM(
+        rules=[
+            (
+                r"database admin instructions",
+                '{"chain_of_thought_reasoning": "rule 9: filter nulls", '
+                '"revised_SQL": "' + fixed + '"}',
+            ),
+        ]
+    )
+    gen = CHESSGenerator(
+        dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
+    )
+    row = gen.row(0)
+    assert gen.revise_with_instructions(GOOD_COUNT, row) == fixed
+    prompt = llm.calls[0]
+    for frag in (
+        "Objective: Your objective is to make sure a query follows the",
+        "Database admin instructions:",
+        "ORDER BY + LIMIT 1 is preferred",
+        "alias names for the tables",
+        "filter null values",
+        '"chain_of_thought_reasoning"',
+        '"revised_SQL"',
+        "Predicted query:",
+        "Query result:",
+    ):
+        assert frag in prompt, frag
+    # broken JSON -> unchanged
+    gen2 = CHESSGenerator(
+        dataset=[_row("How many nations?", ["nation"])], spark=spark,
+        llm=MockLLM(rules=[(r"admin instructions", "not json at all")]),
+    )
+    assert gen2.revise_with_instructions(GOOD_COUNT, gen2.row(0)) == GOOD_COUNT
+
+
+def test_dinsql_example_banks_reference_scale_and_shape(spark):
+    """r5 (verdict #4): the tier prompts embed FULL-SIZE example banks in
+    the reference's per-tier line shapes (DINSQLGenerate.py:230-436) —
+    16 EASY Q/schema_links/SQL triples, 9 MEDIUM IR chains (last two in
+    the classification-analysis variant), 8 HARD sub-question
+    decompositions — and every example's SQL actually parses."""
+    from squrve_spark.actors import example_banks as B
+
+    assert len(B.DIN_EASY_EXAMPLES) >= 15
+    assert len(B.DIN_MEDIUM_EXAMPLES) >= 8
+    assert len(B.DIN_HARD_EXAMPLES) >= 7
+
+    easy = B.DIN_EASY_BANK
+    assert easy.startswith("### Here are some reference examples:")
+    assert easy.count('Q: "') == len(B.DIN_EASY_EXAMPLES)
+    assert easy.count("schema_links:") == len(B.DIN_EASY_EXAMPLES)
+    assert easy.count("SQL: SELECT") == len(B.DIN_EASY_EXAMPLES)
+
+    med = B.DIN_MEDIUM_BANK
+    assert med.count("Intermediate_representation:") == len(B.DIN_MEDIUM_EXAMPLES)
+    assert med.count("A: Let's think step by step.") == len(B.DIN_MEDIUM_EXAMPLES)
+    # the classification-analysis variant appears (reference bank mixes it in)
+    assert 'can be classified as "NON-NESTED"' in med
+    assert "we need to join these tables = [" in med
+
+    hard = B.DIN_HARD_BANK
+    for marker in ("# [Question]:", "# [Schema links]:", "# [Analysis]:", "# [Sql]:"):
+        assert hard.count(marker) == len(B.DIN_HARD_EXAMPLES), marker
+    assert hard.count("can be solved by knowing the answer to the following sub-question") == len(
+        B.DIN_HARD_EXAMPLES
+    )
+    # shape families carried over: EXCEPT, NOT IN, < max, IN chain, @.@ IR
+    assert "EXCEPT SELECT" in hard and "NOT IN (SELECT" in hard
+    assert "@.@ <" in hard and "@.@ not in" in hard
+
+    # every example SQL parses AND analyzes against the real star schema
+    register_tables(spark, SF_SMALL)
+    for _, _, sql in B.DIN_EASY_EXAMPLES:
+        spark.sql("EXPLAIN " + sql)
+    for ex in B.DIN_MEDIUM_EXAMPLES + B.DIN_HARD_EXAMPLES:
+        spark.sql("EXPLAIN " + ex["sql"])
+        if "sub_sql" in ex:
+            spark.sql("EXPLAIN " + ex["sub_sql"])
+
+    # and the generator actually ships the banks in its prompts
+    llm = MockLLM(
+        rules=[
+            (r"Find the schema_links", "Schema_links: [nation.*]"),
+            (r"classify it as EASY", 'Label: "EASY"'),
+            (r".", GOOD_COUNT),
+        ]
+    )
+    DINSQLGenerator(dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm).act(0)
+    easy_call = next(p for p in llm.calls if "Use the schema links to generate" in p)
+    assert easy_call.count('Q: "') == len(B.DIN_EASY_EXAMPLES) + 1  # bank + target
