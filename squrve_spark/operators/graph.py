@@ -83,6 +83,75 @@ def connected_components(
     )
 
 
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_iter: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Distributed PageRank over an undirected pair set -> (id, rank).
+
+    The similarity/dedup pair graphs double as relatedness graphs; rank
+    over them surfaces the most-connected (hub) documents — a standard
+    corpus-curation signal (e.g. for picking representative docs per
+    near-dup neighborhood). Expressed as the classic DataFrame iteration:
+
+    * contributions = ranks ⋈ edges (shuffle on src) -> groupBy dst sum —
+      both shuffle on ids; nothing driver-side but the loop counter;
+    * dangling mass: an undirected graph built from pairs has none (every
+      node has degree >= 1), so the update is exactly
+      ``rank = (1-d)/n + d * sum(contribs)`` with total mass conserved at
+      1.0 every iteration (property-tested against numpy power iteration);
+    * lineage is truncated every ``checkpoint_every`` iterations with an
+      eager localCheckpoint — the iterative-plan blowup guard, same as
+      connected_components, amortized because rank converges smoothly and
+      intermediate recompute depth is bounded.
+
+    Ranks are normalized to sum to 1 (probability form). Deterministic:
+    decimal-free double math but every engine computes the same join
+    results; iteration count is fixed, not convergence-tested.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    degrees = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    out_edges = (
+        edges.join(degrees, on="src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    n = nodes.count()  # scalar: node count, pair-scale not corpus-scale
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for i in range(n_iter):
+        contribs = (
+            out_edges.join(ranks, out_edges.src == ranks.id)
+            .select("dst", (F.col("w") * F.col("rank")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.id == contribs.dst, "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def canonical_docs(
     docs: DataFrame,
     pairs: DataFrame,

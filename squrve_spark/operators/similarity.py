@@ -243,14 +243,28 @@ def exact_neardup_pairs(
             )
         ),
     )
-    right = src_b.withColumn(
-        "cell",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("blk")),
-                lambda i: i * n_blocks + F.col("blk"),
-            )
-        ),
+    # The right branch gets FRESH column names (new exprIds). Deriving both
+    # cogroup sides from the same src_b leaves identical attribute ids on
+    # both children; Spark's self-cogroup dedup then mis-binds the UDF's
+    # right-side arguments to the LEFT's ids, and when the downstream plan
+    # needs no UDF output (count(), pruned writes) column pruning drops the
+    # right child's value columns entirely — the kernel received a pdf with
+    # only the key column (r5 regression test: test_ann.py count==collect).
+    right = (
+        src_b.select(
+            F.col(id_col).alias("_r_id"),
+            F.col(vec_col).alias("_r_vec"),
+            F.col("blk").alias("_r_blk"),
+        )
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_r_blk")),
+                    lambda i: i * n_blocks + F.col("_r_blk"),
+                )
+            ),
+        )
     )
     diag_cells = {i * n_blocks + i for i in range(n_blocks)}
 
@@ -260,9 +274,9 @@ def exact_neardup_pairs(
                 {"id_a": "int64", "id_b": "int64", "sim": "float64"}
             )
         lid = lpdf[id_col].to_numpy(dtype=np.int64)
-        rid = rpdf[id_col].to_numpy(dtype=np.int64)
+        rid = rpdf["_r_id"].to_numpy(dtype=np.int64)
         L = np.stack([np.asarray(v, dtype=np.float64) for v in lpdf[vec_col]])
-        R = np.stack([np.asarray(v, dtype=np.float64) for v in rpdf[vec_col]])
+        R = np.stack([np.asarray(v, dtype=np.float64) for v in rpdf["_r_vec"]])
         Lu = L / np.linalg.norm(L, axis=1, keepdims=True)
         Ru = R / np.linalg.norm(R, axis=1, keepdims=True)
         S = np.round(Lu @ Ru.T, 6)

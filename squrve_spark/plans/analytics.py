@@ -632,3 +632,64 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p50", 2).alias("p50"),
         F.round("p95", 2).alias("p95"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_events_scd2",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    marked AS (
+      SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      FROM e
+    ),
+    changes AS (SELECT * FROM marked WHERE prev IS NULL OR event_type <> prev)
+    SELECT user_id,
+           event_type AS status,
+           CAST(us AS BIGINT) AS valid_from_us,
+           CAST(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS valid_to_us,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS version,
+           (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL) AS is_current
+    FROM changes
+    """,
+    tags=("events", "warehouse", "A13"),
+    # deferred: the 50-slot driver cap is full; exact DuckDB parity in
+    # tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an event log (r5):
+    each user's event_type is the tracked status; a new version opens only
+    when the status CHANGES, with [valid_from_us, valid_to_us) validity
+    intervals (open row = null valid_to, is_current). The warehouse-side
+    complement of the streaming user-state operator.
+
+    Shape: both windows partition on user_id with the same (us, event_id)
+    order, so Spark plans ONE shuffle and reuses the sort across the
+    lag-mark, change-filter, and lead/row_number stages — no self-join
+    (the naive SCD2 build joins the log to itself per version). Time is
+    the fixture contract's microsecond basis (ts_ns div 1000 == epoch_us).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    changes = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+        .drop("prev")
+    )
+    w2 = W.partitionBy("user_id").orderBy("us", "event_id")
+    lead_us = F.lead("us").over(w2)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("us").cast("long").alias("valid_from_us"),
+        lead_us.cast("long").alias("valid_to_us"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        lead_us.isNull().alias("is_current"),
+    )

@@ -1199,6 +1199,25 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("graph_pagerank", oracle=None, tags=("graph", "similarity", "no-oracle"))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the exact embedding near-dup pair graph (r5): rank
+    surfaces the hub documents of each similarity neighborhood — the
+    corpus-curation signal for picking representative docs. Iterative
+    contributions-join with lineage checkpointing (operators/graph.py);
+    numpy power-iteration parity + rank-mass conservation in
+    tests/test_graph.py. Ranks rounded to 9 dp for a stable output set."""
+    from squrve_spark.operators import graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.exact_neardup_pairs(emb, threshold=0.42)
+    return (
+        graph.pagerank(pairs)
+        .select(F.col("id").alias("vec_id"), F.round("rank", 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), "vec_id")
+    )
+
+
 @register("doc_decontaminate", oracle=None, tags=("decontam", "no-oracle"))
 def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination scores: 4-gram overlap of every non-src0

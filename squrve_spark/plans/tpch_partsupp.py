@@ -300,7 +300,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             (money("ps_supplycost") * F.col("ps_availqty")).alias("val"),
         )
     )
-    grouped = natps.groupBy("ps_partkey").agg(F.sum("val").alias("dval"))
+    # checkpoint the grouped sums: both the output rows and the threshold
+    # derive from this one frame — without it the supplier join + groupBy
+    # would re-execute per branch (part-count-sized, cheap to materialize)
+    grouped = memo_checkpoint(
+        natps.groupBy("ps_partkey").agg(F.sum("val").alias("dval"))
+    )
     total = grouped.agg(
         (F.sum("dval").cast("double") * F.lit(0.001)).alias("threshold")
     )

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from squrve_spark.catalog import load_table
 from squrve_spark.operators import similarity
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MED, SF_SMALL
 
 
 @pytest.fixture(scope="module")
@@ -398,3 +398,19 @@ def test_sampled_trainer_matches_distributed_on_nonunit_vectors(spark):
     Cd = train_centroids(df, 4, 3)
     Cs = train_centroids(df, 4, 3, sample=1 << 20)
     assert float(np.max(1.0 - np.sum(Cd * Cs, axis=1))) < 1e-9
+
+
+def test_exact_neardup_count_equals_collect(spark):
+    """Regression (r5): self-cogroup attribute dedup mis-bound the right
+    side's UDF arguments to the left's exprIds; with a fully-pruned
+    downstream (count(), noop writes after projection) the right child
+    lost its value columns and the kernel crashed with KeyError. The right
+    branch now carries fresh column names; count() and collect() must
+    agree on every scale the fixtures ship."""
+    from squrve_spark.catalog import load_table
+    from squrve_spark.operators import similarity
+
+    for sf in (SF_SMALL, SF_MED):
+        emb = load_table(spark, sf, "embeddings")
+        pairs = similarity.exact_neardup_pairs(emb, threshold=0.42)
+        assert pairs.count() == len(pairs.collect()) > 0, sf

@@ -99,3 +99,58 @@ def test_dedup_components_registry_entry(spark):
     pairs = dedup.minhash_lsh_pairs(docs)
     want = _union_find([(r["id_a"], r["id_b"]) for r in pairs.collect()])
     assert got == want
+
+
+def _numpy_pagerank(edges, n_iter=10, damping=0.85):
+    """Dense power iteration on the same undirected edge set."""
+    import numpy as np
+
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    nodes = sorted({x for e in und for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for s, d in und:
+        M[idx[d], idx[s]] = 1.0
+    deg = M.sum(axis=0)
+    M = M / deg  # every node has degree >= 1 on a pair-built graph
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        r = (1 - damping) / n + damping * (M @ r)
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    random.seed(11)
+    edges = list({(random.randrange(40), random.randrange(40)) for _ in range(70)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+    got = {r["id"]: r["rank"] for r in graph.pagerank(df, n_iter=10).collect()}
+    want = _numpy_pagerank(edges, n_iter=10)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    # probability mass is conserved (no dangling nodes on a pair graph)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # star graph: the hub must out-rank every leaf
+    df = spark.createDataFrame([Row(id_a=0, id_b=i) for i in range(1, 9)])
+    ranks = {r["id"]: r["rank"] for r in graph.pagerank(df, n_iter=15).collect()}
+    hub, leaves = ranks[0], [v for k, v in ranks.items() if k != 0]
+    assert all(hub > leaf for leaf in leaves)
+    assert max(leaves) - min(leaves) < 1e-12  # symmetric leaves tie exactly
+
+
+def test_graph_pagerank_registry_entry(spark):
+    from squrve_spark.plans import REGISTRY
+
+    out = REGISTRY["graph_pagerank"].fn(spark, SF_SMALL).collect()
+    assert len(out) > 0
+    ranks = [r["rank"] for r in out]
+    assert ranks == sorted(ranks, reverse=True)  # ordered by rank desc
+    assert abs(sum(ranks) - 1.0) < 1e-6  # mass ~1 (9 dp rounding slack)

@@ -165,3 +165,67 @@ def test_semantic_contamination_single_stage(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "hashpartitioning" not in plan
     assert plan.count("Exchange") <= 1  # spread() only
+
+
+def test_q2_partsupp_filters_push_and_dims_broadcast(spark):
+    """Q2: the part size/type filters reach the parquet scan; nation and
+    region enter as broadcasts; the min-cost join-back must not become a
+    cartesian."""
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(p_size,10)" in plan or "p_size" in plan.split("PushedFilters")[1][:400]
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region (x2 branches)
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_partname_filter_pushes_before_fact_joins(spark):
+    plan = plan_of(spark, "q9_product_profit")
+    # the LIKE filter is scan-side (StringContains pushes to parquet)
+    assert "StringContains(p_name,bolt)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_single_aggregation_no_second_scan(spark):
+    """The HAVING threshold re-aggregates the grouped sums: partsupp's
+    synthesis (ONE lineitem-distinct shuffle) must appear once, not once
+    per branch — the grouped frame feeds both the rows and the total."""
+    plan = plan_of(spark, "q11_important_stock")
+    # partsupp synthesis is checkpointed: no lineitem parquet scan at all
+    # in the final plan (the RDD scan stands in for it)
+    assert plan.count("Scan parquet") <= 3  # supplier + nation (+1 slack)
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    plan = plan_of(spark, "q16_supplier_relation")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_in_chains_are_semi_joins(spark):
+    plan = plan_of(spark, "q20_potential_promotion")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_shuffle_window_reuse(spark):
+    """Both SCD2 windows partition on user_id with the same ordering: the
+    plan must contain exactly ONE hash exchange on user_id (plus at most
+    spread's round-robin), and no join at all (the naive SCD2 build is a
+    self-join per version)."""
+    plan = plan_of(spark, "q_events_scd2")
+    import re as _re
+
+    hash_exchanges = _re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(hash_exchanges) == 1, plan.count("Exchange")
+    assert "Join" not in plan
+
+
+def test_pagerank_edges_checkpointed_no_parquet_rescan(spark):
+    """pagerank's returned plan is the last iteration: ranks derive from
+    checkpointed nodes/edges, so no embeddings parquet scan (and no
+    cogroup kernel re-run) may appear in the final plan."""
+    plan = plan_of(spark, "graph_pagerank")
+    assert "Scan parquet" not in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert "CartesianProduct" not in plan

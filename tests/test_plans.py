@@ -60,9 +60,12 @@ def test_no_cartesian_products(spark, name):
     # BroadcastNestedLoopJoin is acceptable only for (a) the deliberately
     # broadcast brute-force ANN baseline (inequality join against a tiny
     # broadcast side) and (b) 1-row scalar-aggregate broadcasts — bm25's
-    # corpus stats (N, avgdl) and the outlier sweep's Tukey fences — the
-    # standard way to attach a scalar aggregate to every row
-    if "bruteforce" not in name and name not in ("doc_bm25", "event_value_outliers"):
+    # corpus stats (N, avgdl), the outlier sweep's Tukey fences, and
+    # q11's HAVING-threshold scalar — the standard way to attach a scalar
+    # aggregate to every row
+    if "bruteforce" not in name and name not in (
+        "doc_bm25", "event_value_outliers", "q11_important_stock"
+    ):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
