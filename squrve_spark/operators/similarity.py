@@ -719,6 +719,12 @@ def train_pq(
     )
     V = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     V /= np.linalg.norm(V, axis=1, keepdims=True)
+    return _lloyd_subspaces(V, m, ksub, iters)
+
+
+def _lloyd_subspaces(V: np.ndarray, m: int, ksub: int, iters: int) -> np.ndarray:
+    """Per-subspace Lloyd k-means on a driver-side sample matrix ->
+    (m, ksub, dim/m) codebooks. Deterministic init (first ksub rows)."""
     n, dim = V.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -726,7 +732,9 @@ def train_pq(
     books = np.empty((m, ksub, dsub))
     for s in range(m):
         X = V[:, s * dsub : (s + 1) * dsub]
-        C = X[: ksub].copy()  # deterministic init: first ksub sample rows
+        C = X[: min(ksub, len(X))].copy()
+        if len(C) < ksub:  # degenerate sample: pad by repetition
+            C = np.concatenate([C] * (ksub // len(C) + 1))[:ksub].copy()
         for _ in range(iters):
             d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             a = d2.argmin(axis=1)
@@ -957,6 +965,211 @@ def ivf_topk_indexed(
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot_expr(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")), 6
+            ).cast("double"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def save_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 32,
+    train_iters: int = 2,
+    pq_sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF-PQ index (the FAISS IVFPQ structure, IP metric):
+    ``{path}/centroids`` (coarse quantizer), ``{path}/codebooks``
+    (per-subspace codewords trained on RESIDUALS v_unit - c_cell), and
+    ``{path}/codes`` (id, m uint8-range code indices) PARTITIONED BY cell.
+
+    This is the 100 TB composition of the two existing structures: IVF
+    prunes the scan to the probed cells' parquet partitions, PQ shrinks
+    what those partitions hold from dim*8 bytes to m small ints per
+    vector — a probe-limited query reads codes only; full vectors are
+    touched exclusively by the exact re-rank on the candidate set.
+    Residual encoding (rather than raw-vector PQ) is what makes the two
+    compose: within a cell the residuals are small and centered, so the
+    same ksub codewords quantize them far more finely than the raw space.
+
+    Build cost: one training sample collect (bounded), one map-only
+    assign+encode pass over the corpus, one partitioned write.
+    """
+    spark = corpus.sparkSession
+    Cu = train_centroids(corpus, n_centroids, train_iters, id_col, vec_col)
+    # residual training sample: deterministic hash-ordered rows, assigned
+    # driver-side against the just-trained centroids
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(pq_sample)
+        .collect()
+    )
+    V = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    R = V - Cu[(V @ Cu.T).argmax(axis=1)]
+    books = _lloyd_subspaces(R, m, ksub, train_iters + 8)
+    bc = spark.sparkContext.broadcast((Cu, np.ascontiguousarray(books)))
+
+    def encode_it(it):
+        cu, bks = bc.value
+        n_sub, _, dsub = bks.shape
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            cell = (X @ cu.T).argmax(axis=1)
+            Rm = X - cu[cell]
+            codes = np.empty((len(X), n_sub), dtype=np.int32)
+            for s in range(n_sub):
+                Xs = Rm[:, s * dsub : (s + 1) * dsub]
+                d2 = ((Xs[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "cell": cell.astype(np.int32),
+                    "pq_codes": list(codes),
+                }
+            )
+
+    encoded = spread(corpus.select(id_col, vec_col)).mapInPandas(
+        encode_it, f"{id_col} long, cell int, pq_codes array<int>"
+    )
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in Cu[i]]) for i in range(len(Cu))],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    flat = [
+        (int(s), int(c), [float(x) for x in books[s, c]])
+        for s in range(m)
+        for c in range(ksub)
+    ]
+    spark.createDataFrame(
+        flat, "subspace int, code int, codeword array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_pq_codebooks(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/codebooks").orderBy("subspace", "code").collect()
+    m = max(r["subspace"] for r in rows) + 1
+    ksub = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["codeword"])
+    books = np.empty((m, ksub, dsub))
+    for r in rows:
+        books[r["subspace"], r["code"]] = np.asarray(r["codeword"], dtype=np.float64)
+    return books
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a persisted IVF-PQ index.
+
+    Query path (per the Jégou 2011 asymmetric-distance scheme, IP form):
+    ``<q, v> ~ <q, c_cell> + sum_s LUT[q][s, code_s]`` where
+    ``LUT[q][s, c] = <q_s, codeword[s, c]>`` — the LUT depends only on the
+    query, the cell contributes one scalar. So: probe the top ``n_probe``
+    cells per query driver-side (centroid table is tiny), broadcast
+    (query ids, LUTs, per-cell offsets, probe sets), scan ONLY the probed
+    cells' code partitions (partition pruning on the cell-partitioned
+    parquet — the scan never touches unprobed cells at any corpus size),
+    score by LUT gather, keep k*refine local candidates per query, then
+    exact-rerank on the candidate set against the full vectors.
+    """
+    spark = corpus.sparkSession
+    Cu = load_ivf_centroids(spark, index_path)
+    books = load_pq_codebooks(spark, index_path)
+    m, ksub, dsub = books.shape
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    cell_sims = Q @ Cu.T  # (n_q, n_cells): the <q, c_cell> offsets
+    probes = np.argsort(-cell_sims, axis=1)[:, :n_probe]
+    luts = np.einsum("qsd,skd->qsk", Q.reshape(len(Q), m, dsub), books)
+    bc = spark.sparkContext.broadcast((qids, luts, cell_sims, probes))
+    n_local = k * refine
+    probed_cells = sorted({int(c) for row in probes for c in row})
+
+    codes = spark.read.parquet(f"{index_path}/codes").filter(
+        F.col("cell").isin(probed_cells)  # partition-pruned scan
+    )
+
+    def shard_topk(it):
+        q_ids, lut, csims, prb = bc.value
+        probe_sets = [set(map(int, row)) for row in prb]
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["pq_codes"]])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = np.isin(cells, list(probe_sets[qi]))
+                if not mask.any():
+                    continue
+                sub_ids, sub_cells, sub_C = ids[mask], cells[mask], C[mask]
+                sims = csims[qi][sub_cells].astype(np.float64)
+                for s in range(lut.shape[1]):
+                    sims += lut[qi, s, :][sub_C[:, s]]
+                keep = sub_ids != q_ids[qi]
+                sub_ids, sims = sub_ids[keep], sims[keep]
+                take = min(n_local, len(sub_ids))
+                if take == 0:
+                    continue
+                sel = np.argpartition(-sims, take - 1)[:take]
+                out_q.extend([q_ids[qi]] * take)
+                out_n.extend(sub_ids[sel])
+                out_s.extend(np.round(sims[sel], 6))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adist": out_s}
+            )
+
+    local = codes.mapInPandas(
+        shard_topk, "query_id long, neighbor_id long, adist double"
+    )
+    w_cand = W.partitionBy("query_id").orderBy(
+        F.col("adist").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        local.withColumn("crank", F.row_number().over(w_cand))
+        .filter(F.col("crank") <= n_local)
+        .select("query_id", "neighbor_id")
+    )
+    c = with_vec_norm(corpus, vec_col, "c_v", "c_n").select(
+        F.col(id_col).alias("neighbor_id"), "c_v", "c_n"
+    )
+    q = with_vec_norm(queries, vec_col, "q_v", "q_n").select(
+        F.col(id_col).alias("query_id"), "q_v", "q_n"
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
         .withColumn(
             "sim",
             F.round(

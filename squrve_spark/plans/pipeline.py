@@ -870,6 +870,27 @@ def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(emb, queries, path, k=5, n_probe=4)
 
 
+@register("sim_ivfpq_topk", oracle=None, tags=("similarity", "ann", "no-oracle"))
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (r5): the FAISS IVFPQ composition — coarse IVF cells
+    prune the scan via parquet partition pruning, residual PQ codes shrink
+    what the probed partitions hold to m ints per vector, exact re-rank on
+    candidates only. Recall + full-probe exactness property tested in
+    tests/test_ann.py."""
+    import os
+    import tempfile
+
+    from squrve_spark.operators.similarity import ivfpq_topk, save_ivfpq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"squrve_ivfpq_index_{sf_tag}")
+    if not os.path.exists(os.path.join(path, "codebooks")):
+        save_ivfpq_index(emb, path, n_centroids=16, m=8, ksub=32)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivfpq_topk(emb, queries, path, k=5, n_probe=6, refine=8)
+
+
 @register("sim_pq_topk", oracle=None, tags=("similarity", "ann", "no-oracle"))
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou 2011): m-byte codes, broadcast
