@@ -822,3 +822,82 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     string as the oracle. Deterministic: unique c_name tie-break."""
     register_tables(spark, sf_dir, tables=["nation", "customer"])
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "q_setops_all",
+    oracle="""
+    SELECT 'clerk_overlap' AS src, o_orderpriority AS pri FROM (
+        SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT ALL
+        SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996
+    )
+    UNION ALL
+    SELECT 'excess_1995' AS src, pri FROM (
+        SELECT o_orderpriority AS pri FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT ALL
+        SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996
+    )
+    """,
+    tags=("A10", "bag-semantics"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (r5): INTERSECT ALL keeps each priority
+    min(count_1995, count_1996) times, EXCEPT ALL keeps the 1995 surplus
+    count_1995 - count_1996 times — the multiplicity arithmetic DISTINCT
+    set ops erase, and exactly what Spark's intersectAll/exceptAll plan as
+    a count-compare aggregate rather than a quadratic join."""
+    o = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    a = o.filter(y == 1995).select(F.col("o_orderpriority").alias("pri"))
+    b = o.filter(y == 1996).select(F.col("o_orderpriority").alias("pri"))
+    overlap = a.intersectAll(b).select(F.lit("clerk_overlap").alias("src"), "pri")
+    excess = a.exceptAll(b).select(F.lit("excess_1995").alias("src"), "pri")
+    return overlap.unionAll(excess)
+
+
+_RECURSIVE_SQL_SPARK = """
+WITH RECURSIVE tree AS (
+  SELECT n_nationkey AS id, n_name AS name,
+         CAST(n_name AS STRING) AS path, 0 AS depth
+  FROM nation WHERE n_nationkey = 0
+  UNION ALL
+  SELECT n.n_nationkey, n.n_name,
+         t.path || '/' || n.n_name, t.depth + 1
+  FROM nation n JOIN tree t ON (n.n_nationkey - 1) div 2 = t.id
+  WHERE n.n_nationkey > 0
+)
+SELECT id, name, path, CAST(depth AS INT) AS depth FROM tree
+"""
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE tree AS (
+      SELECT n_nationkey AS id, n_name AS name,
+             CAST(n_name AS VARCHAR) AS path, 0 AS depth
+      FROM nation WHERE n_nationkey = 0
+      UNION ALL
+      SELECT n.n_nationkey, n.n_name,
+             t.path || '/' || n.n_name, t.depth + 1
+      FROM nation n JOIN tree t ON (n.n_nationkey - 1) // 2 = t.id
+      WHERE n.n_nationkey > 0
+    )
+    SELECT id, name, path, CAST(depth AS INT) AS depth FROM tree
+    """,
+    tags=("A12", "recursive"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 WITH RECURSIVE, r5): walk the implicit
+    binary hierarchy parent(k) = (k-1) div 2 over nation, accumulating
+    root-to-node paths and depths — the iterative-closure surface
+    (hierarchies, BOMs, graph reachability) that until Spark 4 required
+    driver-side loops; DuckDB executes the same recursion as the oracle
+    (only the integer-division spelling differs: `div` vs `//`)."""
+    register_tables(spark, sf_dir, tables=["nation"])
+    return spark.sql(_RECURSIVE_SQL_SPARK)
