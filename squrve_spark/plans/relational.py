@@ -901,3 +901,61 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     (only the integer-division spelling differs: `div` vs `//`)."""
     register_tables(spark, sf_dir, tables=["nation"])
     return spark.sql(_RECURSIVE_SQL_SPARK)
+
+
+@register(
+    "q_nullsafe_join",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(o_orderpriority, '1-URGENT') AS pri,
+             CAST(COUNT(*) AS BIGINT) AS n95
+      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+    b AS (
+      SELECT NULLIF(o_orderpriority, '1-URGENT') AS pri,
+             CAST(COUNT(*) AS BIGINT) AS n96
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+    SELECT a.pri, n95, n96
+    FROM a JOIN b ON a.pri IS NOT DISTINCT FROM b.pri
+    """,
+    tags=("A5", "A23", "null-safe"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (r5): the NULL group (priority folded to
+    NULL via NULLIF) must MATCH across sides — Spark's `<=>` (eqNullSafe)
+    against DuckDB's `IS NOT DISTINCT FROM`. A plain `=` join silently
+    drops the NULL row on both sides; this pins the three-valued-logic
+    corner A23 leaves to the comparator."""
+    o = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    pri = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pri")
+    a = o.filter(y == 1995).groupBy(pri).agg(F.count("*").alias("n95"))
+    b = o.filter(y == 1996).groupBy(pri).agg(F.count("*").alias("n96"))
+    return a.join(b, a.pri.eqNullSafe(b.pri)).select(a.pri, "n95", "n96")
+
+
+_GROUPING_ID_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+@register(
+    "q_grouping_id",
+    oracle=_GROUPING_ID_SQL,
+    tags=("A8", "grouping"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers over ROLLUP (r5): subtotal rows carry NULL group
+    keys, and GROUPING() is the only way to distinguish 'subtotal' from a
+    genuine NULL key — the standard reporting idiom on top of A8's
+    rollup/grouping-sets surface. Identical SQL text runs on both engines."""
+    register_tables(spark, sf_dir, tables=["orders"])
+    return spark.sql(_GROUPING_ID_SQL)
