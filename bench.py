@@ -83,6 +83,23 @@ def main() -> None:
         steady[name] = min(steady[name], isolated)
 
     total = round(sum(steady.values()), 3)
+    # Round-over-round guardrail (BENCH_HISTORY.md rule, automated in r5
+    # after r4 shipped unexamined spikes): compare against the PREVIOUS
+    # detail file before overwriting it and record every query that
+    # regressed >1.5x — the list ships in the artifact, so a regression
+    # can't be committed unnoticed.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    regressions: dict[str, list[float]] = {}
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh).get("queries", {})
+        for name, t in steady.items():
+            p = prev.get(name)
+            if p and p > 0.05 and t > 1.5 * p:
+                regressions[name] = [p, t]
+    except (OSError, ValueError):
+        pass
     detail = {
         "queries": steady,
         "cold_queries": cold,
@@ -92,9 +109,9 @@ def main() -> None:
         # name -> original (contention-burst) steady time; "queries" holds
         # the isolated re-measurement for these
         "retimed": retimed,
+        # name -> [previous_steady, current_steady] for >1.5x regressions
+        "regressions_vs_prev": regressions,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     # Early line carries the full map for humans reading the whole log ...
@@ -110,6 +127,7 @@ def main() -> None:
         "n_errors": len(steady_errors),
         "cold_total_sec": round(sum(cold.values()), 3),
         "n_retimed": len(retimed),
+        "n_regressions_vs_prev": len(regressions),
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(out))

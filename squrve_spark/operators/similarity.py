@@ -802,6 +802,10 @@ def pq_topk(
     books = np.ascontiguousarray(codebooks)
     m, ksub, dsub = books.shape
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:  # empty query set: empty result, correct schema
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, sim double"
+        )
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
@@ -1105,6 +1109,10 @@ def ivfpq_topk(
     books = load_pq_codebooks(spark, index_path)
     m, ksub, dsub = books.shape
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:  # empty query set: empty result, correct schema
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, sim double"
+        )
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)

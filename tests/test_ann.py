@@ -464,3 +464,24 @@ def test_ivfpq_registry_entry(spark):
     rows = out.collect()
     assert len(rows) > 0
     assert set(out.columns) == {"query_id", "neighbor_id", "rank", "sim"}
+
+
+def test_pq_and_ivfpq_empty_query_set(spark, emb, tmp_path):
+    """Empty query frames return an empty, correctly-typed result instead
+    of crashing np.stack (r5 guard)."""
+    from squrve_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+        save_ivfpq_index,
+        train_pq,
+    )
+
+    none = emb.filter(F.col("vec_id") < 0)
+    books = train_pq(emb, m=8, ksub=16, sample=256, iters=2)
+    out = pq_topk(emb, none, books, k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rank", "sim"]
+    path = str(tmp_path / "ivfpq_e")
+    save_ivfpq_index(emb, path, n_centroids=4, m=8, ksub=16)
+    out2 = ivfpq_topk(emb, none, path, k=5)
+    assert out2.count() == 0 and out2.columns == out.columns
