@@ -1220,6 +1220,46 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_components_emb",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.42
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    )
+    SELECT id AS vec_id, CAST(MIN(r) AS BIGINT) AS component_id
+    FROM reach GROUP BY id
+    """,
+    tags=("graph", "similarity"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def graph_components_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components made CROSS-ENGINE checkable (r5): the pair set
+    is the exact embedding near-dup relation (engine-portable rounded
+    cosine — the same predicate emb_neardup_exact hash-checks), and the
+    oracle recomputes the transitive closure with a recursive CTE, so the
+    iterative min-label implementation (operators/graph.py) is verified
+    against an independent algorithm in an independent engine — not just
+    the in-process union-find."""
+    from squrve_spark.operators import graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.exact_neardup_pairs(emb, threshold=0.42)
+    return graph.connected_components(pairs).select(
+        F.col("id").alias("vec_id"), F.col("comp").cast("long").alias("component_id")
+    )
+
+
 @register("graph_pagerank", oracle=None, tags=("graph", "similarity", "no-oracle"))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the exact embedding near-dup pair graph (r5): rank
