@@ -52,6 +52,61 @@ def _features_stable(text: str, dim: int) -> np.ndarray:
     return v / n if n else v
 
 
+def _ngram_projection_matrix(dim: int, seed: int, sparse_dim: int = 4096) -> np.ndarray:
+    """Seeded Rademacher projection (sparse_dim, dim) — the deterministic
+    weight matrix behind ngram_projection_encoder, exposed so distributed
+    encoders can broadcast it."""
+    rng = np.random.default_rng(seed)
+    return rng.choice([-1.0, 1.0], size=(sparse_dim, dim)) / np.sqrt(dim)
+
+
+def _encode_ngram_projection(texts, proj: np.ndarray) -> np.ndarray:
+    """Pure encoding kernel: char 3..5-gram TF hashing -> log scaling ->
+    projection. Shared verbatim by the driver-side encoder closure and the
+    distributed pandas-UDF path so both produce bit-identical vectors."""
+    sparse_dim, dim = proj.shape
+    out = np.zeros((len(texts), dim))
+    for i, t in enumerate(texts):
+        v = np.zeros(sparse_dim)
+        s = f"^{(t or '').lower()}$"
+        for n in (3, 4, 5):
+            for j in range(len(s) - n + 1):
+                v[_stable_hash(s[j : j + n]) % sparse_dim] += 1.0
+        out[i] = np.log1p(v) @ proj
+    return out
+
+
+def embed_texts(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 64,
+    seed: int = 7,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """DISTRIBUTED deterministic text embedding: broadcast the seeded
+    projection matrix, encode each Arrow batch with the same kernel the
+    driver-side encoder uses (bit-identical outputs, parity-tested). This
+    is the map-only embed stage of a document-index build — the seam where
+    a real model (via pandas-UDF model serving) drops in; at 100 TB the
+    encode is embarrassingly parallel and shuffle-free."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    bc = df.sparkSession.sparkContext.broadcast(_ngram_projection_matrix(dim, seed))
+
+    @pandas_udf("array<double>")
+    def enc(texts):  # pd.Series -> pd.Series (hints omitted: pd is
+        # function-local here, so string annotations would not resolve)
+        if len(texts) == 0:  # empty Arrow batch
+            return pd.Series(dtype="object")
+        m = _encode_ngram_projection(list(texts), bc.value)
+        return pd.Series([row.tolist() for row in m])
+
+    return df.withColumn(out_col, enc(F.col(text_col)))
+
+
 def ngram_projection_encoder(dim: int = 64, seed: int = 7):
     """Deterministic stand-in for a neural text encoder (the reference's
     default is ``BAAI/bge-large-en-v1.5``, core/base.py:131 — not
@@ -63,20 +118,10 @@ def ngram_projection_encoder(dim: int = 64, seed: int = 7):
     ``encode_fn`` seam is actually exercised. Returns a
     ``list[str] -> (n, dim)`` callable for ColumnIndex/``build_or_load``.
     """
-    sparse_dim = 4096
-    rng = np.random.default_rng(seed)
-    proj = rng.choice([-1.0, 1.0], size=(sparse_dim, dim)) / np.sqrt(dim)
+    proj = _ngram_projection_matrix(dim, seed)
 
     def encode(texts: list[str]) -> np.ndarray:
-        out = np.zeros((len(texts), dim))
-        for i, t in enumerate(texts):
-            v = np.zeros(sparse_dim)
-            s = f"^{(t or '').lower()}$"
-            for n in (3, 4, 5):
-                for j in range(len(s) - n + 1):
-                    v[_stable_hash(s[j : j + n]) % sparse_dim] += 1.0
-            out[i] = np.log1p(v) @ proj
-        return out
+        return _encode_ngram_projection(texts, proj)
 
     return encode
 

@@ -870,6 +870,24 @@ def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(emb, queries, path, k=5, n_probe=4)
 
 
+@register("doc_embed_search", oracle=None, tags=("similarity", "text", "no-oracle"))
+def doc_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-index build + search end-to-end (r5, the RAG-ingest
+    shape): embed the corpus TEXT with the distributed deterministic
+    encoder (`index.embed_texts` — map-only broadcast-projection encode,
+    the seam where a served model drops in), then exact cosine top-5 for
+    the first 4 documents as queries. Distributed-vs-driver encoding
+    parity (bit-identical vectors) in tests/test_fewshot_index.py."""
+    from squrve_spark.index import embed_texts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = embed_texts(docs, dim=64).select("doc_id", "embedding")
+    queries = emb.filter(F.col("doc_id") < 4)
+    return similarity.brute_force_topk(
+        emb, queries, k=5, id_col="doc_id", vec_col="embedding"
+    )
+
+
 @register("sim_ivfpq_topk", oracle=None, tags=("similarity", "ann", "no-oracle"))
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (r5): the FAISS IVFPQ composition — coarse IVF cells

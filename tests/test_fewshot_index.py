@@ -323,3 +323,37 @@ def test_ngram_projection_encoder_properties():
     near = float(u[0] @ u[1])
     far = float(u[0] @ u[2])
     assert near > 0.8 and far < 0.5 and near > far
+
+
+def test_distributed_embedding_matches_driver_encoder(spark):
+    """r5: index.embed_texts (pandas-UDF broadcast-projection path) must
+    produce BIT-IDENTICAL vectors to the driver-side encoder closure, and
+    the doc_embed_search registry entry returns a sane nearest-neighbor
+    set (near-duplicate fixture docs surface with high cosine)."""
+    import numpy as np
+
+    from squrve_spark.catalog import load_table
+    from squrve_spark.index import embed_texts, ngram_projection_encoder
+    from squrve_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").limit(50)
+    got = {
+        r["doc_id"]: np.asarray(r["embedding"])
+        for r in embed_texts(docs, dim=64).collect()
+    }
+    enc = ngram_projection_encoder(dim=64, seed=7)
+    rows = docs.collect()
+    want = enc([r["text"] for r in rows])
+    for i, r in enumerate(rows):
+        assert np.array_equal(got[r["doc_id"]], want[i]), r["doc_id"]
+
+    out = REGISTRY["doc_embed_search"].fn(spark, SF_SMALL)
+    res = out.collect()
+    assert len(res) > 0
+    assert set(out.columns) == {"query_id", "neighbor_id", "rank", "sim"}
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
