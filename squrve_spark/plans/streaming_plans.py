@@ -279,3 +279,55 @@ def stream_top_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_event_stream(spark, sf_dir)
     out = run_stream_to_table(top_keys_stream(ev), "complete")
     return out.orderBy(F.col("n").desc(), "k").limit(20)
+
+
+@register(
+    "stream_scd2",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    marked AS (
+      SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      FROM e
+    ),
+    changes AS (SELECT * FROM marked WHERE prev IS NULL OR event_type <> prev)
+    SELECT user_id,
+           event_type AS status,
+           CAST(us AS BIGINT) AS valid_from_us,
+           CAST(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS valid_to_us,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS version,
+           (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL) AS is_current
+    FROM changes
+    """,
+    tags=("streaming", "events", "stateful", "warehouse"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming type-2 SCD maintenance (r5): the event stream drains
+    through `scd2_stream` (applyInPandasWithState, 3 values of state per
+    user) and the update-mode emissions collapse to the final history —
+    per (user, version), MAX(valid_to_us) keeps the closing emission when
+    one exists (max ignores the open row's null). The result equals the
+    batch q_events_scd2 exactly; the oracle IS the batch SQL."""
+    from squrve_spark.streaming.ops import scd2_stream
+
+    ev = read_event_stream(spark, sf_dir)
+    out = run_stream_to_table(scd2_stream(ev), "update")
+    return (
+        out.groupBy("user_id", "version")
+        .agg(
+            F.max("status").alias("status"),
+            F.min("valid_from_us").alias("valid_from_us"),
+            F.max("valid_to_us").alias("valid_to_us"),
+        )
+        .select(
+            "user_id",
+            "status",
+            F.col("valid_from_us").cast("long").alias("valid_from_us"),
+            F.col("valid_to_us").cast("long").alias("valid_to_us"),
+            F.col("version").cast("long").alias("version"),
+            F.col("valid_to_us").isNull().alias("is_current"),
+        )
+    )

@@ -474,6 +474,71 @@ def anomaly_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_SCD2_STATE = "last_status string, last_from long, version int"
+_SCD2_OUT = (
+    "user_id long, status string, valid_from_us long, valid_to_us long, version int"
+)
+
+
+def _update_scd2(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Incremental type-2 SCD maintenance per user: a new version row opens
+    when the tracked status (event_type) CHANGES; the previous version's
+    closing emission carries its valid_to. State is (last_status,
+    valid_from, version) — three values per key at any scale."""
+    last_status, last_from, version = (
+        state.get if state.exists else (None, None, 0)
+    )
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:
+        state.update((last_status, last_from, version))
+        yield pd.DataFrame(
+            columns=["user_id", "status", "valid_from_us", "valid_to_us", "version"]
+        )
+        return
+    pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    # order on the microsecond basis + event_id, same as the batch SCD2
+    pdf = pdf.assign(_t_us=pdf["ts_ns"] // 1000).sort_values(["_t_us", "event_id"])
+    uid = int(key[0])
+    rows = []
+    for et, us in zip(pdf["event_type"], pdf["_t_us"]):
+        us = int(us)
+        if last_status is None:
+            version = 1
+            last_status, last_from = et, us
+            rows.append((uid, et, us, None, version))  # open row
+        elif et != last_status:
+            rows.append((uid, last_status, last_from, us, version))  # close
+            version += 1
+            last_status, last_from = et, us
+            rows.append((uid, et, us, None, version))  # new open row
+    state.update((last_status, last_from, version))
+    yield pd.DataFrame(
+        rows, columns=["user_id", "status", "valid_from_us", "valid_to_us", "version"]
+    )
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """Streaming type-2 SCD maintenance (``applyInPandasWithState``): the
+    incremental form of the batch ``q_events_scd2`` — each user's dimension
+    history is maintained as events arrive, versions closing with their
+    valid_to the moment the status changes. DELIVERY CONTRACT: events must
+    arrive time-ordered per key across micro-batches (the standard
+    partitioned-log guarantee, e.g. Kafka per-key ordering); within a batch
+    any order is fine (sorted in the kernel). The final collapsed output
+    equals the batch SCD2 exactly — tested."""
+    return (
+        events.select("event_id", "user_id", "event_type", "ts_ns")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_scd2,
+            outputStructType=_SCD2_OUT,
+            stateStructType=_SCD2_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def top_keys_stream(events: DataFrame) -> DataFrame:
     """Streaming frequency table over the parsed ``props`` payload key —
     the heavy-hitters shape: incremental groupBy count whose state is one

@@ -315,3 +315,66 @@ def test_state_store_telemetry_bounds(spark):
     out = run_stream_to_table(flat, "append", metrics_out=m_none)
     assert m_none["state_operators"] == []
     assert m_none["num_output_rows"] == out.count()
+
+
+def test_stream_scd2_incremental_across_ordered_batches(spark, tmp_path):
+    """r5: SCD2 state must carry version/status across micro-batches.
+    Source files are split by TIME RANGE (the partitioned-log per-key
+    ordering contract the operator documents); maxFilesPerTrigger=1 forces
+    one batch per file, and the collapsed drain must equal the batch SCD2
+    exactly — versions spanning a batch boundary close with the right
+    valid_to."""
+    from squrve_spark.plans import REGISTRY
+    from squrve_spark.streaming.ops import read_event_stream, scd2_stream
+
+    src = tmp_path / "scd2_src"
+    src.mkdir()
+    raw = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    # time-ordered quartile split: rank by the raw ts column (any encoding
+    # sorts value-monotonically) and cut into 4 consecutive slices
+    import pyspark.sql.functions as G
+    from pyspark.sql import Window as _W
+
+    ranked = raw.withColumn("_rn", G.row_number().over(_W.orderBy("ts", "event_id")))
+    n = raw.count()
+    for i in range(4):
+        lo_rn, hi_rn = i * n // 4, (i + 1) * n // 4 if i < 3 else n
+        ranked.filter((G.col("_rn") > lo_rn) & (G.col("_rn") <= hi_rn)).drop(
+            "_rn"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"part{i}"))
+    # one dir per time slice; read them as ONE glob with 1 file per trigger
+    import glob as _glob
+    import shutil as _shutil
+
+    flat = src / "flat"
+    flat.mkdir()
+    import os as _os
+    import time as _time
+
+    base_t = _time.time() - 1000
+    for i in range(4):
+        [f] = _glob.glob(str(src / f"part{i}" / "*.parquet"))
+        dst = flat / f"{i:02d}.parquet"
+        _shutil.copy(f, dst)
+        # FileStreamSource orders pending files by modification time:
+        # force strictly ascending mtimes so batches replay in time order
+        _os.utime(dst, (base_t + i * 60, base_t + i * 60))
+
+    ev = read_event_stream(spark, str(flat), max_files_per_trigger=1, glob="*.parquet")
+    out = run_stream_to_table(scd2_stream(ev), "update")
+    got = (
+        out.groupBy("user_id", "version")
+        .agg(
+            F.max("status").alias("status"),
+            F.min("valid_from_us").alias("valid_from_us"),
+            F.max("valid_to_us").alias("valid_to_us"),
+        )
+    )
+    batch = REGISTRY["q_events_scd2"].fn(spark, SF_SMALL)
+    cols = ["user_id", "version", "status", "valid_from_us", "valid_to_us"]
+    got_rows = rows_set(got.selectExpr("user_id", "CAST(version AS LONG) AS version",
+                                       "status", "valid_from_us", "valid_to_us"), cols)
+    want_rows = rows_set(batch.selectExpr("user_id", "CAST(version AS LONG) AS version",
+                                          "status", "valid_from_us", "valid_to_us"), cols)
+    assert got_rows == want_rows
+    _shutil.rmtree(src, ignore_errors=True)
