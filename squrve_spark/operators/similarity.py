@@ -921,6 +921,29 @@ def save_ivf_index(
     return Cu
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a persisted IVF index: assign the NEW vectors
+    against the EXISTING centroids (map-only broadcast matmul) and append
+    their (id, cell) rows into the cell-partitioned store — the
+    build-once/append-many maintenance path every production ANN index
+    needs. No retraining, no rewrite of existing cells: dynamic partition
+    append touches only the partitions the new vectors land in. Queries
+    through `ivf_topk_indexed` see the union immediately; equality with a
+    from-scratch rebuild under the same centroids is tested. (Centroid
+    drift is the retrain trigger — recall on appended data degrades as its
+    distribution departs from the trained one; that policy stays with the
+    caller.)"""
+    spark = new_vectors.sparkSession
+    Cu = load_ivf_centroids(spark, path)
+    cells = assign_cells(new_vectors, Cu, id_col, vec_col).select(id_col, "cell")
+    cells.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+
+
 def load_ivf_centroids(spark, path: str) -> np.ndarray:
     rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])

@@ -485,3 +485,48 @@ def test_pq_and_ivfpq_empty_query_set(spark, emb, tmp_path):
     save_ivfpq_index(emb, path, n_centroids=4, m=8, ksub=16)
     out2 = ivfpq_topk(emb, none, path, k=5)
     assert out2.count() == 0 and out2.columns == out.columns
+
+
+def test_ivf_index_incremental_append(spark, emb, tmp_path):
+    """r5: appending new vectors to a persisted IVF index (assignment
+    against the EXISTING centroids, dynamic partition append) must answer
+    queries identically to a from-scratch index over the union built with
+    the same centroids."""
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    from squrve_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_topk_indexed,
+        load_ivf_centroids,
+        save_ivf_index,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    assert extra.count() > 0
+    path = str(tmp_path / "ivf_inc")
+    save_ivf_index(base, path, n_centroids=8, train_iters=2)
+    append_to_ivf_index(extra, path)
+
+    # reference: full rebuild under the SAME centroids (skip retraining by
+    # assigning the union against the loaded centroids)
+    from squrve_spark.operators.similarity import assign_cells
+
+    Cu = load_ivf_centroids(spark, path)
+    ref_path = str(tmp_path / "ivf_ref")
+    assign_cells(emb, Cu).select("vec_id", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{ref_path}/cells")
+    spark.read.parquet(f"{path}/centroids").write.mode("overwrite").parquet(
+        f"{ref_path}/centroids"
+    )
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = ivf_topk_indexed(emb, queries, path, k=5, n_probe=8)
+    want = ivf_topk_indexed(emb, queries, ref_path, k=5, n_probe=8)
+    assert _pairs(got) == _pairs(want)
+    # appended ids are present in the store and queryable
+    stored = spark.read.parquet(f"{path}/cells")
+    assert stored.count() == emb.count()

@@ -64,7 +64,10 @@ def test_no_cartesian_products(spark, name):
     # q11's HAVING-threshold scalar — the standard way to attach a scalar
     # aggregate to every row
     if "bruteforce" not in name and name not in (
-        "doc_bm25", "event_value_outliers", "q11_important_stock"
+        "doc_bm25", "event_value_outliers", "q11_important_stock",
+        # brute-force cosine search over doc embeddings: the deliberately
+        # broadcast exact baseline, same as sim_bruteforce_topk
+        "doc_embed_search",
     ):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
