@@ -155,6 +155,51 @@ class ServiceState:
             ),
         }
 
+    def registry_list(self) -> dict:
+        """The query-registry inventory (name, verification tier, tags,
+        one-line doc) — the CLI's `--query list` surface over HTTP."""
+        from squrve_spark.plans import REGISTRY
+
+        out = []
+        for name, spec in REGISTRY.items():
+            tier = (
+                "driver"
+                if (spec.oracle and not spec.defer_oracle)
+                else ("deferred" if spec.oracle else "rows-only")
+            )
+            doc = " ".join((spec.doc or "").split())
+            out.append(
+                {
+                    "name": name,
+                    "tier": tier,
+                    "tags": list(spec.tags),
+                    "doc": doc[:200],
+                }
+            )
+        return {"queries": out}
+
+    def registry_run(self, payload: dict) -> dict:
+        """Run one registry operator over a parquet directory — the CLI's
+        `--query NAME --sf-dir DIR` surface over HTTP. Row-capped like
+        /api/run; unknown names are client errors."""
+        from squrve_spark.plans import REGISTRY
+
+        name = payload.get("name")
+        if name not in REGISTRY:
+            raise ValueError(f"unknown registry query: {name!r}")
+        sf_dir = payload.get("sf_dir") or "/root/testdata/sf0.001"
+        if not os.path.isdir(sf_dir):
+            raise ValueError(f"sf_dir is not a directory: {sf_dir!r}")
+        max_rows = min(int(payload.get("max_rows", 100)), 10_000)
+        df = REGISTRY[name].fn(self.spark, sf_dir)
+        rows = df.limit(max_rows).collect()
+        return {
+            "name": name,
+            "columns": df.columns,
+            "n_rows_returned": len(rows),
+            "rows": [[r[c] for c in df.columns] for r in rows],
+        }
+
     def upload(self, payload: dict) -> dict:
         """Upload files -> engine tables + extracted central schema
         (demo/file_to_db.py's pandas-to-sqlite flow, Spark-side).
@@ -205,6 +250,8 @@ def _make_handler(state: ServiceState):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok"})
+            elif self.path == "/api/registry":
+                self._send(200, state.registry_list())
             elif self.path in ("/", "/index.html"):
                 # interactive demo page (reference: demo/gradio_demo.py)
                 from squrve_spark.demo_ui import DEMO_HTML
@@ -234,6 +281,8 @@ def _make_handler(state: ServiceState):
                     self._send(200, state.upload(payload))
                 elif self.path == "/api/explain":
                     self._send(200, state.explain(payload))
+                elif self.path == "/api/registry_run":
+                    self._send(200, state.registry_run(payload))
                 else:
                     self._send(404, {"error": "not found"})
             except ValueError as exc:  # client error: bad/forbidden request

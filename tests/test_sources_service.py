@@ -361,3 +361,30 @@ def test_schema_source_write_roundtrip(spark, tmp_path):
     final = spark.read.format("squrve_schema").load(store)
     m = {(r["table_name"], r["column_name"]): r["column_types"] for r in final.collect()}
     assert m[("t1", "c1")] == "DECIMAL" and ("t3", "x") in m and ("t1", "c2") in m
+
+
+def test_api_registry_list_and_run(service):
+    """r5: the registry inventory and per-operator execution are exposed
+    over HTTP (the CLI --query surface as a service): /api/registry lists
+    every query with its verification tier; /api/registry_run executes one
+    against a parquet dir with a row cap; unknown names are 400s."""
+    import urllib.error
+
+    with urllib.request.urlopen(f"{service}/api/registry", timeout=60) as resp:
+        inv = json.loads(resp.read())["queries"]
+    assert len(inv) >= 130
+    by_name = {q["name"]: q for q in inv}
+    assert by_name["q1_pricing_summary"]["tier"] == "driver"
+    assert by_name["q9_product_profit"]["tier"] == "deferred"
+    assert by_name["graph_pagerank"]["tier"] == "rows-only"
+
+    out = _post(
+        f"{service}/api/registry_run",
+        {"name": "q1_pricing_summary", "sf_dir": SF_SMALL, "max_rows": 10},
+    )
+    assert out["n_rows_returned"] > 0
+    assert "l_returnflag" in out["columns"]
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{service}/api/registry_run", {"name": "nope"})
+    assert exc.value.code == 400
