@@ -336,3 +336,212 @@ def render_hard_bank() -> str:
 DIN_EASY_BANK = render_easy_bank()
 DIN_MEDIUM_BANK = render_medium_bank()
 DIN_HARD_BANK = render_hard_bank()
+
+
+# --------------------------------------------------------------------------
+# Schema-linking examples (reference SCHEMA_LINKING_PROMPT shape,
+# DINSQLGenerate.py:49-158): per-example mini schema block + stepwise
+# phrase -> column analysis ending in the Schema_links line.
+
+_TPCH_CORE_SCHEMA = (
+    "Table nation, columns = [*,n_nationkey,n_name,n_regionkey]\n"
+    "Table region, columns = [*,r_regionkey,r_name]\n"
+    "Table customer, columns = [*,c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment]\n"
+    "Table orders, columns = [*,o_orderkey,o_custkey,o_orderstatus,o_orderdate,o_orderpriority]\n"
+    "Foreign_keys = [nation.n_regionkey = region.r_regionkey,"
+    "customer.c_nationkey = nation.n_nationkey,orders.o_custkey = customer.c_custkey]"
+)
+
+_TPCH_PARTS_SCHEMA = (
+    "Table part, columns = [*,p_partkey,p_name,p_brand,p_type,p_size,p_retailprice]\n"
+    "Table supplier, columns = [*,s_suppkey,s_name,s_nationkey,s_acctbal]\n"
+    "Table lineitem, columns = [*,l_orderkey,l_partkey,l_suppkey,l_quantity,l_extendedprice,l_discount,l_shipdate]\n"
+    "Foreign_keys = [lineitem.l_partkey = part.p_partkey,"
+    "lineitem.l_suppkey = supplier.s_suppkey]"
+)
+
+# (schema_block, q, [(phrase, columns)], fks, cell_values, schema_links)
+DIN_LINK_EXAMPLES: list[dict] = [
+    dict(
+        schema=_TPCH_CORE_SCHEMA,
+        q="Find the names of customers with balance more than 1000.",
+        steps=[("names of customers", "[customer.c_name]"),
+               ("balance more than", "[customer.c_acctbal]")],
+        fks="[]",
+        cells="[1000]",
+        links="[customer.c_name,customer.c_acctbal,1000]",
+    ),
+    dict(
+        schema=_TPCH_CORE_SCHEMA,
+        q="How many orders have the priority of 1-URGENT ?",
+        steps=[("How many orders", "[orders.*]"),
+               ("the priority of", "[orders.o_orderpriority]")],
+        fks="[]",
+        cells="['1-URGENT']",
+        links="[orders.*,orders.o_orderpriority,'1-URGENT']",
+    ),
+    dict(
+        schema=_TPCH_CORE_SCHEMA,
+        q="what are the distinct order dates of the orders placed by a customer in the BUILDING segment?",
+        steps=[("distinct order dates of the orders", "[orders.o_orderdate]"),
+               ("orders placed by", "[orders.o_custkey]"),
+               ("customer in the", "[customer.c_mktsegment]")],
+        fks="[orders.o_custkey = customer.c_custkey]",
+        cells="['BUILDING']",
+        links="[orders.o_orderdate,orders.o_custkey = customer.c_custkey,"
+              "customer.c_mktsegment,'BUILDING']",
+    ),
+    dict(
+        schema=_TPCH_CORE_SCHEMA,
+        q="List the key of customers who never placed an order?",
+        steps=[("key of customers", "[customer.c_custkey]"),
+               ("never placed an order", "[orders.o_custkey]")],
+        fks="[customer.c_custkey = orders.o_custkey]",
+        cells="[]",
+        links="[customer.c_custkey = orders.o_custkey]",
+    ),
+    dict(
+        schema=_TPCH_PARTS_SCHEMA,
+        q="Find the names of suppliers who shipped a part of the brand Brand#3.",
+        steps=[("names of suppliers", "[supplier.s_name]"),
+               ("shipped a part", "[lineitem.l_suppkey]"),
+               ("the brand", "[part.p_brand]")],
+        fks="[lineitem.l_suppkey = supplier.s_suppkey,"
+            "lineitem.l_partkey = part.p_partkey]",
+        cells="['Brand#3']",
+        links="[supplier.s_name,lineitem.l_suppkey = supplier.s_suppkey,"
+              "lineitem.l_partkey = part.p_partkey,part.p_brand,'Brand#3']",
+    ),
+    dict(
+        schema=_TPCH_PARTS_SCHEMA,
+        q="Find the name and retail price of parts sized over 40 sorted by retail price.",
+        steps=[("name and retail price of parts", "[part.p_name,part.p_retailprice]"),
+               ("sized over", "[part.p_size]")],
+        fks="[]",
+        cells="[40]",
+        links="[part.p_name,part.p_retailprice,part.p_size,40]",
+    ),
+]
+
+
+def render_link_bank() -> str:
+    blocks = []
+    for ex in DIN_LINK_EXAMPLES:
+        lines = [ex["schema"], f'Q: "{ex["q"]}"']
+        lines.append(
+            f"A: Let's think step by step. In the question \"{ex['q']}\", "
+            "we are asked:"
+        )
+        for phrase, cols in ex["steps"]:
+            lines.append(f'"{phrase}" so we need column = {cols}')
+        lines.append(
+            "Based on the columns and tables, we need these "
+            f"Foreign_keys = {ex['fks']}."
+        )
+        lines.append(
+            "Based on the tables, columns, and Foreign_keys, The set of "
+            f"possible cell values are = {ex['cells']}. So the Schema_links "
+            "are:"
+        )
+        lines.append(f"Schema_links: {ex['links']}")
+        blocks.append("\n".join(lines))
+    return "\n\n".join(blocks) + "\n\n"
+
+
+# --------------------------------------------------------------------------
+# Classification examples (reference CLASSIFICATION_PROMPT shape,
+# DINSQLGenerate.py:160-229): Q + schema_links + tables/JOIN/nesting CoT +
+# Label line. `subs` non-empty renders the NESTED sub-question list.
+
+DIN_CLASSIFY_EXAMPLES: list[dict] = [
+    dict(
+        q="How many regions are there?",
+        links="[region.*]",
+        tables="[region]",
+        label="EASY",
+        subs=[],
+    ),
+    dict(
+        q="Find the names of parts sized between 10 and 20.",
+        links="[part.p_name,part.p_size,10,20]",
+        tables="[part]",
+        label="EASY",
+        subs=[],
+    ),
+    dict(
+        q="Show the order priority which covers the most orders.",
+        links="[orders.o_orderpriority,orders.*]",
+        tables="[orders]",
+        label="EASY",
+        subs=[],
+    ),
+    dict(
+        q="Find the names of customers in nations of the ASIA region.",
+        links="[customer.c_name,customer.c_nationkey = nation.n_nationkey,"
+              "nation.n_regionkey = region.r_regionkey,region.r_name,ASIA]",
+        tables="[customer,nation,region]",
+        label="NON-NESTED",
+        subs=[],
+    ),
+    dict(
+        q="List the name of each nation and the number of its customers.",
+        links="[nation.n_name,nation.n_nationkey = customer.c_nationkey,customer.*]",
+        tables="[nation,customer]",
+        label="NON-NESTED",
+        subs=[],
+    ),
+    dict(
+        q="Find the nations that have no orders.",
+        links="[nation.n_name,nation.n_nationkey = customer.c_nationkey,"
+              "customer.c_custkey = orders.o_custkey]",
+        tables="[nation,customer,orders]",
+        label="NESTED",
+        subs=["Which nations have orders?"],
+    ),
+    dict(
+        q="Find the names of parts whose retail price is above the average retail price.",
+        links="[part.p_name,part.p_retailprice]",
+        tables="[part]",
+        label="NESTED",
+        subs=["What is the average retail price of parts?"],
+    ),
+]
+
+
+def render_classify_bank() -> str:
+    blocks = []
+    for ex in DIN_CLASSIFY_EXAMPLES:
+        needs_join = "," in ex["tables"]
+        nested = ex["label"] == "NESTED"
+        join_clause = "so we need JOIN" if needs_join else "so we don't need JOIN"
+        nest_clause = (
+            "it requires nested queries with (INTERSECT, UNION, EXCEPT, IN, "
+            "NOT IN)"
+            if nested
+            else "it doesn't require nested queries with (INTERSECT, UNION, "
+            "EXCEPT, IN, NOT IN)"
+        )
+        subs = ",".join(f'"{s}"' for s in ex["subs"]) if ex["subs"] else '""'
+        verdict = {
+            "EASY": "we don't need JOIN and don't need nested queries",
+            "NON-NESTED": "we need JOIN and don't need nested queries",
+            "NESTED": "we need JOIN and need nested queries"
+            if needs_join
+            else "we need nested queries",
+        }[ex["label"]]
+        blocks.append(
+            f'Q: "{ex["q"]}"\n'
+            f"schema_links: {ex['links']}\n"
+            "A: Let's think step by step. The SQL query for the question "
+            f"needs these tables = {ex['tables']}, {join_clause}.\n"
+            f"Plus, {nest_clause}, and we need the answer to the questions "
+            f"= [{subs}].\n"
+            f"So, {verdict}, then the SQL query can be classified as "
+            f'"{ex["label"]}".\n'
+            f'Label: "{ex["label"]}"'
+        )
+    return "\n".join(["\n\n".join(blocks), ""])
+
+
+DIN_LINK_BANK = render_link_bank()
+DIN_CLASSIFY_BANK = render_classify_bank()

@@ -121,21 +121,15 @@ class DINSQLGenerator(SparkActor):
     OUTPUT_NAME = "pred_sql"
     SKILL = "DIN-SQL tiered generation: link schema, classify difficulty, prompt per tier, LLM self-debug."
 
+    # Linking + classification stages carry full-size example banks in the
+    # reference's line shapes (SCHEMA_LINKING_PROMPT / CLASSIFICATION_PROMPT,
+    # DINSQLGenerate.py:49-229) with this engine's own TPC-H-domain bodies
+    # (actors/example_banks.py).
     LINK_PROMPT = (
         "# Find the schema_links for generating SQL queries for each question "
         "based on the database schema and Foreign keys.\n"
-        "Table nation, columns = [*,n_nationkey,n_name,n_regionkey]\n"
-        "Table region, columns = [*,r_regionkey,r_name]\n"
-        "Foreign_keys = [nation.n_regionkey = region.r_regionkey]\n"
-        'Q: "Find the names of nations in the AMERICA region."\n'
-        "A: Let's think step by step. In the question, we are asked for 'the "
-        "names of nations', so we need column = [nation.n_name]. The region "
-        "filter needs column = [region.r_name] and the comparison value "
-        '"AMERICA". The join needs foreign key '
-        "[nation.n_regionkey = region.r_regionkey].\n"
-        "Schema_links: [nation.n_name,nation.n_regionkey = "
-        "region.r_regionkey,region.r_name,AMERICA]\n\n"
-        "{schema}\n"
+        + example_banks.DIN_LINK_BANK
+        + "{schema}\n"
         'Q: "{question}"\n'
         "A: Let's think step by step."
     )
@@ -146,27 +140,8 @@ class DINSQLGenerator(SparkActor):
         "elif need JOIN and don't need nested queries: predict NON-NESTED\n"
         "elif don't need JOIN and don't need nested queries: predict EASY\n\n"
         "{schema}\n"
-        'Q: "How many regions are there?"\n'
-        "schema_links: [region.*]\n"
-        "A: Let's think step by step. The SQL query for the question needs "
-        "these tables = [region], so we don't need JOIN.\n"
-        "Plus, it doesn't require nested queries with (INTERSECT, UNION, "
-        'EXCEPT, IN, NOT IN), and we need the answer to the questions = [""].\n'
-        "So, we don't need JOIN and don't need nested queries, then the SQL "
-        'query can be classified as "EASY".\n'
-        'Label: "EASY"\n\n'
-        'Q: "Find the nations that have no orders."\n'
-        "schema_links: [nation.n_name,nation.n_nationkey = "
-        "customer.c_nationkey,customer.c_custkey = orders.o_custkey]\n"
-        "A: Let's think step by step. The SQL query for the question needs "
-        "these tables = [nation,customer,orders], so we need JOIN.\n"
-        "Plus, it requires nested queries with (INTERSECT, UNION, EXCEPT, IN, "
-        'NOT IN), and we need the answer to the questions = ["Which nations '
-        'have orders?"].\n'
-        "So, we need JOIN and need nested queries, then the SQL query can be "
-        'classified as "NESTED".\n'
-        'Label: "NESTED"\n\n'
-        'Q: "{question}"\n'
+        + example_banks.DIN_CLASSIFY_BANK
+        + '\nQ: "{question}"\n'
         "schema_links: {links}\n"
         "A: Let's think step by step."
     )

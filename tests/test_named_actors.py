@@ -848,3 +848,42 @@ def test_dinsql_example_banks_reference_scale_and_shape(spark):
     DINSQLGenerator(dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm).act(0)
     easy_call = next(p for p in llm.calls if "Use the schema links to generate" in p)
     assert easy_call.count('Q: "') == len(B.DIN_EASY_EXAMPLES) + 1  # bank + target
+
+
+def test_dinsql_link_and_classify_banks_shape(spark):
+    """r5: the linking and classification stages carry full-size banks in
+    the reference's line shapes — per-example mini schema blocks with
+    Foreign_keys lines and the stepwise phrase->column analysis ending in
+    Schema_links; classification examples with the tables/JOIN/nesting CoT
+    and Label lines across all three labels."""
+    from squrve_spark.actors import example_banks as B
+
+    assert len(B.DIN_LINK_EXAMPLES) >= 6
+    link = B.DIN_LINK_BANK
+    assert link.count("Schema_links: [") == len(B.DIN_LINK_EXAMPLES)
+    assert link.count("Foreign_keys = [") >= len(B.DIN_LINK_EXAMPLES)
+    assert link.count("we are asked:") == len(B.DIN_LINK_EXAMPLES)
+    assert link.count("The set of possible cell values are =") == len(B.DIN_LINK_EXAMPLES)
+    assert 'so we need column = [' in link
+
+    assert len(B.DIN_CLASSIFY_EXAMPLES) >= 7
+    cls = B.DIN_CLASSIFY_BANK
+    assert cls.count("Label: ") == len(B.DIN_CLASSIFY_EXAMPLES)
+    for lbl in ('Label: "EASY"', 'Label: "NON-NESTED"', 'Label: "NESTED"'):
+        assert lbl in cls, lbl
+    assert "needs these tables = [" in cls
+    assert 'we need the answer to the questions = ["' in cls  # NESTED subs
+
+    # the generator ships both banks in its stage prompts
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (r"Find the schema_links", "Schema_links: [nation.*]"),
+            (r"classify it as EASY", 'Label: "EASY"'),
+            (r".", GOOD_COUNT),
+        ]
+    )
+    DINSQLGenerator(dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm).act(0)
+    link_call, cls_call = llm.calls[0], llm.calls[1]
+    assert link_call.count("Schema_links: [") == len(B.DIN_LINK_EXAMPLES)
+    assert cls_call.count("Label: ") == len(B.DIN_CLASSIFY_EXAMPLES)
