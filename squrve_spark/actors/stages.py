@@ -113,19 +113,108 @@ class CHESSSelectorParser(SparkActor):
     OUTPUT_NAME = "schema_links"
     SKILL = "CHESS coarse-to-fine: per-table column filter, table select, column select."
 
+    # Stage prompts carry the reference's documented frames
+    # (CHESSPrompt.py:105 template_filter_column, :1324 template_select_tables,
+    # :1360 template_select_columns): analyst/scientist role headers, the
+    # Database Schema Overview / Question / Task sections, and the JSON
+    # chain_of_thought_reasoning answer contracts. The filter stage batches
+    # the reference's per-column relevance loop per TABLE (same decision,
+    # one call per table instead of per column — documented adaptation).
     FILTER_PROMPT = (
-        "Table {table} columns: {cols}\nQuestion: {question}\n"
-        "List the columns of THIS table that could matter, comma-separated "
-        "(or NONE)."
+        "You are a detail-oriented data scientist tasked with evaluating "
+        "the relevance of database column information for answering "
+        "specific SQL query question.\n\n"
+        "Your goal is to assess whether each given column is pertinent to "
+        "constructing an SQL query to address the question. A column is "
+        '"relevant" if it aids in query formulation, or "irrelevant" if it '
+        "does not.\n\n"
+        "Procedure:\n"
+        "1. Carefully examine the provided column details.\n"
+        "2. Understand the question about the database.\n"
+        "3. Decide if the column details are necessary for the SQL query "
+        "based on your analysis.\n\n"
+        "Column information:\n"
+        "Table name: `{table}`\n"
+        "Columns of THIS table: {cols}\n\n"
+        "Question:\n{question}\n\n"
+        "Please respond with a JSON object structured as follows:\n\n"
+        "```json\n"
+        "{{\n"
+        '  "chain_of_thought_reasoning": "Your reasoning, concise and '
+        'clear.",\n'
+        '  "relevant_columns": ["column1", "column2", ...]\n'
+        "}}\n"
+        "```\n\n"
+        "Only output a json as your response (or NONE when no column of "
+        "this table is relevant)."
     )
     TABLE_PROMPT = (
-        "Candidate tables and columns:\n{cands}\nQuestion: {question}\n"
-        "List the tables actually needed, comma-separated."
+        "You are an expert and very smart data analyst.\n"
+        "Your task is to analyze the provided database schema, comprehend "
+        "the posed question, and identify which tables are needed to "
+        "generate a SQL query for answering the question.\n\n"
+        "Database Schema Overview:\n{cands}\n\n"
+        "This schema provides a detailed definition of the database's "
+        "structure, including tables and their columns.\n\n"
+        "Question:\n{question}\n\n"
+        "Task:\n"
+        "Based on the database schema and question provided, your task is "
+        "to determine the tables that should be used in the SQL query "
+        "formulation — the tables actually needed, all and only them. For "
+        "each of the selected tables, explain why exactly it is necessary "
+        "for answering the question.\n\n"
+        "Please respond with a JSON object structured as follows:\n\n"
+        "```json\n"
+        "{{\n"
+        '  "chain_of_thought_reasoning": "Explanation of the logical '
+        'analysis that led to the selection of the tables.",\n'
+        '  "table_names": ["Table1", "Table2", "Table3"]\n'
+        "}}\n"
+        "```\n\n"
+        "Only output a json as your response."
     )
     COLUMN_PROMPT = (
-        "Tables:\n{cands}\nQuestion: {question}\n"
-        "Answer with the final columns as [table.column, ...]."
+        "You are an expert and very smart data analyst.\n"
+        "Your task is to examine the provided database schema, understand "
+        "the posed question, and pinpoint the specific columns within "
+        "tables that are essential for crafting a SQL query to answer the "
+        "question.\n\n"
+        "Database Schema Overview:\n{cands}\n\n"
+        "Question:\n{question}\n\n"
+        "Task:\n"
+        "Based on the database schema and question provided, your task is "
+        "to identify all and only the final columns that are essential for "
+        "crafting a SQL query to answer the question.\n\n"
+        "Please respond with a JSON object structured as follows:\n\n"
+        "```json\n"
+        "{{\n"
+        '  "chain_of_thought_reasoning": "Your reasoning for selecting the '
+        'columns, be concise and clear.",\n'
+        '  "table_name1": ["column1", "column2"],\n'
+        '  "table_name2": ["column1"]\n'
+        "}}\n"
+        "```\n\n"
+        "Make sure your response includes the table names as keys, each "
+        "associated with a list of column names that are necessary for "
+        "writing a SQL query to answer the question (equivalently, final "
+        "columns as [table.column, ...] are accepted).\n"
+        "Only output a json as your response."
     )
+
+    @staticmethod
+    def _json_list(text: str, key: str) -> list[str] | None:
+        """Parse a '"key": [...]' JSON string list out of a (possibly
+        fenced, possibly chatty) reply; None when absent/unparseable."""
+        import json as _json
+
+        m = re.search(rf'"{key}"\s*:\s*(\[[^\]]*\])', text, re.S)
+        if not m:
+            return None
+        try:
+            vals = _json.loads(m.group(1))
+        except ValueError:
+            return None
+        return [str(v) for v in vals if isinstance(v, str)]
 
     def act(self, item: int, **kwargs) -> dict:
         row = self.row(item)
@@ -136,16 +225,34 @@ class CHESSSelectorParser(SparkActor):
             out = self.llm.complete(self.FILTER_PROMPT.format(
                 table=table, cols=", ".join(cols), question=question
             ))
-            keep = [c for c in cols if re.search(rf"\b{re.escape(c)}\b", out)]
+            # JSON contract first; plain-text column mentions as fallback
+            listed = self._json_list(out, "relevant_columns")
+            if listed is not None:
+                keep = [c for c in cols if c in set(listed)]
+            else:
+                keep = [c for c in cols if re.search(rf"\b{re.escape(c)}\b", out)]
             if keep:
                 filtered[table] = keep
         cands = "\n".join(f"{t}: {', '.join(cs)}" for t, cs in sorted(filtered.items()))
         t_out = self.llm.complete(self.TABLE_PROMPT.format(cands=cands, question=question))
-        chosen = [t for t in filtered if re.search(rf"\b{re.escape(t)}\b", t_out)] or list(filtered)
+        t_listed = self._json_list(t_out, "table_names")
+        if t_listed is not None:
+            chosen = [t for t in filtered if t in set(t_listed)] or list(filtered)
+        else:
+            chosen = [
+                t for t in filtered if re.search(rf"\b{re.escape(t)}\b", t_out)
+            ] or list(filtered)
         final_cands = "\n".join(f"{t}: {', '.join(filtered[t])}" for t in chosen)
         c_out = self.llm.complete(self.COLUMN_PROMPT.format(cands=final_cands, question=question))
         known = {f"{t}.{c}" for t in chosen for c in filtered[t]}
-        links = [tc for tc in parse_schema_links(c_out) if tc in known]
+        # JSON per-table dict contract first, [table.column] extraction second
+        links: list[str] = []
+        for t in chosen:
+            per_table = self._json_list(c_out, re.escape(t))
+            if per_table:
+                links.extend(f"{t}.{c}" for c in per_table if f"{t}.{c}" in known)
+        if not links:
+            links = [tc for tc in parse_schema_links(c_out) if tc in known]
         return {"schema_links": links or sorted(known)}
 
 

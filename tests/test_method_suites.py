@@ -234,7 +234,7 @@ def test_chess_selector_parser_three_stages(spark):
     register_tables(spark, SF_SMALL, ["nation", "region"])
 
     def col_filter(match, prompt):
-        return "n_name, n_regionkey" if "Table nation" in prompt else "NONE"
+        return "n_name, n_regionkey" if "`nation`" in prompt else "NONE"
 
     llm = MockLLM(
         rules=[
@@ -513,3 +513,47 @@ def test_linkalign_cot_classification_reads_label_not_substring(spark):
     ).act(0)
     assert out["difficulty"] == "SIMPLE"
     assert not any("[Instructions]" in p for p in llm.calls)  # simple tier used
+
+
+def test_chess_selector_parser_json_contracts(spark):
+    """r5: the three CHESS selection stages carry the reference's
+    documented frames (template_filter_column / template_select_tables /
+    template_select_columns: role headers, Database Schema Overview /
+    Question / Task sections, JSON chain_of_thought contracts) and parse
+    the JSON answer shapes, with plain-text fallbacks intact."""
+    register_tables(spark, SF_SMALL, ["nation", "region"])
+
+    def col_filter(match, prompt):
+        cols = "\"n_name\", \"n_regionkey\"" if "`nation`" in prompt else "\"r_name\""
+        return ('{"chain_of_thought_reasoning": "needed for the answer", '
+                f'"relevant_columns": [{cols}]}}')
+
+    llm = MockLLM(
+        rules=[
+            (r"of THIS table", col_filter),
+            (
+                r"tables actually needed",
+                '{"chain_of_thought_reasoning": "region is dropped", '
+                '"table_names": ["nation"]}',
+            ),
+            (
+                r"final columns",
+                '{"chain_of_thought_reasoning": "only the name", '
+                '"nation": ["n_name"]}',
+            ),
+        ]
+    )
+    out = CHESSSelectorParser(
+        dataset=[_row("nation names", ["nation", "region"])], spark=spark, llm=llm
+    ).act(0)
+    assert out["schema_links"] == ["nation.n_name"]
+    # frame fidelity: each stage carries its documented sections
+    f = next(p for p in llm.calls if "of THIS table" in p)
+    assert "detail-oriented data scientist" in f and '"relevant_columns"' in f
+    t = next(p for p in llm.calls if "tables actually needed" in p)
+    for frag in ("expert and very smart data analyst",
+                 "Database Schema Overview:", '"table_names"',
+                 '"chain_of_thought_reasoning"'):
+        assert frag in t, frag
+    c = next(p for p in llm.calls if "final columns" in p)
+    assert "pinpoint the specific columns" in c and '"table_name1"' in c
