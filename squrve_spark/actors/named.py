@@ -499,9 +499,99 @@ class CHESSGenerator(SparkActor):
     SAMPLE_K = 3
 
     KEYWORD_PROMPT = "Question: {question}\nList the literal keywords/values it mentions, comma-separated."
-    GEN_PROMPT = (
-        "Schema:\n{schema}\nRelevant values:\n{values}\nQuestion: {question}\n"
-        "Write ONE Spark SQL query (variant {i}). Return only SQL."
+    # The reference generates each candidate with a DISTINCT strategy
+    # template (CHESSPrompt.py:534 recursive divide-and-conquer, :1169
+    # query-plan-guided, :1234 step-by-step expert) — strategy diversity is
+    # what makes the candidate clusters informative. Compact analogs carry
+    # each strategy's header, method description, admin-instruction list
+    # and answer contract; candidate i uses GEN_PROMPTS[i % 3].
+    GEN_PROMPTS = (
+        # strategy 1: recursive divide-and-conquer, <FINAL_ANSWER> contract
+        (
+            "You are an experienced database expert.\n"
+            "Now you need to generate a SQL query given the database "
+            "information, a question and some additional information.\n\n"
+            'You will be using a way called "recursive divide-and-conquer '
+            'approach to SQL query generation from natural language".\n\n'
+            "Here is a high level description of the steps.\n"
+            "1. **Divide (Decompose Sub-question with Pseudo SQL):** The "
+            "complex natural language question is recursively broken down "
+            "into simpler sub-questions.\n"
+            "2. **Conquer (Real SQL for sub-questions):** For each "
+            "sub-question (and the main question initially), a "
+            '"pseudo-SQL" fragment is formulated.\n'
+            "3. **Combine (Reassemble):** The SQL fragments are recursively "
+            "combined by replacing the placeholders with the actual "
+            "generated SQL from the lower levels.\n"
+            "4. **Final Output:** This bottom-up assembly culminates in the "
+            "complete and correct SQL query.\n\n"
+            "Database admin instructions:\n"
+            "1. **SELECT Clause:** Only select columns mentioned in the "
+            "user's question. Avoid unnecessary columns or values.\n"
+            "2. **Aggregation (MAX/MIN):** Always perform JOINs before "
+            "using MAX() or MIN().\n"
+            "3. **FROM/JOIN Clauses:** Only include tables essential to "
+            "answer the question.\n\n"
+            "**************************\n"
+            "【Table creation statements】\n{schema}\n\n"
+            "**************************\n"
+            "【Question】\nQuestion:\n{question}\n\n"
+            "Relevant values:\n{values}\n\n"
+            "**************************\n"
+            "【Answer】\n"
+            "Generate the SQL with Recursive Divide-and-Conquer. Make sure "
+            "you only output one single query, inside the xml delimiter "
+            "<FINAL_ANSWER></FINAL_ANSWER>."
+        ),
+        # strategy 2: query-plan-guided
+        (
+            "You are an experienced database expert.\n"
+            "Now you need to generate a SQL query given the database "
+            "information, a question and some additional information.\n\n"
+            'You will be using a way called "Query Plan Guided SQL '
+            'Generation" to generate the SQL query. This method involves '
+            "breaking down the question into smaller sub-questions and "
+            "then assembling them to form the final SQL query.\n\n"
+            "Database admin instructions:\n"
+            "1. **SELECT Clause:** Only select columns mentioned in the "
+            "user's question.\n"
+            "2. **Strictly Follow Hints:** Adhere to all provided hints.\n"
+            "3. **Thorough Question Analysis:** Address all conditions "
+            "mentioned in the question.\n"
+            "4. **DISTINCT Keyword:** Use `SELECT DISTINCT` when the "
+            "question requires unique values.\n"
+            "5. **Column Selection:** Carefully analyze column "
+            "descriptions to choose the correct column when similar "
+            "columns exist across tables.\n\n"
+            "Schema:\n{schema}\n\n"
+            "Relevant values:\n{values}\n\n"
+            "Question: {question}\n\n"
+            "Output only the final SQL query."
+        ),
+        # strategy 3: step-by-step data-science expert
+        (
+            "You are a data science expert.\n"
+            "Below, you are presented with a database schema and a "
+            "question.\n"
+            "Your task is to read the schema, understand the question, and "
+            "generate a valid Spark SQL query to answer the question.\n"
+            "Before generating the final SQL query think step by step on "
+            "how to write the query.\n\n"
+            "Database Schema\n###\n{schema}\n\n"
+            "Database admin instructions:\n"
+            "1. When you need to find the highest or lowest values based "
+            "on a certain condition, using ORDER BY + LIMIT 1 is preferred "
+            "over using MAX/MIN within sub queries.\n"
+            "2. Make sure you only output the information that is asked in "
+            "the question.\n"
+            "3. If you are joining multiple tables, make sure to use alias "
+            "names for the tables (T1, T2, T3, ...).\n"
+            "4. Don't use * in the SELECT clause, unless it is explicitly "
+            "asked in the question.\n\n"
+            "Relevant values:\n{values}\n\n"
+            "Question: {question}\n\n"
+            "Output only the final SQL query."
+        ),
     )
     TESTS_PROMPT = (
         "** Instructions: **\n"
@@ -701,9 +791,12 @@ class CHESSGenerator(SparkActor):
         values = self.value_context(row, keywords)
         cands = []
         for i in range(self.N_CANDIDATES):
-            cands.append(extract_sql(self.llm.complete(
-                self.GEN_PROMPT.format(schema=schema, values=values, question=question, i=i + 1)
-            )))
+            out = self.llm.complete(
+                self.GEN_PROMPTS[i % len(self.GEN_PROMPTS)].format(
+                    schema=schema, values=values, question=question
+                )
+            )
+            cands.append(self._final_answer(out) or extract_sql(out))
         # candidates (with execution previews as grounding evidence) are
         # presented TOGETHER: tests are generated to distinguish them, and
         # each test evaluates all candidates in one call (reference flow)

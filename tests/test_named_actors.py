@@ -266,7 +266,7 @@ def test_chess_unit_tests_score_candidates(spark):
                 "Candidate Response #2: [Passed]\n"
                 "Candidate Response #3: [Passed]\n</Answer>",
             ),
-            (r"variant", GOOD_COUNT),
+            (r"Relevant values:", GOOD_COUNT),
         ]
     )
     out = CHESSGenerator(
@@ -291,7 +291,7 @@ def test_chess_revises_when_winner_fails_a_test(spark):
                 "Candidate Response #3: [Failed]\n</Answer>",
             ),
             (r"failed unit tests", GOOD_COUNT),
-            (r"variant", "SELECT n_name FROM nation"),
+            (r"Relevant values:", "SELECT n_name FROM nation"),
         ]
     )
     out = CHESSGenerator(
@@ -324,7 +324,7 @@ def test_chess_evaluates_candidates_jointly_per_test(spark):
                 "Candidate Response #2: [Passed]\n"
                 "Candidate Response #3: [Failed]\n</Answer>",
             ),
-            (r"variant", lambda m, p: next(variant_sqls)),
+            (r"Relevant values:", lambda m, p: next(variant_sqls)),
         ]
     )
     out = CHESSGenerator(
@@ -355,7 +355,7 @@ def test_chess_prompt_template_fidelity(spark):
                 "Candidate Response #2: [Passed]\n"
                 "Candidate Response #3: [Passed]\n</Answer>",
             ),
-            (r"variant", GOOD_COUNT),
+            (r"Relevant values:", GOOD_COUNT),
         ]
     )
     CHESSGenerator(dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm).act(0)
@@ -732,7 +732,7 @@ def test_chess_revise_frame_and_final_answer_parse(spark):
                 "Step 1: the filter is wrong.\n<FINAL_ANSWER>\n"
                 + GOOD_COUNT + "\n</FINAL_ANSWER>",
             ),
-            (r"variant", "SELECT n_name FROM nation"),
+            (r"Relevant values:", "SELECT n_name FROM nation"),
         ]
     )
     out = CHESSGenerator(
@@ -887,3 +887,47 @@ def test_dinsql_link_and_classify_banks_shape(spark):
     link_call, cls_call = llm.calls[0], llm.calls[1]
     assert link_call.count("Schema_links: [") == len(B.DIN_LINK_EXAMPLES)
     assert cls_call.count("Label: ") == len(B.DIN_CLASSIFY_EXAMPLES)
+
+
+def test_chess_three_candidate_strategies(spark):
+    """r5: each CHESS candidate is generated with a DISTINCT strategy
+    template (reference templates generate_candidate one/two/three):
+    recursive divide-and-conquer with the 【】 sections and <FINAL_ANSWER>
+    contract, query-plan-guided with the admin instructions, and the
+    step-by-step data-science-expert frame — and the FINAL_ANSWER reply of
+    strategy 1 is adopted."""
+    register_tables(spark, SF_SMALL, ["nation"])
+
+    def gen(match, prompt):
+        if "FINAL_ANSWER" in prompt:
+            return "analysis...\n<FINAL_ANSWER>\n" + GOOD_COUNT + "\n</FINAL_ANSWER>"
+        return GOOD_COUNT
+
+    llm = MockLLM(
+        rules=[
+            (r"List the literal keywords", ""),
+            (
+                r"generate a set of \d+ unit tests",
+                "<Answer>\n['The answer SQL query should use count']\n</Answer>",
+            ),
+            (
+                r"evaluate whether",
+                "<Answer>\nCandidate Response #1: [Passed]\n"
+                "Candidate Response #2: [Passed]\n"
+                "Candidate Response #3: [Passed]\n</Answer>",
+            ),
+            (r"Relevant values:", gen),
+        ]
+    )
+    out = CHESSGenerator(
+        dataset=[_row("How many nations?", ["nation"])], spark=spark, llm=llm
+    ).act(0)
+    assert out["pred_sql"] == GOOD_COUNT
+    gens = [p for p in llm.calls if "Relevant values:" in p]
+    assert len(gens) == 3
+    assert "recursive divide-and-conquer" in gens[0]
+    assert "【Table creation statements】" in gens[0] and "<FINAL_ANSWER>" in gens[0]
+    assert "Query Plan Guided SQL Generation" in gens[1]
+    assert "Strictly Follow Hints" in gens[1]
+    assert "You are a data science expert." in gens[2]
+    assert "think step by step" in gens[2]
