@@ -498,7 +498,40 @@ class CHESSGenerator(SparkActor):
     N_TESTS = 3
     SAMPLE_K = 3
 
-    KEYWORD_PROMPT = "Question: {question}\nList the literal keywords/values it mentions, comma-separated."
+    # template_extract_keywords shape (CHESSPrompt.py:63-104): Objective /
+    # Instructions / worked examples / Task sections, Python-list answer.
+    KEYWORD_PROMPT = (
+        "Objective: Analyze the given question to identify and extract "
+        "keywords, keyphrases, and named entities. These elements are "
+        "crucial for understanding the core components of the inquiry.\n\n"
+        "Instructions:\n\n"
+        "Read the Question Carefully: Understand the primary focus and "
+        "specific details of the question. Look for any named entities, "
+        "technical terms, and other phrases that encapsulate important "
+        "aspects of the inquiry.\n\n"
+        "List Keyphrases and Entities: Combine your findings into a single "
+        "Python list containing:\n\n"
+        "Keywords: Single words that capture essential aspects of the "
+        "question.\n"
+        "Keyphrases: Short phrases or named entities that represent "
+        "specific concepts or significant details.\n"
+        "Ensure to maintain the original phrasing or terminology used in "
+        "the question.\n\n"
+        "Example 1:\n"
+        'Question: "Find the names of customers in the BUILDING segment '
+        'with balance above 1000."\n\n'
+        '["names of customers", "BUILDING", "segment", "balance", "1000"]\n\n'
+        "Example 2:\n"
+        'Question: "How many orders with the priority 1-URGENT were placed '
+        'in 1995?"\n\n'
+        '["orders", "1-URGENT", "priority", "1995"]\n\n'
+        "Task:\n"
+        "Given the following question, identify and list all relevant "
+        "keywords, keyphrases, and named entities.\n\n"
+        "Question: {question}\n\n"
+        "Please provide your findings as a Python list. Only output the "
+        "Python list, no explanations needed."
+    )
     # The reference generates each candidate with a DISTINCT strategy
     # template (CHESSPrompt.py:534 recursive divide-and-conquer, :1169
     # query-plan-guided, :1234 step-by-step expert) — strategy diversity is
@@ -787,7 +820,13 @@ class CHESSGenerator(SparkActor):
         schema = kwargs.get("schema_ddl") or row.get("schema_ddl") or self.schema_ddl(row)
         question = row.get("question", "")
         kw_out = self.llm.complete(self.KEYWORD_PROMPT.format(question=question))
-        keywords = [k.strip() for k in kw_out.split(",") if k.strip()]
+        # Python-list replies (the template contract) and plain comma-
+        # separated replies both parse: strip list/quote tokens per item
+        keywords = [
+            k.strip().strip("[]'\"")
+            for k in kw_out.split(",")
+            if k.strip().strip("[]'\"")
+        ]
         values = self.value_context(row, keywords)
         cands = []
         for i in range(self.N_CANDIDATES):

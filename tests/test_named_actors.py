@@ -251,7 +251,7 @@ def test_chess_unit_tests_score_candidates(spark):
     register_tables(spark, SF_SMALL, ["nation"])
     llm = MockLLM(
         rules=[
-            (r"List the literal keywords", "KENYA"),
+            (r"keywords, keyphrases, and named entities", "KENYA"),
             (
                 r"generate a set of \d+ unit tests",
                 "<Thinking>distinguish on shape</Thinking>\n<Answer>\n"
@@ -279,7 +279,7 @@ def test_chess_revises_when_winner_fails_a_test(spark):
     register_tables(spark, SF_SMALL, ["nation"])
     llm = MockLLM(
         rules=[
-            (r"List the literal keywords", ""),
+            (r"keywords, keyphrases, and named entities", ""),
             (
                 r"generate a set of \d+ unit tests",
                 "<Answer>\n['The answer SQL query should return a single number']\n</Answer>",
@@ -312,7 +312,7 @@ def test_chess_evaluates_candidates_jointly_per_test(spark):
     ])
     llm = MockLLM(
         rules=[
-            (r"List the literal keywords", ""),
+            (r"keywords, keyphrases, and named entities", ""),
             (
                 r"generate a set of \d+ unit tests",
                 "<Answer>\n['The answer SQL query should use count', "
@@ -344,7 +344,7 @@ def test_chess_prompt_template_fidelity(spark):
     register_tables(spark, SF_SMALL, ["nation"])
     llm = MockLLM(
         rules=[
-            (r"List the literal keywords", ""),
+            (r"keywords, keyphrases, and named entities", ""),
             (
                 r"generate a set of \d+ unit tests",
                 "<Answer>\n['The answer SQL query should use count']\n</Answer>",
@@ -716,7 +716,7 @@ def test_chess_revise_frame_and_final_answer_parse(spark):
     register_tables(spark, SF_SMALL, ["nation"])
     llm = MockLLM(
         rules=[
-            (r"List the literal keywords", ""),
+            (r"keywords, keyphrases, and named entities", ""),
             (
                 r"generate a set of \d+ unit tests",
                 "<Answer>\n['The answer SQL query should return a single number']\n</Answer>",
@@ -905,7 +905,7 @@ def test_chess_three_candidate_strategies(spark):
 
     llm = MockLLM(
         rules=[
-            (r"List the literal keywords", ""),
+            (r"keywords, keyphrases, and named entities", ""),
             (
                 r"generate a set of \d+ unit tests",
                 "<Answer>\n['The answer SQL query should use count']\n</Answer>",
@@ -931,3 +931,43 @@ def test_chess_three_candidate_strategies(spark):
     assert "Strictly Follow Hints" in gens[1]
     assert "You are a data science expert." in gens[2]
     assert "think step by step" in gens[2]
+
+
+def test_chess_keyword_template_and_python_list_parse(spark):
+    """r5: keyword extraction carries the template_extract_keywords shape
+    (Objective / Instructions / worked examples / Task, Python-list answer)
+    and a Python-list reply parses into clean keywords that drive value
+    retrieval."""
+    register_tables(spark, SF_SMALL, ["nation"])
+    llm = MockLLM(
+        rules=[
+            (
+                r"keywords, keyphrases, and named entities",
+                '["KENYA", "nation names"]',
+            ),
+            (
+                r"generate a set of \d+ unit tests",
+                "<Answer>\n['The answer SQL query should use count']\n</Answer>",
+            ),
+            (
+                r"evaluate whether",
+                "<Answer>\nCandidate Response #1: [Passed]\n"
+                "Candidate Response #2: [Passed]\n"
+                "Candidate Response #3: [Passed]\n</Answer>",
+            ),
+            (r"Relevant values:", GOOD_COUNT),
+        ]
+    )
+    gen = CHESSGenerator(
+        dataset=[_row("names of nations like KENYA", ["nation"])], spark=spark, llm=llm
+    )
+    out = gen.act(0)
+    assert out["pred_sql"] == GOOD_COUNT
+    kw_call = llm.calls[0]
+    for frag in ("Objective: Analyze the given question",
+                 "List Keyphrases and Entities:", "Example 1:",
+                 "Only output the Python list"):
+        assert frag in kw_call, frag
+    # the parsed 'KENYA' keyword surfaced a real value-context hit
+    gen_call = next(p for p in llm.calls if "Relevant values:" in p)
+    assert "KENYA" in gen_call
