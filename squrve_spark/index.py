@@ -63,15 +63,22 @@ def _ngram_projection_matrix(dim: int, seed: int, sparse_dim: int = 4096) -> np.
 def _encode_ngram_projection(texts, proj: np.ndarray) -> np.ndarray:
     """Pure encoding kernel: char 3..5-gram TF hashing -> log scaling ->
     projection. Shared verbatim by the driver-side encoder closure and the
-    distributed pandas-UDF path so both produce bit-identical vectors."""
+    distributed pandas-UDF path so both produce bit-identical vectors.
+
+    Hashing is zlib.crc32 (C-speed, deterministic, process-independent) —
+    the pure-Python FNV used for the schema-index features is ~20x slower
+    per n-gram and dominated the corpus-embed wall time (r5 bench:
+    pipeline_curate_v3 at 11.9 s was mostly this loop)."""
+    import zlib
+
     sparse_dim, dim = proj.shape
     out = np.zeros((len(texts), dim))
     for i, t in enumerate(texts):
         v = np.zeros(sparse_dim)
-        s = f"^{(t or '').lower()}$"
+        b = f"^{(t or '').lower()}$".encode()
         for n in (3, 4, 5):
-            for j in range(len(s) - n + 1):
-                v[_stable_hash(s[j : j + n]) % sparse_dim] += 1.0
+            for j in range(len(b) - n + 1):
+                v[zlib.crc32(b[j : j + n]) % sparse_dim] += 1.0
         out[i] = np.log1p(v) @ proj
     return out
 

@@ -880,8 +880,12 @@ def doc_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity (bit-identical vectors) in tests/test_fewshot_index.py."""
     from squrve_spark.index import embed_texts
 
+    from squrve_spark.catalog import memo_checkpoint
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    emb = embed_texts(docs, dim=64).select("doc_id", "embedding")
+    # checkpoint the embedded frame: the corpus and query branches both
+    # consume it — without this the Python embed pass runs twice
+    emb = memo_checkpoint(embed_texts(docs, dim=64).select("doc_id", "embedding"))
     queries = emb.filter(F.col("doc_id") < 4)
     return similarity.brute_force_topk(
         emb, queries, k=5, id_col="doc_id", vec_col="embedding"
@@ -1259,14 +1263,24 @@ def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "lang")
         .localCheckpoint(eager=False)
     )
-    embedded = embed_texts(deduped, dim=64).select("doc_id", "text", "embedding")
+    from squrve_spark.catalog import memo_checkpoint
+
+    # checkpoint: SemDeDup consumes the embeddings twice (keep-flag pass +
+    # the semi-join back) — one embed pass, not two
+    embedded = memo_checkpoint(
+        embed_texts(deduped, dim=64).select("doc_id", "text", "embedding")
+    )
     kept = semantic_dedup_keep(
         embedded, eps=0.92, n_centroids=8, id_col="doc_id"
     ).select("doc_id", "text")
     kept = kept.localCheckpoint(eager=False)
     target = docs.filter(F.col("lang") == "en").select("doc_id", "text").limit(100)
     selected = R.dsir_resample(kept, target, n=150)
-    sel_docs = kept.join(selected.select("doc_id"), "doc_id", "left_semi")
+    # checkpoint: the audit count and the packing stage both consume the
+    # selection — one DSIR scoring pass, not two
+    sel_docs = memo_checkpoint(
+        kept.join(selected.select("doc_id"), "doc_id", "left_semi")
+    )
     # pack: global token offsets via the two-phase cumsum, then the distinct
     # 512-token chunk ids the survivors span (the training-loader unit)
     from squrve_spark.operators.scale import with_global_offset
