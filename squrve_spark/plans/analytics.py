@@ -693,3 +693,34 @@ def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w2).cast("long").alias("version"),
         lead_us.isNull().alias("is_current"),
     )
+
+
+_PERCENTILE_SQL = """
+SELECT event_type,
+       CAST(ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS DOUBLE) AS p50_cont,
+       CAST(ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS DOUBLE) AS p95_cont,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS DOUBLE) AS p90_disc
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "q_percentiles",
+    oracle=_PERCENTILE_SQL,
+    tags=("A7", "events", "ordered-set-agg"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ordered-set aggregates (r5): percentile_cont (linear
+    interpolation) and percentile_disc (smallest value at-or-above the
+    fraction) via the ANSI WITHIN GROUP syntax — identical SQL text runs
+    on both engines (interpolation rounded to 6 dp so an ULP of formula
+    difference can't flake the hash). The exact complement of the
+    KLL-sketch quantiles (`event_value_quantiles`), which are the scale
+    path: exact percentiles need a per-group sort, sketches don't."""
+    from squrve_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, tables=["events"])
+    return spark.sql(_PERCENTILE_SQL)
