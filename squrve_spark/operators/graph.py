@@ -133,6 +133,7 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
+    prev_ckpt = None  # superseded checkpoints release their blocks eagerly
     for i in range(n_iter):
         contribs = (
             out_edges.join(ranks, out_edges.src == ranks.id)
@@ -149,6 +150,9 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = ranks
     return ranks
 
 
