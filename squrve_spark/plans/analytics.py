@@ -724,3 +724,32 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, tables=["events"])
     return spark.sql(_PERCENTILE_SQL)
+
+
+_UNPIVOT_SQL = """
+SELECT o_orderpriority, metric, CAST(ROUND(val, 2) AS DOUBLE) AS val
+FROM (
+  SELECT o_orderpriority,
+         CAST(ROUND(AVG(o_totalprice), 2) AS DOUBLE) AS avg_price,
+         CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE) AS max_price
+  FROM orders GROUP BY o_orderpriority
+) UNPIVOT (val FOR metric IN (avg_price, max_price))
+"""
+
+
+@register(
+    "q_unpivot",
+    oracle=_UNPIVOT_SQL,
+    tags=("A8", "unpivot"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI UNPIVOT (r5): wide per-priority metrics melt to (key, metric,
+    value) rows with the identical SQL text on both engines — the
+    standard-syntax complement of the engine's stack()-based unpivots
+    (q_pivot's inverse direction, schema profiling, curation audits)."""
+    from squrve_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, tables=["orders"])
+    return spark.sql(_UNPIVOT_SQL)
