@@ -753,3 +753,111 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, tables=["orders"])
     return spark.sql(_UNPIVOT_SQL)
+
+
+@register(
+    "q_events_interpolate",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS b, value FROM events
+    ),
+    a AS (SELECT event_type, b, ROUND(AVG(value), 6) AS v FROM e GROUP BY 1, 2),
+    g AS (
+      SELECT t.event_type, gs.b
+      FROM (SELECT DISTINCT event_type FROM a) t,
+           (SELECT unnest(range((SELECT MIN(b) FROM a),
+                                (SELECT MAX(b) FROM a) + 1)) AS b) gs
+    ),
+    j AS (SELECT g.event_type, g.b, a.v FROM g LEFT JOIN a USING (event_type, b)),
+    f AS (
+      SELECT event_type, b, v,
+        LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY b
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM j)
+    SELECT event_type, CAST(b AS BIGINT) AS bucket_hr,
+      CAST(ROUND(CASE
+        WHEN v IS NOT NULL THEN v
+        WHEN pv IS NOT NULL AND nv IS NOT NULL
+          THEN pv + (nv - pv) * (b - pb) / (nb - pb)
+        WHEN pv IS NOT NULL THEN pv
+        ELSE nv END, 6) AS DOUBLE) AS v_interp,
+      (v IS NULL) AS filled
+    FROM f
+    """,
+    tags=("events", "analytics", "timeseries"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-interpolated gap filling (r5): every (event_type, hour)
+    bucket appears; empty buckets take the line between their nearest
+    observed neighbors (edge gaps forward/backward-fill) — the sensor/
+    metrics regularization a forecast consumer needs beyond
+    q_events_resample's zero-fill.
+
+    Shape: one agg shuffle on (type, bucket); the dense grid is the
+    distinct-type slice crossed with a 1-row min/max sequence explode
+    (sanctioned scalar-broadcast pattern); the four IGNORE-NULLS carry
+    windows share ONE partition/sort so Spark plans a single exchange.
+    Interpolation runs on 6-dp-rounded bucket means so both engines feed
+    identical doubles into the identical arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns div 1000 div 3600000000").alias("b"),
+        "value",
+    )
+    a = e.groupBy("event_type", "b").agg(F.round(F.avg("value"), 6).alias("v"))
+    bounds = a.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    grid = (
+        a.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("b"),
+        )
+    )
+    j = grid.join(a, ["event_type", "b"], "left")
+    w_back = W.partitionBy("event_type").orderBy("b").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_fwd = W.partitionBy("event_type").orderBy("b").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    b_if_v = F.when(F.col("v").isNotNull(), F.col("b"))
+    f = j.select(
+        "event_type",
+        "b",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(b_if_v, ignorenulls=True).over(w_back).alias("pb"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(b_if_v, ignorenulls=True).over(w_fwd).alias("nb"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("b") - F.col("pb"))
+            / (F.col("nb") - F.col("pb")),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return f.select(
+        "event_type",
+        F.col("b").cast("long").alias("bucket_hr"),
+        F.round(interp, 6).cast("double").alias("v_interp"),
+        F.col("v").isNull().alias("filled"),
+    )
