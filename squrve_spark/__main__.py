@@ -87,12 +87,41 @@ def _run_query(argv: list[str]) -> int:
     return 0
 
 
+def _serve(argv: list[str]) -> int:
+    """--serve [--port N] [--sf-dir DIR]: start the HTTP service (the
+    /api/run, /api/registry*, /api/upload, /api/explain surface + demo UI)
+    over the registered fixture tables; blocks until interrupted."""
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="python -m squrve_spark --serve")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--sf-dir", default=None)
+    args = ap.parse_args(argv)
+
+    from squrve_spark.catalog import DEFAULT_SF_DIR, register_tables
+    from squrve_spark.service import ServiceState, create_server
+    from squrve_spark.session import get_spark
+
+    spark = get_spark("squrve-serve")
+    register_tables(spark, args.sf_dir or DEFAULT_SF_DIR)
+    server = create_server(ServiceState(spark), port=args.port)
+    print(json.dumps({"serving": f"http://127.0.0.1:{server.server_address[1]}"}))
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
 def main(argv: list[str]) -> int:
     if argv and argv[0] == "--query":
         return _run_query(argv)
+    if argv and argv[0] == "--serve":
+        return _serve(argv[1:])
     if len(argv) != 1:
         print(
-            "usage: python -m squrve_spark <config.json> | --query NAME [...]",
+            "usage: python -m squrve_spark <config.json> | --query NAME [...] "
+            "| --serve [--port N]",
             file=sys.stderr,
         )
         return 2

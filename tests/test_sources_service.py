@@ -388,3 +388,27 @@ def test_api_registry_list_and_run(service):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _post(f"{service}/api/registry_run", {"name": "nope"})
     assert exc.value.code == 400
+
+
+def test_cli_serve_entry(spark, tmp_path):
+    """r5: `python -m squrve_spark --serve` boots the HTTP service over the
+    registered tables; smoke via a subprocess with port 0... (binding a
+    fixed port in CI is flaky, so drive _serve's components directly:
+    create_server over a ServiceState built exactly as the CLI does)."""
+    from squrve_spark.catalog import register_tables
+    from squrve_spark.service import ServiceState, create_server
+
+    register_tables(spark, SF_SMALL)
+    server = create_server(ServiceState(spark), port=0)
+    import threading
+
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        with urllib.request.urlopen(f"{url}/healthz", timeout=10) as resp:
+            assert json.loads(resp.read()) == {"status": "ok"}
+        with urllib.request.urlopen(f"{url}/api/registry", timeout=60) as resp:
+            assert len(json.loads(resp.read())["queries"]) >= 140
+    finally:
+        server.shutdown()
