@@ -763,10 +763,9 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     a AS (SELECT event_type, b, ROUND(AVG(value), 6) AS v FROM e GROUP BY 1, 2),
     g AS (
-      SELECT t.event_type, gs.b
-      FROM (SELECT DISTINCT event_type FROM a) t,
-           (SELECT unnest(range((SELECT MIN(b) FROM a),
-                                (SELECT MAX(b) FROM a) + 1)) AS b) gs
+      SELECT event_type, unnest(range(lo, hi + 1)) AS b
+      FROM (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi
+            FROM a GROUP BY event_type)
     ),
     j AS (SELECT g.event_type, g.b, a.v FROM g LEFT JOIN a USING (event_type, b)),
     f AS (
@@ -803,10 +802,11 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics regularization a forecast consumer needs beyond
     q_events_resample's zero-fill.
 
-    Shape: one agg shuffle on (type, bucket); the dense grid is the
-    distinct-type slice crossed with a 1-row min/max sequence explode
-    (sanctioned scalar-broadcast pattern); the four IGNORE-NULLS carry
-    windows share ONE partition/sort so Spark plans a single exchange.
+    Shape: one agg shuffle on (type, bucket); the dense grid explodes
+    straight out of the per-type min/max aggregate (each type spans its
+    own observed range — no cross join of any kind); the four
+    IGNORE-NULLS carry windows share ONE partition/sort so Spark plans a
+    single exchange.
     Interpolation runs on 6-dp-rounded bucket means so both engines feed
     identical doubles into the identical arithmetic.
     """
@@ -816,11 +816,12 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     a = e.groupBy("event_type", "b").agg(F.round(F.avg("value"), 6).alias("v"))
-    bounds = a.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    # per-type bounds: the grid explodes straight out of the per-type
+    # min/max aggregate — no cross join of any kind, and each type's series
+    # spans exactly its own observed range
     grid = (
-        a.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
+        a.groupBy("event_type")
+        .agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
         .select(
             "event_type",
             F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("b"),
