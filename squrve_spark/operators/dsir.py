@@ -157,3 +157,73 @@ def dsir_resample(
         .limit(n)
         .select(id_col, "dsir_score")
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the hashed-unigram
+    distributions of each pair of sources -> (source_a, source_b, js_div).
+
+    The mixture-monitoring signal for a multi-source corpus: JS divergence
+    (symmetric, bounded [0, ln 2]) between B-bounded bucket distributions —
+    the same engine-portable md5 buckets DSIR uses, so the whole
+    computation replays in any engine. One token-explode scan shuffled to
+    (group, bucket) — bounded by |groups| x B — then per-pair closed-form
+    arithmetic over the joined distributions: work after the scan is
+    |groups|^2 x B rows, independent of corpus size. js rounded to 6 dp
+    (double-sum order tolerance).
+    """
+    toks = spread(df.select(group_col, text_col)).select(
+        F.col(group_col).alias("g"),
+        F.explode(tokens_expr(text_col)).alias("_t"),
+    )
+    counts = (
+        toks.select("g", bucket_expr(F.col("_t"), n_buckets).alias("bucket"))
+        .groupBy("g", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = counts.groupBy("g").agg(F.sum("n").alias("tot"))
+    dist = counts.join(totals, "g").select(
+        "g", "bucket", (F.col("n") / F.col("tot")).alias("p")
+    )
+    # pair frame first (|groups|^2 rows — tiny), THEN a per-pair FULL
+    # OUTER on (pair, bucket): buckets present in only one side keep both
+    # source labels and carry p=0 on the missing side. (A bare
+    # full-outer-on-bucket would drop one-sided buckets at the a<b filter
+    # — their unmatched rows have a NULL partner label.)
+    groups = dist.select(F.col("g")).distinct()
+    pairs = (
+        groups.select(F.col("g").alias("source_a"))
+        .join(groups.select(F.col("g").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    left = pairs.join(
+        dist.select(F.col("g").alias("source_a"), "bucket", F.col("p").alias("pa")),
+        "source_a",
+    )
+    right = pairs.join(
+        dist.select(F.col("g").alias("source_b"), "bucket", F.col("p").alias("pb")),
+        "source_b",
+    )
+    joined = (
+        left.join(right, ["source_a", "source_b", "bucket"], "full")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce(F.col("pa"), F.lit(0.0)).alias("pa"),
+            F.coalesce(F.col("pb"), F.lit(0.0)).alias("pb"),
+        )
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = (
+        F.when(F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / m)).otherwise(0.0)
+        + F.when(F.col("pb") > 0, F.col("pb") * F.log(F.col("pb") / m)).otherwise(0.0)
+    ) / 2
+    return (
+        joined.groupBy("source_a", "source_b")
+        .agg(F.round(F.sum(term), 6).cast("double").alias("js_div"))
+    )

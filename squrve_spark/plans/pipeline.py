@@ -1784,3 +1784,60 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_md5"),
         )
     )
+
+
+@register(
+    "doc_source_divergence",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source AS g,
+             ('0x' || substr(md5(t.tok), 1, 8))::BIGINT % 1024 AS bucket
+      FROM documents d,
+           LATERAL (SELECT unnest(regexp_split_to_array(trim(d.text), '\s+')) AS tok) t
+    ),
+    counts AS (SELECT g, bucket, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    totals AS (SELECT g, SUM(n) AS tot FROM counts GROUP BY g),
+    dist AS (
+      SELECT c.g, c.bucket, c.n / CAST(t.tot AS DOUBLE) AS p
+      FROM counts c JOIN totals t USING (g)
+    ),
+    pairs AS (
+      SELECT a.g AS source_a, b.g AS source_b
+      FROM (SELECT DISTINCT g FROM dist) a, (SELECT DISTINCT g FROM dist) b
+      WHERE a.g < b.g
+    ),
+    l AS (SELECT p2.source_a, p2.source_b, d.bucket, d.p AS pa
+          FROM pairs p2 JOIN dist d ON d.g = p2.source_a),
+    r AS (SELECT p2.source_a, p2.source_b, d.bucket, d.p AS pb
+          FROM pairs p2 JOIN dist d ON d.g = p2.source_b),
+    m AS (
+      SELECT COALESCE(l.source_a, r.source_a) AS source_a,
+             COALESCE(l.source_b, r.source_b) AS source_b,
+             COALESCE(l.pa, 0.0) AS pa, COALESCE(r.pb, 0.0) AS pb
+      FROM l FULL JOIN r
+        ON l.source_a = r.source_a AND l.source_b = r.source_b
+           AND l.bucket = r.bucket
+    )
+    SELECT source_a, source_b,
+           CAST(ROUND(SUM(
+             (CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END
+              + CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END) / 2
+           ), 6) AS DOUBLE) AS js_div
+    FROM m GROUP BY 1, 2
+    """,
+    tags=("curation", "monitoring"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def doc_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture drift monitor (r5): pairwise Jensen-Shannon
+    divergence between every source pair's hashed-unigram distributions
+    (operators/dsir.source_divergence) — the check that catches one
+    source's content shifting under a continuously-ingested corpus. The
+    whole hash->distribute->diverge computation replays in DuckDB via the
+    engine-portable md5 buckets; numpy parity + drift-ordering property in
+    tests/test_dsir.py."""
+    from squrve_spark.operators.dsir import source_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_divergence(docs)

@@ -109,3 +109,60 @@ def test_enrichment_on_separated_vocabularies(spark):
     )
     by_kind = {r["kind"]: r["count"] for r in kinds}
     assert by_kind.get("tgtlike", 0) >= 28, by_kind
+
+
+def test_source_divergence_matches_numpy_and_orders_drift(spark):
+    """r5: pairwise JS divergence over hashed-unigram distributions — the
+    distributed result equals a numpy reference computed from the same
+    bucket counts (incl. buckets present in only one source), divergence
+    is symmetric-bounded [0, ln2], and a deliberately drifted source
+    diverges more than any same-distribution pair."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    from squrve_spark.operators.dsir import source_divergence
+
+    rows = []
+    # two same-ish sources + one heavily drifted vocabulary
+    for i in range(40):
+        rows.append(Row(doc_id=i, source="a", text="alpha beta gamma delta common words"))
+    for i in range(40, 80):
+        rows.append(Row(doc_id=i, source="b", text="alpha beta gamma delta common terms"))
+    for i in range(80, 120):
+        rows.append(Row(doc_id=i, source="c", text="zzz qqq xxx totally different tokens"))
+    df = spark.createDataFrame(rows)
+    out = {
+        (r["source_a"], r["source_b"]): r["js_div"]
+        for r in source_divergence(df, n_buckets=256).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for v in out.values():
+        assert 0.0 <= v <= math.log(2) + 1e-9
+    assert out[("a", "c")] > out[("a", "b")]
+    assert out[("b", "c")] > out[("a", "b")]
+
+    # numpy reference from the same md5-bucket counts
+    import hashlib
+
+    def bucket(tok, B=256):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    def distvec(texts, B=256):
+        v = np.zeros(B)
+        for t in texts:
+            for tok in t.split():
+                v[bucket(tok)] += 1
+        return v / v.sum()
+
+    texts = {"a": [], "b": [], "c": []}
+    for r in rows:
+        texts[r.source].append(r.text)
+    for (x, y), got in out.items():
+        p, q = distvec(texts[x]), distvec(texts[y])
+        m = (p + q) / 2
+        js = 0.5 * np.sum(np.where(p > 0, p * np.log(p / m), 0)) + \
+             0.5 * np.sum(np.where(q > 0, q * np.log(q / m), 0))
+        assert abs(got - round(float(js), 6)) < 2e-6, (x, y, got, js)
