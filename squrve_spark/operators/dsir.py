@@ -196,9 +196,12 @@ def source_divergence(
     # full-outer-on-bucket would drop one-sided buckets at the a<b filter
     # — their unmatched rows have a NULL partner label.)
     groups = dist.select(F.col("g")).distinct()
+    # |sources|^2 pair frame: a deliberate tiny cross product — broadcast
+    # one side so it plans as a broadcast nested-loop over the group LIST,
+    # never a partitioned CartesianProduct
     pairs = (
         groups.select(F.col("g").alias("source_a"))
-        .join(groups.select(F.col("g").alias("source_b")))
+        .crossJoin(F.broadcast(groups.select(F.col("g").alias("source_b"))))
         .filter(F.col("source_a") < F.col("source_b"))
     )
     left = pairs.join(

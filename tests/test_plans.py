@@ -68,6 +68,9 @@ def test_no_cartesian_products(spark, name):
         # brute-force cosine search over doc embeddings: the deliberately
         # broadcast exact baseline, same as sim_bruteforce_topk
         "doc_embed_search",
+        # |sources|^2 pair frame (dozens of rows) broadcast over the
+        # group list — the JS-divergence pair grid
+        "doc_source_divergence",
     ):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
