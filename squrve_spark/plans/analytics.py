@@ -654,9 +654,7 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM changes
     """,
     tags=("events", "warehouse", "A13"),
-    # deferred: the 50-slot driver cap is full; exact DuckDB parity in
-    # tests/test_oracle_parity.py
-    defer_oracle=True,
+    # driver-checked since round 6 (rotated in for doc_fingerprint)
 )
 def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing-dimension history from an event log (r5):
@@ -709,8 +707,7 @@ GROUP BY event_type
     "q_percentiles",
     oracle=_PERCENTILE_SQL,
     tags=("A7", "events", "ordered-set-agg"),
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
-    defer_oracle=True,
+    # driver-checked since round 6 (rotated in for doc_ngram_freq)
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT ordered-set aggregates (r5): percentile_cont (linear
@@ -792,8 +789,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f
     """,
     tags=("events", "analytics", "timeseries"),
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
-    defer_oracle=True,
+    # driver-checked since round 6 (rotated in for doc_sample_per_lang)
 )
 def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linearly-interpolated gap filling (r5): every (event_type, hour)

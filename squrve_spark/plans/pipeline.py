@@ -117,6 +117,9 @@ def doc_sliding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("text",),
+    # deferred since round 6 (stable driver-green; slot rotated to
+    # q_events_scd2); exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document canonical fingerprint (exact-dedup key)."""
@@ -196,6 +199,9 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t
     """,
     tags=("text", "hygiene"),
+    # deferred since round 6 (stable driver-green; slot rotated to
+    # graph_components_emb); exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/boilerplate signals (duplicate line and
@@ -326,6 +332,9 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY freq DESC, ngram LIMIT 100
     """,
     tags=("text", "corpus-stats"),
+    # deferred since round 6 (stable driver-green; slot rotated to
+    # q_percentiles); exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus top-100 bigram frequency table (vocabulary/collocation
@@ -942,6 +951,9 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rk <= 20
     """,
     tags=("sampling",),
+    # deferred since round 6 (stable driver-green; slot rotated to
+    # q_events_interpolate); exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20-per-language sample by md5-hash rank (reproducible
@@ -1351,8 +1363,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY id
     """,
     tags=("graph", "similarity"),
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
-    defer_oracle=True,
+    # driver-checked since round 6 (rotated in for doc_repetition)
 )
 def graph_components_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components made CROSS-ENGINE checkable (r5): the pair set

@@ -713,6 +713,9 @@ def q_corr_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY GROUPING SETS ((n_name), (o_orderstatus), (n_name, o_orderstatus))
     """,
     tags=("A8", "grouping-sets"),
+    # deferred since round 6 (stable driver-green r1-r5; slot rotated to
+    # q_recursive_cte); exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (finer control than rollup/cube)."""
@@ -889,8 +892,7 @@ SELECT id, name, path, CAST(depth AS INT) AS depth FROM tree
     SELECT id, name, path, CAST(depth AS INT) AS depth FROM tree
     """,
     tags=("A12", "recursive"),
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
-    defer_oracle=True,
+    # driver-checked since round 6 (rotated in for q_grouping_sets)
 )
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4.1 WITH RECURSIVE, r5): walk the implicit
