@@ -105,7 +105,12 @@ def _serve(argv: list[str]) -> int:
     spark = get_spark("squrve-serve")
     register_tables(spark, args.sf_dir or DEFAULT_SF_DIR)
     server = create_server(ServiceState(spark), port=args.port)
-    print(json.dumps({"serving": f"http://127.0.0.1:{server.server_address[1]}"}))
+    # flush: under a subprocess pipe stdout is block-buffered and a parent
+    # waiting for this line to learn the bound port would hang
+    print(
+        json.dumps({"serving": f"http://127.0.0.1:{server.server_address[1]}"}),
+        flush=True,
+    )
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -16,6 +16,7 @@ per-item budget, averages + valid counts. Differences by design:
 
 from __future__ import annotations
 
+import json
 import re
 from pathlib import Path
 from typing import Iterable, Optional, Union
@@ -240,6 +241,143 @@ class Evaluator:
                 print(f"{metric}: avg={entry['avg']:.4f} ({valid}/{total} valid)")
         self.eval_results.update(results)
         return results
+
+
+# ---------------------------------------------------------------------------
+# LLM-judge evaluation (reference: app/evaluation_helper.py:283-351)
+#
+# The reference's Flask app offers an optional LLM semantic judgment of a
+# predicted actor sequence against a baseline, driven by a six-principle
+# rubric and a strict-JSON answer contract, with an asymmetric confidence
+# rule (low-confidence NOT_BETTER defaults to BETTER) and the score mapping
+# BETTER -> 3 + 0.5*conf / NOT_BETTER -> -0.5*conf. The rubric text below is
+# engine-domain wording of the same six principles (same names, same
+# evaluation intent — prose is ours, per the repo's anti-copy stance).
+
+JUDGE_CRITERION = """1. The Principle of Search Space Decoupling
+Schema identification (Parse) must run before logic synthesis (Generate):
+a generator fed the full raw schema hallucinates columns; one fed a
+high-confidence pruned subset does not. Check: does every Generate/Scale
+actor run after at least one Parse actor?
+
+2. The Principle of Methodological Consensus (Diversity)
+Complex or ambiguous tasks should fan out to a committee of parallel
+actors with distinct internal methodologies — parallel diversity maximizes
+recall of the correct candidate. Check: do complex tasks use three or more
+diverse Generate/Scale actors in a parallel block?
+
+3. The Principle of Sequential Refinement (The Optimizer Chain)
+Optimization is cumulative: chain optimizers that target different error
+classes (syntax first, then logical grounding). Check: do multiple Optimize
+actors run in sequence after generation?
+
+4. The Principle of Empirical Selection (Precision Shift)
+After recall-maximizing parallel generation, an execution-based Select
+actor must pick the provably-best candidate. Check: does the pipeline
+terminate with a Select actor?
+
+5. The Principle of Structural Elasticity
+Pipeline depth and width must scale with task complexity — simple queries
+fail from over-engineering, complex ones from shallow chains. Check: is the
+pipeline's size proportional to the stated complexity?
+
+6. The Principle of Architectural Integrity (Type Compatibility)
+Every actor's output type must satisfy the next actor's input requirement
+(schema -> schema_links -> pred_sql); a broken informational flow cannot
+succeed. Check: can you trace a continuous typed dataflow end to end?"""
+
+LLM_JUDGE_TEMPLATE = """# Role: Expert SQL Pipeline Auditor
+You are an expert system architect specializing in Text-to-SQL actor
+pipelines. Evaluate the Predicted Actor Sequence against the Baseline
+Actor Sequence for the task below.
+
+# Evaluation Criteria (Success Principles):
+CRITERION
+
+# Input Prompt:
+INPUT_PROMPT
+
+# Baseline Actor Sequence:
+BASELINE_ACTOR_SEQUENCE
+
+# Predicted Actor Sequence:
+PREDICTED_ACTOR_SEQUENCE
+
+# Decision Logic
+- BETTER: the predicted sequence adheres to the principles more
+  effectively, or the sequences tie, or you are not significantly certain
+  it is worse.
+- NOT_BETTER: clear inferiority (type breaks, missing parse for large
+  schemas, missing selector for parallel branches) or efficiency violation
+  (actors that do not contribute to success probability).
+
+# Confidence Score Logic
+- Score 0.0 to 1.0. A NOT_BETTER judgment requires confidence >= 0.3;
+  below that, default the judgment to BETTER.
+
+# Output Format
+Reply with a valid JSON object only:
+{"reasoning": "...", "judgment": "BETTER" or "NOT_BETTER",
+ "confidence_score": float}"""
+
+
+def _json_object(text: str) -> Optional[dict]:
+    """First balanced ``{...}`` in ``text`` parsed as JSON (judge replies
+    often wrap the object in prose or a code fence)."""
+    start = text.find("{")
+    while start != -1:
+        depth = 0
+        for i in range(start, len(text)):
+            if text[i] == "{":
+                depth += 1
+            elif text[i] == "}":
+                depth -= 1
+                if depth == 0:
+                    try:
+                        return json.loads(text[start : i + 1])
+                    except ValueError:
+                        break
+        start = text.find("{", start + 1)
+    return None
+
+
+def evaluate_by_llm(
+    llm,
+    input_prompt: str,
+    baseline_seq,
+    pred_seq,
+) -> tuple[bool, float]:
+    """Six-principle LLM judgment of ``pred_seq`` vs ``baseline_seq``.
+
+    Returns ``(ok, score)`` with the reference's exact score mapping
+    (app/evaluation_helper.py:337-348): BETTER -> 3 + 0.5*confidence,
+    NOT_BETTER -> -0.5*confidence; a malformed reply returns
+    ``(False, -0.5)``; any transport error returns ``(False, 0.0)``.
+    """
+    prompt = (
+        LLM_JUDGE_TEMPLATE.replace("CRITERION", JUDGE_CRITERION)
+        .replace("INPUT_PROMPT", str(input_prompt))
+        .replace("BASELINE_ACTOR_SEQUENCE", str(baseline_seq))
+        .replace("PREDICTED_ACTOR_SEQUENCE", str(pred_seq))
+    )
+    try:
+        reply = llm.complete(prompt)
+        parsed = _json_object(str(reply).strip())
+        if not parsed:
+            return False, -0.5
+        judgment = parsed.get("judgment")
+        score = float(parsed.get("confidence_score"))
+        if judgment not in ("BETTER", "NOT_BETTER"):
+            return False, -0.5
+        if judgment == "NOT_BETTER" and score < 0.3:
+            # the rubric's uncertainty tie-breaker, applied server-side too:
+            # a low-confidence NOT_BETTER is treated as BETTER
+            judgment = "BETTER"
+        if judgment == "BETTER":
+            return True, 3 + 0.5 * score
+        return True, -0.5 * score
+    except Exception:  # noqa: BLE001 — eval containment, mirrors reference
+        return False, 0.0
 
 
 def pass_at_n(per_run_scores: Iterable[Iterable[float]]) -> float:

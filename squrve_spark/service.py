@@ -97,6 +97,24 @@ class ServiceState:
         if payload.get("evaluate") and row.get("query"):
             ev = Evaluator(self.spark, Dataset([row]), ["execute_accuracy"])
             out["execute_accuracy"] = ev.eval(0, "execute_accuracy")
+        # optional LLM semantic judgment of the actor sequence vs a baseline
+        # (reference: app/evaluation_helper.py:283-351, 6-principle rubric);
+        # behind the mockable LLM client, so tests drive it with ScriptedLLM
+        if payload.get("eval") == "llm" or payload.get("evaluate") == "llm":
+            from squrve_spark.evaluate import evaluate_by_llm
+
+            if self.llm is None:
+                out["llm_judge"] = {"ok": False, "score": 0.0,
+                                    "error": "no LLM client configured"}
+            else:
+                ok, score = evaluate_by_llm(
+                    self.llm,
+                    input_prompt=row.get("question") or row.get("query") or "",
+                    baseline_seq=payload.get("baseline_task_lis")
+                    or ["generator:gold"],
+                    pred_seq=task_lis,
+                )
+                out["llm_judge"] = {"ok": ok, "score": score}
         return out
 
     def _reject_commands(self, sql: str) -> None:

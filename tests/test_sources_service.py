@@ -412,3 +412,166 @@ def test_cli_serve_entry(spark, tmp_path):
             assert len(json.loads(resp.read())["queries"]) >= 140
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# LLM-judge evaluation on the service eval path (r6; reference:
+# app/evaluation_helper.py:283-351 — 6-principle rubric, strict-JSON answer,
+# BETTER -> 3 + 0.5*conf / NOT_BETTER -> -0.5*conf score mapping)
+
+
+def _judge_service(spark, replies):
+    from squrve_spark.llm import ScriptedLLM
+
+    register_tables(spark, SF_SMALL)
+    rows = [
+        {
+            "instance_id": "j1",
+            "db_type": "spark",
+            "question": "How many orders?",
+            "query": "SELECT count(*) AS n FROM orders",
+            "tables": ["orders"],
+        }
+    ]
+    state = ServiceState(spark, llm=ScriptedLLM(replies), dataset=Dataset(rows))
+    server = serve_background(state)
+    return state, server, f"http://127.0.0.1:{server.server_address[1]}"
+
+
+def test_api_run_llm_judge_better(spark):
+    reply = json.dumps(
+        {"reasoning": "parse precedes generate; terminal selector present",
+         "judgment": "BETTER", "confidence_score": 0.8}
+    )
+    state, server, url = _judge_service(spark, [reply])
+    try:
+        out = _post(
+            f"{url}/api/run",
+            {"instance_id": "j1", "task_lis": ["generator:gold"],
+             "eval": "llm", "baseline_task_lis": ["generator:gold"]},
+        )
+        assert out["llm_judge"] == {"ok": True, "score": 3 + 0.5 * 0.8}
+        # the judge prompt carried the six-principle rubric and both sequences
+        assert state.llm.i == 1
+    finally:
+        server.shutdown()
+
+
+def test_api_run_llm_judge_not_better_and_uncertainty_rule(spark):
+    replies = [
+        json.dumps({"reasoning": "over-engineered", "judgment": "NOT_BETTER",
+                    "confidence_score": 0.6}),
+        # confidence below 0.3 forces the judgment back to BETTER
+        json.dumps({"reasoning": "unsure", "judgment": "NOT_BETTER",
+                    "confidence_score": 0.1}),
+        "no json here at all",
+    ]
+    state, server, url = _judge_service(spark, replies)
+    try:
+        payload = {"instance_id": "j1", "task_lis": ["generator:gold"],
+                   "eval": "llm"}
+        out1 = _post(f"{url}/api/run", payload)
+        assert out1["llm_judge"] == {"ok": True, "score": -0.5 * 0.6}
+        out2 = _post(f"{url}/api/run", payload)
+        assert out2["llm_judge"] == {"ok": True, "score": 3 + 0.5 * 0.1}
+        out3 = _post(f"{url}/api/run", payload)
+        assert out3["llm_judge"] == {"ok": False, "score": -0.5}
+    finally:
+        server.shutdown()
+
+
+def test_api_run_llm_judge_without_client(spark):
+    register_tables(spark, SF_SMALL)
+    state = ServiceState(spark, dataset=Dataset([
+        {"instance_id": "j2", "db_type": "spark", "question": "q",
+         "query": "SELECT 1 AS one FROM orders LIMIT 1", "tables": ["orders"]}
+    ]))
+    server = serve_background(state)
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        out = _post(f"{url}/api/run",
+                    {"instance_id": "j2", "task_lis": ["generator:gold"],
+                     "eval": "llm"})
+        assert out["llm_judge"]["ok"] is False
+        assert "error" in out["llm_judge"]
+    finally:
+        server.shutdown()
+
+
+def test_judge_prompt_carries_rubric_and_sequences():
+    from squrve_spark.evaluate import evaluate_by_llm
+
+    seen = {}
+
+    class Capture:
+        def complete(self, prompt, **kw):
+            seen["prompt"] = prompt
+            return json.dumps({"reasoning": "r", "judgment": "BETTER",
+                               "confidence_score": 1.0})
+
+    ok, score = evaluate_by_llm(
+        Capture(), "count the orders", ["parser:link", "generator:din"],
+        ["generator:gold"],
+    )
+    assert (ok, score) == (True, 3.5)
+    p = seen["prompt"]
+    for principle in (
+        "Search Space Decoupling", "Methodological Consensus",
+        "Sequential Refinement", "Empirical Selection",
+        "Structural Elasticity", "Architectural Integrity",
+    ):
+        assert principle in p
+    assert "count the orders" in p
+    assert "parser:link" in p and "generator:gold" in p
+    assert p.index("parser:link") < p.index("generator:gold")  # baseline first
+
+
+def test_serve_subprocess_end_to_end(tmp_path):
+    """r6: boot `python -m squrve_spark --serve --port 0` as a real
+    subprocess (own JVM, the deployment entry point), upload a CSV over
+    HTTP, run a generate+execute round-trip against the uploaded table, and
+    shut down cleanly — the full demo flow with nothing driven in-process."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "squrve_spark", "--serve", "--port", "0",
+         "--sf-dir", SF_SMALL],
+        cwd=repo, env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    try:
+        line = proc.stdout.readline()  # blocks until the service is bound
+        url = json.loads(line)["serving"]
+        with urllib.request.urlopen(f"{url}/healthz", timeout=30) as resp:
+            assert json.loads(resp.read()) == {"status": "ok"}
+        up = _post(f"{url}/api/upload", {
+            "db_id": "smoke",
+            "files": [{"name": "pets.csv",
+                       "content": "pet_id,species,weight\n1,cat,4.2\n2,dog,9.5\n3,cat,3.1\n"}],
+        })
+        assert up["tables"] == ["pets"]
+        out = _post(f"{url}/api/run", {
+            "instance_id": "smoke1",
+            "db_type": "spark",
+            "question": "How many cats?",
+            "query": "SELECT count(*) AS n FROM pets WHERE species = 'cat'",
+            "task_lis": ["generator:gold"],
+            "execute": True,
+        })
+        assert out["pred_sql"].startswith("SELECT count(*)")
+        assert out["result"] == [{"n": 2}]
+        assert out.get("exec_error") is None
+    finally:
+        proc.send_signal(signal.SIGINT)
+        try:
+            rc = proc.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            raise AssertionError("--serve did not shut down on SIGINT")
+    assert rc == 0, f"--serve exited {rc} after SIGINT"
