@@ -35,7 +35,7 @@ SF_DIRS = [
 ]
 SPAN = 100.0  # data-size ratio between the endpoints
 
-# The heaviest registry entries by r4 BENCH_DETAIL steady time, i.e. the
+# The heaviest registry entries by r4/r5 BENCH_DETAIL steady time, i.e. the
 # ones where a hidden quadratic kernel would actually hurt at 100 TB.
 HEAVIES = [
     "doc_dsir_select",
@@ -48,6 +48,12 @@ HEAVIES = [
     "doc_decontam_bloom",
     "dedup_components",
     "doc_bm25",
+    # r5 additions (r5 verdict #6): the round's new composite heavies
+    "pipeline_curate_v3",
+    "graph_pagerank",
+    "graph_components_emb",
+    "doc_embed_search",
+    "doc_source_divergence",
 ]
 
 MAX_EXPONENT = 1.5  # sub-quadratic with margin (linear == 1.0)
