@@ -13,8 +13,12 @@ implements the formats dependency-free:
 - **JPEG** (baseline, in ``operators/jpeg.py``): full entropy decode +
   IDCT, tables read from the file; 4:4:4 / 4:2:0 encoder.
 - **WAV** (RIFF PCM): 8/16-bit chunk-walking parser + writer.
+- **WebP lossless** (VP8L, in ``operators/vp8l.py``, r6): full bitstream
+  decode — Huffman/LZ77/color-cache + all four transforms — plus a minimal
+  valid encoder.
 
-WebP/AVIF and real video containers still raise (honest ``ok=false``).
+Lossy WebP (VP8), AVIF and real video containers still raise (honest
+``ok=false``).
 
 This replaces the round-3 header-only decode: ``width/height/channels`` AND
 the pixel array are now genuinely parsed from the payload. Scale note: these
@@ -298,9 +302,15 @@ def decode_image(payload: bytes) -> np.ndarray:
         from squrve_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # lossless (VP8L) decodes for real (operators/vp8l.py, r6); lossy
+        # VP8 raises NotImplementedError from decode_webp_lossless
+        from squrve_spark.operators.vp8l import decode_webp_lossless
+
+        return decode_webp_lossless(payload)
     raise NotImplementedError(
         "no dependency-free codec for this format; plug PIL/opencv into "
-        "decode_image for WebP/AVIF/..."
+        "decode_image for lossy-WebP/AVIF/..."
     )
 
 

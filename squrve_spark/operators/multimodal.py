@@ -223,20 +223,34 @@ FRAME_STATS_SCHEMA = T.StructType(
 def attach_image_payload(
     df: DataFrame, text_col: str = "text", width: int = 16
 ) -> DataFrame:
-    """Materialize a REAL 24-bit BMP 'payload' column built deterministically
-    from the text bytes (`codecs.text_to_bmp`) — the fixtures ship no media,
-    so the corpus supplies the bytes and the payload is a genuine on-format
-    image the full-pixel decoder parses for real. Arrow-batched pandas UDF;
-    only the text column crosses the Python boundary."""
+    """Materialize a REAL image 'payload' column built deterministically
+    from the text bytes — the fixtures ship no media, so the corpus supplies
+    the bytes and the payload is a genuine on-format image the full-pixel
+    decoder parses for real. Even doc_ids get 24-bit BMP
+    (`codecs.text_to_bmp`), odd doc_ids get lossless WebP
+    (`vp8l.text_to_webp_lossless`, r6) — both encode the SAME pixel grid,
+    so downstream stats are format-independent by construction and the
+    driver-parity test doubles as a cross-format codec check. Arrow-batched
+    pandas UDF; only the text column crosses the Python boundary."""
     from pyspark.sql.functions import pandas_udf
 
     from squrve_spark.operators.codecs import text_to_bmp
+    from squrve_spark.operators.vp8l import text_to_webp_lossless
 
     @pandas_udf(T.BinaryType())
     def to_bmp(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: text_to_bmp(t or "", width=width))
 
-    return df.withColumn("payload", to_bmp(F.col(text_col)))
+    @pandas_udf(T.BinaryType())
+    def to_webp(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: text_to_webp_lossless(t or "", width=width))
+
+    return df.withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 2 == 0, to_bmp(F.col(text_col))).otherwise(
+            to_webp(F.col(text_col))
+        ),
+    )
 
 
 def attach_container_payload(
