@@ -239,3 +239,36 @@ def pack_documents(
         f"{id_col} long, {token_col} long, shard int, pack_id long, pack_tokens long"
     )
     return src.groupBy("shard").applyInPandas(pack, schema=out_schema)
+
+
+def leakproof_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/val/test split that exact-duplicate clusters can never straddle.
+
+    Plain per-row hash splitting leaks: two byte-identical documents can
+    land in train AND test, and the eval set silently contains training
+    data. Here every row first resolves its exact-dup cluster representative
+    (min id over the canonical-text fingerprint), and the split is assigned
+    by hashing the REPRESENTATIVE id — so an entire duplicate cluster moves
+    as one unit, by construction.
+
+    Scale shape: one hash shuffle on the fingerprint (the same partitioning
+    exact dedup already pays), then the map-only `hash_split` thresholds on
+    the representative. Deterministic, engine-portable (md5-hex compare),
+    append-stable: new duplicates of an existing text inherit its split.
+    """
+    from pyspark.sql import Window
+
+    from squrve_spark.operators.text import canon_expr
+
+    fp = df.select(
+        F.col(id_col), F.md5(canon_expr(text_col)).alias("fp_md5")
+    )
+    rep = fp.withColumn(
+        "rep_id", F.min(id_col).over(Window.partitionBy("fp_md5"))
+    )
+    return hash_split(rep, weights, id_col="rep_id")

@@ -858,3 +858,84 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 6).cast("double").alias("v_interp"),
         F.col("v").isNull().alias("filled"),
     )
+
+
+@register(
+    "q_events_merge_apply",
+    oracle="""
+    WITH ops AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+      FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase', 'error')
+    ),
+    numbered AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+      FROM ops
+    ),
+    marked AS (
+      SELECT *,
+             MAX(CASE WHEN event_type = 'error' THEN rn END)
+                 OVER (PARTITION BY user_id) AS del_rn
+      FROM numbered
+    ),
+    live AS (SELECT * FROM marked WHERE rn > COALESCE(del_rn, 0))
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_live_ops,
+           CAST(ROUND(CAST(SUM(CASE WHEN event_type IN ('click', 'purchase')
+                     THEN CAST(value AS DECIMAL(18, 6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+                AS DOUBLE), 6) AS DOUBLE) AS balance,
+           CAST(MAX(us) AS BIGINT) AS last_op_us
+    FROM live GROUP BY user_id
+    """,
+    tags=("events", "warehouse", "cdc", "A13"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def q_events_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE-apply with tombstones (r6): the event log read as an
+    ordered change stream per user — signup/click/purchase upsert, 'error'
+    is a DELETE tombstone that clears the row, later ops re-create it
+    (MERGE INTO semantics without a table format: the same final-state
+    computation a Delta/Iceberg MERGE would produce, derived relationally).
+    A user's live row aggregates only the ops AFTER their last tombstone;
+    users whose log ends in a tombstone have no row.
+
+    Plan: one hash partition by user_id serves BOTH windows (row_number and
+    the partition-wide max-tombstone-rank share the sort) and the final
+    groupBy — a single exchange end to end. Balance sums through
+    DECIMAL(18,6) per-row casts so the result is partitioning-order-exact
+    cross-engine.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase", "error")
+    )
+    ops = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("ts_ns div 1000").alias("us"),
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w_all = Window.partitionBy("user_id")
+    numbered = ops.withColumn("rn", F.row_number().over(w_ord)).withColumn(
+        "del_rn",
+        F.max(F.when(F.col("event_type") == "error", F.col("rn"))).over(w_all),
+    )
+    live = numbered.filter(F.col("rn") > F.coalesce(F.col("del_rn"), F.lit(0)))
+    return live.groupBy("user_id").agg(
+        F.count("*").alias("n_live_ops"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type").isin("click", "purchase"),
+                    F.col("value").cast("decimal(18,6)"),
+                ).otherwise(F.lit(0).cast("decimal(18,6)"))
+            ).cast("double"),
+            6,
+        ).cast("double").alias("balance"),
+        F.max("us").cast("long").alias("last_op_us"),
+    )

@@ -1852,3 +1852,109 @@ def doc_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return source_divergence(docs)
+
+
+@register(
+    "doc_fuzzy_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lower(substr(trim(text), 1, 12)) AS k FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.k AS key_a, b.k AS key_b,
+           CAST(levenshtein(a.k, b.k) AS INT) AS dist
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.k, b.k) <= 1
+    """,
+    tags=("dedup", "fuzzy", "similarity"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-pair join (edit distance <= 1) via deletion-neighborhood
+    blocking (the public FastSS/SymSpell scheme, r6): each key emits itself
+    plus its |k| single-character deletions; two keys are within edit
+    distance 1 IFF they share a variant (deletion covers delete/insert
+    directly and substitution via deleting the differing position), so the
+    join is an EQUI-join on the variant — never an all-pairs scan — and a
+    final JVM `levenshtein` filter removes the scheme's known false
+    positives (e.g. transpositions sharing two variants). The oracle is the
+    honest quadratic definition, tractable at sf0.01.
+
+    Scale: shuffle volume is rows x (keylen+1) exploded variants; candidate
+    groups are bounded by true key-collision counts, and a skewed hot
+    variant is handled the same way the dedup operators handle hot bands
+    (salt or cap-and-audit), not by widening the join. Everything stays in
+    whole-stage codegen — no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.substring(F.trim(F.col("text")), 1, 12)).alias("k"),
+    )
+    variants = docs.select(
+        "doc_id",
+        "k",
+        F.explode(
+            F.expr(
+                "array_union(array(k), transform(sequence(1, length(k)),"
+                " i -> concat(substr(k, 1, i - 1), substr(k, i + 1, length(k)))))"
+            )
+        ).alias("v"),
+    )
+    left = variants
+    right = variants.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("k").alias("k_b"),
+        F.col("v").alias("v_b"),
+    )
+    pairs = (
+        left.join(right, (left.v == right.v_b) & (left.doc_id < right.doc_id_b))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            F.col("doc_id_b").alias("id_b"),
+            F.col("k").alias("key_a"),
+            F.col("k_b").alias("key_b"),
+        )
+        .distinct()
+        .withColumn("dist", F.levenshtein("key_a", "key_b"))
+        .filter(F.col("dist") <= 1)
+    )
+    return pairs
+
+
+@register(
+    "doc_split_leakproof",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, {_CANON} AS fp_md5 FROM documents
+    ),
+    g AS (
+      SELECT doc_id, fp_md5,
+             MIN(doc_id) OVER (PARTITION BY fp_md5) AS rep_id
+      FROM fp
+    )
+    SELECT doc_id, fp_md5, CAST(rep_id AS BIGINT) AS rep_id,
+           CASE WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 8) < 'cccccccc'
+                  THEN 'train'
+                WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 8) < 'e6666666'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM g
+    """,
+    tags=("sampling", "curation"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def doc_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test split (r6): rows are split by hashing
+    their exact-dup cluster REPRESENTATIVE id, so byte-identical documents
+    can never straddle train and eval — the contamination a plain per-row
+    hash split silently allows (`sampling.leakproof_split`). The DuckDB
+    oracle replays the identical md5-threshold arithmetic; the thresholds
+    'cccccccc'/'e6666666' are exactly hash_split's 0.8/0.9 cut points."""
+    from squrve_spark.operators.sampling import leakproof_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return leakproof_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "fp_md5", F.col("rep_id").cast("long").alias("rep_id"), "split")

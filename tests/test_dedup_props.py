@@ -154,3 +154,43 @@ def test_sliding_span_windows(spark):
     assert sliding[1] >= 1 and sliding[2] >= 1
     with pytest.raises(ValueError):
         corpus_span_dup_stats(df, span=4, stride=5)
+
+
+def test_fuzzy_pairs_blocking_is_exact(spark):
+    """The deletion-neighborhood candidate set + levenshtein filter equals
+    the brute-force edit-distance<=1 pair set (FastSS completeness on real
+    fixture keys, incl. a transposition false-positive being filtered)."""
+    from pyspark.sql import functions as F
+
+    from squrve_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in REGISTRY["doc_fuzzy_pairs"].fn(spark, sf).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", F.lower(F.substring(F.trim("text"), 1, 12)).alias("k"))
+    )
+    a, b = [r for r in docs.collect()], None
+    brute = set()
+    import itertools
+
+    def lev(s, t):
+        if abs(len(s) - len(t)) > 1:
+            return 2
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    for x, y in itertools.combinations(sorted(a, key=lambda r: r["doc_id"]), 2):
+        d = lev(x["k"], y["k"])
+        if d <= 1:
+            brute.add((x["doc_id"], y["doc_id"], d))
+    assert got == brute
+    assert brute, "fixture should produce at least one fuzzy pair"

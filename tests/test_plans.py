@@ -236,3 +236,44 @@ def test_events_funnel_single_scan_single_user_shuffle(spark):
     plan = formatted_plan(REGISTRY["q_events_funnel"].fn(spark, SF_MED))
     assert plan.count("Scan parquet") <= 2  # tree line + detail line
     assert plan.count("Exchange (") <= 2  # user window + singleton agg
+
+
+def test_merge_apply_tombstone_semantics(spark):
+    """q_events_merge_apply unit semantics on a hand-built log: deletes
+    clear prior state, later ops re-create the row, a trailing tombstone
+    removes the user entirely."""
+    import datetime as dt
+
+    from squrve_spark.plans import REGISTRY
+
+    rows = [
+        # user 1: signup, purchase 5, error (tombstone), click 2 -> balance 2
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1, "signup", 0.0, ""),
+        (2, dt.datetime(2024, 1, 1, 0, 1), 1, "purchase", 5.0, ""),
+        (3, dt.datetime(2024, 1, 1, 0, 2), 1, "error", 9.9, ""),
+        (4, dt.datetime(2024, 1, 1, 0, 3), 1, "click", 2.0, ""),
+        # user 2: ends in a tombstone -> no row
+        (5, dt.datetime(2024, 1, 1, 0, 0), 2, "signup", 0.0, ""),
+        (6, dt.datetime(2024, 1, 1, 0, 1), 2, "error", 0.0, ""),
+        # user 3: views only -> filtered out entirely, no row
+        (7, dt.datetime(2024, 1, 1, 0, 0), 3, "view", 1.0, ""),
+        # user 4: no tombstone -> everything counts
+        (8, dt.datetime(2024, 1, 1, 0, 0), 4, "purchase", 3.5, ""),
+        (9, dt.datetime(2024, 1, 1, 0, 1), 4, "click", 1.5, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {
+            r["user_id"]: r
+            for r in REGISTRY["q_events_merge_apply"].fn(spark, d).collect()
+        }
+    assert set(out) == {1, 4}
+    assert out[1]["n_live_ops"] == 1 and out[1]["balance"] == 2.0
+    assert out[4]["n_live_ops"] == 2 and out[4]["balance"] == 5.0

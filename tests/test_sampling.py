@@ -239,3 +239,31 @@ def test_weighted_mix_rejects_missing_supply_and_bad_weights(spark):
         sampling.weighted_mix(docs, {"src0": 0.5, "no_such_src": 0.5})
     with pytest.raises(ValueError, match="> 0"):
         sampling.weighted_mix(docs, {"src0": 0.0, "src1": 1.0})
+
+
+def test_leakproof_split_clusters_never_straddle(spark):
+    """Every member of an exact-dup cluster lands in the SAME split, and the
+    assignment is append-stable (new dup of an existing text inherits it)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "dup text alpha" if i % 3 == 0 else f"unique {i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sampling.leakproof_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    per_fp = (
+        out.groupBy("fp_md5")
+        .agg(F.countDistinct("split").alias("n_splits"), F.count("*").alias("n"))
+        .collect()
+    )
+    dup_groups = [r for r in per_fp if r["n"] > 1]
+    assert dup_groups, "fixture must contain a duplicate cluster"
+    assert all(r["n_splits"] == 1 for r in per_fp)
+    # append stability: adding one more copy of the dup text changes nothing
+    # for existing rows
+    base = {r["doc_id"]: r["split"] for r in out.collect()}
+    df2 = spark.createDataFrame(rows + [(99, "dup text alpha")],
+                                "doc_id long, text string")
+    out2 = {r["doc_id"]: r["split"]
+            for r in sampling.leakproof_split(
+                df2, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert all(out2[i] == s for i, s in base.items())
+    assert out2[99] == base[0]  # the new copy joins its cluster's split
