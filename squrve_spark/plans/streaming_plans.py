@@ -9,6 +9,7 @@ same DuckDB SQL as the batch analog.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from squrve_spark.plans.registry import register
@@ -329,5 +330,63 @@ def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_to_us").cast("long").alias("valid_to_us"),
             F.col("version").cast("long").alias("version"),
             F.col("valid_to_us").isNull().alias("is_current"),
+        )
+    )
+
+
+@register(
+    "stream_merge_apply",
+    # the oracle IS the batch CDC merge-apply SQL: the collapsed drain must
+    # equal the batch final state exactly
+    oracle="""
+    WITH ops AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+      FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase', 'error')
+    ),
+    numbered AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+      FROM ops
+    ),
+    marked AS (
+      SELECT *,
+             MAX(CASE WHEN event_type = 'error' THEN rn END)
+                 OVER (PARTITION BY user_id) AS del_rn
+      FROM numbered
+    ),
+    live AS (SELECT * FROM marked WHERE rn > COALESCE(del_rn, 0))
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_live_ops,
+           CAST(ROUND(CAST(SUM(CASE WHEN event_type IN ('click', 'purchase')
+                     THEN CAST(value AS DECIMAL(18, 6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+                AS DOUBLE), 6) AS DOUBLE) AS balance,
+           CAST(MAX(us) AS BIGINT) AS last_op_us
+    FROM live GROUP BY user_id
+    """,
+    tags=("streaming", "events", "stateful", "cdc", "warehouse"),
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
+def stream_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC MERGE-apply (r6): the event stream drains through
+    `merge_apply_stream` (applyInPandasWithState, four scalars of state per
+    user — exact decimal balance as integer micros) and the update-mode
+    snapshots collapse to each user's LAST emission (max emit_seq), with
+    dead rows (log ends in a tombstone) dropped. The result equals the
+    batch q_events_merge_apply exactly; the oracle IS the batch SQL."""
+    from squrve_spark.streaming.ops import merge_apply_stream
+
+    ev = read_event_stream(spark, sf_dir)
+    out = run_stream_to_table(merge_apply_stream(ev), "update")
+    w = W.partitionBy("user_id").orderBy(F.col("emit_seq").desc())
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & F.col("alive"))
+        .select(
+            "user_id",
+            F.col("n_live_ops").cast("long").alias("n_live_ops"),
+            F.col("balance").cast("double").alias("balance"),
+            F.col("last_op_us").cast("long").alias("last_op_us"),
         )
     )

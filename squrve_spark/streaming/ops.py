@@ -551,3 +551,81 @@ def top_keys_stream(events: DataFrame) -> DataFrame:
         F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("int").alias("k")
     )
     return keyed.groupBy("k").agg(F.count("*").cast("long").alias("n"))
+
+
+_MERGE_STATE = "balance_micros long, n_live long, last_us long, emit_seq int"
+_MERGE_OUT = (
+    "user_id long, n_live_ops long, balance double, last_op_us long, "
+    "alive boolean, emit_seq int"
+)
+
+
+def _quantize_micros(v: float) -> int:
+    """Exactly Spark's CAST(double AS DECIMAL(18,6)) in integer micros:
+    shortest-repr decimal of the double, scale 6, HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(float(v))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        * 1_000_000
+    )
+
+
+def _update_merge(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Incremental CDC MERGE-apply per user (streaming twin of the batch
+    q_events_merge_apply): signup/click/purchase upsert, 'error' is a
+    tombstone clearing the row, later ops re-create it. State is four
+    scalars per key: exact DECIMAL(18,6) balance held as integer micros, a
+    live-op count, the last op time, and an emission sequence so the sink
+    can keep each user's LAST snapshot."""
+    bal, n, last, seq = state.get if state.exists else (0, 0, 0, 0)
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:
+        state.update((bal, n, last, seq))
+        yield pd.DataFrame(columns=[
+            "user_id", "n_live_ops", "balance", "last_op_us", "alive",
+            "emit_seq"])
+        return
+    pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    pdf = pdf.assign(_t_us=pdf["ts_ns"] // 1000).sort_values(["_t_us", "event_id"])
+    for et, v, us in zip(pdf["event_type"], pdf["value"], pdf["_t_us"]):
+        if et == "error":  # tombstone: the row ceases to exist
+            bal, n, last = 0, 0, 0
+        else:
+            n += 1
+            last = int(us)
+            if et in ("click", "purchase"):
+                bal += _quantize_micros(v)
+    seq += 1
+    state.update((bal, n, last, seq))
+    yield pd.DataFrame(
+        [(int(key[0]), n, round(bal / 1e6, 6), last, n > 0, seq)],
+        columns=["user_id", "n_live_ops", "balance", "last_op_us", "alive",
+                 "emit_seq"],
+    )
+
+
+def merge_apply_stream(events: DataFrame) -> DataFrame:
+    """Streaming CDC MERGE-apply (``applyInPandasWithState``): per-user
+    final-state maintenance under upserts and delete tombstones — the
+    incremental form of the batch ``q_events_merge_apply``. Same delivery
+    contract as ``scd2_stream``: per-key time order across micro-batches
+    (partitioned-log guarantee); any order within a batch. Each batch emits
+    the user's CURRENT snapshot (update mode) tagged with an emission
+    sequence; the sink keeps each user's last snapshot and drops dead rows,
+    so a user whose log ends in a tombstone vanishes even though earlier
+    snapshots were emitted."""
+    return (
+        events.filter(
+            F.col("event_type").isin("signup", "click", "purchase", "error")
+        )
+        .select("event_id", "user_id", "event_type", "value", "ts_ns")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_merge,
+            outputStructType=_MERGE_OUT,
+            stateStructType=_MERGE_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

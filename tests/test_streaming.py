@@ -378,3 +378,83 @@ def test_stream_scd2_incremental_across_ordered_batches(spark, tmp_path):
                                           "status", "valid_from_us", "valid_to_us"), cols)
     assert got_rows == want_rows
     _shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_merge_apply_tombstones_across_batches(spark, tmp_path):
+    """r6: CDC merge state must carry balances and tombstones across
+    micro-batches. A hand-built log split into two time-ordered files:
+    user 1's tombstone lands in batch 2 after ops in batch 1 (final row
+    must vanish despite batch-1 emissions); user 2's tombstone is in batch
+    1 and batch 2 re-creates the row (balance counts batch-2 ops only);
+    user 3 accumulates across both batches. Collapsed drain == the batch
+    q_events_merge_apply on the combined log."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from squrve_spark.plans import REGISTRY
+    from squrve_spark.streaming.ops import merge_apply_stream, read_event_stream
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    def ev(eid, minute, uid, etype, val):
+        return (eid, t0 + dt.timedelta(minutes=minute), uid, etype, val, "")
+
+    batch1 = [
+        ev(1, 0, 1, "signup", 0.0), ev(2, 1, 1, "purchase", 7.25),
+        ev(3, 0, 2, "purchase", 9.0), ev(4, 1, 2, "error", 0.0),
+        ev(5, 0, 3, "click", 1.5),
+    ]
+    batch2 = [
+        ev(6, 60, 1, "error", 0.0),                 # tombstone after batch 1
+        ev(7, 61, 2, "click", 2.5),                 # re-creation after tombstone
+        ev(8, 60, 3, "purchase", 3.25),             # accumulation
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    src = tmp_path / "merge_src"
+    src.mkdir()
+    base_t = _time.time() - 1000
+    for i, rows in enumerate((batch1, batch2)):
+        d = src / f"b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(d))
+        import glob as _glob
+        import shutil as _shutil
+
+        [f] = _glob.glob(str(d / "*.parquet"))
+        dst = src / f"{i:02d}.parquet"
+        _shutil.copy(f, dst)
+        _os.utime(dst, (base_t + i * 60, base_t + i * 60))
+        _shutil.rmtree(d)
+
+    ev_stream = read_event_stream(
+        spark, str(src), max_files_per_trigger=1, glob="*.parquet"
+    )
+    out = run_stream_to_table(merge_apply_stream(ev_stream), "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("emit_seq").desc())
+    got = {
+        r["user_id"]: r
+        for r in out.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & F.col("alive"))
+        .collect()
+    }
+    # user 1 ended in a tombstone: gone, even though batch 1 emitted a row
+    assert set(got) == {2, 3}
+    assert got[2]["n_live_ops"] == 1 and got[2]["balance"] == 2.5
+    assert got[3]["n_live_ops"] == 2 and got[3]["balance"] == 4.75
+    # and the full-fixture drain equals the batch operator exactly
+    combined = spark.createDataFrame(batch1 + batch2, schema)
+    with_dir = tmp_path / "combined"
+    combined.write.mode("overwrite").parquet(str(with_dir / "events.parquet"))
+    batch_rows = {
+        r["user_id"]: r
+        for r in REGISTRY["q_events_merge_apply"].fn(spark, str(with_dir)).collect()
+    }
+    assert set(batch_rows) == set(got)
+    for uid, r in got.items():
+        b = batch_rows[uid]
+        assert (r["n_live_ops"], r["balance"], r["last_op_us"]) == (
+            b["n_live_ops"], b["balance"], b["last_op_us"])
