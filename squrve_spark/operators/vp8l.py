@@ -61,38 +61,70 @@ class BitReader:
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0  # bit position
+        self.nbits = len(data) * 8
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            byte_pos = self.pos >> 3
-            if byte_pos >= len(self.data):
-                raise ValueError("VP8L: truncated bitstream")
-            bit = (self.data[byte_pos] >> (self.pos & 7)) & 1
-            v |= bit << i
-            self.pos += 1
-        return v
+        pos = self.pos
+        if pos + n > self.nbits:
+            raise ValueError("VP8L: truncated bitstream")
+        window = int.from_bytes(self.data[pos >> 3 : ((pos + n + 7) >> 3)], "little")
+        self.pos = pos + n
+        return (window >> (pos & 7)) & ((1 << n) - 1)
+
+    def peek(self, n: int) -> int:
+        """Next ``n`` bits without advancing; zero-padded past stream end
+        (LUT decode peeks a full max-code-length window even when the last
+        symbol is shorter)."""
+        pos = self.pos
+        window = int.from_bytes(self.data[pos >> 3 : ((pos + n + 7) >> 3)], "little")
+        return (window >> (pos & 7)) & ((1 << n) - 1)
+
+    def advance(self, n: int) -> None:
+        self.pos += n
+        if self.pos > self.nbits:
+            raise ValueError("VP8L: truncated bitstream")
 
 
 class BitWriter:
+    """Scalar writes buffer in a Python list (headers are tiny); bulk pixel
+    payloads arrive as numpy bit matrices and are concatenated C-side."""
+
     def __init__(self):
-        self.bits: list[int] = []
+        self._chunks: list[np.ndarray] = []
+        self._pend: list[int] = []
 
     def write(self, value: int, n: int) -> None:
         for i in range(n):
-            self.bits.append((value >> i) & 1)
+            self._pend.append((value >> i) & 1)
 
     def write_code(self, code: int, length: int) -> None:
         """Huffman codes are emitted MSB-first (they are read bit-by-bit
         walking the canonical tree)."""
         for i in range(length - 1, -1, -1):
-            self.bits.append((code >> i) & 1)
+            self._pend.append((code >> i) & 1)
+
+    def _flush(self) -> None:
+        if self._pend:
+            self._chunks.append(np.asarray(self._pend, dtype=np.uint8))
+            self._pend = []
+
+    def write_bit_matrix(self, mat: np.ndarray) -> None:
+        """Bulk append a (n, w) 0/1 matrix row-major (vectorized pixel
+        emission: one row per pixel, columns already in stream order)."""
+        self._flush()
+        self._chunks.append(mat.astype(np.uint8, copy=False).ravel())
+
+    @property
+    def bits(self) -> list[int]:
+        """All bits so far (test/introspection convenience)."""
+        self._flush()
+        return np.concatenate(self._chunks).tolist() if self._chunks else []
 
     def to_bytes(self) -> bytes:
-        out = bytearray((len(self.bits) + 7) // 8)
-        for i, b in enumerate(self.bits):
-            out[i >> 3] |= b << (i & 7)
-        return bytes(out)
+        self._flush()
+        arr = (np.concatenate(self._chunks) if self._chunks
+               else np.zeros(0, dtype=np.uint8))
+        return np.packbits(arr, bitorder="little").tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -126,6 +158,9 @@ class Huffman:
             else:
                 self.single = None
                 self.table = {(1, 0): symbols[0], (1, 1): symbols[1]}
+                # simple codes fix listed order: bit 0 -> first symbol
+                self.L = 1
+                self.lut = [(symbols[0], 1), (symbols[1], 1)]
             return
         nz = [(s, l) for s, l in enumerate(lengths) if l > 0]
         if not nz:
@@ -141,20 +176,31 @@ class Huffman:
             raise ValueError("VP8L: incomplete Huffman code")
         codes = canonical_codes({s: l for s, l in nz})
         self.table = {(l, c): s for s, (c, l) in codes.items()}
+        # LUT decode: index by the next max_len bits AS READ (LSB-first
+        # window) -> (symbol, code length). A complete canonical code fills
+        # the whole table.
+        self.L = max_len
+        lut: list[tuple[int, int]] = [(0, 0)] * (1 << max_len)
+        for s, (c, l) in codes.items():
+            # the code's bits are consumed MSB-first; bit i of the raw
+            # window is the i-th bit read, so codebit j (from MSB) lands at
+            # window bit j. Remaining max_len-l bits are free.
+            base = 0
+            for j in range(l):
+                if (c >> (l - 1 - j)) & 1:
+                    base |= 1 << j
+            for free in range(1 << (max_len - l)):
+                lut[base | (free << l)] = (s, l)
+        self.lut = lut
 
     def read(self, br: BitReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        length = 0
-        while True:
-            code = (code << 1) | br.read(1)
-            length += 1
-            sym = self.table.get((length, code))
-            if sym is not None:
-                return sym
-            if length > 15:
-                raise ValueError("VP8L: invalid Huffman code in stream")
+        sym, length = self.lut[br.peek(self.L)]
+        if length == 0:
+            raise ValueError("VP8L: invalid Huffman code in stream")
+        br.advance(length)
+        return sym
 
 
 def _read_code_lengths(br: BitReader, cl_huff: Huffman, num_symbols: int) -> list:
@@ -659,15 +705,18 @@ def encode_vp8l(arr: np.ndarray, subtract_green: bool = True) -> bytes:
         _write_flat8_table(bw)
     _write_simple_table(bw, [0])  # distance: unused single-symbol code
 
-    gr = r.ravel()
-    gg = g.ravel()
-    gb = b.ravel()
-    ga = a.ravel()
-    for i in range(h * w):
-        bw.write_code(*_GREEN_CODES[int(gg[i])])
-        bw.write_code(int(gr[i]), 8)
-        bw.write_code(int(gb[i]), 8)
-        bw.write_code(int(ga[i]), 8)
+    # vectorized pixel emission: with these fixed tables every pixel is the
+    # same 33-bit layout — 9-bit green code (canonical value 256+g), then
+    # r/b/a as flat 8-bit codes, each MSB-first. Pack all pixels as one
+    # (n, 33) bit matrix instead of 33n Python appends.
+    vals = (
+        ((256 + g.ravel().astype(np.int64)) << 24)
+        | (r.ravel().astype(np.int64) << 16)
+        | (b.ravel().astype(np.int64) << 8)
+        | a.ravel().astype(np.int64)
+    )
+    shifts = np.arange(32, -1, -1, dtype=np.int64)
+    bw.write_bit_matrix(((vals[:, None] >> shifts[None, :]) & 1))
     return _riff_webp(bw.to_bytes())
 
 
