@@ -323,14 +323,29 @@ Reply with a valid JSON object only:
 
 def _json_object(text: str) -> Optional[dict]:
     """First balanced ``{...}`` in ``text`` parsed as JSON (judge replies
-    often wrap the object in prose or a code fence)."""
+    often wrap the object in prose or a code fence). Brace counting is
+    JSON-string-aware: a '{' or '}' inside a quoted "reasoning" value must
+    not unbalance the scan."""
     start = text.find("{")
     while start != -1:
         depth = 0
+        in_string = False
+        escaped = False
         for i in range(start, len(text)):
-            if text[i] == "{":
+            ch = text[i]
+            if in_string:
+                if escaped:
+                    escaped = False
+                elif ch == "\\":
+                    escaped = True
+                elif ch == '"':
+                    in_string = False
+                continue
+            if ch == '"':
+                in_string = True
+            elif ch == "{":
                 depth += 1
-            elif text[i] == "}":
+            elif ch == "}":
                 depth -= 1
                 if depth == 0:
                     try:
@@ -366,9 +381,15 @@ def evaluate_by_llm(
         if not parsed:
             return False, -0.5
         judgment = parsed.get("judgment")
-        score = float(parsed.get("confidence_score"))
-        if judgment not in ("BETTER", "NOT_BETTER"):
+        raw_score = parsed.get("confidence_score")
+        # validate the whole contract before converting anything: a missing
+        # or non-numeric confidence is a MALFORMED reply (-0.5), not a
+        # transport error (0.0)
+        if judgment not in ("BETTER", "NOT_BETTER") or not isinstance(
+            raw_score, (int, float)
+        ) or isinstance(raw_score, bool):
             return False, -0.5
+        score = float(raw_score)
         if judgment == "NOT_BETTER" and score < 0.3:
             # the rubric's uncertainty tie-breaker, applied server-side too:
             # a low-confidence NOT_BETTER is treated as BETTER

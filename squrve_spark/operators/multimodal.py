@@ -237,20 +237,22 @@ def attach_image_payload(
     from squrve_spark.operators.codecs import text_to_bmp
     from squrve_spark.operators.vp8l import text_to_webp_lossless
 
+    # ONE udf branching per row: Spark extracts Python UDFs into
+    # unconditional ArrowEvalPython nodes, so `F.when(cond, udf_a())
+    # .otherwise(udf_b())` would encode EVERY row in BOTH formats and
+    # discard one — double the Python-side cost for nothing
     @pandas_udf(T.BinaryType())
-    def to_bmp(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: text_to_bmp(t or "", width=width))
+    def to_image(doc_ids: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                text_to_bmp(t or "", width=width)
+                if int(i) % 2 == 0
+                else text_to_webp_lossless(t or "", width=width)
+                for i, t in zip(doc_ids, texts)
+            ]
+        )
 
-    @pandas_udf(T.BinaryType())
-    def to_webp(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: text_to_webp_lossless(t or "", width=width))
-
-    return df.withColumn(
-        "payload",
-        F.when(F.col("doc_id") % 2 == 0, to_bmp(F.col(text_col))).otherwise(
-            to_webp(F.col(text_col))
-        ),
-    )
+    return df.withColumn("payload", to_image(F.col("doc_id"), F.col(text_col)))
 
 
 def attach_container_payload(

@@ -265,10 +265,9 @@ def leakproof_split(
 
     from squrve_spark.operators.text import canon_expr
 
-    fp = df.select(
-        F.col(id_col), F.md5(canon_expr(text_col)).alias("fp_md5")
-    )
-    rep = fp.withColumn(
+    # annotate, don't project: like hash_split, the caller gets their rows
+    # back with fp_md5/rep_id/split added
+    rep = df.withColumn("fp_md5", F.md5(canon_expr(text_col))).withColumn(
         "rep_id", F.min(id_col).over(Window.partitionBy("fp_md5"))
     )
     return hash_split(rep, weights, id_col="rep_id")

@@ -287,6 +287,8 @@ def _decode_entropy_image(br: BitReader, width: int, height: int,
     Handles color cache, optional meta-Huffman entropy image (level 0 only),
     literals, LZ77 refs."""
     cache_bits = br.read(4) if br.read(1) else 0
+    if cache_bits and not 1 <= cache_bits <= 11:
+        raise ValueError("VP8L: color-cache bits out of range (spec: 1..11)")
     cache = [0] * (1 << cache_bits) if cache_bits else None
 
     meta = None
@@ -390,12 +392,14 @@ def _clamp_add_sub_half(l: int, t: int, tl: int) -> int:
 
 
 def _select(l: int, t: int, tl: int) -> int:
-    pa = pb = 0
+    # spec/libwebp: return T when its Manhattan distance to the gradient
+    # prediction is <= L's (ties go to TOP, not left)
+    p_l = p_t = 0
     for shift in (0, 8, 16, 24):
         p = ((l >> shift) & 0xFF) + ((t >> shift) & 0xFF) - ((tl >> shift) & 0xFF)
-        pa += abs(p - ((l >> shift) & 0xFF))
-        pb += abs(p - ((t >> shift) & 0xFF))
-    return l if pa <= pb else t
+        p_l += abs(p - ((l >> shift) & 0xFF))
+        p_t += abs(p - ((t >> shift) & 0xFF))
+    return t if p_t <= p_l else l
 
 
 def _predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:

@@ -94,7 +94,13 @@ class ServiceState:
             )
             out["result"] = None if res.df is None else res.df.to_dict("records")
             out["exec_error"] = res.error
-        if payload.get("evaluate") and row.get("query"):
+        # evaluate: "llm" selects ONLY the judge below — execute_accuracy
+        # runs two timed SQL executions and must not ride along on it
+        if (
+            payload.get("evaluate")
+            and payload.get("evaluate") != "llm"
+            and row.get("query")
+        ):
             ev = Evaluator(self.spark, Dataset([row]), ["execute_accuracy"])
             out["execute_accuracy"] = ev.eval(0, "execute_accuracy")
         # optional LLM semantic judgment of the actor sequence vs a baseline

@@ -560,11 +560,15 @@ _MERGE_OUT = (
 )
 
 
-def _quantize_micros(v: float) -> int:
+def _quantize_micros(v) -> int:
     """Exactly Spark's CAST(double AS DECIMAL(18,6)) in integer micros:
-    shortest-repr decimal of the double, scale 6, HALF_UP."""
+    shortest-repr decimal of the double, scale 6, HALF_UP. NULL/NaN values
+    contribute 0 — matching the batch SUM, where a NULL summand is simply
+    skipped (one bad row must degrade the balance, never kill the stream)."""
     from decimal import ROUND_HALF_UP, Decimal
 
+    if v is None or v != v:  # None or NaN (Arrow hands NULL as NaN)
+        return 0
     return int(
         Decimal(repr(float(v))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
         * 1_000_000

@@ -539,3 +539,12 @@ def test_container_formats_report_real_dims_not_ok_false(spark):
         C.decode_image(C.text_to_webp("zz"))
     with pytest.raises(NotImplementedError):
         C.decode_image(C.text_to_avif("zz"))
+
+
+def test_attach_image_payload_single_python_eval(spark):
+    """The BMP/WebP format mix must encode each row ONCE: exactly one
+    ArrowEvalPython node in the plan (a when/otherwise over two UDFs would
+    evaluate both for every row)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    plan = multimodal.attach_image_payload(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1

@@ -267,3 +267,11 @@ def test_leakproof_split_clusters_never_straddle(spark):
                 df2, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
     assert all(out2[i] == s for i, s in base.items())
     assert out2[99] == base[0]  # the new copy joins its cluster's split
+
+
+def test_leakproof_split_keeps_input_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "t1", "en"), (2, "t2", "de")], "doc_id long, text string, lang string"
+    )
+    out = sampling.leakproof_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert {"doc_id", "text", "lang", "fp_md5", "rep_id", "split"} <= set(out.columns)

@@ -575,3 +575,53 @@ def test_serve_subprocess_end_to_end(tmp_path):
             proc.kill()
             raise AssertionError("--serve did not shut down on SIGINT")
     assert rc == 0, f"--serve exited {rc} after SIGINT"
+
+
+def test_judge_json_extraction_and_malformed_contract():
+    from squrve_spark.evaluate import _json_object, evaluate_by_llm
+
+    # brace inside a JSON string must not unbalance the scan
+    reply = ('prose before {"reasoning": "missing a closing } after parse",'
+             ' "judgment": "BETTER", "confidence_score": 0.9} prose after')
+    assert _json_object(reply)["confidence_score"] == 0.9
+
+    class Scripted:
+        def __init__(self, r):
+            self.r = r
+
+        def complete(self, prompt, **kw):
+            return self.r
+
+    ok, score = evaluate_by_llm(Scripted(reply), "q", ["a"], ["b"])
+    assert (ok, score) == (True, 3 + 0.5 * 0.9)
+    # missing confidence_score: MALFORMED (-0.5), not transport error (0.0)
+    ok, score = evaluate_by_llm(
+        Scripted('{"reasoning": "r", "judgment": "BETTER"}'), "q", ["a"], ["b"])
+    assert (ok, score) == (False, -0.5)
+    # non-numeric confidence: same
+    ok, score = evaluate_by_llm(
+        Scripted('{"judgment": "NOT_BETTER", "confidence_score": "high"}'),
+        "q", ["a"], ["b"])
+    assert (ok, score) == (False, -0.5)
+
+
+def test_api_run_eval_llm_does_not_run_execute_accuracy(spark):
+    from squrve_spark.llm import ScriptedLLM
+
+    register_tables(spark, SF_SMALL)
+    reply = json.dumps({"reasoning": "r", "judgment": "BETTER",
+                        "confidence_score": 1.0})
+    state = ServiceState(spark, llm=ScriptedLLM([reply]), dataset=Dataset([
+        {"instance_id": "j3", "db_type": "spark", "question": "q",
+         "query": "SELECT count(*) AS n FROM orders", "tables": ["orders"]}
+    ]))
+    server = serve_background(state)
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        out = _post(f"{url}/api/run",
+                    {"instance_id": "j3", "task_lis": ["generator:gold"],
+                     "evaluate": "llm"})
+        assert out["llm_judge"]["ok"] is True
+        assert "execute_accuracy" not in out
+    finally:
+        server.shutdown()

@@ -458,3 +458,16 @@ def test_stream_merge_apply_tombstones_across_batches(spark, tmp_path):
         b = batch_rows[uid]
         assert (r["n_live_ops"], r["balance"], r["last_op_us"]) == (
             b["n_live_ops"], b["balance"], b["last_op_us"])
+
+
+def test_merge_quantize_micros_null_nan_contribute_zero():
+    """A NULL/NaN value on a click/purchase must contribute 0 (matching the
+    batch SUM skipping NULL summands), never kill the stream task."""
+    import math
+
+    from squrve_spark.streaming.ops import _quantize_micros
+
+    assert _quantize_micros(None) == 0
+    assert _quantize_micros(float("nan")) == 0
+    assert _quantize_micros(7.25) == 7_250_000
+    assert _quantize_micros(0.0000005) == 1  # HALF_UP at the 6th dp

@@ -351,3 +351,23 @@ def test_encoder_rejects_bad_shapes():
         encode_vp8l(np.zeros((4, 4), dtype=np.uint8))
     with pytest.raises(ValueError):
         encode_vp8l(np.zeros((1, 20000, 3), dtype=np.uint8))
+
+
+def test_predictor_select_tie_goes_to_top():
+    """Spec/libwebp: Select returns T when the distances tie."""
+    # L=(10,)*4 channels, T=(20,), TL=(15,): gradient p = 15 per channel,
+    # |p-L| == |p-T| == 5 -> tie -> T
+    l = 0x0A0A0A0A
+    t = 0x14141414
+    tl = 0x0F0F0F0F
+    assert V._select(l, t, tl) == t
+
+
+def test_cache_bits_out_of_range_rejected():
+    bw = BitWriter()
+    _header(bw, 1, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # cache present
+    bw.write(15, 4)  # invalid: spec allows 1..11
+    with pytest.raises(ValueError, match="color-cache bits"):
+        decode_vp8l(bw.to_bytes() + b"\x00" * 8)
