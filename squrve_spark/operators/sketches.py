@@ -210,3 +210,53 @@ def merge_quantiles(
         for q in quantiles
     ]
     return merged.select(*(group_cols or []), "kll", *cols)
+
+
+def incremental_quantiles(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_path: str,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 200,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """KLL analog of ``incremental_distinct``: maintain a persisted
+    per-group mergeable QUANTILE sketch as batches arrive. Each batch is
+    sketched JVM-side (``kll_sketch_agg_double``), merged into the stored
+    sketches for the touched groups with the true aggregate merge
+    (``kll_merge_agg_double``), and the store is rewritten — #groups x
+    O(k log n) bytes regardless of history length. Raw history is never
+    re-read, so percentile monitoring over an unbounded stream costs one
+    pass per batch and constant state.
+    """
+    agg = (
+        spread(batch)
+        .groupBy(*group_cols)
+        .agg(
+            F.kll_sketch_agg_double(
+                F.col(value_col).cast("double"), F.lit(int(k))
+            ).alias("kll")
+        )
+        .localCheckpoint()  # ONE batch pass feeds merge + touched + result
+    )
+    touched = agg.select(*group_cols).distinct()
+    if os.path.isdir(store_path):
+        existing = spark.read.parquet(store_path).select(*group_cols, "kll")
+        merged_touched = (
+            existing.join(touched, group_cols, "left_semi")
+            .unionByName(agg)
+            .groupBy(*group_cols)
+            .agg(F.kll_merge_agg_double("kll").alias("kll"))
+        )
+        untouched = existing.join(touched, group_cols, "left_anti")
+        out = merged_touched.unionByName(untouched)
+    else:
+        out = agg
+    qcols = [
+        F.kll_sketch_get_quantile_double("kll", F.lit(float(q))).alias(_qlabel(q))
+        for q in quantiles
+    ]
+    out = out.select(*group_cols, "kll", *qcols).localCheckpoint()
+    out.write.mode("overwrite").parquet(store_path)
+    return out.join(touched, group_cols, "left_semi")

@@ -390,3 +390,40 @@ def stream_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_op_us").cast("long").alias("last_op_us"),
         )
     )
+
+
+@register("stream_value_quantiles", oracle=None, tags=("streaming", "sketch", "no-oracle"))
+def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percentile monitoring with CONSTANT state (r6): the event
+    stream drains through foreachBatch into `sketches.incremental_quantiles`
+    — per micro-batch, values are KLL-sketched JVM-side and merged into a
+    persisted per-event_type sketch store (#groups x O(k log n) bytes; raw
+    history never re-read). Output: approximate p50/p90/p99 of `value` per
+    event_type from the merged sketches. Rows-only: KLL is randomized
+    within its rank-error bound; tests/test_streaming.py asserts every
+    estimate sits within rank error of the exact percentile and that the
+    store holds exactly one row per event_type."""
+    import tempfile
+
+    from squrve_spark.operators.sketches import incremental_quantiles
+    from squrve_spark.streaming.ops import read_event_stream
+
+    work = tempfile.mkdtemp(prefix="squrve_kll_stream_")
+    store = f"{work}/store"
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        incremental_quantiles(spark, batch_df, store, "value", ["event_type"])
+
+    ev = read_event_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{work}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(store)
+        .select("event_type", "p50", "p90", "p99")
+        .orderBy("event_type")
+    )

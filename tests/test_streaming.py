@@ -471,3 +471,52 @@ def test_merge_quantize_micros_null_nan_contribute_zero():
     assert _quantize_micros(float("nan")) == 0
     assert _quantize_micros(7.25) == 7_250_000
     assert _quantize_micros(0.0000005) == 1  # HALF_UP at the 6th dp
+
+
+def test_stream_value_quantiles_rank_error_and_bounded_state(spark):
+    """r6: the streamed KLL estimates must sit within normalized rank error
+    of the exact percentiles, with exactly one store row per event_type
+    (constant state)."""
+    from squrve_spark.plans import REGISTRY
+
+    got = REGISTRY["stream_value_quantiles"].fn(spark, SF_SMALL).collect()
+    vals = {
+        r["event_type"]: sorted(
+            x["value"] for x in load_table(spark, SF_SMALL, "events")
+            .filter(F.col("event_type") == r["event_type"])
+            .select("value").collect()
+        )
+        for r in got
+    }
+    assert len(got) == len(vals)  # one row per event_type
+    for r in got:
+        xs = vals[r["event_type"]]
+        n = len(xs)
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            est = r[col]
+            # normalized rank of the estimate vs the target quantile:
+            # KLL(k=200) guarantees ~1.65% one-sided; assert a lax 5%
+            rank = sum(1 for x in xs if x <= est) / n
+            assert abs(rank - q) <= 0.05, (r["event_type"], col, rank, q)
+
+
+def test_incremental_quantiles_multi_batch_merge(spark, tmp_path):
+    """Two batches merged through the persisted store must estimate the
+    COMBINED distribution (the second batch shifts the distribution up;
+    the merged p50 must land between the two batch medians, near the true
+    combined median)."""
+    from squrve_spark.operators.sketches import incremental_quantiles
+
+    store = str(tmp_path / "kll_store")
+    b1 = spark.range(0, 1000).selectExpr(
+        "'a' AS g", "CAST(id AS DOUBLE) AS v")
+    b2 = spark.range(0, 1000).selectExpr(
+        "'a' AS g", "CAST(id + 1000 AS DOUBLE) AS v")
+    incremental_quantiles(spark, b1, store, "v", ["g"])
+    out = {r["g"]: r for r in
+           incremental_quantiles(spark, b2, store, "v", ["g"]).collect()}
+    # combined data is uniform 0..1999: true p50 = ~1000
+    assert abs(out["a"]["p50"] - 1000) <= 100
+    # store holds ONE row with a mergeable sketch, not history
+    stored = spark.read.parquet(store)
+    assert stored.count() == 1 and "kll" in stored.columns
