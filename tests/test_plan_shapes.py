@@ -229,3 +229,31 @@ def test_pagerank_edges_checkpointed_no_parquet_rescan(spark):
     assert "Scan parquet" not in plan
     assert "FlatMapCoGroupsInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_merge_apply_single_exchange(spark):
+    """q_events_merge_apply (r6): one user_id hash partition serves BOTH
+    windows (row_number + partition-max tombstone rank share the sort) and
+    the final aggregation — a second exchange would mean the window chain
+    broke the partitioning reuse."""
+    plan = plan_of(spark, "q_events_merge_apply")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Window") == 2  # rn + max-tombstone share the sort
+
+
+def test_fuzzy_pairs_is_equi_join(spark):
+    """doc_fuzzy_pairs (r6): the deletion-neighborhood join must plan as an
+    equi-join on the variant (hash or sort-merge), never a nested-loop —
+    that is the whole point of the blocking scheme."""
+    plan = plan_of(spark, "doc_fuzzy_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_leakproof_split_single_shuffle(spark):
+    """doc_split_leakproof (r6): one fingerprint hash partition for the
+    representative window; the md5-threshold split itself is map-only."""
+    plan = plan_of(spark, "doc_split_leakproof")
+    assert plan.count("Exchange hashpartitioning") == 1
