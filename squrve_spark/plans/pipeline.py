@@ -1871,55 +1871,27 @@ def doc_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     defer_oracle=True,
 )
 def doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy string-pair join (edit distance <= 1) via deletion-neighborhood
-    blocking (the public FastSS/SymSpell scheme, r6): each key emits itself
-    plus its |k| single-character deletions; two keys are within edit
-    distance 1 IFF they share a variant (deletion covers delete/insert
-    directly and substitution via deleting the differing position), so the
-    join is an EQUI-join on the variant — never an all-pairs scan — and a
-    final JVM `levenshtein` filter removes the scheme's known false
-    positives (e.g. transpositions sharing two variants). The oracle is the
-    honest quadratic definition, tractable at sf0.01.
-
-    Scale: shuffle volume is rows x (keylen+1) exploded variants; candidate
-    groups are bounded by true key-collision counts, and a skewed hot
-    variant is handled the same way the dedup operators handle hot bands
-    (salt or cap-and-audit), not by widening the join. Everything stays in
-    whole-stage codegen — no Python.
+    """Fuzzy string-pair join (edit distance <= 1) via CLUSTER-COLLAPSED
+    deletion-neighborhood blocking (FastSS/SymSpell, r7 skew fix): identical
+    keys are collapsed to one row BEFORE the variant equi-join, so n
+    boilerplate documents sharing a prefix contribute one join row instead
+    of n — the variant-join group sizes become combinatorially bounded
+    (<= 1 + (L+1)*|alphabet| distinct keys can share a variant) instead of
+    data-dependent. Key pairs then expand back to doc pairs via two plain
+    equi-joins whose output cardinality IS the answer's cardinality; the
+    optional `max_cluster` / `max_variant_df` caps (with audit frames)
+    bound even that on degenerate corpora (`operators/dedup.fuzzy_pairs`).
+    Everything stays in whole-stage codegen — no Python. The oracle is the
+    honest quadratic definition, tractable at sf0.01; here we run uncapped
+    for exact parity.
     """
+    from squrve_spark.operators.dedup import fuzzy_pairs
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.lower(F.substring(F.trim(F.col("text")), 1, 12)).alias("k"),
     )
-    variants = docs.select(
-        "doc_id",
-        "k",
-        F.explode(
-            F.expr(
-                "array_union(array(k), transform(sequence(1, length(k)),"
-                " i -> concat(substr(k, 1, i - 1), substr(k, i + 1, length(k)))))"
-            )
-        ).alias("v"),
-    )
-    left = variants
-    right = variants.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("k").alias("k_b"),
-        F.col("v").alias("v_b"),
-    )
-    pairs = (
-        left.join(right, (left.v == right.v_b) & (left.doc_id < right.doc_id_b))
-        .select(
-            F.col("doc_id").alias("id_a"),
-            F.col("doc_id_b").alias("id_b"),
-            F.col("k").alias("key_a"),
-            F.col("k_b").alias("key_b"),
-        )
-        .distinct()
-        .withColumn("dist", F.levenshtein("key_a", "key_b"))
-        .filter(F.col("dist") <= 1)
-    )
-    return pairs
+    return fuzzy_pairs(docs, "doc_id", "k")
 
 
 @register(

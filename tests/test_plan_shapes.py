@@ -243,13 +243,21 @@ def test_merge_apply_single_exchange(spark):
 
 
 def test_fuzzy_pairs_is_equi_join(spark):
-    """doc_fuzzy_pairs (r6): the deletion-neighborhood join must plan as an
-    equi-join on the variant (hash or sort-merge), never a nested-loop —
-    that is the whole point of the blocking scheme."""
+    """doc_fuzzy_pairs (r6, r7 skew fix): the deletion-neighborhood join
+    must plan as an equi-join on the variant (hash or sort-merge), never a
+    nested-loop — and the variant explode must sit ABOVE a distinct-key
+    aggregate, so n documents sharing one boilerplate key contribute ONE
+    row to the variant join, not n (cluster collapse; r6 verdict finding)."""
     plan = plan_of(spark, "doc_fuzzy_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+    lines = plan.splitlines()
+    gen_idx = [i for i, ln in enumerate(lines) if "Generate explode" in ln]
+    assert gen_idx, "variant explode missing from plan"
+    for i in gen_idx:
+        # the explode's direct child is the distinct-key HashAggregate
+        assert "HashAggregate(keys=" in lines[i + 1], lines[i : i + 2]
 
 
 def test_leakproof_split_single_shuffle(spark):
