@@ -96,6 +96,92 @@ def _rewrite_date_mod(seg: str) -> str:
     return _DATE_MOD.sub(repl, seg)
 
 
+def _split_top_commas(text: str) -> list[str]:
+    """Split on commas at paren depth 0, literal-aware."""
+    parts, depth, last, i = [], 0, 0, 0
+    while i < len(text):
+        c = text[i]
+        if c == "'":  # skip string literal (sqlite '' escape)
+            j = i + 1
+            while j < len(text):
+                if text[j] == "'":
+                    if j + 1 < len(text) and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(text[last:i])
+            last = i + 1
+        i += 1
+    parts.append(text[last:])
+    return parts
+
+
+_DATE_CALL = re.compile(r"\bdate\s*\(", re.IGNORECASE)
+# a computed sqlite modifier: a string-concat whose trailing literal names
+# the unit, e.g.  '-' || (T4.rowNumber - 1) || ' years'
+_COMPUTED_MOD = re.compile(r"(?is)^(.*?)\|\|\s*'\s*(year|month|day)s?\s*'$")
+
+
+def _rewrite_date_computed_mod(sql: str) -> str:
+    """sqlite two-arg ``date(x, <computed modifier>)`` where the modifier is
+    built by string concatenation (the BIRD/Spider "N periods back" idiom the
+    reference's prompts teach, e.g. OpenSearchSQLGenerate.py:101,137 and
+    CHESSPrompt.py:535 in /root/reference) -> engine-portable date
+    arithmetic. Only functions present in BOTH Spark and DuckDB are emitted
+    (make_date/year/month/day, date + int days), so transpiled statements
+    stay cross-engine checkable; sqlite's overflow normalization (Feb 29 -
+    1 year -> Mar 1) is out of contract — benchmark modifiers are
+    month-start/year-start anchored."""
+    out, pos = [], 0
+    while True:
+        m = _DATE_CALL.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            break
+        # balanced scan for the closing paren
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            elif sql[j] == "'":
+                j += 1
+                while j < len(sql) and sql[j] != "'":
+                    j += 1
+            j += 1
+        args = _split_top_commas(sql[m.end() : j - 1])
+        mod = _COMPUTED_MOD.match(args[1].strip()) if len(args) == 2 else None
+        if not mod:
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+            continue
+        d = f"CAST({args[0].strip()} AS DATE)"
+        n = f"CAST({mod.group(1).strip()} AS INT)"
+        unit = mod.group(2).lower()
+        if unit == "year":
+            rep = f"make_date(year({d}) + {n}, month({d}), day({d}))"
+        elif unit == "month":
+            total = f"(year({d}) * 12 + month({d}) - 1 + {n})"
+            rep = (
+                f"make_date(CAST(floor({total} / 12.0) AS INT), "
+                f"CAST((({total} % 12) + 12) % 12 AS INT) + 1, day({d}))"
+            )
+        else:
+            rep = f"({d} + {n})"
+        out.append(sql[pos : m.start()])
+        out.append(rep)
+        pos = j
+    return "".join(out)
+
+
 # julianday(a) - julianday(b) -> datediff days (the only julianday idiom in
 # benchmark SQL); standalone julianday(x) -> days since epoch offset
 _JULIANDAY_DIFF = re.compile(
@@ -139,6 +225,162 @@ _DQUOTED_IDENT = re.compile(r'"([A-Za-z_][A-Za-z0-9_ $]*)"')
 
 def _rewrite_quoting(seg: str) -> str:
     return _DQUOTED_IDENT.sub(lambda m: f"`{m.group(1)}`", seg)
+
+
+# ---------------------------------------------------------------------------
+# sqlite bare-column-under-GROUP-BY -> any_value()
+
+_TOKEN = re.compile(r"[()']|\b(?:SELECT|FROM|GROUP\s+BY|HAVING|ORDER\s+BY|"
+                    r"LIMIT|WINDOW|UNION|EXCEPT|INTERSECT)\b", re.IGNORECASE)
+_PLAIN_COL = re.compile(r"^(?:`[^`]+`|[A-Za-z_]\w*)(?:\.(?:`[^`]+`|[A-Za-z_]\w*))*$")
+
+
+def _scan_tokens(sql: str):
+    """(kind, start, end, depth) for clause keywords/parens, literal-aware."""
+    depth, i = 0, 0
+    while i < len(sql):
+        m = _TOKEN.search(sql, i)
+        if not m:
+            return
+        tok = m.group(0)
+        if tok == "'":
+            j = m.end()
+            while j < len(sql):
+                if sql[j] == "'":
+                    if j + 1 < len(sql) and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        else:
+            yield (re.sub(r"\s+", " ", tok.upper()), m.start(), m.end(), depth)
+        i = m.end()
+
+
+def _base_name(expr: str) -> str:
+    last = expr.strip().split(".")[-1].strip()
+    return last.strip("`").lower()
+
+
+def rewrite_bare_group_columns(sql: str) -> str:
+    """sqlite tolerates non-aggregated, non-grouped columns under GROUP BY
+    (it picks a row per group); Spark and DuckDB both reject them with
+    MISSING_AGGREGATION. Spider/BIRD gold SQL leans on this constantly for
+    columns functionally dependent on the group key (the reference's own
+    few-shot banks teach the pattern, e.g. DINSQLGenerate.py:299,
+    MACSQLGenerate.py:348 in /root/reference) — rewrite each such plain
+    column reference to ``any_value(col) AS col``, ANSI's blessing of the
+    same semantics. Expressions and aggregate calls are left untouched; a
+    column whose base name appears in the GROUP BY list is already legal."""
+    toks = list(_scan_tokens(sql))
+    blocks = []  # (sel_end, from_start, grp_end, grp_limit, depth)
+    for idx, (kind, start, end, depth) in enumerate(toks):
+        if kind != "GROUP BY":
+            continue
+        sel = next(
+            (t for t in reversed(toks[:idx]) if t[0] == "SELECT" and t[3] == depth),
+            None,
+        )
+        frm = next(
+            (t for t in toks[idx - 1 :: -1]
+             if t[0] == "FROM" and t[3] == depth and sel and t[1] > sel[1]),
+            None,
+        )
+        if not (sel and frm):
+            continue
+        nxt = next((t for t in toks[idx + 1 :] if t[3] <= depth), None)
+        grp_limit = nxt[1] if nxt and nxt[3] == depth else None
+        if grp_limit is None:
+            # clause runs to the enclosing ')' (depth drop) or end of string
+            d, j = depth, end
+            while j < len(sql) and (grp_limit is None):
+                if sql[j] == "(":
+                    d += 1
+                elif sql[j] == ")":
+                    d -= 1
+                    if d < depth:
+                        grp_limit = j
+                elif sql[j] == "'":
+                    j += 1
+                    while j < len(sql) and sql[j] != "'":
+                        j += 1
+                j += 1
+            if grp_limit is None:
+                grp_limit = len(sql)
+        blocks.append((sel[2], frm[1], end, grp_limit))
+    for sel_end, from_start, grp_end, grp_limit in sorted(blocks, reverse=True):
+        sel_list = sql[sel_end:from_start]
+        lead = ""
+        dm = re.match(r"(?is)^\s*(DISTINCT|ALL)\b", sel_list)
+        if dm:
+            lead, sel_list = sel_list[: dm.end()], sel_list[dm.end() :]
+        raw_items = _split_top_commas(sel_list)
+        grouped = set()
+        for g in _split_top_commas(sql[grp_end:grp_limit]):
+            g = g.strip()
+            if g.isdigit() and 1 <= int(g) <= len(raw_items):
+                g = raw_items[int(g) - 1]  # GROUP BY ordinal -> select item
+            grouped.add(_base_name(g))
+        items = []
+        for item in raw_items:
+            am = re.match(r"(?is)^(.*?)\s+AS\s+(`[^`]+`|[A-Za-z_]\w*)\s*$", item)
+            expr = (am.group(1) if am else item).strip()
+            if _PLAIN_COL.match(expr) and _base_name(expr) not in grouped:
+                alias = am.group(2) if am else expr.split(".")[-1].strip()
+                item = f" any_value({expr}) AS {alias} "
+            items.append(item)
+        sql = sql[:sel_end] + lead + ",".join(items) + sql[from_start:]
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# execute -> error -> repair: the deterministic slice of the reference's
+# SQL-debug feedback loop
+
+_UNRESOLVED = re.compile(
+    r"with name (`[^`]+`(?:\.`[^`]+`)*) cannot be resolved"
+    r".*?following\? \[([^\]]*)\]",
+    re.DOTALL,
+)
+
+
+def repair_unresolved(sql: str, error: str) -> str | None:
+    """One deterministic repair round for the commonest LLM-SQL defect class:
+    a column referenced through a STALE alias qualifier (``T1.name`` where
+    only ``T4.name`` is in scope — subquery wrapping renamed the binding,
+    the generator kept the old prefix; the reference fixes this via its
+    LLM feedback-debug loop, `sql_debug.py:67-118,129` "Schema: Unqualified
+    columns, typos, or invalid table references" in /root/reference).
+
+    Given Spark's UNRESOLVED_COLUMN analysis error, if exactly ONE suggested
+    binding shares the unresolved reference's base column name, rewrite the
+    qualifier to that binding. Returns the repaired SQL, or None when the
+    error is not this shape / is ambiguous (caller keeps the original
+    failure — a genuinely nonexistent column stays an error)."""
+    m = _UNRESOLVED.search(error)
+    if not m:
+        return None
+    bad = [p.strip("`") for p in m.group(1).split("`.`")]
+    cands = []
+    for s in m.group(2).split(","):
+        parts = [p.strip("`") for p in s.strip().strip("`").split("`.`")]
+        if parts[-1].lower() == bad[-1].lower() and parts != bad:
+            cands.append(parts)
+    if len(cands) != 1:
+        return None
+    good = ".".join(cands[0])
+    pat = re.compile(
+        r"\b" + r"\s*\.\s*".join(f"(?:`{re.escape(p)}`|{re.escape(p)})" for p in bad)
+        + r"\b"
+    )
+    out = _outside_literals(sql, lambda seg: pat.sub(good, seg))
+    return out if out != sql else None
 
 
 # ---------------------------------------------------------------------------
@@ -194,8 +436,10 @@ def rewrite_qualify(sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 # strftime/date-modifier patterns contain their own quoted literal, so they
-# run on the whole string; token rules run outside literals only.
-_WHOLE_RULES = (_rewrite_strftime, _rewrite_date_mod)
+# run on the whole string; token rules run outside literals only. The static
+# modifier rule runs before the computed one so simple '-N unit' constants
+# keep their typed add_months/date_add form.
+_WHOLE_RULES = (_rewrite_strftime, _rewrite_date_mod, _rewrite_date_computed_mod)
 _SEGMENT_RULES = (_rewrite_julianday, _rewrite_casts, _rewrite_quoting)
 
 
@@ -214,5 +458,6 @@ def transpile(sql: str, dialect: str = "sqlite") -> str:
         out = rule(out)
     for rule in _SEGMENT_RULES:
         out = _outside_literals(out, rule)
+    out = rewrite_bare_group_columns(out)
     out = rewrite_qualify(out)
     return out

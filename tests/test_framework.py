@@ -77,6 +77,97 @@ def test_transpile_spark_passthrough():
     assert transpile(q, "spark") == q
 
 
+@pytest.mark.parametrize(
+    "src,expect",
+    [
+        # computed-modifier date arithmetic (r7): engine-portable make_date
+        (
+            "SELECT date(d, '-' || (n - 1) || ' years') FROM t",
+            "make_date(year(CAST(d AS DATE)) + CAST('-' || (n - 1) AS INT), "
+            "month(CAST(d AS DATE)), day(CAST(d AS DATE)))",
+        ),
+        ("SELECT date(d, x || ' days') FROM t", "(CAST(d AS DATE) + CAST(x AS INT))"),
+        # months route through total-month floor arithmetic
+        ("SELECT date(d, m || ' months') FROM t", "make_date(CAST(floor("),
+        # static modifiers keep the typed single-function form
+        ("SELECT date(d, '-2 years') FROM t", "add_months(d, -24)"),
+    ],
+)
+def test_transpile_computed_date_modifier(src, expect):
+    assert expect in transpile(src, "sqlite")
+
+
+def test_transpile_computed_date_values(spark):
+    out = transpile(
+        "SELECT date('2020' || '-01-01', '-' || (3 - 1) || ' years') AS d", "sqlite"
+    )
+    assert spark.sql(out).collect()[0]["d"].isoformat() == "2018-01-01"
+    out = transpile("SELECT date(DATE'2020-03-15', (0 - 14) || ' months') AS d", "sqlite")
+    assert spark.sql(out).collect()[0]["d"].isoformat() == "2019-01-15"
+    out = transpile("SELECT date(DATE'2020-03-15', '+' || 20 || ' days') AS d", "sqlite")
+    assert spark.sql(out).collect()[0]["d"].isoformat() == "2020-04-04"
+
+
+@pytest.mark.parametrize(
+    "src,expect",
+    [
+        # bare column under GROUP BY -> any_value (sqlite tolerance)
+        (
+            "SELECT T1.title FROM course T1 JOIN p ON x GROUP BY T1.course_id",
+            "any_value(T1.title) AS title",
+        ),
+        # multiple bare columns, aggregates untouched
+        (
+            "SELECT a.x, count(*), a.y AS z FROM t a GROUP BY a.k",
+            "any_value(a.x) AS x, count(*), any_value(a.y) AS z",
+        ),
+        # grouped columns (any qualifier) stay bare
+        (
+            "SELECT T1.name FROM t T1 GROUP BY name",
+            "SELECT T1.name FROM t T1 GROUP BY name",
+        ),
+        # GROUP BY ordinal resolves to the select item
+        ("SELECT x, count(*) FROM t GROUP BY 1", "SELECT x, count(*) FROM t GROUP BY 1"),
+        # no GROUP BY -> untouched
+        ("SELECT a.x FROM t a", "SELECT a.x FROM t a"),
+        # subquery block rewritten independently of the outer block
+        (
+            "SELECT * FROM (SELECT b.v FROM u b GROUP BY b.g) s",
+            "SELECT * FROM (SELECT any_value(b.v) AS v FROM u b GROUP BY b.g) s",
+        ),
+    ],
+)
+def test_transpile_bare_group_columns(src, expect):
+    assert expect in transpile(src, "sqlite").replace("  ", " ").replace(" ,", ",")
+
+
+def test_repair_unresolved_stale_qualifier():
+    from squrve_spark.transpile import repair_unresolved
+
+    err = (
+        "[UNRESOLVED_COLUMN.WITH_SUGGESTION] A column, variable, or function "
+        "parameter with name `T1`.`name` cannot be resolved. Did you mean one "
+        "of the following? [`T4`.`name`, `T4`.`years`, `T4`.`rowNumber`]."
+    )
+    assert (
+        repair_unresolved("SELECT DISTINCT T1.name FROM (SELECT 1) T4", err)
+        == "SELECT DISTINCT T4.name FROM (SELECT 1) T4"
+    )
+    # ambiguous (two same-base candidates) and no-candidate cases refuse
+    err2 = err.replace("`T4`.`years`", "`T5`.`name`")
+    assert repair_unresolved("SELECT T1.name FROM x", err2) is None
+    err3 = (
+        "[UNRESOLVED_COLUMN.WITH_SUGGESTION] A column, variable, or function "
+        "parameter with name `spent` cannot be resolved. Did you mean one of "
+        "the following? [`Name`]."
+    )
+    assert repair_unresolved("SELECT Name FROM t ORDER BY spent", err3) is None
+    # string literals are never rewritten
+    err4 = err
+    out = repair_unresolved("SELECT T1.name, 'T1.name' FROM (SELECT 1) T4", err4)
+    assert out == "SELECT T4.name, 'T1.name' FROM (SELECT 1) T4"
+
+
 # ---------------------------------------------------------------------------
 # comparator
 
