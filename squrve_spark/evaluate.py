@@ -365,9 +365,14 @@ def evaluate_by_llm(
     """Six-principle LLM judgment of ``pred_seq`` vs ``baseline_seq``.
 
     Returns ``(ok, score)`` with the reference's exact score mapping
-    (app/evaluation_helper.py:337-348): BETTER -> 3 + 0.5*confidence,
-    NOT_BETTER -> -0.5*confidence; a malformed reply returns
-    ``(False, -0.5)``; any transport error returns ``(False, 0.0)``.
+    (app/evaluation_helper.py:337-352): BETTER -> 3 + 0.5*confidence,
+    NOT_BETTER -> -0.5*confidence; a malformed reply AND any transport
+    error both return ``(False, -0.5)`` (the reference's single except
+    path). The rubric's uncertainty rule — a sub-0.3-confidence
+    NOT_BETTER must be flipped to BETTER — is enforced where the
+    reference enforces it: in the judge PROMPT (prompt line "you must
+    default the judgment to BETTER"), not server-side, so a
+    non-compliant reply is scored exactly as sent on both systems.
     """
     prompt = (
         LLM_JUDGE_TEMPLATE.replace("CRITERION", JUDGE_CRITERION)
@@ -390,15 +395,12 @@ def evaluate_by_llm(
         ) or isinstance(raw_score, bool):
             return False, -0.5
         score = float(raw_score)
-        if judgment == "NOT_BETTER" and score < 0.3:
-            # the rubric's uncertainty tie-breaker, applied server-side too:
-            # a low-confidence NOT_BETTER is treated as BETTER
-            judgment = "BETTER"
         if judgment == "BETTER":
             return True, 3 + 0.5 * score
         return True, -0.5 * score
-    except Exception:  # noqa: BLE001 — eval containment, mirrors reference
-        return False, 0.0
+    except Exception:  # noqa: BLE001 — eval containment; the reference
+        # scores ANY failure -0.5 (evaluation_helper.py:350-352)
+        return False, -0.5
 
 
 def pass_at_n(per_run_scores: Iterable[Iterable[float]]) -> float:

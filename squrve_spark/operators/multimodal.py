@@ -221,7 +221,8 @@ FRAME_STATS_SCHEMA = T.StructType(
 
 
 def attach_image_payload(
-    df: DataFrame, text_col: str = "text", width: int = 16
+    df: DataFrame, text_col: str = "text", width: int = 16,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Materialize a REAL image 'payload' column built deterministically
     from the text bytes — the fixtures ship no media, so the corpus supplies
@@ -252,11 +253,12 @@ def attach_image_payload(
             ]
         )
 
-    return df.withColumn("payload", to_image(F.col("doc_id"), F.col(text_col)))
+    return df.withColumn("payload", to_image(F.col(id_col), F.col(text_col)))
 
 
 def attach_container_payload(
-    df: DataFrame, text_col: str = "text", width: int = 16
+    df: DataFrame, text_col: str = "text", width: int = 16,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Materialize WebP (even doc_id) / AVIF (odd doc_id) 'payload' columns:
     well-formed containers whose headers carry the TRUE byte-grid dims
@@ -277,7 +279,7 @@ def attach_container_payload(
 
     return df.withColumn(
         "payload",
-        F.when(F.col("doc_id") % 2 == 0, to_webp(F.col(text_col))).otherwise(
+        F.when(F.col(id_col) % 2 == 0, to_webp(F.col(text_col))).otherwise(
             to_avif(F.col(text_col))
         ),
     )

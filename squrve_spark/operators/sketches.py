@@ -73,6 +73,7 @@ def incremental_distinct(
     key_col: str,
     group_cols: list[str],
     lgk: int = 12,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Maintain a persisted per-group distinct-count sketch as batches
     arrive: sketch the batch, UNION with the stored sketches for the
@@ -87,7 +88,20 @@ def incremental_distinct(
 
     Returns the updated (group..., sketch, n_distinct_est) rows for the
     touched groups.
+
+    ``batch_id`` makes the merge IDEMPOTENT under Structured Streaming's
+    at-least-once ``foreachBatch`` contract (r7, ADVICE): the store rows
+    carry the last applied batch id, and a replayed batch whose id is
+    already recorded returns the stored rows untouched instead of
+    double-merging its values. The id travels IN the store parquet, so the
+    skip decision is atomic with the store contents.
     """
+    if batch_id is not None and os.path.isdir(store_path):
+        prior = spark.read.parquet(store_path)
+        if "_batch_id" in prior.columns:
+            last = prior.agg(F.max("_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return prior  # replayed micro-batch: already merged
     agg = (
         spread(batch)
         .groupBy(*group_cols)
@@ -114,7 +128,10 @@ def incremental_distinct(
         out = agg
     out = out.withColumn(
         "n_distinct_est", F.hll_sketch_estimate("sketch").cast("long")
-    ).localCheckpoint()  # pin before overwriting the store being read
+    )
+    if batch_id is not None:
+        out = out.withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
+    out = out.localCheckpoint()  # pin before overwriting the store being read
     out.write.mode("overwrite").parquet(store_path)
     return out.join(touched, group_cols, "left_semi")
 
@@ -220,6 +237,7 @@ def incremental_quantiles(
     group_cols: list[str],
     k: int = 200,
     quantiles: tuple = (0.5, 0.9, 0.99),
+    batch_id: int | None = None,
 ) -> DataFrame:
     """KLL analog of ``incremental_distinct``: maintain a persisted
     per-group mergeable QUANTILE sketch as batches arrive. Each batch is
@@ -229,7 +247,17 @@ def incremental_quantiles(
     O(k log n) bytes regardless of history length. Raw history is never
     re-read, so percentile monitoring over an unbounded stream costs one
     pass per batch and constant state.
+
+    ``batch_id`` gives the same at-least-once idempotency as
+    `incremental_distinct`: a replayed ``foreachBatch`` id that the store
+    already records is skipped, not double-merged (r7, ADVICE).
     """
+    if batch_id is not None and os.path.isdir(store_path):
+        prior = spark.read.parquet(store_path)
+        if "_batch_id" in prior.columns:
+            last = prior.agg(F.max("_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return prior  # replayed micro-batch: already merged
     agg = (
         spread(batch)
         .groupBy(*group_cols)
@@ -257,6 +285,9 @@ def incremental_quantiles(
         F.kll_sketch_get_quantile_double("kll", F.lit(float(q))).alias(_qlabel(q))
         for q in quantiles
     ]
-    out = out.select(*group_cols, "kll", *qcols).localCheckpoint()
+    out = out.select(*group_cols, "kll", *qcols)
+    if batch_id is not None:
+        out = out.withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
+    out = out.localCheckpoint()
     out.write.mode("overwrite").parquet(store_path)
     return out.join(touched, group_cols, "left_semi")

@@ -883,7 +883,9 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_live_ops,
            CAST(ROUND(CAST(SUM(CASE WHEN event_type IN ('click', 'purchase')
-                     THEN CAST(value AS DECIMAL(18, 6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+                     THEN COALESCE(CAST(value AS DECIMAL(18, 6)),
+                                   CAST(0 AS DECIMAL(18,6)))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END)
                 AS DOUBLE), 6) AS DOUBLE) AS balance,
            CAST(MAX(us) AS BIGINT) AS last_op_us
     FROM live GROUP BY user_id
@@ -928,11 +930,18 @@ def q_events_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = numbered.filter(F.col("rn") > F.coalesce(F.col("del_rn"), F.lit(0)))
     return live.groupBy("user_id").agg(
         F.count("*").alias("n_live_ops"),
+        # per-summand COALESCE: a NULL value contributes 0, exactly like
+        # the stream kernel's _quantize_micros — without it a user whose
+        # live ops are all NULL-valued clicks gets a NULL batch balance
+        # while the stream emits 0.0 (r7, ADVICE)
         F.round(
             F.sum(
                 F.when(
                     F.col("event_type").isin("click", "purchase"),
-                    F.col("value").cast("decimal(18,6)"),
+                    F.coalesce(
+                        F.col("value").cast("decimal(18,6)"),
+                        F.lit(0).cast("decimal(18,6)"),
+                    ),
                 ).otherwise(F.lit(0).cast("decimal(18,6)"))
             ).cast("double"),
             6,

@@ -411,8 +411,12 @@ def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="squrve_kll_stream_")
     store = f"{work}/store"
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        incremental_quantiles(spark, batch_df, store, "value", ["event_type"])
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # batch_id makes the merge idempotent under foreachBatch's
+        # at-least-once replay (r7, ADVICE)
+        incremental_quantiles(
+            spark, batch_df, store, "value", ["event_type"], batch_id=batch_id
+        )
 
     ev = read_event_stream(spark, sf_dir)
     q = (

@@ -548,3 +548,21 @@ def test_attach_image_payload_single_python_eval(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
     plan = multimodal.attach_image_payload(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_attach_payload_custom_id_col(spark):
+    """r7 (ADVICE): the id column driving the even/odd format routing is a
+    parameter — a frame without a `doc_id` column works, and the payloads
+    equal the default-named run row-for-row."""
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "a"), (2, "b")], "img_id long, text string")
+    pa = {r["doc_id"]: bytes(r["payload"])
+          for r in multimodal.attach_image_payload(a).collect()}
+    pb = {r["img_id"]: bytes(r["payload"])
+          for r in multimodal.attach_image_payload(b, id_col="img_id").collect()}
+    assert pa == pb
+    ca = {r["doc_id"]: bytes(r["payload"])
+          for r in multimodal.attach_container_payload(a).collect()}
+    cb = {r["img_id"]: bytes(r["payload"])
+          for r in multimodal.attach_container_payload(b, id_col="img_id").collect()}
+    assert ca == cb

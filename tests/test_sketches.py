@@ -183,3 +183,38 @@ def test_kll_quantile_sketch_accuracy_and_merge(spark):
     )
     assert abs(g["p50"] - g50) / span < 0.02
     assert abs(g["p95"] - g95) / span < 0.02
+
+
+def test_incremental_stores_skip_replayed_batch(spark, tmp_path):
+    """r7 (ADVICE): foreachBatch is at-least-once — a retried micro-batch
+    re-invokes the handler with the SAME batch_id. With batch_id passed,
+    both incremental stores must skip the replay instead of double-merging
+    (estimates identical before/after the replay); a NEW id still merges."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "click", float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+
+    q_store = str(tmp_path / "kll")
+    sketches.incremental_quantiles(spark, df, q_store, "value", ["event_type"], batch_id=0)
+    before = spark.read.parquet(q_store).select("p50", "p90", "p99").first()
+    # replay of batch 0 with different data must be a no-op
+    shifted = df.withColumn("value", F.col("value") + 1000.0)
+    sketches.incremental_quantiles(spark, shifted, q_store, "value", ["event_type"], batch_id=0)
+    after = spark.read.parquet(q_store).select("p50", "p90", "p99").first()
+    assert before == after
+    # a new batch id merges (p99 moves up into the shifted range)
+    sketches.incremental_quantiles(spark, shifted, q_store, "value", ["event_type"], batch_id=1)
+    moved = spark.read.parquet(q_store).select("p99").first()["p99"]
+    assert moved > 900
+
+    d_store = str(tmp_path / "hll")
+    sketches.incremental_distinct(spark, df, d_store, "user_id", ["event_type"], batch_id=0)
+    b = spark.read.parquet(d_store).select("n_distinct_est").first()[0]
+    more = spark.createDataFrame(
+        [(i + 10_000, "click", 0.0) for i in range(200)],
+        "user_id long, event_type string, value double")
+    sketches.incremental_distinct(spark, more, d_store, "user_id", ["event_type"], batch_id=0)
+    assert spark.read.parquet(d_store).select("n_distinct_est").first()[0] == b
+    sketches.incremental_distinct(spark, more, d_store, "user_id", ["event_type"], batch_id=1)
+    assert spark.read.parquet(d_store).select("n_distinct_est").first()[0] > b

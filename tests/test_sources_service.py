@@ -461,7 +461,10 @@ def test_api_run_llm_judge_not_better_and_uncertainty_rule(spark):
     replies = [
         json.dumps({"reasoning": "over-engineered", "judgment": "NOT_BETTER",
                     "confidence_score": 0.6}),
-        # confidence below 0.3 forces the judgment back to BETTER
+        # sub-0.3 confidence: the rubric tells the LLM itself to flip to
+        # BETTER; a non-compliant reply is scored exactly as sent — the
+        # reference applies no server-side correction
+        # (evaluation_helper.py:343-348) and neither do we (r7, ADVICE)
         json.dumps({"reasoning": "unsure", "judgment": "NOT_BETTER",
                     "confidence_score": 0.1}),
         "no json here at all",
@@ -473,7 +476,7 @@ def test_api_run_llm_judge_not_better_and_uncertainty_rule(spark):
         out1 = _post(f"{url}/api/run", payload)
         assert out1["llm_judge"] == {"ok": True, "score": -0.5 * 0.6}
         out2 = _post(f"{url}/api/run", payload)
-        assert out2["llm_judge"] == {"ok": True, "score": 3 + 0.5 * 0.1}
+        assert out2["llm_judge"] == {"ok": True, "score": -0.5 * 0.1}
         out3 = _post(f"{url}/api/run", payload)
         assert out3["llm_judge"] == {"ok": False, "score": -0.5}
     finally:
