@@ -217,6 +217,9 @@ def q_events_user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
     """,
     tags=("events", "asof-join"),
+    # deferred (r7 rotation): long-stable driver row; exact parity kept
+    # in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each purchase enriched with the latest prior
@@ -251,6 +254,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000
     """,
     tags=("events", "range-join"),
+    # deferred (r7 rotation): long-stable driver row; exact parity kept
+    # in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q_time_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-proximity pairs (same user within 1 h) via cell-blocked
@@ -892,7 +898,6 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("events", "warehouse", "cdc", "A13"),
     # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
-    defer_oracle=True,
 )
 def q_events_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE-apply with tombstones (r6): the event log read as an

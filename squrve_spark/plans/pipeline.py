@@ -32,6 +32,9 @@ _CANON = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
     GROUP BY 1
     """,
     tags=("dedup",),
+    # deferred (r7 rotation): long-stable driver row; exact parity kept
+    # in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by canonical md5; one hash shuffle, linear."""
@@ -60,6 +63,9 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s.doc_id
     """,
     tags=("dedup",),
+    # deferred (r7 rotation): long-stable driver row; exact parity kept
+    # in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level duplicated-span stats (RefinedWeb-style sub-document
@@ -378,7 +384,14 @@ def _langid_oracle() -> str:
     """
 
 
-@register("doc_langid", oracle=_langid_oracle(), tags=("text",))
+@register(
+    "doc_langid",
+    oracle=_langid_oracle(),
+    tags=("text",),
+    # deferred (r7 rotation): long-stable driver row; exact parity kept
+    # in tests/test_oracle_parity.py
+    defer_oracle=True,
+)
 def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID (argmax with lang-asc tie-break)."""
     return text.language_id(load_table(spark, sf_dir, "documents"))
@@ -1868,7 +1881,6 @@ def doc_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "fuzzy", "similarity"),
     # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
-    defer_oracle=True,
 )
 def doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string-pair join (edit distance <= 1) via CLUSTER-COLLAPSED
@@ -1915,7 +1927,6 @@ def doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("sampling", "curation"),
     # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
-    defer_oracle=True,
 )
 def doc_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-proof train/val/test split (r6): rows are split by hashing

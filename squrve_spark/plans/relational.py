@@ -844,7 +844,6 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("A10", "bag-semantics"),
     # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
-    defer_oracle=True,
 )
 def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-semantics set operations (r5): INTERSECT ALL keeps each priority
@@ -921,7 +920,6 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("A5", "A23", "null-safe"),
     # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
-    defer_oracle=True,
 )
 def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (r5): the NULL group (priority folded to
