@@ -24,21 +24,14 @@ import sys
 
 
 def _build_llm(router):
-    sec = router.section("llm") or {}
-    if sec.get("use") == "http":
-        from squrve_spark.llm import HTTPLLMClient
+    # accepts every provider spelling the reference's dispatcher knows
+    # (qwen/deepseek/zhipu/openai/claude/gemini/xiaojing) plus the generic
+    # "http"; unknown/absent -> deterministic MockLLM
+    from squrve_spark.llm import MockLLM, client_for_section
 
-        return HTTPLLMClient(
-            base_url=sec["base_url"],
-            model=sec.get("model_name", "gpt-4o-mini"),
-            temperature=float(sec.get("temperature", 0.75)),
-            top_p=float(sec.get("top_p", 0.9)),
-            max_tokens=int(sec.get("max_token", 8000)),
-            timeout_s=float(sec.get("time_out", 300.0)),
-        )
-    from squrve_spark.llm import MockLLM
-
-    return MockLLM()
+    sec = dict(router.section("llm") or {})
+    sec.setdefault("api_key", router.get("api_key"))
+    return client_for_section(sec) or MockLLM()
 
 
 def _run_query(argv: list[str]) -> int:

@@ -112,6 +112,56 @@ class HTTPLLMClient(LLMClient):
         ) from last_err
 
 
+# ---------------------------------------------------------------------------
+# reference config compatibility: the `llm` section's provider spellings
+
+# The reference ships seven thin vendor wrappers that all speak the same
+# public OpenAI-compatible chat-completions protocol and differ only in
+# default base_url + model_name (/root/reference/core/llm/*.py:13-16,
+# dispatched on the config's `use` string in core/data_manage.py:630-652).
+# One configurable HTTPLLMClient covers the protocol; this table carries the
+# reference's exact provider-name spellings and their PUBLIC endpoint
+# defaults so a reference config's `llm` section runs unmodified.
+PROVIDERS: dict[str, tuple[str, str]] = {
+    "openai": ("https://api.openai.com/v1", "gpt-4o-mini"),
+    "deepseek": ("https://api.deepseek.com", "deepseek-chat"),
+    "qwen": ("https://dashscope.aliyuncs.com/compatible-mode/v1", "qwen-plus"),
+    "zhipu": ("https://open.bigmodel.cn/api/paas/v4", "glm-4-plus"),
+    "claude": ("https://api.anthropic.com/v1", "claude-3-5-sonnet-latest"),
+    "gemini": (
+        "https://generativelanguage.googleapis.com/v1beta/openai/",
+        "gemini-1.5-pro",
+    ),
+    "xiaojing": ("https://aigc.x-see.cn/v1", "gpt-4o-mini"),
+    # our own generic spelling: base_url required in the section
+    "http": (None, "gpt-4o-mini"),
+}
+
+
+def client_for_section(sec: dict) -> Optional[HTTPLLMClient]:
+    """Build an ``HTTPLLMClient`` from a reference-shaped ``llm`` config
+    section (`{"use": "qwen", "model_name": ..., "api_key": ...}`), mapping
+    every provider spelling the reference's dispatcher accepts. Returns
+    None when ``use`` is absent/unknown (caller falls back to MockLLM) or
+    when a `"http"` section lacks its required base_url."""
+    use = (sec.get("use") or "").lower()
+    if use not in PROVIDERS:
+        return None
+    default_url, default_model = PROVIDERS[use]
+    base_url = sec.get("base_url") or default_url
+    if not base_url:
+        return None
+    return HTTPLLMClient(
+        base_url=base_url,
+        model=sec.get("model_name", default_model),
+        api_key=sec.get("api_key"),
+        temperature=float(sec.get("temperature", 0.75)),
+        top_p=float(sec.get("top_p", 0.9)),
+        max_tokens=int(sec.get("max_token", 8000)),
+        timeout_s=float(sec.get("time_out", 300.0)),
+    )
+
+
 class MockLLM(LLMClient):
     """Deterministic mock: answers via a rule list of (pattern, responder).
 

@@ -186,3 +186,50 @@ def test_cli_query_runner(spark, capsys, tmp_path):
     names = {x["query"] for x in lines}
     assert "q1_pricing_summary" in names and len(names) > 100
     assert main(["--query", "no_such_query"]) == 2
+
+
+def test_reference_provider_spellings_map_to_http_client():
+    """r7 (r6 verdict #7): every provider spelling the reference's LLM
+    dispatcher accepts (core/data_manage.py:630-652) must instantiate our
+    OpenAI-compatible client with that vendor's PUBLIC endpoint and default
+    model, so reference configs run unmodified; section overrides win."""
+    from squrve_spark.llm import PROVIDERS, HTTPLLMClient, client_for_section
+
+    expected = {
+        "openai": ("https://api.openai.com/v1", "gpt-4o-mini"),
+        "deepseek": ("https://api.deepseek.com", "deepseek-chat"),
+        "qwen": ("https://dashscope.aliyuncs.com/compatible-mode/v1", "qwen-plus"),
+        "zhipu": ("https://open.bigmodel.cn/api/paas/v4", "glm-4-plus"),
+        "claude": ("https://api.anthropic.com/v1", "claude-3-5-sonnet-latest"),
+        "gemini": ("https://generativelanguage.googleapis.com/v1beta/openai/",
+                   "gemini-1.5-pro"),
+        "xiaojing": ("https://aigc.x-see.cn/v1", "gpt-4o-mini"),
+    }
+    for use, (url, model) in expected.items():
+        c = client_for_section({"use": use, "api_key": "k"})
+        assert isinstance(c, HTTPLLMClient), use
+        assert c.base_url == url.rstrip("/") and c.model == model, use
+        assert c.api_key == "k"
+    # overrides win over provider defaults
+    c = client_for_section({"use": "qwen", "model_name": "qwen-max",
+                            "base_url": "http://localhost:9/v1", "max_token": 64})
+    assert (c.base_url, c.model, c.max_tokens) == ("http://localhost:9/v1", "qwen-max", 64)
+    # unknown/absent/defective sections fall back (caller uses MockLLM)
+    assert client_for_section({"use": "nope"}) is None
+    assert client_for_section({}) is None
+    assert client_for_section({"use": "http"}) is None  # base_url required
+    assert set(PROVIDERS) == set(expected) | {"http"}
+
+
+def test_build_llm_router_section_dispatch():
+    from squrve_spark.__main__ import _build_llm
+    from squrve_spark.config import Router
+    from squrve_spark.llm import HTTPLLMClient, MockLLM
+
+    r = Router(**{})
+    r._tree["llm"] = {"use": "deepseek"}
+    r.set("api_key", "sk-test")
+    c = _build_llm(r)
+    assert isinstance(c, HTTPLLMClient) and c.api_key == "sk-test"
+    r2 = Router(**{})
+    assert isinstance(_build_llm(r2), MockLLM)
