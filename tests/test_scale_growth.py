@@ -83,3 +83,136 @@ def test_subquadratic_growth(spark, name):
         f"times per SF: {[round(t, 2) for t in times]}; suspect an all-pairs "
         "kernel or driver-side data-dependent loop"
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 (r6 verdict #8): one more decade for the top composites. The driver
+# fixtures stop at sf0.1 — exactly where skew and state-size effects begin —
+# so a 10x-larger documents/embeddings/events trio is SYNTHESIZED (once,
+# cached in /tmp) with the same schema and distributional shape as the
+# driver's sf0.1 tables (vocab, doc-length range, lang/source mix, exact-dup
+# rate, unit-norm 64-dim embeddings, 30-day event window), derived
+# empirically from sf0.1 rather than hardcoded. Never written under
+# /root/testdata (read-only).
+
+SF1_DIR = "/tmp/squrve_scale_sf1"
+_SF1_SCALE = 10  # rows vs sf0.1
+
+
+def _synthesize_sf1() -> str:
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    marker = os.path.join(SF1_DIR, "_complete")
+    if os.path.exists(marker):
+        return SF1_DIR
+    os.makedirs(SF1_DIR, exist_ok=True)
+    rng = np.random.default_rng(42)
+
+    src = pd.read_parquet("/root/testdata/sf0.1/documents.parquet")
+    vocab = sorted({w for t in src["text"] for w in t.split(" ")})
+    nw = src["text"].str.split(" ").str.len()
+    langs, lang_p = np.unique(src["lang"], return_counts=True)
+    sources, source_p = np.unique(src["source"], return_counts=True)
+    dup_rate = 1.0 - src["text"].nunique() / len(src)
+
+    n_docs = len(src) * _SF1_SCALE
+    lens = rng.integers(nw.min(), nw.max() + 1, n_docs)
+    texts: list[str] = []
+    for i in range(n_docs):
+        if texts and rng.random() < dup_rate:
+            texts.append(texts[int(rng.integers(0, len(texts)))])
+        else:
+            texts.append(" ".join(
+                vocab[j] for j in rng.integers(0, len(vocab), lens[i])))
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n_docs, dtype=np.int64),
+        "text": texts,
+        "lang": rng.choice(langs, n_docs, p=lang_p / lang_p.sum()),
+        "source": rng.choice(sources, n_docs, p=source_p / source_p.sum()),
+    })
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    docs.to_parquet(os.path.join(SF1_DIR, "documents.parquet"), index=False)
+
+    emb_src = pd.read_parquet("/root/testdata/sf0.1/embeddings.parquet")
+    dim = len(emb_src["embedding"].iloc[0])
+    n_lab = int(emb_src["label"].max()) + 1
+    n_vec = len(emb_src) * _SF1_SCALE
+    labels = rng.integers(0, n_lab, n_vec).astype(np.int32)
+    # label-clustered unit vectors (center + noise), like the fixture's
+    # labeled clusters, so LSH/semantic dedup sees realistic structure
+    centers = rng.normal(size=(n_lab, dim))
+    vecs = centers[labels] + 0.35 * rng.normal(size=(n_vec, dim))
+    vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(np.float32)
+    pd.DataFrame({
+        "vec_id": np.arange(n_vec, dtype=np.int64),
+        "embedding": list(vecs),
+        "label": labels,
+    }).to_parquet(os.path.join(SF1_DIR, "embeddings.parquet"), index=False)
+
+    ev_src = pd.read_parquet("/root/testdata/sf0.1/events.parquet")
+    n_ev = len(ev_src) * _SF1_SCALE
+    types, type_p = np.unique(ev_src["event_type"], return_counts=True)
+    t0 = ev_src["ts"].min().value
+    t1 = ev_src["ts"].max().value
+    ts = np.sort(rng.integers(t0, t1, n_ev))
+    pd.DataFrame({
+        "event_id": np.arange(n_ev, dtype=np.int64),
+        "ts": pd.to_datetime(ts).astype("datetime64[us]"),
+        "user_id": rng.integers(0, ev_src["user_id"].max() * _SF1_SCALE, n_ev),
+        "event_type": rng.choice(types, n_ev, p=type_p / type_p.sum()),
+        "value": np.round(rng.uniform(0, float(ev_src["value"].max()), n_ev), 2),
+        "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)],
+    }).to_parquet(os.path.join(SF1_DIR, "events.parquet"), index=False)
+    open(marker, "w").write("ok")
+    return SF1_DIR
+
+
+def _capped_fuzzy_pairs(spark, sf_dir):
+    """The operator's documented 100 TB shape: cluster-collapsed variant
+    join + max_cluster cap (the uncapped registry entry's OUTPUT is
+    semantically quadratic on identical-key clusters — the cap is exactly
+    the knob a degenerate corpus requires, audited separately)."""
+    from pyspark.sql import functions as F
+
+    from squrve_spark.catalog import load_table
+    from squrve_spark.operators.dedup import fuzzy_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.substring(F.trim(F.col("text")), 1, 12)).alias("k")
+    )
+    return fuzzy_pairs(docs, "doc_id", "k", max_cluster=32)
+
+
+EXTENDED_HEAVIES = [
+    ("pipeline_curate_v3", None),
+    ("graph_components_emb", None),
+    ("dedup_minhash_lsh", None),
+    ("doc_fuzzy_pairs_capped", _capped_fuzzy_pairs),
+]
+
+
+@pytest.mark.parametrize("name,fn", EXTENDED_HEAVIES, ids=[n for n, _ in EXTENDED_HEAVIES])
+def test_subquadratic_growth_extended_decade(spark, name, fn):
+    """sf0.01 -> sf0.1 -> sf1: the extra decade where cluster sizes, LSH
+    band occupancy, and state volumes are 10x the driver fixtures'."""
+    sf1 = _synthesize_sf1()
+    run = fn or REGISTRY[name].fn
+    dirs = [SF_DIRS[1], SF_DIRS[2], sf1]
+    run(spark, dirs[0]).write.mode("overwrite").format("noop").save()  # warm-up
+    times = []
+    for sf_dir in dirs:
+        t0 = time.monotonic()
+        _force(run(spark, sf_dir))
+        times.append(time.monotonic() - t0)
+    t_small, t_big = times[0], times[-1]
+    if t_big < ABS_FLOOR_S:
+        return
+    exponent = math.log(t_big / t_small) / math.log(100.0)
+    assert exponent < MAX_EXPONENT, (
+        f"{name}: grew {t_big / t_small:.1f}x over 100x data incl. the "
+        f"synthesized sf1 decade (exponent {exponent:.2f} >= {MAX_EXPONENT}) "
+        f"— times: {[round(t, 2) for t in times]}"
+    )
