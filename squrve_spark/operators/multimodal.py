@@ -285,6 +285,92 @@ def attach_container_payload(
     )
 
 
+def attach_vp8_payload(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Materialize lossy-WebP (VP8 keyframe) 'payload' columns whose header
+    fields are deterministic functions of the utf-8 byte length — so a SQL
+    oracle can verify the full encode -> arithmetic bitstream -> decode
+    round trip (plans/pipeline.py multimodal_vp8_info). Header-prefix-valid
+    by construction: macroblock data is absent (the RFC 6386 entropy tables
+    it would need are exactly the honest gap, operators/vp8.py docstring)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from squrve_spark.operators.vp8 import encode_vp8_header_payload
+
+    @pandas_udf(T.BinaryType())
+    def to_vp8(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            n = len((t or "").encode("utf-8"))
+            out.append(
+                encode_vp8_header_payload(
+                    16,
+                    1 + n % 100,
+                    y_ac_qi=n % 128,
+                    loop_filter_level=n % 64,
+                    sharpness_level=n % 8,
+                    log2_dct_partitions=n % 4,
+                    y_dc_delta=n % 31 - 15,
+                    uv_ac_delta=n % 7 - 3,
+                )
+            )
+        return pd.Series(out)
+
+    return df.withColumn("payload", to_vp8(F.col(text_col)))
+
+
+_VP8_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("y_ac_qi", T.IntegerType()),
+        T.StructField("loop_filter_level", T.IntegerType()),
+        T.StructField("sharpness_level", T.IntegerType()),
+        T.StructField("n_dct_parts", T.IntegerType()),
+        T.StructField("y_dc_delta", T.IntegerType()),
+        T.StructField("uv_ac_delta", T.IntegerType()),
+    ]
+)
+
+
+def extract_vp8_info(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distributed VP8 keyframe-header decode: one Arrow-batched pandas UDF
+    runs the real §7.3 boolean decoder over every payload's first partition
+    and emits the parsed quantizer / loop-filter / partition fields. Map-only
+    (no shuffle); only the binary column crosses the Python boundary."""
+    from pyspark.sql.functions import pandas_udf
+
+    from squrve_spark.operators.vp8 import vp8_frame_info
+
+    @pandas_udf(_VP8_INFO_SCHEMA)
+    def info(payloads: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in payloads:
+            h = vp8_frame_info(bytes(p)) if p is not None else None
+            if h is None:
+                rows.append({f.name: None for f in _VP8_INFO_SCHEMA.fields})
+            else:
+                rows.append(
+                    {
+                        "width": h["width"],
+                        "height": h["height"],
+                        "y_ac_qi": h["y_ac_qi"],
+                        "loop_filter_level": h["loop_filter_level"],
+                        "sharpness_level": h["sharpness_level"],
+                        "n_dct_parts": h["n_dct_partitions"],
+                        "y_dc_delta": h["y_dc_delta"],
+                        "uv_ac_delta": h["uv_ac_delta"],
+                    }
+                )
+        return pd.DataFrame(rows, columns=[f.name for f in _VP8_INFO_SCHEMA.fields])
+
+    parsed = df.withColumn("_h", info(F.col(payload_col)))
+    return parsed.select(F.col(id_col), F.col("_h.*"))
+
+
 def attach_video_payload(
     df: DataFrame, text_col: str = "text", n_frames: int = 4, width: int = 8
 ) -> DataFrame:

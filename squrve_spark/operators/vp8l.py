@@ -607,8 +607,12 @@ def decode_webp_lossless(payload: bytes) -> np.ndarray:
             return decode_vp8l(payload[pos + 8 : pos + 8 + size])
         pos += 8 + size + (size & 1)
     raise NotImplementedError(
-        "WebP container without a VP8L chunk (lossy VP8/animation needs a "
-        "native codec)"
+        "WebP container without a VP8L chunk: lossy-VP8 pixel decode stops "
+        "at the RFC 6386 entropy-table seam (default/updated token "
+        "probability tables, keyframe mode trees, dc/ac quantizer lookups "
+        "have no authoritative copy in this environment — operators/vp8.py "
+        "implements the specifiable core: bool coder, keyframe header, "
+        "iDCT/iWHT, intra predictors); animation needs frame compositing"
     )
 
 

@@ -758,6 +758,37 @@ def multimodal_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_vp8_info",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(1 + n % 100 AS INTEGER) AS height,
+           CAST(n % 128 AS INTEGER) AS y_ac_qi,
+           CAST(n % 64 AS INTEGER) AS loop_filter_level,
+           CAST(n % 8 AS INTEGER) AS sharpness_level,
+           CAST(CASE n % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+                ELSE 8 END AS INTEGER) AS n_dct_parts,
+           CAST(n % 31 - 15 AS INTEGER) AS y_dc_delta,
+           CAST(n % 7 - 3 AS INTEGER) AS uv_ac_delta
+    FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    """,
+    defer_oracle=True,
+    tags=("multimodal",),
+)
+def multimodal_vp8_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-WebP (VP8) keyframe-header triage, r7: per-doc payloads whose
+    header fields derive from the utf-8 byte length, written through the
+    REAL RFC 6386 arithmetic coder and decoded back distributed
+    (`operators/vp8.py`). The SQL oracle recomputes every field from
+    octet_length, so parity proves the bool encoder + decoder + header
+    layout agree bit-for-bit across 500 distinct bitstreams. The production
+    shape of "quantizer-triage 100 TB of scraped media" — map-only, no
+    shuffle, only the binary column crosses the Python boundary."""
+    docs = multimodal.attach_vp8_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_vp8_info(docs)
+
+
+@register(
     "multimodal_pixel_stats",
     oracle=None,
     tags=("multimodal", "no-oracle"),

@@ -116,6 +116,17 @@ def test_pixel_stats_single_python_stage(spark):
     assert plan.count("EvalPython") == 1 and plan.count("MapInPandas") == 1
 
 
+def test_vp8_info_map_only_single_python_stage(spark):
+    """multimodal_vp8_info (r7): payload build + header decode fuse into
+    Arrow-batched Python evaluation with zero shuffles — the quantizer-triage
+    path stays embarrassingly parallel at any scale."""
+    plan = plan_of(spark, "multimodal_vp8_info")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "MapInPandas" not in plan  # scalar pandas UDFs only
+    assert plan.count("EvalPython") <= 2
+
+
 def test_quality_model_query_scoring_stage_jvm(spark):
     """doc_quality_model's returned plan (scoring only — training already
     happened at plan-build time) must be Python-free: the weight table is a
