@@ -1,0 +1,151 @@
+"""N-gram language-model perplexity scoring — the CCNet/Gopher quality
+filter (Wenzek et al. 2020, arXiv:1911.00359): train a small LM on a
+trusted reference slice, keep raw-corpus documents whose per-token
+perplexity under that model is low. The classic complement to
+classifier-based quality scoring (`operators/classifier.py`) and DSIR
+(`operators/dsir.py`): where DSIR matches hashed n-gram *distributions*,
+perplexity scores each document's *sequence likelihood*.
+
+Spark-first shape (no reference analog — the reference is text-to-SQL;
+this belongs to the training-data-pipeline extension surface):
+
+1. **Tokenize** with an engine-portable rule: ``lower`` then split on
+   ``[^a-z]+`` — identical in Spark (`F.split`) and DuckDB
+   (`regexp_split_to_array`), so the whole operator has an exact
+   cross-engine oracle.
+2. **Train** an add-one-smoothed bigram model on the reference slice:
+   bigram counts ``c(w1,w2)``, context counts ``c(w1) = Σ_w2 c(w1,w2)``,
+   vocabulary size ``V``. Both aggregations partial-combine map-side, so
+   each shuffle is bounded by the distinct-bigram count (≲ token count of
+   the reference slice, NOT the raw corpus).
+3. **Score**: p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V); unseen contexts
+   degrade to 1/V. Documents pre-aggregate their bigram multiset to
+   (doc_id, w1, w2, n) before the model join, so the join input is the
+   per-doc *distinct* bigram set; the model side is a plain equi-join on
+   (w1, w2) — broadcastable when the reference slice is small, hash join
+   otherwise, never a cross product.
+4. **Determinism**: each bigram's log-prob is computed on identical
+   IEEE-double inputs in both engines, rounded to a DECIMAL(20,6) grid,
+   and weighted by its exact integer multiplicity — decimal addition is
+   exact and order-independent, so Spark's partition-order-dependent
+   summation can never drift from the oracle. Doubles only reappear for
+   the final avg/exp on identical inputs.
+
+At 100 TB: two scans (reference slice, full corpus), three bounded
+shuffles (model build, doc-bigram distinct, per-doc sum); scoring state
+is the model table — never corpus-sized, no Python anywhere in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_expr(text_col: str = "text"):
+    """Engine-portable tokenizer: lowercase, split on non-[a-z] runs,
+    drop empties. DuckDB twin:
+    ``list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')``.
+    """
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+    )
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2, n) — each document's bigram multiset, pre-aggregated so
+    downstream joins see distinct bigrams only. Docs with <2 tokens are
+    filtered BEFORE the sequence() expansion (Spark's sequence(0, -1)
+    would count DOWN, fabricating bogus pairs)."""
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    )
+    return (
+        pairs.select(id_col, "bg.w1", "bg.w2")
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def train_bigram_lm(
+    reference: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Reference slice -> (bigram_counts, context_counts, vocab_size).
+
+    bigram_counts: (w1, w2, c2); context_counts: (w1, c1) with
+    c1 = Σ_w2 c2 — the conditional-MLE denominator; vocab_size counts
+    distinct tokens (unigrams) in the slice."""
+    bigrams = (
+        _doc_bigrams(reference, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.sum("n").alias("c2"))
+    )
+    contexts = bigrams.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        reference.select(F.explode(tokens_expr(text_col)).alias("tok"))
+        .agg(F.countDistinct("tok"))
+        .collect()[0][0]
+    )
+    return bigrams, contexts, int(vocab or 0)
+
+
+def score_perplexity(
+    corpus: DataFrame,
+    bigrams: DataFrame,
+    contexts: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document add-one bigram perplexity.
+
+    Output: (id, n_bigrams BIGINT, avg_logp DOUBLE, ppl DOUBLE 4dp) with
+    ppl = exp(-avg_logp). Documents with fewer than two tokens are
+    excluded (nothing to score). avg_logp ships UNROUNDED on purpose:
+    it is exact-decimal-sum -> double cast -> IEEE division, bit-identical
+    on both engines — whereas rounding it to the sum's own 6dp grid puts
+    even denominators exactly on .5 boundaries, where Spark (HALF_UP on
+    the shortest decimal repr) and C libraries (nearest on the binary
+    value) legitimately disagree."""
+    doc_bg = _doc_bigrams(corpus, text_col, id_col)
+    joined = (
+        doc_bg.join(bigrams, ["w1", "w2"], "left")
+        .join(contexts, ["w1"], "left")
+        .select(
+            F.col(id_col),
+            F.col("n"),
+            # long + long -> double division: identical IEEE inputs and
+            # result on both engines
+            (
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(vocab_size))
+            ).alias("p"),
+        )
+    )
+    per_doc = (
+        joined.select(
+            F.col(id_col),
+            F.col("n"),
+            # snap ln(p) to an exact decimal grid, weight by the exact
+            # integer multiplicity -> order-independent exact summation
+            (F.log("p").cast("decimal(20,6)") * F.col("n")).alias("logp"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("n").alias("nb"), F.sum("logp").alias("sum_logp"))
+    )
+    avg = F.col("sum_logp").cast("double") / F.col("nb")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("nb").cast("long").alias("n_bigrams"),
+        avg.alias("avg_logp"),
+        F.round(F.exp(-avg), 4).alias("ppl"),
+    )

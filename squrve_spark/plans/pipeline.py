@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from squrve_spark.catalog import load_table
-from squrve_spark.operators import dedup, multimodal, similarity, text
+from squrve_spark.operators import dedup, lm, multimodal, similarity, text
 from squrve_spark.operators.text import LANG_MARKERS, STOPWORDS_EN
 from squrve_spark.plans.registry import register
 
@@ -1618,6 +1618,68 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coarser grid keeps the ~1e-11 association error ~7 orders of
     # magnitude away from any rounding boundary
     return out.select("doc_id", F.round("dsir_score", 4).alias("dsir_score"))
+
+
+@register(
+    "doc_lm_perplexity",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS t
+        FROM documents
+    ),
+    pairs AS (
+        SELECT tok.doc_id, tok.t[g.i] AS w1, tok.t[g.i + 1] AS w2
+        FROM tok, LATERAL (SELECT unnest(range(1, len(tok.t))) AS i) g
+        WHERE len(tok.t) >= 2
+    ),
+    doc_bg AS (
+        SELECT doc_id, w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2, 3
+    ),
+    ref_bg AS (
+        SELECT w1, w2, sum(n) AS c2 FROM doc_bg
+        WHERE doc_id % 5 = 0 GROUP BY 1, 2
+    ),
+    ref_ctx AS (SELECT w1, sum(c2) AS c1 FROM ref_bg GROUP BY 1),
+    vocab AS (
+        SELECT count(DISTINCT u.tk) AS v
+        FROM (SELECT unnest(t) AS tk FROM tok WHERE doc_id % 5 = 0) u
+    ),
+    scored AS (
+        SELECT d.doc_id, d.n,
+               CAST(ln((COALESCE(b.c2, 0) + 1)
+                       / (COALESCE(c.c1, 0) + (SELECT v FROM vocab)))
+                    AS DECIMAL(20,6)) * d.n AS logp
+        FROM doc_bg d
+        LEFT JOIN ref_bg b USING (w1, w2)
+        LEFT JOIN ref_ctx c USING (w1)
+    ),
+    agg AS (
+        SELECT doc_id, sum(n) AS nb, sum(logp) AS sum_logp
+        FROM scored GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(nb AS BIGINT) AS n_bigrams,
+           CAST(sum_logp AS DOUBLE) / nb AS avg_logp,
+           ROUND(EXP(-(CAST(sum_logp AS DOUBLE) / nb)), 4) AS ppl
+    FROM agg
+    """,
+    defer_oracle=True,
+    tags=("curation", "text"),
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (r7, Wenzek et al. 2020): train an
+    add-one bigram model on the doc_id%5==0 reference slice, score every
+    document's per-token perplexity (`operators/lm.py`). Zero Python in
+    the plan; every shuffle bounded by distinct-bigram counts; per-bigram
+    log-probs snapped to a DECIMAL(20,6) grid so the summation is exact
+    and order-independent on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    reference = docs.where(F.col("doc_id") % 5 == 0)
+    bigrams, contexts, vocab = lm.train_bigram_lm(reference)
+    return lm.score_perplexity(docs, bigrams, contexts, vocab)
 
 
 @register(

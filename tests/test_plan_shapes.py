@@ -127,6 +127,15 @@ def test_vp8_info_map_only_single_python_stage(spark):
     assert plan.count("EvalPython") <= 2
 
 
+def test_lm_perplexity_jvm_only_bounded_shuffles(spark):
+    """doc_lm_perplexity (r7): zero Python in the plan (pure Catalyst
+    explode/agg/join), no cartesian product — every join is an equi-join
+    on bigram keys, every shuffle bounded by distinct-bigram counts."""
+    plan = plan_of(spark, "doc_lm_perplexity")
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_quality_model_query_scoring_stage_jvm(spark):
     """doc_quality_model's returned plan (scoring only — training already
     happened at plan-build time) must be Python-free: the weight table is a
