@@ -1621,6 +1621,43 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunk_windows",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    c AS (
+        SELECT d.doc_id, g.i AS chunk_idx,
+               d.t[(g.i * 24 + 1):(g.i * 24 + 32)] AS chunk
+        FROM d, LATERAL (
+            SELECT unnest(range(0,
+                CAST(floor((len(d.t) - 1) / 24) AS BIGINT) + 1)) AS i
+        ) g
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(chunk) AS INTEGER) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM c
+    """,
+    defer_oracle=True,
+    tags=("curation", "text"),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (r7): 32-token windows at
+    stride 24 (8-token overlap) with md5 content addresses — the RAG /
+    pretraining chunk-prep step (`operators/sampling.py
+    chunk_documents`). Map-only Catalyst transform/slice/posexplode, no
+    shuffle, no Python; DuckDB replays it exactly via array slicing."""
+    from squrve_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.chunk_documents(docs, window=32, stride=24)
+
+
+@register(
     "doc_lm_perplexity",
     # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
     oracle=r"""
