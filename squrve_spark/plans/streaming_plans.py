@@ -431,3 +431,72 @@ def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "p50", "p90", "p99")
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_lm_ppl_monitor",
+    oracle=None,
+    tags=("streaming", "curation", "sketch", "no-oracle"),
+)
+def stream_lm_ppl_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-quality monitor (r7): each documents micro-batch is
+    scored against the bigram LM trained on the reference slice
+    (`operators/lm.py` — same model as batch `doc_lm_perplexity`) and the
+    per-doc perplexities merge into the persisted per-source KLL store
+    (`sketches.incremental_quantiles`, batch_id-idempotent). The production
+    shape of "alert when a crawl source's perplexity distribution drifts":
+    state is #sources x O(k log n) sketch bytes, raw history never re-read,
+    the model join is per-batch and broadcastable. Output: approximate
+    p50/p90/p99 perplexity per source. Rows-only: KLL is randomized within
+    its rank-error bound; tests/test_streaming.py asserts the estimates sit
+    within rank error of the exact batch scoring and one store row per
+    source."""
+    import tempfile
+
+    from squrve_spark.catalog import load_table
+    from squrve_spark.operators import lm
+    from squrve_spark.operators.sketches import incremental_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams, contexts, vocab = lm.train_bigram_lm(
+        docs.where(F.col("doc_id") % 5 == 0)
+    )
+    # the model is re-read by every micro-batch join: cache it once
+    bigrams = bigrams.cache()
+    contexts = contexts.cache()
+
+    work = tempfile.mkdtemp(prefix="squrve_ppl_stream_")
+    store = f"{work}/store"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        scored = lm.score_perplexity(batch_df, bigrams, contexts, vocab).join(
+            batch_df.select("doc_id", "source"), "doc_id"
+        )
+        incremental_quantiles(
+            spark, scored, store, "ppl", ["source"], batch_id=batch_id
+        )
+
+    schema = (
+        spark.read.option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .schema
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{work}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    bigrams.unpersist()
+    contexts.unpersist()
+    return (
+        spark.read.parquet(store)
+        .select("source", "p50", "p90", "p99")
+        .orderBy("source")
+    )

@@ -668,3 +668,33 @@ def test_stream_scd2_restart_from_checkpoint(spark, tmp_path):
         "valid_from_us", "valid_to_us")
     cols = ["user_id", "version", "status", "valid_from_us", "valid_to_us"]
     assert rows_set(got, cols) == rows_set(batch, cols)
+
+
+def test_stream_lm_ppl_monitor_matches_batch_scoring(spark):
+    """r7: the streamed per-source perplexity quantiles must sit within KLL
+    rank error of the exact batch scoring (same model, same slice), with
+    one store row per source."""
+    from squrve_spark.operators import lm
+    from squrve_spark.plans import REGISTRY
+
+    got = REGISTRY["stream_lm_ppl_monitor"].fn(spark, SF_SMALL).collect()
+    docs = load_table(spark, SF_SMALL, "documents")
+    bigrams, contexts, vocab = lm.train_bigram_lm(
+        docs.where(F.col("doc_id") % 5 == 0)
+    )
+    exact = (
+        lm.score_perplexity(docs, bigrams, contexts, vocab)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "ppl")
+        .collect()
+    )
+    by_src: dict[str, list[float]] = {}
+    for r in exact:
+        by_src.setdefault(r["source"], []).append(r["ppl"])
+    assert {r["source"] for r in got} == set(by_src)  # one row per source
+    for r in got:
+        xs = sorted(by_src[r["source"]])
+        n = len(xs)
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            rank = sum(1 for x in xs if x <= r[col]) / n
+            assert abs(rank - q) <= 0.05, (r["source"], col, rank, q)
