@@ -541,15 +541,126 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# IMA/DVI ADPCM (WAV format tag 0x11): the ubiquitous 4-bit predictive
+# codec. Unlike VP8's entropy tables, its two constant tables are small,
+# universal public constants (IMA ADPCM reference algorithm / RFC 3551
+# lineage): the 89-entry step-size table (~1.1x geometric growth,
+# 7..32767) and the 8-entry index-adjust table.
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibble(nibble: int, predictor: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM step: reconstruct diff = ((2*mag+1)*step)/8 via the
+    spec's bit-serial form, update predictor (clamped int16) and index."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble & 7]))
+    return predictor, index
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, rate: int = 8000, block_align: int = 256
+) -> bytes:
+    """Mono int16 samples -> RIFF/WAVE IMA-ADPCM (format 0x11) bytes.
+
+    Block layout per the public IMA WAV mapping: 4-byte header (raw first
+    sample int16 + step index + reserved) then 4-bit nibbles, low nibble
+    first, samples_per_block = (block_align - 4) * 2 + 1. A `fact` chunk
+    records the true sample count so the decoder trims final-block pad."""
+    samples = np.asarray(samples, dtype=np.int16).reshape(-1)
+    if len(samples) == 0:
+        samples = np.zeros(1, np.int16)
+    spb = (block_align - 4) * 2 + 1
+    index = 0
+    blocks = []
+    for start in range(0, len(samples), spb):
+        blk = samples[start : start + spb]
+        predictor = int(blk[0])
+        out = bytearray(struct.pack("<hBB", predictor, index, 0))
+        nibbles = []
+        for s in blk[1:]:
+            step = _IMA_STEP_TABLE[index]
+            delta = int(s) - predictor
+            nib = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            predictor, index = _ima_decode_nibble(nib, predictor, index)
+            nibbles.append(nib)
+        nibbles += [0] * (spb - 1 - len(nibbles))  # pad final block
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+        blocks.append(bytes(out))
+    data = b"".join(blocks)
+    byte_rate = (rate * block_align + spb - 1) // spb
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate, byte_rate, block_align, 4, 2, spb)
+    body = (
+        b"WAVEfmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<II", 4, len(samples))
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_ima_adpcm(
+    data: bytes, block_align: int, n_samples: int | None
+) -> np.ndarray:
+    """IMA-ADPCM data chunk -> mono int16 array (trimmed to n_samples)."""
+    spb = (block_align - 4) * 2 + 1
+    out: list[int] = []
+    for start in range(0, len(data) - 3, block_align):
+        blk = data[start : start + block_align]
+        predictor, index, _ = struct.unpack_from("<hBB", blk, 0)
+        index = max(0, min(88, index))
+        out.append(predictor)
+        for byte in blk[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                predictor, index = _ima_decode_nibble(nib, predictor, index)
+                out.append(predictor)
+    arr = np.array(out, dtype=np.int16)
+    return arr[:n_samples] if n_samples is not None else arr
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM -> ((n, ch) int16 array, sample_rate). Supports 8-bit
-    unsigned (rescaled to int16) and 16-bit signed PCM; walks chunks so
-    extra sections (LIST/fact) are skipped per the RIFF spec."""
+    """RIFF/WAVE -> ((n, ch) int16 array, sample_rate). Supports 8-bit
+    unsigned (rescaled to int16) and 16-bit signed PCM plus mono IMA-ADPCM
+    (format 0x11, r7); walks chunks so extra sections (LIST/fact) are
+    handled per the RIFF spec. Other compressed formats (mp3/flac/a-law)
+    still raise honestly."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos = 12
     fmt = None
     data = None
+    fact_samples = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
@@ -559,9 +670,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             fmt = struct.unpack_from("<HHIIHH", chunk, 0)
         elif cid == b"data":
             data = chunk
+        elif cid == b"fact" and size >= 4:
+            fact_samples = struct.unpack_from("<I", chunk, 0)[0]
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_format, ch, rate, _byte_rate, _block, bits = fmt
+    audio_format, ch, rate, _byte_rate, block_align, bits = fmt
+    if audio_format == 0x11:
+        if ch != 1:
+            raise NotImplementedError("multi-channel IMA-ADPCM not supported")
+        arr = _decode_ima_adpcm(data, block_align, fact_samples)
+        return arr.reshape(-1, 1), rate
     if audio_format != 1:
         raise NotImplementedError(f"WAV format {audio_format} (non-PCM) not supported")
     if bits == 16:
@@ -584,6 +702,17 @@ def text_to_wav(text: str, rate: int = 8000, channels: int = 1) -> bytes:
     n = max(1, len(samples) // channels)
     samples = np.resize(samples, (n, channels)) if len(samples) else np.zeros((1, channels), np.int16)
     return encode_wav(samples, rate=rate)
+
+
+def text_to_wav_adpcm(text: str, rate: int = 8000) -> bytes:
+    """Deterministic text -> real mono IMA-ADPCM WAV over the SAME sample
+    grid as `text_to_wav` — lossy 4-bit compression of identical audio, so
+    cross-format payload mixes compare meaningfully downstream."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    samples = ((b.astype(np.int32) - 128) << 8).astype(np.int16)
+    if len(samples) == 0:
+        samples = np.zeros(1, np.int16)
+    return encode_wav_ima_adpcm(samples, rate=rate)
 
 
 def split_frames(payload: bytes) -> list[bytes]:

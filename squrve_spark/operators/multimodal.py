@@ -501,19 +501,32 @@ AUDIO_STATS_SCHEMA = T.StructType(
 
 
 def attach_audio_payload(
-    df: DataFrame, text_col: str = "text", rate: int = 8000
+    df: DataFrame, text_col: str = "text", rate: int = 8000,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Materialize a REAL PCM WAV 'payload' column built deterministically
-    from the text bytes (`codecs.text_to_wav`)."""
+    """Materialize a REAL WAV 'payload' column built deterministically from
+    the text bytes: even doc_ids get 16-bit PCM (`codecs.text_to_wav`), odd
+    doc_ids get mono IMA-ADPCM (`codecs.text_to_wav_adpcm`, r7) over the
+    SAME sample grid — the audio analog of the BMP/WebP image mix, so the
+    driver-parity test doubles as a cross-format audio-codec check. One
+    UDF branching per row (see attach_image_payload for why not
+    when/otherwise over two UDFs)."""
     from pyspark.sql.functions import pandas_udf
 
-    from squrve_spark.operators.codecs import text_to_wav
+    from squrve_spark.operators.codecs import text_to_wav, text_to_wav_adpcm
 
     @pandas_udf(T.BinaryType())
-    def to_wav(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: text_to_wav(t or "", rate=rate))
+    def to_wav(doc_ids: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                text_to_wav(t or "", rate=rate)
+                if int(i) % 2 == 0
+                else text_to_wav_adpcm(t or "", rate=rate)
+                for i, t in zip(doc_ids, texts)
+            ]
+        )
 
-    return df.withColumn("payload", to_wav(F.col(text_col)))
+    return df.withColumn("payload", to_wav(F.col(id_col), F.col(text_col)))
 
 
 def extract_audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -273,7 +273,12 @@ def test_audio_stats_distributed_matches_driver(spark):
         ).collect()
     }
     for doc_id, text in texts:
-        arr, rate = C.decode_wav(C.text_to_wav(text))
+        # r7 payload mix: even doc_ids PCM, odd doc_ids IMA-ADPCM — the
+        # driver-side expectation decodes the matching codec
+        payload = (
+            C.text_to_wav(text) if doc_id % 2 == 0 else C.text_to_wav_adpcm(text)
+        )
+        arr, rate = C.decode_wav(payload)
         flat = arr.astype(np.float64)
         r = got[doc_id]
         assert r["ok"] and r["sample_rate"] == 8000 and r["channels"] == 1
@@ -566,3 +571,94 @@ def test_attach_payload_custom_id_col(spark):
     cb = {r["img_id"]: bytes(r["payload"])
           for r in multimodal.attach_container_payload(b, id_col="img_id").collect()}
     assert ca == cb
+
+
+# ---------------------------------------------------------------------------
+# IMA-ADPCM (r7)
+
+
+def test_ima_tables_are_the_public_constants():
+    from squrve_spark.operators.codecs import _IMA_INDEX_TABLE, _IMA_STEP_TABLE
+
+    assert len(_IMA_STEP_TABLE) == 89
+    assert _IMA_STEP_TABLE[0] == 7 and _IMA_STEP_TABLE[-1] == 32767
+    # strictly increasing, ~1.1x geometric growth throughout
+    for a, b in zip(_IMA_STEP_TABLE, _IMA_STEP_TABLE[1:]):
+        assert a < b and b <= a * 1.2 + 2
+    assert _IMA_INDEX_TABLE == [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def test_adpcm_roundtrip_tracks_signal():
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    rng = np.random.default_rng(3)
+    # a smooth-ish signal ADPCM tracks well: ramp + noise
+    x = (np.cumsum(rng.integers(-300, 301, size=900))).clip(-30000, 30000)
+    x = x.astype(np.int16)
+    arr, rate = C.decode_wav(C.encode_wav_ima_adpcm(x, rate=16000))
+    assert rate == 16000 and arr.shape == (900, 1)
+    err = np.abs(arr[:, 0].astype(np.int64) - x.astype(np.int64))
+    # 4-bit predictive coding of a +-300-step signal stays within a few
+    # quantizer steps once the adaptive step locks on
+    assert float(np.mean(err)) < 400 and int(err.max()) < 5000
+
+
+def test_adpcm_block_headers_resync_exactly():
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    # constant signal: every block header stores the exact value and all
+    # nibbles decode to tiny dither around it
+    x = np.full(1200, 1234, dtype=np.int16)  # spans >2 blocks at 256B align
+    arr, _ = C.decode_wav(C.encode_wav_ima_adpcm(x, block_align=256))
+    assert arr.shape[0] == 1200
+    spb = (256 - 4) * 2 + 1
+    for blk_start in range(0, 1200, spb):
+        assert arr[blk_start, 0] == 1234  # header sample is exact
+    assert int(np.abs(arr[:, 0].astype(np.int32) - 1234).max()) <= 8
+
+
+def test_adpcm_fact_chunk_trims_final_block_pad():
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    x = np.arange(100, dtype=np.int16)  # far short of one block
+    arr, _ = C.decode_wav(C.encode_wav_ima_adpcm(x))
+    assert arr.shape[0] == 100  # not samples_per_block
+
+
+def test_adpcm_text_payload_mix_decodes_both():
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    text = "adpcm payload example text"
+    pcm, _ = C.decode_wav(C.text_to_wav(text))
+    adp, _ = C.decode_wav(C.text_to_wav_adpcm(text))
+    assert pcm.shape == adp.shape
+    # text bytes form a spiky +-20000-step waveform — 4-bit ADPCM's worst
+    # case — so assert tracking, not tightness: block headers are exact and
+    # the mean error stays well under the signal's own RMS (~8000)
+    assert adp[0, 0] == pcm[0, 0]
+    assert float(np.mean(np.abs(pcm.astype(np.int64) - adp.astype(np.int64)))) < 5000
+
+
+def test_adpcm_rejects_stereo():
+    import struct as st
+
+    import pytest as _pytest
+
+    from squrve_spark.operators import codecs as C
+
+    fmt = st.pack("<HHIIHH", 0x11, 2, 8000, 8000, 256, 4)
+    body = (
+        b"WAVEfmt " + st.pack("<I", len(fmt)) + fmt
+        + b"data" + st.pack("<I", 4) + b"\x00" * 4
+    )
+    payload = b"RIFF" + st.pack("<I", len(body)) + body
+    with _pytest.raises(NotImplementedError, match="multi-channel"):
+        C.decode_wav(payload)
