@@ -584,6 +584,8 @@ def encode_wav_ima_adpcm(
     sample int16 + step index + reserved) then 4-bit nibbles, low nibble
     first, samples_per_block = (block_align - 4) * 2 + 1. A `fact` chunk
     records the true sample count so the decoder trims final-block pad."""
+    if block_align < 8:
+        raise ValueError(f"block_align must be >= 8, got {block_align}")
     samples = np.asarray(samples, dtype=np.int16).reshape(-1)
     if len(samples) == 0:
         samples = np.zeros(1, np.int16)

@@ -349,7 +349,13 @@ def extract_vp8_info(
     def info(payloads: pd.Series) -> pd.DataFrame:
         rows = []
         for p in payloads:
-            h = vp8_frame_info(bytes(p)) if p is not None else None
+            try:
+                # per-payload isolation like every extractor here: a
+                # truncated chunk / bad start code / interframe must become
+                # an all-NULL row, never kill the task
+                h = vp8_frame_info(bytes(p)) if p is not None else None
+            except Exception:  # noqa: BLE001
+                h = None
             if h is None:
                 rows.append({f.name: None for f in _VP8_INFO_SCHEMA.fields})
             else:

@@ -272,47 +272,3 @@ def leakproof_split(
     )
     return hash_split(rep, weights, id_col="rep_id")
 
-
-def chunk_documents(
-    df: DataFrame,
-    window: int = 32,
-    stride: int = 24,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Overlapping sliding-window chunking — the RAG/pretraining prep step
-    that turns documents into fixed-size, stably-addressed chunks.
-
-    Chunk i covers tokens [i*stride, i*stride + window); starts are
-    0, stride, 2*stride, ... while they land inside the document, so the
-    final chunk may be short and consecutive chunks overlap by
-    ``window - stride`` tokens. Output: (id, chunk_idx, n_tokens,
-    chunk_md5) — the md5 of the space-joined chunk is the stable content
-    address (join it back to text or embeddings downstream); emitting the
-    hash instead of the text keeps the result width bounded.
-
-    Scale shape: pure Catalyst transform/slice/posexplode — map-only, no
-    shuffle, no Python; output rows ~ n_tokens/stride per doc. The whole
-    construction replays in DuckDB via array slicing (see the
-    doc_chunk_windows oracle in plans/pipeline.py).
-    """
-    if stride <= 0 or window < stride:
-        raise ValueError("need 0 < stride <= window")
-    toks = df.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
-    )
-    chunks = toks.select(
-        F.col(id_col),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, CAST(floor((size(t) - 1) / {stride}) AS INT)), "
-                f"i -> slice(t, i * {stride} + 1, {window}))"
-            )
-        ).alias("chunk_idx", "chunk"),
-    )
-    return chunks.select(
-        F.col(id_col),
-        F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.size("chunk").cast("int").alias("n_tokens"),
-        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
-    )

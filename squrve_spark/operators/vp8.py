@@ -463,6 +463,13 @@ def parse_vp8_frame_header(data: bytes) -> VP8FrameHeader:
         )
     if data[3:6] != b"\x9d\x01\x2a":
         raise ValueError("bad VP8 keyframe start code")
+    if len(data) < 10 + hdr.first_partition_size:
+        # refusing beats decoding fabricated zero-pad bits into
+        # confidently-wrong quantizer/filter fields
+        raise ValueError(
+            "VP8 first partition truncated: header claims "
+            f"{hdr.first_partition_size} bytes, {len(data) - 10} present"
+        )
     w = struct.unpack("<H", data[6:8])[0]
     h = struct.unpack("<H", data[8:10])[0]
     hdr.width, hdr.horizontal_scale = w & 0x3FFF, w >> 14

@@ -770,7 +770,8 @@ def multimodal_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 8 END AS INTEGER) AS n_dct_parts,
            CAST(n % 31 - 15 AS INTEGER) AS y_dc_delta,
            CAST(n % 7 - 3 AS INTEGER) AS uv_ac_delta
-    FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    FROM (SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n
+          FROM documents)
     """,
     defer_oracle=True,
     tags=("multimodal",),
@@ -854,9 +855,11 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "no-oracle"),
 )
 def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PCM audio decode: corpus text -> genuine RIFF/WAVE payloads ->
-    stdlib chunk-walking parser -> per-doc duration/RMS/peak. Driver-parity
-    tested in `tests/test_multimodal.py`."""
+    """REAL audio decode over a PCM/IMA-ADPCM payload mix (r7): even
+    doc_ids ship 16-bit PCM, odd ship 4-bit IMA-ADPCM of the SAME sample
+    grid -> chunk-walking parser + predictive decoder -> per-doc
+    duration/RMS/peak, so this entry is a cross-format audio codec check.
+    Driver-parity tested in `tests/test_multimodal.py`."""
     docs = multimodal.attach_audio_payload(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_audio_stats(docs)
 
@@ -1618,43 +1621,6 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coarser grid keeps the ~1e-11 association error ~7 orders of
     # magnitude away from any rounding boundary
     return out.select("doc_id", F.round("dsir_score", 4).alias("dsir_score"))
-
-
-@register(
-    "doc_chunk_windows",
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
-    oracle=r"""
-    WITH d AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        FROM documents
-    ),
-    c AS (
-        SELECT d.doc_id, g.i AS chunk_idx,
-               d.t[(g.i * 24 + 1):(g.i * 24 + 32)] AS chunk
-        FROM d, LATERAL (
-            SELECT unnest(range(0,
-                CAST(floor((len(d.t) - 1) / 24) AS BIGINT) + 1)) AS i
-        ) g
-    )
-    SELECT doc_id,
-           CAST(chunk_idx AS INTEGER) AS chunk_idx,
-           CAST(len(chunk) AS INTEGER) AS n_tokens,
-           md5(array_to_string(chunk, ' ')) AS chunk_md5
-    FROM c
-    """,
-    defer_oracle=True,
-    tags=("curation", "text"),
-)
-def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping sliding-window chunking (r7): 32-token windows at
-    stride 24 (8-token overlap) with md5 content addresses — the RAG /
-    pretraining chunk-prep step (`operators/sampling.py
-    chunk_documents`). Map-only Catalyst transform/slice/posexplode, no
-    shuffle, no Python; DuckDB replays it exactly via array slicing."""
-    from squrve_spark.operators import sampling
-
-    docs = load_table(spark, sf_dir, "documents")
-    return sampling.chunk_documents(docs, window=32, stride=24)
 
 
 @register(

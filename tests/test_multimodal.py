@@ -662,3 +662,13 @@ def test_adpcm_rejects_stereo():
     payload = b"RIFF" + st.pack("<I", len(body)) + body
     with _pytest.raises(NotImplementedError, match="multi-channel"):
         C.decode_wav(payload)
+
+
+def test_adpcm_rejects_bad_block_align():
+    import numpy as np
+    import pytest as _pytest
+
+    from squrve_spark.operators import codecs as C
+
+    with _pytest.raises(ValueError, match="block_align"):
+        C.encode_wav_ima_adpcm(np.zeros(4, np.int16), block_align=3)

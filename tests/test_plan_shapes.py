@@ -127,14 +127,6 @@ def test_vp8_info_map_only_single_python_stage(spark):
     assert plan.count("EvalPython") <= 2
 
 
-def test_chunk_windows_map_only(spark):
-    """doc_chunk_windows (r7): transform/slice/posexplode fuse into one
-    map-only codegen stage — zero shuffles, zero Python."""
-    plan = plan_of(spark, "doc_chunk_windows")
-    assert "Exchange" not in plan
-    assert "EvalPython" not in plan and "MapInPandas" not in plan
-
-
 def test_lm_perplexity_jvm_only_bounded_shuffles(spark):
     """doc_lm_perplexity (r7): zero Python in the plan (pure Catalyst
     explode/agg/join), no cartesian product — every join is an equi-join

@@ -275,45 +275,3 @@ def test_leakproof_split_keeps_input_columns(spark):
     )
     out = sampling.leakproof_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
     assert {"doc_id", "text", "lang", "fp_md5", "rep_id", "split"} <= set(out.columns)
-
-
-# ---------------------------------------------------------------------------
-# chunk_documents (r7)
-
-
-def test_chunk_windows_cover_with_overlap(spark):
-    from squrve_spark.operators.sampling import chunk_documents
-
-    text = " ".join(f"w{i}" for i in range(80))  # 80 tokens
-    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
-    out = chunk_documents(df, window=32, stride=24).orderBy("chunk_idx").collect()
-    # starts 0, 24, 48, 72 -> 4 chunks; floor((80-1)/24) = 3
-    assert [r.chunk_idx for r in out] == [0, 1, 2, 3]
-    assert [r.n_tokens for r in out] == [32, 32, 32, 8]  # last is short
-    # consecutive chunks share window - stride = 8 tokens
-    import hashlib
-
-    toks = text.split()
-    for r in out:
-        expect = " ".join(toks[r.chunk_idx * 24 : r.chunk_idx * 24 + 32])
-        assert r.chunk_md5 == hashlib.md5(expect.encode()).hexdigest()
-
-
-def test_chunk_short_doc_single_chunk(spark):
-    from squrve_spark.operators.sampling import chunk_documents
-
-    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
-    out = chunk_documents(df, window=32, stride=24).collect()
-    assert len(out) == 1 and out[0].n_tokens == 3 and out[0].chunk_idx == 0
-
-
-def test_chunk_rejects_bad_stride(spark):
-    import pytest as _pytest
-
-    from squrve_spark.operators.sampling import chunk_documents
-
-    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
-    with _pytest.raises(ValueError):
-        chunk_documents(df, window=8, stride=16)
-    with _pytest.raises(ValueError):
-        chunk_documents(df, window=8, stride=0)

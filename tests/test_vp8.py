@@ -339,3 +339,34 @@ def test_vp8_frame_info_none_on_lossless_webp():
 
     assert vp8_frame_info(text_to_webp_lossless("hello world", width=4)) is None
     assert vp8_frame_info(b"not webp at all") is None
+
+
+def test_truncated_first_partition_refuses():
+    payload = encode_vp8_header_payload(64, 64)
+    pos = payload.index(b"VP8 ") + 8
+    frame = payload[pos:]
+    with pytest.raises(ValueError, match="truncated"):
+        parse_vp8_frame_header(frame[:12])  # cut mid-partition
+
+
+def test_extract_vp8_info_isolates_corrupt_payloads(spark):
+    """One malformed payload must yield an all-NULL row, not kill the job
+    (review finding): truncated chunk, interframe, and garbage all survive
+    alongside a good payload."""
+    from squrve_spark.operators import multimodal
+
+    good = encode_vp8_header_payload(32, 32, y_ac_qi=9)
+    pos = good.index(b"VP8 ") + 8
+    inter = bytearray(good)
+    inter[pos] |= 1  # interframe flag
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(good[: pos + 8])),  # truncated
+        (3, bytearray(bytes(inter))),
+        (4, bytearray(b"RIFF\x08\x00\x00\x00WEBPgarbage!")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in multimodal.extract_vp8_info(df).collect()}
+    assert got[1]["y_ac_qi"] == 9 and got[1]["width"] == 32
+    for bad in (2, 3, 4):
+        assert got[bad]["y_ac_qi"] is None and got[bad]["width"] is None
