@@ -6,6 +6,15 @@ classifier-based quality scoring (`operators/classifier.py`) and DSIR
 (`operators/dsir.py`): where DSIR matches hashed n-gram *distributions*,
 perplexity scores each document's *sequence likelihood*.
 
+Relation to `text.lm_cross_entropy` (doc_lm_cross_entropy): that operator
+trains on the SAME corpus it scores — a self-repetition/typicality signal.
+This one implements the actual CCNet filter geometry: the model is fit on
+a held-out REFERENCE slice and applied to everything else, so low
+perplexity means "looks like the trusted domain", not "looks like the
+corpus average" — different training set, different smoothing
+denominator, different determinism strategy (exact decimal summation vs
+rounded doubles).
+
 Spark-first shape (no reference analog — the reference is text-to-SQL;
 this belongs to the training-data-pipeline extension surface):
 

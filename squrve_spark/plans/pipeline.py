@@ -1675,10 +1675,13 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter (r7, Wenzek et al. 2020): train an
     add-one bigram model on the doc_id%5==0 reference slice, score every
-    document's per-token perplexity (`operators/lm.py`). Zero Python in
-    the plan; every shuffle bounded by distinct-bigram counts; per-bigram
-    log-probs snapped to a DECIMAL(20,6) grid so the summation is exact
-    and order-independent on both engines."""
+    document's per-token perplexity (`operators/lm.py`). Unlike
+    doc_lm_cross_entropy (same-corpus self-entropy = typicality), this is
+    the held-out-reference geometry: low ppl = "looks like the trusted
+    domain". Zero Python in the plan; every shuffle bounded by
+    distinct-bigram counts; per-bigram log-probs snapped to a
+    DECIMAL(20,6) grid so the summation is exact and order-independent on
+    both engines."""
     docs = load_table(spark, sf_dir, "documents")
     reference = docs.where(F.col("doc_id") % 5 == 0)
     bigrams, contexts, vocab = lm.train_bigram_lm(reference)

@@ -54,6 +54,9 @@ HEAVIES = [
     "graph_components_emb",
     "doc_embed_search",
     "doc_source_divergence",
+    # r7: held-out-reference bigram perplexity (model + scoring shuffles
+    # must both stay bigram-bounded)
+    "doc_lm_perplexity",
 ]
 
 MAX_EXPONENT = 1.5  # sub-quadratic with margin (linear == 1.0)
