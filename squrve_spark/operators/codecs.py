@@ -651,12 +651,80 @@ def _decode_ima_adpcm(
     return arr[:n_samples] if n_samples is not None else arr
 
 
+# G.711 companded audio (WAV formats 6 = A-law, 7 = mu-law): unlike VP8's
+# opaque tables, G.711 is pure segment arithmetic — sign bit, 3-bit
+# exponent segment, 4-bit mantissa — so both expanders derive from the
+# public formulas with no constants beyond BIAS (0x84) and the A-law
+# toggle pattern (0x55).
+
+
+def _ulaw_expand_byte(u: int) -> int:
+    u = ~u & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if u & 0x80 else (t - 0x84)
+
+
+def _alaw_expand_byte(a: int) -> int:
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+_ULAW_LUT = np.array([_ulaw_expand_byte(i) for i in range(256)], dtype=np.int16)
+_ALAW_LUT = np.array([_alaw_expand_byte(i) for i in range(256)], dtype=np.int16)
+
+
+def _g711_compress(samples: np.ndarray, law: str) -> bytes:
+    """linear int16 -> companded bytes by segment search (the textbook
+    encoder; exact inverse of the LUT within each quantization cell)."""
+    lut = _ULAW_LUT if law == "mu" else _ALAW_LUT
+    # brute-inverse via nearest LUT entry: exact for any spec-conformant
+    # expander and immune to off-by-one segment-edge conventions
+    order = np.argsort(lut.astype(np.int32), kind="stable")
+    sorted_vals = lut.astype(np.int32)[order]
+    x = np.asarray(samples, dtype=np.int32).reshape(-1)
+    idx = np.searchsorted(sorted_vals, x)
+    idx = np.clip(idx, 0, 255)
+    left = np.clip(idx - 1, 0, 255)
+    pick = np.where(
+        np.abs(sorted_vals[left] - x) <= np.abs(sorted_vals[idx] - x), left, idx
+    )
+    return order[pick].astype(np.uint8).tobytes()
+
+
+def encode_wav_g711(samples: np.ndarray, rate: int = 8000, law: str = "mu") -> bytes:
+    """Mono int16 samples -> RIFF/WAVE G.711 (format 7 mu-law / 6 A-law)."""
+    if law not in ("mu", "a"):
+        raise ValueError("law must be 'mu' or 'a'")
+    data = _g711_compress(samples, law)
+    tag = 7 if law == "mu" else 6
+    fmt = struct.pack("<HHIIHHH", tag, 1, rate, rate, 1, 8, 0)
+    body = (
+        b"WAVEfmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<II", 4, len(data))
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE -> ((n, ch) int16 array, sample_rate). Supports 8-bit
-    unsigned (rescaled to int16) and 16-bit signed PCM plus mono IMA-ADPCM
-    (format 0x11, r7); walks chunks so extra sections (LIST/fact) are
-    handled per the RIFF spec. Other compressed formats (mp3/flac/a-law)
-    still raise honestly."""
+    unsigned / 16-bit / 24-bit signed PCM, 32-bit IEEE float (format 3),
+    G.711 mu-law/A-law (formats 7/6, r7), and mono IMA-ADPCM (format 0x11,
+    r7); walks chunks so extra sections (LIST/fact) are handled per the
+    RIFF spec. Truly table-opaque compressed formats (mp3/flac) still
+    raise honestly."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos = 12
@@ -682,10 +750,27 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             raise NotImplementedError("multi-channel IMA-ADPCM not supported")
         arr = _decode_ima_adpcm(data, block_align, fact_samples)
         return arr.reshape(-1, 1), rate
-    if audio_format != 1:
+    if audio_format in (6, 7):  # G.711 A-law / mu-law
+        lut = _ULAW_LUT if audio_format == 7 else _ALAW_LUT
+        arr = lut[np.frombuffer(data, dtype=np.uint8)]
+        if fact_samples is not None:
+            arr = arr[: fact_samples * ch]
+    elif audio_format == 3:  # IEEE float
+        if bits != 32:
+            raise NotImplementedError(f"float WAV bit depth {bits} not supported")
+        f = np.frombuffer(data, dtype="<f4")
+        arr = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int16)
+    elif audio_format != 1:
         raise NotImplementedError(f"WAV format {audio_format} (non-PCM) not supported")
-    if bits == 16:
+    elif bits == 16:
         arr = np.frombuffer(data, dtype="<i2")
+    elif bits == 24:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        raw = raw[: len(raw) // 3 * 3].reshape(-1, 3).astype(np.uint32)
+        full = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        signed = full.astype(np.int32)
+        signed[signed >= 1 << 23] -= 1 << 24
+        arr = (signed >> 8).astype(np.int16)  # keep the top 16 bits
     elif bits == 8:
         arr = (np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128) * 256
         arr = arr.astype(np.int16)

@@ -251,7 +251,9 @@ def test_wav_rejects_non_pcm():
 
     from squrve_spark.operators import codecs as C
 
-    fmt = st.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    # MS-ADPCM (format 2) stays honestly unsupported (r7 added IEEE float,
+    # G.711 and IMA-ADPCM as real decodes)
+    fmt = st.pack("<HHIIHH", 2, 1, 8000, 32000, 4, 4)
     body = b"WAVEfmt " + st.pack("<I", len(fmt)) + fmt + b"data" + st.pack("<I", 0)
     with pytest.raises(NotImplementedError):
         C.decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)
@@ -672,3 +674,68 @@ def test_adpcm_rejects_bad_block_align():
 
     with _pytest.raises(ValueError, match="block_align"):
         C.encode_wav_ima_adpcm(np.zeros(4, np.int16), block_align=3)
+
+
+# ---------------------------------------------------------------------------
+# G.711 + extended PCM (r7)
+
+
+def test_g711_known_silence_bytes():
+    from squrve_spark.operators.codecs import _ALAW_LUT, _ULAW_LUT
+
+    # canonical G.711 facts: mu-law 0xFF and 0x7F both decode to 0;
+    # A-law 0x55 (toggles to 0) is minimum-magnitude negative
+    assert _ULAW_LUT[0xFF] == 0 and _ULAW_LUT[0x7F] == 0
+    assert _ALAW_LUT[0x55] == -8 and _ALAW_LUT[0xD5] == 8
+    # mu-law extremes: 0x00 is maximum-magnitude negative, 0x80 positive
+    assert _ULAW_LUT[0x00] == -32124 and _ULAW_LUT[0x80] == 32124
+    assert int(_ULAW_LUT.max()) == 32124 and int(_ULAW_LUT.min()) == -32124
+    assert int(_ALAW_LUT.max()) == 32256 and int(_ALAW_LUT.min()) == -32256
+
+
+def test_g711_roundtrip_quantization_error():
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(-32000, 32001, size=2000).astype(np.int16)
+    for law in ("mu", "a"):
+        arr, rate = C.decode_wav(C.encode_wav_g711(x, rate=8000, law=law))
+        assert rate == 8000 and arr.shape == (2000, 1)
+        y = arr[:, 0].astype(np.int64)
+        # logarithmic companding: relative error bounded by the segment
+        # step (~1/16 of magnitude), absolute floor for tiny samples
+        err = np.abs(y - x.astype(np.int64))
+        bound = np.maximum(np.abs(x.astype(np.int64)) // 12, 140)
+        assert (err <= bound).all()
+        # companding idempotence: decode∘encode is a projection
+        again, _ = C.decode_wav(C.encode_wav_g711(arr[:, 0], law=law))
+        assert np.array_equal(again[:, 0], arr[:, 0])
+
+
+def test_wav_24bit_and_float32_decode():
+    import struct as st
+
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    # 24-bit PCM: craft 3 samples incl. a negative one
+    vals = [0x123456, -0x123456, 0x7FFFFF]
+    raw = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in [v % (1 << 24) for v in vals]
+    )
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    body = (b"WAVEfmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(raw)) + raw)
+    arr, _ = C.decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)
+    assert arr[:, 0].tolist() == [v >> 8 for v in vals]
+    # float32: values scale to int16
+    f = np.array([0.0, 0.5, -1.0, 1.0], dtype="<f4")
+    fmt = st.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    body = (b"WAVEfmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", f.nbytes) + f.tobytes())
+    arr, _ = C.decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)
+    # symmetric *32767 mapping: -1.0 -> -32767 (not -32768)
+    assert arr[:, 0].tolist() == [0, 16384, -32767, 32767]
