@@ -373,7 +373,10 @@ def extract_vp8_info(
                 )
         return pd.DataFrame(rows, columns=[f.name for f in _VP8_INFO_SCHEMA.fields])
 
-    parsed = df.withColumn("_h", info(F.col(payload_col)))
+    # single-file parquet reads arrive as ONE partition; spread the
+    # CPU-bound decode like every other extractor here
+    src = spread(df.select(F.col(id_col), F.col(payload_col)))
+    parsed = src.withColumn("_h", info(F.col(payload_col)))
     return parsed.select(F.col(id_col), F.col("_h.*"))
 
 
