@@ -1273,3 +1273,52 @@ def cluster_balanced_sample(
         .filter(F.col("rank") <= per_cluster)
         .select(id_col, "cell", "rank")
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, the standard
+    hybrid-search combiner): given N per-query ranked candidate lists
+    ``(query_col, id_col, rank_col)``, score every candidate
+    ``sum(1 / (k + rank_i))`` over the lists it appears in and return the
+    fused per-query top-``topk``.
+
+    Output: (query_col, id_col, rank_0..rank_{N-1} nullable, rrf_score
+    rounded to 6 dp, fused_rank). Rank ties break on id for an
+    engine-stable selection.
+
+    Scale shape: each input list is per-query top-k bounded (that is what
+    a ranked candidate list IS), so the full-outer equi-joins and the
+    final per-query window all operate on |queries| x k rows — fusion
+    cost is independent of corpus size. No corpus-side work happens here;
+    candidate generation (BM25 / ANN) already paid it."""
+    if len(ranked) < 2:
+        raise ValueError("rrf_fuse needs at least two ranked lists")
+    sides = [
+        df.select(
+            F.col(query_col), F.col(id_col),
+            F.col(rank_col).cast("int").alias(f"rank_{i}"),
+        )
+        for i, df in enumerate(ranked)
+    ]
+    fused = sides[0]
+    for s in sides[1:]:
+        fused = fused.join(s, [query_col, id_col], "full_outer")
+    score = None
+    for i in range(len(sides)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    w = W.partitionBy(query_col).orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return (
+        fused.withColumn("rrf_score", F.round(score, 6))
+        .withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= topk)
+    )

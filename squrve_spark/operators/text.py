@@ -360,6 +360,76 @@ def bm25_scores(
     )
 
 
+def bm25_per_query(
+    df: DataFrame,
+    queries: dict[int, list[str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Multi-query BM25: score every document against EVERY query's term
+    bag in one corpus pass — ``(query_id, id_col, bm25)``, score rounded
+    to 4 dp (the same Robertson/Sparck-Jones arithmetic as
+    ``bm25_scores``; identical term bags yield identical scores, asserted
+    in tests/test_sampling.py).
+
+    Scale shape: the corpus is scanned ONCE whatever the query count
+    (plan-asserted in tests/test_plan_shapes.py). The single scan
+    tokenizes and map-side filters against the broadcast-literal UNION of
+    all query terms, keeping only a SLIM (id, dl, matched-terms) frame —
+    the text column never leaves the scan stage — which is checkpointed
+    and fans out into the tf/df/corpus-stat tables (three derivations of
+    one in-memory frame instead of three corpus scans). The tiny
+    (query_id, term) table broadcast-joins onto tf at the end — shuffle
+    volume stays "rows containing any query term", independent of
+    |queries|. dft stays a per-TERM document count (a term shared by two
+    queries is counted once, not twice)."""
+    from squrve_spark.catalog import memo_checkpoint
+
+    if not queries or any(not t for t in queries.values()):
+        raise ValueError("queries must be a non-empty dict of non-empty term lists")
+    union_terms = sorted({t.lower() for ts in queries.values() for t in ts})
+    terms = F.array(*[F.lit(t) for t in union_terms])
+    slim = memo_checkpoint(
+        spread(df).select(
+            F.col(id_col),
+            F.size(tokens_expr(text_col)).cast("double").alias("dl"),
+            F.filter(
+                F.transform(tokens_expr(text_col), lambda t: F.lower(t)),
+                lambda t: F.array_contains(terms, t),
+            ).alias("_m"),
+        )
+    )
+    base = slim.select(id_col, "dl", F.explode("_m").alias("term"))
+    tf = base.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    stats = slim.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("dft"))
+    spark = df.sparkSession
+    qt = spark.createDataFrame(
+        [(int(q), t.lower()) for q, ts in queries.items() for t in set(ts)],
+        "query_id INT, term STRING",
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
+    score = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dft), "term")
+        .join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(score), 4).alias("bm25"))
+    )
+
+
 # --------------------------------------------------------------------------
 # PII scrubbing — corpus hygiene before training. All patterns run as JVM
 # regexp_replace chains inside one codegen stage: zero shuffles, zero Python,

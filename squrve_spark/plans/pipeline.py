@@ -12,6 +12,7 @@ planted duplicates).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from squrve_spark.catalog import load_table
@@ -1728,6 +1729,138 @@ def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows containing query terms, stats/DF tables broadcast)."""
     return text.bm25_scores(
         load_table(spark, sf_dir, "documents"), ["spark", "window", "merge"]
+    )
+
+
+_HYBRID_QUERIES = {
+    0: ["spark", "window"],
+    1: ["merge", "stream"],
+    2: ["hash", "join"],
+    3: ["filter", "sort"],
+}
+
+
+@register(
+    "doc_hybrid_search",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    oracle=r"""
+    WITH qt(query_id, term) AS (
+        VALUES (0,'spark'),(0,'window'),(1,'merge'),(1,'stream'),
+               (2,'hash'),(2,'join'),(3,'filter'),(3,'sort')
+    ), toks AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> lower(t)) AS w
+        FROM documents
+    ), base AS (
+        SELECT doc_id, len(w) AS dl,
+               unnest(list_filter(w, t -> t IN (
+                   'spark','window','merge','stream',
+                   'hash','join','filter','sort'))) AS term
+        FROM toks
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf,
+               CAST(any_value(dl) AS DOUBLE) AS dl
+        FROM base GROUP BY doc_id, term
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(len(w)) AS avgdl FROM toks
+    ), dft AS (
+        SELECT term, CAST(COUNT(*) AS DOUBLE) AS dft FROM tf GROUP BY term
+    ), lex AS (
+        SELECT qt.query_id, tf.doc_id,
+               ROUND(SUM(ln(1 + (n - dft + 0.5) / (dft + 0.5))
+                         * tf * 2.2
+                         / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+        FROM tf JOIN dft USING (term) JOIN qt USING (term), stats
+        GROUP BY qt.query_id, tf.doc_id
+    ), lrank AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY bm25 DESC, doc_id) AS rank_0
+        FROM lex
+    ), vec AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+               CAST(ROUND(list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(e.embedding AS DOUBLE[])), 6) AS DOUBLE) AS sim
+        FROM embeddings q, embeddings e
+        WHERE q.vec_id < 4
+    ), vrank AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, doc_id) AS rank_1
+        FROM vec
+    ), fused AS (
+        SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+               COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               l.rank_0, v.rank_1,
+               ROUND(COALESCE(1.0 / (60 + l.rank_0), 0)
+                     + COALESCE(1.0 / (60 + v.rank_1), 0), 6) AS rrf_score
+        FROM (SELECT * FROM lrank WHERE rank_0 <= 20) l
+        FULL JOIN (SELECT * FROM vrank WHERE rank_1 <= 20) v
+          ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    ), final AS (
+        SELECT query_id, doc_id,
+               CAST(rank_0 AS INT) AS rank_0, CAST(rank_1 AS INT) AS rank_1,
+               rrf_score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_score DESC, doc_id) AS rn
+        FROM fused
+    )
+    SELECT query_id, doc_id, rank_0, rank_1, rrf_score,
+           CAST(rn AS INT) AS fused_rank
+    FROM final WHERE rn <= 10
+    """,
+    tags=("search", "similarity", "text"),
+    defer_oracle=True,
+)
+def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (r7): reciprocal-rank fusion of a lexical BM25
+    candidate list and an embedding-cosine candidate list per query — the
+    standard two-tower search recipe (keyword recall + semantic recall,
+    RRF k=60) every retrieval-augmented data pipeline runs.
+
+    Candidate generation: ``bm25_per_query`` scores all four term-bag
+    queries in ONE corpus pass; the vector side broadcasts the 4 query
+    vectors against the embeddings table map-side (exact cosine here —
+    at corpus scale the IVF path generates the same candidate list
+    shape). Each side keeps its per-query top-20 via a window rank, so
+    ``rrf_fuse`` only ever touches |queries| x 20 rows — fusion cost is
+    corpus-size independent. The DuckDB oracle replays BM25, cosine,
+    both rankings, and the RRF arithmetic end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex = text.bm25_per_query(docs, _HYBRID_QUERIES)
+    wl = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    )
+    lrank = (
+        lex.withColumn("rank", wl).filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+
+    qv = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            similarity.cosine_expr(F.col("embedding"), F.col("_qv")), 6
+        ).alias("sim"),
+    )
+    wv = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("doc_id"))
+    )
+    vrank = (
+        scored.withColumn("rank", wv).filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+
+    return similarity.rrf_fuse([lrank, vrank], k=60, topk=10).select(
+        "query_id", "doc_id", "rank_0", "rank_1", "rrf_score",
+        F.col("fused_rank").cast("int").alias("fused_rank"),
     )
 
 

@@ -285,3 +285,18 @@ def test_leakproof_split_single_shuffle(spark):
     representative window; the md5-threshold split itself is map-only."""
     plan = plan_of(spark, "doc_split_leakproof")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hybrid_search_one_corpus_pass_broadcast_queries(spark):
+    """doc_hybrid_search's claims: the documents corpus is scanned ONCE for
+    all four lexical queries (bm25_per_query), the 4 query vectors
+    broadcast against the embeddings side (no CartesianProduct — covered
+    by the sweep — and no shuffled nested loop), and fusion operates on
+    rank-bounded lists only."""
+    plan = plan_of(spark, "doc_hybrid_search")
+    # the slim tokenized frame is checkpointed at build time: the returned
+    # plan re-reads that ONE materialized pass, never the corpus parquet
+    assert plan.count("documents.parquet") == 0
+    # vector side: corpus scan + broadcast query scan, nothing more
+    assert plan.count("embeddings.parquet") == 2
+    assert "BroadcastNestedLoopJoin" in plan

@@ -275,3 +275,65 @@ def test_leakproof_split_keeps_input_columns(spark):
     )
     out = sampling.leakproof_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
     assert {"doc_id", "text", "lang", "fp_md5", "rep_id", "split"} <= set(out.columns)
+
+
+def test_bm25_per_query_matches_single_query_path(spark):
+    """A query whose term bag equals bm25_scores' input must reproduce the
+    single-query scores exactly — same formula, same rounding — and a
+    second query's presence must not perturb the first (dft is per-term,
+    not per-(query, term))."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    single = {r["doc_id"]: r["bm25"] for r in text.bm25_scores(docs, ["spark", "merge"]).collect()}
+    multi = text.bm25_per_query(docs, {0: ["spark", "merge"], 1: ["join"]}).collect()
+    q0 = {r["doc_id"]: r["bm25"] for r in multi if r["query_id"] == 0}
+    assert q0 == single
+    assert any(r["query_id"] == 1 for r in multi)
+
+
+def test_bm25_per_query_rejects_empty(spark):
+    import pytest as _pt
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    with _pt.raises(ValueError):
+        text.bm25_per_query(docs, {})
+    with _pt.raises(ValueError):
+        text.bm25_per_query(docs, {0: []})
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Three candidates across two lists: the doc present in BOTH lists
+    (even at worse ranks) must outscore single-list docs; exact RRF
+    arithmetic checked by hand; absent-list rank is NULL."""
+    from squrve_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id int, doc_id int, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(0, 12, 1), (0, 13, 2)], "query_id int, doc_id int, rank int"
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse([lex, vec], k=60, topk=10).collect()}
+    assert rows[12]["rrf_score"] == round(1 / 63 + 1 / 61, 6)  # both lists
+    assert rows[10]["rrf_score"] == round(1 / 61, 6)
+    assert rows[12]["fused_rank"] == 1  # fusion beats any single list
+    assert rows[10]["rank_1"] is None and rows[13]["rank_0"] is None
+
+
+def test_rrf_fuse_topk_and_tiebreak(spark):
+    """Equal-score candidates order by doc_id; topk truncates per query
+    independently."""
+    from squrve_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 5, 1), (0, 3, 1), (1, 9, 1)], "query_id int, doc_id int, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 8, 1)], "query_id int, doc_id int, rank int"
+    )
+    out = rrf_fuse([a, b], k=60, topk=1).collect()
+    got = {(r["query_id"], r["doc_id"]) for r in out}
+    assert got == {(0, 3), (1, 8)}  # q0: tie -> lower doc_id; q1: 8 < 9 tie
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rrf_fuse([a])
