@@ -12,7 +12,8 @@ implements the formats dependency-free:
   interlace, every animation frame; encoder with clear-early literal LZW.
 - **JPEG** (baseline, in ``operators/jpeg.py``): full entropy decode +
   IDCT, tables read from the file; 4:4:4 / 4:2:0 encoder.
-- **WAV** (RIFF PCM): 8/16-bit chunk-walking parser + writer.
+- **WAV** (RIFF): 8/16/24-bit + float32 PCM, G.711 mu/A-law, mono
+  IMA-ADPCM and MS-ADPCM; chunk-walking parser + writers.
 - **WebP lossless** (VP8L, in ``operators/vp8l.py``, r6): full bitstream
   decode — Huffman/LZ77/color-cache + all four transforms — plus a minimal
   valid encoder.
@@ -651,6 +652,107 @@ def _decode_ima_adpcm(
     return arr[:n_samples] if n_samples is not None else arr
 
 
+# MS-ADPCM (WAV format 2): like IMA's step tables, the 7 predictor
+# coefficient pairs and the 16-entry delta adaptation table are small
+# universal constants published in the WAVE format spec (and carried
+# identically by every open decoder — sox, libaudiofile, ffmpeg).
+_MSADPCM_COEFFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208), (392, -232),
+)
+_MSADPCM_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def _decode_ms_adpcm(
+    data: bytes, block_align: int, n_samples: int | None
+) -> np.ndarray:
+    """MS-ADPCM data chunk -> mono int16 array (trimmed to n_samples).
+
+    Per-block: 7-byte header (predictor index, initial delta, sample1,
+    sample2) then 4-bit nibbles HIGH nibble first. Prediction is
+    ``(s1*c1 + s2*c2) >> 8`` (arithmetic shift, the sox/libaudiofile
+    floor-division convention) plus ``signed_nibble * delta``; delta
+    adapts via the table with a floor of 16."""
+    out: list[int] = []
+    for start in range(0, len(data) - 6, block_align):
+        blk = data[start : start + block_align]
+        pred_idx = blk[0]
+        if pred_idx > 6:
+            raise NotImplementedError(
+                f"MS-ADPCM custom predictor index {pred_idx} not supported"
+            )
+        delta, s1, s2 = struct.unpack_from("<hhh", blk, 1)
+        c1, c2 = _MSADPCM_COEFFS[pred_idx]
+        out.append(s2)
+        out.append(s1)
+        for byte in blk[7:]:
+            for nib in (byte >> 4, byte & 0x0F):
+                signed = nib - 16 if nib >= 8 else nib
+                pred = (s1 * c1 + s2 * c2) >> 8
+                sample = max(-32768, min(32767, pred + signed * delta))
+                out.append(sample)
+                s2, s1 = s1, sample
+                delta = max(16, (_MSADPCM_ADAPT[nib] * delta) >> 8)
+    arr = np.array(out, dtype=np.int16)
+    return arr[:n_samples] if n_samples is not None else arr
+
+
+def encode_wav_ms_adpcm(
+    samples: np.ndarray, rate: int = 8000, block_align: int = 256
+) -> bytes:
+    """Mono int16 samples -> RIFF/WAVE MS-ADPCM (format 2) bytes.
+
+    Greedy encoder with the fixed (256, 0) predictor pair: each nibble is
+    the clamped quantized prediction error, state updated with the exact
+    decoder arithmetic so drift cannot accumulate. The fmt chunk carries
+    the spec's full 32-byte extension (samples-per-block, 7 coefficient
+    pairs); a `fact` chunk records the true count for final-block trim."""
+    if block_align < 9:
+        raise ValueError(f"block_align must be >= 9, got {block_align}")
+    samples = np.asarray(samples, dtype=np.int16).reshape(-1)
+    if len(samples) < 2:
+        samples = np.resize(samples if len(samples) else np.zeros(1, np.int16), 2)
+    spb = (block_align - 7) * 2 + 2
+    c1, c2 = _MSADPCM_COEFFS[0]
+    blocks = []
+    for start in range(0, len(samples), spb):
+        blk = samples[start : start + spb]
+        s2 = int(blk[0])
+        s1 = int(blk[1]) if len(blk) > 1 else s2
+        diffs = np.abs(np.diff(blk.astype(np.int32)))
+        delta = max(16, int(diffs.mean()) // 4 if len(diffs) else 16)
+        out = bytearray(struct.pack("<Bhhh", 0, delta, s1, s2))
+        nibbles = []
+        for target in blk[2:]:
+            pred = (s1 * c1 + s2 * c2) >> 8
+            signed = max(-8, min(7, int(round((int(target) - pred) / delta))))
+            nib = signed & 0x0F
+            sample = max(-32768, min(32767, pred + signed * delta))
+            s2, s1 = s1, sample
+            delta = max(16, (_MSADPCM_ADAPT[nib] * delta) >> 8)
+            nibbles.append(nib)
+        nibbles += [0] * (spb - 2 - len(nibbles))  # pad final block
+        for hi, lo in zip(nibbles[0::2], nibbles[1::2]):
+            out.append((hi << 4) | lo)
+        blocks.append(bytes(out))
+    data = b"".join(blocks)
+    byte_rate = (rate * block_align + spb - 1) // spb
+    fmt = struct.pack("<HHIIHHHHH", 2, 1, rate, byte_rate, block_align, 4, 32, spb, 7)
+    fmt += b"".join(struct.pack("<hh", a, b) for a, b in _MSADPCM_COEFFS)
+    body = (
+        b"WAVEfmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<II", 4, len(samples))
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 # G.711 companded audio (WAV formats 6 = A-law, 7 = mu-law): unlike VP8's
 # opaque tables, G.711 is pure segment arithmetic — sign bit, 3-bit
 # exponent segment, 4-bit mantissa — so both expanders derive from the
@@ -721,10 +823,10 @@ def encode_wav_g711(samples: np.ndarray, rate: int = 8000, law: str = "mu") -> b
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE -> ((n, ch) int16 array, sample_rate). Supports 8-bit
     unsigned / 16-bit / 24-bit signed PCM, 32-bit IEEE float (format 3),
-    G.711 mu-law/A-law (formats 7/6, r7), and mono IMA-ADPCM (format 0x11,
-    r7); walks chunks so extra sections (LIST/fact) are handled per the
-    RIFF spec. Truly table-opaque compressed formats (mp3/flac) still
-    raise honestly."""
+    G.711 mu-law/A-law (formats 7/6, r7), and mono IMA-ADPCM (0x11) and
+    MS-ADPCM (2, both r7); walks chunks so extra sections (LIST/fact) are
+    handled per the RIFF spec. Truly table-opaque compressed formats
+    (mp3/flac) still raise honestly."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos = 12
@@ -749,6 +851,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         if ch != 1:
             raise NotImplementedError("multi-channel IMA-ADPCM not supported")
         arr = _decode_ima_adpcm(data, block_align, fact_samples)
+        return arr.reshape(-1, 1), rate
+    if audio_format == 2:
+        if ch != 1:
+            raise NotImplementedError("multi-channel MS-ADPCM not supported")
+        arr = _decode_ms_adpcm(data, block_align, fact_samples)
         return arr.reshape(-1, 1), rate
     if audio_format in (6, 7):  # G.711 A-law / mu-law
         lut = _ULAW_LUT if audio_format == 7 else _ALAW_LUT
@@ -800,6 +907,17 @@ def text_to_wav_adpcm(text: str, rate: int = 8000) -> bytes:
     if len(samples) == 0:
         samples = np.zeros(1, np.int16)
     return encode_wav_ima_adpcm(samples, rate=rate)
+
+
+def text_to_wav_ms_adpcm(text: str, rate: int = 8000) -> bytes:
+    """Deterministic text -> real mono MS-ADPCM WAV over the SAME sample
+    grid as `text_to_wav` — the third leg of the cross-format audio
+    payload mix (PCM / IMA / MS)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    samples = ((b.astype(np.int32) - 128) << 8).astype(np.int16)
+    if len(samples) == 0:
+        samples = np.zeros(1, np.int16)
+    return encode_wav_ms_adpcm(samples, rate=rate)
 
 
 def split_frames(payload: bytes) -> list[bytes]:

@@ -514,23 +514,27 @@ def attach_audio_payload(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Materialize a REAL WAV 'payload' column built deterministically from
-    the text bytes: even doc_ids get 16-bit PCM (`codecs.text_to_wav`), odd
-    doc_ids get mono IMA-ADPCM (`codecs.text_to_wav_adpcm`, r7) over the
-    SAME sample grid — the audio analog of the BMP/WebP image mix, so the
-    driver-parity test doubles as a cross-format audio-codec check. One
-    UDF branching per row (see attach_image_payload for why not
-    when/otherwise over two UDFs)."""
+    the text bytes: doc_id % 3 picks 16-bit PCM (`codecs.text_to_wav`),
+    mono IMA-ADPCM (`codecs.text_to_wav_adpcm`), or mono MS-ADPCM
+    (`codecs.text_to_wav_ms_adpcm`, both r7) over the SAME sample grid —
+    the audio analog of the BMP/WebP image mix, so the driver-parity test
+    triples as a cross-format audio-codec check. One UDF branching per row
+    (see attach_image_payload for why not when/otherwise over N UDFs)."""
     from pyspark.sql.functions import pandas_udf
 
-    from squrve_spark.operators.codecs import text_to_wav, text_to_wav_adpcm
+    from squrve_spark.operators.codecs import (
+        text_to_wav,
+        text_to_wav_adpcm,
+        text_to_wav_ms_adpcm,
+    )
+
+    _enc = (text_to_wav, text_to_wav_adpcm, text_to_wav_ms_adpcm)
 
     @pandas_udf(T.BinaryType())
     def to_wav(doc_ids: pd.Series, texts: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                text_to_wav(t or "", rate=rate)
-                if int(i) % 2 == 0
-                else text_to_wav_adpcm(t or "", rate=rate)
+                _enc[int(i) % 3](t or "", rate=rate)
                 for i, t in zip(doc_ids, texts)
             ]
         )

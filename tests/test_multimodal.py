@@ -251,9 +251,9 @@ def test_wav_rejects_non_pcm():
 
     from squrve_spark.operators import codecs as C
 
-    # MS-ADPCM (format 2) stays honestly unsupported (r7 added IEEE float,
-    # G.711 and IMA-ADPCM as real decodes)
-    fmt = st.pack("<HHIIHH", 2, 1, 8000, 32000, 4, 4)
+    # mp3-in-WAV (format 0x55) stays honestly unsupported (r7 added IEEE
+    # float, G.711, IMA-ADPCM and MS-ADPCM as real decodes)
+    fmt = st.pack("<HHIIHH", 0x55, 1, 8000, 32000, 4, 4)
     body = b"WAVEfmt " + st.pack("<I", len(fmt)) + fmt + b"data" + st.pack("<I", 0)
     with pytest.raises(NotImplementedError):
         C.decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)
@@ -266,7 +266,7 @@ def test_audio_stats_distributed_matches_driver(spark):
 
     from squrve_spark.operators import codecs as C
 
-    texts = [(1, "some pcm audio text"), (2, "A" * 64)]
+    texts = [(0, "some pcm audio text"), (1, "A" * 64), (2, "ms adpcm text payload")]
     df = spark.createDataFrame(texts, "doc_id long, text string")
     got = {
         r["doc_id"]: r
@@ -275,11 +275,10 @@ def test_audio_stats_distributed_matches_driver(spark):
         ).collect()
     }
     for doc_id, text in texts:
-        # r7 payload mix: even doc_ids PCM, odd doc_ids IMA-ADPCM — the
-        # driver-side expectation decodes the matching codec
-        payload = (
-            C.text_to_wav(text) if doc_id % 2 == 0 else C.text_to_wav_adpcm(text)
-        )
+        # r7 payload mix: doc_id % 3 picks PCM / IMA-ADPCM / MS-ADPCM —
+        # the driver-side expectation decodes the matching codec
+        enc = (C.text_to_wav, C.text_to_wav_adpcm, C.text_to_wav_ms_adpcm)
+        payload = enc[doc_id % 3](text)
         arr, rate = C.decode_wav(payload)
         flat = arr.astype(np.float64)
         r = got[doc_id]
@@ -739,3 +738,112 @@ def test_wav_24bit_and_float32_decode():
     arr, _ = C.decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)
     # symmetric *32767 mapping: -1.0 -> -32767 (not -32768)
     assert arr[:, 0].tolist() == [0, 16384, -32767, 32767]
+
+
+# MS-ADPCM (r7)
+
+
+def test_ms_adpcm_hand_traced_block():
+    """One hand-decoded block pins the exact spec arithmetic: predictor 0
+    (c1=256, c2=0), delta 16, s1=1000, s2=500, nibble byte 0x21 (high
+    nibble first: +2 then +1). pred=s1; +2*16 -> 1032; delta stays at the
+    16 floor (230*16>>8=14); +1*16 -> 1048. Output order is s2, s1 first."""
+    import struct as st
+
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    blk = st.pack("<Bhhh", 0, 16, 1000, 500) + bytes([0x21])
+    fmt = st.pack("<HHIIHHHHH", 2, 1, 8000, 8000, 8, 4, 32, 4, 7) + b"".join(
+        st.pack("<hh", a, b) for a, b in C._MSADPCM_COEFFS
+    )
+    body = (
+        b"WAVEfmt " + st.pack("<I", len(fmt)) + fmt
+        + b"fact" + st.pack("<II", 4, 4)
+        + b"data" + st.pack("<I", len(blk)) + blk
+    )
+    arr, rate = C.decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)
+    assert arr[:, 0].tolist() == [500, 1000, 1032, 1048]
+    assert rate == 8000
+
+
+def test_ms_adpcm_negative_nibble_and_adaptation():
+    """Nibble 0xF is signed -1; nibble 0x7 (adaptation 614) grows delta:
+    delta' = max(16, 614*16>>8) = 38."""
+    import struct as st
+
+    from squrve_spark.operators import codecs as C
+
+    blk = st.pack("<Bhhh", 0, 16, 0, 0) + bytes([0x7F])
+    fmt = st.pack("<HHIIHHHHH", 2, 1, 8000, 8000, 8, 4, 32, 4, 7) + b"".join(
+        st.pack("<hh", a, b) for a, b in C._MSADPCM_COEFFS
+    )
+    body = (
+        b"WAVEfmt " + st.pack("<I", len(fmt)) + fmt
+        + b"data" + st.pack("<I", len(blk)) + blk
+    )
+    arr, _ = C.decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)
+    # +7*16 = 112, then delta -> 38, -1*38 from pred 112 -> 74
+    assert arr[:, 0].tolist() == [0, 0, 112, 74]
+
+
+def test_ms_adpcm_roundtrip_tracks_signal():
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    t = np.linspace(0, 2 * np.pi * 5, 400)
+    sig = (np.sin(t) * 8000).astype(np.int16)
+    arr, rate = C.decode_wav(C.encode_wav_ms_adpcm(sig, rate=16000))
+    assert rate == 16000
+    got = arr[:, 0][: len(sig)].astype(np.int32)
+    err = np.abs(got - sig.astype(np.int32))
+    assert len(arr) == len(sig)  # fact chunk trims block pad
+    assert err.max() < 600 and err.mean() < 80
+
+
+def test_ms_adpcm_block_headers_resync_exactly():
+    """Every block restarts from its raw header samples: across many
+    blocks the first two decoded samples of each block are bit-exact, so
+    quantization error cannot drift unbounded."""
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(-3000, 3000, 2500).astype(np.int16)
+    block_align = 64
+    spb = (block_align - 7) * 2 + 2
+    arr, _ = C.decode_wav(C.encode_wav_ms_adpcm(x, block_align=block_align))
+    got = arr[:, 0]
+    assert len(got) == len(x)
+    for start in range(0, len(x) - 1, spb):
+        assert got[start] == x[start]
+        assert got[start + 1] == x[start + 1]
+
+
+def test_ms_adpcm_rejects_stereo_and_custom_predictor():
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from squrve_spark.operators import codecs as C
+
+    with pytest.raises(ValueError):
+        C.encode_wav_ms_adpcm(np.zeros(4, np.int16), block_align=5)
+    # stereo fmt raises
+    fmt = st.pack("<HHIIHH", 2, 2, 8000, 8000, 8, 4)
+    body = b"WAVEfmt " + st.pack("<I", len(fmt)) + fmt + b"data" + st.pack("<I", 0)
+    with pytest.raises(NotImplementedError):
+        C.decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)
+    # predictor index beyond the 7 public pairs raises (custom fmt coeffs)
+    blk = st.pack("<Bhhh", 9, 16, 0, 0) + bytes([0x00])
+    fmt = st.pack("<HHIIHH", 2, 1, 8000, 8000, 8, 4)
+    body = (
+        b"WAVEfmt " + st.pack("<I", len(fmt)) + fmt
+        + b"data" + st.pack("<I", len(blk)) + blk
+    )
+    with pytest.raises(NotImplementedError):
+        C.decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)
