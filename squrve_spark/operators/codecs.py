@@ -920,17 +920,47 @@ def text_to_wav_ms_adpcm(text: str, rate: int = 8000) -> bytes:
     return encode_wav_ms_adpcm(samples, rate=rate)
 
 
+def _split_webp_frames(payload: bytes) -> list[bytes]:
+    """RIFF/WEBP -> standalone per-frame WebP files. Animated containers
+    yield one file per ANMF chunk (the 16-byte frame header dropped, the
+    embedded image subchunks re-wrapped); simple VP8/VP8L files yield
+    themselves as a single frame."""
+    frames: list[bytes] = []
+
+    def rewrap(subchunks: bytes) -> bytes:
+        riff = b"WEBP" + subchunks
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fourcc == b"ANMF" and len(data) >= 16:
+            frames.append(rewrap(data[16:]))
+        elif fourcc in (b"VP8 ", b"VP8L"):  # non-animated: whole file is 1 frame
+            pad = b"\x00" if size & 1 else b""
+            frames.append(rewrap(fourcc + struct.pack("<I", size) + data + pad))
+    return frames
+
+
 def split_frames(payload: bytes) -> list[bytes]:
     """Demux a 'video' payload into per-frame image payloads.
 
-    Two real container-ish forms: concatenated BMPs (split on each header's
-    declared file size) and animated GIF (frames re-encoded as standalone
-    single-frame GIFs so downstream per-frame decode is uniform). A real
-    demuxer (mp4/mkv) plugs in at this seam; the downstream sampling/decode
+    Three real container forms: concatenated BMPs (split on each header's
+    declared file size), animated GIF (frames re-encoded as standalone
+    single-frame GIFs so downstream per-frame decode is uniform), and
+    animated WebP (r7: each ANMF chunk's embedded VP8/VP8L subchunks
+    re-wrapped as a standalone RIFF/WEBP file, so lossless frames decode
+    for real through ``vp8l.decode_webp_lossless``). A real demuxer
+    (mp4/mkv) plugs in at this seam; the downstream sampling/decode
     plumbing is identical.
     """
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return [encode_gif([f]) for f in decode_gif(payload)]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _split_webp_frames(payload)
     frames = []
     pos = 0
     while pos + 6 <= len(payload) and payload[pos : pos + 2] == b"BM":

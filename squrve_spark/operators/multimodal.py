@@ -381,26 +381,34 @@ def extract_vp8_info(
 
 
 def attach_video_payload(
-    df: DataFrame, text_col: str = "text", n_frames: int = 4, width: int = 8
+    df: DataFrame, text_col: str = "text", n_frames: int = 4, width: int = 8,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Materialize a concatenated-BMP 'video' payload: the text split into
-    ``n_frames`` chunks, one real BMP frame per chunk (`codecs.split_frames`
-    demuxes by each header's declared size)."""
+    """Materialize a 'video' payload mix (r7): even doc_ids get
+    concatenated real BMP frames (`codecs.split_frames` demuxes by each
+    header's declared size), odd doc_ids get an ANIMATED WebP whose ANMF
+    frames carry REAL VP8L bitstreams (`vp8l.text_to_webp_anim`) — so the
+    frame-sampling driver-parity test doubles as a cross-container demux
+    + codec check. One UDF branching per row (see attach_image_payload
+    for why not when/otherwise over two UDFs)."""
     from pyspark.sql.functions import pandas_udf
 
     from squrve_spark.operators.codecs import text_to_bmp
+    from squrve_spark.operators.vp8l import text_to_webp_anim
 
     @pandas_udf(T.BinaryType())
-    def to_frames(texts: pd.Series) -> pd.Series:
-        def build(t: str) -> bytes:
+    def to_frames(doc_ids: pd.Series, texts: pd.Series) -> pd.Series:
+        def build(i: int, t: str) -> bytes:
             t = t or ""
+            if int(i) % 2 == 1:
+                return text_to_webp_anim(t, width=width)
             step = max(1, (len(t) + n_frames - 1) // n_frames)
             chunks = [t[i : i + step] for i in range(0, len(t), step)] or [""]
             return b"".join(text_to_bmp(c, width=width) for c in chunks)
 
-        return texts.map(build)
+        return pd.Series([build(i, t) for i, t in zip(doc_ids, texts)])
 
-    return df.withColumn("payload", to_frames(F.col(text_col)))
+    return df.withColumn("payload", to_frames(F.col(id_col), F.col(text_col)))
 
 
 def extract_pixel_stats(

@@ -738,3 +738,46 @@ def text_to_webp_lossless(text: str, width: int = 16) -> bytes:
     buf = np.zeros(h * row_bytes, dtype=np.uint8)
     buf[: len(b)] = np.frombuffer(b, dtype=np.uint8)
     return encode_vp8l(buf.reshape(h, width, 3))
+
+
+def text_to_webp_anim(text: str, width: int = 8, frame_rows: int = 4) -> bytes:
+    """Deterministic text -> ANIMATED WebP whose ANMF frames each carry a
+    REAL VP8L bitstream (full-pixel upgrade of ``codecs.text_to_webp``,
+    whose frames hold raw bytes): the utf-8 grid splits into
+    ``frame_rows``-row frames, each encoded by ``encode_vp8l`` and
+    embedded behind a 16-byte ANMF frame header. ``codecs.split_frames``
+    demuxes these back into standalone lossless WebP files that
+    ``decode_webp_lossless`` decodes exactly."""
+    import struct
+
+    b = text.encode("utf-8")
+    row_bytes = width * 3
+    h = max(1, (len(b) + row_bytes - 1) // row_bytes)
+    buf = np.zeros(h * row_bytes, dtype=np.uint8)
+    buf[: len(b)] = np.frombuffer(b, dtype=np.uint8)
+    grid = buf.reshape(h, width, 3)
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    vp8x = (
+        bytes([0x02, 0, 0, 0])  # animation flag
+        + (width - 1).to_bytes(3, "little")
+        + (h - 1).to_bytes(3, "little")
+    )
+    body = chunk(b"VP8X", vp8x) + chunk(b"ANIM", struct.pack("<IH", 0, 0))
+    for y0 in range(0, h, frame_rows):
+        frame = grid[y0 : y0 + frame_rows]
+        sub = encode_vp8l(frame)[12:]  # strip RIFF....WEBP -> raw subchunks
+        header = (
+            (0).to_bytes(3, "little")
+            + (y0 // 2).to_bytes(3, "little")  # frame y is stored as y/2
+            + (width - 1).to_bytes(3, "little")
+            + (frame.shape[0] - 1).to_bytes(3, "little")
+            + (100).to_bytes(3, "little")  # duration ms
+            + bytes([0])
+        )
+        body += chunk(b"ANMF", header + sub)
+    riff = b"WEBP" + body
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

@@ -811,9 +811,11 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "no-oracle"),
 )
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sample plumbing over concatenated-BMP 'video' payloads: demux by
-    header size, stride-sample every 2nd frame, decode kept frames for real,
-    emit per-doc counts + sampled-pixel mean."""
+    """Frame-sample plumbing over a 'video' payload mix (r7): even doc_ids
+    concatenated BMPs (demux by header size), odd doc_ids animated WebP
+    with real VP8L frame bitstreams (demux by ANMF chunk walk) —
+    stride-sample every 2nd frame, decode kept frames for real, emit
+    per-doc counts + sampled-pixel mean."""
     docs = multimodal.attach_video_payload(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_frame_stats(docs, every_k=2)
 

@@ -210,15 +210,60 @@ def test_pixel_stats_distributed_matches_driver(spark):
 def test_frame_stats_sampling(spark):
     from squrve_spark.operators import codecs as C
 
+    text = "abcdefghijklmnopqrstuvwxyz0123456789" * 3  # 108B -> 5 grid rows
     df = spark.createDataFrame(
-        [(1, "abcdefghijklmnopqrstuvwxyz0123456789")], "doc_id long, text string"
+        [(2, text), (3, text)], "doc_id long, text string"
     )
     vid = multimodal.attach_video_payload(df, n_frames=4, width=8)
-    payload = bytes(vid.collect()[0]["payload"])
-    assert len(C.split_frames(payload)) == 4
-    r = multimodal.extract_frame_stats(vid, every_k=2).collect()[0]
-    assert (r["n_frames"], r["n_sampled"]) == (4, 2)
-    assert r["ok"] and r["mean_sampled"] is not None
+    rows = {r["doc_id"]: r for r in vid.collect()}
+    # even doc: concatenated BMPs; odd doc: animated VP8L WebP — same text
+    bmp_payload = bytes(rows[2]["payload"])
+    webp_payload = bytes(rows[3]["payload"])
+    assert len(C.split_frames(bmp_payload)) == 4
+    assert webp_payload[:4] == b"RIFF" and webp_payload[8:12] == b"WEBP"
+    assert len(C.split_frames(webp_payload)) == 2  # 5 rows / 4 per frame
+    got = {r["doc_id"]: r for r in multimodal.extract_frame_stats(vid, every_k=2).collect()}
+    assert (got[2]["n_frames"], got[2]["n_sampled"]) == (4, 2)
+    assert (got[3]["n_frames"], got[3]["n_sampled"]) == (2, 1)
+    for r in got.values():
+        assert r["ok"] and r["mean_sampled"] is not None
+
+
+def test_webp_anim_demux_pixel_exact():
+    """split_frames on an animated WebP re-wraps each ANMF's VP8L subchunks
+    as standalone files that decode to the EXACT original grid rows; a
+    simple (non-animated) lossless file demuxes to itself."""
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+    from squrve_spark.operators import vp8l as V
+
+    text = "animated webp vp8l frames demo " * 6
+    frames = C.split_frames(V.text_to_webp_anim(text, width=8, frame_rows=3))
+    assert len(frames) == 3
+    b = text.encode()
+    h = (len(b) + 23) // 24
+    buf = np.zeros(h * 24, np.uint8)
+    buf[: len(b)] = np.frombuffer(b, np.uint8)
+    grid = buf.reshape(h, 8, 3)
+    y = 0
+    for f in frames:
+        arr = C.decode_image(f)
+        assert np.array_equal(arr[..., :3], grid[y : y + arr.shape[0]])
+        y += arr.shape[0]
+    assert y == h
+    single = V.text_to_webp_lossless(text, width=8)
+    fs = C.split_frames(single)
+    assert len(fs) == 1
+    assert np.array_equal(C.decode_image(fs[0]), C.decode_image(single))
+    # the metadata-only raw-byte animated container (text_to_webp) still
+    # demuxes structurally; its frames fail decode honestly downstream
+    meta_frames = C.split_frames(C.text_to_webp(text, width=16, frame_rows=4))
+    assert len(meta_frames) >= 1
+    import pytest
+
+    with pytest.raises(Exception):
+        C.decode_image(meta_frames[0])
 
 
 def test_wav_roundtrip_and_8bit():
