@@ -71,6 +71,10 @@ def test_no_cartesian_products(spark, name):
         # |sources|^2 pair frame (dozens of rows) broadcast over the
         # group list — the JS-divergence pair grid
         "doc_source_divergence",
+        # hybrid search's vector side broadcasts the 4 query vectors
+        # against the corpus — the same deliberate exact-cosine baseline
+        # shape as sim_bruteforce_topk (candidate gen swaps to IVF at scale)
+        "doc_hybrid_search",
     ):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
