@@ -559,6 +559,10 @@ _IMA_STEP_TABLE = [
 _IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
 
 
+_IMA_STEP_ARR = np.array(_IMA_STEP_TABLE, dtype=np.int32)
+_IMA_INDEX_ARR = np.array(_IMA_INDEX_TABLE, dtype=np.int32)
+
+
 def _ima_decode_nibble(nibble: int, predictor: int, index: int) -> tuple[int, int]:
     """One IMA ADPCM step: reconstruct diff = ((2*mag+1)*step)/8 via the
     spec's bit-serial form, update predictor (clamped int16) and index."""
@@ -576,6 +580,162 @@ def _ima_decode_nibble(nibble: int, predictor: int, index: int) -> tuple[int, in
     return predictor, index
 
 
+# Block-lane vectorized ADPCM cores (r7 perf): every IMA/MS block re-inits
+# its predictor state from its own 4/7-byte header, so blocks — across ALL
+# payloads of an Arrow batch at once — decode/encode as independent numpy
+# lanes. The inner loop runs once per in-block sample position over the
+# whole lane stack, replacing the per-nibble Python loop that profiling
+# showed dominating the audio payload mix.
+
+
+def _ima_decode_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n_blocks, block_align) uint8 IMA blocks -> (n_blocks, spb) int16."""
+    n, ba = blocks.shape
+    spb = (ba - 4) * 2 + 1
+    predictor = (
+        np.ascontiguousarray(blocks[:, 0:2]).view("<i2")[:, 0].astype(np.int32)
+    )
+    index = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+    data = blocks[:, 4:]
+    nibs = np.empty((n, (ba - 4) * 2), dtype=np.uint8)
+    nibs[:, 0::2] = data & 0x0F  # low nibble first
+    nibs[:, 1::2] = data >> 4
+    out = np.empty((n, spb), dtype=np.int16)
+    out[:, 0] = predictor
+    for k in range(spb - 1):
+        nib = nibs[:, k].astype(np.int32)
+        step = _IMA_STEP_ARR[index]
+        diff = step >> 3
+        diff = diff + np.where(nib & 1, step >> 2, 0)
+        diff = diff + np.where(nib & 2, step >> 1, 0)
+        diff = diff + np.where(nib & 4, step, 0)
+        predictor = np.clip(
+            predictor + np.where(nib & 8, -diff, diff), -32768, 32767
+        )
+        index = np.clip(index + _IMA_INDEX_ARR[nib & 7], 0, 88)
+        out[:, k + 1] = predictor
+    return out
+
+
+def _ima_encode_blocks(
+    samples: np.ndarray, lens: np.ndarray, block_align: int
+) -> np.ndarray:
+    """(n_blocks, spb) int16 sample lanes (lens[i] real samples per lane,
+    the rest ignored/zero-padded) -> (n_blocks, block_align) uint8 blocks.
+
+    Each block's initial step index is estimated from its own mean |delta|
+    (nearest step-table entry) and stored in the header — any header value
+    decodes exactly, and per-block estimation keeps every lane independent
+    (the old scalar encoder carried the index across blocks, which would
+    serialize the lanes)."""
+    n, spb = samples.shape
+    s32 = samples.astype(np.int32)
+    predictor = s32[:, 0].copy()
+    diffs = np.abs(np.diff(s32, axis=1))
+    valid = np.arange(spb - 1)[None, :] < (lens[:, None] - 1)
+    cnt = valid.sum(axis=1)
+    mean_diff = (diffs * valid).sum(axis=1) // np.maximum(cnt, 1)
+    index = np.clip(
+        np.searchsorted(_IMA_STEP_ARR, mean_diff), 0, 88
+    ).astype(np.int32)
+    index0 = index.copy()
+    nibs = np.zeros((n, spb - 1), dtype=np.uint8)
+    for k in range(spb - 1):
+        active = (k + 1) < lens
+        step = _IMA_STEP_ARR[index]
+        delta = s32[:, k + 1] - predictor
+        nib = np.where(delta < 0, 8, 0)
+        ad = np.abs(delta)
+        c4 = ad >= step
+        nib = nib | np.where(c4, 4, 0)
+        ad = ad - np.where(c4, step, 0)
+        half = step >> 1
+        c2 = ad >= half
+        nib = nib | np.where(c2, 2, 0)
+        ad = ad - np.where(c2, half, 0)
+        nib = nib | (ad >= (step >> 2)).astype(np.int32)
+        nib = np.where(active, nib, 0)
+        # decoder-exact state update so drift cannot accumulate
+        diff = step >> 3
+        diff = diff + np.where(nib & 1, step >> 2, 0)
+        diff = diff + np.where(nib & 2, step >> 1, 0)
+        diff = diff + np.where(nib & 4, step, 0)
+        new_pred = np.clip(
+            predictor + np.where(nib & 8, -diff, diff), -32768, 32767
+        )
+        new_idx = np.clip(index + _IMA_INDEX_ARR[nib & 7], 0, 88)
+        predictor = np.where(active, new_pred, predictor)
+        index = np.where(active, new_idx, index)
+        nibs[:, k] = nib
+    blocks = np.empty((n, block_align), dtype=np.uint8)
+    first = s32[:, 0].astype(np.uint16)
+    blocks[:, 0] = (first & 0xFF).astype(np.uint8)
+    blocks[:, 1] = (first >> 8).astype(np.uint8)
+    blocks[:, 2] = index0.astype(np.uint8)
+    blocks[:, 3] = 0
+    blocks[:, 4:] = nibs[:, 0::2] | (nibs[:, 1::2] << 4)  # low nibble first
+    return blocks
+
+
+def _lane_matrix(
+    samples_list: list[np.ndarray], spb: int
+) -> tuple[np.ndarray, np.ndarray, list[int]]:
+    """Split each payload's samples into spb-sized lanes stacked across the
+    whole batch; returns (lane matrix, per-lane real lengths, per-payload
+    block counts)."""
+    lanes: list[np.ndarray] = []
+    lens: list[int] = []
+    counts: list[int] = []
+    for s in samples_list:
+        nb = max(1, (len(s) + spb - 1) // spb)
+        counts.append(nb)
+        for j in range(nb):
+            blk = s[j * spb : (j + 1) * spb]
+            lens.append(len(blk))
+            lanes.append(blk)
+    mat = np.zeros((len(lanes), spb), dtype=np.int16)
+    for i, blk in enumerate(lanes):
+        mat[i, : len(blk)] = blk
+    return mat, np.array(lens, dtype=np.int64), counts
+
+
+def encode_wav_ima_adpcm_batch(
+    samples_list: list[np.ndarray], rate: int = 8000, block_align: int = 256
+) -> list[bytes]:
+    """Batch `encode_wav_ima_adpcm`: all blocks of all payloads encode as
+    one lane stack through `_ima_encode_blocks`."""
+    if block_align < 8:
+        raise ValueError(f"block_align must be >= 8, got {block_align}")
+    spb = (block_align - 4) * 2 + 1
+    prepped = []
+    for s in samples_list:
+        s = np.asarray(s, dtype=np.int16).reshape(-1)
+        prepped.append(s if len(s) else np.zeros(1, np.int16))
+    mat, lens, counts = _lane_matrix(prepped, spb)
+    blocks = _ima_encode_blocks(mat, lens, block_align)
+    byte_rate = (rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, byte_rate, block_align, 4, 2, spb
+    )
+    out: list[bytes] = []
+    pos = 0
+    for s, nb in zip(prepped, counts):
+        data = blocks[pos : pos + nb].tobytes()
+        pos += nb
+        body = (
+            b"WAVEfmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"fact"
+            + struct.pack("<II", 4, len(s))
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+        out.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+    return out
+
+
 def encode_wav_ima_adpcm(
     samples: np.ndarray, rate: int = 8000, block_align: int = 256
 ) -> bytes:
@@ -584,71 +744,38 @@ def encode_wav_ima_adpcm(
     Block layout per the public IMA WAV mapping: 4-byte header (raw first
     sample int16 + step index + reserved) then 4-bit nibbles, low nibble
     first, samples_per_block = (block_align - 4) * 2 + 1. A `fact` chunk
-    records the true sample count so the decoder trims final-block pad."""
-    if block_align < 8:
-        raise ValueError(f"block_align must be >= 8, got {block_align}")
-    samples = np.asarray(samples, dtype=np.int16).reshape(-1)
-    if len(samples) == 0:
-        samples = np.zeros(1, np.int16)
-    spb = (block_align - 4) * 2 + 1
-    index = 0
-    blocks = []
-    for start in range(0, len(samples), spb):
-        blk = samples[start : start + spb]
-        predictor = int(blk[0])
-        out = bytearray(struct.pack("<hBB", predictor, index, 0))
-        nibbles = []
-        for s in blk[1:]:
-            step = _IMA_STEP_TABLE[index]
-            delta = int(s) - predictor
-            nib = 8 if delta < 0 else 0
-            delta = abs(delta)
-            if delta >= step:
-                nib |= 4
-                delta -= step
-            if delta >= step >> 1:
-                nib |= 2
-                delta -= step >> 1
-            if delta >= step >> 2:
-                nib |= 1
-            predictor, index = _ima_decode_nibble(nib, predictor, index)
-            nibbles.append(nib)
-        nibbles += [0] * (spb - 1 - len(nibbles))  # pad final block
-        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
-            out.append(lo | (hi << 4))
-        blocks.append(bytes(out))
-    data = b"".join(blocks)
-    byte_rate = (rate * block_align + spb - 1) // spb
-    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate, byte_rate, block_align, 4, 2, spb)
-    body = (
-        b"WAVEfmt "
-        + struct.pack("<I", len(fmt))
-        + fmt
-        + b"fact"
-        + struct.pack("<II", 4, len(samples))
-        + b"data"
-        + struct.pack("<I", len(data))
-        + data
-    )
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    records the true sample count so the decoder trims final-block pad.
+    The header step index is estimated per block (see
+    `_ima_encode_blocks`), making blocks independently decodable."""
+    return encode_wav_ima_adpcm_batch(
+        [samples], rate=rate, block_align=block_align
+    )[0]
 
 
 def _decode_ima_adpcm(
     data: bytes, block_align: int, n_samples: int | None
 ) -> np.ndarray:
     """IMA-ADPCM data chunk -> mono int16 array (trimmed to n_samples)."""
-    spb = (block_align - 4) * 2 + 1
-    out: list[int] = []
-    for start in range(0, len(data) - 3, block_align):
-        blk = data[start : start + block_align]
-        predictor, index, _ = struct.unpack_from("<hBB", blk, 0)
+    full = len(data) // block_align * block_align
+    parts: list[np.ndarray] = []
+    if full:
+        blocks = np.frombuffer(data[:full], dtype=np.uint8).reshape(
+            -1, block_align
+        )
+        parts.append(_ima_decode_blocks(blocks).reshape(-1))
+    tail = data[full:]
+    if len(tail) >= 4:  # short trailing block: per-nibble scalar path
+        predictor, index, _ = struct.unpack_from("<hBB", tail, 0)
         index = max(0, min(88, index))
-        out.append(predictor)
-        for byte in blk[4:]:
+        out = [predictor]
+        for byte in tail[4:]:
             for nib in (byte & 0x0F, byte >> 4):
                 predictor, index = _ima_decode_nibble(nib, predictor, index)
                 out.append(predictor)
-    arr = np.array(out, dtype=np.int16)
+        parts.append(np.array(out, dtype=np.int16))
+    arr = (
+        np.concatenate(parts) if parts else np.zeros(0, dtype=np.int16)
+    )
     return arr[:n_samples] if n_samples is not None else arr
 
 
@@ -664,6 +791,48 @@ _MSADPCM_ADAPT = (
 )
 
 
+_MS_ADAPT_ARR = np.array(_MSADPCM_ADAPT, dtype=np.int64)
+_MS_C1_ARR = np.array([c[0] for c in _MSADPCM_COEFFS], dtype=np.int64)
+_MS_C2_ARR = np.array([c[1] for c in _MSADPCM_COEFFS], dtype=np.int64)
+
+
+def _ms_decode_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n_blocks, block_align) uint8 MS-ADPCM blocks -> (n_blocks, spb)
+    int16. Raises NotImplementedError if any block uses a custom predictor
+    index (> 6), matching the scalar path."""
+    n, ba = blocks.shape
+    pred_idx = blocks[:, 0].astype(np.int64)
+    if np.any(pred_idx > 6):
+        bad = int(pred_idx[pred_idx > 6][0])
+        raise NotImplementedError(
+            f"MS-ADPCM custom predictor index {bad} not supported"
+        )
+    hdr = np.ascontiguousarray(blocks[:, 1:7]).view("<i2")
+    delta = hdr[:, 0].astype(np.int64)
+    s1 = hdr[:, 1].astype(np.int64)
+    s2 = hdr[:, 2].astype(np.int64)
+    c1 = _MS_C1_ARR[pred_idx]
+    c2 = _MS_C2_ARR[pred_idx]
+    data = blocks[:, 7:]
+    nibs = np.empty((n, (ba - 7) * 2), dtype=np.uint8)
+    nibs[:, 0::2] = data >> 4  # HIGH nibble first
+    nibs[:, 1::2] = data & 0x0F
+    spb = (ba - 7) * 2 + 2
+    out = np.empty((n, spb), dtype=np.int16)
+    out[:, 0] = s2
+    out[:, 1] = s1
+    for k in range(spb - 2):
+        nib = nibs[:, k].astype(np.int64)
+        signed = np.where(nib >= 8, nib - 16, nib)
+        pred = (s1 * c1 + s2 * c2) >> 8  # arithmetic shift == floor div
+        sample = np.clip(pred + signed * delta, -32768, 32767)
+        out[:, k + 2] = sample
+        s2 = s1
+        s1 = sample
+        delta = np.maximum(16, (_MS_ADAPT_ARR[nib] * delta) >> 8)
+    return out
+
+
 def _decode_ms_adpcm(
     data: bytes, block_align: int, n_samples: int | None
 ) -> np.ndarray:
@@ -674,19 +843,24 @@ def _decode_ms_adpcm(
     ``(s1*c1 + s2*c2) >> 8`` (arithmetic shift, the sox/libaudiofile
     floor-division convention) plus ``signed_nibble * delta``; delta
     adapts via the table with a floor of 16."""
-    out: list[int] = []
-    for start in range(0, len(data) - 6, block_align):
-        blk = data[start : start + block_align]
-        pred_idx = blk[0]
+    full = len(data) // block_align * block_align
+    parts: list[np.ndarray] = []
+    if full:
+        blocks = np.frombuffer(data[:full], dtype=np.uint8).reshape(
+            -1, block_align
+        )
+        parts.append(_ms_decode_blocks(blocks).reshape(-1))
+    tail = data[full:]
+    if len(tail) >= 7:  # short trailing block: per-nibble scalar path
+        pred_idx = tail[0]
         if pred_idx > 6:
             raise NotImplementedError(
                 f"MS-ADPCM custom predictor index {pred_idx} not supported"
             )
-        delta, s1, s2 = struct.unpack_from("<hhh", blk, 1)
+        delta, s1, s2 = struct.unpack_from("<hhh", tail, 1)
         c1, c2 = _MSADPCM_COEFFS[pred_idx]
-        out.append(s2)
-        out.append(s1)
-        for byte in blk[7:]:
+        out = [s2, s1]
+        for byte in tail[7:]:
             for nib in (byte >> 4, byte & 0x0F):
                 signed = nib - 16 if nib >= 8 else nib
                 pred = (s1 * c1 + s2 * c2) >> 8
@@ -694,7 +868,8 @@ def _decode_ms_adpcm(
                 out.append(sample)
                 s2, s1 = s1, sample
                 delta = max(16, (_MSADPCM_ADAPT[nib] * delta) >> 8)
-    arr = np.array(out, dtype=np.int16)
+        parts.append(np.array(out, dtype=np.int16))
+    arr = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int16)
     return arr[:n_samples] if n_samples is not None else arr
 
 
@@ -708,49 +883,91 @@ def encode_wav_ms_adpcm(
     decoder arithmetic so drift cannot accumulate. The fmt chunk carries
     the spec's full 32-byte extension (samples-per-block, 7 coefficient
     pairs); a `fact` chunk records the true count for final-block trim."""
+    return encode_wav_ms_adpcm_batch(
+        [samples], rate=rate, block_align=block_align
+    )[0]
+
+
+def _ms_encode_blocks(
+    samples: np.ndarray, lens: np.ndarray, block_align: int
+) -> np.ndarray:
+    """(n_blocks, spb) int16 sample lanes (lens[i] real samples per lane)
+    -> (n_blocks, block_align) uint8 MS-ADPCM blocks, fixed (256, 0)
+    predictor pair, state updated with the exact decoder arithmetic."""
+    n, spb = samples.shape
+    s64 = samples.astype(np.int64)
+    s2 = s64[:, 0].copy()
+    s1 = np.where(lens > 1, s64[:, 1], s2)
+    diffs = np.abs(np.diff(s64, axis=1))
+    valid = np.arange(spb - 1)[None, :] < (lens[:, None] - 1)
+    cnt = valid.sum(axis=1)
+    mean_diff = (diffs * valid).sum(axis=1) // np.maximum(cnt, 1)
+    delta = np.where(cnt > 0, np.maximum(16, mean_diff // 4), 16)
+    delta0, s10, s20 = delta.copy(), s1.copy(), s2.copy()
+    c1, c2 = _MSADPCM_COEFFS[0]
+    nibs = np.zeros((n, spb - 2), dtype=np.uint8)
+    for k in range(spb - 2):
+        active = (k + 2) < lens
+        pred = (s1 * c1 + s2 * c2) >> 8
+        signed = np.clip(
+            np.round((s64[:, k + 2] - pred) / delta).astype(np.int64), -8, 7
+        )
+        nib = np.where(active, signed & 0x0F, 0)
+        sample = np.clip(pred + signed * delta, -32768, 32767)
+        s2 = np.where(active, s1, s2)
+        s1 = np.where(active, sample, s1)
+        delta = np.where(
+            active, np.maximum(16, (_MS_ADAPT_ARR[nib] * delta) >> 8), delta
+        )
+        nibs[:, k] = nib
+    blocks = np.empty((n, block_align), dtype=np.uint8)
+    blocks[:, 0] = 0  # predictor index
+    for col, vals in ((1, delta0), (3, s10), (5, s20)):
+        u = vals.astype(np.uint16)
+        blocks[:, col] = (u & 0xFF).astype(np.uint8)
+        blocks[:, col + 1] = (u >> 8).astype(np.uint8)
+    blocks[:, 7:] = (nibs[:, 0::2] << 4) | nibs[:, 1::2]  # HIGH nibble first
+    return blocks
+
+
+def encode_wav_ms_adpcm_batch(
+    samples_list: list[np.ndarray], rate: int = 8000, block_align: int = 256
+) -> list[bytes]:
+    """Batch `encode_wav_ms_adpcm`: all blocks of all payloads encode as
+    one lane stack through `_ms_encode_blocks`."""
     if block_align < 9:
         raise ValueError(f"block_align must be >= 9, got {block_align}")
-    samples = np.asarray(samples, dtype=np.int16).reshape(-1)
-    if len(samples) < 2:
-        samples = np.resize(samples if len(samples) else np.zeros(1, np.int16), 2)
     spb = (block_align - 7) * 2 + 2
-    c1, c2 = _MSADPCM_COEFFS[0]
-    blocks = []
-    for start in range(0, len(samples), spb):
-        blk = samples[start : start + spb]
-        s2 = int(blk[0])
-        s1 = int(blk[1]) if len(blk) > 1 else s2
-        diffs = np.abs(np.diff(blk.astype(np.int32)))
-        delta = max(16, int(diffs.mean()) // 4 if len(diffs) else 16)
-        out = bytearray(struct.pack("<Bhhh", 0, delta, s1, s2))
-        nibbles = []
-        for target in blk[2:]:
-            pred = (s1 * c1 + s2 * c2) >> 8
-            signed = max(-8, min(7, int(round((int(target) - pred) / delta))))
-            nib = signed & 0x0F
-            sample = max(-32768, min(32767, pred + signed * delta))
-            s2, s1 = s1, sample
-            delta = max(16, (_MSADPCM_ADAPT[nib] * delta) >> 8)
-            nibbles.append(nib)
-        nibbles += [0] * (spb - 2 - len(nibbles))  # pad final block
-        for hi, lo in zip(nibbles[0::2], nibbles[1::2]):
-            out.append((hi << 4) | lo)
-        blocks.append(bytes(out))
-    data = b"".join(blocks)
+    prepped = []
+    for s in samples_list:
+        s = np.asarray(s, dtype=np.int16).reshape(-1)
+        if len(s) < 2:
+            s = np.resize(s if len(s) else np.zeros(1, np.int16), 2)
+        prepped.append(s)
+    mat, lens, counts = _lane_matrix(prepped, spb)
+    blocks = _ms_encode_blocks(mat, lens, block_align)
     byte_rate = (rate * block_align + spb - 1) // spb
-    fmt = struct.pack("<HHIIHHHHH", 2, 1, rate, byte_rate, block_align, 4, 32, spb, 7)
-    fmt += b"".join(struct.pack("<hh", a, b) for a, b in _MSADPCM_COEFFS)
-    body = (
-        b"WAVEfmt "
-        + struct.pack("<I", len(fmt))
-        + fmt
-        + b"fact"
-        + struct.pack("<II", 4, len(samples))
-        + b"data"
-        + struct.pack("<I", len(data))
-        + data
+    fmt = struct.pack(
+        "<HHIIHHHHH", 2, 1, rate, byte_rate, block_align, 4, 32, spb, 7
     )
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    fmt += b"".join(struct.pack("<hh", a, b) for a, b in _MSADPCM_COEFFS)
+    out: list[bytes] = []
+    pos = 0
+    for s, nb in zip(prepped, counts):
+        data = blocks[pos : pos + nb].tobytes()
+        pos += nb
+        body = (
+            b"WAVEfmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"fact"
+            + struct.pack("<II", 4, len(s))
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+        out.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+    return out
 
 
 # G.711 companded audio (WAV formats 6 = A-law, 7 = mu-law): unlike VP8's
@@ -820,13 +1037,8 @@ def encode_wav_g711(samples: np.ndarray, rate: int = 8000, law: str = "mu") -> b
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE -> ((n, ch) int16 array, sample_rate). Supports 8-bit
-    unsigned / 16-bit / 24-bit signed PCM, 32-bit IEEE float (format 3),
-    G.711 mu-law/A-law (formats 7/6, r7), and mono IMA-ADPCM (0x11) and
-    MS-ADPCM (2, both r7); walks chunks so extra sections (LIST/fact) are
-    handled per the RIFF spec. Truly table-opaque compressed formats
-    (mp3/flac) still raise honestly."""
+def _parse_wav(payload: bytes) -> tuple[tuple, bytes, int | None]:
+    """RIFF chunk walk -> (fmt 6-tuple, data bytes, fact sample count)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos = 12
@@ -846,6 +1058,17 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             fact_samples = struct.unpack_from("<I", chunk, 0)[0]
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    return fmt, data, fact_samples
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE -> ((n, ch) int16 array, sample_rate). Supports 8-bit
+    unsigned / 16-bit / 24-bit signed PCM, 32-bit IEEE float (format 3),
+    G.711 mu-law/A-law (formats 7/6, r7), and mono IMA-ADPCM (0x11) and
+    MS-ADPCM (2, both r7); walks chunks so extra sections (LIST/fact) are
+    handled per the RIFF spec. Truly table-opaque compressed formats
+    (mp3/flac) still raise honestly."""
+    fmt, data, fact_samples = _parse_wav(payload)
     audio_format, ch, rate, _byte_rate, block_align, bits = fmt
     if audio_format == 0x11:
         if ch != 1:
@@ -885,6 +1108,76 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(f"WAV bit depth {bits} not supported")
     n = len(arr) // ch
     return arr[: n * ch].reshape(n, ch), rate
+
+
+def decode_wav_batch(
+    payloads: list[bytes],
+) -> list[tuple[np.ndarray, int] | None]:
+    """Batch `decode_wav` over an Arrow batch of payloads; a failed entry
+    yields None instead of raising (per-payload isolation for the
+    mapInPandas kernels).
+
+    Mono IMA/MS-ADPCM payloads whose data is an exact multiple of their
+    block_align are decoded TOGETHER: all their blocks stack into one lane
+    matrix per (format, block_align) group and run through the vectorized
+    block cores once — the per-payload results are bit-identical to
+    `decode_wav` (asserted in tests). Everything else (PCM, float, G.711,
+    odd-shaped ADPCM) falls back to the scalar path, which is already
+    numpy-vectorized internally."""
+    results: list[tuple[np.ndarray, int] | None] = [None] * len(payloads)
+    groups: dict[tuple[int, int], list[tuple[int, bytes, int | None, int]]] = {}
+    for i, p in enumerate(payloads):
+        try:
+            p = bytes(p)
+            fmt, data, fact = _parse_wav(p)
+            audio_format, ch, rate, _br, ba, _bits = fmt
+            min_ba = 8 if audio_format == 0x11 else 9
+            if (
+                audio_format in (0x11, 2)
+                and ch == 1
+                and ba >= min_ba
+                and len(data) >= ba
+                and len(data) % ba == 0
+            ):
+                groups.setdefault((audio_format, ba), []).append(
+                    (i, data, fact, rate)
+                )
+            else:
+                results[i] = decode_wav(p)
+        except Exception:  # noqa: BLE001 — per-payload isolation
+            results[i] = None
+    for (audio_format, ba), group in groups.items():
+        mats = [
+            np.frombuffer(d, dtype=np.uint8).reshape(-1, ba)
+            for _i, d, _f, _r in group
+        ]
+        # MS custom predictor indexes (> 6) raise in the scalar path; route
+        # those payloads there so one bad payload can't sink the group
+        if audio_format == 2:
+            keep = []
+            for (i, d, f, r), m in zip(group, mats):
+                if int(m[:, 0].max()) > 6:
+                    results[i] = None  # scalar path raises NotImplementedError
+                else:
+                    keep.append(((i, d, f, r), m))
+            if not keep:
+                continue
+            group = [g for g, _m in keep]
+            mats = [m for _g, m in keep]
+        counts = np.array([m.shape[0] for m in mats])
+        big = np.vstack(mats)
+        decoded = (
+            _ima_decode_blocks(big)
+            if audio_format == 0x11
+            else _ms_decode_blocks(big)
+        )
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        for (i, _d, fact, rate), a, b in zip(group, offsets[:-1], offsets[1:]):
+            arr = decoded[a:b].reshape(-1)
+            if fact is not None:
+                arr = arr[:fact]
+            results[i] = (arr.reshape(-1, 1), rate)
+    return results
 
 
 def text_to_wav(text: str, rate: int = 8000, channels: int = 1) -> bytes:

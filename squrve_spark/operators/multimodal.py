@@ -253,7 +253,11 @@ def attach_image_payload(
             ]
         )
 
-    return df.withColumn("payload", to_image(F.col(id_col), F.col(text_col)))
+    # spread BEFORE encoding: the repartition lands under the UDF project,
+    # so the encode parallelizes and only the small text column shuffles
+    # (spreading after would run the encoder in the scan's partition count
+    # — 1 for a single-file parquet — and shuffle the big payloads)
+    return spread(df).withColumn("payload", to_image(F.col(id_col), F.col(text_col)))
 
 
 def attach_container_payload(
@@ -277,7 +281,7 @@ def attach_container_payload(
     def to_avif(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: text_to_avif(t or "", width=width))
 
-    return df.withColumn(
+    return spread(df).withColumn(
         "payload",
         F.when(F.col(id_col) % 2 == 0, to_webp(F.col(text_col))).otherwise(
             to_avif(F.col(text_col))
@@ -408,7 +412,8 @@ def attach_video_payload(
 
         return pd.Series([build(i, t) for i, t in zip(doc_ids, texts)])
 
-    return df.withColumn("payload", to_frames(F.col(id_col), F.col(text_col)))
+    # spread before encoding — see attach_image_payload
+    return spread(df).withColumn("payload", to_frames(F.col(id_col), F.col(text_col)))
 
 
 def extract_pixel_stats(
@@ -526,28 +531,50 @@ def attach_audio_payload(
     mono IMA-ADPCM (`codecs.text_to_wav_adpcm`), or mono MS-ADPCM
     (`codecs.text_to_wav_ms_adpcm`, both r7) over the SAME sample grid —
     the audio analog of the BMP/WebP image mix, so the driver-parity test
-    triples as a cross-format audio-codec check. One UDF branching per row
-    (see attach_image_payload for why not when/otherwise over N UDFs)."""
+    triples as a cross-format audio-codec check. The ADPCM legs encode
+    BATCHED: every block of every ADPCM doc in the Arrow batch runs as one
+    numpy lane stack (`codecs.encode_wav_*_adpcm_batch`), byte-identical
+    to the scalar encoders."""
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     from squrve_spark.operators.codecs import (
+        encode_wav_ima_adpcm_batch,
+        encode_wav_ms_adpcm_batch,
         text_to_wav,
-        text_to_wav_adpcm,
-        text_to_wav_ms_adpcm,
     )
 
-    _enc = (text_to_wav, text_to_wav_adpcm, text_to_wav_ms_adpcm)
+    def _samples(t: str) -> "np.ndarray":
+        b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+        s = ((b.astype(np.int32) - 128) << 8).astype(np.int16)
+        return s if len(s) else np.zeros(1, np.int16)
 
     @pandas_udf(T.BinaryType())
     def to_wav(doc_ids: pd.Series, texts: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                _enc[int(i) % 3](t or "", rate=rate)
-                for i, t in zip(doc_ids, texts)
-            ]
-        )
+        out: list[bytes | None] = [None] * len(texts)
+        adpcm_idx: dict[int, list[int]] = {1: [], 2: []}
+        for pos, (i, t) in enumerate(zip(doc_ids, texts)):
+            leg = int(i) % 3
+            if leg == 0:
+                out[pos] = text_to_wav(t or "", rate=rate)
+            else:
+                adpcm_idx[leg].append(pos)
+        for leg, batch_fn in (
+            (1, encode_wav_ima_adpcm_batch),
+            (2, encode_wav_ms_adpcm_batch),
+        ):
+            positions = adpcm_idx[leg]
+            if positions:
+                encoded = batch_fn(
+                    [_samples(texts.iloc[p] or "") for p in positions],
+                    rate=rate,
+                )
+                for p, payload in zip(positions, encoded):
+                    out[p] = payload
+        return pd.Series(out)
 
-    return df.withColumn("payload", to_wav(F.col(id_col), F.col(text_col)))
+    # spread before encoding — see attach_image_payload
+    return spread(df).withColumn("payload", to_wav(F.col(id_col), F.col(text_col)))
 
 
 def extract_audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -560,13 +587,18 @@ def extract_audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFram
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from squrve_spark.operators.codecs import decode_wav
+        from squrve_spark.operators.codecs import decode_wav_batch
 
         for pdf in it:
             out = []
-            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+            # whole-batch decode: ADPCM payloads run the vectorized block
+            # cores as one lane stack; failures come back as None rows
+            decoded = decode_wav_batch(list(pdf[payload_col]))
+            for doc_id, res in zip(pdf["doc_id"], decoded):
                 try:
-                    arr, rate = decode_wav(bytes(p))
+                    if res is None:
+                        raise ValueError("undecodable payload")
+                    arr, rate = res
                     n, ch = arr.shape
                     flat = arr.astype(np.float64)
                     out.append(

@@ -148,59 +148,97 @@ def canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
 
 class Huffman:
     """Bit-walk decoder over a canonical code. ``symbols`` (for the simple
-    two-symbol path) fixes listed order: bit 0 -> first listed symbol."""
+    two-symbol path) fixes listed order: bit 0 -> first listed symbol.
+
+    The peek-window LUT stores ``symbol << 4 | code_length`` (lengths are
+    <= 15 by spec, so 4 bits always suffice); construction is fully
+    vectorized — canonical code assignment via per-length counting
+    (the deflate next_code recurrence), bit-reversal and table fill as
+    numpy fancy-index writes — because profiling the animated-WebP frame
+    path showed per-entry Python fills dominating tiny-frame decode."""
 
     def __init__(self, lengths=None, symbols=None):
         if symbols is not None:  # simple code: 1 or 2 listed symbols
             if len(symbols) == 1:
                 self.single = symbols[0]
-                self.table = {}
             else:
                 self.single = None
-                self.table = {(1, 0): symbols[0], (1, 1): symbols[1]}
                 # simple codes fix listed order: bit 0 -> first symbol
                 self.L = 1
-                self.lut = [(symbols[0], 1), (symbols[1], 1)]
+                self.lut = [(symbols[0] << 4) | 1, (symbols[1] << 4) | 1]
             return
-        nz = [(s, l) for s, l in enumerate(lengths) if l > 0]
-        if not nz:
+        ls = np.asarray(lengths, dtype=np.int32)
+        nz_mask = ls > 0
+        n_nz = int(nz_mask.sum())
+        if n_nz == 0:
             raise ValueError("VP8L: empty Huffman code")
-        if len(nz) == 1:
-            self.single = nz[0][0]  # 0-bit code
-            self.table = {}
+        if n_nz == 1:
+            self.single = int(np.flatnonzero(nz_mask)[0])  # 0-bit code
             return
         self.single = None
-        max_len = max(l for _s, l in nz)
+        syms = np.flatnonzero(nz_mask).astype(np.int32)
+        ls = ls[nz_mask]
+        max_len = int(ls.max())
         # completeness (Kraft equality) — required for >1 symbol
-        if sum(1 << (max_len - l) for _s, l in nz) != (1 << max_len):
+        if int((1 << (max_len - ls)).sum()) != (1 << max_len):
             raise ValueError("VP8L: incomplete Huffman code")
-        codes = canonical_codes({s: l for s, l in nz})
-        self.table = {(l, c): s for s, (c, l) in codes.items()}
-        # LUT decode: index by the next max_len bits AS READ (LSB-first
-        # window) -> (symbol, code length). A complete canonical code fills
-        # the whole table.
+        if n_nz <= 16 and (1 << max_len) <= 512:
+            # tiny code (meta codes, code-length codes): the plain-Python
+            # fill beats numpy's per-call overhead here
+            codes = canonical_codes(
+                {int(s): int(l) for s, l in zip(syms, ls)}
+            )
+            self.L = max_len
+            lut = [0] * (1 << max_len)
+            for s, (c, l) in codes.items():
+                base = 0
+                for j in range(l):
+                    if (c >> (l - 1 - j)) & 1:
+                        base |= 1 << j
+                packed = (s << 4) | l
+                for free in range(1 << (max_len - l)):
+                    lut[base | (free << l)] = packed
+            self.lut = lut
+            return
+        # canonical code per symbol: next_code[l] start + rank within the
+        # length class (symbols ascend within a class by construction)
+        bl_count = np.bincount(ls, minlength=max_len + 1)
+        next_code = np.zeros(max_len + 1, dtype=np.int64)
+        for l in range(1, max_len + 1):
+            next_code[l] = (next_code[l - 1] + bl_count[l - 1]) << 1
+        order = np.argsort(ls, kind="stable")  # (length, symbol) order
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order)) - np.searchsorted(ls[order], ls[order])
+        codes = next_code[ls] + rank
+        # bit-reverse each code into its LSB-first peek window position:
+        # codebit j (from MSB) lands at window bit j
+        base = np.zeros(len(codes), dtype=np.int64)
+        for j in range(max_len):
+            live = j < ls
+            base |= np.where(live, (codes >> np.maximum(ls - 1 - j, 0)) & 1, 0) << j
         self.L = max_len
-        lut: list[tuple[int, int]] = [(0, 0)] * (1 << max_len)
-        for s, (c, l) in codes.items():
-            # the code's bits are consumed MSB-first; bit i of the raw
-            # window is the i-th bit read, so codebit j (from MSB) lands at
-            # window bit j. Remaining max_len-l bits are free.
-            base = 0
-            for j in range(l):
-                if (c >> (l - 1 - j)) & 1:
-                    base |= 1 << j
-            for free in range(1 << (max_len - l)):
-                lut[base | (free << l)] = (s, l)
-        self.lut = lut
+        lut = np.zeros(1 << max_len, dtype=np.int32)
+        for l in np.unique(ls):
+            sel = ls == l
+            packed = (syms[sel] << 4) | int(l)
+            n_free = 1 << (max_len - int(l))
+            idx = (base[sel][:, None]
+                   | (np.arange(n_free, dtype=np.int64) << int(l))[None, :])
+            lut[idx.ravel()] = np.repeat(packed, n_free)
+        # tiny tables (the common case for the per-frame meta codes) decode
+        # measurably faster as plain lists; big ones stay numpy to keep
+        # construction O(1) python-ops
+        self.lut = lut.tolist() if max_len <= 10 else lut
 
     def read(self, br: BitReader) -> int:
         if self.single is not None:
             return self.single
-        sym, length = self.lut[br.peek(self.L)]
+        v = int(self.lut[br.peek(self.L)])
+        length = v & 15
         if length == 0:
             raise ValueError("VP8L: invalid Huffman code in stream")
         br.advance(length)
-        return sym
+        return v >> 4
 
 
 def _read_code_lengths(br: BitReader, cl_huff: Huffman, num_symbols: int) -> list:

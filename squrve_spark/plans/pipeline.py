@@ -846,7 +846,11 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: encode_jpeg(decode_bmp(text_to_bmp(t or "", width=16)), quality=90)
         )
 
-    with_payload = docs.select("doc_id", "text").withColumn(
+    from squrve_spark.catalog import spread
+
+    # spread before the JPEG encode so the DCT+Huffman work parallelizes
+    # (and extract's own spread becomes a no-op — no payload re-shuffle)
+    with_payload = spread(docs.select("doc_id", "text")).withColumn(
         "payload", to_jpeg(F.col("text"))
     )
     return multimodal.extract_pixel_stats(with_payload)

@@ -720,6 +720,85 @@ def test_adpcm_rejects_bad_block_align():
         C.encode_wav_ima_adpcm(np.zeros(4, np.int16), block_align=3)
 
 
+def test_adpcm_batch_encode_matches_scalar_bytes():
+    """The lane-stacked batch encoders must be BYTE-identical to the
+    scalar ones — single-sample, one-block, exact-multiple and multi-block
+    payloads all stack into one matrix."""
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    rng = np.random.default_rng(11)
+    sams = [
+        np.zeros(1, np.int16),
+        np.arange(40, dtype=np.int16) * 100,
+        (np.cumsum(rng.integers(-300, 301, size=1400))).clip(-30000, 30000).astype(np.int16),
+        np.arange(505, dtype=np.int16),  # exactly one IMA block
+        np.full(2, -32768, dtype=np.int16),
+    ]
+    for batch_fn, scalar_fn in (
+        (C.encode_wav_ima_adpcm_batch, C.encode_wav_ima_adpcm),
+        (C.encode_wav_ms_adpcm_batch, C.encode_wav_ms_adpcm),
+    ):
+        outs = batch_fn(sams, rate=16000)
+        for i, (o, s) in enumerate(zip(outs, sams)):
+            assert o == scalar_fn(s, rate=16000), i
+
+
+def test_decode_wav_batch_matches_scalar_and_isolates_failures():
+    """decode_wav_batch: grouped ADPCM lanes decode bit-identically to
+    decode_wav; undecodable payloads become None without sinking the
+    group; non-ADPCM formats route through the scalar path."""
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    rng = np.random.default_rng(12)
+    sig = (np.cumsum(rng.integers(-200, 201, size=900))).clip(-30000, 30000).astype(np.int16)
+    payloads = [
+        C.text_to_wav("pcm leg"),
+        C.text_to_wav_adpcm("ima leg text"),
+        C.text_to_wav_ms_adpcm("ms leg text"),
+        C.encode_wav_ima_adpcm(sig),
+        C.encode_wav_ms_adpcm(sig),
+        b"not audio at all",
+        C.encode_wav_g711(sig),
+        C.encode_wav(sig, rate=16000),
+    ]
+    results = C.decode_wav_batch(payloads)
+    for i, (p, res) in enumerate(zip(payloads, results)):
+        try:
+            ref = C.decode_wav(p)
+        except Exception:
+            ref = None
+        if ref is None:
+            assert res is None, i
+        else:
+            assert res is not None and res[1] == ref[1], i
+            assert np.array_equal(res[0], ref[0]), i
+    assert results[5] is None  # the garbage payload, specifically
+
+
+def test_decode_wav_batch_ms_custom_predictor_is_isolated():
+    """A block with predictor index > 6 must None only ITS payload; the
+    other MS payloads in the same (format, block_align) group still
+    decode via the lane stack."""
+    import numpy as np
+
+    from squrve_spark.operators import codecs as C
+
+    good = C.encode_wav_ms_adpcm(np.arange(600, dtype=np.int16))
+    bad = bytearray(good)
+    # corrupt the first data block's predictor-index byte (inside `data`)
+    pos = bad.find(b"data") + 8
+    bad[pos] = 7
+    results = C.decode_wav_batch([good, bytes(bad), good])
+    assert results[1] is None
+    ref = C.decode_wav(good)
+    for r in (results[0], results[2]):
+        assert r is not None and np.array_equal(r[0], ref[0])
+
+
 # ---------------------------------------------------------------------------
 # G.711 + extended PCM (r7)
 
