@@ -272,3 +272,30 @@ def leakproof_split(
     )
     return hash_split(rep, weights, id_col="rep_id")
 
+
+
+def cap_per_group(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group document cap (the C4 / RefinedWeb
+    per-domain cap): keep at most ``cap`` rows per ``group_col``, chosen
+    by md5-of-id order (uniform, stable across runs and engines), with
+    the raw id as tie-break. Adds ``rank_in_group`` (1-based).
+
+    Scale shape: ONE hash-partition exchange on the group key + a
+    per-partition sort — the minimum for any exact per-group quota. A
+    pathologically hot group (one domain = half the corpus) concentrates
+    its sort in one task; the standard mitigation is a pre-filter pass
+    that drops rows whose md5 prefix exceeds cap/count-ish quantiles
+    before the exact window — worth wiring only when group skew is
+    actually observed upstream (`corpus_span_dup_stats` pattern).
+    """
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .where(F.col("rank_in_group") <= cap)
+    )

@@ -672,3 +672,66 @@ def strip_markup(
 ) -> DataFrame:
     """Markup-strip ``text_col`` (in place unless ``out_col`` is given)."""
     return df.withColumn(out_col or text_col, strip_markup_expr(F.col(text_col)))
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    delimiter: str = "\n",
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate-segment removal (the C4 / RefinedWeb /
+    CCNet "line dedup" step, generalized to a configurable delimiter):
+    drop every segment whose trimmed form appears in >= ``min_df``
+    distinct documents, reassemble the survivors in original order.
+
+    Returns one row per input document: ``doc_id``, ``n_segments``,
+    ``n_removed``, ``cleaned`` (the reassembled text; empty when every
+    segment was boilerplate).
+
+    Scale shape: posexplode -> distinct-count aggregate keyed by segment
+    (shuffle bounded by the distinct-segment count, NOT corpus rows once
+    the partial aggregate collapses repeats map-side) -> left_anti join
+    against the hot-segment set (small by construction at a high
+    ``min_df``; AQE turns it into a broadcast join when it measures
+    small) -> one groupBy(doc_id) to reassemble. No Python, three
+    shuffles, every one keyed and combinable.
+    """
+    pat = re.escape(delimiter)
+    base = spread(df).select(
+        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("_t")
+    )
+    segs = base.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("_t"), pat, -1)).alias("pos", "seg"),
+    )
+    key = F.trim(F.col("seg"))
+    hot = (
+        segs.where(key != "")
+        .groupBy(key.alias("key"))
+        .agg(F.count_distinct("doc_id").alias("df_docs"))
+        .where(F.col("df_docs") >= F.lit(min_df))
+        .select("key")
+    )
+    kept = segs.join(hot, key == hot["key"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            delimiter,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("cleaned"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    stats = base.select(
+        "doc_id", F.size(F.split(F.col("_t"), pat, -1)).alias("n_segments")
+    )
+    return stats.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        "n_segments",
+        (
+            F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0))
+        ).cast("bigint").alias("n_removed"),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+    )

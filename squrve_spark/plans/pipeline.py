@@ -2179,3 +2179,153 @@ def doc_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakproof_split(
         docs, {"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "fp_md5", F.col("rep_id").cast("long").alias("rep_id"), "split")
+
+
+@register(
+    "doc_pii_redact",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # Same pattern list and application ORDER as text.PII_PATTERNS — the
+    # oracle nests regexp_replace innermost-first (email, card, ssn,
+    # phone, ipv4). Both engines run ASCII \d / \b semantics (Java default
+    # regex vs RE2).
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_email,
+           CAST(len(regexp_extract_all(text,
+               '\b(?:\d[ -]?){13,16}\b')) AS BIGINT) AS n_credit_card,
+           CAST(len(regexp_extract_all(text,
+               '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text,
+               '(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b'))
+               AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+           md5(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\b(?:\d[ -]?){13,16}\b', '<CARD>', 'g'),
+                   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                 '(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b',
+                 '<PHONE>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+           ) AS masked_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("hygiene", "text"),
+    defer_oracle=True,
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked PII REDACTION (complements the no-oracle
+    `doc_pii_audit` aggregate): per-document pattern-class counts on the
+    raw text plus the md5 of the typed-mask redacted text — the transform
+    a training pipeline actually ships. ONE projection over ONE scan
+    (counts and the 5-step regexp_replace chain in the same codegen
+    stage), map-only, zero shuffle, zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    masked = F.col("text")
+    for _, pattern, repl in text.PII_PATTERNS:
+        masked = F.regexp_replace(masked, pattern, repl)
+    return docs.select(
+        "doc_id",
+        *[
+            F.regexp_count(F.col("text"), F.lit(p))
+            .cast("bigint")
+            .alias(f"n_{name}")
+            for name, p, _ in text.PII_PATTERNS
+        ],
+        F.md5(masked).alias("masked_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_segment_dedup",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # Fixture texts are single-line word soup, so the registry entry runs
+    # the operator at WORD granularity (delimiter=' ', min_df=390) to make
+    # the removal path really fire on this corpus; '\n' line dedup is the
+    # production default (operators/text.py:segment_dedup).
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, COALESCE(text, '') AS t FROM documents
+    ), segs AS (
+      SELECT doc_id, generate_subscripts(p, 1) AS pos, unnest(p) AS seg
+      FROM (SELECT doc_id, string_split(t, ' ') AS p FROM base)
+    ), hot AS (
+      SELECT trim(seg) AS key FROM segs WHERE trim(seg) != ''
+      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 390
+    ), kept AS (
+      SELECT doc_id, pos, seg FROM segs
+      WHERE trim(seg) NOT IN (SELECT key FROM hot)
+    ), reasm AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(seg, ' ' ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(string_split(b.t, ' ')) AS INTEGER) AS n_segments,
+           CAST(len(string_split(b.t, ' ')) - COALESCE(r.n_kept, 0)
+               AS BIGINT) AS n_removed,
+           md5(COALESCE(r.cleaned, '')) AS cleaned_md5
+    FROM base b LEFT JOIN reasm r USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    tags=("dedup", "curation"),
+    defer_oracle=True,
+)
+def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-segment removal (C4 / RefinedWeb / CCNet line dedup):
+    drop every segment appearing in >= min_df distinct documents,
+    reassemble survivors in order, emit per-doc segment/removal counts +
+    the md5 of the cleaned text (`text.segment_dedup`). The hot-segment
+    set is tiny at a high threshold, so the anti-join broadcasts under
+    AQE; the frequency aggregate's shuffle is bounded by the distinct-
+    segment count."""
+    out = text.segment_dedup(
+        load_table(spark, sf_dir, "documents"),
+        delimiter=" ",
+        min_df=390,
+    )
+    return out.select(
+        "doc_id",
+        "n_segments",
+        "n_removed",
+        F.md5(F.col("cleaned")).alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_source_cap",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    oracle="""
+    SELECT doc_id, source, CAST(rn AS INTEGER) AS rank_in_group
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 15
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "curation"),
+    defer_oracle=True,
+)
+def doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the C4/RefinedWeb per-domain quota): keep
+    at most 15 docs per source in deterministic md5-of-id order
+    (`sampling.cap_per_group`) — one keyed exchange + per-group sort, the
+    minimal exact-quota shape. At sf0.01 every source holds 25 docs, so
+    the cap genuinely bites (300 of 500 rows survive)."""
+    from squrve_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, cap=15, group_col="source").orderBy("doc_id")

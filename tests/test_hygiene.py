@@ -282,3 +282,61 @@ def test_semantic_contamination_degenerate_inputs(spark):
     assert out[1]["max_sim"] == 1.0 and out[1]["contaminated"]
     with pytest.raises(ValueError, match="empty"):
         semantic_contamination(corp, ev.filter("vec_id < 0"), 0.9)
+
+
+def test_pii_redact_oracle_parity_on_planted_pii(spark):
+    """The doc_pii_redact registry oracle must agree with the Spark plan
+    on text that actually CONTAINS PII (the shipped fixture has none, so
+    the registry parity run exercises only the no-match path) — same
+    counts, same masked md5, for every pattern class."""
+    from squrve_spark.plans import REGISTRY
+
+    rows = [
+        (0, "mail me at jo.doe+x@examp.le or call (555) 123-4567 now"),
+        (1, "card 4111 1111 1111 1111 exp soon; ssn 123-45-6789"),
+        (2, "server at 10.0.254.3 and backup at 192.168.1.1"),
+        (3, "no pii in this one at all"),
+        (4, ""),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()  # private connection: never shadow the shared
+    # parity fixture's `documents` view
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    try:
+        oracle = REGISTRY["doc_pii_redact"].oracle
+        res = con.execute(oracle)
+        cols = [d[0] for d in res.description]
+        want = [dict(zip(cols, r)) for r in res.fetchall()]
+        # rebuild the Spark plan on the synthetic frame via the same
+        # projection the registry entry uses
+        from squrve_spark.operators import text as T
+
+        masked = F.col("text")
+        for _, pattern, repl in T.PII_PATTERNS:
+            masked = F.regexp_replace(masked, pattern, repl)
+        got = (
+            sdf.select(
+                "doc_id",
+                *[
+                    F.regexp_count(F.col("text"), F.lit(p))
+                    .cast("bigint")
+                    .alias(f"n_{name}")
+                    for name, p, _ in T.PII_PATTERNS
+                ],
+                F.md5(masked).alias("masked_md5"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert [dict(r.asDict()) for r in got] == want
+        # and the planted spans really got masked
+        by_id = {w["doc_id"]: w for w in want}
+        assert by_id[0]["n_email"] == 1 and by_id[0]["n_phone"] == 1
+        assert by_id[1]["n_credit_card"] == 1 and by_id[1]["n_ssn"] == 1
+        assert by_id[2]["n_ipv4"] == 2
+        assert by_id[3]["n_email"] == 0
+    finally:
+        con.close()

@@ -337,3 +337,32 @@ def test_rrf_fuse_topk_and_tiebreak(spark):
 
     with _pt.raises(ValueError):
         rrf_fuse([a])
+
+
+def test_cap_per_group_binds_and_is_deterministic(spark):
+    """cap_per_group keeps exactly min(cap, group size) rows per group,
+    ranks 1..k densely, and repeated runs pick the SAME rows (md5 order,
+    not partition order)."""
+    from squrve_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_group(df, cap=4).collect()
+    by_group: dict[str, list] = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(r)
+    assert set(by_group) == {"g0", "g1", "g2"}
+    for g, grp in by_group.items():
+        assert len(grp) == 4
+        assert sorted(r["rank_in_group"] for r in grp) == [1, 2, 3, 4]
+    again = {
+        (r["doc_id"], r["rank_in_group"])
+        for r in cap_per_group(df.repartition(7), cap=4).collect()
+    }
+    assert again == {(r["doc_id"], r["rank_in_group"]) for r in out}
+
+    # a group smaller than the cap survives whole
+    small = spark.createDataFrame(
+        [(1, "solo"), (2, "solo")], "doc_id long, source string"
+    )
+    assert len(cap_per_group(small, cap=10).collect()) == 2

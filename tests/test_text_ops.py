@@ -48,3 +48,52 @@ def test_strip_markup_preserves_escaped_entity_literals(spark):
     )
     out = strip_markup(df).first()["text"]
     assert out == "escape demo: &lt;b&gt; stays text"
+
+
+def test_segment_dedup_removes_corpus_frequent_lines(spark):
+    """C4-style line dedup: the boilerplate line shared by 3 docs goes,
+    unique lines stay, order is preserved, counts are exact, and a doc
+    made ENTIRELY of boilerplate comes back as an empty string."""
+    from squrve_spark.operators.text import segment_dedup
+
+    boiler = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (0, f"unique opening\n{boiler}\nunique closing"),
+            (1, f"{boiler}\nmiddle text here"),
+            (2, boiler),
+            (3, "no boilerplate at all"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in segment_dedup(df, min_df=3).collect()
+    }
+    assert out[0]["cleaned"] == "unique opening\nunique closing"
+    assert (out[0]["n_segments"], out[0]["n_removed"]) == (3, 1)
+    assert out[1]["cleaned"] == "middle text here"
+    assert out[2]["cleaned"] == "" and out[2]["n_removed"] == 1
+    assert out[3]["cleaned"] == "no boilerplate at all"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["cleaned"] == "" and out[4]["n_segments"] == 1
+
+
+def test_segment_dedup_threshold_and_whitespace_keys(spark):
+    """min_df binds on DISTINCT docs (a line repeated within ONE doc is
+    not boilerplate at min_df=2 across docs... unless two docs share it);
+    blank segments are never dropped (they key as '')."""
+    from squrve_spark.operators.text import segment_dedup
+
+    df = spark.createDataFrame(
+        [
+            (0, "same\nsame\nonly here"),  # repeats within one doc only
+            (1, "shared line\n\nafter blank"),
+            (2, "shared line\ntail"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(df, min_df=2).collect()}
+    assert out[0]["cleaned"] == "same\nsame\nonly here"  # df(doc)==1
+    assert out[1]["cleaned"] == "\nafter blank"  # blank segment kept
+    assert out[2]["cleaned"] == "tail"
