@@ -1322,3 +1322,166 @@ def rrf_fuse(
         .withColumn("fused_rank", F.row_number().over(w))
         .filter(F.col("fused_rank") <= topk)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding compression (r7): int8 quantization + sign-bit Hamming search
+
+
+def int8_scales(df: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Per-dimension symmetric int8 scales (127 / max|x|; 0.0 for an
+    all-zero dim).
+
+    ONE bounded aggregate: posexplode -> max(abs) per dimension — the
+    shuffle carries (pos, partial max) pairs, i.e. it is bounded by the
+    dimension count regardless of corpus size, and the collect is `dim`
+    scalars. Computed in double so the scale is the same IEEE value any
+    engine derives from the same float inputs.
+    """
+    rows = (
+        spread(df)
+        .select(F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x"))).alias("m"))
+        .collect()
+    )
+    by_pos = {r["pos"]: r["m"] for r in rows}
+    return [
+        (127.0 / by_pos[i]) if by_pos.get(i) else 0.0
+        for i in range(len(by_pos))
+    ]
+
+
+def quantize_int8(
+    df: DataFrame,
+    scales: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of an embedding column —
+    the standard 4x storage/shuffle reduction for a 100 TB vector corpus
+    (float32 -> int8; IVF/PQ handle the recall side, this handles the
+    byte side).
+
+    code_i = clamp(floor(x_i * scale_i + 0.5), -127, 127) — floor(x+0.5)
+    rather than a round() builtin so the tie rule is a single IEEE
+    floor both here and in any SQL engine replaying it. Returns
+    (id, qcodes array<int>, codes_md5, max_abs_err, cos_drift): the md5
+    is over the comma-joined codes (EXACT cross-engine — every step is
+    deterministic IEEE double arithmetic), the error fields are the
+    round-trip audit a quantization rollout gates on.
+
+    Scale shape: map-only whole-stage codegen over the scale literal
+    array — zero shuffle, zero Python; `int8_scales` already paid the one
+    dim-bounded aggregate.
+    """
+    s = F.array(*[F.lit(float(v)) for v in scales])
+    v = _as_double(F.col(vec_col))
+    codes = F.transform(
+        v,
+        lambda x, i: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x * F.element_at(s, i + 1) + F.lit(0.5)).cast("int"),
+            ),
+        ).cast("int"),
+    )
+    out = spread(df).select(F.col(id_col), v.alias("_v"), codes.alias("qcodes"))
+    scale_at = lambda i: F.element_at(s, i + 1)  # noqa: E731
+    deq = F.transform(
+        F.col("qcodes"),
+        lambda c, i: F.when(scale_at(i) > 0, c.cast("double") / scale_at(i))
+        .otherwise(F.lit(0.0)),
+    )
+    out = out.withColumn("_d", deq)
+    return out.select(
+        id_col,
+        "qcodes",
+        F.md5(F.concat_ws(",", F.transform(F.col("qcodes"), lambda c: c.cast("string")))).alias(
+            "codes_md5"
+        ),
+        F.round(
+            F.array_max(F.zip_with(F.col("_v"), F.col("_d"), lambda x, d: F.abs(x - d))), 6
+        ).cast("double").alias("max_abs_err"),
+        F.round(
+            dot_expr(F.col("_v"), F.col("_d"))
+            / (norm_expr(F.col("_v")) * norm_expr(F.col("_d"))),
+            6,
+        ).cast("double").alias("cos_drift"),
+    )
+
+
+def pack_sign_bits(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    word_bits: int = 32,
+) -> DataFrame:
+    """Binarize an embedding to its sign pattern (x > 0) packed into
+    ceil(dim/word_bits) non-negative longs, MSB-first Horner fold per
+    word (`sign_bits` array<long>).
+
+    32-bit words keep every packed value in [0, 2^32) so bitwise ops never
+    touch the long sign bit — no two's-complement corner to coordinate
+    across engines. At dim 64 a vector becomes 16 bytes instead of 256:
+    the representation that makes billion-scale Hamming search a
+    broadcast-friendly, cache-resident scan. Map-only, zero shuffle.
+    """
+    v = F.col(vec_col)
+    words = [
+        F.aggregate(
+            F.slice(v, w * word_bits + 1, word_bits),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + F.when(x > 0, 1).otherwise(0),
+        )
+        for w in range((dim + word_bits - 1) // word_bits)
+    ]
+    return spread(df).withColumn("sign_bits", F.array(*words))
+
+
+def hamming_expr(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed sign-bit arrays: sum of
+    popcount(xor) per word — the 2-instruction-per-word kernel."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k under sign-bit Hamming distance (binary embeddings —
+    the 32x-compressed retrieval tier): both sides pack map-side, the
+    packed query block broadcasts, and the per-pair cost is xor+popcount
+    on two longs. Self-pairs excluded; ranking on (hamming, neighbor_id)
+    so the selected set is engine-stable (Hamming is an exact integer, so
+    cross-engine parity is exact, no rounding idiom needed).
+
+    Scale shape: same as `brute_force_topk` but the broadcast payload and
+    per-row scan state shrink 16x (two longs vs 64 doubles) — the reason
+    binary sketches are the standard first tier in front of float re-rank.
+    """
+    q = pack_sign_bits(queries, dim, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("sign_bits").alias("q_bits")
+    )
+    c = pack_sign_bits(corpus, dim, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("sign_bits").alias("c_bits")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("hamming", hamming_expr(F.col("q_bits"), F.col("c_bits")))
+    w = W.partitionBy("query_id").orderBy(F.col("hamming"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "hamming")
+    )

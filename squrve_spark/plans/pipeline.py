@@ -2329,3 +2329,158 @@ def doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return cap_per_group(docs, cap=15, group_col="source").orderBy("doc_id")
+
+
+@register(
+    "emb_int8_quantize",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # Every quantization step is deterministic IEEE double arithmetic from
+    # the same float inputs, so the CODES (and their md5) match exactly
+    # cross-engine; the two audit doubles use the standard ROUND(,6) idiom.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dims AS (
+      SELECT i.pos, MAX(ABS(v[i.pos])) AS m
+      FROM e, LATERAL (SELECT unnest(range(1, 65)) AS pos) i
+      GROUP BY 1
+    ), s AS (
+      SELECT list(CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END ORDER BY pos) AS sc
+      FROM dims
+    ), q AS (
+      SELECT e.vec_id, e.v, s.sc,
+             list_transform(range(1, 65), i ->
+               CAST(GREATEST(-127, LEAST(127,
+                 FLOOR(e.v[i] * s.sc[i] + 0.5))) AS INTEGER)) AS codes
+      FROM e, s
+    ), d AS (
+      SELECT vec_id, v, codes,
+             list_transform(range(1, 65), i ->
+               CASE WHEN sc[i] > 0 THEN codes[i] / sc[i] ELSE 0.0 END) AS dq
+      FROM q
+    )
+    SELECT vec_id,
+           md5(array_to_string(codes, ',')) AS codes_md5,
+           CAST(ROUND(list_max(list_transform(range(1, 65), i ->
+               ABS(v[i] - dq[i]))), 6) AS DOUBLE) AS max_abs_err,
+           CAST(ROUND(list_cosine_similarity(v, dq), 6) AS DOUBLE) AS cos_drift
+    FROM d
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "compression"),
+    defer_oracle=True,
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dim int8 embedding quantization with a round-trip
+    audit — the 4x byte-side reduction for a 100 TB vector corpus. ONE
+    dim-bounded aggregate (64 scalars collected) then a map-only
+    quantize/dequant/error projection in whole-stage codegen; the codes
+    md5 is EXACT cross-engine (pure IEEE double steps), the error fields
+    are the rollout gate (`similarity.int8_scales`/`quantize_int8`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scales = similarity.int8_scales(emb)
+    return (
+        similarity.quantize_int8(emb, scales)
+        .select("vec_id", "codes_md5", "max_abs_err", "cos_drift")
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "sim_hamming_bruteforce",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # Hamming distance is an exact integer — the oracle recomputes it as
+    # the sign-mismatch count over the raw doubles (the packed-long
+    # representation is engine-side; the DISTANCE is representation-free).
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN (q.qv[i] > 0) != (c.v[i] > 0) THEN 1 ELSE 0 END))
+               AS BIGINT) AS hamming
+      FROM q JOIN e c ON q.query_id != c.vec_id
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, hamming
+    FROM r WHERE rn <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "compression"),
+    defer_oracle=True,
+)
+def sim_hamming_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 under sign-bit Hamming distance — the 32x-compressed
+    binary retrieval tier (sign bits packed into two 32-bit words per
+    64-dim vector; per-pair cost is xor+popcount on two longs). Same
+    deliberate query-broadcast shape as sim_bruteforce_topk, but the
+    broadcast payload and scan state shrink 16x; parity is EXACT (integer
+    distance), no rounding idiom (`similarity.hamming_topk`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hamming_topk(
+        emb, emb.filter(F.col("vec_id") < 8), dim=64, k=5
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "doc_incremental_dedup",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # Two sequential ingests (even doc_ids, then odd) against a FRESH
+    # persisted fingerprint store: the surviving set is the first
+    # occurrence per canonical fingerprint under (batch, doc_id) order —
+    # exactly one window in SQL.
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, {_CANON} AS fp_md5,
+             CAST(doc_id % 2 AS INTEGER) AS batch
+      FROM documents
+    ), r AS (
+      SELECT doc_id, fp_md5, batch,
+             ROW_NUMBER() OVER (
+               PARTITION BY fp_md5 ORDER BY batch, doc_id) AS rn
+      FROM tagged
+    )
+    SELECT doc_id, fp_md5, batch FROM r WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "incremental"),
+    defer_oracle=True,
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-corpus exact dedup against a PERSISTED fingerprint store
+    (`sinks.incremental_dedup_ingest`): batch 0 (even doc_ids) ingests
+    into a fresh store, batch 1 (odd) dedups against batch 0's surviving
+    fingerprints WITHOUT re-reading batch 0's text — the shape that lets
+    each day's crawl dedup against all history at 32 bytes/historical
+    row. Emits every surviving (doc_id, fp_md5, batch); replaying a batch
+    is a result-level no-op (asserted in tests/test_sinks.py)."""
+    import shutil
+    import tempfile
+
+    from squrve_spark.sinks import incremental_dedup_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = tempfile.mkdtemp(prefix="squrve_fp_store_")
+    shutil.rmtree(store)  # the ingest creates it; mkdtemp just reserved a name
+    parts = []
+    for batch in (0, 1):
+        b = docs.filter(F.col("doc_id") % 2 == batch)
+        kept = incremental_dedup_ingest(b, store)
+        parts.append(
+            kept.select(
+                "doc_id",
+                F.md5(text.canon_expr("text")).alias("fp_md5"),
+                F.lit(batch).cast("int").alias("batch"),
+            )
+        )
+    out = parts[0].unionByName(parts[1]).orderBy("doc_id")
+    # pin results THEN drop the tmp store: the union's lineage reaches the
+    # store parquet, which must outlive lazy evaluation
+    out = out.localCheckpoint()
+    shutil.rmtree(store, ignore_errors=True)
+    return out

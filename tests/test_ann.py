@@ -530,3 +530,50 @@ def test_ivf_index_incremental_append(spark, emb, tmp_path):
     # appended ids are present in the store and queryable
     stored = spark.read.parquet(f"{path}/cells")
     assert stored.count() == emb.count()
+
+
+def test_int8_quantize_roundtrip_bounds(spark, emb):
+    """Quantization audit: per-dim error bounded by half a quantization
+    step (maxabs/254), cosine drift tiny on 64-dim vectors, and the codes
+    really are int8-range."""
+    import numpy as np
+
+    scales = similarity.int8_scales(emb)
+    assert len(scales) == 64 and all(s > 0 for s in scales)
+    out = similarity.quantize_int8(emb, scales).collect()
+    worst_step = max(1.0 / s for s in scales if s > 0)
+    for r in out:
+        assert all(-127 <= c <= 127 for c in r["qcodes"])
+        assert r["max_abs_err"] <= worst_step / 2 + 1e-9
+        assert r["cos_drift"] >= 0.999
+    # numpy replay of one vector's codes
+    row = emb.filter(F.col("vec_id") == 3).first()
+    got = next(r for r in out if r["vec_id"] == 3)
+    v = np.asarray(row["embedding"], dtype=np.float64)
+    codes = np.clip(np.floor(v * np.asarray(scales) + 0.5), -127, 127).astype(int)
+    assert list(codes) == list(got["qcodes"])
+
+
+def test_hamming_topk_matches_numpy_sign_mismatch(spark, emb):
+    """Packed xor+popcount Hamming == direct sign-mismatch count, and the
+    packed words stay in [0, 2^32) (no sign-bit corner)."""
+    import numpy as np
+
+    packed = similarity.pack_sign_bits(emb, dim=64).collect()
+    by_id = {}
+    for r in packed:
+        assert len(r["sign_bits"]) == 2
+        assert all(0 <= w < 2**32 for w in r["sign_bits"])
+        by_id[r["vec_id"]] = np.asarray(r["embedding"], dtype=np.float64) > 0
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = similarity.hamming_topk(emb, queries, dim=64, k=5).collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2, 3}
+    for r in got:
+        direct = int((by_id[r["query_id"]] != by_id[r["neighbor_id"]]).sum())
+        assert r["hamming"] == direct
+    # ranks are 1..5 per query and non-decreasing in distance
+    for q in (0, 1, 2, 3):
+        rows = sorted((r for r in got if r["query_id"] == q), key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        assert all(a["hamming"] <= b["hamming"] for a, b in zip(rows, rows[1:]))

@@ -300,3 +300,37 @@ def test_hybrid_search_one_corpus_pass_broadcast_queries(spark):
     # vector side: corpus scan + broadcast query scan, nothing more
     assert plan.count("embeddings.parquet") == 2
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_int8_quantize_map_only_no_python(spark):
+    """emb_int8_quantize's scoring projection: after the one dim-bounded
+    scales aggregate (paid at plan-build), the quantize/dequant/audit is
+    map-only whole-stage codegen — no data shuffle beyond spread()+sort,
+    no Python eval."""
+    plan = plan_of(spark, "emb_int8_quantize")
+    assert "EvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_hamming_bruteforce_broadcasts_packed_queries(spark):
+    """sim_hamming_bruteforce: the packed query block broadcasts (BNLJ,
+    same deliberate shape as sim_bruteforce_topk); the corpus never
+    shuffles for scoring and no Python appears — the whole kernel is
+    xor+popcount in codegen."""
+    plan = plan_of(spark, "sim_hamming_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_incremental_dedup_store_antijoin_is_narrow(spark):
+    """doc_incremental_dedup: the history side of the anti-join is the
+    fingerprint STORE (fp only, 32 bytes/row), never historical text —
+    the plan may hash-exchange on fp/doc_id but must not re-read batch 0's
+    documents scan for batch 1's dedup (one scan per batch + store read)."""
+    plan = plan_of(spark, "doc_incremental_dedup")
+    # localCheckpoint pins the result: the visible plan is a scan of the
+    # checkpointed RDD — assert the query EXECUTES with dedup semantics
+    # via the oracle parity test; here assert the cheap invariant
+    assert "CartesianProduct" not in plan
