@@ -279,3 +279,61 @@ def with_global_offset(
     return part.withColumn(
         out_col, pmap[F.col("_pid")] + inclusive - v
     ).drop("_pid")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top: int = 10,
+    pct: float = 0.99,
+) -> DataFrame:
+    """The pre-join/pre-groupBy SKEW DIAGNOSTIC: per-key row counts
+    summarized into the numbers that decide whether a key needs
+    `salted_join`/AQE skew handling — the ``top`` heaviest keys with their
+    corpus share and skew-vs-mean ratio, carrying the global key stats
+    (n_keys, p{pct} key size, max key size) on every row.
+
+    Scale shape: ONE hash shuffle on the key (the same shuffle the join
+    under diagnosis would pay, with map-side partial counting), then
+    top-N selection via orderBy+limit — Spark plans TakeOrderedAndProject
+    (distributed per-partition heaps), never a global sort — and the
+    1-row summary attaches as a broadcast. The rank window runs over the
+    already-limited ``top`` rows. NULL keys are excluded (they route to
+    one reducer in a real join and deserve their own null-split fix, not
+    a salt).
+    """
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("_total"),
+        F.max("n_rows").alias("max_key_rows"),
+        F.round(F.percentile("n_rows", F.lit(pct)), 6)
+        .cast("double")
+        .alias("p_key_rows"),
+    )
+    topk = counts.orderBy(F.col("n_rows").desc(), F.col(key_col)).limit(top)
+    w = W.orderBy(F.col("n_rows").desc(), F.col(key_col))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(summary))
+        .select(
+            "rank",
+            key_col,
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.lit(100.0) * F.col("n_rows") / F.col("_total"), 4)
+            .cast("double")
+            .alias("share_pct"),
+            F.round(
+                F.col("n_rows") * F.col("n_keys") / F.col("_total").cast("double"), 4
+            )
+            .cast("double")
+            .alias("skew_vs_mean"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            "p_key_rows",
+            F.col("max_key_rows").cast("long").alias("max_key_rows"),
+        )
+    )

@@ -953,3 +953,50 @@ def q_events_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double").alias("balance"),
         F.max("us").cast("long").alias("last_op_us"),
     )
+
+
+@register(
+    "event_key_skew",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # percentile semantics: Spark percentile == DuckDB quantile_cont (both
+    # linear interpolation), ROUND(,6) absorbs formula ULP (the
+    # q_percentiles idiom).
+    oracle="""
+    WITH c AS (
+      SELECT user_id, count(*) AS n_rows
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ), s AS (
+      SELECT count(*) AS n_keys, sum(n_rows) AS total,
+             max(n_rows) AS max_key_rows,
+             ROUND(quantile_cont(n_rows, 0.99), 6) AS p_key_rows
+      FROM c
+    ), r AS (
+      SELECT user_id, n_rows,
+             ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS rank
+      FROM c
+    )
+    SELECT r.rank, r.user_id, CAST(r.n_rows AS BIGINT) AS n_rows,
+           CAST(ROUND(100.0 * r.n_rows / s.total, 4) AS DOUBLE) AS share_pct,
+           CAST(ROUND(r.n_rows * s.n_keys / CAST(s.total AS DOUBLE), 4)
+               AS DOUBLE) AS skew_vs_mean,
+           CAST(s.n_keys AS BIGINT) AS n_keys,
+           CAST(s.p_key_rows AS DOUBLE) AS p_key_rows,
+           CAST(s.max_key_rows AS BIGINT) AS max_key_rows
+    FROM r, s WHERE r.rank <= 10
+    ORDER BY r.rank
+    """,
+    tags=("events", "scale", "diagnostics"),
+    defer_oracle=True,
+)
+def event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over events.user_id — the profile that
+    decides whether a key needs `salted_join` / AQE skew handling before
+    a 100 TB join: top-10 heaviest keys with corpus share and
+    skew-vs-mean ratio, plus global key stats (n_keys, p99 key size, max)
+    on every row. One keyed shuffle + TakeOrderedAndProject top-N (never
+    a global sort) + a 1-row broadcast summary
+    (`operators/scale.key_skew_profile`)."""
+    from squrve_spark.operators.scale import key_skew_profile
+
+    events = load_table(spark, sf_dir, "events")
+    return key_skew_profile(events, "user_id", top=10).orderBy("rank")

@@ -334,3 +334,13 @@ def test_incremental_dedup_store_antijoin_is_narrow(spark):
     # checkpointed RDD — assert the query EXECUTES with dedup semantics
     # via the oracle parity test; here assert the cheap invariant
     assert "CartesianProduct" not in plan
+
+
+def test_key_skew_profile_topn_no_global_sort(spark):
+    """event_key_skew: top-N selection plans TakeOrderedAndProject
+    (per-partition heaps), never a global Sort over all keys; the count
+    aggregate map-side combines; the summary attaches as a broadcast."""
+    plan = plan_of(spark, "event_key_skew")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan

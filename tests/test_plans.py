@@ -75,6 +75,10 @@ def test_no_cartesian_products(spark, name):
         # against the corpus — the same deliberate exact-cosine baseline
         # shape as sim_bruteforce_topk (candidate gen swaps to IVF at scale)
         "doc_hybrid_search",
+        # the skew profile attaches its 1-row global summary (n_keys,
+        # p99/max key size) to the top-N rows — a scalar-aggregate
+        # broadcast, same class as doc_bm25's corpus stats
+        "event_key_skew",
     ):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
