@@ -299,3 +299,50 @@ def cap_per_group(
         df.withColumn("rank_in_group", F.row_number().over(w))
         .where(F.col("rank_in_group") <= cap)
     )
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    bucket_tokens: int = 32,
+) -> DataFrame:
+    """Padding-efficiency audit for LENGTH-BUCKETED batching (the
+    fairseq/HF `--group-by-length` planner): assign each document to the
+    token-length bucket ``ceil(n_tokens / bucket_tokens)`` and report, per
+    bucket, the doc count, token mass, longest member, and the padding
+    waste if every member pads to the bucket cap — the numbers that pick
+    ``bucket_tokens`` before a training run burns step time on pad
+    tokens.
+
+    Scale shape: one scan + one groupBy whose key space is bounded by
+    max_doc_tokens / bucket_tokens (a few hundred buckets regardless of
+    corpus rows — partial aggregation collapses almost everything
+    map-side). Zero Python, zero joins.
+    """
+    from squrve_spark.catalog import spread
+    from squrve_spark.operators.text import tokens_expr
+
+    n = F.size(tokens_expr(text_col))
+    bucket = F.ceil(n / F.lit(float(bucket_tokens))).cast("long")
+    cap = (F.col("bucket") * bucket_tokens).cast("long")
+    padded = F.col("n_docs") * cap
+    return (
+        spread(df)
+        .select(bucket.alias("bucket"), n.alias("_n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("sum_tokens"),
+            F.max("_n").alias("max_tokens"),
+        )
+        .select(
+            "bucket",
+            cap.alias("cap_tokens"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("sum_tokens").cast("long").alias("sum_tokens"),
+            F.col("max_tokens").cast("long").alias("max_tokens"),
+            F.round(
+                F.lit(100.0) * (padded - F.col("sum_tokens")) / padded, 4
+            ).cast("double").alias("pad_waste_pct"),
+        )
+    )

@@ -2484,3 +2484,42 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint()
     shutil.rmtree(store, ignore_errors=True)
     return out
+
+
+@register(
+    "doc_length_buckets",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # Token idiom: Spark size(split(trim, '\s+')) == DuckDB
+    # len(regexp_split_to_array(trim, '\s+')) (the doc_token_count idiom);
+    # all bucket math is integer-exact, the waste pct uses ROUND(,4).
+    oracle=r"""
+    WITH t AS (
+      SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n
+      FROM documents
+    ), b AS (
+      SELECT CAST(CEIL(n / 32.0) AS BIGINT) AS bucket, n FROM t
+    )
+    SELECT bucket,
+           CAST(bucket * 32 AS BIGINT) AS cap_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens,
+           CAST(ROUND(100.0 * (count(*) * bucket * 32 - sum(n))
+                / (count(*) * bucket * 32), 4) AS DOUBLE) AS pad_waste_pct
+    FROM b GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("curation", "packing", "diagnostics"),
+    defer_oracle=True,
+)
+def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching planner (the `--group-by-length` audit):
+    per token-length bucket of 32, the doc count, token mass, longest
+    member, and padding waste at the bucket cap — picks the bucket width
+    before training burns step time on pad tokens. One scan + one
+    bucket-bounded groupBy, zero Python
+    (`operators/sampling.length_bucket_stats`)."""
+    from squrve_spark.operators.sampling import length_bucket_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_bucket_stats(docs, bucket_tokens=32).orderBy("bucket")

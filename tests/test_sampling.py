@@ -366,3 +366,26 @@ def test_cap_per_group_binds_and_is_deterministic(spark):
         [(1, "solo"), (2, "solo")], "doc_id long, source string"
     )
     assert len(cap_per_group(small, cap=10).collect()) == 2
+
+
+def test_length_bucket_stats_math(spark):
+    """Bucket assignment is ceil(n/width); waste is exact integer math vs
+    the bucket cap; a doc exactly at the cap contributes zero waste of
+    its own."""
+    from squrve_spark.operators.sampling import length_bucket_stats
+
+    rows = [
+        (0, "a b c"),            # 3 tokens -> bucket 1 (cap 4)
+        (1, "a b c d"),          # 4 tokens -> bucket 1 (cap 4)
+        (2, " ".join(["t"] * 5)),  # 5 -> bucket 2 (cap 8)
+        (3, ""),                  # [''] -> 1 token -> bucket 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket"]: r for r in length_bucket_stats(df, bucket_tokens=4).collect()}
+    b1 = out[1]
+    assert (b1["n_docs"], b1["sum_tokens"], b1["max_tokens"]) == (3, 8, 4)
+    # padded mass = 3 docs * cap 4 = 12; waste = (12-8)/12
+    assert b1["pad_waste_pct"] == round(100.0 * 4 / 12, 4)
+    b2 = out[2]
+    assert (b2["n_docs"], b2["cap_tokens"]) == (1, 8)
+    assert b2["pad_waste_pct"] == round(100.0 * 3 / 8, 4)
