@@ -689,21 +689,28 @@ def segment_dedup(
     ``n_removed``, ``cleaned`` (the reassembled text; empty when every
     segment was boilerplate).
 
-    Scale shape: posexplode -> distinct-count aggregate keyed by segment
-    (shuffle bounded by the distinct-segment count, NOT corpus rows once
-    the partial aggregate collapses repeats map-side) -> left_anti join
-    against the hot-segment set (small by construction at a high
-    ``min_df``; AQE turns it into a broadcast join when it measures
-    small) -> one groupBy(doc_id) to reassemble. No Python, three
-    shuffles, every one keyed and combinable.
+    Scale shape: the corpus is scanned ONCE — the slim exploded
+    (doc_id, pos, seg) frame is memo-checkpointed (the `bm25_per_query`
+    pattern; without it the hot-set, survivor, and per-doc-count branches
+    each re-scan the parquet) and fans out into: distinct-doc-count
+    aggregate keyed by segment (shuffle bounded by the distinct-segment
+    count, NOT corpus rows once the partial aggregate collapses repeats
+    map-side) -> left_anti join against the hot-segment set (small by
+    construction at a high ``min_df``; AQE turns it into a broadcast join
+    when it measures small) -> one groupBy(doc_id) to reassemble, with
+    per-doc segment counts from the same frame. No Python, every shuffle
+    keyed and combinable; zero FileScans after the memo (plan-asserted).
     """
+    from squrve_spark.catalog import memo_checkpoint
+
     pat = re.escape(delimiter)
-    base = spread(df).select(
-        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("_t")
-    )
-    segs = base.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("_t"), pat, -1)).alias("pos", "seg"),
+    segs = memo_checkpoint(
+        spread(df).select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), pat, -1)
+            ).alias("pos", "seg"),
+        )
     )
     key = F.trim(F.col("seg"))
     hot = (
@@ -724,8 +731,8 @@ def segment_dedup(
         ).alias("cleaned"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    stats = base.select(
-        "doc_id", F.size(F.split(F.col("_t"), pat, -1)).alias("n_segments")
+    stats = segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_segments")
     )
     return stats.join(reassembled, "doc_id", "left").select(
         "doc_id",

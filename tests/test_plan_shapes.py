@@ -344,3 +344,13 @@ def test_key_skew_profile_topn_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_single_corpus_scan(spark):
+    """doc_segment_dedup: the exploded slim frame is memo-checkpointed,
+    so the hot-set, survivor, and per-doc-count branches all read the
+    in-memory frame — ZERO parquet scans appear in the executed plan
+    (the bm25_per_query pattern), and no Python."""
+    plan = plan_of(spark, "doc_segment_dedup")
+    assert "Scan parquet" not in plan
+    assert "EvalPython" not in plan
