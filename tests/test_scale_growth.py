@@ -57,6 +57,10 @@ HEAVIES = [
     # r7: held-out-reference bigram perplexity (model + scoring shuffles
     # must both stay bigram-bounded)
     "doc_lm_perplexity",
+    # r7: boilerplate-segment removal — the hot-set aggregate must stay
+    # distinct-segment-bounded and the memoized explode must not hide a
+    # per-branch rescan blowup
+    "doc_segment_dedup",
 ]
 
 MAX_EXPONENT = 1.5  # sub-quadratic with margin (linear == 1.0)
@@ -194,6 +198,10 @@ EXTENDED_HEAVIES = [
     ("graph_components_emb", None),
     ("dedup_minhash_lsh", None),
     ("doc_fuzzy_pairs_capped", _capped_fuzzy_pairs),
+    # r7: word-granularity segment dedup — at sf1 most vocabulary words
+    # cross the min_df threshold, so the hot set saturates at vocab size
+    # and the anti-join must stay distinct-segment-bounded
+    ("doc_segment_dedup", None),
 ]
 
 
