@@ -957,7 +957,7 @@ def q_events_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_key_skew",
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # driver-checked (r7 late rotation, promoted over q3_shipping_priority).
     # percentile semantics: Spark percentile == DuckDB quantile_cont (both
     # linear interpolation), ROUND(,6) absorbs formula ULP (the
     # q_percentiles idiom).
@@ -986,7 +986,7 @@ def q_events_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY r.rank
     """,
     tags=("events", "scale", "diagnostics"),
-    defer_oracle=True,
+    # driver-checked (r7 late rotation, promoted over q3_shipping_priority)
 )
 def event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic over events.user_id — the profile that

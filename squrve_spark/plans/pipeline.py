@@ -1041,6 +1041,9 @@ def doc_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rk <= 5
     """,
     tags=("sampling",),
+    # deferred (r7 late rotation): driver-green since r3; exact parity kept
+    # in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-5 documents per language by quality score (stopword ratio desc,
@@ -2247,7 +2250,7 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_segment_dedup",
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # driver-checked (r7 late rotation, promoted over q14_promo_revenue).
     # Fixture texts are single-line word soup, so the registry entry runs
     # the operator at WORD granularity (delimiter=' ', min_df=390) to make
     # the removal path really fire on this corpus; '\n' line dedup is the
@@ -2278,7 +2281,6 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY b.doc_id
     """,
     tags=("dedup", "curation"),
-    defer_oracle=True,
 )
 def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-segment removal (C4 / RefinedWeb / CCNet line dedup):
@@ -2333,7 +2335,7 @@ def doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_int8_quantize",
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # driver-checked (r7 late rotation, promoted over doc_topk_quality).
     # Every quantization step is deterministic IEEE double arithmetic from
     # the same float inputs, so the CODES (and their md5) match exactly
     # cross-engine; the two audit doubles use the standard ROUND(,6) idiom.
@@ -2368,7 +2370,7 @@ def doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY vec_id
     """,
     tags=("similarity", "compression"),
-    defer_oracle=True,
+    # driver-checked (r7 late rotation, promoted over doc_topk_quality)
 )
 def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-dim int8 embedding quantization with a round-trip
