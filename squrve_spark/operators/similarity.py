@@ -1485,3 +1485,59 @@ def hamming_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "hamming")
     )
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    scales: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k retrieval scored directly on int8 codes — the compressed
+    tier between binary Hamming and float re-rank: both sides quantize
+    with the SAME per-dim scales (`int8_scales`), the score is the raw
+    integer code dot product (∝ the scale-weighted inner product
+    Σ x_i·y_i·s_i²; a standard asymmetric-distortion proxy — recall vs
+    the float baseline is property-tested, and a float re-rank restores
+    exactness the same way it does for PQ). Scores are exact integers, so
+    cross-engine parity needs no rounding idiom; ranking ties break on
+    neighbor id.
+
+    Scale shape: same broadcast-scan shape as `brute_force_topk`, but the
+    broadcast payload and per-row state are int8 codes (4x smaller than
+    float32, 8x smaller than the double fold), and the kernel is integer
+    multiply-add in whole-stage codegen.
+    """
+    def codes(df: DataFrame, out: str) -> DataFrame:
+        return quantize_int8(df, scales, vec_col, id_col).select(
+            F.col(id_col), F.col("qcodes").alias(out)
+        )
+
+    q = codes(queries, "q_codes").select(
+        F.col(id_col).alias("query_id"), "q_codes"
+    )
+    c = codes(corpus, "c_codes").select(
+        F.col(id_col).alias("neighbor_id"), "c_codes"
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q_codes"),
+            F.col("c_codes"),
+            lambda x, y: (x.cast("long") * y.cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("qdot", dot)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "qdot")
+    )

@@ -2525,3 +2525,56 @@ def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return length_bucket_stats(docs, bucket_tokens=32).orderBy("bucket")
+
+
+@register(
+    "sim_int8_bruteforce",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # The oracle replays the full quantize->integer-dot->rank pipeline —
+    # codes are deterministic IEEE arithmetic (the emb_int8_quantize
+    # derivation) and the score is an exact integer, so no rounding idiom.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dims AS (
+      SELECT i.pos, MAX(ABS(v[i.pos])) AS m
+      FROM e, LATERAL (SELECT unnest(range(1, 65)) AS pos) i
+      GROUP BY 1
+    ), s AS (
+      SELECT list(CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END ORDER BY pos) AS sc
+      FROM dims
+    ), q AS (
+      SELECT e.vec_id,
+             list_transform(range(1, 65), i ->
+               CAST(GREATEST(-127, LEAST(127,
+                 FLOOR(e.v[i] * s.sc[i] + 0.5))) AS BIGINT)) AS codes
+      FROM e, s
+    ), scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65), i ->
+               a.codes[i] * b.codes[i])) AS BIGINT) AS qdot
+      FROM q a JOIN q b ON a.vec_id < 8 AND a.vec_id != b.vec_id
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, qdot
+    FROM r WHERE rn <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "compression"),
+    defer_oracle=True,
+)
+def sim_int8_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 retrieval scored on int8 codes — the compressed tier between
+    sign-bit Hamming and float re-rank: both sides quantize with the same
+    per-dim scales and score by raw integer code dot product (4x smaller
+    broadcast than float32, integer multiply-add in codegen; recall vs
+    the float baseline property-tested in tests/test_ann.py). Integer
+    scores, EXACT cross-engine parity (`similarity.int8_topk`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scales = similarity.int8_scales(emb)
+    return similarity.int8_topk(
+        emb, emb.filter(F.col("vec_id") < 8), scales, k=5
+    ).orderBy("query_id", "rank")

@@ -577,3 +577,27 @@ def test_hamming_topk_matches_numpy_sign_mismatch(spark, emb):
         rows = sorted((r for r in got if r["query_id"] == q), key=lambda r: r["rank"])
         assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
         assert all(a["hamming"] <= b["hamming"] for a, b in zip(rows, rows[1:]))
+
+
+def test_int8_topk_recall_and_numpy_parity(spark, emb):
+    """int8-code retrieval: integer dot == numpy replay exactly, and
+    recall vs the float brute-force baseline stays high (quantization at
+    64 dims barely perturbs the ranking)."""
+    import numpy as np
+
+    scales = similarity.int8_scales(emb)
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = similarity.int8_topk(emb, queries, scales, k=5).collect()
+
+    V = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+         for r in emb.collect()}
+    S = np.asarray(scales)
+    C = {i: np.clip(np.floor(v * S + 0.5), -127, 127).astype(np.int64)
+         for i, v in V.items()}
+    for r in got:
+        assert r["qdot"] == int(C[r["query_id"]] @ C[r["neighbor_id"]])
+
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    recall = len(_pairs(similarity.int8_topk(emb, queries, scales, k=5))
+                 & _pairs(exact)) / len(_pairs(exact))
+    assert recall >= 0.7
