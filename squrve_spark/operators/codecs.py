@@ -1061,13 +1061,32 @@ def _parse_wav(payload: bytes) -> tuple[tuple, bytes, int | None]:
     return fmt, data, fact_samples
 
 
+def _decode_flac_to_int16(payload: bytes) -> tuple[np.ndarray, int]:
+    """FLAC -> the decode_wav contract ((n, ch) int16, rate): 16-bit
+    passes through, wider depths keep the top 16 bits, 8-bit scales up —
+    the same depth policy as the WAV PCM paths."""
+    from squrve_spark.operators.flac import decode_flac, parse_streaminfo
+
+    bps = parse_streaminfo(payload)["bits_per_sample"]
+    arr, rate = decode_flac(payload)
+    if bps > 16:
+        arr = arr >> (bps - 16)
+    elif bps < 16:
+        arr = arr << (16 - bps)
+    return arr.astype(np.int16), rate
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE -> ((n, ch) int16 array, sample_rate). Supports 8-bit
-    unsigned / 16-bit / 24-bit signed PCM, 32-bit IEEE float (format 3),
-    G.711 mu-law/A-law (formats 7/6, r7), and mono IMA-ADPCM (0x11) and
-    MS-ADPCM (2, both r7); walks chunks so extra sections (LIST/fact) are
-    handled per the RIFF spec. Truly table-opaque compressed formats
-    (mp3/flac) still raise honestly."""
+    """RIFF/WAVE (or FLAC) -> ((n, ch) int16 array, sample_rate).
+    Supports 8-bit unsigned / 16-bit / 24-bit signed PCM, 32-bit IEEE
+    float (format 3), G.711 mu-law/A-law (formats 7/6, r7), mono
+    IMA-ADPCM (0x11) and MS-ADPCM (2, both r7), and whole FLAC streams
+    (r7, `operators/flac.py` — 'fLaC' magic dispatch; FLAC has no opaque
+    tables, unlike mp3, so the codec is real and dependency-free); walks
+    chunks so extra sections (LIST/fact) are handled per the RIFF spec.
+    Truly table-opaque compressed formats (mp3) still raise honestly."""
+    if payload[:4] == b"fLaC":
+        return _decode_flac_to_int16(payload)
     fmt, data, fact_samples = _parse_wav(payload)
     audio_format, ch, rate, _byte_rate, block_align, bits = fmt
     if audio_format == 0x11:
@@ -1129,6 +1148,9 @@ def decode_wav_batch(
     for i, p in enumerate(payloads):
         try:
             p = bytes(p)
+            if p[:4] == b"fLaC":
+                results[i] = _decode_flac_to_int16(p)
+                continue
             fmt, data, fact = _parse_wav(p)
             audio_format, ch, rate, _br, ba, _bits = fmt
             min_ba = 8 if audio_format == 0x11 else 9

@@ -526,15 +526,17 @@ def attach_audio_payload(
     df: DataFrame, text_col: str = "text", rate: int = 8000,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Materialize a REAL WAV 'payload' column built deterministically from
-    the text bytes: doc_id % 3 picks 16-bit PCM (`codecs.text_to_wav`),
-    mono IMA-ADPCM (`codecs.text_to_wav_adpcm`), or mono MS-ADPCM
-    (`codecs.text_to_wav_ms_adpcm`, both r7) over the SAME sample grid —
-    the audio analog of the BMP/WebP image mix, so the driver-parity test
-    triples as a cross-format audio-codec check. The ADPCM legs encode
-    BATCHED: every block of every ADPCM doc in the Arrow batch runs as one
-    numpy lane stack (`codecs.encode_wav_*_adpcm_batch`), byte-identical
-    to the scalar encoders."""
+    """Materialize a REAL audio 'payload' column built deterministically
+    from the text bytes: doc_id % 4 picks 16-bit PCM WAV
+    (`codecs.text_to_wav`), mono IMA-ADPCM (`codecs.text_to_wav_adpcm`),
+    mono MS-ADPCM (`codecs.text_to_wav_ms_adpcm`), or FLAC
+    (`flac.text_to_flac`, late r7 — a whole second container format, not
+    just another WAV codec) over the SAME sample grid — the audio analog
+    of the BMP/WebP image mix, so the driver-parity test quadruples as a
+    cross-format audio-codec check. The ADPCM legs encode BATCHED: every
+    block of every ADPCM doc in the Arrow batch runs as one numpy lane
+    stack (`codecs.encode_wav_*_adpcm_batch`), byte-identical to the
+    scalar encoders."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -551,12 +553,16 @@ def attach_audio_payload(
 
     @pandas_udf(T.BinaryType())
     def to_wav(doc_ids: pd.Series, texts: pd.Series) -> pd.Series:
+        from squrve_spark.operators.flac import text_to_flac
+
         out: list[bytes | None] = [None] * len(texts)
         adpcm_idx: dict[int, list[int]] = {1: [], 2: []}
         for pos, (i, t) in enumerate(zip(doc_ids, texts)):
-            leg = int(i) % 3
+            leg = int(i) % 4
             if leg == 0:
                 out[pos] = text_to_wav(t or "", rate=rate)
+            elif leg == 3:
+                out[pos] = text_to_flac(t or "", rate=rate)
             else:
                 adpcm_idx[leg].append(pos)
         for leg, batch_fn in (
@@ -578,10 +584,12 @@ def attach_audio_payload(
 
 
 def extract_audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """REAL PCM decode + audio feature extraction (mapInPandas): the stdlib
-    RIFF parser (`codecs.decode_wav`) yields the sample array; features are
-    duration, RMS, and peak amplitude. Non-PCM/unknown payloads yield honest
-    ``ok=false`` rows (a native codec for mp3/flac plugs into the same seam)."""
+    """REAL audio decode + feature extraction (mapInPandas): the stdlib
+    RIFF parser (`codecs.decode_wav`) or the FLAC codec
+    (`operators/flac.py`, dispatched on the 'fLaC' magic) yields the
+    sample array; features are duration, RMS, and peak amplitude.
+    Unknown/table-opaque payloads (mp3) yield honest ``ok=false`` rows (a
+    native codec plugs into the same seam, exactly as FLAC did)."""
     src = spread(df.select("doc_id", payload_col))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -862,11 +862,13 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "no-oracle"),
 )
 def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode over a PCM/IMA-ADPCM payload mix (r7): even
-    doc_ids ship 16-bit PCM, odd ship 4-bit IMA-ADPCM of the SAME sample
-    grid -> chunk-walking parser + predictive decoder -> per-doc
-    duration/RMS/peak, so this entry is a cross-format audio codec check.
-    Driver-parity tested in `tests/test_multimodal.py`."""
+    """REAL audio decode over a 4-way payload mix (r7): doc_id % 4 picks
+    16-bit PCM WAV, 4-bit IMA-ADPCM, MS-ADPCM, or FLAC (late r7 — a whole
+    second container: rice-coded fixed-predictor frames, CRC-8/16 and
+    sample-MD5 verified, `operators/flac.py`) of the SAME sample grid ->
+    per-doc duration/RMS/peak, so this entry is a cross-format,
+    cross-container audio codec check. Driver-parity tested in
+    `tests/test_multimodal.py`."""
     docs = multimodal.attach_audio_payload(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_audio_stats(docs)
 

@@ -311,7 +311,14 @@ def test_audio_stats_distributed_matches_driver(spark):
 
     from squrve_spark.operators import codecs as C
 
-    texts = [(0, "some pcm audio text"), (1, "A" * 64), (2, "ms adpcm text payload")]
+    from squrve_spark.operators.flac import text_to_flac
+
+    texts = [
+        (0, "some pcm audio text"),
+        (1, "A" * 64),
+        (2, "ms adpcm text payload"),
+        (3, "flac container leg of the mix"),
+    ]
     df = spark.createDataFrame(texts, "doc_id long, text string")
     got = {
         r["doc_id"]: r
@@ -320,10 +327,13 @@ def test_audio_stats_distributed_matches_driver(spark):
         ).collect()
     }
     for doc_id, text in texts:
-        # r7 payload mix: doc_id % 3 picks PCM / IMA-ADPCM / MS-ADPCM —
-        # the driver-side expectation decodes the matching codec
-        enc = (C.text_to_wav, C.text_to_wav_adpcm, C.text_to_wav_ms_adpcm)
-        payload = enc[doc_id % 3](text)
+        # r7 payload mix: doc_id % 4 picks PCM / IMA-ADPCM / MS-ADPCM /
+        # FLAC — the driver-side expectation decodes the matching codec
+        enc = (
+            C.text_to_wav, C.text_to_wav_adpcm, C.text_to_wav_ms_adpcm,
+            text_to_flac,
+        )
+        payload = enc[doc_id % 4](text)
         arr, rate = C.decode_wav(payload)
         flat = arr.astype(np.float64)
         r = got[doc_id]
