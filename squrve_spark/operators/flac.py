@@ -479,11 +479,26 @@ def _write_residual(w: _BitWriter, resid: np.ndarray) -> None:
     w.write(0, 2)  # 4-bit rice params
     w.write(0, 4)  # partition order 0
     w.write(param, 4)
-    folded = np.where(resid >= 0, resid.astype(np.int64) << 1, ((-resid.astype(np.int64)) << 1) - 1)
-    for v in folded.tolist():
-        w.write_unary(int(v) >> param)
-        if param:
-            w.write(int(v) & ((1 << param) - 1), param)
+    r = resid.astype(np.int64)
+    folded = np.where(r >= 0, r << 1, ((-r) << 1) - 1)
+    # vectorized emission (the vp8l bit-matrix pattern): lay every code
+    # out in one flat bit array — q zeros, a 1, then param remainder bits
+    # MSB-first — and hand the writer one big integer
+    q = folded >> param
+    lens = q + 1 + param
+    total = int(lens.sum())
+    bits = np.zeros(total, dtype=np.uint8)
+    term = np.cumsum(lens) - lens + q
+    bits[term] = 1
+    if param:
+        rem = folded & ((1 << param) - 1)
+        for b in range(param):
+            bits[term + 1 + b] = (rem >> (param - 1 - b)) & 1
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.zeros(pad, dtype=np.uint8)])
+    big = int.from_bytes(np.packbits(bits).tobytes(), "big") >> pad
+    w.write(big, total)
 
 
 def _encode_subframe(w: _BitWriter, samples: np.ndarray, bps: int) -> None:
