@@ -74,3 +74,40 @@ def test_feature_vectors_unit_norm_or_zero(s):
     v = _features_stable(s, 64)
     n = float(np.linalg.norm(v))
     assert abs(n - 1.0) < 1e-9 or n == 0.0
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400
+    ),
+    st.integers(min_value=1, max_value=2),
+)
+@settings(max_examples=60, deadline=None)
+def test_flac_roundtrip_exact_on_arbitrary_samples(vals, nch):
+    import numpy as np
+
+    from squrve_spark.operators.flac import decode_flac, encode_flac
+
+    n = len(vals) // nch
+    if n == 0:
+        return
+    s = np.array(vals[: n * nch], dtype=np.int16).reshape(n, nch)
+    dec, rate = decode_flac(encode_flac(s, rate=8000, blocksize=64))
+    assert rate == 8000
+    assert np.array_equal(dec, s.astype(np.int32))
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_flac_decoder_never_accepts_garbage_silently(payload):
+    """Arbitrary bytes either raise or (with a forged fLaC prefix) raise
+    at streaminfo/frame/CRC checks — the decoder never fabricates
+    samples from a stream it cannot verify."""
+    import pytest as _pt
+
+    from squrve_spark.operators.flac import decode_flac
+
+    import struct
+
+    with _pt.raises((ValueError, struct.error, IndexError)):
+        decode_flac(b"fLaC" + payload)
