@@ -2580,3 +2580,113 @@ def sim_int8_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.int8_topk(
         emb, emb.filter(F.col("vec_id") < 8), scales, k=5
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "pipeline_curate_v4",
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # The FIRST fully-oracled curation composite (v1-v3 are rows-only by
+    # nature: signatures/embeddings): every stage reuses an already-proven
+    # oracle fragment — doc_segment_dedup's CTE chain, doc_pii_redact's
+    # nested mask, doc_source_cap's md5-ordered window.
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, source, COALESCE(text, '') AS t FROM documents
+    ), segs AS (
+      SELECT doc_id, generate_subscripts(p, 1) AS pos, unnest(p) AS seg
+      FROM (SELECT doc_id, string_split(t, ' ') AS p FROM base)
+    ), hot AS (
+      SELECT trim(seg) AS key FROM segs WHERE trim(seg) != ''
+      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 390
+    ), kept AS (
+      SELECT doc_id, pos, seg FROM segs
+      WHERE trim(seg) NOT IN (SELECT key FROM hot)
+    ), reasm AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(seg, ' ' ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    ), cleaned AS (
+      SELECT b.doc_id, b.source,
+             CAST(len(string_split(b.t, ' ')) AS INTEGER) AS n_segments,
+             CAST(len(string_split(b.t, ' ')) - COALESCE(r.n_kept, 0)
+                 AS BIGINT) AS n_removed,
+             COALESCE(r.cleaned, '') AS ctext
+      FROM base b LEFT JOIN reasm r USING (doc_id)
+    ), gated AS (
+      SELECT *,
+             CAST(len(regexp_split_to_array(trim(ctext), '\s+'))
+                 AS INTEGER) AS n_tokens_clean
+      FROM cleaned
+      WHERE len(regexp_split_to_array(trim(ctext), '\s+')) >= 30
+        AND n_removed * 2 <= n_segments
+    ), capped AS (
+      SELECT doc_id, source, n_segments, n_removed, n_tokens_clean, ctext,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM gated
+    )
+    SELECT doc_id, source, CAST(rn AS INTEGER) AS rank_in_group,
+           n_tokens_clean, n_removed,
+           md5(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(ctext,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\b(?:\d[ -]?){13,16}\b', '<CARD>', 'g'),
+                   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                 '(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b',
+                 '<PHONE>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+           ) AS masked_md5
+    FROM capped WHERE rn <= 3
+    ORDER BY doc_id
+    """,
+    tags=("curation", "composite", "pipeline"),
+    defer_oracle=True,
+)
+def pipeline_curate_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 curation composite — the C4/RefinedWeb recipe end-to-end
+    with EXACT cross-engine parity (a first for the curate family; v1-v3
+    compose signature/embedding stages that are rows-only by nature):
+
+      1. corpus-level boilerplate-segment removal (`text.segment_dedup`,
+         word granularity on the single-line fixture corpus, min_df=390),
+      2. quality gate on the CLEANED text — >= 30 surviving tokens AND
+         boilerplate ratio <= 1/2 (500 -> 116 at sf0.01: both rules bite),
+      3. per-source quota (`sampling.cap_per_group`, 3 per source — the
+         C4 per-domain cap on the gated set),
+      4. PII typed-mask redaction of the cleaned text (md5-verified).
+
+    Scale shape: stage 1's memoized single scan + distinct-segment-bounded
+    aggregate; stages 2/4 are map-only over it; stage 3 is one keyed
+    exchange. Nothing recomputes: the segment-dedup frame feeds the gate,
+    the cap, and the mask from one checkpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    sd = text.segment_dedup(docs, delimiter=" ", min_df=390)
+    n_clean = F.size(F.split(F.trim(F.col("cleaned")), r"\s+"))
+    gated = (
+        sd.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("n_tokens_clean", n_clean.cast("int"))
+        .where(
+            (F.col("n_tokens_clean") >= 30)
+            & (F.col("n_removed") * 2 <= F.col("n_segments"))
+        )
+    )
+    from squrve_spark.operators.sampling import cap_per_group
+
+    capped = cap_per_group(gated, cap=3, group_col="source")
+    masked = F.col("cleaned")
+    for _, pattern, repl in text.PII_PATTERNS:
+        masked = F.regexp_replace(masked, pattern, repl)
+    return capped.select(
+        "doc_id",
+        "source",
+        F.col("rank_in_group").cast("int").alias("rank_in_group"),
+        "n_tokens_clean",
+        "n_removed",
+        F.md5(masked).alias("masked_md5"),
+    ).orderBy("doc_id")

@@ -285,3 +285,19 @@ def test_merge_apply_tombstone_semantics(spark):
     assert set(out) == {1, 4}
     assert out[1]["n_live_ops"] == 1 and out[1]["balance"] == 2.0
     assert out[4]["n_live_ops"] == 2 and out[4]["balance"] == 5.0
+
+
+def test_pipeline_curate_v4_stage_invariants(spark):
+    """v4 composite: both gates genuinely bite at sf0.01 (500 -> 116 gated
+    -> capped), the per-source quota holds, and every survivor satisfies
+    the gate rules."""
+    out = REGISTRY["pipeline_curate_v4"].fn(spark, SF_MED).collect()
+    assert 0 < len(out) < 500
+    per_source: dict[str, int] = {}
+    for r in out:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+        assert r["n_tokens_clean"] >= 30
+        assert 1 <= r["rank_in_group"] <= 3
+        assert len(r["masked_md5"]) == 32
+    assert max(per_source.values()) <= 3
+    assert len(per_source) > 1  # survivors span sources
