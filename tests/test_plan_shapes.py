@@ -354,3 +354,15 @@ def test_segment_dedup_single_corpus_scan(spark):
     plan = plan_of(spark, "doc_segment_dedup")
     assert "Scan parquet" not in plan
     assert "EvalPython" not in plan
+
+
+def test_curate_v4_scans_text_once(spark):
+    """pipeline_curate_v4: the corpus TEXT is scanned exactly once (into
+    the memoized segment frame); the only live parquet scan reads the slim
+    (doc_id, source) projection for the cap stage, and no Python appears."""
+    plan = plan_of(spark, "pipeline_curate_v4")
+    read_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert len(read_lines) == 1
+    assert "text" not in read_lines[0]
+    assert "source" in read_lines[0]
+    assert "EvalPython" not in plan
