@@ -202,6 +202,9 @@ EXTENDED_HEAVIES = [
     # cross the min_df threshold, so the hot set saturates at vocab size
     # and the anti-join must stay distinct-segment-bounded
     ("doc_segment_dedup", None),
+    # late r7: the fully-oracled C4 composite built on it (gate + cap +
+    # mask are map-only/keyed stages over the same memoized frame)
+    ("pipeline_curate_v4", None),
 ]
 
 
