@@ -1067,8 +1067,9 @@ def _decode_flac_to_int16(payload: bytes) -> tuple[np.ndarray, int]:
     the same depth policy as the WAV PCM paths."""
     from squrve_spark.operators.flac import decode_flac, parse_streaminfo
 
-    bps = parse_streaminfo(payload)["bits_per_sample"]
-    arr, rate = decode_flac(payload)
+    info = parse_streaminfo(payload)
+    bps = info["bits_per_sample"]
+    arr, rate = decode_flac(payload, info)
     if bps > 16:
         arr = arr >> (bps - 16)
     elif bps < 16:

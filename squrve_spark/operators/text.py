@@ -447,13 +447,20 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def mask_pii_expr(col: Column) -> Column:
+    """THE typed-mask redaction chain (ordered regexp_replace over
+    PII_PATTERNS) as a column expression — single source of truth for the
+    application ORDER the DuckDB oracles replay (doc_pii_redact,
+    pipeline_curate_v4)."""
+    for _, pattern, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pattern, repl)
+    return col
+
+
 def mask_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None) -> DataFrame:
     """Replace PII spans with typed placeholder tokens (in place unless
     ``out_col`` names a new column)."""
-    expr = F.col(text_col)
-    for _, pattern, repl in PII_PATTERNS:
-        expr = F.regexp_replace(expr, pattern, repl)
-    return df.withColumn(out_col or text_col, expr)
+    return df.withColumn(out_col or text_col, mask_pii_expr(F.col(text_col)))
 
 
 def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -2235,9 +2235,7 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (counts and the 5-step regexp_replace chain in the same codegen
     stage), map-only, zero shuffle, zero Python."""
     docs = load_table(spark, sf_dir, "documents")
-    masked = F.col("text")
-    for _, pattern, repl in text.PII_PATTERNS:
-        masked = F.regexp_replace(masked, pattern, repl)
+    masked = text.mask_pii_expr(F.col("text"))
     return docs.select(
         "doc_id",
         *[
@@ -2437,10 +2435,14 @@ def sim_hamming_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two sequential ingests (even doc_ids, then odd) against a FRESH
     # persisted fingerprint store: the surviving set is the first
     # occurrence per canonical fingerprint under (batch, doc_id) order —
-    # exactly one window in SQL.
-    oracle=f"""
+    # exactly one window in SQL. Text is COALESCEd to '' on BOTH sides
+    # before fingerprinting: a NULL fp would silently bypass the store's
+    # anti-join (NULL keys never match) while SQL's window groups NULLs.
+    oracle="""
     WITH tagged AS (
-      SELECT doc_id, {_CANON} AS fp_md5,
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(COALESCE(text, '')),
+                 '\\s+', ' ', 'g'))) AS fp_md5,
              CAST(doc_id % 2 AS INTEGER) AS batch
       FROM documents
     ), r AS (
@@ -2468,7 +2470,9 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from squrve_spark.sinks import incremental_dedup_ingest
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
     store = tempfile.mkdtemp(prefix="squrve_fp_store_")
     shutil.rmtree(store)  # the ingest creates it; mkdtemp just reserved a name
     parts = []
@@ -2679,9 +2683,7 @@ def pipeline_curate_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from squrve_spark.operators.sampling import cap_per_group
 
     capped = cap_per_group(gated, cap=3, group_col="source")
-    masked = F.col("cleaned")
-    for _, pattern, repl in text.PII_PATTERNS:
-        masked = F.regexp_replace(masked, pattern, repl)
+    masked = text.mask_pii_expr(F.col("cleaned"))
     return capped.select(
         "doc_id",
         "source",

@@ -218,6 +218,11 @@ def incremental_dedup_ingest(
     parquet directory append (new files only); re-running the same batch is
     idempotent at the RESULT level: already-stored fingerprints are
     filtered, so a replay returns 0 rows and appends 0 fingerprints.
+
+    NULL-text contract: callers must COALESCE null text upstream
+    (doc_incremental_dedup does) — a NULL fingerprint silently bypasses
+    the store because the left_anti join never matches NULL keys, so
+    null-text docs would survive every batch.
     """
     import os
 

@@ -228,3 +228,56 @@ def test_streaminfo_md5_verified_when_present():
     enc = encode_flac(s)
     assert _samples_md5(s.astype(np.int64), 16) in enc  # md5 really embedded
     assert np.array_equal(decode_flac(enc)[0], s.astype(np.int32))
+
+
+def test_encode_rejects_oversized_blocksize():
+    s = np.zeros((10, 1), dtype=np.int16)
+    with pytest.raises(ValueError, match="blocksize"):
+        encode_flac(s, blocksize=65537)
+    with pytest.raises(ValueError, match="blocksize"):
+        encode_flac(s, blocksize=0)
+
+
+def test_md5_skipped_for_non_whole_byte_depths():
+    """A 12-bit stream with a populated STREAMINFO MD5 must still decode:
+    the MD5 covers the spec's bit-packed layout, which this codec does not
+    model for sub-byte depths — it skips the check instead of raising
+    (review fix)."""
+    vals = [100, -200, 300, -400]
+
+    def bits(w):
+        w.write(0, 1)
+        w.write(1, 6)  # verbatim
+        w.write(0, 1)
+        for v in vals:
+            w.write(v & 0xFFF, 12)
+
+    w = _BitWriter()
+    w.write(0x3FFE, 14)
+    w.write(0, 2)
+    w.write(7, 4)
+    w.write(13, 4)
+    w.write(0, 4)   # 1 channel
+    w.write(2, 3)   # ss_code 2 = 12-bit
+    w.write(0, 1)
+    _write_utf8_coded(w, 0)
+    w.write(len(vals) - 1, 16)
+    w.write(8000, 16)
+    header = w.getvalue()
+    wb = _BitWriter()
+    bits(wb)
+    body = wb.getvalue()
+    frame = header + bytes([crc8(header)]) + body
+    frame += struct.pack(">H", crc16(frame))
+    packed = (8000 << 44) | (0 << 41) | ((12 - 1) << 36) | len(vals)
+    streaminfo = (
+        struct.pack(">HH", 16, 65535) + b"\x00" * 6
+        + packed.to_bytes(8, "big") + b"\x01" * 16  # md5 PRESENT
+    )
+    payload = (
+        b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
+        + streaminfo + frame
+    )
+    dec, rate = decode_flac(payload)
+    assert rate == 8000
+    assert dec.reshape(-1).tolist() == vals

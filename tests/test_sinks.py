@@ -287,3 +287,27 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
     assert stored == expect
     # d1 was untouched by batch 2 and survived intact
     assert stored[("d1", "buy")] == (1, 10)
+
+
+def test_incremental_dedup_null_text_contract(spark, tmp_path):
+    """The doc_incremental_dedup NULL contract (review fix): text is
+    COALESCEd upstream, so null-text docs share the empty-text
+    fingerprint and the SECOND batch's null doc is deduped against the
+    first — without the coalesce, NULL fps bypass the store's anti-join
+    and survive every batch."""
+    from pyspark.sql import functions as F
+
+    from squrve_spark.sinks import incremental_dedup_ingest
+
+    store = str(tmp_path / "fp_store")
+    coalesce = lambda df: df.select(  # noqa: E731
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    b1 = spark.createDataFrame([(0, None), (2, "real text")], "doc_id long, text string")
+    b2 = spark.createDataFrame([(1, None), (3, "")], "doc_id long, text string")
+    out1 = incremental_dedup_ingest(coalesce(b1), store)
+    assert {r["doc_id"] for r in out1.collect()} == {0, 2}
+    out2 = incremental_dedup_ingest(coalesce(b2), store)
+    # doc 1 (NULL) and doc 3 ('') both canonicalize to the stored ''
+    # fingerprint from doc 0 — nothing survives batch 2
+    assert out2.count() == 0
