@@ -538,10 +538,11 @@ def encode_flac(
         samples = samples.reshape(-1, 1)
     if not (0 < rate < 65536):
         raise ValueError("encode_flac writes 16-bit sample rates only")
-    if not 1 <= blocksize <= 65536:
-        # blocksize-1 is a 16-bit header field; a silent wrap would emit a
-        # corrupt stream that fails far from the cause
-        raise ValueError("FLAC blocksize must be in [1, 65536]")
+    if not 1 <= blocksize <= 65535:
+        # STREAMINFO min/max blocksize are 16-bit fields; accepting 65536
+        # would write a STREAMINFO that contradicts the frame headers
+        # (strict decoders allocate by max_blocksize and reject/truncate)
+        raise ValueError("FLAC blocksize must be in [1, 65535]")
     samples = samples.astype(np.int64)
     n_total, nch = samples.shape
     if n_total == 0:
@@ -579,7 +580,7 @@ def encode_flac(
         | (n_total & ((1 << 36) - 1))
     )
     streaminfo = (
-        struct.pack(">HH", min(blocksize, 65535), min(blocksize, 65535))
+        struct.pack(">HH", blocksize, blocksize)
         + b"\x00" * 6
         + packed.to_bytes(8, "big")
         + _samples_md5(samples, bps)

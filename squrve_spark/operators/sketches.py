@@ -94,14 +94,20 @@ def incremental_distinct(
     carry the last applied batch id, and a replayed batch whose id is
     already recorded returns the stored rows untouched instead of
     double-merging its values. The id travels IN the store parquet, so the
-    skip decision is atomic with the store contents.
+    skip decision is atomic with the store contents. The replay return is
+    semi-joined to the batch's group keys so a caller consuming the return
+    value sees the SAME row set (the touched groups) on replay as on first
+    delivery (r8, ADVICE).
     """
     if batch_id is not None and os.path.isdir(store_path):
         prior = spark.read.parquet(store_path)
         if "_batch_id" in prior.columns:
             last = prior.agg(F.max("_batch_id")).first()[0]
             if last is not None and last >= batch_id:
-                return prior  # replayed micro-batch: already merged
+                # replayed micro-batch: already merged; match the
+                # first-delivery contract (touched groups only)
+                keys = batch.select(*group_cols).distinct()
+                return prior.join(keys, group_cols, "left_semi")
     agg = (
         spread(batch)
         .groupBy(*group_cols)
@@ -250,14 +256,18 @@ def incremental_quantiles(
 
     ``batch_id`` gives the same at-least-once idempotency as
     `incremental_distinct`: a replayed ``foreachBatch`` id that the store
-    already records is skipped, not double-merged (r7, ADVICE).
+    already records is skipped, not double-merged (r7, ADVICE); the replay
+    return is semi-joined to the batch's group keys so replay and first
+    delivery yield the same row set (r8, ADVICE).
     """
     if batch_id is not None and os.path.isdir(store_path):
         prior = spark.read.parquet(store_path)
         if "_batch_id" in prior.columns:
             last = prior.agg(F.max("_batch_id")).first()[0]
             if last is not None and last >= batch_id:
-                return prior  # replayed micro-batch: already merged
+                # replayed micro-batch: already merged; touched groups only
+                keys = batch.select(*group_cols).distinct()
+                return prior.join(keys, group_cols, "left_semi")
     agg = (
         spread(batch)
         .groupBy(*group_cols)

@@ -268,6 +268,14 @@ def _base_name(expr: str) -> str:
     return last.strip("`").lower()
 
 
+def _qual_parts(expr: str) -> list[str] | None:
+    """Normalized dotted parts of a plain column reference, else None."""
+    expr = expr.strip()
+    if not _PLAIN_COL.match(expr):
+        return None
+    return [p.strip().strip("`").lower() for p in expr.split(".")]
+
+
 def rewrite_bare_group_columns(sql: str) -> str:
     """sqlite tolerates non-aggregated, non-grouped columns under GROUP BY
     (it picks a row per group); Spark and DuckDB both reject them with
@@ -313,29 +321,60 @@ def rewrite_bare_group_columns(sql: str) -> str:
                 j += 1
             if grp_limit is None:
                 grp_limit = len(sql)
-        blocks.append((sel[2], frm[1], end, grp_limit))
-    for sel_end, from_start, grp_end, grp_limit in sorted(blocks, reverse=True):
+        blocks.append([sel[2], frm[1], end, grp_limit])
+    # Edit innermost/rightmost blocks first; a rewrite changes the select
+    # list's length, so after each edit shift every not-yet-edited block's
+    # offsets that sit past the edited region (a nested grouped subquery
+    # inside an outer grouped select list would otherwise leave the outer
+    # block slicing with stale offsets and splitting identifiers).
+    blocks.sort(reverse=True)
+    for i, (sel_end, from_start, grp_end, grp_limit) in enumerate(blocks):
         sel_list = sql[sel_end:from_start]
         lead = ""
         dm = re.match(r"(?is)^\s*(DISTINCT|ALL)\b", sel_list)
         if dm:
             lead, sel_list = sel_list[: dm.end()], sel_list[dm.end() :]
         raw_items = _split_top_commas(sel_list)
-        grouped = set()
+        # Grouped-ness: a select item is grouped when some GROUP BY key has
+        # the same base name AND (either side is unqualified, or the
+        # qualified forms match). `SELECT t2.a ... GROUP BY t1.a` is NOT
+        # grouped — both engines reject it bare, so it must be wrapped.
+        grouped_bare: set[str] = set()  # unqualified keys / expressions
+        grouped_qual: set[str] = set()  # normalized qualified plain keys
         for g in _split_top_commas(sql[grp_end:grp_limit]):
             g = g.strip()
             if g.isdigit() and 1 <= int(g) <= len(raw_items):
                 g = raw_items[int(g) - 1]  # GROUP BY ordinal -> select item
-            grouped.add(_base_name(g))
+            parts = _qual_parts(g)
+            if parts and len(parts) > 1:
+                grouped_qual.add(".".join(parts))
+                continue
+            grouped_bare.add(_base_name(g))
+        qual_bases = {q.rsplit(".", 1)[-1] for q in grouped_qual}
         items = []
         for item in raw_items:
             am = re.match(r"(?is)^(.*?)\s+AS\s+(`[^`]+`|[A-Za-z_]\w*)\s*$", item)
             expr = (am.group(1) if am else item).strip()
-            if _PLAIN_COL.match(expr) and _base_name(expr) not in grouped:
-                alias = am.group(2) if am else expr.split(".")[-1].strip()
-                item = f" any_value({expr}) AS {alias} "
+            parts = _qual_parts(expr)
+            if parts:
+                if len(parts) == 1:
+                    is_grouped = parts[0] in grouped_bare or parts[0] in qual_bases
+                else:
+                    is_grouped = (
+                        ".".join(parts) in grouped_qual or parts[-1] in grouped_bare
+                    )
+                if not is_grouped:
+                    alias = am.group(2) if am else expr.split(".")[-1].strip()
+                    item = f" any_value({expr}) AS {alias} "
             items.append(item)
-        sql = sql[:sel_end] + lead + ",".join(items) + sql[from_start:]
+        new_mid = lead + ",".join(items)
+        delta = len(new_mid) - (from_start - sel_end)
+        sql = sql[:sel_end] + new_mid + sql[from_start:]
+        if delta:
+            for blk in blocks[i + 1 :]:
+                for k, off in enumerate(blk):
+                    if off >= from_start:
+                        blk[k] = off + delta
     return sql
 
 

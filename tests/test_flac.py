@@ -236,6 +236,15 @@ def test_encode_rejects_oversized_blocksize():
         encode_flac(s, blocksize=65537)
     with pytest.raises(ValueError, match="blocksize"):
         encode_flac(s, blocksize=0)
+    # 65536 fits the frame header (blocksize-1) but NOT the 16-bit
+    # STREAMINFO min/max fields — accepting it would emit a stream whose
+    # STREAMINFO contradicts its frames (r8, ADVICE)
+    with pytest.raises(ValueError, match="blocksize"):
+        encode_flac(s, blocksize=65536)
+    # the 16-bit ceiling itself round-trips
+    assert np.array_equal(
+        decode_flac(encode_flac(s, blocksize=65535))[0], s.astype(np.int32)
+    )
 
 
 def test_md5_skipped_for_non_whole_byte_depths():

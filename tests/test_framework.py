@@ -135,6 +135,34 @@ def test_transpile_computed_date_values(spark):
             "SELECT * FROM (SELECT b.v FROM u b GROUP BY b.g) s",
             "SELECT * FROM (SELECT any_value(b.v) AS v FROM u b GROUP BY b.g) s",
         ),
+        # grouped subquery INSIDE an outer grouped select list: the inner
+        # edit shifts the outer block's offsets — trailing bare columns must
+        # still be wrapped whole, never split mid-identifier
+        (
+            "SELECT bare, (SELECT ib FROM u GROUP BY uk) AS s,"
+            " longtrailingcolumn FROM t GROUP BY gk",
+            "any_value(longtrailingcolumn) AS longtrailingcolumn",
+        ),
+        (
+            "SELECT bare, (SELECT ib FROM u GROUP BY uk) AS s,"
+            " longtrailingcolumn FROM t GROUP BY gk",
+            "(SELECT any_value(ib) AS ib FROM u GROUP BY uk) AS s",
+        ),
+        # qualifier mismatch on both sides is NOT grouped -> wrapped
+        (
+            "SELECT t2.a FROM t1 JOIN t2 ON t1.k = t2.k GROUP BY t1.a",
+            "any_value(t2.a) AS a",
+        ),
+        # matching qualified forms stay bare
+        (
+            "SELECT t1.a FROM t1 GROUP BY t1.a",
+            "SELECT t1.a FROM t1 GROUP BY t1.a",
+        ),
+        # select unqualified / key qualified: base-name fallback keeps it bare
+        (
+            "SELECT name FROM t T1 GROUP BY T1.name",
+            "SELECT name FROM t T1 GROUP BY T1.name",
+        ),
     ],
 )
 def test_transpile_bare_group_columns(src, expect):

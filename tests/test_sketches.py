@@ -218,3 +218,29 @@ def test_incremental_stores_skip_replayed_batch(spark, tmp_path):
     assert spark.read.parquet(d_store).select("n_distinct_est").first()[0] == b
     sketches.incremental_distinct(spark, more, d_store, "user_id", ["event_type"], batch_id=1)
     assert spark.read.parquet(d_store).select("n_distinct_est").first()[0] > b
+
+
+def test_incremental_store_replay_returns_touched_groups_only(spark, tmp_path):
+    """r8 (ADVICE): the replay-skip path must honor the same return
+    contract as first delivery — ONLY the replayed batch's groups, not the
+    whole prior store, so a foreachBatch caller consuming the return value
+    sees identical row sets on first delivery and on replay."""
+    two = spark.createDataFrame(
+        [(1, "click", 1.0), (2, "view", 2.0)],
+        "user_id long, event_type string, value double",
+    )
+    click_only = two.filter("event_type = 'click'")
+
+    for fn, key in (
+        (sketches.incremental_distinct, "user_id"),
+        (sketches.incremental_quantiles, "value"),
+    ):
+        store = str(tmp_path / f"store_{key}")
+        first = fn(spark, click_only, store, key, ["event_type"], batch_id=0)
+        assert {r["event_type"] for r in first.collect()} == {"click"}
+        # seed a second group under a new batch id
+        fn(spark, two.filter("event_type = 'view'"), store, key,
+           ["event_type"], batch_id=1)
+        # replay batch 0: store now holds BOTH groups, return must not
+        replay = fn(spark, click_only, store, key, ["event_type"], batch_id=0)
+        assert {r["event_type"] for r in replay.collect()} == {"click"}
