@@ -66,6 +66,50 @@ def with_vec_norm(df: DataFrame, vec_col: str, out_vec: str, out_norm: str) -> D
     )
 
 
+def local_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    score_col: str,
+    k: int,
+    tie_col: str,
+) -> DataFrame:
+    """EXACT per-partition top-k prefilter: reduce ``df`` map-side to at
+    most k rows per ``key_cols`` group per partition, ordered by
+    (score desc, tie asc) — ZERO shuffle.
+
+    Any row in the global per-key top-k under that ordering is also in the
+    top-k of its own partition (if k rows beat it locally, k rows beat it
+    globally), so following this with a per-key window rank is exact while
+    the window's exchange carries only partitions x keys x k rows instead
+    of the full frame. This is the `shard_topk` shape `pq_topk` uses,
+    factored out for any scored frame: without it, a corpus-sized frame
+    ranked by `row_number() OVER (PARTITION BY query)` funnels EVERY
+    scored row into |queries| single-task sorts — the r7-verdict
+    scale-killer in doc_hybrid_search.
+
+    Arrow-batched; preserves the input schema. The same-ordering contract
+    matters: the caller's final window must order by exactly
+    (score desc, tie asc) for the superset guarantee to hold through ties.
+    """
+    by = [score_col, tie_col]
+    asc = [False, True]
+
+    def _shard(batches):
+        best = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cur = pdf if best is None else pd.concat([best, pdf])
+            # mergesort = stable; head(k) after the two-key sort keeps the
+            # exact local winners under the caller's final-window ordering
+            cur = cur.sort_values(by, ascending=asc, kind="mergesort")
+            best = cur.groupby(key_cols, sort=False).head(k)
+        if best is not None and not best.empty:
+            yield best
+
+    return df.mapInPandas(_shard, df.schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

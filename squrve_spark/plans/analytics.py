@@ -183,6 +183,10 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(*) >= 3
     """,
     tags=("events",),
+    # r8: demoted after 7 straight driver-green rounds to free a
+    # cap slot for a never-driver-checked r7 flagship (r7 verdict #2);
+    # exact parity still asserted every run in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q_events_user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user lifetime rollup with conditional aggregation over event types."""

@@ -1637,7 +1637,7 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_lm_perplexity",
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    # r8: promoted into the driver cap (r7 verdict #2)
     oracle=r"""
     WITH tok AS (
         SELECT doc_id,
@@ -1681,7 +1681,6 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(EXP(-(CAST(sum_logp AS DOUBLE) / nb)), 4) AS ppl
     FROM agg
     """,
-    defer_oracle=True,
     tags=("curation", "text"),
 )
 def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1753,7 +1752,7 @@ _HYBRID_QUERIES = {
 
 @register(
     "doc_hybrid_search",
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    # r8: promoted into the driver cap (r7 verdict #2)
     oracle=r"""
     WITH qt(query_id, term) AS (
         VALUES (0,'spark'),(0,'window'),(1,'merge'),(1,'stream'),
@@ -1823,7 +1822,6 @@ _HYBRID_QUERIES = {
     FROM final WHERE rn <= 10
     """,
     tags=("search", "similarity", "text"),
-    defer_oracle=True,
 )
 def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (r7): reciprocal-rank fusion of a lexical BM25
@@ -1835,19 +1833,25 @@ def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries in ONE corpus pass; the vector side broadcasts the 4 query
     vectors against the embeddings table map-side (exact cosine here —
     at corpus scale the IVF path generates the same candidate list
-    shape). Each side keeps its per-query top-20 via a window rank, so
-    ``rrf_fuse`` only ever touches |queries| x 20 rows — fusion cost is
-    corpus-size independent. The DuckDB oracle replays BM25, cosine,
-    both rankings, and the RRF arithmetic end-to-end."""
+    shape). Each side is reduced to per-partition top-20 per query by
+    `similarity.local_topk` (map-side, zero shuffle) BEFORE the exact
+    per-query window rank, so the windows' exchanges carry only
+    partitions x |queries| x 20 rows — never a corpus-sized frame into
+    |queries| single-task sorts (r7-verdict scale finding) — and
+    ``rrf_fuse`` only ever touches |queries| x 20 rows. The DuckDB
+    oracle replays BM25, cosine, both rankings, and the RRF arithmetic
+    end-to-end (local_topk is a superset prefilter under the identical
+    ordering, so results are bit-identical)."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
     lex = text.bm25_per_query(docs, _HYBRID_QUERIES)
+    lcand = similarity.local_topk(lex, ["query_id"], "bm25", 20, "doc_id")
     wl = F.row_number().over(
         W.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
     )
     lrank = (
-        lex.withColumn("rank", wl).filter(F.col("rank") <= 20)
+        lcand.withColumn("rank", wl).filter(F.col("rank") <= 20)
         .select("query_id", "doc_id", "rank")
     )
 
@@ -1861,11 +1865,12 @@ def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             similarity.cosine_expr(F.col("embedding"), F.col("_qv")), 6
         ).alias("sim"),
     )
+    vcand = similarity.local_topk(scored, ["query_id"], "sim", 20, "doc_id")
     wv = F.row_number().over(
         W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("doc_id"))
     )
     vrank = (
-        scored.withColumn("rank", wv).filter(F.col("rank") <= 20)
+        vcand.withColumn("rank", wv).filter(F.col("rank") <= 20)
         .select("query_id", "doc_id", "rank")
     )
 
@@ -2188,7 +2193,7 @@ def doc_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_pii_redact",
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # r8: promoted into the driver cap (r7 verdict #2).
     # Same pattern list and application ORDER as text.PII_PATTERNS — the
     # oracle nests regexp_replace innermost-first (email, card, ssn,
     # phone, ipv4). Both engines run ASCII \d / \b semantics (Java default
@@ -2225,7 +2230,6 @@ def doc_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     tags=("hygiene", "text"),
-    defer_oracle=True,
 )
 def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked PII REDACTION (complements the no-oracle
@@ -2431,7 +2435,7 @@ def sim_hamming_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_incremental_dedup",
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # r8: promoted into the driver cap (r7 verdict #2).
     # Two sequential ingests (even doc_ids, then odd) against a FRESH
     # persisted fingerprint store: the surviving set is the first
     # occurrence per canonical fingerprint under (batch, doc_id) order —
@@ -2455,7 +2459,6 @@ def sim_hamming_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     tags=("dedup", "incremental"),
-    defer_oracle=True,
 )
 def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-corpus exact dedup against a PERSISTED fingerprint store
@@ -2535,7 +2538,7 @@ def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_int8_bruteforce",
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # r8: promoted into the driver cap (r7 verdict #2).
     # The oracle replays the full quantize->integer-dot->rank pipeline —
     # codes are deterministic IEEE arithmetic (the emb_int8_quantize
     # derivation) and the score is an exact integer, so no rounding idiom.
@@ -2570,7 +2573,6 @@ def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY query_id, rank
     """,
     tags=("similarity", "ann", "compression"),
-    defer_oracle=True,
 )
 def sim_int8_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 retrieval scored on int8 codes — the compressed tier between
@@ -2588,7 +2590,7 @@ def sim_int8_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_curate_v4",
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py.
+    # r8: promoted into the driver cap (r7 verdict #2).
     # The FIRST fully-oracled curation composite (v1-v3 are rows-only by
     # nature: signatures/embeddings): every stage reuses an already-proven
     # oracle fragment — doc_segment_dedup's CTE chain, doc_pii_redact's
@@ -2650,7 +2652,6 @@ def sim_int8_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     tags=("curation", "composite", "pipeline"),
-    defer_oracle=True,
 )
 def pipeline_curate_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-7 curation composite — the C4/RefinedWeb recipe end-to-end

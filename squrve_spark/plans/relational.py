@@ -160,6 +160,10 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY r_name
     """,
     tags=("A5", "A7", "A8"),
+    # r8: demoted after 7 straight driver-green rounds to free a
+    # cap slot for a never-driver-checked r7 flagship (r7 verdict #2);
+    # exact parity still asserted every run in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q_multijoin_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-way FK join lineitem->orders->customer->nation->region.

@@ -102,6 +102,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     """,
     tags=("A5", "A7", "A8"),
+    # r8: demoted after 7 straight driver-green rounds to free a
+    # cap slot for a never-driver-checked r7 flagship (r7 verdict #2);
+    # exact parity still asserted every run in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: revenue from suppliers in the customer's own nation.
@@ -155,6 +159,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(year FROM l_shipdate) AS INT)
     """,
     tags=("A5", "A7", "A8", "A19"),
+    # r8: demoted after 7 straight driver-green rounds to free a
+    # cap slot for a never-driver-checked r7 flagship (r7 verdict #2);
+    # exact parity still asserted every run in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: trade volume between two nations per year, both directions.
@@ -355,6 +363,10 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND l_quantity BETWEEN 20 AND 30)
     """,
     tags=("A3", "A5", "A7"),
+    # r8: demoted after 7 straight driver-green rounds to free a
+    # cap slot for a never-driver-checked r7 flagship (r7 verdict #2);
+    # exact parity still asserted every run in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: revenue under three OR'd brand/size/quantity brackets.
@@ -400,6 +412,10 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     """,
     tags=("A7", "A11", "A23"),
+    # r8: demoted after 7 straight driver-green rounds to free a
+    # cap slot for a never-driver-checked r7 flagship (r7 verdict #2);
+    # exact parity still asserted every run in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 variant: above-average-balance customers with no HIGH-VALUE

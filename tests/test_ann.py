@@ -601,3 +601,41 @@ def test_int8_topk_recall_and_numpy_parity(spark, emb):
     recall = len(_pairs(similarity.int8_topk(emb, queries, scales, k=5))
                  & _pairs(exact)) / len(_pairs(exact))
     assert recall >= 0.7
+
+
+def test_local_topk_prefilter_is_exact_and_bounded(spark):
+    """local_topk (r8): the map-side per-partition top-k prefilter must be
+    (a) EXACT — the final per-key window over the reduced frame returns
+    bit-identical rows to the same window over the full frame, including
+    through score ties, and (b) BOUNDED — at most partitions x keys x k
+    rows survive. Adversarial fixture: heavy ties, keys skewed across
+    partitions."""
+    import random as _random
+
+    from pyspark.sql import Window as W
+
+    rng = _random.Random(8)
+    rows = [
+        (i % 4, i, float(rng.randint(0, 9)))  # 10 score levels -> many ties
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id int, doc_id long, score double"
+    ).repartition(16)
+
+    k = 7
+    reduced = similarity.local_topk(df, ["query_id"], "score", k, "doc_id")
+    n_reduced = reduced.count()
+    assert n_reduced <= 16 * 4 * k
+
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+
+    def topk(frame):
+        return sorted(
+            frame.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            .collect(),
+            key=lambda r: (r["query_id"], r["r"]),
+        )
+
+    assert topk(reduced) == topk(df)

@@ -300,6 +300,21 @@ def test_hybrid_search_one_corpus_pass_broadcast_queries(spark):
     # vector side: corpus scan + broadcast query scan, nothing more
     assert plan.count("embeddings.parquet") == 2
     assert "BroadcastNestedLoopJoin" in plan
+    # r8 (r7-verdict finding): no corpus-sized frame may feed the
+    # |queries|-partition window ranks — both candidate sides reduce
+    # map-side to per-partition top-k (local_topk MapInPandas, zero
+    # shuffle) before their exact per-query window, so each window's
+    # exchange carries at most partitions x queries x k rows
+    assert plan.count("MapInPandas") == 2
+    lines = plan.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window [row_number()" in ln]
+    assert len(win_idx) >= 3  # two candidate ranks + the fused rank
+    for i in win_idx:
+        if "rrf_score" in lines[i]:
+            continue  # fused rank: fed by the rank-bounded joined lists
+        # candidate-rank windows (ordered by bm25 / sim): the subtree
+        # printed below the node must contain the MapInPandas reduction
+        assert "MapInPandas" in "\n".join(lines[i:]), lines[i]
 
 
 def test_int8_quantize_map_only_no_python(spark):

@@ -205,6 +205,14 @@ EXTENDED_HEAVIES = [
     # late r7: the fully-oracled C4 composite built on it (gate + cap +
     # mask are map-only/keyed stages over the same memoized frame)
     ("pipeline_curate_v4", None),
+    # r8 (r7 verdict #7): the retrieval/LM heavies whose term-frequency
+    # skew grows with corpus size. doc_hybrid_search additionally guards
+    # the round's local_topk fix — before it, the per-query global window
+    # sorted corpus-sized frames in |queries| tasks, exactly the shape an
+    # extra decade exposes.
+    ("doc_hybrid_search", None),
+    ("doc_lm_perplexity", None),
+    ("doc_bm25", None),
 ]
 
 
