@@ -560,6 +560,9 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_distinct_sketch",
+    # oracle=None blocked by: the HLL register array is a Spark/DataSketches
+    # binary — DuckDB's approx_count_distinct uses a different sketch, so
+    # only exactness-window properties are portable (tests/test_sketches.py)
     oracle=None,
     tags=("events", "sketch", "no-oracle"),
 )
@@ -624,6 +627,9 @@ def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_value_quantiles",
+    # oracle=None blocked by: KLL sketch estimates are compaction-history
+    # dependent (engine-specific binary); rank-error bounds are the portable
+    # contract (tests/test_sketches.py)
     oracle=None,
     tags=("events", "sketch", "no-oracle"),
 )

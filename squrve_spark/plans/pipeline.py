@@ -350,7 +350,37 @@ def doc_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_ngram_freq(load_table(spark, sf_dir, "documents"), n=2, k=100)
 
 
-@register("doc_top_ngram", oracle=None, tags=("text", "hygiene", "no-oracle"))
+@register(
+    "doc_top_ngram",
+    # r8 (r7 verdict #3): rows-only -> deferred oracle. "Mode of the bigram
+    # multiset" is a group-by max in SQL; the kernel's Python round() is
+    # banker's, so the oracle uses DuckDB round_even (a plain ROUND flips
+    # e.g. 2/64 = 0.03125 -> .0313 vs the kernel's .0312).
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(COALESCE(text, '')), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, len(w) AS n_tok,
+               array_to_string(list_slice(w, i, i + 1), chr(30)) AS g
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2 + 2)) AS i
+              FROM tok WHERE len(w) >= 2)
+    ), counted AS (
+        SELECT doc_id, n_tok, count(*) AS c FROM grams GROUP BY doc_id, n_tok, g
+    ), best AS (
+        SELECT doc_id, max(c * 2.0 / n_tok) AS raw FROM counted GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(CASE WHEN b.raw IS NULL THEN 0.0
+                     ELSE least(1.0, round_even(b.raw, 4)) END AS DOUBLE)
+               AS top_ngram_frac
+    FROM tok t LEFT JOIN best b USING (doc_id)
+    """,
+    tags=("text", "hygiene"),
+    defer_oracle=True,
+)
 def doc_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-bigram token coverage per document (Gopher's most-frequent-n-gram
     fraction; Arrow-batched Counter kernel — python-oracle parity in
@@ -435,7 +465,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, threshold=0.3)
 
 
-@register("dedup_simhash", oracle=None, tags=("dedup", "no-oracle"))
+@register(
+    "dedup_simhash",
+    # oracle=None blocked by: the 64 signature bits are xxhash64(token) sign projections — Spark-specific hash, no DuckDB twin
+    oracle=None,
+    tags=("dedup", "no-oracle"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming <= 3) with pigeonhole blocking."""
     docs = load_table(spark, sf_dir, "documents")
@@ -472,7 +506,11 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
-@register("sim_lsh_topk", oracle=None, tags=("similarity", "no-oracle"))
+@register(
+    "sim_lsh_topk",
+    # oracle=None blocked by: candidate set depends on xxhash64-seeded hyperplane signs; only recall properties are portable
+    oracle=None,
+    tags=("similarity", "no-oracle"))
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via sign-LSH banding + exact re-rank. Recall vs the
     brute-force baseline is asserted in tests/test_similarity.py."""
@@ -502,7 +540,11 @@ def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.exact_neardup_pairs(emb, threshold=0.42)
 
 
-@register("emb_neardup_lsh", oracle=None, tags=("dedup", "similarity", "no-oracle"))
+@register(
+    "emb_neardup_lsh",
+    # oracle=None blocked by: LSH band buckets come from xxhash64 projections (engine-specific); subset-of-exact is the portable contract
+    oracle=None,
+    tags=("dedup", "similarity", "no-oracle"))
 def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked embedding near-dup pairs (the scale path; subset-of-exact
     property tested). Threshold 0.42 matches emb_neardup_exact's fixture
@@ -639,7 +681,11 @@ def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lm_cross_entropy(load_table(spark, sf_dir, "documents"))
 
 
-@register("doc_bpe_tokens", oracle=None, tags=("text", "no-oracle"))
+@register(
+    "doc_bpe_tokens",
+    # oracle=None blocked by: BPE merge training is an ITERATIVE driver loop (merge list depends on its own prior steps) — not expressible as one SQL statement
+    oracle=None,
+    tags=("text", "no-oracle"))
 def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained BPE tokenization (Sennrich 2016): Spark word counts ->
     driver merge training -> broadcast merge table -> map-only distributed
@@ -681,7 +727,11 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.char_entropy(load_table(spark, sf_dir, "documents"))
 
 
-@register("doc_quality_model", oracle=None, tags=("text", "no-oracle"))
+@register(
+    "doc_quality_model",
+    # oracle=None blocked by: logistic-regression weights come from an iterative gradient fit — no closed-form SQL equivalent
+    oracle=None,
+    tags=("text", "no-oracle"))
 def doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality-classifier filter (the GPT-3/LLaMA corpus recipe):
     logistic head on Spark-hashed bag-of-words, trained driver-side on a
@@ -703,7 +753,11 @@ def doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.score_documents(docs, model).orderBy("doc_id")
 
 
-@register("emb_semdedup", oracle=None, tags=("dedup", "similarity", "no-oracle"))
+@register(
+    "emb_semdedup",
+    # oracle=None blocked by: k-means centroids are an iterative fixpoint (hash-seeded); cells have no SQL closed form
+    oracle=None,
+    tags=("dedup", "similarity", "no-oracle"))
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (cluster -> within-cell cosine prune, keep
     the lowest-centroid-sim representative). Deterministic: hash-seeded
@@ -733,7 +787,11 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_meta_sql(docs)
 
 
-@register("multimodal_decode", oracle=None, tags=("multimodal", "no-oracle"))
+@register(
+    "multimodal_decode",
+    # oracle=None blocked by: BMP pixel decode of binary payloads — DuckDB has no binary codec surface
+    oracle=None,
+    tags=("multimodal", "no-oracle"))
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode/feature-extract over binary payloads. Since r4 the
     payloads are REAL BMPs built from the corpus text, so the default
@@ -745,6 +803,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_container_meta",
+    # oracle=None blocked by: WebP/AVIF box-walk over binary payloads — no DuckDB binary-container surface
     oracle=None,
     tags=("multimodal", "no-oracle"),
 )
@@ -792,6 +851,7 @@ def multimodal_vp8_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_pixel_stats",
+    # oracle=None blocked by: BMP pixel decode of binary payloads; driver-side numpy replay is the oracle (tests/test_multimodal.py)
     oracle=None,
     tags=("multimodal", "no-oracle"),
 )
@@ -807,6 +867,7 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frames",
+    # oracle=None blocked by: container demux + frame decode over binary payloads — not SQL-expressible
     oracle=None,
     tags=("multimodal", "no-oracle"),
 )
@@ -822,6 +883,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_jpeg_stats",
+    # oracle=None blocked by: full JPEG entropy-decode + IDCT over binary payloads — not SQL-expressible
     oracle=None,
     tags=("multimodal", "no-oracle"),
 )
@@ -858,6 +920,7 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_audio_stats",
+    # oracle=None blocked by: PCM/ADPCM/FLAC bitstream decode over binary payloads — not SQL-expressible
     oracle=None,
     tags=("multimodal", "no-oracle"),
 )
@@ -904,7 +967,11 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(docs, exact_distinct=True)
 
 
-@register("sim_ivf_topk", oracle=None, tags=("similarity", "ann", "no-oracle"))
+@register(
+    "sim_ivf_topk",
+    # oracle=None blocked by: IVF cells = iterative k-means fixpoint; no SQL closed form
+    oracle=None,
+    tags=("similarity", "ann", "no-oracle"))
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate top-k (cell routing + probe + re-rank);
     recall-vs-bruteforce property tested in tests/test_ann.py."""
@@ -913,7 +980,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
 
 
-@register("sim_ivf_indexed", oracle=None, tags=("similarity", "ann", "no-oracle"))
+@register(
+    "sim_ivf_indexed",
+    # oracle=None blocked by: same k-means blocking step as sim_ivf_topk, plus a persisted side-index DuckDB cannot build
+    oracle=None,
+    tags=("similarity", "ann", "no-oracle"))
 def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k against a PERSISTED index (build-once/query-many): the
     first call trains + writes `{tmp}/centroids,cells` (cells parquet
@@ -935,7 +1006,11 @@ def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(emb, queries, path, k=5, n_probe=4)
 
 
-@register("doc_embed_search", oracle=None, tags=("similarity", "text", "no-oracle"))
+@register(
+    "doc_embed_search",
+    # oracle=None blocked by: the deterministic text encoder hashes tokens with xxhash64 into dense dims — engine-specific
+    oracle=None,
+    tags=("similarity", "text", "no-oracle"))
 def doc_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-index build + search end-to-end (r5, the RAG-ingest
     shape): embed the corpus TEXT with the distributed deterministic
@@ -957,7 +1032,11 @@ def doc_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ivfpq_topk", oracle=None, tags=("similarity", "ann", "no-oracle"))
+@register(
+    "sim_ivfpq_topk",
+    # oracle=None blocked by: k-means coarse cells AND PQ codebooks are iterative fixpoints
+    oracle=None,
+    tags=("similarity", "ann", "no-oracle"))
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (r5): the FAISS IVFPQ composition — coarse IVF cells
     prune the scan via parquet partition pruning, residual PQ codes shrink
@@ -978,7 +1057,11 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, queries, path, k=5, n_probe=6, refine=8)
 
 
-@register("sim_pq_topk", oracle=None, tags=("similarity", "ann", "no-oracle"))
+@register(
+    "sim_pq_topk",
+    # oracle=None blocked by: PQ codebooks are k-means subspace fixpoints — no SQL closed form
+    oracle=None,
+    tags=("similarity", "ann", "no-oracle"))
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou 2011): m-byte codes, broadcast
     query LUTs, per-partition local top-k (shuffle independent of corpus
@@ -1062,7 +1145,11 @@ def doc_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_pack_budget", oracle=None, tags=("sampling", "no-oracle"))
+@register(
+    "doc_pack_budget",
+    # oracle=None blocked by: first-fit-decreasing packing is an inherently SEQUENTIAL per-shard scan (bin state mutates row to row)
+    oracle=None,
+    tags=("sampling", "no-oracle"))
 def doc_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing token packing at a 256-token budget over sharded
     documents (pack invariants property-tested in tests/test_sampling.py)."""
@@ -1074,7 +1161,65 @@ def doc_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipeline_curate", oracle=None, tags=("pipeline", "composite", "no-oracle"))
+@register(
+    "pipeline_curate",
+    # r8 (r7 verdict #3): rows-only -> deferred oracle. Every stage of the
+    # v1 audit is replayable: exact dedup via the _CANON md5 idiom,
+    # decontamination via string 4-grams (doc_decontaminate's fragment,
+    # eval set = doc_id < 20), quality via doc_quality's stopword-ratio
+    # fragment, and the deterministic per-lang sample COUNT is exactly
+    # sum(least(50, |stratum|)) — the md5-rank selection only affects
+    # WHICH rows survive, not how many, so the audit needs no hash idiom.
+    oracle=rf"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+        FROM documents
+    ), keepers AS (
+        SELECT min(doc_id) AS doc_id FROM fp GROUP BY f
+    ), tok AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ), ev_sh AS (
+        SELECT DISTINCT array_to_string(list_slice(w, i, i + 3), chr(30)) AS sh
+        FROM (SELECT w, unnest(range(1, len(w) - 4 + 2)) AS i
+              FROM tok WHERE doc_id < 20 AND len(w) >= 4)
+    ), bad AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, array_to_string(list_slice(w, i, i + 3), chr(30)) AS sh
+            FROM (SELECT doc_id, w, unnest(range(1, len(w) - 4 + 2)) AS i
+                  FROM tok WHERE len(w) >= 4))
+        WHERE sh IN (SELECT sh FROM ev_sh)
+    ), flags AS (
+        SELECT t.doc_id, t.lang,
+               (k.doc_id IS NOT NULL) AS s1,
+               (k.doc_id IS NOT NULL AND b.doc_id IS NULL) AS s2,
+               (k.doc_id IS NOT NULL AND b.doc_id IS NULL
+                AND ROUND(len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
+                          / len(w), 4) >= 0.05) AS s3
+        FROM tok t
+        LEFT JOIN keepers k ON t.doc_id = k.doc_id
+        LEFT JOIN bad b ON t.doc_id = b.doc_id
+    )
+    SELECT stage, n_docs FROM (
+        SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM flags
+        UNION ALL
+        SELECT '1_dedup', CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT '2_decontam', CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT '3_quality', CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT '4_sampled', CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM (
+            SELECT LEAST(50, COUNT(*)) AS c FROM flags WHERE s3 GROUP BY lang)
+    )
+    """,
+    tags=("pipeline", "composite"),
+    defer_oracle=True,
+)
 def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline — the engine's flagship composition:
 
@@ -1153,7 +1298,11 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.unionByName(tail)
 
 
-@register("doc_decontam_bloom", oracle=None, tags=("hygiene", "no-oracle"))
+@register(
+    "doc_decontam_bloom",
+    # oracle=None blocked by: the Bloom bit array is built from Spark hash functions; only the superset-of-exact property is portable
+    oracle=None,
+    tags=("hygiene", "no-oracle"))
 def doc_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (constant-size broadcast, MAP-ONLY
     corpus side — zero shuffle, zero join; superset-of-exact property
@@ -1203,7 +1352,10 @@ def emb_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "emb_cluster_sample", oracle=None, tags=("curation", "similarity", "no-oracle")
+    "emb_cluster_sample",
+    # oracle=None blocked by: k-means cells (iterative) gate the sample; the md5-rank draw itself IS portable but meaningless without them
+    oracle=None,
+    tags=("curation", "similarity", "no-oracle")
 )
 def emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced diversity sample: k-means the embedding space
@@ -1216,7 +1368,11 @@ def emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-@register("pipeline_curate_v2", oracle=None, tags=("pipeline", "no-oracle"))
+@register(
+    "pipeline_curate_v2",
+    # oracle=None blocked by: composes the MinHash-signature stage (xxhash64) — see dedup_minhash_lsh
+    oracle=None,
+    tags=("pipeline", "no-oracle"))
 def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 curation composite — the r4 operator set as one survival-flag
     plan (same one-pass audit shape as `pipeline_curate`):
@@ -1296,7 +1452,10 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "pipeline_curate_v3", oracle=None, tags=("curation", "composite", "no-oracle")
+    "pipeline_curate_v3",
+    # oracle=None blocked by: composes embedding + SemDeDup k-means stages — see emb_semdedup
+    oracle=None,
+    tags=("curation", "composite", "no-oracle")
 )
 def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 curation composite — the SEMANTIC layer end-to-end:
@@ -1384,7 +1543,11 @@ def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("dedup_components", oracle=None, tags=("dedup", "graph", "no-oracle"))
+@register(
+    "dedup_components",
+    # oracle=None blocked by: iterative min-label propagation to a fixpoint; cross-engine closure parity is asserted in tests/test_graph.py via DuckDB recursive CTE
+    oracle=None,
+    tags=("dedup", "graph", "no-oracle"))
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: MinHash/LSH pairs -> iterative min-label
     connected components (operators/graph.py) -> (doc_id, component_id).
@@ -1441,7 +1604,11 @@ def graph_components_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_pagerank", oracle=None, tags=("graph", "similarity", "no-oracle"))
+@register(
+    "graph_pagerank",
+    # oracle=None blocked by: fixed-iteration float recurrence; DuckDB recursive CTEs cannot carry the per-iteration dangling-mass redistribution
+    oracle=None,
+    tags=("graph", "similarity", "no-oracle"))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the exact embedding near-dup pair graph (r5): rank
     surfaces the hub documents of each similarity neighborhood — the
@@ -1460,7 +1627,44 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_decontaminate", oracle=None, tags=("decontam", "no-oracle"))
+@register(
+    "doc_decontaminate",
+    # r8 (r7 verdict #3): rows-only -> deferred oracle. The shingle math is
+    # engine-portable once replayed on STRING 4-grams: Spark hashes token
+    # n-tuples (xxhash64) purely as a set-identity compression, so DuckDB
+    # counting distinct string shingles yields identical n_shingles/n_hits
+    # (a 64-bit hash collision is the only divergence mode).
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ), train AS (
+        SELECT doc_id, w FROM tok WHERE source <> 'src0' AND len(w) >= 4
+    ), ev_sh AS (
+        SELECT DISTINCT array_to_string(list_slice(w, i, i + 3), chr(30)) AS sh
+        FROM (SELECT w, unnest(range(1, len(w) - 4 + 2)) AS i
+              FROM tok WHERE source = 'src0' AND len(w) >= 4)
+    ), tr_sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 3), chr(30)) AS sh
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 4 + 2)) AS i
+              FROM train)
+    ), stats AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM tr_sh GROUP BY doc_id
+    ), hits AS (
+        SELECT t.doc_id, COUNT(*) AS n_hits
+        FROM tr_sh t JOIN ev_sh USING (sh) GROUP BY t.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+    FROM stats s LEFT JOIN hits h USING (doc_id)
+    WHERE COALESCE(h.n_hits, 0) >= 8
+    ORDER BY s.doc_id
+    """,
+    tags=("decontam",),
+    defer_oracle=True,
+)
 def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination scores: 4-gram overlap of every non-src0
     document against the src0 slice standing in as the eval set. Returns
@@ -1477,7 +1681,60 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.filter(F.col("n_hits") >= 8).orderBy("doc_id")
 
 
-@register("doc_pii_audit", oracle=None, tags=("hygiene", "no-oracle"))
+@register(
+    "doc_pii_audit",
+    # r8 (r7 verdict #3): rows-only -> deferred oracle. Same regex
+    # spellings as doc_pii_redact's oracle (which proves them per-doc via
+    # masked-text md5 — the fixture corpus itself carries no PII, so the
+    # audit's aggregate evidence is the source row set plus exact zeros;
+    # synthetic-PII coverage of the patterns lives in tests/test_hygiene).
+    oracle=r"""
+    WITH masked AS (
+        SELECT source, text,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b(?:\d[ -]?){13,16}\b', '<CARD>', 'g'),
+                     '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                   '(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b',
+                   '<PHONE>', 'g'),
+                 '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS mtext
+        FROM documents
+    )
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+               AS pre_email,
+           CAST(SUM(len(regexp_extract_all(text,
+               '\b(?:\d[ -]?){13,16}\b'))) AS BIGINT) AS pre_credit_card,
+           CAST(SUM(len(regexp_extract_all(text,
+               '\b\d{3}-\d{2}-\d{4}\b'))) AS BIGINT) AS pre_ssn,
+           CAST(SUM(len(regexp_extract_all(text,
+               '(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b')))
+               AS BIGINT) AS pre_phone,
+           CAST(SUM(len(regexp_extract_all(text,
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b'))) AS BIGINT) AS pre_ipv4,
+           CAST(SUM(len(regexp_extract_all(mtext,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+               AS post_email,
+           CAST(SUM(len(regexp_extract_all(mtext,
+               '\b(?:\d[ -]?){13,16}\b'))) AS BIGINT) AS post_credit_card,
+           CAST(SUM(len(regexp_extract_all(mtext,
+               '\b\d{3}-\d{2}-\d{4}\b'))) AS BIGINT) AS post_ssn,
+           CAST(SUM(len(regexp_extract_all(mtext,
+               '(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b')))
+               AS BIGINT) AS post_phone,
+           CAST(SUM(len(regexp_extract_all(mtext,
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b'))) AS BIGINT) AS post_ipv4
+    FROM masked GROUP BY source ORDER BY source
+    """,
+    tags=("hygiene",),
+    defer_oracle=True,
+)
 def doc_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub audit per source: pattern-class counts before masking and
     after (post_* must all be 0 — asserted in tests/test_hygiene.py). The
@@ -1498,7 +1755,11 @@ def doc_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre_agg.join(post_agg, "source").orderBy("source")
 
 
-@register("doc_shard_manifest", oracle=None, tags=("sink", "no-oracle"))
+@register(
+    "doc_shard_manifest",
+    # oracle=None blocked by: shard assignment is pmod(xxhash64(doc_id, seed)) — Spark-specific hash
+    oracle=None,
+    tags=("sink", "no-oracle"))
 def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-writer audit: deterministic hash-shard assignment + per-shard
     doc/token balance (sinks.write_training_shards planning half). Pure row

@@ -392,7 +392,11 @@ def stream_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_value_quantiles", oracle=None, tags=("streaming", "sketch", "no-oracle"))
+@register(
+    "stream_value_quantiles",
+    # oracle=None blocked by: stateful Structured Streaming drain through a KLL sketch store — not a batch SQL statement
+    oracle=None,
+    tags=("streaming", "sketch", "no-oracle"))
 def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming percentile monitoring with CONSTANT state (r6): the event
     stream drains through foreachBatch into `sketches.incremental_quantiles`
@@ -435,6 +439,9 @@ def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_lm_ppl_monitor",
+    # oracle=None blocked by: stateful streaming drain + KLL quantile store
+    # — not a batch SQL statement; batch-vs-stream equivalence is asserted
+    # in tests/test_streaming.py
     oracle=None,
     tags=("streaming", "curation", "sketch", "no-oracle"),
 )

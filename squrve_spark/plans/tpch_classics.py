@@ -461,7 +461,23 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("q6_forecast_revenue", oracle=None, tags=("A3", "A7", "no-oracle"))
+@register(
+    "q6_forecast_revenue",
+    # r8 (r7 verdict #3): oracle moved from tests/test_tpch_extra.py
+    # into the registry as a deferred oracle — exact parity now runs
+    # through the same tests/test_oracle_parity.py harness as every
+    # other deferred entry (driver cap full; rows-only before this)
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    tags=("A3", "A7"),
+    defer_oracle=True,
+)
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: single-scan filter + one-row aggregate.
 
@@ -484,7 +500,39 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q8_market_share", oracle=None, tags=("A5", "A20", "A21", "no-oracle"))
+@register(
+    "q8_market_share",
+    # r8 (r7 verdict #3): oracle moved from tests/test_tpch_extra.py
+    # into the registry as a deferred oracle — exact parity now runs
+    # through the same tests/test_oracle_parity.py harness as every
+    # other deferred entry (driver cap full; rows-only before this)
+    oracle="""
+    WITH vol AS (
+      SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND CAST(o_orderdate AS DATE)
+            BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
+    SELECT o_year,
+           CAST(ROUND(
+             CAST(SUM(CASE WHEN supp_nation='NATION_3' THEN volume ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+    tags=("A5", "A20", "A21"),
+    defer_oracle=True,
+)
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: national market share — the two-role nation join.
 
@@ -535,7 +583,23 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q13_order_distribution", oracle=None, tags=("A6", "A7", "A8", "no-oracle"))
+@register(
+    "q13_order_distribution",
+    # r8 (r7 verdict #3): oracle moved from tests/test_tpch_extra.py
+    # into the registry as a deferred oracle — exact parity now runs
+    # through the same tests/test_oracle_parity.py harness as every
+    # other deferred entry (driver cap full; rows-only before this)
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("A6", "A7", "A8"),
+    defer_oracle=True,
+)
 def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: customer order-count distribution via outer join.
 
@@ -563,7 +627,29 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q15_top_supplier", oracle=None, tags=("A11", "A12", "no-oracle"))
+@register(
+    "q15_top_supplier",
+    # r8 (r7 verdict #3): oracle moved from tests/test_tpch_extra.py
+    # into the registry as a deferred oracle — exact parity now runs
+    # through the same tests/test_oracle_parity.py harness as every
+    # other deferred entry (driver cap full; rows-only before this)
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("A11", "A12"),
+    defer_oracle=True,
+)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: top supplier by quarterly revenue (CTE + scalar max).
 
@@ -594,7 +680,24 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q17_small_qty_revenue", oracle=None, tags=("A11", "no-oracle"))
+@register(
+    "q17_small_qty_revenue",
+    # r8 (r7 verdict #3): oracle moved from tests/test_tpch_extra.py
+    # into the registry as a deferred oracle — exact parity now runs
+    # through the same tests/test_oracle_parity.py harness as every
+    # other deferred entry (driver cap full; rows-only before this)
+    oracle="""
+    SELECT CAST(ROUND(
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
+             2) AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4' AND p_size <= 10
+      AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    tags=("A11"),
+    defer_oracle=True,
+)
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: small-quantity-order revenue (correlated AVG subquery).
 
@@ -626,7 +729,35 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q21_waiting_supplier", oracle=None, tags=("A5", "A11", "no-oracle"))
+@register(
+    "q21_waiting_supplier",
+    # r8 (r7 verdict #3): oracle moved from tests/test_tpch_extra.py
+    # into the registry as a deferred oracle — exact parity now runs
+    # through the same tests/test_oracle_parity.py harness as every
+    # other deferred entry (driver cap full; rows-only before this)
+    oracle="""
+    WITH per_os AS (
+      SELECT l_orderkey, l_suppkey, MAX(CAST(l_shipdate AS DATE)) AS supp_last_ship
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey),
+    ranked AS (
+      SELECT l_orderkey, l_suppkey, supp_last_ship,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                 ORDER BY supp_last_ship DESC, l_suppkey) AS rk,
+             MAX(supp_last_ship) OVER (PARTITION BY l_orderkey
+                 ORDER BY supp_last_ship DESC, l_suppkey
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_best
+      FROM per_os)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM ranked JOIN supplier ON s_suppkey = l_suppkey
+    WHERE n_supp > 1 AND rk = 1 AND supp_last_ship > next_best
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+    tags=("A5", "A11"),
+    defer_oracle=True,
+)
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (shipdate-adapted): suppliers who held up multi-supplier
     orders — their line shipped strictly later than every other supplier's.
@@ -679,7 +810,26 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q4_order_priority", oracle=None, tags=("A11", "A7", "no-oracle"))
+@register(
+    "q4_order_priority",
+    # r8 (r7 verdict #3): oracle moved from tests/test_tpch_extra.py
+    # into the registry as a deferred oracle — exact parity now runs
+    # through the same tests/test_oracle_parity.py harness as every
+    # other deferred entry (driver cap full; rows-only before this)
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND CAST(l_shipdate AS DATE)
+                        > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("A11", "A7"),
+    defer_oracle=True,
+)
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 (shipdate-adapted): priority distribution of orders with a
     late line. TESTDATA has no commit/receipt dates, so "late" is a line
@@ -708,7 +858,28 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q12_ship_class", oracle=None, tags=("A20", "A21", "no-oracle"))
+@register(
+    "q12_ship_class",
+    # r8 (r7 verdict #3): oracle moved from tests/test_tpch_extra.py
+    # into the registry as a deferred oracle — exact parity now runs
+    # through the same tests/test_oracle_parity.py harness as every
+    # other deferred entry (driver cap full; rows-only before this)
+    oracle="""
+    SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) <= 30
+                THEN 'FAST' ELSE 'SLOW' END AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+    GROUP BY 1 ORDER BY ship_class
+    """,
+    tags=("A20", "A21"),
+    defer_oracle=True,
+)
 def q12_ship_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 (shipmode-adapted): line counts by priority class per ship
     class. TESTDATA has no l_shipmode, so lines classify by ship delay
