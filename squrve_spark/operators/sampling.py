@@ -283,6 +283,7 @@ def cap_per_group(
     cap: int,
     group_col: str = "source",
     id_col: str = "doc_id",
+    prefilter_factor: Optional[int] = None,
 ) -> DataFrame:
     """Deterministic per-group document cap (the C4 / RefinedWeb
     per-domain cap): keep at most ``cap`` rows per ``group_col``, chosen
@@ -293,12 +294,17 @@ def cap_per_group(
     per-partition sort — the minimum for any exact per-group quota
     (`deterministic_sample` with the rank kept; ONE implementation of
     the oracle-critical md5-rank idiom, so the tie-break and cast can
-    never drift between the two). For a pathologically hot group (one
-    domain = half the corpus), `deterministic_sample`'s
-    ``prefilter_factor`` is the documented pre-cut.
+    never drift between the two). ``prefilter_factor`` (r8, r7 verdict
+    #6) is the hot-group pre-cut, threaded straight through to
+    `deterministic_sample`: one domain = half the corpus is EXACTLY the
+    C4 per-domain-cap scenario, and with a factor set the hot group's
+    sort input shrinks from its full row count to ~``factor * cap``
+    hash-selected candidates before the rank (factor >= 4 makes an
+    undershoot probabilistically negligible; see deterministic_sample).
     """
     return deterministic_sample(
-        df, cap, [group_col], id_col=id_col, rank_col="rank_in_group"
+        df, cap, [group_col], id_col=id_col,
+        prefilter_factor=prefilter_factor, rank_col="rank_in_group",
     )
 
 

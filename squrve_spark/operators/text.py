@@ -681,6 +681,41 @@ def strip_markup(
     return df.withColumn(out_col or text_col, strip_markup_expr(F.col(text_col)))
 
 
+def attach_html_payload(
+    df: DataFrame, text_col: str = "text", out_col: str = "html"
+) -> DataFrame:
+    """Deterministic crawl-page synthesizer (r8): wrap each document's text
+    in a REAL HTML page so the markup-ingestion path is exercised
+    end-to-end — the same fixture-side attach pattern as
+    `multimodal.attach_image_payload` / `attach_audio_payload`.
+
+    The page carries everything `strip_markup_expr` claims to handle:
+    script AND style bodies that must vanish wholesale, an HTML comment,
+    block structure alternating by doc_id parity (list vs table — a
+    cross-format check), and an entity footer including the
+    ``&amp;lt;`` double-decode trap (must come out as the literal
+    ``&lt;``, never a phantom ``<``).
+
+    Pure engine-portable string concatenation (JVM codegen, map-only), so
+    a DuckDB oracle rebuilds the byte-identical page with ``||``."""
+    did = F.col("doc_id").cast("string")
+    even = F.lit("<ul><li>alpha</li><li>beta</li></ul>")
+    odd = F.lit("<table><tr><td>gamma</td></tr></table>")
+    page = F.concat(
+        F.lit('<!DOCTYPE html><html><head><title>Doc '), did,
+        F.lit('</title><script type="text/javascript">var x = 1 < 2 && y > 0;'
+              '</script><style>.main { color: #333; }</style></head>'
+              '<body><!-- breadcrumb nav --><h1>Doc '), did,
+        F.lit('</h1><div class="content"><p>'), F.col(text_col),
+        F.lit("</p>"),
+        F.when(F.col("doc_id") % 2 == 0, even).otherwise(odd),
+        F.lit('</div><div id="footer">Tom &amp; Jerry &lt;tag&gt; '
+              "&quot;q&quot; &#39;s&#39;&nbsp;end &amp;lt;literal</div>"
+              "</body></html>"),
+    )
+    return df.withColumn(out_col, page)
+
+
 def segment_dedup(
     df: DataFrame,
     text_col: str = "text",

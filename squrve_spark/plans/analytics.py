@@ -1010,3 +1010,65 @@ def event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return key_skew_profile(events, "user_id", top=10).orderBy("rank")
+
+
+@register(
+    "event_skew_join",
+    # r8 (r7 verdict #5): key_skew_profile's ACTING lever, driven through
+    # the registry with a cross-engine oracle. The derived key sends half
+    # the fact rows to k=0, so `skew_aware_join` decides to SALT (asserted
+    # in tests/test_plan_shapes.py); the salt is internal — the oracle is
+    # the PLAIN equi-join, proving salted == unsalted numerically. Money
+    # sums in DECIMAL(18,2) (exact), cast DOUBLE on output.
+    oracle="""
+    WITH ev AS (
+        SELECT CASE WHEN user_id % 4 < 2 THEN 0 ELSE user_id % 100 END AS k,
+               value
+        FROM events
+    ), dim AS (
+        SELECT range AS k, range * 2 + 1 AS mult FROM range(100)
+    )
+    SELECT ev.k,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * mult) AS DOUBLE)
+               AS weighted_value
+    FROM ev JOIN dim ON ev.k = dim.k
+    GROUP BY ev.k ORDER BY ev.k
+    """,
+    tags=("events", "scale"),
+    defer_oracle=True,
+)
+def event_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware fact-to-dim join over events with a DELIBERATELY skewed
+    derived key (user_id folded so key 0 carries ~half the fact side —
+    the power-law key a plain shuffle would send to one task).
+    `scale.skew_aware_join` profiles the key (one keyed count aggregate),
+    crosses the documented thresholds (hot key >= 4x mean AND >= 1% of
+    rows), and routes through `salted_join`: fact rows spread over 8
+    salts, the 100-row dim replicates per salt, the hot key fans across 8
+    reducers. The aggregate result is row-identical to the plain join —
+    the DuckDB oracle runs the UNSALTED join, so the driver check proves
+    the rewrite is invisible to results."""
+    from squrve_spark.operators.scale import skew_aware_join
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        F.when(F.col("user_id") % 4 < 2, F.lit(0))
+        .otherwise(F.col("user_id") % 100)
+        .alias("k"),
+        "value",
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("mult")
+    )
+    joined = skew_aware_join(ev, dim, ["k"])
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)") * F.col("mult"))
+            .cast("double")
+            .alias("weighted_value"),
+        )
+        .orderBy("k")
+    )

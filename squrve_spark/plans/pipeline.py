@@ -1756,6 +1756,81 @@ def doc_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_strip_markup",
+    # r8 (r7 verdict #4): the crawl-ingestion operator finally exercised
+    # end-to-end — attach_html_payload builds a deterministic page around
+    # each document (engine-portable || concat), the oracle rebuilds it and
+    # replays the strip chain. Spark's script/style rule uses a (?is)
+    # backreference (</\1>); RE2 has no backreferences, so the oracle
+    # applies the two tags as separate equivalent patterns (the synthesized
+    # pages never cross-nest them). md5 equality is per-page bit parity.
+    oracle=r"""
+    WITH page AS (
+        SELECT doc_id,
+               '<!DOCTYPE html><html><head><title>Doc '
+               || CAST(doc_id AS VARCHAR) ||
+               '</title><script type="text/javascript">var x = 1 < 2 && y > 0;</script><style>.main { color: #333; }</style></head><body><!-- breadcrumb nav --><h1>Doc '
+               || CAST(doc_id AS VARCHAR) || '</h1><div class="content"><p>'
+               || text || '</p>'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '<ul><li>alpha</li><li>beta</li></ul>'
+                       ELSE '<table><tr><td>gamma</td></tr></table>' END ||
+               '</div><div id="footer">Tom &amp; Jerry &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end &amp;lt;literal</div></body></html>'
+               AS html
+        FROM documents
+    ), s AS (
+        SELECT doc_id, html,
+regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    html,
+    '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+    '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+    '(?s)<!--.*?-->', ' ', 'g'),
+    '(?i)<br\s*/?>|</(p|div|li|h[1-6]|ul|ol|tr|table)\s*>', chr(10), 'g'),
+    '</?[A-Za-z][^>]*>', ' ', 'g'),
+    '&nbsp;', ' ', 'g'),
+    '&lt;', '<', 'g'),
+    '&gt;', '>', 'g'),
+    '&quot;', '"', 'g'),
+    '&#39;|&apos;', '''', 'g'),
+    '&amp;', '&', 'g'),
+    '[ \t]+', ' ', 'g'),
+    ' ?\n ?', chr(10), 'g'),
+    '\n{2,}', chr(10), 'g'),
+    '^\s+|\s+$', '', 'g') AS stripped
+        FROM page
+    )
+    SELECT doc_id,
+           CAST(length(html) AS INTEGER) AS n_html_chars,
+           CAST(length(stripped) AS INTEGER) AS n_text_chars,
+           md5(stripped) AS stripped_md5
+    FROM s ORDER BY doc_id
+    """,
+    tags=("text", "crawl"),
+    defer_oracle=True,
+)
+def doc_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl ingestion HTML -> trainable text, oracle-checked end-to-end:
+    `text.attach_html_payload` wraps every document in a real page
+    (script/style bodies, comments, parity-alternating list/table blocks,
+    entity footer with the &amp;lt; double-decode trap), then
+    `text.strip_markup` reduces it back to prose with the ordered
+    regexp_replace chain — ONE whole-stage-codegen projection, map-only,
+    zero shuffle, zero Python (the mask_pii plan shape). Output: per-doc
+    raw/stripped char counts + md5 of the stripped text (bit parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pages = text.attach_html_payload(docs)
+    out = text.strip_markup(pages, text_col="html", out_col="stripped")
+    return out.select(
+        "doc_id",
+        F.length("html").cast("int").alias("n_html_chars"),
+        F.length("stripped").cast("int").alias("n_text_chars"),
+        F.md5("stripped").alias("stripped_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
     "doc_shard_manifest",
     # oracle=None blocked by: shard assignment is pmod(xxhash64(doc_id, seed)) — Spark-specific hash
     oracle=None,

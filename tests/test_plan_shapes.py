@@ -381,3 +381,24 @@ def test_curate_v4_scans_text_once(spark):
     assert "text" not in read_lines[0]
     assert "source" in read_lines[0]
     assert "EvalPython" not in plan
+
+
+def test_strip_markup_map_only_no_python(spark):
+    """doc_strip_markup (r8): page synthesis + the 16-step strip chain must
+    be ONE codegen projection over the scan — no shuffle beyond spread/sort,
+    no Python eval, no join."""
+    plan = plan_of(spark, "doc_strip_markup")
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_event_skew_join_salted_path_fires(spark):
+    """event_skew_join (r8): the skewed fixture must actually take the
+    salted route — the plan carries the salt-explode of the dim side and
+    joins on (k, __salt); no cartesian, no BNL."""
+    plan = plan_of(spark, "event_skew_join")
+    assert "__salt" in plan
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -389,3 +389,42 @@ def test_length_bucket_stats_math(spark):
     b2 = out[2]
     assert (b2["n_docs"], b2["cap_tokens"]) == (1, 8)
     assert b2["pad_waste_pct"] == round(100.0 * 3 / 8, 4)
+
+
+def test_cap_per_group_prefilter_bounds_hot_group_sort_input(spark):
+    """r8 (r7 verdict #6): prefilter_factor threaded through cap_per_group.
+    One source = half the corpus (the C4 per-domain-cap scenario): with a
+    factor set, (a) the selection is IDENTICAL to the exact path, and
+    (b) the hot group's rank/sort input shrinks to ~factor*cap hash-picked
+    candidates instead of its full row count."""
+    from pyspark.sql import functions as F
+
+    from squrve_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "hot" if i < 5000 else f"s{i % 20}") for i in range(10000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    cap, factor = 8, 6
+    exact = {
+        (r["doc_id"], r["rank_in_group"])
+        for r in cap_per_group(df, cap=cap).collect()
+    }
+    pre = {
+        (r["doc_id"], r["rank_in_group"])
+        for r in cap_per_group(df, cap=cap, prefilter_factor=factor).collect()
+    }
+    assert pre == exact
+
+    # replicate the documented pre-cut to measure what reaches the sort:
+    # bucket(md5-prefix) < factor*cap/|group| * 65536
+    hot_n = 5000
+    thresh = (factor * cap / hot_n) * 65536
+    survivors = df.filter(
+        (F.col("source") == "hot")
+        & (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            < thresh
+        )
+    ).count()
+    assert cap <= survivors <= 4 * factor * cap  # bounded, nowhere near 5000

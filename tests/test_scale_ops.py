@@ -237,3 +237,54 @@ def test_global_offset_matches_single_task_window(spark):
             for r in with_global_offset(df, ["k"], "v", n_parts=n_parts).collect()
         }
         assert got == expect, n_parts
+
+
+def test_skew_aware_join_salts_on_skew_plain_on_uniform(spark):
+    """skew_aware_join (r8, r7 verdict #5): the profile-and-decide lever.
+    On a skewed fixture (one key = half the big side) the salted path must
+    FIRE and still match the plain join row-for-row; on a uniform fixture
+    it must NOT fire and the plan is the untouched equi-join."""
+    from squrve_spark.operators.scale import skew_aware_join
+
+    # skewed: key 0 holds 5000 of 10000 rows over 101 keys
+    skewed = spark.createDataFrame(
+        [(0 if i < 5000 else (i % 100) + 1, float(i)) for i in range(10000)],
+        "k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"name_{i}") for i in range(101)], "k long, label string"
+    )
+    out, dec = skew_aware_join(skewed, dim, ["k"], return_decision=True)
+    assert dec["salted"] and dec["n_salts"] > 0
+    assert dec["max_share_pct"] > 40.0
+    plain = skewed.join(dim, ["k"])
+    agg = lambda d: d.groupBy("k").agg(  # noqa: E731
+        F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("s")
+    ).collect()
+    assert sorted(map(tuple, agg(out))) == sorted(map(tuple, agg(plain)))
+    # the salted plan really is the salted shape
+    assert "__salt" in out._jdf.queryExecution().analyzed().toString()
+
+    # uniform: every key appears ~100x; ratio ~1 -> no salt
+    uniform = spark.createDataFrame(
+        [(i % 100, float(i)) for i in range(10000)], "k long, v double"
+    )
+    out_u, dec_u = skew_aware_join(uniform, dim, ["k"], return_decision=True)
+    assert not dec_u["salted"] and dec_u["n_salts"] == 0
+    assert "__salt" not in out_u._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, agg(out_u))) == sorted(
+        map(tuple, agg(uniform.join(dim, ["k"])))
+    )
+
+    # left joins ride the same contract (salted_join's supported set)
+    out_l = skew_aware_join(skewed, dim.filter("k < 50"), ["k"], how="left")
+    plain_l = skewed.join(dim.filter("k < 50"), ["k"], "left")
+    assert out_l.count() == plain_l.count() == skewed.count()
+
+    # null keys are profiled out, never joined twice
+    with_nulls = skewed.withColumn(
+        "k", F.when(F.col("v") < 3.0, None).otherwise(F.col("k"))
+    )
+    out_n, dec_n = skew_aware_join(with_nulls, dim, ["k"], return_decision=True)
+    assert dec_n["salted"]
+    assert out_n.count() == with_nulls.join(dim, ["k"]).count()
