@@ -29,6 +29,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from squrve_spark.plans import REGISTRY  # noqa: E402
@@ -37,6 +39,24 @@ from squrve_spark.session import get_spark  # noqa: E402
 
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def canary() -> float:
+    """Host-load reference kernel (r8, r7 verdict #8): a FIXED,
+    deterministic, single-thread numpy sort+hash loop (~a few hundred ms
+    idle) timed around every pass. The workload never changes, so its
+    timing is a pure function of host contention: cross-session bench
+    ratios divide out as (canary_now / canary_then) instead of being
+    narrated — the r7 driver-vs-idle gap showed a uniform ~1.2x whole-host
+    drift exactly this kernel would have quantified. Single-threaded on
+    purpose: per-core slowdown is what inflates the 32-thread query
+    timings."""
+    a = (np.arange(2_000_000, dtype=np.int64) * 2654435761) & 0x7FFFFFFF
+    t0 = time.monotonic()
+    for _ in range(3):
+        a = (a * 1103515245 + 12345) & 0x7FFFFFFF
+        np.sort(a)
+    return round(time.monotonic() - t0, 4)
 
 
 def run_pass(spark, sf_dir: str, errors: dict[str, str]) -> dict[str, float]:
@@ -62,8 +82,14 @@ def main() -> None:
 
     cold_errors: dict[str, str] = {}
     steady_errors: dict[str, str] = {}
+    canary()  # untimed warm-up: first call pays numpy alloc/fault paths (~4x)
+    canaries = [canary()]
     cold = run_pass(spark, sf_dir, cold_errors)
-    samples = [run_pass(spark, sf_dir, steady_errors) for _ in range(3)]
+    canaries.append(canary())
+    samples = []
+    for _ in range(3):
+        samples.append(run_pass(spark, sf_dir, steady_errors))
+        canaries.append(canary())
 
     def _median(xs: list[float]) -> float:
         xs = sorted(xs)
@@ -141,6 +167,10 @@ def main() -> None:
         "retimed": retimed,
         # name -> [previous_steady, current_steady] for >1.5x regressions
         "regressions_vs_prev": regressions,
+        # host-load canary: the fixed reference kernel timed before the cold
+        # pass and after every pass (5 samples). Divide two runs' medians to
+        # normalize cross-session totals for whole-host contention.
+        "canary_sec_samples": canaries,
     }
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -159,6 +189,9 @@ def main() -> None:
         "mad_total_sec": round(sum(steady_mad.values()), 3),
         "n_retimed": len(retimed),
         "n_regressions_vs_prev": len(regressions),
+        "canary_sec": _median(canaries),
+        "canary_spread": (round(max(canaries) / min(canaries), 3)
+                          if min(canaries) > 0 else None),
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(out))

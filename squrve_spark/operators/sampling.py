@@ -353,3 +353,76 @@ def length_bucket_stats(
             ).cast("double").alias("pad_waste_pct"),
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    budget: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    temperature: float = 0.5,
+    weight_scale: int = 10**6,
+) -> DataFrame:
+    """Temperature-rebalanced mixture sampling (r8) — the multilingual /
+    multi-domain training-mix recipe (mBERT / XLM-R exponential
+    smoothing): stratum weights ``n^temperature`` flatten head strata and
+    boost tail strata, a total ``budget`` of rows is apportioned to
+    strata by the largest-remainder method, and each stratum's quota is
+    drawn by the engine-portable md5-of-id rank.
+
+    Cross-engine exactness: the apportionment runs in INTEGER arithmetic
+    — weights are ``floor(n^t * weight_scale)`` longs, base quotas are
+    ``(budget*w) // total`` with largest ``(budget*w) % total`` remainders
+    (ties: stratum asc) taking the leftovers — so no float-summation
+    order can flip a quota between engines.
+
+    Scale shape: one bounded groupBy-count (#strata rows to the driver),
+    quota table broadcast back, ONE md5-rank window per stratum (the
+    cap_per_group exchange). Output: (stratum, id, rank_in_stratum,
+    quota).
+    """
+    import math
+
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        raise ValueError("mixture_sample needs a non-empty input")
+    wt = {
+        s: int(math.floor(math.pow(float(n), temperature) * weight_scale))
+        for s, n in counts.items()
+    }
+    total_wt = sum(wt.values())
+    base = {s: (budget * w) // total_wt for s, w in wt.items()}
+    rem = {s: (budget * w) % total_wt for s, w in wt.items()}
+    leftover = budget - sum(base.values())
+    for s in sorted(rem, key=lambda s: (-rem[s], s))[:leftover]:
+        base[s] += 1
+    quota_rows = [(s, base[s]) for s in sorted(base)]
+    spark = df.sparkSession
+    from pyspark.sql import types as T
+
+    stratum_type = df.schema[stratum_col].dataType  # not always string
+    quotas = spark.createDataFrame(
+        quota_rows,
+        T.StructType([
+            T.StructField(stratum_col, stratum_type),
+            T.StructField("quota", T.LongType()),
+        ]),
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.select(stratum_col, id_col)
+        .withColumn("rank_in_stratum", F.row_number().over(w))
+        .join(F.broadcast(quotas), stratum_col)
+        .filter(F.col("rank_in_stratum") <= F.col("quota"))
+        .select(
+            stratum_col,
+            id_col,
+            F.col("rank_in_stratum").cast("int").alias("rank_in_stratum"),
+            F.col("quota").cast("long").alias("quota"),
+        )
+    )

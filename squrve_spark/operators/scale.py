@@ -371,8 +371,11 @@ def skew_aware_join(
     the profile (a null-heavy side wants a null-split, not a salt —
     see `key_skew_profile`).
     """
+    on = [on] if isinstance(on, str) else list(on)
+    if not on:
+        raise ValueError("skew_aware_join needs at least one join column")
     key_counts = (
-        big.where(F.lit(True) & F.expr(" AND ".join(f"{c} IS NOT NULL" for c in on)))
+        big.where(F.expr(" AND ".join(f"{c} IS NOT NULL" for c in on)))
         .groupBy(*on)
         .agg(F.count(F.lit(1)).alias("n"))
     )

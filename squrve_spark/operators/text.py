@@ -716,6 +716,73 @@ def attach_html_payload(
     return df.withColumn(out_col, page)
 
 
+def blocklist_signals(
+    df: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    threshold: float = 0.08,
+) -> DataFrame:
+    """C4-style bad-words filtering signals (r8): per document, the count
+    and ratio of tokens on a blocklist, plus the drop verdict at
+    ``ratio > threshold`` (C4 drops on ANY hit; RefinedWeb-style ratio
+    thresholds keep documents that merely quote a term — both readable
+    from the output: ``n_flagged > 0`` vs ``dropped``).
+
+    The list rides as an array LITERAL into one whole-stage-codegen
+    filter+size projection — MAP-ONLY, zero shuffle, zero Python, the
+    mask_pii plan shape. Ratio rounded to 4dp for cross-engine parity.
+
+    Output: (doc_id, n_tokens, n_flagged, flag_ratio, dropped).
+    """
+    from squrve_spark.catalog import spread
+
+    staged = spread(df).withColumn("_toks", tokens_expr(text_col))
+    toks = F.col("_toks")
+    lit_list = F.array(*[F.lit(w) for w in blocklist])
+    n_flagged = F.size(F.filter(toks, lambda t: F.array_contains(lit_list, t)))
+    ratio = F.round(n_flagged / F.size(toks), 4)
+    return staged.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        n_flagged.cast("int").alias("n_flagged"),
+        ratio.cast("double").alias("flag_ratio"),
+        (ratio > threshold).alias("dropped"),
+    )
+
+
+def within_doc_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """WITHIN-document duplicate-token removal, keeping each token's FIRST
+    occurrence in order (r8) — the intra-document complement of the
+    corpus-level `segment_dedup`: repeated boilerplate INSIDE one page
+    (nav text glued twice by a bad extractor, chorus lines, copy-paste
+    stutter) deflates quality signals and wastes training tokens even when
+    no other document shares it.
+
+    Pure higher-order-function codegen — ``filter(toks, (t, i) ->
+    array_position(toks, t) == i+1)`` — MAP-ONLY, zero shuffle, zero
+    Python. Quadratic in DOCUMENT length (array_position scans per
+    element), which is the right trade at corpus scale: docs are bounded,
+    corpora are not, and no shuffle beats an O(n) per-doc kernel that
+    costs an Arrow round-trip. DuckDB twin: ``list_filter(w, (x, i) ->
+    list_position(w, x) = i)`` (1-based on both sides of that form).
+
+    Output: (doc_id, n_tokens, n_unique, cleaned).
+    """
+    from squrve_spark.catalog import spread
+
+    staged = spread(df).withColumn("_toks", tokens_expr(text_col))
+    toks = F.col("_toks")
+    first = F.filter(
+        toks, lambda t, i: F.array_position(toks, t) == (i + F.lit(1)).cast("long")
+    )
+    return staged.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(first).cast("int").alias("n_unique"),
+        F.array_join(first, " ").alias("cleaned"),
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -1831,6 +1831,222 @@ def doc_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_mixture_sample",
+    # r8: temperature-rebalanced training mix. The apportionment is
+    # INTEGER-exact on both engines (floor(sqrt(n)*1e6) weights, //-and-%
+    # largest remainder), so no float-sum ordering can flip a quota; the
+    # draw is the md5-rank idiom.
+    oracle="""
+    WITH counts AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), w AS (
+        SELECT lang, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wt
+        FROM counts
+    ), t AS (
+        SELECT sum(wt) AS total FROM w
+    ), base AS (
+        SELECT lang, wt, (200 * wt) // (SELECT total FROM t) AS b,
+               (200 * wt) % (SELECT total FROM t) AS rem
+        FROM w
+    ), quota AS (
+        SELECT lang,
+               b + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang) <=
+                             (200 - (SELECT sum(b) FROM base))
+                        THEN 1 ELSE 0 END AS q
+        FROM base
+    ), ranked AS (
+        SELECT d.doc_id, d.lang,
+               ROW_NUMBER() OVER (PARTITION BY d.lang
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+        FROM documents d
+    )
+    SELECT r.lang, r.doc_id, CAST(r.rk AS INTEGER) AS rank_in_stratum,
+           CAST(q.q AS BIGINT) AS quota
+    FROM ranked r JOIN quota q ON r.lang = q.lang
+    WHERE r.rk <= q.q
+    ORDER BY r.lang, r.rk
+    """,
+    tags=("sampling", "curation"),
+    defer_oracle=True,
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced mixture sample (r8): the multilingual /
+    multi-domain training-mix recipe (mBERT/XLM-R exponential smoothing,
+    temperature 0.5) — stratum weights n^0.5 flatten the head language
+    and boost the tail, a 200-doc budget apportions by the
+    largest-remainder method in exact integer arithmetic, each language's
+    quota drawn by md5-of-id rank (`sampling.mixture_sample`). One
+    bounded count aggregate + one broadcast + one per-stratum rank
+    window."""
+    from squrve_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, budget=200, stratum_col="lang").orderBy(
+        "lang", "rank_in_stratum"
+    )
+
+
+@register(
+    "doc_token_dedup",
+    # r8: within-document duplicate-token removal (first occurrence kept).
+    # Both engines run the same first-position filter; 1-based
+    # list_position(w,x)=i in DuckDB == 0-based array_position==i+1 in
+    # Spark. md5 of the reassembled text is per-doc bit parity.
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(w, (x, i) -> list_position(w, x) = i))
+               AS INTEGER) AS n_unique,
+           md5(array_to_string(
+               list_filter(w, (x, i) -> list_position(w, x) = i), ' '))
+               AS cleaned_md5
+    FROM tok ORDER BY doc_id
+    """,
+    tags=("text", "dedup"),
+    defer_oracle=True,
+)
+def doc_token_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal (r8): drop repeated tokens within
+    each document keeping first occurrences in order
+    (`text.within_doc_dedup`) — the within-page complement of the
+    corpus-level `doc_segment_dedup` (extractor stutter, chorus lines).
+    Map-only higher-order-function codegen: zero shuffle, zero Python;
+    quadratic per DOCUMENT, linear in the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.within_doc_dedup(docs)
+    return out.select(
+        "doc_id", "n_tokens", "n_unique",
+        F.md5("cleaned").alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_blocklist_audit",
+    # r8: the C4 bad-words gate as a per-source audit. Both drop rules are
+    # visible (any-hit vs ratio>0.08 on the 4dp-rounded ratio) so the
+    # driver check proves the rounding and both gates cross-engine.
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ), s AS (
+        SELECT doc_id, source, len(w) AS n_tokens,
+               len(list_filter(w, x -> list_contains(
+                   ['error', 'slow', 'null'], x))) AS n_flagged
+        FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_flagged > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_any_hit,
+           CAST(SUM(CASE WHEN ROUND(n_flagged / n_tokens, 4) > 0.08
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(ROUND(SUM(n_flagged) / SUM(n_tokens), 6) AS DOUBLE)
+               AS corpus_flag_ratio
+    FROM s GROUP BY source ORDER BY source
+    """,
+    tags=("text", "hygiene", "curation"),
+    defer_oracle=True,
+)
+def doc_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 bad-words filter audit (r8): per-source document counts against a
+    blocklist — any-hit count (C4's drop rule), ratio-threshold drop count
+    (RefinedWeb's gentler rule, `text.blocklist_signals` threshold 0.08),
+    and the corpus-level flagged-token ratio. The per-doc signals are one
+    map-only codegen projection; the audit is one bounded groupBy on
+    source. (The fixture 'blocklist' is three engine-domain words — the
+    operator takes any list.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = text.blocklist_signals(
+        docs, ["error", "slow", "null"], threshold=0.08
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_flagged") > 0).cast("bigint")).alias("n_any_hit"),
+            F.sum(F.col("dropped").cast("bigint")).alias("n_dropped"),
+            F.round(F.sum("n_flagged") / F.sum("n_tokens"), 6)
+            .cast("double")
+            .alias("corpus_flag_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "doc_quality_deciles",
+    # r8: EXACT decile binning without the single-task global window —
+    # Spark derives the 0-based global rank from the two-phase distributed
+    # cumsum (scale.with_global_offset), DuckDB from ROW_NUMBER()-1; the
+    # bin is integer floor(rank*10/n) on both, so parity is exact and the
+    # Spark plan's critical path stays one range-partition's sort.
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               ROUND(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                     / len(toks), 4) AS sr
+        FROM t
+    ), b AS (
+        SELECT doc_id, n_tokens, sr,
+               ((ROW_NUMBER() OVER (ORDER BY sr, doc_id) - 1) * 10)
+                   // (SELECT count(*) FROM s) AS bin
+        FROM s
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(sr) AS DOUBLE) AS sr_lo,
+           CAST(max(sr) AS DOUBLE) AS sr_hi,
+           CAST(ROUND(avg(n_tokens), 4) AS DOUBLE) AS avg_tokens
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+    tags=("text", "curation"),
+    defer_oracle=True,
+)
+def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum binning (r8): exact stopword-ratio deciles with
+    per-bin population stats — the bucketing step before
+    quality-curriculum data ordering or per-bin subsampling. The global
+    rank comes from `scale.with_global_offset`'s two-phase distributed
+    cumsum (range exchange + per-partition windows + a #partitions-long
+    broadcast prefix), NEVER a bare global window that would funnel the
+    corpus through one task; bin = floor(rank * 10 / n) in long
+    arithmetic."""
+    from squrve_spark.operators.scale import with_global_offset
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = text.quality_score(docs).select(
+        "doc_id", "n_tokens", F.col("stopword_ratio").alias("sr")
+    ).withColumn("_one", F.lit(1))
+    n = s.count()
+    ranked = with_global_offset(s, ["sr", "doc_id"], "_one", out_col="_rank0")
+    binned = ranked.withColumn(
+        "bin", F.expr(f"(_rank0 * 10L) div {n}")  # long //, no float boundary
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("sr").cast("double").alias("sr_lo"),
+            F.max("sr").cast("double").alias("sr_hi"),
+            F.round(F.avg("n_tokens"), 4).cast("double").alias("avg_tokens"),
+        )
+        .select(F.col("bin").cast("int").alias("bin"), "n_docs", "sr_lo",
+                "sr_hi", "avg_tokens")
+        .orderBy("bin")
+    )
+
+
+@register(
     "doc_shard_manifest",
     # oracle=None blocked by: shard assignment is pmod(xxhash64(doc_id, seed)) — Spark-specific hash
     oracle=None,

@@ -402,3 +402,20 @@ def test_event_skew_join_salted_path_fires(spark):
     assert "Generate explode" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_dedup_map_only_no_python(spark):
+    """doc_token_dedup (r8): the first-occurrence filter is pure
+    higher-order-function codegen — no Python, no join, no data shuffle."""
+    plan = plan_of(spark, "doc_token_dedup")
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_quality_deciles_no_single_task_window(spark):
+    """doc_quality_deciles (r8): the global decile rank must come from the
+    two-phase cumsum (range exchange + per-partition windows), never an
+    Exchange SinglePartition feeding a global window."""
+    plan = plan_of(spark, "doc_quality_deciles")
+    assert "Exchange SinglePartition" not in plan

@@ -428,3 +428,40 @@ def test_cap_per_group_prefilter_bounds_hot_group_sort_input(spark):
         )
     ).count()
     assert cap <= survivors <= 4 * factor * cap  # bounded, nowhere near 5000
+
+
+def test_mixture_sample_quota_arithmetic_and_determinism(spark):
+    """mixture_sample (r8): quotas sum to the budget, each stratum yields
+    min(quota, |stratum|), the draw is repartition-invariant, and the
+    temperature behaves (t=0 -> equal quotas, t=1 -> proportional)."""
+    from squrve_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "big" if i < 800 else ("mid" if i < 950 else "tiny"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    out = mixture_sample(df, budget=100, stratum_col="lang").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r)
+    quotas = {g: rs[0]["quota"] for g, rs in by.items()}
+    assert sum(quotas.values()) == 100
+    sizes = {"big": 800, "mid": 150, "tiny": 50}
+    for g, rs in by.items():
+        assert len(rs) == min(quotas[g], sizes[g])
+        assert sorted(r["rank_in_stratum"] for r in rs) == list(
+            range(1, len(rs) + 1))
+    # sqrt flattening: tiny gets far more than its 5% share, big far less
+    assert quotas["tiny"] > 10 and quotas["big"] < 60
+
+    again = {(r["lang"], r["doc_id"])
+             for r in mixture_sample(df.repartition(13), budget=100).collect()}
+    assert again == {(r["lang"], r["doc_id"]) for r in out}
+
+    eq = mixture_sample(df, budget=99, temperature=0.0).collect()
+    qs = sorted({r["lang"]: r["quota"] for r in eq}.values())
+    assert qs == [33, 33, 33]
+
+    prop = mixture_sample(df, budget=100, temperature=1.0).collect()
+    qp = {r["lang"]: r["quota"] for r in prop}
+    assert qp == {"big": 80, "mid": 15, "tiny": 5}

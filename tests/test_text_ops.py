@@ -97,3 +97,19 @@ def test_segment_dedup_threshold_and_whitespace_keys(spark):
     assert out[0]["cleaned"] == "same\nsame\nonly here"  # df(doc)==1
     assert out[1]["cleaned"] == "\nafter blank"  # blank segment kept
     assert out[2]["cleaned"] == "tail"
+
+
+def test_within_doc_dedup_keeps_first_occurrences(spark):
+    """within_doc_dedup (r8): repeated tokens drop, first occurrences keep
+    their order, unique docs pass through untouched."""
+    from squrve_spark.operators.text import within_doc_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b a c b a"), (2, "x y z"), (3, "w w w w")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in within_doc_dedup(df).collect()}
+    assert rows[1]["cleaned"] == "a b c"
+    assert (rows[1]["n_tokens"], rows[1]["n_unique"]) == (6, 3)
+    assert rows[2]["cleaned"] == "x y z" and rows[2]["n_unique"] == 3
+    assert rows[3]["cleaned"] == "w" and rows[3]["n_tokens"] == 4
