@@ -377,9 +377,15 @@ def mixture_sample(
     order can flip a quota between engines.
 
     Scale shape: one bounded groupBy-count (#strata rows to the driver),
-    quota table broadcast back, ONE md5-rank window per stratum (the
-    cap_per_group exchange). Output: (stratum, id, rank_in_stratum,
-    quota).
+    quota table broadcast back, then the md5 rank runs over a SLIM
+    (stratum, id, hash) projection reduced map-side by
+    `similarity.local_topk` (ascending md5 order, k = max quota) BEFORE
+    the per-stratum window — with a handful of strata the window has only
+    |strata| partitions, so without the reduction every corpus row would
+    funnel into |strata| single-task sorts (the r7-verdict hybrid-search
+    shape; fixed here from day one). The window's exchange carries at
+    most partitions x strata x max_quota slim rows. Output: (stratum,
+    id, rank_in_stratum, quota).
     """
     import math
 
@@ -411,12 +417,20 @@ def mixture_sample(
             T.StructField("quota", T.LongType()),
         ]),
     )
-    w = Window.partitionBy(stratum_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    from squrve_spark.operators.similarity import local_topk
+
+    slim = df.select(
+        stratum_col, id_col, F.md5(F.col(id_col).cast("string")).alias("_h")
     )
+    k_max = max(base.values())
+    if k_max > 0:
+        # exact map-side pre-cut: a stratum's quota winners are within the
+        # k_max SMALLEST hashes of every partition they live in
+        slim = local_topk(slim, [stratum_col], "_h", k_max, id_col,
+                          ascending=True)
+    w = Window.partitionBy(stratum_col).orderBy(F.col("_h"), F.col(id_col))
     return (
-        df.select(stratum_col, id_col)
-        .withColumn("rank_in_stratum", F.row_number().over(w))
+        slim.withColumn("rank_in_stratum", F.row_number().over(w))
         .join(F.broadcast(quotas), stratum_col)
         .filter(F.col("rank_in_stratum") <= F.col("quota"))
         .select(

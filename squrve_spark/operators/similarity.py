@@ -72,6 +72,7 @@ def local_topk(
     score_col: str,
     k: int,
     tie_col: str,
+    ascending: bool = False,
 ) -> DataFrame:
     """EXACT per-partition top-k prefilter: reduce ``df`` map-side to at
     most k rows per ``key_cols`` group per partition, ordered by
@@ -89,10 +90,11 @@ def local_topk(
 
     Arrow-batched; preserves the input schema. The same-ordering contract
     matters: the caller's final window must order by exactly
-    (score desc, tie asc) for the superset guarantee to hold through ties.
+    (score desc, tie asc) — or (score asc, tie asc) with ``ascending=True``
+    (the md5-rank draws) — for the superset guarantee to hold through ties.
     """
     by = [score_col, tie_col]
-    asc = [False, True]
+    asc = [ascending, True]
 
     def _shard(batches):
         best = None

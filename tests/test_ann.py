@@ -639,3 +639,20 @@ def test_local_topk_prefilter_is_exact_and_bounded(spark):
         )
 
     assert topk(reduced) == topk(df)
+
+    # ascending variant (the md5-rank-draw ordering) is exact too
+    w_asc = W.partitionBy("query_id").orderBy(F.col("score"), F.col("doc_id"))
+
+    def bottomk(frame):
+        return sorted(
+            frame.withColumn("r", F.row_number().over(w_asc))
+            .filter(F.col("r") <= k)
+            .collect(),
+            key=lambda r: (r["query_id"], r["r"]),
+        )
+
+    reduced_asc = similarity.local_topk(
+        df, ["query_id"], "score", k, "doc_id", ascending=True
+    )
+    assert reduced_asc.count() <= 16 * 4 * k
+    assert bottomk(reduced_asc) == bottomk(df)

@@ -419,3 +419,15 @@ def test_quality_deciles_no_single_task_window(spark):
     Exchange SinglePartition feeding a global window."""
     plan = plan_of(spark, "doc_quality_deciles")
     assert "Exchange SinglePartition" not in plan
+
+
+def test_mixture_sample_window_input_is_reduced(spark):
+    """doc_mixture_sample (r8): the per-stratum rank window has only
+    |languages| partitions, so its input must be the local_topk-reduced
+    slim frame (MapInPandas), never the full corpus."""
+    plan = plan_of(spark, "doc_mixture_sample")
+    assert "MapInPandas" in plan
+    lines = plan.splitlines()
+    win = [i for i, ln in enumerate(lines) if "Window [row_number()" in ln]
+    assert win, "rank window missing"
+    assert "MapInPandas" in "\n".join(lines[win[0]:])

@@ -213,6 +213,11 @@ EXTENDED_HEAVIES = [
     ("doc_hybrid_search", None),
     ("doc_lm_perplexity", None),
     ("doc_bm25", None),
+    # r8 additions: the mixture draw's few-strata rank window must stay
+    # local_topk-bounded, and the decile cumsum's critical path is one
+    # range partition's sort — both shapes only show strain past sf0.1
+    ("doc_mixture_sample", None),
+    ("doc_quality_deciles", None),
 ]
 
 
