@@ -34,6 +34,54 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def md5_rank_pick(
+    df: DataFrame,
+    strata_cols: list[str],
+    quotas,
+    id_col: str = "doc_id",
+    rank_col: str = "_rk",
+) -> DataFrame:
+    """THE md5-rank winner selection (r8), shared by the deterministic
+    draws in this module: rank ``id_col`` within each stratum by
+    ``(md5(id), id)`` ascending over a SLIM ``(strata..., id)``
+    projection and keep each stratum's quota.
+
+    ``quotas`` is an int (same cap everywhere) or a DataFrame
+    ``(strata..., quota)`` (per-stratum caps — `weighted_mix`,
+    `mixture_sample`).
+
+    Scale contract — the part every caller inherits: the rank filter is
+    applied against a LITERAL ``k_max`` FIRST, which lets Catalyst plan
+    ``WindowGroupLimit(Partial)`` BELOW the exchange (SPARK-37099): each
+    map partition keeps only its own top-``k_max`` per stratum, so the
+    shuffle carries at most partitions x strata x k rows even though the
+    strata columns are low-cardinality. A quota COLUMN filter alone
+    defeats that optimization (the limit must be a literal) — exactly the
+    hole the pre-r8 `weighted_mix` had; per-stratum quotas are applied as
+    a second filter on the already-bounded rows. Plan-asserted in
+    tests/test_plan_shapes.py.
+
+    Returns ``(strata..., id_col, rank_col[, quota])``.
+    """
+    slim = df.select(*strata_cols, id_col).withColumn(
+        "_h", F.md5(F.col(id_col).cast("string"))
+    )
+    if isinstance(quotas, int):
+        qdf, k_max = None, quotas
+    else:
+        qdf = quotas
+        k_max = int(qdf.agg(F.max("quota")).first()[0] or 0)
+    w = Window.partitionBy(*strata_cols).orderBy(F.col("_h"), F.col(id_col))
+    ranked = slim.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= F.lit(k_max)  # literal -> WindowGroupLimit Partial
+    )
+    if qdf is not None:
+        ranked = ranked.join(F.broadcast(qdf), strata_cols).filter(
+            F.col(rank_col) <= F.col("quota")
+        )
+    return ranked.drop("_h")
+
+
 def deterministic_sample(
     df: DataFrame,
     per_stratum: int,
@@ -46,12 +94,15 @@ def deterministic_sample(
     md5-hash rank of ``id_col`` — a reproducible, engine-portable 'random'
     sample (md5 is uniform; rank on it is a uniform draw without an RNG).
 
-    ``prefilter_factor`` (scale path): keep only rows whose hash falls in
+    ``prefilter_factor`` (scale knob): keep only rows whose hash falls in
     the first ``factor * per_stratum / approx_stratum_size`` of hash space
-    before ranking. Left None (default), selection is exact with no extra
-    pass; with a factor the candidate cut needs a per-stratum count first
-    (one cheap agg) and can only *undershoot* if a stratum's hash draw is
-    pathologically skewed — factor >= 4 makes that probability negligible.
+    before ranking; can only *undershoot* on a pathological hash draw
+    (factor >= 4: negligible). Even without it the window is scale-safe:
+    the LITERAL ``per_stratum`` rank filter lets Catalyst plan
+    ``WindowGroupLimit(Partial)`` below the exchange, so each map
+    partition pre-trims to its own top-k per stratum and the shuffle
+    carries partitions x strata x k rows, never the corpus — the pre-cut
+    just also shrinks the map-side sort input.
 
     ``rank_col``: name to keep the 1-based within-stratum rank under
     (dropped when None) — `cap_per_group` is this with the rank exposed.
@@ -156,9 +207,15 @@ def weighted_mix(
     w = Window.partitionBy(source_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
+    k_max = max(quota.values(), default=0)
     return (
         df.filter(F.col(source_col).isin(list(quota)))
         .withColumn("_rk", F.row_number().over(w))
+        # LITERAL max-quota filter first: Catalyst can only plan the
+        # map-side WindowGroupLimit(Partial) pre-trim against a literal —
+        # the per-source quota COLUMN filter alone shipped the whole
+        # corpus into |sources| sort tasks (r8 fix; plan-asserted)
+        .filter(F.col("_rk") <= F.lit(k_max))
         .filter(F.col("_rk") <= quota_col)
         .drop("_rk")
     )
@@ -377,15 +434,13 @@ def mixture_sample(
     order can flip a quota between engines.
 
     Scale shape: one bounded groupBy-count (#strata rows to the driver),
-    quota table broadcast back, then the md5 rank runs over a SLIM
-    (stratum, id, hash) projection reduced map-side by
-    `similarity.local_topk` (ascending md5 order, k = max quota) BEFORE
-    the per-stratum window — with a handful of strata the window has only
-    |strata| partitions, so without the reduction every corpus row would
-    funnel into |strata| single-task sorts (the r7-verdict hybrid-search
-    shape; fixed here from day one). The window's exchange carries at
-    most partitions x strata x max_quota slim rows. Output: (stratum,
-    id, rank_in_stratum, quota).
+    quota table broadcast back, then the md5 rank runs through
+    `md5_rank_pick` — a slim (stratum, id, hash) projection whose LITERAL
+    max-quota rank filter plans WindowGroupLimit(Partial) below the
+    exchange, so with a handful of strata the window's shuffle still
+    carries only partitions x strata x max_quota rows instead of funneling
+    the corpus into |strata| single-task sorts. Output: (stratum, id,
+    rank_in_stratum, quota).
     """
     import math
 
@@ -417,26 +472,10 @@ def mixture_sample(
             T.StructField("quota", T.LongType()),
         ]),
     )
-    from squrve_spark.operators.similarity import local_topk
-
-    slim = df.select(
-        stratum_col, id_col, F.md5(F.col(id_col).cast("string")).alias("_h")
-    )
-    k_max = max(base.values())
-    if k_max > 0:
-        # exact map-side pre-cut: a stratum's quota winners are within the
-        # k_max SMALLEST hashes of every partition they live in
-        slim = local_topk(slim, [stratum_col], "_h", k_max, id_col,
-                          ascending=True)
-    w = Window.partitionBy(stratum_col).orderBy(F.col("_h"), F.col(id_col))
-    return (
-        slim.withColumn("rank_in_stratum", F.row_number().over(w))
-        .join(F.broadcast(quotas), stratum_col)
-        .filter(F.col("rank_in_stratum") <= F.col("quota"))
-        .select(
-            stratum_col,
-            id_col,
-            F.col("rank_in_stratum").cast("int").alias("rank_in_stratum"),
-            F.col("quota").cast("long").alias("quota"),
-        )
+    picked = md5_rank_pick(df, [stratum_col], quotas, id_col, "rank_in_stratum")
+    return picked.select(
+        stratum_col,
+        id_col,
+        F.col("rank_in_stratum").cast("int").alias("rank_in_stratum"),
+        F.col("quota").cast("long").alias("quota"),
     )

@@ -1282,7 +1282,10 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rewrites text only (drops no rows), and the audit projects just
     # (doc_id, lang), so Catalyst prunes the masking expressions away —
     # the count is identical and the stage costs nothing here.
-    sampled = S.deterministic_sample(gated, per_stratum=50, strata_cols=["lang"])
+    # the audit only COUNTS the sample, so it uses the slim winner pick
+    # directly (md5_rank_pick) — same row set as deterministic_sample
+    # without paying the payload join-back (r8)
+    sampled = S.md5_rank_pick(gated, ["lang"], 50)
     head = flagged.agg(
         F.count(F.lit(1)).cast("bigint").alias("raw"),
         F.sum(F.col("s1").cast("bigint")).alias("dedup"),
@@ -1434,7 +1437,10 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = flagged.localCheckpoint(eager=False)
     gated = flagged.filter(F.col("s4")).select("doc_id", "lang")
-    sampled = S.deterministic_sample(gated, per_stratum=50, strata_cols=["lang"])
+    # the audit only COUNTS the sample, so it uses the slim winner pick
+    # directly (md5_rank_pick) — same row set as deterministic_sample
+    # without paying the payload join-back (r8)
+    sampled = S.md5_rank_pick(gated, ["lang"], 50)
     head = flagged.agg(
         F.count(F.lit(1)).cast("bigint").alias("raw"),
         F.sum(F.col("s1").cast("bigint")).alias("dedup"),

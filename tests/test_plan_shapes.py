@@ -381,6 +381,10 @@ def test_curate_v4_scans_text_once(spark):
     assert "text" not in read_lines[0]
     assert "source" in read_lines[0]
     assert "EvalPython" not in plan
+    # r8: the per-source cap's rank filter is a literal, so Catalyst plans
+    # the map-side WindowGroupLimit(Partial) pre-trim — the cap's exchange
+    # carries partitions x sources x cap rows, never the corpus
+    assert "WindowGroupLimit" in plan and "Partial" in plan
 
 
 def test_strip_markup_map_only_no_python(spark):
@@ -423,11 +427,28 @@ def test_quality_deciles_no_single_task_window(spark):
 
 def test_mixture_sample_window_input_is_reduced(spark):
     """doc_mixture_sample (r8): the per-stratum rank window has only
-    |languages| partitions, so its input must be the local_topk-reduced
-    slim frame (MapInPandas), never the full corpus."""
+    |languages| partitions, so its exchange must be pre-trimmed by the
+    map-side WindowGroupLimit(Partial) (the literal max-quota filter in
+    md5_rank_pick) — never fed the full corpus. A quota-COLUMN filter
+    alone would silently defeat the optimization."""
     plan = plan_of(spark, "doc_mixture_sample")
-    assert "MapInPandas" in plan
     lines = plan.splitlines()
-    win = [i for i, ln in enumerate(lines) if "Window [row_number()" in ln]
-    assert win, "rank window missing"
-    assert "MapInPandas" in "\n".join(lines[win[0]:])
+    partials = [ln for ln in lines if "WindowGroupLimit" in ln and "Partial" in ln]
+    finals = [ln for ln in lines if "WindowGroupLimit" in ln and "Final" in ln]
+    assert partials and finals
+    # the partial sits BELOW the exchange (printed after it in the tree)
+    exch = next(i for i, ln in enumerate(lines) if "Exchange hashpartitioning" in ln)
+    part_idx = next(i for i, ln in enumerate(lines)
+                    if "WindowGroupLimit" in ln and "Partial" in ln)
+    assert part_idx > exch
+
+
+def test_weighted_mix_and_samples_have_partial_window_limit(spark):
+    """deterministic_sample / cap_per_group / weighted_mix (r8): every
+    md5-rank draw must carry the WindowGroupLimit(Partial) pre-trim.
+    weighted_mix is the one that historically lacked it — its per-source
+    quota was a COLUMN comparison, which Catalyst cannot turn into a
+    group limit, so the whole corpus shuffled into |sources| sorts."""
+    for name in ("doc_sample_per_lang", "doc_source_cap", "doc_weighted_mix"):
+        plan = plan_of(spark, name)
+        assert "WindowGroupLimit" in plan and "Partial" in plan, name
