@@ -34,12 +34,24 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _md5_rank_window(strata_cols: list[str], id_col: str):
+    """THE md5-rank draw ordering — (md5(cast(id as string)), id) ascending
+    within the strata. ONE implementation (r8 review): the tie-break and
+    the cast are oracle-critical, so every deterministic draw in this
+    module (`md5_rank_pick`, `deterministic_sample`, `weighted_mix`) must
+    rank through this exact window or its DuckDB twin silently drifts."""
+    return Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+
+
 def md5_rank_pick(
     df: DataFrame,
     strata_cols: list[str],
     quotas,
     id_col: str = "doc_id",
     rank_col: str = "_rk",
+    k_max: Optional[int] = None,
 ) -> DataFrame:
     """THE md5-rank winner selection (r8), shared by the deterministic
     draws in this module: rank ``id_col`` within each stratum by
@@ -63,15 +75,15 @@ def md5_rank_pick(
 
     Returns ``(strata..., id_col, rank_col[, quota])``.
     """
-    slim = df.select(*strata_cols, id_col).withColumn(
-        "_h", F.md5(F.col(id_col).cast("string"))
-    )
+    slim = df.select(*strata_cols, id_col)
     if isinstance(quotas, int):
         qdf, k_max = None, quotas
     else:
         qdf = quotas
-        k_max = int(qdf.agg(F.max("quota")).first()[0] or 0)
-    w = Window.partitionBy(*strata_cols).orderBy(F.col("_h"), F.col(id_col))
+        if k_max is None:  # callers that hold the quotas driver-side pass
+            # k_max to skip this one-row aggregate job (r8 review)
+            k_max = int(qdf.agg(F.max("quota")).first()[0] or 0)
+    w = _md5_rank_window(strata_cols, id_col)
     ranked = slim.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= F.lit(k_max)  # literal -> WindowGroupLimit Partial
     )
@@ -79,7 +91,7 @@ def md5_rank_pick(
         ranked = ranked.join(F.broadcast(qdf), strata_cols).filter(
             F.col(rank_col) <= F.col("quota")
         )
-    return ranked.drop("_h")
+    return ranked
 
 
 def deterministic_sample(
@@ -117,7 +129,7 @@ def deterministic_sample(
         )
         bucket = F.conv(F.substring(hash_col, 1, 4), 16, 10).cast("long")
         df = df.filter(bucket < frac * 65536).drop("_n")
-    w = Window.partitionBy(*strata_cols).orderBy(hash_col, F.col(id_col))
+    w = _md5_rank_window(strata_cols, id_col)
     rk = rank_col or "_rk"
     out = df.withColumn(rk, F.row_number().over(w)).filter(
         F.col(rk) <= per_stratum
@@ -204,9 +216,7 @@ def weighted_mix(
     quota_col = F.coalesce(
         *[F.when(F.col(source_col) == s, F.lit(k)) for s, k in quota.items()]
     ) if quota else F.lit(0)
-    w = Window.partitionBy(source_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    w = _md5_rank_window([source_col], id_col)
     k_max = max(quota.values(), default=0)
     return (
         df.filter(F.col(source_col).isin(list(quota)))
@@ -444,6 +454,10 @@ def mixture_sample(
     """
     import math
 
+    # rows with a NULL stratum are excluded up front (r8 review: a None
+    # key breaks the apportionment sort, and the quota equi-join could
+    # never draw them anyway — fillna a sentinel upstream to include them)
+    df = df.filter(F.col(stratum_col).isNotNull())
     counts = {
         r[stratum_col]: r["n"]
         for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
@@ -472,7 +486,8 @@ def mixture_sample(
             T.StructField("quota", T.LongType()),
         ]),
     )
-    picked = md5_rank_pick(df, [stratum_col], quotas, id_col, "rank_in_stratum")
+    picked = md5_rank_pick(df, [stratum_col], quotas, id_col,
+                           "rank_in_stratum", k_max=max(base.values()))
     return picked.select(
         stratum_col,
         id_col,

@@ -370,10 +370,27 @@ def skew_aware_join(
     NULL join keys never match in an equi-join, so they are excluded from
     the profile (a null-heavy side wants a null-split, not a salt —
     see `key_skew_profile`).
+
+    ``how`` outside `salted_join`'s supported set (right/full outer would
+    duplicate unmatched small-side rows per salt replica) takes the plain
+    join unconditionally — decided HERE, up front, so the behavior never
+    depends on what the data's skew happens to be (r8 review: validating
+    only on the salted branch made how='full' a data-dependent crash),
+    and the profiling aggregate isn't even paid.
     """
     on = [on] if isinstance(on, str) else list(on)
     if not on:
         raise ValueError("skew_aware_join needs at least one join column")
+    saltable = how.lower() in {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "left_anti", "leftanti",
+    }
+    if not saltable:
+        out = big.join(small, on, how)
+        if return_decision:
+            return out, {"salted": False, "salt_supported": False,
+                         "n_salts": 0}
+        return out
     key_counts = (
         big.where(F.expr(" AND ".join(f"{c} IS NOT NULL" for c in on)))
         .groupBy(*on)
@@ -400,6 +417,7 @@ def skew_aware_join(
     if return_decision:
         return out, {
             "salted": salt,
+            "salt_supported": True,
             "n_keys": n_keys,
             "total_rows": total,
             "max_key_rows": max_rows,

@@ -92,9 +92,17 @@ def local_topk(
     matters: the caller's final window must order by exactly
     (score desc, tie asc) — or (score asc, tie asc) with ``ascending=True``
     (the md5-rank draws) — for the superset guarantee to hold through ties.
+
+    Null handling (r8 review): NULL keys form their own group (pandas
+    groupby dropna=False — a silent drop would erase the null partition's
+    winners from the caller's window), and null scores sort where Spark
+    puts them (asc -> nulls FIRST, desc -> nulls LAST). The tie column
+    must be non-null — it is an id by contract.
     """
     by = [score_col, tie_col]
     asc = [ascending, True]
+    # Spark's default null ordering: ASC = NULLS FIRST, DESC = NULLS LAST
+    na_pos = "first" if ascending else "last"
 
     def _shard(batches):
         best = None
@@ -104,8 +112,9 @@ def local_topk(
             cur = pdf if best is None else pd.concat([best, pdf])
             # mergesort = stable; head(k) after the two-key sort keeps the
             # exact local winners under the caller's final-window ordering
-            cur = cur.sort_values(by, ascending=asc, kind="mergesort")
-            best = cur.groupby(key_cols, sort=False).head(k)
+            cur = cur.sort_values(by, ascending=asc, kind="mergesort",
+                                  na_position=na_pos)
+            best = cur.groupby(key_cols, sort=False, dropna=False).head(k)
         if best is not None and not best.empty:
             yield best
 

@@ -695,7 +695,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
                         WHERE l2.l_partkey = lineitem.l_partkey)
     """,
-    tags=("A11"),
+    tags=("A11",),
     defer_oracle=True,
 )
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -635,7 +635,7 @@ def test_local_topk_prefilter_is_exact_and_bounded(spark):
             frame.withColumn("r", F.row_number().over(w))
             .filter(F.col("r") <= k)
             .collect(),
-            key=lambda r: (r["query_id"], r["r"]),
+            key=lambda r: (r["query_id"] is None, r["query_id"] or 0, r["r"]),
         )
 
     assert topk(reduced) == topk(df)
@@ -648,7 +648,7 @@ def test_local_topk_prefilter_is_exact_and_bounded(spark):
             frame.withColumn("r", F.row_number().over(w_asc))
             .filter(F.col("r") <= k)
             .collect(),
-            key=lambda r: (r["query_id"], r["r"]),
+            key=lambda r: (r["query_id"] is None, r["query_id"] or 0, r["r"]),
         )
 
     reduced_asc = similarity.local_topk(
@@ -656,3 +656,17 @@ def test_local_topk_prefilter_is_exact_and_bounded(spark):
     )
     assert reduced_asc.count() <= 16 * 4 * k
     assert bottomk(reduced_asc) == bottomk(df)
+
+    # null keys form their own group and null scores sort where Spark
+    # puts them (asc -> first, desc -> last) — r8 review finding
+    nullish = spark.createDataFrame(
+        [(None, 1, 5.0), (None, 2, 7.0), (None, 3, None),
+         (0, 4, None), (0, 5, 1.0), (0, 6, 2.0)],
+        "query_id int, doc_id long, score double",
+    ).repartition(4)
+    red_desc = similarity.local_topk(nullish, ["query_id"], "score", 2, "doc_id")
+    assert topk(red_desc) == topk(nullish)
+    red_asc2 = similarity.local_topk(
+        nullish, ["query_id"], "score", 2, "doc_id", ascending=True
+    )
+    assert bottomk(red_asc2) == bottomk(nullish)

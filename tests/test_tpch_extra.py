@@ -30,3 +30,12 @@ def test_extended_tpch_are_deferred_oracles():
         assert spec.oracle is not None, f"{name} lost its oracle"
         assert spec.defer_oracle, f"{name} must stay out of the driver cap"
         assert "no-oracle" not in spec.tags
+
+
+def test_all_registry_tags_are_tuples():
+    """Regression (r8 review): tags=(\"A11\") is a bare STRING — iterating
+    it yields characters and corrupts QUERIES.md / the service API."""
+    from squrve_spark.plans import REGISTRY
+
+    for name, spec in REGISTRY.items():
+        assert isinstance(spec.tags, tuple), (name, spec.tags)
