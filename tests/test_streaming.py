@@ -698,3 +698,97 @@ def test_stream_lm_ppl_monitor_matches_batch_scoring(spark):
         for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             rank = sum(1 for x in xs if x <= r[col]) / n
             assert abs(rank - q) <= 0.05, (r["source"], col, rank, q)
+
+
+def test_stream_lm_ppl_monitor_restart_from_checkpoint(spark, tmp_path):
+    """r8: kill-and-resume for the ingest-quality monitor — drain half the
+    document slices, stop, add the rest, restart a NEW query from the SAME
+    checkpoint. The resumed run must process only the new slices
+    (batch ids continue: store's _batch_id reaches 3, not a reset 0/1 that
+    the idempotency skip would swallow), and the final per-source
+    quantiles must sit within KLL rank error of exact batch scoring over
+    the FULL corpus — state carried across the restart, history never
+    re-read."""
+    import os as _os
+
+    import pandas as pd
+
+    from squrve_spark.operators import lm
+    from squrve_spark.operators.sketches import incremental_quantiles
+
+    pdf = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    src = tmp_path / "src"
+    src.mkdir()
+    n = len(pdf)
+    files = []
+    for i in range(4):
+        p = staged / f"part{i}.parquet"
+        pdf.iloc[i * n // 4 : (i + 1) * n // 4].to_parquet(p, index=False)
+        files.append(p)
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    bigrams, contexts, vocab = lm.train_bigram_lm(
+        docs.where(F.col("doc_id") % 5 == 0)
+    )
+    bigrams, contexts = bigrams.cache(), contexts.cache()
+    store, chk = str(tmp_path / "store"), str(tmp_path / "chk")
+
+    def handle(batch_df, batch_id):
+        scored = lm.score_perplexity(batch_df, bigrams, contexts, vocab).join(
+            batch_df.select("doc_id", "source"), "doc_id"
+        )
+        incremental_quantiles(
+            spark, scored, store, "ppl", ["source"], batch_id=batch_id
+        )
+
+    schema = spark.read.parquet(str(staged)).schema
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for f in files[:2]:
+        _os.rename(f, src / f.name)
+    run()
+    assert spark.read.parquet(store).agg(F.max("_batch_id")).first()[0] == 1
+
+    for f in files[2:]:
+        _os.rename(f, src / f.name)
+    run()  # NEW query object, SAME checkpoint: resume, not restart
+
+    final = spark.read.parquet(store)
+    # resumed batch ids continued past the restart (a fresh start would
+    # deliver ids 0/1 again and the idempotency skip would swallow the
+    # new slices entirely)
+    assert final.agg(F.max("_batch_id")).first()[0] == 3
+
+    exact = (
+        lm.score_perplexity(docs, bigrams, contexts, vocab)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "ppl")
+        .collect()
+    )
+    bigrams.unpersist(), contexts.unpersist()
+    by_src: dict[str, list[float]] = {}
+    for r in exact:
+        by_src.setdefault(r["source"], []).append(r["ppl"])
+    got = final.select("source", "p50", "p90", "p99").collect()
+    assert {r["source"] for r in got} == set(by_src)
+    for r in got:
+        xs = sorted(by_src[r["source"]])
+        m = len(xs)
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            rank = sum(1 for x in xs if x <= r[col]) / m
+            assert abs(rank - q) <= 0.05, (r["source"], col, rank, q)
