@@ -158,3 +158,85 @@ def score_perplexity(
         avg.alias("avg_logp"),
         F.round(F.exp(-avg), 4).alias("ppl"),
     )
+
+
+def train_unigrams(
+    reference: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, int]:
+    """Reference slice -> (unigram_counts (w, cu), total token count N) —
+    the backoff distribution for `score_backoff`. One explode + groupBy;
+    N collapses from the same aggregate (no second scan)."""
+    uni = (
+        reference.select(F.explode(tokens_expr(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    total = uni.agg(F.sum("cu")).collect()[0][0]
+    return uni, int(total or 0)
+
+
+def score_backoff(
+    corpus: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    n_total: int,
+    vocab_size: int,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Stupid Backoff score (Brants et al. 2007, the
+    web-scale LM scoring recipe: no normalized smoothing, just back off
+    to the unigram distribution with a fixed penalty):
+
+        S(w2|w1) = c(w1,w2) / c(w1)                 when the bigram was seen
+                 = alpha * (c(w2)+1) / (N+V)        otherwise
+                   (add-one on the unigram backoff so OOV tokens score
+                   finitely instead of log(0))
+
+    Output: (id, n_bigrams, n_backoffs, avg_logs DOUBLE, sb_ppl 4dp) with
+    sb_ppl = exp(-avg_logs) — comparable to `score_perplexity`'s ppl but
+    cheaper-tailed: seen bigrams keep their raw MLE mass. n_backoffs (how
+    often the doc fell off the bigram table) is itself a novelty signal.
+
+    Same determinism contract as `score_perplexity`: long-arithmetic IEEE
+    divisions, ln snapped to a DECIMAL(20,6) grid, exact integer-weighted
+    decimal summation (order-independent), double cast only at the end.
+    Scale shape identical too: shuffles bounded by distinct-bigram /
+    distinct-unigram counts, never corpus x corpus.
+    """
+    doc_bg = _doc_bigrams(corpus, text_col, id_col)
+    ctx = bigrams.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    seen = F.col("c2").isNotNull()
+    p = F.when(
+        seen, F.col("c2") / F.col("c1")
+    ).otherwise(
+        F.lit(alpha)
+        * (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(1))
+        / F.lit(float(n_total + vocab_size))
+    )
+    joined = (
+        doc_bg.join(bigrams, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .join(unigrams.withColumnRenamed("w", "w2"), ["w2"], "left")
+        .select(
+            F.col(id_col),
+            F.col("n"),
+            seen.alias("hit"),
+            (F.log(p).cast("decimal(20,6)") * F.col("n")).alias("logs"),
+        )
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum("n").alias("nb"),
+        F.sum(F.when(F.col("hit"), F.lit(0)).otherwise(F.col("n")))
+        .alias("n_backoffs"),
+        F.sum("logs").alias("sum_logs"),
+    )
+    avg = F.col("sum_logs").cast("double") / F.col("nb")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("nb").cast("long").alias("n_bigrams"),
+        F.col("n_backoffs").cast("long").alias("n_backoffs"),
+        avg.alias("avg_logs"),
+        F.round(F.exp(-avg), 4).alias("sb_ppl"),
+    )

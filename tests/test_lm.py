@@ -95,3 +95,53 @@ def test_reference_docs_score_lower_ppl(spark):
     )
     ppl = {r.doc_id: r.ppl for r in scored.collect()}
     assert ppl[100] < ppl[101]
+
+
+def test_score_backoff_branch_arithmetic(spark):
+    """Stupid Backoff (r8) on a hand-built corpus: seen bigrams score
+    c2/c1, unseen ones 0.4*(cu+1)/(N+V) — verified against a pure-Python
+    replay, and n_backoffs counts exactly the unseen bigram occurrences."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from squrve_spark.operators import lm
+
+    ref = spark.createDataFrame(
+        [(0, "a b a b c"), (5, "b c")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b z q")],  # 'c z','z q' unseen; z,q OOV
+        "doc_id long, text string",
+    )
+    bigrams, contexts, vocab = lm.train_bigram_lm(ref)
+    uni, nt = lm.train_unigrams(ref)
+    got = {r["doc_id"]: r for r in
+           lm.score_backoff(corpus, bigrams, uni, nt, vocab).collect()}
+
+    bg = {(r["w1"], r["w2"]): r["c2"] for r in bigrams.collect()}
+    c1 = {}
+    for (w1, _), c in bg.items():
+        c1[w1] = c1.get(w1, 0) + c
+    cu = {r["w"]: r["cu"] for r in uni.collect()}
+
+    def score(w1, w2):
+        if (w1, w2) in bg:
+            return bg[(w1, w2)] / c1[w1]
+        return 0.4 * (cu.get(w2, 0) + 1) / float(nt + vocab)
+
+    def replay(tokens):
+        pairs = list(zip(tokens, tokens[1:]))
+        from collections import Counter
+        logs = sum(
+            round(math.log(score(a, b)) * 10**6) / 10**6 * n  # 6dp grid
+            for (a, b), n in Counter(pairs).items()
+        )
+        return len(pairs), logs / len(pairs)
+
+    for doc_id, toks in ((1, ["a", "b", "c"]), (2, ["a", "b", "z", "q"])):
+        nb, avg = replay(toks)
+        assert got[doc_id]["n_bigrams"] == nb
+        assert abs(got[doc_id]["avg_logs"] - avg) < 1e-9
+    assert got[1]["n_backoffs"] == 0  # 'a b','b c' both in the reference
+    assert got[2]["n_backoffs"] == 2  # 'b z','z q' backed off
