@@ -218,6 +218,9 @@ EXTENDED_HEAVIES = [
     # range partition's sort — both shapes only show strain past sf0.1
     ("doc_mixture_sample", None),
     ("doc_quality_deciles", None),
+    # late r8: the backoff scorer shares perplexity's distinct-bigram
+    # shuffle bound plus a distinct-unigram join — same skew exposure
+    ("doc_lm_backoff", None),
 ]
 
 
