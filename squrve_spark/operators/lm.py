@@ -47,6 +47,8 @@ is the model table — never corpus-sized, no Python anywhere in the plan.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -184,6 +186,7 @@ def score_backoff(
     alpha: float = 0.4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    contexts: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Per-document Stupid Backoff score (Brants et al. 2007, the
     web-scale LM scoring recipe: no normalized smoothing, just back off
@@ -206,7 +209,14 @@ def score_backoff(
     distinct-unigram counts, never corpus x corpus.
     """
     doc_bg = _doc_bigrams(corpus, text_col, id_col)
-    ctx = bigrams.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # `train_bigram_lm` already aggregated context counts — pass them in
+    # to skip the redundant groupBy (r8 ADVICE); recompute only when the
+    # caller trained bigrams some other way.
+    ctx = (
+        contexts
+        if contexts is not None
+        else bigrams.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    )
     seen = F.col("c2").isNotNull()
     p = F.when(
         seen, F.col("c2") / F.col("c1")

@@ -18,6 +18,7 @@ These are the explicit levers for the shapes AQE can't fix alone:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -391,8 +392,16 @@ def skew_aware_join(
             return out, {"salted": False, "salt_supported": False,
                          "n_salts": 0}
         return out
+    # Column-API predicate, not interpolated SQL: join columns that need
+    # backticks (spaces, reserved words, dots) must profile exactly like
+    # they join (r8 ADVICE).
+    not_null = functools.reduce(
+        lambda a, c: a & F.col(c).isNotNull(),
+        on[1:],
+        F.col(on[0]).isNotNull(),
+    )
     key_counts = (
-        big.where(F.expr(" AND ".join(f"{c} IS NOT NULL" for c in on)))
+        big.where(not_null)
         .groupBy(*on)
         .agg(F.count(F.lit(1)).alias("n"))
     )

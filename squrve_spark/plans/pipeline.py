@@ -2275,9 +2275,9 @@ def doc_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.where(F.col("doc_id") % 5 == 0)
     bigrams, contexts, vocab = lm.train_bigram_lm(ref)
     unigrams, n_total = lm.train_unigrams(ref)
-    return lm.score_backoff(docs, bigrams, unigrams, n_total, vocab).orderBy(
-        "doc_id"
-    )
+    return lm.score_backoff(
+        docs, bigrams, unigrams, n_total, vocab, contexts=contexts
+    ).orderBy("doc_id")
 
 
 @register(

@@ -350,6 +350,16 @@ def rewrite_bare_group_columns(sql: str) -> str:
                 grouped_qual.add(".".join(parts))
                 continue
             grouped_bare.add(_base_name(g))
+        # KNOWN AMBIGUITY (r8 ADVICE): when >1 table is in scope, a bare
+        # select column matching a qualified GROUP BY key's BASE name is
+        # treated as grouped. If the bare name actually resolves to a
+        # DIFFERENT table's column, the rewrite leaves it bare and both
+        # engines still reject it — i.e. the heuristic can only fail
+        # toward "no rewrite applied", never toward a silently wrong
+        # result. Accepted for the oracle transpiler: the alternative
+        # (any_value-wrapping every base-name match) would silently
+        # CHANGE semantics when the names do refer to the same column,
+        # which the reference corpus exercises far more often.
         qual_bases = {q.rsplit(".", 1)[-1] for q in grouped_qual}
         items = []
         for item in raw_items:

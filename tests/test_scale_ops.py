@@ -288,3 +288,22 @@ def test_skew_aware_join_salts_on_skew_plain_on_uniform(spark):
     out_n, dec_n = skew_aware_join(with_nulls, dim, ["k"], return_decision=True)
     assert dec_n["salted"]
     assert out_n.count() == with_nulls.join(dim, ["k"]).count()
+
+
+def test_skew_aware_join_backtick_columns(spark):
+    """r8 ADVICE regression: a join column needing backticks (reserved
+    word, dot, space) must profile exactly like it joins — the null-key
+    filter is built with the Column API, not interpolated SQL."""
+    from squrve_spark.operators.scale import skew_aware_join
+
+    weird = "order key"  # space: F.expr(f"{c} IS NOT NULL") would parse-fail
+    big = (
+        spark.range(400)
+        .select((F.col("id") % 4).alias("k"), F.col("id").alias("v"))
+        .withColumnRenamed("k", weird)
+    )
+    dim = spark.range(4).select(F.col("id").alias("kk"), F.lit("d").alias("tag"))
+    dim = dim.withColumnRenamed("kk", weird)
+    out, dec = skew_aware_join(big, dim, [weird], return_decision=True)
+    assert out.count() == 400
+    assert dec["salt_supported"]
