@@ -1036,7 +1036,7 @@ def event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ev.k ORDER BY ev.k
     """,
     tags=("events", "scale"),
-    defer_oracle=True,
+    # r9: promoted into the driver cap (r8 verdict #1)
 )
 def event_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-aware fact-to-dim join over events with a DELIBERATELY skewed

@@ -176,6 +176,7 @@ _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
     FROM t
     """,
     tags=("text",),
+    defer_oracle=True,  # r9: demoted after 8 straight driver-green rounds (cap rotation)
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style quality heuristics per document."""
@@ -449,6 +450,7 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
     """,
     tags=("dedup",),
+    defer_oracle=True,  # r9: demoted after 8 straight driver-green rounds (cap rotation)
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs, blocked by (lang, source)."""
@@ -780,6 +782,7 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("multimodal",),
+    defer_oracle=True,  # r9: demoted after 8 straight driver-green rounds (cap rotation)
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload profiling (JVM-only slice of the multimodal path)."""
@@ -1814,7 +1817,7 @@ regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
     FROM s ORDER BY doc_id
     """,
     tags=("text", "crawl"),
-    defer_oracle=True,
+    # r9: promoted into the driver cap (r8 verdict #1)
 )
 def doc_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl ingestion HTML -> trainable text, oracle-checked end-to-end:
@@ -1874,7 +1877,7 @@ def doc_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY r.lang, r.rk
     """,
     tags=("sampling", "curation"),
-    defer_oracle=True,
+    # r9: promoted into the driver cap (r8 verdict #1)
 )
 def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-rebalanced mixture sample (r8): the multilingual /
@@ -1914,7 +1917,7 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tok ORDER BY doc_id
     """,
     tags=("text", "dedup"),
-    defer_oracle=True,
+    # r9: promoted into the driver cap (r8 verdict #1)
 )
 def doc_token_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition removal (r8): drop repeated tokens within
@@ -1958,7 +1961,7 @@ def doc_token_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s GROUP BY source ORDER BY source
     """,
     tags=("text", "hygiene", "curation"),
-    defer_oracle=True,
+    # r9: promoted into the driver cap (r8 verdict #1)
 )
 def doc_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 bad-words filter audit (r8): per-source document counts against a
@@ -2016,7 +2019,7 @@ def doc_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b GROUP BY bin ORDER BY bin
     """,
     tags=("text", "curation"),
-    defer_oracle=True,
+    # r9: promoted into the driver cap (r8 verdict #1)
 )
 def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-curriculum binning (r8): exact stopword-ratio deciles with
@@ -2258,7 +2261,7 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg ORDER BY doc_id
     """,
     tags=("text", "lm", "curation"),
-    defer_oracle=True,
+    # r9: promoted into the driver cap (r8 verdict #1)
 )
 def doc_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid Backoff document scoring (r8): seen bigrams keep their raw

@@ -65,6 +65,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND CAST(o_orderdate AS DATE) BETWEEN DATE '1993-01-01' AND DATE '1997-12-31'
     """,
     tags=("A1", "A2", "A3"),
+    defer_oracle=True,  # r9: demoted after 8 straight driver-green rounds (cap rotation)
 )
 def q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective scan: comparison, equality, and numeric/date BETWEEN
@@ -122,6 +123,7 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(*) > 5
     """,
     tags=("A5", "A7", "A8"),
+    defer_oracle=True,  # r9: demoted after 8 straight driver-green rounds (cap rotation)
 )
 def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FK-path join orders->customer->nation + GROUP BY + HAVING.
@@ -238,6 +240,7 @@ def q_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_custkey
     """,
     tags=("A6", "A7"),
+    defer_oracle=True,  # r9: demoted after 8 straight driver-green rounds (cap rotation)
 )
 def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT JOIN preserving order-less customers (COUNT(col) skips NULLs)."""
@@ -484,6 +487,7 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey, o_date FROM ranked WHERE rn = 1
     """,
     tags=("A12", "A13"),
+    defer_oracle=True,  # r9: demoted after 8 straight driver-green rounds (cap rotation)
 )
 def q_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First order per customer: CTE + row_number window (SQL surface)."""
