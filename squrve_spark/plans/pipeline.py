@@ -3344,3 +3344,196 @@ def pipeline_curate_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.md5(masked).alias("masked_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_curate_v5",
+    # r9 (r8 verdict #2): the SECOND fully-oracled curation composite —
+    # every stage replays an already-driver-proven oracle fragment:
+    # doc_blocklist_audit's ratio rule, doc_lm_backoff's Stupid Backoff
+    # chain, doc_mixture_sample's integer largest-remainder apportionment,
+    # doc_quality_deciles' rank*10 div n binning. New entries register
+    # deferred (driver cap full); exact parity in tests/test_oracle_parity.
+    oracle=r"""
+    WITH sig AS (
+        SELECT doc_id,
+               ROUND(len(list_filter(w, x -> list_contains(
+                         ['error', 'slow', 'null'], x))) / len(w), 4)
+                   AS flag_ratio
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents)
+    ), surv1 AS (
+        SELECT d.doc_id, d.lang, d.text, s.flag_ratio
+        FROM documents d JOIN sig s USING (doc_id)
+        WHERE NOT (s.flag_ratio > 0.08)
+    ),
+    tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS t
+        FROM surv1
+    ),
+    pairs AS (
+        SELECT tok.doc_id, tok.t[g.i] AS w1, tok.t[g.i + 1] AS w2
+        FROM tok, LATERAL (SELECT unnest(range(1, len(tok.t))) AS i) g
+        WHERE len(tok.t) >= 2
+    ),
+    doc_bg AS (
+        SELECT doc_id, w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2, 3
+    ),
+    ref_bg AS (
+        SELECT w1, w2, sum(n) AS c2 FROM doc_bg
+        WHERE doc_id % 5 = 0 GROUP BY 1, 2
+    ),
+    ref_ctx AS (SELECT w1, sum(c2) AS c1 FROM ref_bg GROUP BY 1),
+    ref_uni AS (
+        SELECT u.tk AS w2, count(*) AS cu
+        FROM (SELECT unnest(t) AS tk FROM tok WHERE doc_id % 5 = 0) u
+        GROUP BY 1
+    ),
+    consts AS (
+        SELECT (SELECT sum(cu) FROM ref_uni) AS nt,
+               (SELECT count(*) FROM ref_uni) AS v
+    ),
+    lm_scored AS (
+        SELECT d.doc_id, d.n, (b.c2 IS NOT NULL) AS hit,
+               CAST(ln(CASE WHEN b.c2 IS NOT NULL THEN b.c2 / c.c1
+                            ELSE 0.4 * (COALESCE(u.cu, 0) + 1)
+                                 / (SELECT CAST(nt + v AS DOUBLE) FROM consts)
+                       END) AS DECIMAL(20,6)) * d.n AS logs
+        FROM doc_bg d
+        LEFT JOIN ref_bg b USING (w1, w2)
+        LEFT JOIN ref_ctx c USING (w1)
+        LEFT JOIN ref_uni u ON d.w2 = u.w2
+    ),
+    lm_doc AS (
+        SELECT doc_id, sum(n) AS nb,
+               sum(CASE WHEN hit THEN 0 ELSE n END) AS nbk,
+               CAST(sum(logs) AS DOUBLE) / sum(n) AS avg_logs
+        FROM lm_scored GROUP BY 1
+    ),
+    surv2 AS (
+        SELECT s.doc_id, s.lang, s.flag_ratio,
+               l.nb AS n_bigrams, l.nbk AS n_backoffs, l.avg_logs
+        FROM surv1 s JOIN lm_doc l USING (doc_id)
+        WHERE l.avg_logs >= -3.5
+    ),
+    counts AS (SELECT lang, count(*) AS n FROM surv2 GROUP BY lang),
+    w AS (
+        SELECT lang, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wt
+        FROM counts
+    ),
+    t AS (SELECT sum(wt) AS total FROM w),
+    base AS (
+        SELECT lang, wt, (120 * wt) // (SELECT total FROM t) AS b,
+               (120 * wt) % (SELECT total FROM t) AS rem
+        FROM w
+    ),
+    quota AS (
+        SELECT lang,
+               b + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang) <=
+                             (120 - (SELECT sum(b) FROM base))
+                        THEN 1 ELSE 0 END AS q
+        FROM base
+    ),
+    ranked AS (
+        SELECT s.*,
+               ROW_NUMBER() OVER (PARTITION BY s.lang
+                   ORDER BY md5(CAST(s.doc_id AS VARCHAR)), s.doc_id) AS rk
+        FROM surv2 s
+    ),
+    sampled AS (
+        SELECT r.*, q.q AS quota FROM ranked r JOIN quota q USING (lang)
+        WHERE r.rk <= q.q
+    ),
+    binned AS (
+        SELECT *,
+               ((ROW_NUMBER() OVER (ORDER BY avg_logs, doc_id) - 1) * 10)
+                   // (SELECT count(*) FROM sampled) AS bin
+        FROM sampled
+    )
+    SELECT doc_id, lang,
+           CAST(rk AS INTEGER) AS rank_in_stratum,
+           CAST(quota AS BIGINT) AS quota,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_backoffs AS BIGINT) AS n_backoffs,
+           CAST(avg_logs AS DOUBLE) AS avg_logs,
+           CAST(flag_ratio AS DOUBLE) AS flag_ratio,
+           CAST(bin AS INTEGER) AS ppl_bin
+    FROM binned ORDER BY doc_id
+    """,
+    tags=("curation", "composite", "pipeline"),
+    defer_oracle=True,
+)
+def pipeline_curate_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 curation composite — the r8 operator family end-to-end with
+    EXACT cross-engine parity (the v4 pattern; r8 verdict #2):
+
+      1. blocklist ratio gate (`text.blocklist_signals`, RefinedWeb-style
+         ratio <= 0.08 — 500 -> 464 at sf0.01),
+      2. Stupid Backoff LM quality gate (`lm.score_backoff` trained on the
+         SURVIVORS' doc_id%5 reference slice; keep avg_logs >= -3.5, the
+         bit-identical pre-exp form of sb_ppl <= e^3.5 — 464 -> 284),
+      3. temperature-0.5 mixture rebalance over the gated pool
+         (`sampling.mixture_sample`, budget 120, integer largest-remainder
+         apportionment — 284 -> 120),
+      4. quality-decile curriculum tag over the sample
+         (`scale.with_global_offset` two-phase cumsum rank on
+         (avg_logs, doc_id), bin = rank*10 div n — ten even bins).
+
+    Scale shape: stage 1 is map-only codegen; stage 2's shuffles are
+    bounded by distinct bigram/unigram counts (never corpus x corpus);
+    the gated pool is memo-checkpointed once and feeds the quota count,
+    the md5-rank draw, and the final join without re-running the LM
+    chain; stages 3/4 shuffle only the 120-row sample. Gate thresholds
+    are literals, so the md5-rank window plans WindowGroupLimit(Partial)
+    map-side."""
+    from squrve_spark.catalog import memo_checkpoint
+    from squrve_spark.operators import lm
+    from squrve_spark.operators.sampling import mixture_sample
+    from squrve_spark.operators.scale import with_global_offset
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = text.blocklist_signals(docs, ["error", "slow", "null"],
+                                 threshold=0.08)
+    surv1 = docs.join(
+        sig.where(~F.col("dropped")).select("doc_id", "flag_ratio"), "doc_id"
+    )
+    ref = surv1.where(F.col("doc_id") % 5 == 0)
+    bigrams, contexts, vocab = lm.train_bigram_lm(ref)
+    unigrams, n_total = lm.train_unigrams(ref)
+    scored = lm.score_backoff(
+        surv1, bigrams, unigrams, n_total, vocab, contexts=contexts
+    )
+    surv2 = memo_checkpoint(
+        surv1.select("doc_id", "lang", "flag_ratio").join(
+            scored.where(F.col("avg_logs") >= -3.5).select(
+                "doc_id", "n_bigrams", "n_backoffs", "avg_logs"
+            ),
+            "doc_id",
+        )
+    )
+    mix = mixture_sample(surv2, budget=120, stratum_col="lang")
+    sampled = mix.join(surv2, ["lang", "doc_id"])
+    ranked = with_global_offset(
+        sampled.withColumn("_one", F.lit(1)),
+        ["avg_logs", "doc_id"], "_one", out_col="_rank0",
+    )
+    n = ranked.count()  # bounded: the post-checkpoint 120-row sample
+    return (
+        ranked.withColumn("ppl_bin", F.expr(f"(_rank0 * 10L) div {n}"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("rank_in_stratum").cast("int").alias("rank_in_stratum"),
+            F.col("quota").cast("long").alias("quota"),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("n_backoffs").cast("long").alias("n_backoffs"),
+            F.col("avg_logs").cast("double").alias("avg_logs"),
+            F.col("flag_ratio").cast("double").alias("flag_ratio"),
+            F.col("ppl_bin").cast("int").alias("ppl_bin"),
+        )
+        .orderBy("doc_id")
+    )

@@ -301,3 +301,37 @@ def test_pipeline_curate_v4_stage_invariants(spark):
         assert len(r["masked_md5"]) == 32
     assert max(per_source.values()) <= 3
     assert len(per_source) > 1  # survivors span sources
+
+
+def test_pipeline_curate_v5_stage_monotone(spark):
+    """v5 composite (r9): the four-stage funnel is monotone and every
+    stage demonstrably bites at sf0.01 — blocklist ratio gate, Stupid
+    Backoff LM gate, mixture budget, even decile tags."""
+    from pyspark.sql import functions as F
+
+    from squrve_spark.catalog import load_table
+    from squrve_spark.operators import text
+
+    docs = load_table(spark, SF_MED, "documents")
+    n0 = docs.count()
+    sig = text.blocklist_signals(docs, ["error", "slow", "null"],
+                                 threshold=0.08)
+    n1 = sig.where(~F.col("dropped")).count()
+    out = REGISTRY["pipeline_curate_v5"].fn(spark, SF_MED).collect()
+    n3 = len(out)
+    # monotone funnel, every stage strictly biting at this sf
+    assert n0 > n1, "blocklist gate did not bite"
+    assert n3 == 120, "mixture budget not met"
+    langs = {r["lang"] for r in out}
+    assert len(langs) > 1  # sample spans strata
+    per_bin: dict[int, int] = {}
+    for r in out:
+        per_bin[r["ppl_bin"]] = per_bin.get(r["ppl_bin"], 0) + 1
+        assert r["avg_logs"] >= -3.5  # LM gate holds on every survivor
+        assert r["flag_ratio"] <= 0.08  # blocklist gate holds
+        assert 1 <= r["rank_in_stratum"] <= r["quota"]
+    assert sorted(per_bin) == list(range(10))  # ten even deciles
+    assert max(per_bin.values()) - min(per_bin.values()) <= 1
+    # the LM gate itself bit: survivors of stage 1 exceed the gated pool
+    n2 = sum(r["quota"] for r in {r["lang"]: r for r in out}.values())
+    assert n2 == 120  # quotas apportion the full budget

@@ -221,6 +221,10 @@ EXTENDED_HEAVIES = [
     # late r8: the backoff scorer shares perplexity's distinct-bigram
     # shuffle bound plus a distinct-unigram join — same skew exposure
     ("doc_lm_backoff", None),
+    # r9 (r8 verdict #2): the composite chaining all four r8 stages —
+    # its LM chain is trained on the blocklist survivors, so the
+    # distinct-bigram bound must hold on the gated (not raw) corpus
+    ("pipeline_curate_v5", None),
 ]
 
 
