@@ -1072,3 +1072,102 @@ def event_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "event_campaign_attrib",
+    # r9 (r8 verdict #3): the skew lever driven INSIDE a real composite —
+    # campaign revenue attribution where unattributed traffic folds onto
+    # the default campaign 0 (the power-law key every attribution join
+    # has). The oracle replays the plain join AND recomputes the salting
+    # DECISION from the same thresholds skew_aware_join applies, so the
+    # driver check proves both the rewrite's invisibility and the
+    # decision logic cross-engine.
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN user_id % 4 < 2 THEN 0 ELSE user_id % 100 END AS k,
+               user_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value * 100) AS BIGINT)
+                    ELSE 0 END AS cents
+        FROM events
+    ), rollup AS (
+        SELECT k, user_id, count(*) AS n_events, sum(cents) AS purchase_cents
+        FROM fact GROUP BY k, user_id
+    ), prof AS (
+        SELECT sum(cnt) AS total, count(*) AS n_keys, max(cnt) AS max_rows
+        FROM (SELECT k, count(*) AS cnt FROM rollup
+              WHERE k IS NOT NULL GROUP BY k)
+    ), dim AS (
+        SELECT range AS k, range % 7 + 1 AS budget FROM range(100)
+    )
+    SELECT r.k,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(r.n_events) AS BIGINT) AS n_events,
+           CAST(sum(r.purchase_cents * d.budget) AS BIGINT) AS weighted_cents,
+           (SELECT max_rows >= 4.0 * (total / CAST(n_keys AS DOUBLE))
+                   AND 100.0 * max_rows / total >= 1.0
+            FROM prof) AS salted,
+           CAST((SELECT CASE WHEN max_rows >= 4.0 * (total / CAST(n_keys AS DOUBLE))
+                                  AND 100.0 * max_rows / total >= 1.0
+                             THEN 8 ELSE 0 END FROM prof) AS INTEGER) AS n_salts,
+           CAST((SELECT 100.0 * max_rows / total FROM prof) AS DOUBLE)
+               AS skew_share_pct
+    FROM rollup r JOIN dim d USING (k)
+    GROUP BY r.k ORDER BY r.k
+    """,
+    tags=("events", "scale", "composite"),
+    defer_oracle=True,
+)
+def event_campaign_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Campaign revenue attribution THROUGH the skew lever (r9, r8 verdict
+    #3): per-user LTV rollup on a derived campaign key where every
+    un-campaigned user lands on the default campaign 0 (~half the users —
+    the classic attribution hot key), then `scale.skew_aware_join` joins
+    the rollup to the 100-row campaign dim. The lever profiles the rollup
+    (one keyed count), crosses both documented thresholds (hot key >= 4x
+    mean AND >= 1% of rows), and routes through `salted_join`; the
+    decision rides on every output row (`salted`, `n_salts`,
+    `skew_share_pct` — computed by the ORACLE from the same thresholds,
+    so the decision logic itself is driver-checked). Scale shape: one
+    keyed rollup shuffle (map-side combined), the bounded profile
+    aggregate, then the salted fact-dim join; money stays in long cents
+    end-to-end (exact)."""
+    from squrve_spark.operators.scale import skew_aware_join
+
+    events = load_table(spark, sf_dir, "events")
+    fact = events.select(
+        F.when(F.col("user_id") % 4 < 2, F.lit(0))
+        .otherwise(F.col("user_id") % 100)
+        .alias("k"),
+        "user_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("cents"),
+    )
+    rollup = fact.groupBy("k", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("purchase_cents"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("budget")
+    )
+    joined, dec = skew_aware_join(rollup, dim, ["k"], return_decision=True)
+    share = 100.0 * dec["max_key_rows"] / dec["total_rows"]
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum(F.col("purchase_cents") * F.col("budget"))
+            .cast("bigint")
+            .alias("weighted_cents"),
+        )
+        .withColumn("salted", F.lit(bool(dec["salted"])))
+        .withColumn("n_salts", F.lit(int(dec["n_salts"])).cast("int"))
+        .withColumn("skew_share_pct", F.lit(share).cast("double"))
+        .orderBy("k")
+    )

@@ -250,3 +250,53 @@ def test_subquadratic_growth_extended_decade(spark, name, fn):
         f"synthesized sf1 decade (exponent {exponent:.2f} >= {MAX_EXPONENT}) "
         f"— times: {[round(t, 2) for t in times]}"
     )
+
+
+def test_skew_lever_bounds_straggler_load_across_decade(spark):
+    """r9 (r8 verdict #3): the salted path's straggler metric beats the
+    plain join's on the skewed fixture, and keeps beating it as the data
+    grows sf0.1 -> sf1. The metric is DETERMINISTIC — the largest
+    join-key GROUP the exchange must co-locate: per (key) plain vs per
+    (key, salt) salted. (Partition-level max loads add hash-packing
+    noise — 8 salt buckets into 32 partitions collide ~60% of the time
+    — but the per-group count is what bounds a reducer's MANDATORY
+    co-located work.) Both loads
+    grow ~linearly in corpus size (exponent ~1 — the hot key IS half the
+    corpus); what the lever buys is the n_salts-fold constant bound on
+    the straggler, so we assert (a) the salted exponent never exceeds
+    the plain one, and (b) the 4x-at-least load separation holds at BOTH
+    ends of the decade, not just where it was tuned."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from squrve_spark.catalog import load_table
+    from squrve_spark.operators.scale import _salt_col
+
+    sf1 = _synthesize_sf1()
+
+    def loads(sf_dir: str) -> tuple[int, int]:
+        ev = load_table(spark, sf_dir, "events").select(
+            F.when(F.col("user_id") % 4 < 2, F.lit(0))
+            .otherwise(F.col("user_id") % 100)
+            .alias("k")
+        )
+        def max_load(df, cols):
+            return (
+                df.groupBy(*[F.col(c) for c in cols])
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.max("n")).collect()[0][0]
+            )
+        plain = max_load(ev, ["k"])
+        salted = max_load(ev.withColumn("__salt", _salt_col(8)),
+                          ["k", "__salt"])
+        return plain, salted
+
+    p_small, s_small = loads(SF_DIRS[2])   # sf0.1
+    p_big, s_big = loads(sf1)              # sf1
+    # the hot key holds ~half the corpus: the plain reducer is a straggler
+    assert p_small >= 4 * s_small, (p_small, s_small)
+    assert p_big >= 4 * s_big, (p_big, s_big)
+    exp_plain = math.log(p_big / p_small) / math.log(10.0)
+    exp_salted = math.log(s_big / s_small) / math.log(10.0)
+    assert exp_salted <= exp_plain + 0.05, (exp_salted, exp_plain)
