@@ -276,12 +276,25 @@ def _simhash_udf(col):
     return pandas_udf(_simhash_fn, "long")(col)
 
 
+def _md5_hash64(t):
+    """Engine-portable 64-bit token hash: the first 16 hex digits of
+    md5(t), assembled as (hi32 << 32) | lo32 so the int64 BIT PATTERN
+    equals DuckDB's `CAST(('0x'||substr(md5(t),1,16)) AS UBIGINT)`
+    (shiftleft/bitwiseOR never overflow-check, unlike `*`/`+` under
+    ANSI). r9: replaced xxhash64 so SimHash signatures — and therefore
+    `dedup_simhash`'s pair set — are replayable by any engine."""
+    return F.shiftleft(
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), 32
+    ).bitwiseOR(F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long"))
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, sig): 64-bit SimHash over distinct whitespace tokens."""
+    """(id, sig): 64-bit SimHash over distinct whitespace tokens
+    (md5-derived per-token bits — engine-portable, see `_md5_hash64`)."""
     token_hashes = F.transform(
-        F.array_distinct(tokens_expr(text_col)), lambda t: F.xxhash64(t)
+        F.array_distinct(tokens_expr(text_col)), _md5_hash64
     )
     return spread(df).select(F.col(id_col), _simhash_udf(token_hashes).alias("sig"))
 

@@ -469,11 +469,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    # oracle=None blocked by: the 64 signature bits are xxhash64(token) sign projections — Spark-specific hash, no DuckDB twin
-    oracle=None,
-    tags=("dedup", "no-oracle"))
+    # r9 rows-only -> deferred (r8 verdict #4): per-token sign bits moved
+    # from xxhash64 to md5 (dedup._md5_hash64), so the signature — and the
+    # pair set — replays on any engine. The oracle skips the pigeonhole
+    # blocking and computes ALL hamming<=3 pairs directly: by the
+    # pigeonhole principle (4 chunks, <=3 flipped bits) the blocked
+    # candidate set provably contains every such pair, so the outputs are
+    # identical — which is exactly the recall contract worth checking.
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   regexp_split_to_array(trim(text), '\s+'))) AS t
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS hv
+        FROM tok
+    ), votes AS (
+        SELECT doc_id, b.b,
+               sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM h, (SELECT unnest(range(64)) AS b) b
+        GROUP BY 1, 2
+    ), sig AS (
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 AND b < 32
+                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo,
+               sum(CASE WHEN s > 0 AND b >= 32
+                        THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi
+        FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup",),
+    defer_oracle=True,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (hamming <= 3) with pigeonhole blocking."""
+    """SimHash-64 near-dup pairs (hamming <= 3) with pigeonhole blocking
+    (md5-derived token sign bits — engine-portable as of r9)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, max_hamming=3)
 
@@ -1011,7 +1049,18 @@ def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_embed_search",
-    # oracle=None blocked by: the deterministic text encoder hashes tokens with xxhash64 into dense dims — engine-specific
+    # oracle=None blocked by (r9 audit, r8 verdict #4): NOT just the hash.
+    # Three independent blockers: (1) the n-gram feature hash is zlib.crc32
+    # (no DuckDB twin, chosen for the 20x hot-loop speedup over pure-Python
+    # hashing); (2) the 4096x64 Rademacher projection matrix comes from a
+    # seeded numpy PCG64 stream — no SQL replay; (3) even with md5 features
+    # and md5-parity signs, the 4096-term float dot product's IEEE
+    # summation ORDER differs between numpy and any SQL GROUP BY, so
+    # embeddings differ in the last ulp and top-k near ties can flip. An
+    # order-independent integer-grid rewrite would fix (3) but forfeit the
+    # Arrow-batched kernel this operator exists to exercise. Encoding
+    # parity is covered distributed-vs-driver (bit-identical) in
+    # tests/test_fewshot_index.py instead.
     oracle=None,
     tags=("similarity", "text", "no-oracle"))
 def doc_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1376,7 +1425,17 @@ def emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_curate_v2",
-    # oracle=None blocked by: composes the MinHash-signature stage (xxhash64) — see dedup_minhash_lsh
+    # oracle=None blocked by (r9 audit, r8 verdict #4 — corrected line:
+    # there is NO MinHash stage here): the quality gate scores against
+    # weights from a 2000-epoch driver-side numpy gradient descent
+    # (classifier.train_quality_model). A static oracle string cannot
+    # contain runtime-trained floats, and no SQL engine replays the fit;
+    # swapping xxhash64 features for md5 would not change that. The
+    # labeled-sample draw (orderBy xxhash64) is the secondary blocker.
+    # Gates 1-3 + the sample ARE individually oracled elsewhere
+    # (doc_exact_dedup / doc_span_dup / doc_decontaminate /
+    # doc_sample_per_lang); the model gate is property-tested in
+    # tests/test_classifier.py.
     oracle=None,
     tags=("pipeline", "no-oracle"))
 def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2060,14 +2119,34 @@ def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_shard_manifest",
-    # oracle=None blocked by: shard assignment is pmod(xxhash64(doc_id, seed)) — Spark-specific hash
-    oracle=None,
-    tags=("sink", "no-oracle"))
+    # r9 rows-only -> deferred (r8 verdict #4): the shard hash moved from
+    # xxhash64 to the 15-hex md5 idiom (sinks.with_shard), so the whole
+    # manifest is now engine-replayable.
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    ), s AS (
+        SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                          1, 15)) AS BIGINT) % 8 AS INTEGER) AS shard,
+               n_tokens
+        FROM t
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    tags=("sink",),
+    defer_oracle=True,
+)
 def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-writer audit: deterministic hash-shard assignment + per-shard
     doc/token balance (sinks.write_training_shards planning half). Pure row
-    function of doc_id — DuckDB parity over written output asserted in
-    tests/test_sinks.py."""
+    function of doc_id — as of r9 the md5 idiom, so the manifest (and any
+    engine reading written shards) recomputes the assignment exactly;
+    written-output DuckDB parity asserted in tests/test_sinks.py."""
     from squrve_spark import sinks
 
     docs = load_table(spark, sf_dir, "documents")

@@ -35,8 +35,25 @@ _ORDER_COL = "_shuffle_ord"
 def with_shard(
     df: DataFrame, n_shards: int, id_col: str = "doc_id", seed: int = 42
 ) -> DataFrame:
-    """Assign the deterministic shard id and within-shard order key."""
-    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    """Assign the deterministic shard id and within-shard order key.
+
+    r9: the hash moved from xxhash64 to the engine-portable md5 idiom —
+    shard = first-15-hex-of-md5("<id>:<seed>") mod n_shards — so ANY
+    engine reading written shards can recompute which shard a document
+    belongs to (DuckDB: `CAST(('0x'||substr(md5(id||':'||seed),1,15)) AS
+    BIGINT) % n`), and `doc_shard_manifest` is oracle-checkable. 15 hex
+    digits = 60 bits: fits a signed BIGINT on both engines and keeps the
+    within-shard order key collision-free at real shard sizes. md5 is
+    slower than xxhash64 per row, but one hash per written row is noise
+    next to the write itself, and a portable shard layout is worth it."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                              F.lit(str(seed)))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
     return df.withColumn(SHARD_COL, F.pmod(h, F.lit(n_shards)).cast("int")).withColumn(
         _ORDER_COL, h
     )
