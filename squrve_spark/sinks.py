@@ -279,6 +279,7 @@ def incremental_rollup(
     group_cols: list[str],
     agg_exprs: dict[str, str],
     partition_col: str,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Maintain a persisted additive rollup as batches arrive: aggregate the
     batch, MERGE with the stored partial aggregates for the touched
@@ -292,6 +293,16 @@ def incremental_rollup(
     here ACROSS batches. Cost per batch ~ batch size + touched-partition
     rollup rows; the full history is never re-read. Returns the updated
     rollup rows for the touched partitions.
+
+    ``batch_id`` (r9, r8 verdict #6) closes the torn-write seam under
+    Structured Streaming's at-least-once ``foreachBatch``: a crash
+    BETWEEN the store upsert and the checkpoint commit replays the batch,
+    and without the guard the additive sums double-merge (unlike sketch
+    unions, sums are not idempotent). Store rows carry the last applied
+    batch id IN the store parquet — the skip decision is atomic with the
+    store contents — and a replayed batch returns the stored rows for
+    its touched partitions untouched, the same row set as first delivery
+    (the `incremental_distinct` replay contract).
     """
     agg = batch.groupBy(*group_cols).agg(
         *[F.expr(e).cast("long").alias(name) for name, e in agg_exprs.items()]
@@ -299,6 +310,13 @@ def incremental_rollup(
     measures = list(agg_exprs)
     import os
 
+    if batch_id is not None and os.path.isdir(store_path):
+        prior = spark.read.parquet(store_path)
+        if "_batch_id" in prior.columns:
+            last = prior.agg(F.max("_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                keys = batch.select(partition_col).distinct()
+                return prior.join(keys, [partition_col], "left_semi")
     if os.path.isdir(store_path):
         touched = [
             r[0] for r in agg.select(partition_col).distinct().collect()
@@ -310,6 +328,8 @@ def incremental_rollup(
         if any(t is None for t in touched):
             pred = pred | F.col(partition_col).isNull()
         existing = spark.read.parquet(store_path).filter(pred)
+        if "_batch_id" in existing.columns:
+            existing = existing.drop("_batch_id")
         merged = (
             existing.unionByName(agg)
             .groupBy(*group_cols)
@@ -317,6 +337,10 @@ def incremental_rollup(
         )
     else:
         merged = agg
+    if batch_id is not None:
+        merged = merged.withColumn(
+            "_batch_id", F.lit(int(batch_id)).cast("long")
+        )
     merged = merged.localCheckpoint()  # pin before the store rewrite
     upsert_partitioned(
         spark, merged, store_path, key_cols=group_cols, partition_col=partition_col

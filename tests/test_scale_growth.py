@@ -225,6 +225,16 @@ EXTENDED_HEAVIES = [
     # its LM chain is trained on the blocklist survivors, so the
     # distinct-bigram bound must hold on the gated (not raw) corpus
     ("pipeline_curate_v5", None),
+    # r9 (r8 verdict #5): the two operators with a DRIVER-SIDE training
+    # component. Their training inputs are corpus-size-independent by
+    # construction — bpe.corpus_word_freqs collects at most 50_000
+    # hash-capped (word, count) rows and train_bpe_merges is
+    # O(n_merges x distinct_words) on that cap; doc_quality_model trains
+    # on a hash-ordered LIMIT 200 sample — so across the decade only the
+    # distributed halves (word-count shuffle bounded by vocabulary;
+    # map-only Catalyst scoring) may grow.
+    ("doc_bpe_tokens", None),
+    ("doc_quality_model", None),
 ]
 
 

@@ -792,3 +792,160 @@ def test_stream_lm_ppl_monitor_restart_from_checkpoint(spark, tmp_path):
         for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             rank = sum(1 for x in xs if x <= r[col]) / m
             assert abs(rank - q) <= 0.05, (r["source"], col, rank, q)
+
+
+def _slices_to_files(pdf, staged, n=4):
+    files = []
+    m = len(pdf)
+    for i in range(n):
+        p = staged / f"part{i}.parquet"
+        pdf.iloc[i * m // n : (i + 1) * m // n].to_parquet(p, index=False)
+        files.append(p)
+    return files
+
+
+def _drain(spark, schema, src, chk, handle):
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_hll_store_torn_write_replay_is_noop(spark, tmp_path):
+    """r9 (r8 verdict #6): crash BETWEEN the sketch-store write and the
+    checkpoint commit — the exact seam batch_id idempotency exists for.
+    Simulated faithfully: drain all slices, then DELETE the final
+    checkpoint commit marker (the store write from that batch survives;
+    the commit does not — precisely the torn state a crash leaves),
+    restart from the same checkpoint. Structured Streaming re-delivers
+    the uncommitted batch; the store's batch_id guard must make the
+    replay a no-op, leaving store state byte-equal to the uninterrupted
+    run's."""
+    import glob
+    import os as _os
+
+    import pandas as pd
+
+    from squrve_spark.operators.sketches import incremental_distinct
+
+    pdf = pd.read_parquet(f"{SF_SMALL}/events.parquet")[
+        ["event_id", "user_id", "event_type"]
+    ]
+    staged = tmp_path / "staged"; staged.mkdir()
+    src = tmp_path / "src"; src.mkdir()
+    files = _slices_to_files(pdf, staged)
+    for f in files:
+        _os.rename(f, src / f.name)
+    store, chk = str(tmp_path / "store"), tmp_path / "chk"
+    schema = spark.read.parquet(str(src)).schema
+
+    def handle(batch_df, batch_id):
+        incremental_distinct(
+            spark, batch_df, store, "user_id", ["event_type"],
+            batch_id=batch_id,
+        )
+
+    _drain(spark, schema, src, chk, handle)
+    done = spark.read.parquet(store)
+    snapshot = {
+        r["event_type"]: (r["n_distinct_est"], r["_batch_id"])
+        for r in done.collect()
+    }
+    assert max(b for _, b in snapshot.values()) == 3
+
+    # tear the write: drop the LAST commit marker only — the batch-3 store
+    # write stays, its commit is gone, exactly a crash in the gap
+    commits = sorted(glob.glob(str(chk / "commits" / "*")))
+    last = [c for c in commits if not c.endswith(".tmp")][-1]
+    _os.remove(last)
+    # the commit write is an atomic rename of (file, .crc sidecar): a
+    # crash before it leaves NEITHER — remove the sidecar too or the
+    # replay's rename collides on it
+    crc = chk / "commits" / f".{_os.path.basename(last)}.crc"
+    if crc.exists():
+        _os.remove(crc)
+
+    _drain(spark, schema, src, chk, handle)  # resume: batch 3 re-delivered
+    after = {
+        r["event_type"]: (r["n_distinct_est"], r["_batch_id"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert after == snapshot  # replay merged nothing, dropped nothing
+
+
+def test_rollup_store_torn_write_replay_is_noop(spark, tmp_path):
+    """r9 (r8 verdict #6): same torn-write seam for the ADDITIVE rollup
+    store — the store where a silent double-merge is worst (sums are not
+    idempotent, unlike sketch unions), guarded by the batch_id column
+    incremental_rollup grew this round. Also cross-checks the final
+    store against exact whole-corpus aggregation, so the crash-replay
+    run is proven equal to a batch recompute, not merely self-stable."""
+    import glob
+    import os as _os
+
+    import pandas as pd
+
+    from squrve_spark.sinks import incremental_rollup
+
+    pdf = pd.read_parquet(f"{SF_SMALL}/events.parquet")[
+        ["event_id", "event_type", "value"]
+    ]
+    staged = tmp_path / "staged"; staged.mkdir()
+    src = tmp_path / "src"; src.mkdir()
+    files = _slices_to_files(pdf, staged)
+    for f in files:
+        _os.rename(f, src / f.name)
+    store, chk = str(tmp_path / "store"), tmp_path / "chk"
+    schema = spark.read.parquet(str(src)).schema
+    aggs = {
+        "n_events": "count(*)",
+        "value_cents": "sum(CAST(FLOOR(value * 100) AS BIGINT))",
+    }
+
+    def handle(batch_df, batch_id):
+        incremental_rollup(
+            spark, batch_df, store, ["event_type"], aggs, "event_type",
+            batch_id=batch_id,
+        )
+
+    _drain(spark, schema, src, chk, handle)
+    snapshot = {
+        r["event_type"]: (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(store).collect()
+    }
+
+    last = sorted(
+        c for c in glob.glob(str(chk / "commits" / "*"))
+        if not c.endswith(".tmp")
+    )[-1]
+    _os.remove(last)
+    crc = chk / "commits" / f".{_os.path.basename(last)}.crc"
+    if crc.exists():
+        _os.remove(crc)
+    _drain(spark, schema, src, chk, handle)  # replay of the torn batch
+
+    after = {
+        r["event_type"]: (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert after == snapshot  # no double-merge
+
+    exact = {
+        r["event_type"]: (r["n"], r["cents"])
+        for r in spark.createDataFrame(pdf)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr("CAST(FLOOR(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    }
+    assert after == exact
