@@ -851,3 +851,96 @@ def segment_dedup(
         ).cast("bigint").alias("n_removed"),
         F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
     )
+
+
+def ngram_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 3,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher repetition-rule signals (Rae et al. 2021 §A1.1) — the
+    N-GRAM half; the line/paragraph/symbol rules live in
+    `repetition_stats` and `top_ngram_frac` covers the top-BIGRAM form:
+
+      * ``top{top_n}_frac`` — fraction of tokens covered by the single
+        most frequent token top_n-gram (clamped to 1.0, as in
+        `top_ngram_frac`; Gopher drops docs where this exceeds ~0.16-0.18
+        for n=2..4),
+      * ``dup{dup_n}_char_frac`` — fraction of n-gram CHARACTERS that sit
+        inside dup_n-grams occurring more than once (Gopher drops above
+        ~0.10-0.15 for n=5..10; overlapping occurrences counted per
+        occurrence, the standard reimplementation trade).
+
+    Plan shape: ONE slim (id, tokens) projection explodes both gram sizes
+    in a single pass (each gram tagged with its n), one groupBy
+    (doc_id, n, gram) with map-side partial aggregation — the shuffle is
+    bounded by total gram occurrences (linear in corpus tokens), never
+    corpus x corpus — then a per-doc conditional aggregate. Zero Python;
+    grams join on chr(30) so multi-space runs can't alias.
+
+    Output: (doc_id, n_tokens, top{top_n}_frac, dup{dup_n}_char_frac),
+    fractions rounded to 6dp (cross-engine parity grid).
+    """
+    sep = "\x1e"
+    staged = spread(df).select(
+        "doc_id",
+        F.filter(tokens_expr(text_col), lambda t: t != "").alias("w"),
+    )
+    n_tok = F.size(F.col("w"))
+
+    def grams_of(n: int):
+        return F.when(
+            n_tok >= n,
+            F.transform(
+                F.sequence(F.lit(0), n_tok - n),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice(F.col("w"), i + 1, n), sep).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+    exploded = staged.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.explode(F.concat(grams_of(top_n), grams_of(dup_n))).alias("gr"),
+    )
+    counted = exploded.groupBy(
+        "doc_id", F.col("n_tokens"), F.col("gr.n").alias("n"),
+        F.col("gr.g").alias("g"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    is_top, is_dup = F.col("n") == top_n, F.col("n") == dup_n
+    per_doc = counted.groupBy("doc_id", "n_tokens").agg(
+        F.max(F.when(is_top, F.col("c"))).alias("top_c"),
+        F.sum(F.when(is_dup & (F.col("c") >= 2),
+                     F.col("c") * F.length("g"))).alias("dup_chars"),
+        F.sum(F.when(is_dup, F.col("c") * F.length("g"))).alias("all_chars"),
+    )
+    top_frac = F.round(
+        F.least(F.lit(1.0), F.col("top_c") * top_n / F.col("n_tokens")), 6
+    )
+    dup_frac = F.round(
+        F.coalesce(F.col("dup_chars"), F.lit(0)) / F.col("all_chars"), 6
+    )
+    # docs too short for ANY gram never reach `counted` — restore them
+    # with zero signals via a left join from the staged projection
+    base = staged.select("doc_id", n_tok.alias("n_tokens"))
+    out = base.join(
+        per_doc.select(
+            "doc_id",
+            F.coalesce(top_frac, F.lit(0.0)).cast("double")
+            .alias(f"top{top_n}_frac"),
+            F.coalesce(dup_frac, F.lit(0.0)).cast("double")
+            .alias(f"dup{dup_n}_char_frac"),
+        ),
+        "doc_id",
+        "left",
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.coalesce(f"top{top_n}_frac", F.lit(0.0)).alias(f"top{top_n}_frac"),
+        F.coalesce(f"dup{dup_n}_char_frac", F.lit(0.0))
+        .alias(f"dup{dup_n}_char_frac"),
+    )

@@ -3616,3 +3616,227 @@ def pipeline_curate_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_ngram_repetition",
+    # r9: the n-gram half of Gopher's repetition rules (top-3-gram token
+    # coverage + duplicated-5-gram char fraction). The fixture's random
+    # word soup never repeats a 5-gram, so every 7th document gets a
+    # deterministic chorus (its own first 5 tokens appended twice) BOTH
+    # sides replay — the dup rule provably fires, not just parity on
+    # zeros. Same per-doc gram groupBy as the lm/bigram family: shuffle
+    # linear in corpus tokens, never corpus x corpus.
+    oracle=r"""
+    WITH pre AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '') AS w0
+        FROM documents
+    ), base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 AND len(w0) >= 5
+                    THEN text || ' ' ||
+                         array_to_string(list_slice(w0, 1, 5), ' ') || ' ' ||
+                         array_to_string(list_slice(w0, 1, 5), ' ')
+                    ELSE text END AS text
+        FROM pre
+    ), tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '') AS w
+        FROM base
+    ), g3 AS (
+        SELECT doc_id, array_to_string(list_slice(w, i, i + 2), chr(30)) AS g
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+              FROM tok WHERE len(w) >= 3)
+    ), c3 AS (
+        SELECT doc_id, max(c) AS top_c
+        FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+        GROUP BY 1
+    ), g5 AS (
+        SELECT doc_id, array_to_string(list_slice(w, i, i + 4), chr(30)) AS g
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+              FROM tok WHERE len(w) >= 5)
+    ), c5 AS (
+        SELECT doc_id,
+               sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup_chars,
+               sum(c * length(g)) AS all_chars
+        FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2)
+        GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           CAST(COALESCE(ROUND(least(1.0, c3.top_c * 3.0 / len(w)), 6), 0.0)
+               AS DOUBLE) AS top3_frac,
+           CAST(COALESCE(ROUND(c5.dup_chars * 1.0 / c5.all_chars, 6), 0.0)
+               AS DOUBLE) AS dup5_char_frac
+    FROM tok t LEFT JOIN c3 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("text", "hygiene", "curation"),
+    defer_oracle=True,
+)
+def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher n-gram repetition signals (r9): top-3-gram token coverage +
+    duplicated-5-gram character fraction (`text.ngram_repetition` — one
+    slim projection explodes both gram sizes in a single pass, one
+    token-linear groupBy, zero Python). Complements `doc_top_ngram`
+    (bigram form) and `doc_signals`' line/paragraph rules. Every 7th doc
+    gets a deterministic within-doc chorus so the duplicate rule
+    demonstrably bites."""
+    docs = load_table(spark, sf_dir, "documents")
+    w0 = F.filter(text.tokens_expr("text"), lambda t: t != "")
+    chorus = F.array_join(F.slice(w0, 1, 5), " ")
+    staged = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 7 == 0) & (F.size(w0) >= 5),
+            F.concat(F.col("text"), F.lit(" "), chorus, F.lit(" "), chorus),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.ngram_repetition(staged).orderBy("doc_id")
+
+
+@register(
+    "doc_ccnet_bins",
+    # r9: CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    # 2020), per language. Thresholds are ORDER-STATISTIC elements of a
+    # bounded md5-rank sample — never interpolated quantiles, so no
+    # engine can disagree by an ulp — and comparisons tie-break on
+    # (ppl, doc_id) lexicographically, so exact-duplicate texts (same
+    # ppl) still bin identically. ppl itself is the driver-proven
+    # ROUND(exp(-avg),4) grid from doc_lm_perplexity.
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS t
+        FROM documents
+    ),
+    pairs AS (
+        SELECT tok.doc_id, tok.t[g.i] AS w1, tok.t[g.i + 1] AS w2
+        FROM tok, LATERAL (SELECT unnest(range(1, len(tok.t))) AS i) g
+        WHERE len(tok.t) >= 2
+    ),
+    doc_bg AS (
+        SELECT doc_id, w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2, 3
+    ),
+    ref_bg AS (
+        SELECT w1, w2, sum(n) AS c2 FROM doc_bg
+        WHERE doc_id % 5 = 0 GROUP BY 1, 2
+    ),
+    ref_ctx AS (SELECT w1, sum(c2) AS c1 FROM ref_bg GROUP BY 1),
+    vocab AS (
+        SELECT count(DISTINCT u.tk) AS v
+        FROM (SELECT unnest(t) AS tk FROM tok WHERE doc_id % 5 = 0) u
+    ),
+    lm_s AS (
+        SELECT d.doc_id, d.n,
+               CAST(ln((COALESCE(b.c2, 0) + 1)
+                       / (COALESCE(c.c1, 0) + (SELECT v FROM vocab)))
+                    AS DECIMAL(20,6)) * d.n AS logp
+        FROM doc_bg d
+        LEFT JOIN ref_bg b USING (w1, w2)
+        LEFT JOIN ref_ctx c USING (w1)
+    ),
+    base AS (
+        SELECT a.doc_id, dd.lang,
+               CAST(ROUND(exp(-(CAST(sum_logp AS DOUBLE) / nb)), 4)
+                   AS DOUBLE) AS ppl
+        FROM (SELECT doc_id, sum(n) AS nb, sum(logp) AS sum_logp
+              FROM lm_s GROUP BY 1) a
+        JOIN documents dd USING (doc_id)
+    ),
+    samp AS (
+        SELECT lang, doc_id, ppl FROM (
+            SELECT b.*,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS mrk
+            FROM base b)
+        WHERE mrk <= 100
+    ),
+    ordered AS (
+        SELECT lang, doc_id, ppl,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY ppl, doc_id) AS rk,
+               count(*) OVER (PARTITION BY lang) AS ns
+        FROM samp
+    ),
+    t1 AS (SELECT lang, ppl AS v1, doc_id AS i1 FROM ordered
+           WHERE rk = ((ns - 1) // 3) + 1),
+    t2 AS (SELECT lang, ppl AS v2, doc_id AS i2 FROM ordered
+           WHERE rk = ((2 * (ns - 1)) // 3) + 1)
+    SELECT b.doc_id, b.lang, b.ppl,
+           CASE WHEN b.ppl < t1.v1 OR (b.ppl = t1.v1 AND b.doc_id <= t1.i1)
+                THEN 'head'
+                WHEN b.ppl < t2.v2 OR (b.ppl = t2.v2 AND b.doc_id <= t2.i2)
+                THEN 'middle'
+                ELSE 'tail' END AS bin
+    FROM base b JOIN t1 USING (lang) JOIN t2 USING (lang)
+    ORDER BY b.doc_id
+    """,
+    tags=("text", "lm", "curation"),
+    defer_oracle=True,
+)
+def doc_ccnet_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (r9): score every
+    document with the held-out bigram LM (`lm.score_perplexity`,
+    doc_id%5 reference slice), then tag head/middle/tail terciles PER
+    LANGUAGE from thresholds computed on a 100-doc md5-rank sample per
+    language — the CCNet recipe (quantiles on a sample, applied
+    corpus-wide as a map-only CASE), and the scale-correct one: the only
+    window runs over the BOUNDED sample (<= 100 x #langs rows), never a
+    per-language corpus sort; the corpus-side bin is one broadcast join
+    + codegen CASE. Thresholds are order-statistic (value, id) pairs at
+    positions floor((ns-1)/3)+1 and floor(2(ns-1)/3)+1, compared
+    lexicographically — exact cross-engine by construction."""
+    from pyspark.sql import Window as W
+
+    from squrve_spark.catalog import memo_checkpoint
+    from squrve_spark.operators import lm
+    from squrve_spark.operators.sampling import md5_rank_pick
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams, contexts, vocab = lm.train_bigram_lm(
+        docs.where(F.col("doc_id") % 5 == 0)
+    )
+    scored = lm.score_perplexity(docs, bigrams, contexts, vocab)
+    base = memo_checkpoint(
+        scored.select("doc_id", "ppl").join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+    )
+    samp = md5_rank_pick(base, ["lang"], 100).join(base, ["lang", "doc_id"])
+    w = W.partitionBy("lang").orderBy("ppl", "doc_id")
+    ordered = samp.select(
+        "lang", "doc_id", "ppl",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("ns"),
+    )
+    t1 = ordered.where(
+        F.col("rk") == F.expr("((ns - 1) div 3) + 1")
+    ).select("lang", F.col("ppl").alias("v1"), F.col("doc_id").alias("i1"))
+    t2 = ordered.where(
+        F.col("rk") == F.expr("((2 * (ns - 1)) div 3) + 1")
+    ).select("lang", F.col("ppl").alias("v2"), F.col("doc_id").alias("i2"))
+    head = (F.col("ppl") < F.col("v1")) | (
+        (F.col("ppl") == F.col("v1")) & (F.col("doc_id") <= F.col("i1"))
+    )
+    mid = (F.col("ppl") < F.col("v2")) | (
+        (F.col("ppl") == F.col("v2")) & (F.col("doc_id") <= F.col("i2"))
+    )
+    return (
+        base.join(F.broadcast(t1), "lang")
+        .join(F.broadcast(t2), "lang")
+        .select(
+            "doc_id", "lang", "ppl",
+            F.when(head, F.lit("head"))
+            .when(mid, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bin"),
+        )
+        .orderBy("doc_id")
+    )

@@ -340,3 +340,37 @@ def test_pii_redact_oracle_parity_on_planted_pii(spark):
         assert by_id[3]["n_email"] == 0
     finally:
         con.close()
+
+
+def test_ngram_repetition_signals(spark):
+    """r9: the Gopher n-gram repetition pair — dup-5-gram char fraction
+    fires on a within-doc chorus, top-3 coverage saturates on a stutter
+    loop, and short docs get exact zeros (not NULLs)."""
+    from squrve_spark.operators.text import ngram_repetition
+
+    rows = [
+        # 'a b c d e' x4: every 5-gram is a cyclic rotation occurring
+        # >= 2 times, so the dup fraction saturates at 1.0
+        (1, "a b c d e a b c d e a b c d e a b c d e"),
+        # pure stutter: top-3-gram coverage clamps to 1.0
+        (2, "x x x x x x"),
+        # no repeated 5-gram
+        (3, "one two three four five six seven"),
+        # too short for any 3-gram
+        (4, "hi there"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_repetition(df).collect()}
+    assert out[1]["dup5_char_frac"] == 1.0
+    assert out[2]["top3_frac"] == 1.0 and out[2]["dup5_char_frac"] == 1.0
+    assert out[3]["dup5_char_frac"] == 0.0 and 0 < out[3]["top3_frac"] < 1
+    assert out[4]["top3_frac"] == 0.0 and out[4]["dup5_char_frac"] == 0.0
+    assert out[5]["top3_frac"] == 0.0 and out[5]["dup5_char_frac"] == 0.0
+    # within-doc chorus planted by the registry entry demonstrably bites
+    from squrve_spark.plans import REGISTRY
+    reg = REGISTRY["doc_ngram_repetition"].fn(spark, SF_SMALL).collect()
+    hot = [r for r in reg if r["doc_id"] % 7 == 0]
+    assert hot and all(r["dup5_char_frac"] > 0 for r in hot)
+    cold = [r for r in reg if r["doc_id"] % 7 != 0]
+    assert cold and all(r["dup5_char_frac"] == 0.0 for r in cold)

@@ -145,3 +145,30 @@ def test_score_backoff_branch_arithmetic(spark):
         assert abs(got[doc_id]["avg_logs"] - avg) < 1e-9
     assert got[1]["n_backoffs"] == 0  # 'a b','b c' both in the reference
     assert got[2]["n_backoffs"] == 2  # 'b z','z q' backed off
+
+
+def test_ccnet_bins_semantics(spark):
+    """r9: per-language tercile sanity — every language shows all three
+    bins with head quality strictly better (lower max ppl) than tail's
+    minimum is NOT required (sample thresholds are approximate), but
+    per-lang mean ppl must be monotone head < middle < tail and the bin
+    populations roughly balanced."""
+    from squrve_spark.plans import REGISTRY
+    from tests.conftest import SF_MED
+
+    rows = REGISTRY["doc_ccnet_bins"].fn(spark, SF_MED).collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r["lang"], r["bin"]), []).append(r["ppl"])
+    langs = {k[0] for k in by}
+    assert len(langs) > 1
+    for lang in langs:
+        h = by.get((lang, "head"), [])
+        m = by.get((lang, "middle"), [])
+        t = by.get((lang, "tail"), [])
+        assert h and m and t, (lang, len(h), len(m), len(t))
+        mean = lambda xs: sum(xs) / len(xs)
+        assert mean(h) < mean(m) < mean(t), lang
+        n = len(h) + len(m) + len(t)
+        for part in (h, m, t):
+            assert n / 6 <= len(part) <= n / 1.8, (lang, len(part), n)
