@@ -36,11 +36,28 @@ from squrve_spark.catalog import memo_checkpoint, spread
 from squrve_spark.operators.text import canon_expr, tokens_expr
 
 NUM_HASHES = 64
-_RNG = np.random.RandomState(42)
+
+
+def _md5_u64_py(s: str) -> int:
+    """First 16 md5 hex digits as a uint64 — the Python twin of the
+    Column-side `_md5_hash64` and DuckDB's `CAST(('0x'||substr(md5(s),
+    1,16)) AS UBIGINT)`; all three produce the same 64-bit value."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+
+
 # odd multipliers + offsets for the 64 universal-hash permutations
-# g_i(h) = a_i * h + b_i  (mod 2^64, silent uint64 wraparound)
-_MINHASH_A = (_RNG.randint(0, 2**62, NUM_HASHES).astype(np.uint64) * 2 + 1).astype(np.uint64)
-_MINHASH_B = _RNG.randint(0, 2**62, NUM_HASHES).astype(np.uint64)
+# g_i(h) = a_i * h + b_i  (mod 2^64, silent uint64 wraparound).
+# r9: derived from md5 of fixed strings instead of a seeded numpy RNG so
+# ANY engine (DuckDB included) can regenerate them — the last
+# engine-specific ingredient that blocked a minhash oracle.
+_MINHASH_A = np.array(
+    [_md5_u64_py(f"mh:a:{i}") | 1 for i in range(NUM_HASHES)], dtype=np.uint64
+)
+_MINHASH_B = np.array(
+    [_md5_u64_py(f"mh:b:{i}") for i in range(NUM_HASHES)], dtype=np.uint64
+)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -58,9 +75,16 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _u64_str(c: Column) -> Column:
+    """Unsigned-decimal rendering of an int64's 64-bit pattern (two's
+    complement hex -> base-10) — matches DuckDB `CAST(u AS VARCHAR)` on
+    the corresponding UBIGINT."""
+    return F.conv(F.hex(c), 16, 10)
+
+
 def with_hashed_shingles(
     df: DataFrame, text_col: str = "text", n: int = 3, out: str = "sh",
-    materialize: bool = True,
+    materialize: bool = True, portable: bool = False,
 ) -> DataFrame:
     """Add a distinct hashed-shingle set column; drops docs shorter than n
     tokens.
@@ -80,13 +104,35 @@ def with_hashed_shingles(
     tree and re-evaluates it per emitted row (measured 9x at sf0.1), and
     self-joins re-run the whole tree per side. Callers that feed a single
     narrow consumer (e.g. a signature UDF) pass False.
+
+    ``portable`` (r9) swaps xxhash64 for the md5-derived 64-bit hash at
+    BOTH levels (token, n-tuple of unsigned-decimal token hashes joined
+    ':'), making every downstream value — shingle sets, minhash
+    signatures, band keys — replayable by any engine. Measured +28% on
+    the shingle stage at sf0.1; default stays xxhash64 for the consumers
+    whose oracles only need set SEMANTICS (Jaccard over any injective
+    hash), not the hash values themselves.
     """
-    th = F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t))
+    if portable:
+        th = F.transform(tokens_expr(text_col), _md5_hash64)
+    else:
+        th = F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t))
     staged = spread(df).filter(F.size(tokens_expr(text_col)) >= n).withColumn("_th", th)
-    gram = F.transform(
-        F.sequence(F.lit(0), F.size(F.col("_th")) - n),
-        lambda i: F.xxhash64(*[F.element_at(F.col("_th"), i + j + 1) for j in range(n)]),
-    )
+    if portable:
+        gram = F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_th")) - n),
+            lambda i: _md5_hash64(
+                F.concat_ws(
+                    ":",
+                    *[_u64_str(F.element_at(F.col("_th"), i + j + 1)) for j in range(n)],
+                )
+            ),
+        )
+    else:
+        gram = F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_th")) - n),
+            lambda i: F.xxhash64(*[F.element_at(F.col("_th"), i + j + 1) for j in range(n)]),
+        )
     result = staged.withColumn(out, F.array_distinct(gram)).drop("_th")
     return memo_checkpoint(result) if materialize else result
 
@@ -211,17 +257,33 @@ def minhash_lsh_pairs(
     # storage (lazy: computed with the first job, RDD-GC'd with the plan) —
     # without it the shingle+signature work runs 4x
     docs = memo_checkpoint(
-        with_hashed_shingles(df.select(id_col, text_col), text_col, n, materialize=False)
+        with_hashed_shingles(df.select(id_col, text_col), text_col, n,
+                             materialize=False, portable=True)
         .drop(text_col)
         .withColumn("sig", _minhash_sig_udf("sh"))
     )
+    # band key: md5 of the band's sig values as ':'-joined unsigned
+    # decimals plus the band index — engine-portable (r9), and a string
+    # key shuffles just as well as the old xxhash64 long
     banded = docs.select(
         id_col,
         "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows), b),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                _u64_str,
+                            ),
+                            ":",
+                        ),
+                        b.cast("string"),
+                    )
+                ),
             )
         ).alias("band_idx", "band_hash"),
     )

@@ -458,11 +458,89 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, ["lang", "source"], threshold=0.5)
 
 
-@register("dedup_minhash_lsh", oracle=None, tags=("dedup", "no-oracle"))
+@register(
+    "dedup_minhash_lsh",
+    # r9 rows-only -> deferred (r8 verdict #4): the whole minhash chain
+    # moved to engine-portable hashing — md5-derived token/shingle
+    # hashes, md5-constant universal-hash permutations (a_i|1, b_i from
+    # md5("mh:{a,b}:i"); uint64 wraparound replayed in HUGEINT via the
+    # split-multiply identity a*u = ((hi(a)*u mod 2^32)<<32 + lo(a)*u)
+    # mod 2^64), md5 band keys. The oracle replays signature -> banding
+    # -> est-filter -> exact-Jaccard verify END-TO-END, bit-exact.
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+    ), th AS (
+        SELECT doc_id,
+               list_transform(w, t ->
+                   CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT)) AS h
+        FROM tok
+    ), shs AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(CAST(h[i] AS VARCHAR) || ':' ||
+                     CAST(h[i+1] AS VARCHAR) || ':' ||
+                     CAST(h[i+2] AS VARCHAR)), 1, 16)) AS UBIGINT) AS s
+        FROM (SELECT doc_id, h, unnest(range(1, len(h) - 1)) AS i FROM th)
+    ), consts AS (
+        SELECT i.i AS i,
+               CAST(CAST(('0x' || substr(md5('mh:a:' || i.i), 1, 16))
+                    AS UBIGINT) | 1 AS HUGEINT) AS a,
+               CAST(CAST(('0x' || substr(md5('mh:b:' || i.i), 1, 16))
+                    AS UBIGINT) AS HUGEINT) AS b
+        FROM (SELECT unnest(range(64)) AS i) i
+    ), sig AS (
+        SELECT doc_id, i,
+               min(CAST(((((a // 4294967296) * CAST(s AS HUGEINT))
+                          % 4294967296) * 4294967296
+                         + (a % 4294967296) * CAST(s AS HUGEINT) + b)
+                        % 18446744073709551616 AS UBIGINT)) AS m
+        FROM shs, consts GROUP BY 1, 2
+    ), sigl AS (
+        SELECT doc_id, list(m ORDER BY i) AS sig FROM sig GROUP BY doc_id
+    ), banded AS (
+        SELECT doc_id, b.b AS band_idx,
+               md5(array_to_string(list_transform(
+                       list_slice(sig, b.b * 4 + 1, b.b * 4 + 4),
+                       x -> CAST(x AS VARCHAR)), ':')
+                   || ':' || b.b) AS band_hash
+        FROM sigl, (SELECT unnest(range(16)) AS b) b
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM banded a JOIN banded c
+          ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash
+         AND a.doc_id < c.doc_id
+    ), est_ok AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sigl sa ON sa.doc_id = cand.id_a
+        JOIN sigl sb ON sb.doc_id = cand.id_b
+        WHERE len(list_filter(range(1, 65), k -> sa.sig[k] = sb.sig[k]))
+              / 64.0 >= 0.15
+    ), shl AS (SELECT doc_id, list(s) AS sh FROM shs GROUP BY doc_id)
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT e.id_a, e.id_b,
+               CAST(ROUND(len(list_intersect(x.sh, y.sh)) * 1.0
+                    / (len(x.sh) + len(y.sh)
+                       - len(list_intersect(x.sh, y.sh))), 6) AS DOUBLE)
+                   AS jaccard
+        FROM est_ok e
+        JOIN shl x ON x.doc_id = e.id_a
+        JOIN shl y ON y.doc_id = e.id_b)
+    WHERE jaccard >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup",),
+    defer_oracle=True,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64)+LSH(16 bands) candidate pairs verified with true Jaccard.
-    No oracle: signatures use Spark's xxhash64 (engine-specific); recall
-    properties are covered in tests/test_dedup.py."""
+    """MinHash(64)+LSH(16 bands) candidate pairs verified with true
+    Jaccard. As of r9 the full chain is engine-portable (md5-derived
+    hashes and permutation constants — `dedup.with_hashed_shingles`
+    portable mode, `dedup._MINHASH_A/_B`), so the oracle replays
+    signatures, banding, the estimate prefilter, and the exact-Jaccard
+    verify bit-for-bit; recall properties additionally covered in
+    tests/test_dedup_props.py."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=0.3)
 
@@ -548,7 +626,10 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_lsh_topk",
-    # oracle=None blocked by: candidate set depends on xxhash64-seeded hyperplane signs; only recall properties are portable
+    # oracle=None blocked by: same float-sign determinism as
+    # emb_neardup_lsh — hyperplane SIGNS of float dot products can flip
+    # on the last ulp across engines regardless of how the hyperplanes
+    # are seeded; only recall properties are portable.
     oracle=None,
     tags=("similarity", "no-oracle"))
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,7 +663,12 @@ def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_neardup_lsh",
-    # oracle=None blocked by: LSH band buckets come from xxhash64 projections (engine-specific); subset-of-exact is the portable contract
+    # oracle=None blocked by: sign-LSH band bits are signs of FLOAT
+    # hyperplane dot products — even with md5-derived hyperplanes (the r9
+    # minhash move), a 64-term float sum's last ulp can flip a
+    # near-orthogonal sign between engines, silently changing buckets.
+    # Integer minhash had no such analog issue; subset-of-exact remains
+    # the portable contract here (property-tested).
     oracle=None,
     tags=("dedup", "similarity", "no-oracle"))
 def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
