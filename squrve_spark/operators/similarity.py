@@ -229,11 +229,18 @@ def lsh_topk(
     onto the already-small candidate set for the exact re-rank.
     """
     width = bits // bands
+    # r9: integer sign-LSH (int8 codes x md5 ±1 planes) — queries and
+    # corpus MUST share the corpus-derived scales or they hash into
+    # different spaces; one dim-bounded aggregate pays for both sides.
+    scales = int8_scales(corpus, vec_col)
+    tag = f"hp:{seed}"
     qsig = with_vec_norm(
-        with_lsh_signature(queries, dim, bits, seed, vec_col), vec_col, "q_v", "q_n"
+        with_int_lsh_signature(queries, scales, dim, bits, vec_col, tag),
+        vec_col, "q_v", "q_n"
     ).select(id_col, "lsh_sig", "q_v", "q_n")
     csig = with_vec_norm(
-        with_lsh_signature(corpus, dim, bits, seed, vec_col), vec_col, "c_v", "c_n"
+        with_int_lsh_signature(corpus, scales, dim, bits, vec_col, tag),
+        vec_col, "c_v", "c_n"
     ).select(id_col, "lsh_sig", "c_v", "c_n")
     csig = memo_checkpoint(csig)  # banding side + re-rank side share the scan
     cand = (
@@ -382,7 +389,12 @@ def embedding_neardup_pairs(
     near-output size.
     """
     width = 64 // bands
-    sig = with_lsh_signature(df, dim, seed=7, vec_col=vec_col)
+    # r9: integer sign-LSH over int8 codes (md5 ±1 hyperplanes) — every
+    # band bucket is engine-replayable; the float-plane form could flip
+    # near-orthogonal signs on the last ulp (see with_int_lsh_signature).
+    # int8_scales is ONE dim-bounded aggregate.
+    scales = int8_scales(df, vec_col)
+    sig = with_int_lsh_signature(df, scales, dim, vec_col=vec_col, tag="hp:7")
     sig = with_vec_norm(sig, vec_col, "v", "n").select(id_col, "lsh_sig", "v", "n")
     sig = memo_checkpoint(sig)  # band sides + both vector joins share this
     slim = sig.select(
@@ -1407,6 +1419,72 @@ def int8_scales(df: DataFrame, vec_col: str = "embedding") -> list[float]:
     ]
 
 
+def int8_codes_expr(scales: list[float], vec_col: str = "embedding") -> Column:
+    """THE int8 code expression — clamp(floor(x_i * scale_i + 0.5), ±127)
+    over a scale literal array. Shared by `quantize_int8` and the r9
+    integer sign-LSH signature so the codes any oracle replays are the
+    one definition."""
+    s = F.array(*[F.lit(float(v)) for v in scales])
+    return F.transform(
+        _as_double(F.col(vec_col)),
+        lambda x, i: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x * F.element_at(s, i + 1) + F.lit(0.5)).cast("int"),
+            ),
+        ).cast("int"),
+    )
+
+
+def int_hyperplane_signs(dim: int, bits: int = 64, tag: str = "hp") -> np.ndarray:
+    """±1 hyperplane matrix (bits x dim) with sign(j, i) = low bit of the
+    first md5 hex byte of "{tag}:{j}:{i}" — regenerable by ANY engine
+    (DuckDB: `CAST(('0x'||substr(md5(tag||':'||j||':'||i),1,2)) AS
+    INTEGER) & 1`), unlike the float Gaussian planes these replace (r9).
+    Rademacher ±1 planes are a standard sign-LSH family (JL transform)."""
+    import hashlib
+
+    m = np.empty((bits, dim), dtype=np.int64)
+    for j in range(bits):
+        for i in range(dim):
+            h = int(hashlib.md5(f"{tag}:{j}:{i}".encode()).hexdigest()[:2], 16)
+            m[j, i] = 1 if (h & 1) else -1
+    return m
+
+
+def with_int_lsh_signature(
+    df: DataFrame,
+    scales: list[float],
+    dim: int,
+    bits: int = 64,
+    vec_col: str = "embedding",
+    tag: str = "hp",
+    out: str = "lsh_sig",
+) -> DataFrame:
+    """64-bit sign-LSH signature over INT8-QUANTIZED codes with ±1 md5
+    hyperplanes — every bit is the sign of an exact INTEGER sum, so the
+    signature (and every band bucket derived from it) is bit-identical
+    on any engine; float sign-LSH can flip a near-orthogonal sign on the
+    last ulp of a 64-term float fold, which is why the old form blocked
+    an oracle (r9). Codes ride JVM-side (`int8_codes_expr`); the
+    matmul + bit packing is one Arrow-batched numpy kernel per batch.
+    bit_j = (sum_i sign(j,i) * code_i) >= 0."""
+    planes = int_hyperplane_signs(dim, bits, tag)  # bits x dim, ±1
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def sig_fn(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series(dtype="int64")
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
+        bitmat = (C @ planes.T) >= 0  # n x bits, exact integer sums
+        sigs = (bitmat.astype(np.uint64) << shifts[None, :]).sum(axis=1)
+        return pd.Series(sigs.astype(np.int64))
+
+    staged = spread(df).withColumn("_qc", int8_codes_expr(scales, vec_col))
+    return staged.withColumn(out, pandas_udf(sig_fn, "long")(F.col("_qc"))).drop("_qc")
+
+
 def quantize_int8(
     df: DataFrame,
     scales: list[float],
@@ -1432,16 +1510,7 @@ def quantize_int8(
     """
     s = F.array(*[F.lit(float(v)) for v in scales])
     v = _as_double(F.col(vec_col))
-    codes = F.transform(
-        v,
-        lambda x, i: F.greatest(
-            F.lit(-127),
-            F.least(
-                F.lit(127),
-                F.floor(x * F.element_at(s, i + 1) + F.lit(0.5)).cast("int"),
-            ),
-        ).cast("int"),
-    )
+    codes = int8_codes_expr(scales, vec_col)
     out = spread(df).select(F.col(id_col), v.alias("_v"), codes.alias("qcodes"))
     scale_at = lambda i: F.element_at(s, i + 1)  # noqa: E731
     deq = F.transform(

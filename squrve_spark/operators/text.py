@@ -883,9 +883,14 @@ def ngram_repetition(
     fractions rounded to 6dp (cross-engine parity grid).
     """
     sep = "\x1e"
-    staged = spread(df).select(
-        "doc_id",
-        F.filter(tokens_expr(text_col), lambda t: t != "").alias("w"),
+    # the slim (id, tokens) projection feeds BOTH the gram explode and the
+    # short-doc restore join — checkpoint it so the text scan + tokenize
+    # runs once, not once per branch (the bm25/segment_dedup pattern)
+    staged = memo_checkpoint(
+        spread(df).select(
+            "doc_id",
+            F.filter(tokens_expr(text_col), lambda t: t != "").alias("w"),
+        )
     )
     n_tok = F.size(F.col("w"))
 

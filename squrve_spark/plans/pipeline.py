@@ -626,12 +626,56 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_lsh_topk",
-    # oracle=None blocked by: same float-sign determinism as
-    # emb_neardup_lsh — hyperplane SIGNS of float dot products can flip
-    # on the last ulp across engines regardless of how the hyperplanes
-    # are seeded; only recall properties are portable.
-    oracle=None,
-    tags=("similarity", "no-oracle"))
+    # r9 rows-only -> deferred (late r9): same integer sign-LSH move as
+    # emb_neardup_lsh (8 bands x 8 bits, tag hp:42); candidates + exact
+    # rounded-cosine re-rank replay end-to-end. The Spark plan's
+    # first-collision dedup is semantics-free (the DISTINCT pair set is
+    # identical), so the oracle uses DISTINCT.
+    oracle=r"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ex AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+    dims AS (SELECT pos, CASE WHEN max(abs(x)) > 0 THEN 127.0 / max(abs(x))
+                              ELSE 0.0 END AS s
+             FROM ex GROUP BY pos),
+    codes AS (SELECT vec_id, pos,
+                greatest(-127, least(127, CAST(floor(x * s + 0.5) AS INTEGER))) AS c
+              FROM ex JOIN dims USING (pos)),
+    planes AS (SELECT j.j AS j, i.pos AS pos,
+                CASE WHEN (CAST(('0x' || substr(md5('hp:42:' || j.j || ':'
+                           || (i.pos - 1)), 1, 2)) AS INTEGER) & 1) = 1
+                     THEN 1 ELSE -1 END AS sgn
+               FROM (SELECT unnest(range(64)) AS j) j,
+                    (SELECT DISTINCT pos FROM dims) i),
+    bits AS (SELECT vec_id, j, CASE WHEN sum(sgn * c) >= 0 THEN 1 ELSE 0 END AS b
+             FROM codes JOIN planes USING (pos) GROUP BY vec_id, j),
+    sigp AS (SELECT vec_id,
+                    CAST(sum(CAST(b AS HUGEINT) * (CAST(1 AS HUGEINT) << j))
+                         AS UBIGINT) AS sig
+             FROM bits GROUP BY vec_id),
+    banded AS (SELECT vec_id, b.b AS band_idx, (sig >> (b.b * 8)) & 255 AS band_val
+               FROM sigp, (SELECT unnest(range(8)) AS b) b),
+    cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM banded q JOIN banded c
+               ON q.band_idx = c.band_idx AND q.band_val = c.band_val
+              AND q.vec_id <> c.vec_id
+             WHERE q.vec_id < 8),
+    scored AS (SELECT cand.query_id, cand.neighbor_id,
+                      CAST(ROUND(list_cosine_similarity(x.v, y.v), 6) AS DOUBLE)
+                          AS sim
+               FROM cand
+               JOIN e x ON x.vec_id = cand.query_id
+               JOIN e y ON y.vec_id = cand.neighbor_id),
+    r AS (SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS rn
+          FROM scored)
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, sim
+    FROM r WHERE rn <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity",),
+    defer_oracle=True,
+)
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via sign-LSH banding + exact re-rank. Recall vs the
     brute-force baseline is asserted in tests/test_similarity.py."""
@@ -663,14 +707,51 @@ def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_neardup_lsh",
-    # oracle=None blocked by: sign-LSH band bits are signs of FLOAT
-    # hyperplane dot products — even with md5-derived hyperplanes (the r9
-    # minhash move), a 64-term float sum's last ulp can flip a
-    # near-orthogonal sign between engines, silently changing buckets.
-    # Integer minhash had no such analog issue; subset-of-exact remains
-    # the portable contract here (property-tested).
-    oracle=None,
-    tags=("dedup", "similarity", "no-oracle"))
+    # r9 rows-only -> deferred (late r9): the float-sign blocker is GONE —
+    # sign-LSH now runs over INT8-QUANTIZED codes with md5 ±1 hyperplanes
+    # (similarity.with_int_lsh_signature), so every band bit is the sign
+    # of an exact integer sum and the whole candidate generation replays
+    # bit-identically. The oracle regenerates scales, codes, planes,
+    # signatures, 16x4-bit banding, and the cosine>=0.42 verify.
+    oracle=r"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ex AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+    dims AS (SELECT pos, CASE WHEN max(abs(x)) > 0 THEN 127.0 / max(abs(x))
+                              ELSE 0.0 END AS s
+             FROM ex GROUP BY pos),
+    codes AS (SELECT vec_id, pos,
+                greatest(-127, least(127, CAST(floor(x * s + 0.5) AS INTEGER))) AS c
+              FROM ex JOIN dims USING (pos)),
+    planes AS (SELECT j.j AS j, i.pos AS pos,
+                CASE WHEN (CAST(('0x' || substr(md5('hp:7:' || j.j || ':'
+                           || (i.pos - 1)), 1, 2)) AS INTEGER) & 1) = 1
+                     THEN 1 ELSE -1 END AS sgn
+               FROM (SELECT unnest(range(64)) AS j) j,
+                    (SELECT DISTINCT pos FROM dims) i),
+    bits AS (SELECT vec_id, j, CASE WHEN sum(sgn * c) >= 0 THEN 1 ELSE 0 END AS b
+             FROM codes JOIN planes USING (pos) GROUP BY vec_id, j),
+    sigp AS (SELECT vec_id,
+                    CAST(sum(CAST(b AS HUGEINT) * (CAST(1 AS HUGEINT) << j))
+                         AS UBIGINT) AS sig
+             FROM bits GROUP BY vec_id),
+    banded AS (SELECT vec_id, b.b AS band_idx, (sig >> (b.b * 4)) & 15 AS band_val
+               FROM sigp, (SELECT unnest(range(16)) AS b) b),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+             FROM banded a JOIN banded c
+               ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+              AND a.vec_id < c.vec_id)
+    SELECT id_a, id_b, sim FROM (
+        SELECT cand.id_a, cand.id_b,
+               CAST(ROUND(list_cosine_similarity(x.v, y.v), 6) AS DOUBLE) AS sim
+        FROM cand
+        JOIN e x ON x.vec_id = cand.id_a
+        JOIN e y ON y.vec_id = cand.id_b)
+    WHERE sim >= 0.42
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "similarity"),
+    defer_oracle=True,
+)
 def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked embedding near-dup pairs (the scale path; subset-of-exact
     property tested). Threshold 0.42 matches emb_neardup_exact's fixture

@@ -100,7 +100,11 @@ def test_neardup_first_collision_dedup_unique_and_complete(spark, emb):
     assert len(rows) == len(set(rows))  # no duplicate emissions
     # completeness: every exhaustive near-dup pair whose signatures share
     # >= 1 band must be in the output
-    sig = similarity.with_lsh_signature(emb, dim=64, seed=7)
+    # reference signatures: the r9 integer sign-LSH (int8 codes x md5
+    # planes) the operator now uses
+    sig = similarity.with_int_lsh_signature(
+        emb, similarity.int8_scales(emb), dim=64, tag="hp:7"
+    )
     sigs = {r["vec_id"]: r["lsh_sig"] for r in sig.collect()}
     ref = _numpy_neardup_reference(
         [(r["vec_id"], r["embedding"]) for r in emb.collect()], 0.42

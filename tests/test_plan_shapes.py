@@ -452,3 +452,49 @@ def test_weighted_mix_and_samples_have_partial_window_limit(spark):
     for name in ("doc_sample_per_lang", "doc_source_cap", "doc_weighted_mix"):
         plan = plan_of(spark, name)
         assert "WindowGroupLimit" in plan and "Partial" in plan, name
+
+
+def test_curate_v5_plan_shape(spark):
+    """pipeline_curate_v5 (r9): the visible (post-checkpoint) plan is the
+    two-phase cumsum rank over the 120-row sample — per-partition window
+    keyed by _pid, never a single-task global sort — with no cartesian/
+    BNLJ and zero Python anywhere. (The mixture draw's
+    WindowGroupLimit(Partial) contract sits behind the gated-pool
+    checkpoint and is asserted on doc_mixture_sample directly.)"""
+    plan = plan_of(spark, "pipeline_curate_v5")
+    assert "windowspecdefinition(_pid" in plan  # two-phase cumsum, not global
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+
+
+def test_campaign_attrib_broadcasts_dim_and_avoids_python(spark):
+    """event_campaign_attrib (r9): the (salted) campaign dim — 100 rows,
+    800 after salt replication — must broadcast (the fact side never
+    shuffles for the JOIN; its only exchanges are the rollup and final
+    aggregations), and the skew lever must leave zero Python in plan."""
+    plan = plan_of(spark, "event_campaign_attrib")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+
+
+def test_ccnet_bins_windows_only_over_bounded_sample(spark):
+    """doc_ccnet_bins (r9): the only row_number windows in the plan rank
+    the md5-rank SAMPLE (<= 100 x #langs rows) — the corpus-side bin is a
+    broadcast join + CASE, so no per-language corpus sort exists. The
+    md5_rank_pick window must carry its WindowGroupLimit(Partial)
+    pre-trim; the threshold tables broadcast."""
+    plan = plan_of(spark, "doc_ccnet_bins")
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert plan.count("BroadcastExchange") >= 2  # t1 + t2 threshold tables
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_repetition_single_text_pass(spark):
+    """doc_ngram_repetition (r9): the slim token projection is
+    checkpointed, so the executed plan re-reads the checkpoint for both
+    branches instead of scanning + re-tokenizing the parquet text twice."""
+    plan = plan_of(spark, "doc_ngram_repetition")
+    assert plan.count("Scan parquet") == 0  # both branches read the memo
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
