@@ -38,7 +38,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from squrve_spark.catalog import spread
+from squrve_spark.catalog import memo_checkpoint, spread
 from squrve_spark.operators.text import tokens_expr
 
 DEFAULT_BUCKETS = 1024
@@ -187,8 +187,14 @@ def source_divergence(
         .agg(F.count("*").cast("long").alias("n"))
     )
     totals = counts.groupBy("g").agg(F.sum("n").alias("tot"))
-    dist = counts.join(totals, "g").select(
-        "g", "bucket", (F.col("n") / F.col("tot")).alias("p")
+    # dist is |groups| x B rows and feeds FOUR consumers (the distinct
+    # group list and both pair-join sides) — checkpoint it so the
+    # token-explode scan runs once, not once per consumer (r9 scan audit:
+    # the un-memoized plan re-scanned the corpus 12x)
+    dist = memo_checkpoint(
+        counts.join(totals, "g").select(
+            "g", "bucket", (F.col("n") / F.col("tot")).alias("p")
+        )
     )
     # pair frame first (|groups|^2 rows — tiny), THEN a per-pair FULL
     # OUTER on (pair, bucket): buckets present in only one side keep both

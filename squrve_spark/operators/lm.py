@@ -88,25 +88,45 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def train_bigram_lm(
-    reference: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    doc_bg: Optional[DataFrame] = None,
+    vocab_size: Optional[int] = None,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Reference slice -> (bigram_counts, context_counts, vocab_size).
 
     bigram_counts: (w1, w2, c2); context_counts: (w1, c1) with
     c1 = Σ_w2 c2 — the conditional-MLE denominator; vocab_size counts
-    distinct tokens (unigrams) in the slice."""
-    bigrams = (
-        _doc_bigrams(reference, text_col, id_col)
-        .groupBy("w1", "w2")
-        .agg(F.sum("n").alias("c2"))
-    )
+    distinct tokens (unigrams) in the slice.
+
+    ``doc_bg`` (r9 scan audit): a precomputed per-doc bigram frame for
+    the reference slice (`doc_bigrams(corpus).where(<slice>)`) — callers
+    that also score the corpus should build the corpus frame ONCE,
+    memo_checkpoint it, and filter it here instead of paying a second
+    tokenize+explode pass over the reference. ``vocab_size`` skips the
+    vocabulary scan when the caller already knows it (e.g. from
+    `train_unigrams(..., return_vocab=True)`)."""
+    src = doc_bg if doc_bg is not None else _doc_bigrams(reference, text_col, id_col)
+    bigrams = src.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
     contexts = bigrams.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    vocab = (
-        reference.select(F.explode(tokens_expr(text_col)).alias("tok"))
-        .agg(F.countDistinct("tok"))
-        .collect()[0][0]
-    )
-    return bigrams, contexts, int(vocab or 0)
+    if vocab_size is None:
+        vocab_size = (
+            reference.select(F.explode(tokens_expr(text_col)).alias("tok"))
+            .agg(F.countDistinct("tok"))
+            .collect()[0][0]
+        )
+    return bigrams, contexts, int(vocab_size or 0)
+
+
+def doc_bigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Public form of the per-doc bigram multiset: build once per query,
+    memo_checkpoint, feed the train side via a doc-filter and the score
+    side via ``doc_bg=`` — one tokenize+explode pass instead of one per
+    stage (r9 scan audit: doc_lm_backoff paid it 3x)."""
+    return _doc_bigrams(df, text_col, id_col)
 
 
 def score_perplexity(
@@ -116,8 +136,11 @@ def score_perplexity(
     vocab_size: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    doc_bg: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """Per-document add-one bigram perplexity.
+    """Per-document add-one bigram perplexity. ``doc_bg``: a precomputed
+    (memo-checkpointed) per-doc bigram frame — pass the one the caller
+    already built for training so the corpus tokenize+explode runs once.
 
     Output: (id, n_bigrams BIGINT, avg_logp DOUBLE, ppl DOUBLE 4dp) with
     ppl = exp(-avg_logp). Documents with fewer than two tokens are
@@ -127,7 +150,8 @@ def score_perplexity(
     even denominators exactly on .5 boundaries, where Spark (HALF_UP on
     the shortest decimal repr) and C libraries (nearest on the binary
     value) legitimately disagree."""
-    doc_bg = _doc_bigrams(corpus, text_col, id_col)
+    if doc_bg is None:
+        doc_bg = _doc_bigrams(corpus, text_col, id_col)
     joined = (
         doc_bg.join(bigrams, ["w1", "w2"], "left")
         .join(contexts, ["w1"], "left")
@@ -163,18 +187,25 @@ def score_perplexity(
 
 
 def train_unigrams(
-    reference: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> tuple[DataFrame, int]:
-    """Reference slice -> (unigram_counts (w, cu), total token count N) —
-    the backoff distribution for `score_backoff`. One explode + groupBy;
-    N collapses from the same aggregate (no second scan)."""
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    return_vocab: bool = False,
+):
+    """Reference slice -> (unigram_counts (w, cu), total token count N[,
+    vocab_size]) — the backoff distribution for `score_backoff`. One
+    explode + groupBy; N (and, with ``return_vocab``, the distinct-token
+    count — saving `train_bigram_lm`'s separate vocabulary scan)
+    collapse from the same aggregate, no second scan."""
     uni = (
         reference.select(F.explode(tokens_expr(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
-    total = uni.agg(F.sum("cu")).collect()[0][0]
-    return uni, int(total or 0)
+    row = uni.agg(F.sum("cu").alias("t"), F.count(F.lit(1)).alias("v")).first()
+    if return_vocab:
+        return uni, int(row["t"] or 0), int(row["v"] or 0)
+    return uni, int(row["t"] or 0)
 
 
 def score_backoff(
@@ -187,6 +218,7 @@ def score_backoff(
     text_col: str = "text",
     id_col: str = "doc_id",
     contexts: Optional[DataFrame] = None,
+    doc_bg: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Per-document Stupid Backoff score (Brants et al. 2007, the
     web-scale LM scoring recipe: no normalized smoothing, just back off
@@ -208,7 +240,8 @@ def score_backoff(
     Scale shape identical too: shuffles bounded by distinct-bigram /
     distinct-unigram counts, never corpus x corpus.
     """
-    doc_bg = _doc_bigrams(corpus, text_col, id_col)
+    if doc_bg is None:
+        doc_bg = _doc_bigrams(corpus, text_col, id_col)
     # `train_bigram_lm` already aggregated context counts — pass them in
     # to skip the redundant groupBy (r8 ADVICE); recompute only when the
     # caller trained bigrams some other way.

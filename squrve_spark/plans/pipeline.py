@@ -2520,12 +2520,21 @@ def doc_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero Python."""
     from squrve_spark.operators import lm
 
+    from squrve_spark.catalog import memo_checkpoint
+
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.where(F.col("doc_id") % 5 == 0)
-    bigrams, contexts, vocab = lm.train_bigram_lm(ref)
-    unigrams, n_total = lm.train_unigrams(ref)
+    # one corpus bigram pass (checkpointed, feeds train + score) and one
+    # ref unigram pass (yields N AND the vocab from the same aggregate) —
+    # down from four tokenize scans (r9 scan audit)
+    doc_bg = memo_checkpoint(lm.doc_bigrams(docs))
+    unigrams, n_total, vocab = lm.train_unigrams(ref, return_vocab=True)
+    bigrams, contexts, _ = lm.train_bigram_lm(
+        ref, doc_bg=doc_bg.where(F.col("doc_id") % 5 == 0), vocab_size=vocab
+    )
     return lm.score_backoff(
-        docs, bigrams, unigrams, n_total, vocab, contexts=contexts
+        docs, bigrams, unigrams, n_total, vocab, contexts=contexts,
+        doc_bg=doc_bg,
     ).orderBy("doc_id")
 
 
@@ -2587,10 +2596,17 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-bigram counts; per-bigram log-probs snapped to a
     DECIMAL(20,6) grid so the summation is exact and order-independent on
     both engines."""
+    from squrve_spark.catalog import memo_checkpoint
+
     docs = load_table(spark, sf_dir, "documents")
     reference = docs.where(F.col("doc_id") % 5 == 0)
-    bigrams, contexts, vocab = lm.train_bigram_lm(reference)
-    return lm.score_perplexity(docs, bigrams, contexts, vocab)
+    # one tokenize+explode pass: the checkpointed per-doc bigram frame
+    # feeds training (ref filter) AND scoring (r9 scan audit)
+    doc_bg = memo_checkpoint(lm.doc_bigrams(docs))
+    bigrams, contexts, vocab = lm.train_bigram_lm(
+        reference, doc_bg=doc_bg.where(F.col("doc_id") % 5 == 0)
+    )
+    return lm.score_perplexity(docs, bigrams, contexts, vocab, doc_bg=doc_bg)
 
 
 @register(
@@ -3748,10 +3764,14 @@ def pipeline_curate_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.where(~F.col("dropped")).select("doc_id", "flag_ratio"), "doc_id"
     )
     ref = surv1.where(F.col("doc_id") % 5 == 0)
-    bigrams, contexts, vocab = lm.train_bigram_lm(ref)
-    unigrams, n_total = lm.train_unigrams(ref)
+    doc_bg = memo_checkpoint(lm.doc_bigrams(surv1))  # train + score share it
+    unigrams, n_total, vocab = lm.train_unigrams(ref, return_vocab=True)
+    bigrams, contexts, _ = lm.train_bigram_lm(
+        ref, doc_bg=doc_bg.where(F.col("doc_id") % 5 == 0), vocab_size=vocab
+    )
     scored = lm.score_backoff(
-        surv1, bigrams, unigrams, n_total, vocab, contexts=contexts
+        surv1, bigrams, unigrams, n_total, vocab, contexts=contexts,
+        doc_bg=doc_bg,
     )
     surv2 = memo_checkpoint(
         surv1.select("doc_id", "lang", "flag_ratio").join(
@@ -3967,10 +3987,12 @@ def doc_ccnet_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from squrve_spark.operators.sampling import md5_rank_pick
 
     docs = load_table(spark, sf_dir, "documents")
+    doc_bg = memo_checkpoint(lm.doc_bigrams(docs))  # train + score share it
     bigrams, contexts, vocab = lm.train_bigram_lm(
-        docs.where(F.col("doc_id") % 5 == 0)
+        docs.where(F.col("doc_id") % 5 == 0),
+        doc_bg=doc_bg.where(F.col("doc_id") % 5 == 0),
     )
-    scored = lm.score_perplexity(docs, bigrams, contexts, vocab)
+    scored = lm.score_perplexity(docs, bigrams, contexts, vocab, doc_bg=doc_bg)
     base = memo_checkpoint(
         scored.select("doc_id", "ppl").join(
             docs.select("doc_id", "lang"), "doc_id"
