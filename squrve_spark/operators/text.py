@@ -949,3 +949,67 @@ def ngram_repetition(
         F.coalesce(f"dup{dup_n}_char_frac", F.lit(0.0))
         .alias(f"dup{dup_n}_char_frac"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS local fingerprinting algorithm): hash every token k-gram,
+    slide a w-gram window, keep each window's MINIMUM hash. The selected
+    set is a position-robust sketch with the winnowing guarantee: any
+    shared token run of length >= k+w-1 between two documents yields at
+    least one shared fingerprint (property-tested).
+
+    Engine portability (r9): gram hashes are the first 16 md5 hex chars
+    kept AS STRINGS — fixed-width lowercase hex sorts lexicographically
+    exactly like its uint64 value, so window minima, distinct sets, and
+    the sorted fingerprint digest replay on any engine with no integer
+    signedness traps at all.
+
+    Plan shape: MAP-ONLY whole-stage codegen (transform/slice/array_min
+    HOFs), zero shuffle, zero Python — O(grams x w) per document, linear
+    in the corpus. Docs shorter than k tokens fingerprint to the empty
+    set; docs with fewer than w grams winnow their single partial window
+    (the min of all grams).
+
+    Output: (doc_id, n_grams INT, n_fps INT, fp_md5, fps array<string>).
+    """
+    sep = "\x1e"
+    staged = spread(df).select(
+        "doc_id",
+        F.filter(tokens_expr(text_col), lambda t: t != "").alias("_w"),
+    )
+    n_tok = F.size(F.col("_w"))
+    gh = F.when(
+        n_tok >= k,
+        F.transform(
+            F.sequence(F.lit(0), n_tok - k),
+            lambda i: F.substring(
+                F.md5(F.array_join(F.slice(F.col("_w"), i + 1, k), sep)), 1, 16
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.select("doc_id", gh.alias("_gh"))
+    n_grams = F.size(F.col("_gh"))
+    fps = F.when(
+        n_grams > 0,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n_grams - w, F.lit(0))),
+                    lambda i: F.array_min(F.slice(F.col("_gh"), i + 1, w)),
+                )
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select(
+        "doc_id",
+        n_grams.cast("int").alias("n_grams"),
+        F.size(fps).cast("int").alias("n_fps"),
+        F.md5(F.array_join(fps, ",")).alias("fp_md5"),
+        fps.alias("fps"),
+    )

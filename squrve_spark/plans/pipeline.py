@@ -4029,3 +4029,144 @@ def doc_ccnet_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_winnow_fingerprints",
+    # r9: MOSS winnowing (Schleimer et al. 2003). Gram hashes are 16-hex
+    # md5 prefixes kept AS STRINGS — fixed-width hex sorts like its
+    # uint64 value, so window minima/distincts/sorted digests replay with
+    # zero integer-signedness traps.
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ), gh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 5 THEN
+                 list_transform(range(1, len(w) - 3),
+                     i -> substr(md5(array_to_string(
+                              list_slice(w, i, i + 4), chr(30))), 1, 16))
+               ELSE [] END AS g
+        FROM tok
+    ), fps AS (
+        SELECT doc_id, len(g) AS n_grams,
+               CASE WHEN len(g) > 0 THEN
+                 list_sort(list_distinct(list_transform(
+                     range(1, greatest(len(g) - 4, 0) + 2),
+                     i -> list_aggregate(list_slice(g, i, i + 3), 'min'))))
+               ELSE [] END AS f
+        FROM gh
+    )
+    SELECT doc_id,
+           CAST(n_grams AS INTEGER) AS n_grams,
+           CAST(len(f) AS INTEGER) AS n_fps,
+           md5(array_to_string(f, ',')) AS fp_md5
+    FROM fps ORDER BY doc_id
+    """,
+    tags=("text", "dedup"),
+    defer_oracle=True,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints per document (r9, `text.winnow_fingerprints`
+    — k=5 token grams, window w=4): the MOSS local sketch whose guarantee
+    is that any shared token run of length >= k+w-1 produces a shared
+    fingerprint. MAP-ONLY codegen, zero shuffle, zero Python; O(grams x w)
+    per doc, linear in the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.winnow_fingerprints(docs)
+        .select("doc_id", "n_grams", "n_fps", "fp_md5")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_winnow_pairs",
+    # r9: the pair half — inverted fingerprint index, equi-join, shared
+    # count >= 3. df-capped (a fingerprint in > 50 docs is boilerplate
+    # and would contribute d^2 join rows — the ngram_jaccard skew guard).
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ), gh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 5 THEN
+                 list_transform(range(1, len(w) - 3),
+                     i -> substr(md5(array_to_string(
+                              list_slice(w, i, i + 4), chr(30))), 1, 16))
+               ELSE [] END AS g
+        FROM tok
+    ), fps AS (
+        SELECT doc_id,
+               CASE WHEN len(g) > 0 THEN
+                 list_distinct(list_transform(
+                     range(1, greatest(len(g) - 4, 0) + 2),
+                     i -> list_aggregate(list_slice(g, i, i + 3), 'min')))
+               ELSE [] END AS f
+        FROM gh
+    ), inv AS (
+        SELECT doc_id, unnest(f) AS fp FROM fps
+    ), kept AS (
+        SELECT fp FROM inv GROUP BY fp HAVING count(*) <= 50
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM inv a
+        JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        WHERE a.fp IN (SELECT fp FROM kept)
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+    FROM pairs WHERE n_shared >= 3
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup",),
+    defer_oracle=True,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs (r9): explode each document's fingerprint
+    set into an inverted index, equi-join on the fingerprint, keep pairs
+    sharing >= 3. Work scales with SHARED fingerprints (the
+    ngram_jaccard inverted-index shape), and fingerprints present in
+    > 50 documents are dropped from the index first — the boilerplate
+    skew guard that keeps one universal fingerprint from contributing
+    d^2 join rows."""
+    from squrve_spark.catalog import memo_checkpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the fingerprint ARRAYS before the explode: an explode in
+    # the same codegen stage as the O(grams x w) HOF chain re-evaluates
+    # the whole chain per emitted row (the with_hashed_shingles hazard —
+    # measured 190 s vs 2 s at sf0.1)
+    fp_frame = memo_checkpoint(
+        text.winnow_fingerprints(docs).select("doc_id", "fps")
+    )
+    inv = fp_frame.select("doc_id", F.explode("fps").alias("fp"))
+    # broadcast the HOT set (boilerplate fingerprints, tiny by
+    # construction) and anti-join — broadcasting the SURVIVOR set would
+    # ship a corpus-sized list to every executor at scale
+    hot = inv.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") > 50
+    ).select("fp")
+    idx = inv.join(F.broadcast(hot), "fp", "left_anti")
+    pairs = (
+        idx.alias("a")
+        .join(
+            idx.alias("b"),
+            [
+                F.col("a.fp") == F.col("b.fp"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+    return pairs.orderBy("id_a", "id_b")

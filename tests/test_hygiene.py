@@ -374,3 +374,30 @@ def test_ngram_repetition_signals(spark):
     assert hot and all(r["dup5_char_frac"] > 0 for r in hot)
     cold = [r for r in reg if r["doc_id"] % 7 != 0]
     assert cold and all(r["dup5_char_frac"] == 0.0 for r in cold)
+
+
+def test_winnowing_guarantee_and_edges(spark):
+    """r9: THE winnowing property (Schleimer et al. 2003) — two documents
+    sharing a token run of length >= k+w-1 (= 8 at k=5, w=4) must share
+    at least one fingerprint; plus the short-doc edge contract."""
+    from squrve_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"one two {shared} three four"),
+        (2, f"{shared} nine ten eleven twelve"),
+        (3, "completely different words with no overlap at all here"),
+        (4, "tiny doc"),       # < k tokens: empty fingerprint set
+        (5, "five token doc here now"),  # exactly k: one gram, one window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in winnow_fingerprints(df).collect()}
+    f1, f2, f3 = (set(out[i]["fps"]) for i in (1, 2, 3))
+    assert f1 & f2, "shared 8-token run must yield a shared fingerprint"
+    assert not (f1 & f3) and not (f2 & f3)
+    assert out[4]["n_fps"] == 0 and out[4]["n_grams"] == 0
+    assert out[5]["n_grams"] == 1 and out[5]["n_fps"] == 1
+    # digest = md5 of the sorted fingerprint list (deterministic)
+    import hashlib
+    want = hashlib.md5(",".join(sorted(f1)).encode()).hexdigest()
+    assert out[1]["fp_md5"] == want

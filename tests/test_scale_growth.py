@@ -235,6 +235,11 @@ EXTENDED_HEAVIES = [
     # map-only Catalyst scoring) may grow.
     ("doc_bpe_tokens", None),
     ("doc_quality_model", None),
+    # late r9: winnowing pairs — the fingerprint arrays MUST stay
+    # materialized ahead of the explode (the 100x HOF-re-eval hazard this
+    # entry regressed into before the fix) and the inverted-index join
+    # must stay shared-fingerprint-bounded
+    ("dedup_winnow_pairs", None),
 ]
 
 
