@@ -40,7 +40,10 @@ def asof_join(
 ) -> DataFrame:
     """As-of join (pandas ``merge_asof`` semantics, distributed): for each
     left row, the nearest right row per key at or before (``backward``,
-    default) / at or after (``forward``) its timestamp; left rows without a
+    default) / at or after (``forward``) / on EITHER side (``nearest``,
+    r9: both carries share one sort — two frames over the same window
+    ordering, no extra shuffle; distance ties take the backward match,
+    pandas semantics) of its timestamp; left rows without a
     match keep NULLs. ``tolerance`` (same unit as the ts columns) nulls out
     matches farther than the bound.
 
@@ -66,10 +69,21 @@ def asof_join(
     Results are identical for any chunk_size (property-tested); pick it so
     a (key, chunk) slice fits a task comfortably.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if chunk_size is not None and chunk_size <= 0:
         raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    if direction == "nearest" and chunk_size is not None:
+        # the chunked carry is direction-specific; a chunked NEAREST is two
+        # chunked directional passes joined on a left id with the same
+        # closer-side pick the unchunked branch applies — compose it at the
+        # call site rather than hiding a second shuffle in here
+        raise ValueError(
+            "direction='nearest' does not take chunk_size: run backward and "
+            "forward chunked passes and pick the closer match per row"
+        )
     # dedupe right per (key, ts): keep the lexicographically-last value row
     dedup_w = W.partitionBy(*key_cols, right_ts).orderBy(
         *[F.col(v).desc() for v in right_vals]
@@ -116,9 +130,32 @@ def asof_join(
     # right rows (side 0) sort before left rows at equal ts -> inclusive
     # bound in BOTH directions (forward reverses the ts order, keeping the
     # side tie-break, so an equal-ts right row still precedes the left row)
-    order = [F.col("__t").asc() if direction == "backward" else F.col("__t").desc(),
-             F.col("__side").asc()]
-    if chunk_size is None:
+    if direction == "nearest":
+        # ONE sort, two frames: prev non-null pack (inclusive — the side
+        # tie-break puts an equal-ts right row before the left row, so
+        # distance-0 matches arrive via the backward frame) and next
+        # non-null pack (exclusive of equal ts by the same tie-break).
+        # Tie in distance -> backward, pandas merge_asof semantics.
+        asc = W.partitionBy(*key_cols).orderBy(
+            F.col("__t").asc(), F.col("__side").asc()
+        )
+        wb = asc.rowsBetween(W.unboundedPreceding, W.currentRow)
+        wf = asc.rowsBetween(W.currentRow, W.unboundedFollowing)
+        both = unioned.withColumn(
+            "__mb", F.last("__pack", ignorenulls=True).over(wb)
+        ).withColumn("__mf", F.first("__pack", ignorenulls=True).over(wf))
+        db = F.col("__t") - F.col("__mb.__rt")
+        df_ = F.col("__mf.__rt") - F.col("__t")
+        pick = (
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(db <= df_, F.col("__mb"))
+            .otherwise(F.col("__mf"))
+        )
+        carried = both.withColumn("__m", pick)
+    elif chunk_size is None:
+        order = [F.col("__t").asc() if direction == "backward"
+                 else F.col("__t").desc(), F.col("__side").asc()]
         w = (
             W.partitionBy(*key_cols)
             .orderBy(*order)
@@ -126,6 +163,8 @@ def asof_join(
         )
         carried = unioned.withColumn("__m", F.last("__pack", ignorenulls=True).over(w))
     else:
+        order = [F.col("__t").asc() if direction == "backward"
+                 else F.col("__t").desc(), F.col("__side").asc()]
         backward = direction == "backward"
         u = unioned.withColumn(
             "__chunk", F.floor(F.col("__t") / F.lit(chunk_size)).cast("long")

@@ -1171,3 +1171,83 @@ def event_campaign_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("skew_share_pct", F.lit(share).cast("double"))
         .orderBy("k")
     )
+
+
+@register(
+    "q_asof_nearest",
+    # r9: the pandas merge_asof direction='nearest' variant — DuckDB has
+    # ASOF only for the backward form, so the oracle takes each side's
+    # best candidate via LATERAL top-1 (ordered exactly like the Spark
+    # operator's per-(key,ts) dedup: ts, then value DESC) and replays the
+    # closer-side pick (distance tie -> backward) plus the tolerance gate
+    # on the PICKED match.
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, epoch_us(ts) AS t,
+                      CAST(FLOOR(value * 100) AS BIGINT) AS click_cents
+               FROM events WHERE event_type = 'click'),
+         b AS (SELECT p.event_id, bb.t AS bt, bb.click_cents AS bc
+               FROM p LEFT JOIN LATERAL (
+                   SELECT t, click_cents FROM c
+                   WHERE c.user_id = p.user_id AND c.t <= p.t
+                   ORDER BY t DESC, click_cents DESC LIMIT 1) bb ON true),
+         f AS (SELECT p.event_id, ff.t AS ft, ff.click_cents AS fc
+               FROM p LEFT JOIN LATERAL (
+                   SELECT t, click_cents FROM c
+                   WHERE c.user_id = p.user_id AND c.t > p.t
+                   ORDER BY t ASC, click_cents DESC LIMIT 1) ff ON true),
+         pick AS (
+           SELECT p.event_id, p.user_id, p.t,
+                  CASE WHEN b.bt IS NOT NULL
+                            AND (f.ft IS NULL OR (p.t - b.bt) <= (f.ft - p.t))
+                       THEN b.bc ELSE f.fc END AS cand_cents,
+                  CASE WHEN b.bt IS NOT NULL
+                            AND (f.ft IS NULL OR (p.t - b.bt) <= (f.ft - p.t))
+                       THEN b.bt ELSE f.ft END AS cand_t
+           FROM p JOIN b USING (event_id) JOIN f USING (event_id))
+    SELECT event_id, user_id, t,
+           CASE WHEN cand_t IS NOT NULL AND abs(t - cand_t) <= 3600000000
+                THEN cand_cents END AS click_cents,
+           CASE WHEN cand_t IS NOT NULL AND abs(t - cand_t) <= 3600000000
+                THEN cand_t END AS click_t,
+           CASE WHEN cand_t IS NOT NULL AND abs(t - cand_t) <= 3600000000
+                THEN CAST(abs(t - cand_t) AS BIGINT) END AS dist_us
+    FROM pick ORDER BY event_id
+    """,
+    tags=("events", "asof-join"),
+    defer_oracle=True,
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (r9): each purchase enriched with the CLOSEST
+    click per user on either side of its timestamp, within a 1-hour
+    tolerance — the pandas merge_asof direction='nearest' surface
+    (`temporal.asof_join`): both directional carries share ONE sort (two
+    frames over the same window ordering — no second shuffle, no join
+    fan-out), distance ties take the backward match."""
+    from squrve_spark.operators import temporal
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "t", F.expr("ts_ns div 1000")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("t"),
+        F.floor(F.col("value") * 100).cast("long").alias("click_cents"),
+    )
+    out = temporal.asof_join(
+        purchases, clicks, ["user_id"], "t", "t", ["click_cents", "t"],
+        suffix="_c", direction="nearest", tolerance=3_600_000_000,
+    )
+    return out.select(
+        "event_id", "user_id", "t",
+        F.col("click_cents_c").alias("click_cents"),
+        F.col("t_c").alias("click_t"),
+        F.when(
+            F.col("t_c").isNotNull(),
+            F.abs(F.col("t") - F.col("t_c")).cast("bigint"),
+        ).alias("dist_us"),
+    ).orderBy("event_id")

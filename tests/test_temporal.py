@@ -176,3 +176,51 @@ def test_asof_join_chunked_rejects_bad_chunk():
 
     with pytest.raises(ValueError):
         temporal.asof_join(None, None, ["k"], "t", "t", ["rv"], chunk_size=0)
+
+
+def test_asof_nearest_matches_pandas(spark):
+    """r9: direction='nearest' — cross-checked against pandas merge_asof
+    (the semantics contract), including the distance-tie -> backward rule
+    and the tolerance bound on the PICKED side."""
+    import pandas as pd
+
+    from squrve_spark.operators.temporal import asof_join
+
+    lrows = [(i, 1, t) for i, t in enumerate([5, 10, 14, 15, 30, 100])]
+    rrows = [(1, 8, 80), (1, 12, 120), (1, 20, 200), (1, 40, 400)]
+    left = spark.createDataFrame(lrows, "id long, k long, t long")
+    right = spark.createDataFrame(rrows, "k long, rt long, v long")
+    out = {
+        r["id"]: (r["v_r"], r["rt_r"])
+        for r in asof_join(
+            left, right, ["k"], "t", "rt", ["v", "rt"],
+            direction="nearest",
+        ).collect()
+    }
+    lp = pd.DataFrame(lrows, columns=["id", "k", "t"]).sort_values("t")
+    rp = pd.DataFrame(rrows, columns=["k", "rt", "v"]).sort_values("rt")
+    ref = pd.merge_asof(
+        lp, rp, left_on="t", right_on="rt", by="k", direction="nearest"
+    ).set_index("id")
+    for i in ref.index:
+        want = (None, None) if pd.isna(ref.loc[i, "v"]) else (
+            int(ref.loc[i, "v"]), int(ref.loc[i, "rt"])
+        )
+        assert out[i] == want, (i, out[i], want)
+    # t=10: dist 2 both sides (8 vs 12) -> backward (80), like pandas
+    assert out[1] == (80, 8)
+    # tolerance nulls a pick farther than the bound (t=100: nearest is 40
+    # at distance 60 > 15)
+    out_tol = {
+        r["id"]: r["v_r"]
+        for r in asof_join(
+            left, right, ["k"], "t", "rt", ["v"],
+            direction="nearest", tolerance=15,
+        ).collect()
+    }
+    assert out_tol[5] is None and out_tol[0] == 80
+    # nearest + chunk_size is an explicit error with the compose recipe
+    import pytest
+    with pytest.raises(ValueError, match="nearest"):
+        asof_join(left, right, ["k"], "t", "rt", ["v"],
+                  direction="nearest", chunk_size=10)
