@@ -1013,3 +1013,75 @@ def winnow_fingerprints(
         F.md5(F.array_join(fps, ",")).alias("fp_md5"),
         fps.alias("fps"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    k: int = 3,
+    mod: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking over the token stream (the LBFS/rolling-
+    boundary scheme, Muthitacharoen et al. 2001, applied to tokens): a
+    chunk boundary falls AFTER token i exactly when the hash of the
+    k-gram ending at i lands in the boundary class (h % mod == 0) — so
+    boundaries move WITH the content, and an insertion near the start of
+    a document re-chunks only its neighborhood instead of shifting every
+    fixed-window chunk downstream (the failure mode of stride tiling
+    that `doc_sliding_dup` pays 2x window count to soften). Expected
+    chunk length ~= mod tokens; no min/max bounds (the original LBFS
+    form) so the boundary rule stays STATELESS and the whole operator is
+    one map-only codegen projection — zero shuffle, zero Python.
+
+    Engine portability: the boundary class is the first 4 md5 hex chars
+    of the chr(30)-joined gram as an integer, mod ``mod`` — replayable
+    anywhere; chunk identity is md5 of the chunk's tokens.
+
+    Docs shorter than k tokens are a single chunk. Output:
+    (doc_id, n_tokens INT, n_chunks INT, chunk_md5s array<string>).
+    """
+    sep = "\x1e"
+    staged = spread(df).select(
+        "doc_id",
+        F.filter(tokens_expr(text_col), lambda t: t != "").alias("_w"),
+    )
+    n = F.size(F.col("_w"))
+    cond = (
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(F.col("_w"), i + 1, k), sep)), 1, 4
+            ),
+            16, 10,
+        ).cast("int") % mod
+        == 0
+    )
+    bounds = F.when(
+        n >= k,
+        F.transform(
+            F.filter(F.sequence(F.lit(0), n - k), cond),
+            lambda i: i + k - 1,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    staged = staged.select("doc_id", "_w", bounds.cast("array<int>").alias("_b"))
+    n = F.size(F.col("_w"))
+    starts = F.concat(
+        F.array(F.lit(0)), F.transform(F.col("_b"), lambda b: b + 1)
+    )
+    ends = F.concat(F.col("_b"), F.array((n - 1).cast("int")))
+    md5s = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.when(
+                e >= s,
+                F.md5(F.array_join(F.slice(F.col("_w"), s + 1, e - s + 1), sep)),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return staged.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        F.size(md5s).cast("int").alias("n_chunks"),
+        md5s.alias("chunk_md5s"),
+    )

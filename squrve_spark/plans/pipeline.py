@@ -4170,3 +4170,92 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared") >= 3)
     )
     return pairs.orderBy("id_a", "id_b")
+
+
+@register(
+    "doc_cdc_dedup",
+    # r9: content-defined chunk dedup audit. Boundary rule (first 4 md5
+    # hex of the 3-gram as int, % 16 == 0) and chunk md5s replay exactly;
+    # the per-source audit counts chunks duplicated ANYWHERE in the
+    # corpus (the cross-doc boilerplate signal at CDC granularity).
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ), bset AS (
+        SELECT doc_id, source, w, len(w) AS n,
+               CASE WHEN len(w) >= 3 THEN
+                 list_transform(list_filter(range(1, len(w) - 1),
+                     i -> (CAST(('0x' || substr(md5(array_to_string(
+                               list_slice(w, i, i + 2), chr(30))), 1, 4))
+                           AS INTEGER) % 16) = 0),
+                     i -> i + 2)
+               ELSE [] END AS b
+        FROM tok
+    ), spans AS (
+        SELECT doc_id, source, w, n,
+               list_concat([1], list_transform(b, x -> x + 1)) AS starts,
+               list_concat(b, [n]) AS ends
+        FROM bset
+    ), chunks AS (
+        SELECT doc_id, source,
+               list_filter(list_transform(range(1, len(starts) + 1),
+                   ix -> CASE WHEN ends[ix] >= starts[ix]
+                              THEN md5(array_to_string(
+                                  list_slice(w, starts[ix], ends[ix]),
+                                  chr(30)))
+                         END),
+                   x -> x IS NOT NULL) AS cmd5s
+        FROM spans
+    ), inv AS (
+        SELECT source, unnest(cmd5s) AS c FROM chunks
+    ), cnt AS (
+        SELECT c, count(*) AS dn FROM inv GROUP BY c
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN dn >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(ROUND(sum(CASE WHEN dn >= 2 THEN 1 ELSE 0 END)
+                      / count(*), 6) AS DOUBLE) AS dup_chunk_ratio
+    FROM inv JOIN cnt USING (c)
+    GROUP BY source ORDER BY source
+    """,
+    tags=("text", "dedup"),
+    defer_oracle=True,
+)
+def doc_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunk duplication audit (r9,
+    `text.cdc_chunks` — LBFS rolling boundaries over tokens, expected
+    chunk ~16 tokens): per source, how many chunks also occur elsewhere
+    in the corpus. CDC boundaries move with content, so a prefix edit
+    re-chunks only its neighborhood and shared passages still collide —
+    the chunk-level complement of doc_segment_dedup's delimiter segments
+    and doc_sliding_dup's fixed windows. Chunk arrays are materialized
+    before the explode (the HOF-re-eval hazard); the only shuffles are
+    the chunk-count groupBy and the per-source aggregate, both
+    token-linear."""
+    from squrve_spark.catalog import memo_checkpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunked = memo_checkpoint(
+        text.cdc_chunks(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "chunk_md5s")
+    )
+    inv = chunked.select("source", F.explode("chunk_md5s").alias("c"))
+    cnt = inv.groupBy("c").agg(F.count(F.lit(1)).alias("dn"))
+    return (
+        inv.join(cnt, "c")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum((F.col("dn") >= 2).cast("bigint")).alias("n_dup_chunks"),
+            F.round(
+                F.sum((F.col("dn") >= 2).cast("int")) / F.count(F.lit(1)), 6
+            ).cast("double").alias("dup_chunk_ratio"),
+        )
+        .orderBy("source")
+    )

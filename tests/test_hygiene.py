@@ -401,3 +401,31 @@ def test_winnowing_guarantee_and_edges(spark):
     import hashlib
     want = hashlib.md5(",".join(sorted(f1)).encode()).hexdigest()
     assert out[1]["fp_md5"] == want
+
+
+def test_cdc_chunk_boundary_invariance(spark):
+    """r9: THE content-defined-chunking property — prepending tokens to a
+    document re-chunks only the edit's neighborhood; chunks past the
+    first content-defined boundary are IDENTICAL (fixed-stride tiling
+    would shift every window). Also the short-doc single-chunk edge."""
+    from squrve_spark.operators.text import cdc_chunks
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    rows = [
+        (1, base),
+        (2, "PREPENDED extra words " + base),  # edit at the front
+        (3, "ab cd"),  # < k tokens: one chunk, the whole doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cdc_chunks(df).collect()}
+    c1, c2 = out[1]["chunk_md5s"], out[2]["chunk_md5s"]
+    # all chunks after the first boundary survive the prefix edit: the
+    # SUFFIX chunk lists coincide except for the leading chunk(s)
+    shared = 0
+    while shared < min(len(c1), len(c2)) and c1[-1 - shared] == c2[-1 - shared]:
+        shared += 1
+    assert shared >= len(c1) - 2, (len(c1), len(c2), shared)
+    assert c1[0] != c2[0]  # the edited neighborhood did change
+    assert out[3]["n_chunks"] == 1
+    # chunk lengths hover near the expected mod=16 tokens
+    assert 4 <= out[1]["n_tokens"] / out[1]["n_chunks"] <= 64
