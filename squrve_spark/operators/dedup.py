@@ -652,7 +652,12 @@ def fuzzy_pairs(
     schema-linking stages (`/root/reference/core/actor/linker`) operate on
     small driver-side candidate sets; this is the corpus-scale analog.
     """
-    members = docs.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_k"))
+    # the slim (id, key) projection feeds the distinct-key aggregate AND
+    # both expansion sides — checkpoint it so the key derivation (often a
+    # text substring) runs one scan, not three (r9 scan audit)
+    members = memo_checkpoint(
+        docs.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_k"))
+    )
     if max_cluster is not None:
         from pyspark.sql import Window
 

@@ -1976,6 +1976,12 @@ def doc_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole plan is one codegen stage of regexp ops + one groupBy on source:
     linear scan, single small shuffle, the only shape viable at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
+    # r9 scan-audit adjudication: the 4 "scans" here are column-pruned
+    # re-reads (doc_id/source/text), which are CHEAPER than the
+    # alternative one-projection form — fusing pre+post counts into one
+    # select re-inlines the 5-step mask chain into every post-count
+    # regexp (Spark shares no subexpressions across projection items;
+    # measured slower). The regex work, not the scan, is the cost here.
     pre = text.pii_counts(docs).join(docs.select("doc_id", "source"), "doc_id")
     post = text.pii_counts(text.mask_pii(docs)).join(
         docs.select("doc_id", "source"), "doc_id"
