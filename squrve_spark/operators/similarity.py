@@ -20,7 +20,6 @@ zip_with/aggregate dot-product fold.
 
 from __future__ import annotations
 
-import random
 
 import numpy as np
 import pandas as pd
@@ -153,35 +152,6 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
-
-
-def random_hyperplanes(dim: int, bits: int = 64, seed: int = 42) -> list[list[float]]:
-    """Deterministic Gaussian hyperplanes for sign-LSH (driver-side, tiny)."""
-    rng = random.Random(seed)
-    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
-
-
-def with_lsh_signature(
-    df: DataFrame, dim: int, bits: int = 64, seed: int = 42, vec_col: str = "embedding"
-) -> DataFrame:
-    """Add a 64-bit sign-LSH signature column ('lsh_sig').
-
-    Computed as a vectorized pandas UDF: batch matrix x hyperplane matrix in
-    BLAS, then sign-bit packing in numpy — one Arrow round trip per batch
-    instead of 64 interpreted dot folds per row.
-    """
-    planes = np.array(random_hyperplanes(dim, bits, seed), dtype=np.float64)  # bits x dim
-    shifts = np.arange(bits, dtype=np.uint64)
-
-    def sig_fn(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:  # empty Arrow batch (AQE/empty-partition paths)
-            return pd.Series(dtype="int64")
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bitmat = (V @ planes.T) > 0  # n x bits
-        sigs = (bitmat.astype(np.uint64) << shifts[None, :]).sum(axis=1).astype(np.int64)
-        return pd.Series(sigs)
-
-    return spread(df).withColumn("lsh_sig", pandas_udf(sig_fn, "long")(F.col(vec_col)))
 
 
 def _banded(sig: DataFrame, role: str, bands: int, width: int, id_col: str) -> DataFrame:

@@ -131,19 +131,29 @@ def asof_join(
     # bound in BOTH directions (forward reverses the ts order, keeping the
     # side tie-break, so an equal-ts right row still precedes the left row)
     if direction == "nearest":
-        # ONE sort, two frames: prev non-null pack (inclusive — the side
-        # tie-break puts an equal-ts right row before the left row, so
-        # distance-0 matches arrive via the backward frame) and next
-        # non-null pack (exclusive of equal ts by the same tie-break).
-        # Tie in distance -> backward, pandas merge_asof semantics.
+        # ONE exchange, two sorts: the backward carry over ascending
+        # (__t, __side) — inclusive, so the side tie-break delivers
+        # distance-0 (equal-ts) matches here — and the forward carry over
+        # the REVERSED order with the same unbounded-PRECEDING last()
+        # frame. Both frames are running aggregates Spark maintains
+        # incrementally in O(m); the tempting single-sort alternative
+        # (first() over currentRow..unboundedFollowing) re-aggregates the
+        # tail per row — O(m^2) on a hot key, the straggler shape this
+        # module exists to avoid (r9 review). In desc (__t, __side) order
+        # an equal-ts right row sorts AFTER the left row, so the forward
+        # carry correctly excludes equal ts. Distance tie -> backward,
+        # pandas merge_asof semantics.
         asc = W.partitionBy(*key_cols).orderBy(
             F.col("__t").asc(), F.col("__side").asc()
         )
+        desc = W.partitionBy(*key_cols).orderBy(
+            F.col("__t").desc(), F.col("__side").desc()
+        )
         wb = asc.rowsBetween(W.unboundedPreceding, W.currentRow)
-        wf = asc.rowsBetween(W.currentRow, W.unboundedFollowing)
+        wf = desc.rowsBetween(W.unboundedPreceding, W.currentRow)
         both = unioned.withColumn(
             "__mb", F.last("__pack", ignorenulls=True).over(wb)
-        ).withColumn("__mf", F.first("__pack", ignorenulls=True).over(wf))
+        ).withColumn("__mf", F.last("__pack", ignorenulls=True).over(wf))
         db = F.col("__t") - F.col("__mb.__rt")
         df_ = F.col("__mf.__rt") - F.col("__t")
         pick = (

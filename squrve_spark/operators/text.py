@@ -882,6 +882,12 @@ def ngram_repetition(
     Output: (doc_id, n_tokens, top{top_n}_frac, dup{dup_n}_char_frac),
     fractions rounded to 6dp (cross-engine parity grid).
     """
+    if top_n == dup_n:
+        # both gram sets would carry the same n tag: every count doubles,
+        # the top fraction clamps to 1.0 and EVERY gram trivially passes
+        # the c >= 2 dup rule — silently corrupt output (r9 review)
+        raise ValueError("top_n and dup_n must differ (got both "
+                         f"{top_n}); use top_ngram_frac for a single size")
     sep = "\x1e"
     # the slim (id, tokens) projection feeds BOTH the gram explode and the
     # short-doc restore join — checkpoint it so the text scan + tokenize
@@ -1006,12 +1012,20 @@ def winnow_fingerprints(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return staged.select(
+    # stage the fingerprint ARRAY once: size/md5/output each reference it,
+    # and projection items share no subexpressions — unstaged, the whole
+    # O(grams x w) chain would run three times per row (r9 review;
+    # CollapseProject keeps the barrier because the expression is
+    # non-cheap and multiply-referenced)
+    staged2 = staged.select(
+        "doc_id", n_grams.cast("int").alias("n_grams"), fps.alias("_fps")
+    )
+    return staged2.select(
         "doc_id",
-        n_grams.cast("int").alias("n_grams"),
-        F.size(fps).cast("int").alias("n_fps"),
-        F.md5(F.array_join(fps, ",")).alias("fp_md5"),
-        fps.alias("fps"),
+        "n_grams",
+        F.size(F.col("_fps")).cast("int").alias("n_fps"),
+        F.md5(F.array_join(F.col("_fps"), ",")).alias("fp_md5"),
+        F.col("_fps").alias("fps"),
     )
 
 
@@ -1079,9 +1093,14 @@ def cdc_chunks(
         ),
         lambda x: x.isNotNull(),
     )
-    return staged.select(
+    # same staging as winnow_fingerprints: the chunk-md5 chain is
+    # referenced twice (size + output) — materialize it once (r9 review)
+    staged2 = staged.select(
+        "doc_id", n.cast("int").alias("n_tokens"), md5s.alias("_md5s")
+    )
+    return staged2.select(
         "doc_id",
-        n.cast("int").alias("n_tokens"),
-        F.size(md5s).cast("int").alias("n_chunks"),
-        md5s.alias("chunk_md5s"),
+        "n_tokens",
+        F.size(F.col("_md5s")).cast("int").alias("n_chunks"),
+        F.col("_md5s").alias("chunk_md5s"),
     )

@@ -45,11 +45,19 @@ def with_shard(
     digits = 60 bits: fits a signed BIGINT on both engines and keeps the
     within-shard order key collision-free at real shard sizes. md5 is
     slower than xxhash64 per row, but one hash per written row is noise
-    next to the write itself, and a portable shard layout is worth it."""
+    next to the write itself, and a portable shard layout is worth it.
+
+    NULL-id contract (r9 review): the key concatenation is
+    NULL-PROPAGATING (F.concat, matching SQL || semantics) so a null id
+    yields a null shard on BOTH engines — concat_ws would silently hash
+    just the seed string here while the documented DuckDB recompute
+    formula returns NULL, splitting the two definitions. Callers must
+    assign ids before sharding; null-shard rows land in the null
+    partition where the writer's own audit exposes them."""
     h = F.conv(
         F.substring(
-            F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
-                              F.lit(str(seed)))),
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(f":{seed}"))),
             1, 15,
         ),
         16, 10,
@@ -298,11 +306,17 @@ def incremental_rollup(
     Structured Streaming's at-least-once ``foreachBatch``: a crash
     BETWEEN the store upsert and the checkpoint commit replays the batch,
     and without the guard the additive sums double-merge (unlike sketch
-    unions, sums are not idempotent). Store rows carry the last applied
-    batch id IN the store parquet — the skip decision is atomic with the
-    store contents — and a replayed batch returns the stored rows for
-    its touched partitions untouched, the same row set as first delivery
-    (the `incremental_distinct` replay contract).
+    unions, sums are not idempotent). The skip is PER PARTITION (r9
+    review): `upsert_partitioned` commits one partition directory at a
+    time, so a crash can land MID-upsert with some touched partitions
+    stamped and others not — a store-wide max(_batch_id) guard would then
+    skip the whole replay and silently lose the unstamped partitions'
+    contribution. Each touched partition is re-merged exactly when its
+    own stored _batch_id is behind; already-stamped partitions pass
+    through untouched, so the return is the same row set as an
+    uninterrupted first delivery. The store is read with mergeSchema so a
+    store whose older partitions predate the _batch_id column (or were
+    written with batch_id=None) still surfaces it.
     """
     agg = batch.groupBy(*group_cols).agg(
         *[F.expr(e).cast("long").alias(name) for name, e in agg_exprs.items()]
@@ -310,24 +324,42 @@ def incremental_rollup(
     measures = list(agg_exprs)
     import os
 
+    def _part_pred(values):
+        non_null = [t for t in values if t is not None]
+        pred = (
+            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        )
+        if any(t is None for t in values):
+            pred = pred | F.col(partition_col).isNull()
+        return pred
+
+    done_rows = None
     if batch_id is not None and os.path.isdir(store_path):
-        prior = spark.read.parquet(store_path)
+        prior = spark.read.option("mergeSchema", "true").parquet(store_path)
         if "_batch_id" in prior.columns:
-            last = prior.agg(F.max("_batch_id")).first()[0]
-            if last is not None and last >= batch_id:
-                keys = batch.select(partition_col).distinct()
-                return prior.join(keys, [partition_col], "left_semi")
+            tkeys = batch.select(partition_col).distinct()
+            ptouched = prior.join(tkeys, [partition_col], "left_semi")
+            done_rows = ptouched.where(
+                F.col("_batch_id") >= F.lit(int(batch_id))
+            ).localCheckpoint()
+            done = [
+                r[0]
+                for r in done_rows.select(partition_col).distinct().collect()
+            ]
+            if done:
+                # drop already-applied partitions from THIS delivery
+                agg = agg.filter(~F.coalesce(_part_pred(done), F.lit(False)))
+                if agg.limit(1).count() == 0:
+                    return done_rows  # full replay: every partition stamped
     if os.path.isdir(store_path):
         touched = [
             r[0] for r in agg.select(partition_col).distinct().collect()
         ]
-        non_null = [t for t in touched if t is not None]
-        pred = (
-            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        existing = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(store_path)
+            .filter(_part_pred(touched))
         )
-        if any(t is None for t in touched):
-            pred = pred | F.col(partition_col).isNull()
-        existing = spark.read.parquet(store_path).filter(pred)
         if "_batch_id" in existing.columns:
             existing = existing.drop("_batch_id")
         merged = (
@@ -345,4 +377,8 @@ def incremental_rollup(
     upsert_partitioned(
         spark, merged, store_path, key_cols=group_cols, partition_col=partition_col
     )
+    if done_rows is not None:
+        # same row set as first delivery: re-merged partitions + the
+        # already-stamped ones that passed through
+        return merged.unionByName(done_rows, allowMissingColumns=True)
     return merged

@@ -311,3 +311,54 @@ def test_incremental_dedup_null_text_contract(spark, tmp_path):
     # doc 1 (NULL) and doc 3 ('') both canonicalize to the stored ''
     # fingerprint from doc 0 — nothing survives batch 2
     assert out2.count() == 0
+
+
+def test_incremental_rollup_mid_upsert_torn_write(spark, tmp_path):
+    """r9 review: upsert_partitioned commits one partition directory at a
+    time, so a crash can leave SOME touched partitions stamped with the
+    batch id and others not. The replay guard must be PER PARTITION:
+    re-merge exactly the unstamped partitions, pass the stamped ones
+    through — a store-wide max(_batch_id) skip would silently lose the
+    unstamped partitions' contribution."""
+    import shutil
+
+    from squrve_spark.sinks import incremental_rollup
+
+    store = str(tmp_path / "store")
+    aggs = {"n": "count(*)", "cents": "sum(c)"}
+    b0 = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "day string, c long"
+    )
+    incremental_rollup(spark, b0, store, ["day"], aggs, "day", batch_id=0)
+    b1 = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("b", 3)], "day string, c long"
+    )
+    incremental_rollup(spark, b1, store, ["day"], aggs, "day", batch_id=1)
+    # simulate the torn batch-1 upsert: partition b reverts to its batch-0
+    # state (stamped 0), partition a keeps its batch-1 state (stamped 1)
+    snapshot = spark.read.parquet(store).localCheckpoint()
+    shutil.rmtree(f"{store}/day=b")
+    (
+        snapshot.where("day = 'b'")
+        .withColumn("n", F.lit(1).cast("long"))
+        .withColumn("cents", F.lit(5).cast("long"))
+        .withColumn("_batch_id", F.lit(0).cast("long"))
+        .write.mode("append").partitionBy("day").parquet(store)
+    )
+    # replay batch 1 (what Structured Streaming does after the crash)
+    out = incremental_rollup(spark, b1, store, ["day"], aggs, "day", batch_id=1)
+    rows = {r["day"]: (r["n"], r["cents"]) for r in out.collect()}
+    stored = {
+        r["day"]: (r["n"], r["cents"], r["_batch_id"])
+        for r in spark.read.parquet(store).collect()
+    }
+    # b re-merged exactly once more; a passed through untouched
+    assert stored["a"] == (3, 31, 1), stored
+    assert stored["b"] == (3, 10, 1), stored
+    assert rows == {"a": (3, 31), "b": (3, 10)}
+    # a FULL replay (every touched partition already stamped) is a no-op
+    out2 = incremental_rollup(spark, b1, store, ["day"], aggs, "day", batch_id=1)
+    assert {r["day"]: (r["n"], r["cents"]) for r in out2.collect()} == rows
+    assert {
+        r["day"]: (r["n"], r["cents"]) for r in spark.read.parquet(store).collect()
+    } == rows
