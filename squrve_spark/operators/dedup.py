@@ -185,15 +185,18 @@ def ngram_jaccard_pairs(
         F.col(id_col), *block_cols, F.size("sh").alias("sz"), F.explode("sh").alias("s")
     )
     if max_shingle_df is not None:
-        # hot set is tiny by construction (|hot| <= index_rows / cap):
-        # broadcast anti-join keeps the index-side data un-shuffled
+        # no forced broadcast hint: |hot| <= index_rows / cap grows LINEARLY
+        # with the corpus — on a boilerplate-heavy 100 TB crawl the hot set
+        # can reach tens of GB, and a forced hint would OOM where a shuffle
+        # anti-join is fine. AQE broadcasts it when it is actually small;
+        # semantics are identical either way (left_anti on the same keys).
         hot = (
             inv.groupBy(*block_cols, "s")
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > max_shingle_df)
             .select(*block_cols, "s")
         )
-        inv = inv.join(F.broadcast(hot), [*block_cols, "s"], "left_anti")
+        inv = inv.join(hot, [*block_cols, "s"], "left_anti")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
     cond.append(F.col("a.s") == F.col("b.s"))
     cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -558,7 +561,9 @@ def fuzzy_key_pairs(
             .filter(F.col("_df") > max_variant_df)
             .select("v")
         )
-        kv = kv.join(F.broadcast(hot), "v", "left_anti")
+        # same adversarial bound as ngram_jaccard_pairs: |hot| grows with the
+        # key universe, so no forced broadcast — AQE picks one when small
+        kv = kv.join(hot, "v", "left_anti")
     right = kv.select(F.col(key_col).alias("_k2"), F.col("v").alias("_v2"))
     cross = (
         kv.join(right, (F.col("v") == F.col("_v2")) & (F.col(key_col) < F.col("_k2")))

@@ -627,7 +627,8 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_lsh_topk",
     # r9 rows-only -> deferred (late r9): same integer sign-LSH move as
-    # emb_neardup_lsh (8 bands x 8 bits, tag hp:42); candidates + exact
+    # emb_neardup_lsh (8 bands x 8 bits; tag hp:7 since r10 so the
+    # corpus_sign_snapshot frame is shared across both); candidates + exact
     # rounded-cosine re-rank replay end-to-end. The Spark plan's
     # first-collision dedup is semantics-free (the DISTINCT pair set is
     # identical), so the oracle uses DISTINCT.
@@ -641,7 +642,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 greatest(-127, least(127, CAST(floor(x * s + 0.5) AS INTEGER))) AS c
               FROM ex JOIN dims USING (pos)),
     planes AS (SELECT j.j AS j, i.pos AS pos,
-                CASE WHEN (CAST(('0x' || substr(md5('hp:42:' || j.j || ':'
+                CASE WHEN (CAST(('0x' || substr(md5('hp:7:' || j.j || ':'
                            || (i.pos - 1)), 1, 2)) AS INTEGER) & 1) = 1
                      THEN 1 ELSE -1 END AS sgn
                FROM (SELECT unnest(range(64)) AS j) j,
@@ -4153,13 +4154,15 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.winnow_fingerprints(docs).select("doc_id", "fps")
     )
     inv = fp_frame.select("doc_id", F.explode("fps").alias("fp"))
-    # broadcast the HOT set (boilerplate fingerprints, tiny by
-    # construction) and anti-join — broadcasting the SURVIVOR set would
-    # ship a corpus-sized list to every executor at scale
+    # anti-join out the HOT set (boilerplate fingerprints) WITHOUT a forced
+    # broadcast hint: |hot| <= fingerprint_rows / 50 grows linearly with the
+    # corpus, so on a boilerplate-heavy crawl it can be tens of GB — the
+    # hint would force an OOM where AQE's runtime size check picks a
+    # broadcast only when the set is actually small. Semantics identical.
     hot = inv.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") > 50
     ).select("fp")
-    idx = inv.join(F.broadcast(hot), "fp", "left_anti")
+    idx = inv.join(hot, "fp", "left_anti")
     pairs = (
         idx.alias("a")
         .join(
