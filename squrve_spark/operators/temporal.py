@@ -67,7 +67,10 @@ def asof_join(
          chunks' carry via an equi-join on (key, chunk).
 
     Results are identical for any chunk_size (property-tested); pick it so
-    a (key, chunk) slice fits a task comfortably.
+    a (key, chunk) slice fits a task comfortably. ``nearest`` supports
+    ``chunk_size`` too (r10): one chunked plan computes both carries —
+    two in-chunk sorts over one exchange plus the tiny per-chunk summary —
+    then the same closer-side pick as the unchunked branch.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -75,15 +78,6 @@ def asof_join(
         )
     if chunk_size is not None and chunk_size <= 0:
         raise ValueError(f"chunk_size must be positive, got {chunk_size}")
-    if direction == "nearest" and chunk_size is not None:
-        # the chunked carry is direction-specific; a chunked NEAREST is two
-        # chunked directional passes joined on a left id with the same
-        # closer-side pick the unchunked branch applies — compose it at the
-        # call site rather than hiding a second shuffle in here
-        raise ValueError(
-            "direction='nearest' does not take chunk_size: run backward and "
-            "forward chunked passes and pick the closer match per row"
-        )
     # dedupe right per (key, ts): keep the lexicographically-last value row
     dedup_w = W.partitionBy(*key_cols, right_ts).orderBy(
         *[F.col(v).desc() for v in right_vals]
@@ -143,17 +137,68 @@ def asof_join(
         # an equal-ts right row sorts AFTER the left row, so the forward
         # carry correctly excludes equal ts. Distance tie -> backward,
         # pandas merge_asof semantics.
-        asc = W.partitionBy(*key_cols).orderBy(
-            F.col("__t").asc(), F.col("__side").asc()
-        )
-        desc = W.partitionBy(*key_cols).orderBy(
-            F.col("__t").desc(), F.col("__side").desc()
-        )
-        wb = asc.rowsBetween(W.unboundedPreceding, W.currentRow)
-        wf = desc.rowsBetween(W.unboundedPreceding, W.currentRow)
-        both = unioned.withColumn(
-            "__mb", F.last("__pack", ignorenulls=True).over(wb)
-        ).withColumn("__mf", F.last("__pack", ignorenulls=True).over(wf))
+        if chunk_size is None:
+            asc = W.partitionBy(*key_cols).orderBy(
+                F.col("__t").asc(), F.col("__side").asc()
+            )
+            desc = W.partitionBy(*key_cols).orderBy(
+                F.col("__t").desc(), F.col("__side").desc()
+            )
+            wb = asc.rowsBetween(W.unboundedPreceding, W.currentRow)
+            wf = desc.rowsBetween(W.unboundedPreceding, W.currentRow)
+            both = unioned.withColumn(
+                "__mb", F.last("__pack", ignorenulls=True).over(wb)
+            ).withColumn("__mf", F.last("__pack", ignorenulls=True).over(wf))
+        else:
+            # chunked NEAREST (r10, r9 verdict #7): the same (key, chunk)
+            # bound as the directional chunked plan, both carries at once.
+            # Big-frame work: ONE exchange on (key, chunk), two in-chunk
+            # sorts (asc for the backward carry, desc for forward — same
+            # tie-breaks as the unchunked branch, and equal timestamps can
+            # never straddle a chunk boundary, so tie semantics are
+            # untouched). Cross-chunk context rides the per-(key, chunk)
+            # summary frame — one row per chunk, so its per-key cumulative
+            # windows are tiny: max(pack) over preceding chunks = latest
+            # earlier right row, min(pack) over following = earliest later
+            # (the pack struct leads with __rt; right (key, ts) rows are
+            # unique after dedup, so struct extrema ARE time extrema).
+            u = unioned.withColumn(
+                "__chunk", F.floor(F.col("__t") / F.lit(chunk_size)).cast("long")
+            )
+            asc_l = (
+                W.partitionBy(*key_cols, "__chunk")
+                .orderBy(F.col("__t").asc(), F.col("__side").asc())
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            desc_l = (
+                W.partitionBy(*key_cols, "__chunk")
+                .orderBy(F.col("__t").desc(), F.col("__side").desc())
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            local = u.withColumn(
+                "__mb_loc", F.last("__pack", ignorenulls=True).over(asc_l)
+            ).withColumn(
+                "__mf_loc", F.last("__pack", ignorenulls=True).over(desc_l)
+            )
+            summary = u.groupBy(*key_cols, "__chunk").agg(
+                F.max("__pack").alias("__cmax"), F.min("__pack").alias("__cmin")
+            )
+            cw = W.partitionBy(*key_cols).orderBy(F.col("__chunk").asc())
+            prev = summary.select(
+                *key_cols,
+                "__chunk",
+                F.max("__cmax")
+                .over(cw.rowsBetween(W.unboundedPreceding, -1))
+                .alias("__b_cross"),
+                F.min("__cmin")
+                .over(cw.rowsBetween(1, W.unboundedFollowing))
+                .alias("__f_cross"),
+            )
+            both = (
+                local.join(prev, [*key_cols, "__chunk"], "left")
+                .withColumn("__mb", F.coalesce("__mb_loc", "__b_cross"))
+                .withColumn("__mf", F.coalesce("__mf_loc", "__f_cross"))
+            )
         db = F.col("__t") - F.col("__mb.__rt")
         df_ = F.col("__mf.__rt") - F.col("__t")
         pick = (

@@ -228,6 +228,7 @@ def incremental_dedup_ingest(
     store_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Ingest a new batch against a PERSISTED fingerprint store: return only
     documents whose canonical fingerprint has never been seen (not in the
@@ -248,6 +249,22 @@ def incremental_dedup_ingest(
     (doc_incremental_dedup does) — a NULL fingerprint silently bypasses
     the store because the left_anti join never matches NULL keys, so
     null-text docs would survive every batch.
+
+    ``batch_id`` (r10, r9 verdict #6) closes the torn-write seam under
+    at-least-once ``foreachBatch`` delivery: the function appends the
+    survivors' fingerprints to the store and RETURNS the survivors for the
+    caller's output write, so a crash can land on either side of that seam.
+    Store rows are stamped with the writing batch id; on replay, a
+    fingerprint stored BY THIS SAME BATCH does not disqualify its doc —
+    the replay returns the identical survivor set (the caller's
+    idempotent/overwrite output write then converges) instead of 0 rows,
+    which for the crash-after-append-before-output-write interleaving
+    would silently lose the batch's documents forever. The store append
+    stays duplicate-free: only fingerprints absent from the store are
+    appended, so a replay after a COMPLETE delivery appends nothing.
+    With ``batch_id=None`` the legacy contract holds (replay returns 0
+    rows) — correct only when the output write is transactional with the
+    store append or the caller replays never.
     """
     import os
 
@@ -260,19 +277,36 @@ def incremental_dedup_ingest(
     # within-batch: keep min-id per fingerprint
     w_keep = batch.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     batch = batch.join(w_keep, [id_col, "_fp"], "left_semi")
+    stored_fps = None
     if os.path.exists(store_path):
         # anti-join on the narrow (fp) store — a hash shuffle on the 128-bit
         # key; the store is the big side and cannot be broadcast, but its
-        # shuffled payload is 32 bytes/row regardless of historical text size
-        seen = spark.read.parquet(store_path).select("_fp")
-        batch = batch.join(seen, "_fp", "left_anti")
+        # shuffled payload is 32 bytes/row regardless of historical text size.
+        # mergeSchema: older stores predate the _batch_id column.
+        store = spark.read.option("mergeSchema", "true").parquet(store_path)
+        if "_batch_id" not in store.columns:
+            store = store.withColumn("_batch_id", F.lit(None).cast("long"))
+        stored_fps = store.select("_fp")
+        seen = store.select("_fp", "_batch_id")
+        if batch_id is not None:
+            # a fp stamped by THIS batch is a replay re-delivery, not a dup
+            seen = seen.filter(
+                F.col("_batch_id").isNull() | (F.col("_batch_id") != F.lit(batch_id))
+            )
+        batch = batch.join(seen.select("_fp"), "_fp", "left_anti")
     # EAGER checkpoint before the append: the survivor set must be pinned,
     # because a lazy plan re-evaluated after the append would re-read the
     # store, see its own fingerprints, and yield zero rows.
     survivors = batch.localCheckpoint()
-    survivors.select("_fp", F.col(id_col).alias("first_id")).write.mode(
-        "append"
-    ).parquet(store_path)
+    to_store = survivors.select(
+        "_fp",
+        F.col(id_col).alias("first_id"),
+        F.lit(batch_id).cast("long").alias("_batch_id"),
+    )
+    if stored_fps is not None:
+        # replayed survivors' fps may already be stored — never append twice
+        to_store = to_store.join(stored_fps, "_fp", "left_anti")
+    to_store.write.mode("append").parquet(store_path)
     return survivors.drop("_fp")
 
 

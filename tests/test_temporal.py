@@ -157,7 +157,7 @@ def test_asof_join_chunked_equals_unchunked(spark):
             key=lambda x: (x[0], x[1], -1 if x[2] is None else x[2]),
         )
 
-    for direction in ("backward", "forward"):
+    for direction in ("backward", "forward", "nearest"):
         for tolerance in (None, 25):
             base = norm(temporal.asof_join(
                 left, right, ["k"], "t", "t", ["rv"],
@@ -219,8 +219,15 @@ def test_asof_nearest_matches_pandas(spark):
         ).collect()
     }
     assert out_tol[5] is None and out_tol[0] == 80
-    # nearest + chunk_size is an explicit error with the compose recipe
-    import pytest
-    with pytest.raises(ValueError, match="nearest"):
-        asof_join(left, right, ["k"], "t", "rt", ["v"],
-                  direction="nearest", chunk_size=10)
+    # r10: chunked nearest (bounded per-task hot-key path) is result-
+    # identical on this pandas-checked fixture, including the distance-tie
+    # -> backward rule across a chunk boundary (t=10 vs right 8/12 with
+    # chunk 10 puts the backward match in the previous chunk)
+    out_chunked = {
+        r["id"]: (r["v_r"], r["rt_r"])
+        for r in asof_join(
+            left, right, ["k"], "t", "rt", ["v", "rt"],
+            direction="nearest", chunk_size=10,
+        ).collect()
+    }
+    assert out_chunked == out
