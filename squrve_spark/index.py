@@ -83,6 +83,95 @@ def _encode_ngram_projection(texts, proj: np.ndarray) -> np.ndarray:
     return out
 
 
+_MD5_PLANE_CACHE: dict = {}
+_GRID_BUCKET_CACHE: dict = {}
+
+
+def md5_plane_matrix(dim: int = 64, sparse_dim: int = 4096, seed: int = 7) -> np.ndarray:
+    """±1 projection matrix (dim, sparse_dim) with sign(j, b) = low bit of
+    the first md5 hex byte of "proj:{seed}:{j}:{b}" — the
+    `int_hyperplane_signs` idiom, regenerable by ANY engine (DuckDB:
+    `CAST(('0x'||substr(md5('proj:7:'||j||':'||b),1,2)) AS INTEGER) & 1`),
+    unlike the numpy-PCG64 Rademacher matrix it parallels. Cached per
+    (dim, sparse_dim, seed): 262144 md5 calls once per process."""
+    import hashlib
+
+    key = (dim, sparse_dim, seed)
+    hit = _MD5_PLANE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    m = np.empty((dim, sparse_dim), dtype=np.int64)
+    for j in range(dim):
+        for b in range(sparse_dim):
+            h = int(hashlib.md5(f"proj:{seed}:{j}:{b}".encode()).hexdigest()[:2], 16)
+            m[j, b] = 1 if (h & 1) else -1
+    _MD5_PLANE_CACHE[key] = m
+    return m
+
+
+def _encode_md5_grid(texts, planes: np.ndarray) -> np.ndarray:
+    """Integer-grid encoding kernel (r10, r9 verdict #2): char 3..5-gram
+    TF counts md5-bucketed into the sparse space, times a ±1 md5 plane
+    matrix — every output component is an EXACT int64 (sum of ±counts),
+    so the embedding is bit-identical on any engine in any summation
+    order; the float kernel's 4096-term IEEE dot depends on order, which
+    is what blocked the oracle. Grams are CHARACTER slices (not bytes) so
+    SQL substr() replays them; the gram -> bucket md5 is memoized across
+    docs (the n-gram vocabulary is heavy-tailed — the cache turns ~3
+    md5/char into ~1 dict hit/char), capped so an adversarial corpus
+    cannot grow it unboundedly."""
+    import hashlib
+
+    dim, sparse_dim = planes.shape
+    cache = _GRID_BUCKET_CACHE
+    counts = np.zeros((len(texts), sparse_dim), dtype=np.int64)
+    for i, t in enumerate(texts):
+        s = f"^{(t or '').lower()}$"
+        row = counts[i]
+        for n in (3, 4, 5):
+            for j in range(len(s) - n + 1):
+                g = s[j : j + n]
+                b = cache.get(g)
+                if b is None:
+                    b = int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % sparse_dim
+                    if len(cache) < (1 << 21):
+                        cache[g] = b
+                row[b] += 1
+    return counts @ planes.T  # (n, dim) exact int64
+
+
+def embed_texts_int(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 64,
+    seed: int = 7,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """DISTRIBUTED integer-grid text embedding (array<long>): the same
+    broadcast-matrix Arrow-batched shape as `embed_texts`, with the
+    md5-derived feature buckets and ±1 planes of `_encode_md5_grid` — the
+    deterministic, ENGINE-REPLAYABLE variant that lets the RAG-ingest
+    query (`doc_embed_search`) carry an exact DuckDB oracle. Cosine over
+    these vectors is deterministic too: dots and squared norms are exact
+    integers (< 2^53), so sqrt/divide/round are single IEEE ops any
+    engine computes identically."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    bc = df.sparkSession.sparkContext.broadcast(md5_plane_matrix(dim, seed=seed))
+
+    @pandas_udf("array<bigint>")
+    def enc(texts):  # pd.Series -> pd.Series
+        if len(texts) == 0:
+            return pd.Series(dtype="object")
+        m = _encode_md5_grid(list(texts), bc.value)
+        return pd.Series([row.tolist() for row in m])
+
+    return df.withColumn(out_col, enc(F.col(text_col)))
+
+
 def embed_texts(
     df: DataFrame,
     text_col: str = "text",

@@ -95,3 +95,61 @@ def test_empty_text_consistent_with_empty_token_bucket(spark):
     z = round(float(model.weights[bucket]), 9) + round(float(model.bias), 9)
     expect = round(1.0 / (1.0 + np.exp(-z)), 6)
     assert abs(r["quality_prob"] - expect) < 1e-6
+
+
+def test_vote_model_pure_python_replay_and_separation(spark):
+    """r10: the integer voting classifier — (a) weights replay EXACTLY
+    from a pure-Python md5 reimplementation (the DuckDB oracle's
+    semantics: w[b] = sign(pos_n*neg_total - neg_n*pos_total)), (b) votes
+    are exact int64 token folds, (c) the model separates the planted
+    good/bad training texts (usable gate, not just oracle-friendly)."""
+    import hashlib
+
+    df = _labeled(spark)
+    model = classifier.train_vote_model(df, dim=64)
+    assert set(model.weights) <= {-1, 0, 1} and len(model.weights) == 64
+
+    # pure-Python retrain
+    rows = df.collect()
+    pn, nn = [0] * 64, [0] * 64
+    for r in rows:
+        for t in r["text"].strip().split():
+            b = int(hashlib.md5(t.lower().encode()).hexdigest()[:8], 16) % 64
+            if r["label"] == 1:
+                pn[b] += 1
+            else:
+                nn[b] += 1
+    pt, nt = sum(pn), sum(nn)
+    want = [
+        1 if pn[b] * nt > nn[b] * pt else (-1 if pn[b] * nt < nn[b] * pt else 0)
+        for b in range(64)
+    ]
+    assert model.weights == want
+
+    scored = {
+        r["doc_id"]: (r["vote"], r["quality_pred"])
+        for r in classifier.score_documents_vote(df, model).collect()
+    }
+    for r in rows:
+        v = sum(
+            want[int(hashlib.md5(t.lower().encode()).hexdigest()[:8], 16) % 64]
+            for t in r["text"].strip().split()
+        )
+        assert scored[r["doc_id"]] == (v, v > 0), r["doc_id"]
+        # perfect separation on the training texts
+        assert (v > 0) == (r["label"] == 1), r["doc_id"]
+
+
+def test_vote_scoring_plan_is_jvm_only(spark):
+    """The vote-scoring plan must contain no Python evaluation nodes and
+    no exchange — map-only whole-stage integer fold."""
+    df = _labeled(spark)
+    model = classifier.train_vote_model(df, dim=64)
+    plan = (
+        classifier.score_documents_vote(df, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan

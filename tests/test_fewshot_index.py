@@ -357,3 +357,52 @@ def test_distributed_embedding_matches_driver_encoder(spark):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_integer_grid_embedding_exact_replay_and_retrieval(spark):
+    """r10: index.embed_texts_int — (a) every component replays EXACTLY
+    from a pure-Python md5 reimplementation (the DuckDB oracle's
+    semantics), (b) vectors are int64 with |e| bounded by the doc's gram
+    count, (c) near-duplicate texts still land close in cosine while
+    unrelated texts don't (the encoder is a usable retrieval stand-in,
+    not just oracle-friendly)."""
+    import hashlib
+
+    import numpy as np
+
+    from squrve_spark.index import embed_texts_int, md5_plane_matrix
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumped over the lazy dog!",
+        "integer grids make cross engine parity exact",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: np.asarray(r["embedding"], dtype=np.int64)
+        for r in embed_texts_int(docs, dim=64).collect()
+    }
+
+    planes = md5_plane_matrix(64, 4096, 7)
+
+    def replay(t):
+        s = f"^{t.lower()}$"
+        v = np.zeros(4096, dtype=np.int64)
+        n_grams = 0
+        for n in (3, 4, 5):
+            for j in range(len(s) - n + 1):
+                g = s[j : j + n]
+                v[int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 4096] += 1
+                n_grams += 1
+        return v @ planes.T, n_grams
+
+    for i, t in enumerate(texts):
+        want, n_grams = replay(t)
+        assert np.array_equal(got[i], want), i
+        assert int(np.abs(got[i]).max()) <= n_grams
+
+    u = np.stack([got[i] / np.linalg.norm(got[i]) for i in range(3)])
+    near, far = float(u[0] @ u[1]), float(u[0] @ u[2])
+    assert near > 0.8 and far < 0.5
