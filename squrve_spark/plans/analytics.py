@@ -65,6 +65,8 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     tags=("A8", "pivot"),
+    # deferred (r10 rotation): long-stable driver row; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot orders by status into wide yearly counts (explicit value list —
@@ -483,7 +485,9 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY event_type
     """,
     tags=("events", "variant"),
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py,
+    # deferred (r10 rotation): long-stable driver row; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload analytics via Spark 4 VARIANT: parse_json on
@@ -723,7 +727,9 @@ GROUP BY event_type
     "q_percentiles",
     oracle=_PERCENTILE_SQL,
     tags=("A7", "events", "ordered-set-agg"),
-    # driver-checked since round 6 (rotated in for doc_ngram_freq)
+    # driver-checked since round 6 (rotated in for doc_ngram_freq),
+    # deferred (r10 rotation): long-stable driver row; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT ordered-set aggregates (r5): percentile_cont (linear
@@ -1117,7 +1123,7 @@ def event_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY r.k ORDER BY r.k
     """,
     tags=("events", "scale", "composite"),
-    defer_oracle=True,
+    # promoted to the driver cap in r10 (rotation)
 )
 def event_campaign_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Campaign revenue attribution THROUGH the skew lever (r9, r8 verdict
@@ -1216,7 +1222,7 @@ def event_campaign_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pick ORDER BY event_id
     """,
     tags=("events", "asof-join"),
-    defer_oracle=True,
+    # promoted to the driver cap in r10 (rotation)
 )
 def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest as-of join (r9): each purchase enriched with the CLOSEST

@@ -276,6 +276,8 @@ def _numeric_profile_oracle() -> str:
     # linearly interpolate, so values agree at 4 dp.
     oracle=_numeric_profile_oracle(),
     tags=("profiling",),
+    # deferred (r10 rotation): long-stable driver row; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass numeric distribution summary (count/nulls/min/max/mean/
@@ -531,7 +533,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
     tags=("dedup",),
-    defer_oracle=True,
+    # promoted to the driver cap in r10 (rotation)
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) candidate pairs verified with true
@@ -751,7 +753,7 @@ def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
     tags=("dedup", "similarity"),
-    defer_oracle=True,
+    # promoted to the driver cap in r10 (rotation)
 )
 def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked embedding near-dup pairs (the scale path; subset-of-exact
@@ -798,6 +800,8 @@ def _signals_oracle() -> str:
     # oracles by join
     oracle=_signals_oracle(),
     tags=("text",),
+    # deferred (r10 rotation): long-stable driver row; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE-SCAN combined signal extraction (token stats, quality ratios,
@@ -1165,6 +1169,8 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT n_chars) AS BIGINT) FROM documents
     """,
     tags=("profiling",),
+    # deferred (r10 rotation): long-stable driver row; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profile (SURVEY §2.C): per-column row/null/distinct
@@ -1284,7 +1290,7 @@ def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY query_id, rank
     """,
     tags=("similarity", "text"),
-    defer_oracle=True,
+    # promoted to the driver cap in r10 (rotation)
 )
 def doc_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-index build + search end-to-end (r5, the RAG-ingest
@@ -1652,7 +1658,9 @@ def doc_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sims
     """,
     tags=("hygiene", "similarity"),
-    # driver-checked since late r4 (q_having_distinct rotated to deferred)
+    # driver-checked since late r4 (q_having_distinct rotated to deferred),
+    # deferred (r10 rotation): long-stable driver row; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def emb_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC decontamination: max cosine of every corpus vector against
@@ -1803,7 +1811,7 @@ def emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) ORDER BY stage
     """,
     tags=("pipeline",),
-    defer_oracle=True,
+    # promoted to the driver cap in r10 (rotation)
 )
 def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 curation composite — the r4 operator set as one survival-flag
@@ -2642,7 +2650,9 @@ def doc_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM keyed ORDER BY k DESC, doc_id LIMIT 100
     """,
     tags=("curation", "sampling"),
-    # driver-checked since late r4 (q_scalar_subquery rotated to deferred)
+    # driver-checked since late r4 (q_scalar_subquery rotated to deferred),
+    # deferred (r10 rotation): long-stable driver row; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): select the 100 raw
@@ -3129,7 +3139,9 @@ def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     tags=("curation", "packing"),
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py,
+    # deferred (r10 rotation): long-stable driver row; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATERIALIZED sequential packing (the GPT training-batch recipe,
@@ -3304,7 +3316,9 @@ def doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM g
     """,
     tags=("sampling", "curation"),
-    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    # deferred: driver cap full; exact parity in tests/test_oracle_parity.py,
+    # deferred (r10 rotation): long-stable driver row; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-proof train/val/test split (r6): rows are split by hashing
@@ -3415,6 +3429,8 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY b.doc_id
     """,
     tags=("dedup", "curation"),
+    # deferred (r10 rotation): long-stable driver row; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-segment removal (C4 / RefinedWeb / CCNet line dedup):
@@ -3944,7 +3960,7 @@ def pipeline_curate_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM binned ORDER BY doc_id
     """,
     tags=("curation", "composite", "pipeline"),
-    defer_oracle=True,
+    # promoted to the driver cap in r10 (rotation)
 )
 def pipeline_curate_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-9 curation composite — the r8 operator family end-to-end with
@@ -4079,7 +4095,7 @@ def pipeline_curate_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     tags=("text", "hygiene", "curation"),
-    defer_oracle=True,
+    # promoted to the driver cap in r10 (rotation)
 )
 def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher n-gram repetition signals (r9): top-3-gram token coverage +
@@ -4183,7 +4199,7 @@ def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY b.doc_id
     """,
     tags=("text", "lm", "curation"),
-    defer_oracle=True,
+    # promoted to the driver cap in r10 (rotation)
 )
 def doc_ccnet_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-language perplexity bucketing (r9): score every
@@ -4284,7 +4300,7 @@ def doc_ccnet_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fps ORDER BY doc_id
     """,
     tags=("text", "dedup"),
-    defer_oracle=True,
+    # promoted to the driver cap in r10 (rotation)
 )
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints per document (r9, `text.winnow_fingerprints`
@@ -4343,7 +4359,7 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
     tags=("dedup",),
-    defer_oracle=True,
+    # promoted to the driver cap in r10 (rotation)
 )
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing near-dup pairs (r9): explode each document's fingerprint
@@ -4443,7 +4459,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY source ORDER BY source
     """,
     tags=("text", "dedup"),
-    defer_oracle=True,
+    # promoted to the driver cap in r10 (rotation)
 )
 def doc_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined-chunk duplication audit (r9,

@@ -129,6 +129,8 @@ def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY event_type
     """,
     tags=("streaming", "dedup"),
+    # deferred (r10 rotation): long-stable driver row; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup under duplicated delivery: the event stream unioned
