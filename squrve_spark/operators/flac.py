@@ -231,6 +231,11 @@ def parse_streaminfo(payload: bytes) -> dict:
         head = payload[pos]
         size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
         body = payload[pos + 4 : pos + 4 + size]
+        if len(body) < size:
+            # the declared block length runs past the payload — Python
+            # slicing would silently shorten it and zero-fill downstream
+            # parses (hypothesis fuzz finding, r10)
+            raise ValueError("FLAC metadata block truncated")
         if head & 0x7F == 0:
             if size < 34:
                 raise ValueError("FLAC STREAMINFO truncated")
@@ -245,6 +250,11 @@ def parse_streaminfo(payload: bytes) -> dict:
                 "total_samples": packed & ((1 << 36) - 1),
                 "md5": body[18:34],
             }
+            if info["sample_rate"] == 0:
+                # 0 is invalid in STREAMINFO per the spec — a forged
+                # all-zero block must raise, not decode to 0 samples at
+                # 0 Hz (hypothesis fuzz finding, r10)
+                raise ValueError("FLAC STREAMINFO sample rate 0 is invalid")
         pos += 4 + size
         if head & 0x80:
             break

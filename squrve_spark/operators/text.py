@@ -1104,3 +1104,61 @@ def cdc_chunks(
         F.size(F.col("_md5s")).cast("int").alias("n_chunks"),
         F.col("_md5s").alias("chunk_md5s"),
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_k: int = 10,
+) -> DataFrame:
+    """Per-group vocabulary audit (r10): the Zipf/Heaps-style corpus health
+    check a mixture pipeline runs per source before weighting it — token
+    volume, type count, hapax count (singleton types: the long-tail mass),
+    type-token ratio, and top-1 / top-``top_k`` term concentration (a
+    boilerplate-heavy or template-generated source shows abnormally high
+    head concentration and low TTR).
+
+    Scale shape: ONE explode into a (group, token) partial-agg groupBy —
+    shuffle bounded by distinct (group, type) pairs, not token volume —
+    then a per-group LITERAL top-k window (plans WindowGroupLimit(Partial)
+    below the exchange: each map task keeps its own top-k per group) and
+    one group-level aggregate. All ratios are ROUND(int/int, 6) — exact
+    cross-engine. Reference capability: corpus profiling, core
+    data_manage.py's dataset statistics surface.
+    """
+    from pyspark.sql import Window as W
+
+    toks = spread(df.select(group_col, text_col)).select(
+        group_col, F.explode(tokens_expr(text_col)).alias("_t")
+    )
+    tf = (
+        toks.select(group_col, F.lower(F.col("_t")).alias("t"))
+        .groupBy(group_col, "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tf = memo_checkpoint(tf)  # head-concentration and totals share the scan
+    agg = tf.groupBy(group_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+    )
+    w = W.partitionBy(group_col).orderBy(F.col("c").desc(), F.col("t"))
+    top = (
+        tf.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)  # literal -> WindowGroupLimit(Partial)
+        .groupBy(group_col)
+        .agg(
+            F.sum("c").cast("long").alias("_topk"),
+            F.max(F.when(F.col("rk") == 1, F.col("c"))).cast("long").alias("_top1"),
+        )
+    )
+    return agg.join(top, group_col).select(
+        group_col,
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).cast("double").alias("ttr"),
+        F.round(F.col("_top1") / F.col("n_tokens"), 6).cast("double").alias("top1_share"),
+        F.round(F.col("_topk") / F.col("n_tokens"), 6).cast("double").alias("topk_share"),
+    )

@@ -460,17 +460,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, ["lang", "source"], threshold=0.5)
 
 
-@register(
-    "dedup_minhash_lsh",
-    # r9 rows-only -> deferred (r8 verdict #4): the whole minhash chain
-    # moved to engine-portable hashing — md5-derived token/shingle
-    # hashes, md5-constant universal-hash permutations (a_i|1, b_i from
-    # md5("mh:{a,b}:i"); uint64 wraparound replayed in HUGEINT via the
-    # split-multiply identity a*u = ((hi(a)*u mod 2^32)<<32 + lo(a)*u)
-    # mod 2^64), md5 band keys. The oracle replays signature -> banding
-    # -> est-filter -> exact-Jaccard verify END-TO-END, bit-exact.
-    oracle=r"""
-    WITH tok AS (
+# The engine-portable MinHash chain (md5 hashes, md5-constant permutations,
+# HUGEINT split-multiply wraparound) as a shared CTE body ending in
+# `mh_pairs` — consumed by dedup_minhash_lsh (the pair set itself) and
+# dedup_minhash_collapse (recursive-CTE closure over the same pairs).
+_MINHASH_PAIRS_CTE = r"""tok AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         FROM documents
         WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
@@ -519,8 +513,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sigl sb ON sb.doc_id = cand.id_b
         WHERE len(list_filter(range(1, 65), k -> sa.sig[k] = sb.sig[k]))
               / 64.0 >= 0.15
-    ), shl AS (SELECT doc_id, list(s) AS sh FROM shs GROUP BY doc_id)
-    SELECT id_a, id_b, jaccard FROM (
+    ), shl AS (SELECT doc_id, list(s) AS sh FROM shs GROUP BY doc_id),
+    mh_pairs AS (
+      SELECT id_a, id_b, jaccard FROM (
         SELECT e.id_a, e.id_b,
                CAST(ROUND(len(list_intersect(x.sh, y.sh)) * 1.0
                     / (len(x.sh) + len(y.sh)
@@ -529,7 +524,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM est_ok e
         JOIN shl x ON x.doc_id = e.id_a
         JOIN shl y ON y.doc_id = e.id_b)
-    WHERE jaccard >= 0.3
+      WHERE jaccard >= 0.3
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    # r9 rows-only -> deferred (r8 verdict #4): the whole minhash chain
+    # moved to engine-portable hashing — md5-derived token/shingle
+    # hashes, md5-constant universal-hash permutations (a_i|1, b_i from
+    # md5("mh:{a,b}:i"); uint64 wraparound replayed in HUGEINT via the
+    # split-multiply identity a*u = ((hi(a)*u mod 2^32)<<32 + lo(a)*u)
+    # mod 2^64), md5 band keys. The oracle replays signature -> banding
+    # -> est-filter -> exact-Jaccard verify END-TO-END, bit-exact.
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTE}
+    SELECT id_a, id_b, jaccard FROM mh_pairs
     ORDER BY id_a, id_b
     """,
     tags=("dedup",),
@@ -545,6 +555,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup_props.py."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=0.3)
+
+
+@register(
+    "dedup_minhash_collapse",
+    # r10: the END-TO-END near-dup removal decision — pairs alone are not
+    # what a pipeline acts on; transitivity is (A~B, B~C collapse together
+    # even when A~C missed the threshold). The oracle chains the shared
+    # mh_pairs CTE into a recursive-CTE transitive closure (the
+    # graph_components_emb idiom), so the iterative min-label Spark
+    # implementation is checked against an independent closure algorithm
+    # on the independently-recomputed pair set.
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+              UNION SELECT id_b, id_a FROM mh_pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    )
+    SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS keep_id,
+           (id = MIN(r)) AS is_kept
+    FROM reach GROUP BY id
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "graph"),
+    defer_oracle=True,
+)
+def dedup_minhash_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER COLLAPSE (the action stage of MinHash dedup):
+    LSH-verified pairs -> connected components (iterative min-label with
+    checkpointed lineage, operators/graph.py) -> per-doc keep decision
+    (survivor = the cluster's min doc_id). Only docs appearing in a pair
+    are emitted — singletons are trivially kept and never shuffle through
+    the component loop. Scale shape: pair generation is the banded
+    equi-join (never all-pairs); the component loop's per-iteration cost
+    is |edges| with a monotone-label fixpoint stop."""
+    from squrve_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3)
+    comp = graph.connected_components(pairs)
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("keep_id"),
+        (F.col("id") == F.col("comp")).alias("is_kept"),
+    ).orderBy("doc_id")
 
 
 @register(
@@ -4493,4 +4550,136 @@ def doc_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("dup_chunk_ratio"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "doc_vocab_stats",
+    # r10: exact integer/ratio corpus-health audit — all counts are exact
+    # integers, all ratios ROUND(int/int, 6); the top-k window ranks on
+    # (count DESC, token ASC), deterministic on both engines.
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, lower(t.tok) AS t
+      FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents),
+           LATERAL (SELECT unnest(w) AS tok) t
+    ),
+    tf AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY source, t),
+    agg AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM tf GROUP BY source
+    ),
+    ranked AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source ORDER BY c DESC, t) AS rk
+      FROM tf
+    ),
+    top AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS topk,
+             CAST(MAX(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS top1
+      FROM ranked WHERE rk <= 10 GROUP BY source
+    )
+    SELECT a.source, a.n_tokens, a.n_types, a.n_hapax,
+           CAST(ROUND(a.n_types * 1.0 / a.n_tokens, 6) AS DOUBLE) AS ttr,
+           CAST(ROUND(t.top1 * 1.0 / a.n_tokens, 6) AS DOUBLE) AS top1_share,
+           CAST(ROUND(t.topk * 1.0 / a.n_tokens, 6) AS DOUBLE) AS topk_share
+    FROM agg a JOIN top t USING (source)
+    ORDER BY a.source
+    """,
+    tags=("text", "profiling"),
+    defer_oracle=True,
+)
+def doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary audit (Zipf/Heaps-style corpus health, r10):
+    token volume, type count, hapax count, type-token ratio, and top-1 /
+    top-10 head concentration — the pre-weighting source screen of a
+    mixture pipeline (template-generated sources show high head share and
+    low TTR). Shuffle bounded by distinct (source, type), never token
+    volume; the top-10 window is a literal rank (WindowGroupLimit(Partial)
+    below the exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_stats(docs).orderBy("source")
+
+
+@register(
+    "doc_keywords",
+    # r10: keyword extraction with an INTEGER-EXACT tf-idf surrogate —
+    # score = tf * (N - df) is monotone in tf and in corpus rarity like
+    # tf*ln(N/df) but stays in exact int64, so ranking never hinges on a
+    # cross-engine ln()/ROUND boundary. Ties (score DESC, token ASC) are
+    # deterministic on both engines.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lower(t.tok) AS t
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents),
+           LATERAL (SELECT unnest(w) AS tok) t
+    ),
+    tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY doc_id, t),
+    dfq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.t, tf.c, dfq.df,
+             tf.c * (n.nd - dfq.df) AS score
+      FROM tf JOIN dfq USING (t), n
+    ),
+    r AS (
+      SELECT doc_id, t, c, df, score,
+             row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, t) AS rk
+      FROM scored
+    )
+    SELECT doc_id, t AS token, c AS tf, df,
+           CAST(score AS BIGINT) AS score, CAST(rk AS INTEGER) AS rank
+    FROM r WHERE rk <= 3
+    ORDER BY doc_id, rank
+    """,
+    tags=("text",),
+    defer_oracle=True,
+)
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (top-3 distinctive terms, r10):
+    tf from a (doc, token) groupBy, document frequency from a second
+    aggregate over the SAME counted frame (no token re-scan), score =
+    tf * (N - df) — the integer-exact tf-idf surrogate (monotone in term
+    frequency and corpus rarity; no ln(), so no float boundary to flip a
+    rank cross-engine). The per-doc window ranks on a LITERAL k, planning
+    WindowGroupLimit(Partial) below the exchange; N rides in as a 1-row
+    scalar-aggregate broadcast (the doc_bm25 corpus-stats pattern)."""
+    from squrve_spark.catalog import memo_checkpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens_expr("text")).alias("_t")
+    ).select("doc_id", F.lower(F.col("_t")).alias("t"))
+    tf = memo_checkpoint(
+        toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    dfq = tf.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    scored = (
+        tf.join(dfq, "t")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("score", F.col("c") * (F.col("nd") - F.col("df")))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("t"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("t").alias("token"),
+            F.col("c").alias("tf"),
+            "df",
+            F.col("score").cast("long").alias("score"),
+            "rank",
+        )
+        .orderBy("doc_id", "rank")
     )

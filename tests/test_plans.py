@@ -79,6 +79,9 @@ def test_no_cartesian_products(spark, name):
         # p99/max key size) to the top-N rows — a scalar-aggregate
         # broadcast, same class as doc_bm25's corpus stats
         "event_key_skew",
+        # keyword scoring attaches the 1-row corpus doc count N to every
+        # (doc, term) row — a scalar-aggregate broadcast (r10)
+        "doc_keywords",
     ):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
