@@ -691,3 +691,127 @@ def fuzzy_pairs(
             F.col("dist"),
         )
     )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot delta (r10): per-document status across two crawls —
+    ``added`` (only in new), ``removed`` (only in old), ``changed``
+    (present in both, canonical fingerprint differs), ``unchanged``. The
+    crawl-over-crawl accounting every refreshed training corpus needs
+    before deciding what to re-process (only added+changed docs re-enter
+    the dedup/quality pipeline; removed docs trigger tombstones).
+
+    Scale shape: both sides reduce to a map-only (id, md5-of-canon)
+    projection, then ONE full-outer equi-join on the id — no text moves
+    through the shuffle, only 128-bit fingerprints. Reference capability:
+    corpus/version management around `core/data_manage.py`'s dataset
+    refresh surface.
+    """
+    o = old_df.select(
+        F.col(id_col).alias("_id"),
+        F.md5(canon_expr(text_col)).alias("_ofp"),
+        F.lit(1).alias("_in_old"),
+    )
+    n = new_df.select(
+        F.col(id_col).alias("_id"),
+        F.md5(canon_expr(text_col)).alias("_nfp"),
+        F.lit(1).alias("_in_new"),
+    )
+    # presence is judged by side membership, NOT fingerprint nullness —
+    # a NULL text in one snapshot must read as changed/unchanged, never
+    # as added/removed; hence the null-safe fingerprint compare.
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~F.col("_ofp").eqNullSafe(F.col("_nfp")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "_id", "full_outer").select(
+        F.col("_id").alias(id_col), status.alias("status")
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    unit: str = "doc",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Cross-source duplication matrix (r10): for every unordered source
+    pair, the number of distinct fingerprints present in BOTH sources,
+    each side's distinct total, and the Jaccard overlap — the audit that
+    tells a mixture designer two "independent" sources are actually
+    mirrors (common with crawl-derived corpora) BEFORE their weights
+    double-count the shared mass.
+
+    ``unit='doc'`` fingerprints whole canonical documents (exact-mirror
+    detection); ``unit='shingle'`` fingerprints ``shingle_n``-gram word
+    shingles (shared-boilerplate / partial-mirror mass — the form that
+    actually fires between crawl slices that share templates but not
+    whole pages).
+
+    Scale shape: distinct (source, fp) pairs (one hash-shuffle, corpus-
+    linear; for shingles the gram array is materialized BEFORE the
+    explode — the HOF-re-eval hazard), memo-checkpointed so the totals
+    aggregate and the pair join share the scan; the pair join is an fp
+    equi-join whose per-key fanout is bounded by #sources² (sources are
+    few; fingerprints are many — the join key is the many side, so no
+    skew). The S×S pair skeleton comes from crossing two S-row
+    aggregates — trivially broadcast. Zero-overlap pairs ARE emitted
+    (shared=0): "these sources are disjoint" is the result that licenses
+    independent weights.
+    """
+    if unit == "shingle":
+        w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        staged = (
+            spread(df)
+            .select(F.col(group_col).alias("g"), w.alias("_w"))
+            .filter(F.size("_w") >= shingle_n)
+        )
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size("_w") - shingle_n + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("_w", i, shingle_n))),
+        )
+        staged = memo_checkpoint(staged.withColumn("_sh", grams).drop("_w"))
+        fp = staged.select("g", F.explode("_sh").alias("fp")).distinct()
+    elif unit == "doc":
+        fp = df.select(
+            F.col(group_col).alias("g"), F.md5(canon_expr(text_col)).alias("fp")
+        ).distinct()
+    else:
+        raise ValueError(f"source_overlap: unknown unit {unit!r}")
+    fp = memo_checkpoint(fp)
+    tot = fp.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    shared = (
+        fp.select(F.col("g").alias("ga"), "fp")
+        .join(fp.select(F.col("g").alias("gb"), "fp"), "fp")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+    )
+    pairs = (
+        tot.select(F.col("g").alias("ga"), F.col("n").alias("n_a"))
+        .crossJoin(tot.select(F.col("g").alias("gb"), F.col("n").alias("n_b")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    return (
+        pairs.join(shared, ["ga", "gb"], "left")
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("shared_fps"), F.lit(0)).cast("long").alias("shared_fps"),
+            F.round(
+                F.coalesce(F.col("shared_fps"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("shared_fps"), F.lit(0))),
+                6,
+            ).cast("double").alias("jaccard"),
+        )
+    )

@@ -4683,3 +4683,119 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "doc_snapshot_diff",
+    # r10: crawl-over-crawl delta accounting. Both engines derive the two
+    # snapshots from the same md5 bucket of the doc_id (old = bkt<90,
+    # new = bkt>=10, docs in [40,50) get an edited body in the new crawl),
+    # so added/removed/changed/unchanged are fully determined and the
+    # full-outer fingerprint diff replays exactly. Membership is judged by
+    # side presence (doc_id), never fingerprint nullness; the fingerprint
+    # compare is null-safe (IS DISTINCT FROM).
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bkt
+      FROM documents
+    ),
+    old AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS ofp
+      FROM b WHERE bkt < 90
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(
+               CASE WHEN bkt >= 40 AND bkt < 50 THEN text || ' rev2'
+                    ELSE text END), '\s+', ' ', 'g'))) AS nfp
+      FROM b WHERE bkt >= 10
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.ofp IS DISTINCT FROM n.nfp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "corpus-management"),
+    defer_oracle=True,
+)
+def doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (r10): which documents a refreshed crawl
+    added, removed, changed, or left alone — the gate that decides what
+    re-enters the dedup/quality pipeline (added+changed) and what emits
+    tombstones (removed). Snapshots are derived from an md5 bucket of the
+    doc_id both engines replay; the operator itself
+    (operators/dedup.py:snapshot_diff) is ONE full-outer equi-join over
+    map-only (id, md5-of-canon) projections — no text in the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    base = docs.select("doc_id", "text").withColumn("_bkt", bkt)
+    old = base.filter(F.col("_bkt") < 90).select("doc_id", "text")
+    new = base.filter(F.col("_bkt") >= 10).select(
+        "doc_id",
+        F.when(
+            (F.col("_bkt") >= 40) & (F.col("_bkt") < 50),
+            F.concat(F.col("text"), F.lit(" rev2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.snapshot_diff(old, new).orderBy("doc_id")
+
+
+@register(
+    "dedup_source_overlap",
+    # r10: shared-shingle mass between every source pair. Shingle
+    # fingerprints are md5 over the space-joined lowercased 5-gram — a
+    # plain string hash both engines compute identically; counts are
+    # exact integers, jaccard is ROUND(int/int, 6). Zero-overlap pairs
+    # are emitted (disjointness is a result, not an absence).
+    oracle=r"""
+    WITH tok AS (
+      SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 5
+    ),
+    fp AS (
+      SELECT DISTINCT source AS g,
+             md5(list_aggregate(w[i:i+4], 'string_agg', ' ')) AS fp
+      FROM tok, LATERAL (SELECT unnest(range(1, len(w) - 4 + 1)) AS i)
+    ),
+    tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY g),
+    shared AS (
+      SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS shared_fps
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.g < b.g
+      GROUP BY a.g, b.g
+    )
+    SELECT ta.g AS source_a, tb.g AS source_b, ta.n AS n_a, tb.n AS n_b,
+           CAST(COALESCE(s.shared_fps, 0) AS BIGINT) AS shared_fps,
+           CAST(ROUND(COALESCE(s.shared_fps, 0) * 1.0
+                / (ta.n + tb.n - COALESCE(s.shared_fps, 0)), 6) AS DOUBLE)
+             AS jaccard
+    FROM tot ta JOIN tot tb ON ta.g < tb.g
+    LEFT JOIN shared s ON s.ga = ta.g AND s.gb = tb.g
+    ORDER BY source_a, source_b
+    """,
+    tags=("dedup", "profiling"),
+    defer_oracle=True,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix at shingle granularity (r10): the
+    shared 5-gram mass between every source pair — the mirror/boilerplate
+    audit a mixture designer runs before assigning independent weights.
+    Scale shape (operators/dedup.py:source_overlap): distinct (source,
+    shingle-md5) after a materialized-then-exploded gram array, ONE fp
+    equi-join with per-key fanout bounded by #sources², S-row aggregate
+    cross for the pair skeleton."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.source_overlap(docs, unit="shingle", shingle_n=5).orderBy(
+        "source_a", "source_b"
+    )

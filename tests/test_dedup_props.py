@@ -279,3 +279,64 @@ def test_fuzzy_variant_cap_and_audit(spark):
     assert capped.count() < 45
     hot = fuzzy_variant_audit(docs, max_variant_df=3).collect()
     assert [(r["v"], r["n_keys"]) for r in hot] == [("a", 10)]
+
+
+def test_snapshot_diff_statuses_and_null_text(spark):
+    """All four statuses fire; docs present in BOTH snapshots with NULL
+    text are judged by membership (unchanged), never mistaken for
+    added/removed via fingerprint nullness; the NULL->text transition is
+    'changed' (null-safe compare)."""
+    from squrve_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "goes away"),
+         (5, None), (6, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "Same   TEXT"), (2, "has changed"), (4, "brand new"),
+         (5, None), (6, "text now")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        1: "unchanged",  # canon form equal (case/whitespace collapsed)
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "unchanged",  # NULL on both sides: membership, not fp nullness
+        6: "changed",    # NULL -> text is a change (null-safe compare)
+    }
+
+
+def test_source_overlap_doc_unit_counts_mirrors_and_disjoint(spark):
+    """Doc-unit overlap: planted mirror docs count once (distinct
+    fingerprints, canon-equal variants collapse), zero-overlap pairs are
+    emitted with jaccard 0."""
+    from squrve_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "shared doc one"),
+            (2, "a", "shared doc two"),
+            (3, "a", "only in a"),
+            (4, "b", "SHARED   doc one"),   # canon-equal mirror of 1
+            (5, "b", "shared doc two"),
+            (6, "b", "only in b"),
+            (7, "c", "completely disjoint"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap(docs, unit="doc").collect()
+    }
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = rows[("a", "b")]
+    assert (ab["n_a"], ab["n_b"], ab["shared_fps"]) == (3, 3, 2)
+    assert ab["jaccard"] == 0.5  # 2 / (3 + 3 - 2)
+    assert rows[("a", "c")]["shared_fps"] == 0
+    assert rows[("a", "c")]["jaccard"] == 0.0

@@ -82,6 +82,10 @@ def test_no_cartesian_products(spark, name):
         # keyword scoring attaches the 1-row corpus doc count N to every
         # (doc, term) row — a scalar-aggregate broadcast (r10)
         "doc_keywords",
+        # the S×S source-pair skeleton crosses two #sources-row
+        # aggregates (S is a catalog constant, never corpus-sized) so
+        # zero-overlap pairs are emitted too (r10)
+        "dedup_source_overlap",
     ):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
