@@ -498,3 +498,56 @@ def test_ngram_repetition_single_text_pass(spark):
     plan = plan_of(spark, "doc_ngram_repetition")
     assert plan.count("Scan parquet") == 0  # both branches read the memo
     assert "MapInPandas" not in plan and "EvalPython" not in plan
+
+
+def test_keywords_partial_window_limit_single_tokenize(spark):
+    """doc_keywords (r10): the per-doc top-3 rank is a LITERAL, so the
+    window pre-trims map-side (WindowGroupLimit Partial below the
+    exchange); tf is memo-checkpointed so df and the scored join share
+    ONE tokenize pass — no live parquet re-scan of text — and the corpus
+    doc count rides in as a broadcast, never a shuffle."""
+    plan = plan_of(spark, "doc_keywords")
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    text_scans = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "text" in l
+    ]
+    assert len(text_scans) <= 1
+    assert "BroadcastExchange" in plan
+
+
+def test_vocab_stats_partial_window_limit_single_scan(spark):
+    """doc_vocab_stats (r10): the (source, type) counted frame is
+    memo-checkpointed — totals and the top-k branch share it, so the
+    corpus text is scanned at most once; the top-10 rank is a literal
+    (map-side WindowGroupLimit Partial); no Python."""
+    plan = plan_of(spark, "doc_vocab_stats")
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    text_scans = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "text" in l
+    ]
+    assert len(text_scans) == 0  # tf is memoized; no live text scan
+
+
+def test_source_overlap_materialized_grams_no_rescan(spark):
+    """dedup_source_overlap (r10): the shingle array is materialized
+    BEFORE the explode (the HOF-re-eval hazard) and the distinct
+    (source, fp) frame is memo-checkpointed, so the totals aggregate and
+    the fp self-join share it — no live parquet scan survives, no
+    Python, no cartesian beyond the S-row pair skeleton."""
+    plan = plan_of(spark, "dedup_source_overlap")
+    assert "Scan parquet" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_fingerprints_only_in_shuffle(spark):
+    """doc_snapshot_diff (r10): the full-outer join exchanges carry only
+    (doc_id, fp, presence) — the text column never crosses the shuffle
+    (fingerprinting is map-side, pre-exchange); no Python."""
+    plan = plan_of(spark, "doc_snapshot_diff")
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
