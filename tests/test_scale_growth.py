@@ -61,6 +61,15 @@ HEAVIES = [
     # distinct-segment-bounded and the memoized explode must not hide a
     # per-branch rescan blowup
     "doc_segment_dedup",
+    # r10: tf-idf keywords — the df join and per-doc window must stay
+    # (doc, type)-bounded, never token-volume x corpus
+    "doc_keywords",
+    # r10: the shingle-fp self-join — per-key fanout is #sources²-bounded
+    # by construction; a hot shared shingle must not turn it quadratic
+    "dedup_source_overlap",
+    # r10: LSH pairs -> iterative min-label closure — per-iteration cost
+    # must stay |edges|-bounded as clusters grow
+    "dedup_minhash_collapse",
 ]
 
 MAX_EXPONENT = 1.5  # sub-quadratic with margin (linear == 1.0)
@@ -240,6 +249,14 @@ EXTENDED_HEAVIES = [
     # entry regressed into before the fix) and the inverted-index join
     # must stay shared-fingerprint-bounded
     ("dedup_winnow_pairs", None),
+    # r10: cross-source shingle overlap — the synthesized sf1 corpus
+    # REUSES duplicate texts across sources, so shared-shingle mass grows
+    # with the decade; the fp join's fanout must stay #sources²-bounded
+    ("dedup_source_overlap", None),
+    # r10: minhash closure — dup rate is constant so cluster count grows
+    # ~linearly; the iteration count is log(max cluster diameter) and the
+    # per-iteration shuffle must stay |edges|-bounded
+    ("dedup_minhash_collapse", None),
 ]
 
 
