@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from squrve_spark.operators.dedup import with_hashed_shingles
+from squrve_spark.operators.dedup import _u64_str, with_hashed_shingles
 
 
 def contamination_scores(
@@ -94,12 +94,31 @@ def decontaminate(
 # Bloom-filter variant (r4): constant-size broadcast for huge eval sets
 
 
+def _probe_expr(col, i: int, m_bits: int, portable: bool):
+    """Bloom probe position i for a shingle-hash column.
+
+    ``portable`` swaps xxhash64 for a 60-bit md5 prefix of the shingle's
+    unsigned-decimal rendering plus the probe index — nonnegative on both
+    engines, so plain ``%`` replays as DuckDB
+    ``CAST(('0x'||substr(md5(CAST(s AS VARCHAR)||':'||i),1,15)) AS UBIGINT)
+    % m_bits`` (same idiom as the minhash/simhash md5 conversions)."""
+    if portable:
+        h = F.conv(
+            F.substring(F.md5(F.concat(_u64_str(col), F.lit(f":{i}"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(m_bits))
+    return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+
+
 def build_shingle_bloom(
     eval_docs: DataFrame,
     n: int = 4,
     m_bits: int = 1 << 16,
     k: int = 4,
     text_col: str = "text",
+    portable: bool = False,
 ):
     """Build a Bloom filter over the eval set's DISTINCT shingle hashes ->
     (numpy int64 words, m_bits, k).
@@ -117,13 +136,13 @@ def build_shingle_bloom(
     import numpy as np
 
     ev = (
-        with_hashed_shingles(eval_docs, text_col=text_col, n=n)
+        with_hashed_shingles(eval_docs, text_col=text_col, n=n, portable=portable)
         .select(F.explode("sh").alias("sh"))
         .distinct()
     )
     probes = ev.select(
         *[
-            F.pmod(F.xxhash64(F.col("sh"), F.lit(i)), F.lit(m_bits)).alias(f"p{i}")
+            _probe_expr(F.col("sh"), i, m_bits, portable).alias(f"p{i}")
             for i in range(k)
         ]
     ).collect()
@@ -135,11 +154,11 @@ def build_shingle_bloom(
     return words.view(np.int64), m_bits, k
 
 
-def _might_contain_expr(col, words_col, m_bits: int, k: int):
-    """ALL k probe bits set — pure Catalyst (xxhash64 + shift + mask)."""
+def _might_contain_expr(col, words_col, m_bits: int, k: int, portable: bool = False):
+    """ALL k probe bits set — pure Catalyst (probe hash + shift + mask)."""
     test = F.lit(True)
     for i in range(k):
-        idx = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+        idx = _probe_expr(col, i, m_bits, portable)
         word = F.element_at(words_col, (idx / 64).cast("int") + 1)
         bit = F.call_function(
             "shiftrightunsigned", word, (idx % 64).cast("int")
@@ -156,6 +175,7 @@ def contamination_scores_bloom(
     k: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Bloom-filtered contamination counts: (id, n_shingles, n_hits).
 
@@ -167,14 +187,14 @@ def contamination_scores_bloom(
     superset property (bloom_hits >= exact hits, no false negatives) is
     asserted in tests/test_hygiene.py.
     """
-    words, m_bits, k = build_shingle_bloom(eval_docs, n, m_bits, k, text_col)
+    words, m_bits, k = build_shingle_bloom(eval_docs, n, m_bits, k, text_col, portable)
     words_arr = F.array(*[F.lit(int(w)) for w in words])
-    shingled = with_hashed_shingles(docs, text_col=text_col, n=n)
+    shingled = with_hashed_shingles(docs, text_col=text_col, n=n, portable=portable)
     return shingled.select(
         F.col(id_col),
         F.size("sh").alias("n_shingles"),
         F.size(
-            F.filter("sh", lambda s: _might_contain_expr(s, words_arr, m_bits, k))
+            F.filter("sh", lambda s: _might_contain_expr(s, words_arr, m_bits, k, portable))
         ).cast("bigint").alias("n_hits"),
     )
 

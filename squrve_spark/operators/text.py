@@ -1162,3 +1162,237 @@ def vocab_stats(
         F.round(F.col("_top1") / F.col("n_tokens"), 6).cast("double").alias("top1_share"),
         F.round(F.col("_topk") / F.col("n_tokens"), 6).cast("double").alias("topk_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 / Gopher / RefinedWeb published-recipe filters (r10)
+
+def attach_line_payload(
+    df: DataFrame, text_col: str = "text", out_col: str = "page"
+) -> DataFrame:
+    """Deterministic multi-LINE page synthesizer (r10): the fixture corpus is
+    single-line vocabulary soup, so the line-level published filters (C4's
+    terminal-punctuation rule, RefinedWeb's boilerplate line dedup) have
+    nothing to bite on raw ``text``. This wraps each document's tokens into
+    5-token lines with decorations varying by ``(doc_id + line_idx) % 12``
+    (bare line / bullet / ellipsis / question / period) plus deterministic
+    trap lines — ``lorem ipsum`` (doc_id%7), a ``{`` code line (doc_id%11),
+    a ``javascript`` notice (doc_id%5) and a per-``source`` rights footer
+    every doc of a source shares (the cross-doc boilerplate line) — the same
+    fixture-side attach pattern as `attach_html_payload`.
+
+    Pure engine-portable string/array expressions (JVM codegen, map-only);
+    a DuckDB oracle rebuilds the byte-identical page with list_transform/
+    list_slice (NB DuckDB list_slice is begin..end-inclusive, Spark slice is
+    start+length — both clip at the array end)."""
+    staged = spread(df).withColumn("_w", tokens_expr(text_col))
+    w = F.col("_w")
+    did = F.col("doc_id")
+    n_lines = F.ceil(F.size(w) / F.lit(5)).cast("int")
+
+    def _line(i):
+        base = F.array_join(F.slice(w, i * 5 + 1, 5), " ")
+        m = F.pmod(did + i, F.lit(12))
+        return (
+            F.when(m == 0, base)
+            .when(m == 1, F.concat(F.lit("- "), base, F.lit(".")))
+            .when(m == 2, F.concat(base, F.lit("...")))
+            .when(m == 3, F.concat(base, F.lit("?")))
+            .otherwise(F.concat(base, F.lit(".")))
+        )
+
+    lines = F.when(
+        F.size(w) > 0, F.transform(F.sequence(F.lit(0), n_lines - 1), _line)
+    ).otherwise(F.array().cast("array<string>"))
+    extra = F.array(
+        F.when(did % 7 == 0, F.lit("lorem ipsum dolor sit amet.")),
+        F.when(did % 11 == 0, F.lit("function() { return 1; }")),
+        F.when(did % 5 == 0, F.lit("please enable javascript to continue.")),
+        F.concat(F.lit("all rights reserved by "), F.col("source"), F.lit(".")),
+    )
+    page = F.array_join(
+        F.concat(lines, F.filter(extra, lambda x: x.isNotNull())), "\n"
+    )
+    return staged.withColumn(out_col, page).drop("_w")
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "page") -> DataFrame:
+    """C4's cleaning rules (Raffel et al. 2020, the public recipe) over a
+    multi-line text column, as per-document verdict signals:
+
+    * a line is KEPT iff it ends in terminal punctuation (``. ! ? "``),
+      has >= 3 words, and does not mention ``javascript`` (case-insens);
+    * the PAGE is kept iff it has >= 5 kept lines, no ``lorem ipsum``,
+      and no ``{``.
+
+    (The dirty-word page rule is `blocklist_signals`; the three-sentence
+    span dedup is `segment_dedup` — both already first-class.)
+
+    Output: (doc_id, n_lines, n_kept, has_lorem, has_brace, kept,
+    clean_chars, clean_md5) where clean_* describe the kept lines joined
+    with newlines. MAP-ONLY: one whole-stage-codegen projection, zero
+    shuffle, zero Python; every rule is an array HOF over one split().
+    """
+    staged = spread(df).withColumn("_ls", F.split(F.col(text_col), "\n"))
+    ls = F.col("_ls")
+    low = F.lower(F.col(text_col))
+
+    def _kept(line):
+        lw = F.lower(line)
+        return (
+            line.rlike('[.!?"]$')
+            & (F.size(F.split(F.trim(line), r"\s+")) >= 3)
+            & ~lw.contains("javascript")
+        )
+
+    kept_lines = F.filter(ls, _kept)
+    n_kept = F.size(kept_lines)
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    clean = F.array_join(kept_lines, "\n")
+    return staged.select(
+        "doc_id",
+        F.size(ls).cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ((n_kept >= 5) & ~has_lorem & ~has_brace).alias("kept"),
+        F.length(clean).cast("int").alias("clean_chars"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_symbol_ratio: float = 0.1,
+    required_stops: list[str] | None = None,
+) -> DataFrame:
+    """Gopher's document-level quality GATES (Rae et al. 2021 §A1.1) as
+    explicit per-rule verdicts — `quality_score` emits the raw ratios;
+    this emits the published keep/drop decisions a curation pipeline acts
+    on: word count in [50, 100k], mean word length in [3, 10], >= 80% of
+    words containing an alphabetic character, >= ``min_stop_hits``
+    DISTINCT required stopwords present, symbol-to-word ratio (``#`` and
+    ``...``) below 0.1.
+
+    ``required_stops`` defaults to the engine-wide STOPWORDS_EN list
+    (Gopher's own 8-word set {the,be,to,of,and,that,have,with} collapses
+    to {the} on the fixture vocabulary, which would fail every document;
+    the substitution is parameterized, not hard-coded). On the fixture the
+    word-count and stopword gates bite both ways; mean-word-length, alpha
+    and symbol gates pass everywhere (vocabulary-soup corpus) — asserted,
+    not assumed, in tests.
+
+    All ratios ROUND(int/int, 4) so the verdicts replay cross-engine.
+    MAP-ONLY single projection, zero shuffle, zero Python.
+    """
+    stops = required_stops if required_stops is not None else list(STOPWORDS_EN)
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    staged = spread(df).withColumn("_w", tokens_expr(text_col))
+    w = F.col("_w")
+    n = F.size(w)
+    tok_chars = F.aggregate(
+        F.transform(w, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = F.round(tok_chars / n, 4)
+    n_alpha = F.size(F.filter(w, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.round(n_alpha / n, 4)
+    stop_hits = F.size(
+        F.array_intersect(F.transform(w, lambda t: F.lower(t)), stop_arr)
+    )
+    n_sym = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"(#|\.\.\.)"), 1)
+    )
+    sym_ratio = F.round(n_sym / n, 4)
+    r_wc = (n >= min_words) & (n <= max_words)
+    r_mwl = (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl)
+    r_alpha = alpha_frac >= min_alpha_frac
+    r_stop = stop_hits >= min_stop_hits
+    r_sym = sym_ratio < max_symbol_ratio
+    return staged.select(
+        "doc_id",
+        n.cast("int").alias("n_words"),
+        mean_wl.cast("double").alias("mean_word_len"),
+        alpha_frac.cast("double").alias("alpha_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+        sym_ratio.cast("double").alias("symbol_ratio"),
+        r_wc.alias("r_wordcount"),
+        r_mwl.alias("r_meanlen"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stopwords"),
+        r_sym.alias("r_symbols"),
+        (r_wc & r_mwl & r_alpha & r_stop & r_sym).alias("kept"),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "page",
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RefinedWeb-style cross-document LINE deduplication (boilerplate
+    removal): a line occurring in >= ``min_docs`` DISTINCT documents is
+    boilerplate (nav bars, rights footers, cookie notices) and is removed
+    from every document.
+
+    Scale shape: explode DISTINCT lines per doc -> one (line -> doc-count)
+    partial-agg groupBy (shuffle bounded by distinct lines, with map-side
+    combine) -> equi-join the boilerplate verdict back on the line hash ->
+    one per-doc re-aggregate. The boilerplate set is NOT broadcast-hinted:
+    on a crawl corpus it grows with the corpus (the r9-verdict hot-set
+    lesson) — AQE picks broadcast when it is actually small. Lines travel
+    as md5 hashes through the shuffle, never strings.
+
+    Output: (doc_id, n_lines, n_boiler, clean_md5) — n_* count line
+    INSTANCES (within-doc duplicates each count), clean_md5 fingerprints
+    the surviving lines joined with newlines in original order.
+    """
+    staged = memo_checkpoint(
+        spread(df)
+        .select(F.col(id_col), F.split(F.col(text_col), "\n").alias("_ls"))
+        .select(
+            id_col,
+            F.posexplode("_ls").alias("line_idx", "line"),
+        )
+        .withColumn("_lh", F.md5(F.col("line")))
+    )
+    boiler = (
+        staged.groupBy("_lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_lh", F.lit(True).alias("_boiler"))
+    )
+    marked = staged.join(boiler, "_lh", "left").withColumn(
+        "_b", F.coalesce(F.col("_boiler"), F.lit(False))
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.sum(F.col("_b").cast("int")).cast("int").alias("n_boiler"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    ~F.col("_b"),
+                                    F.struct(F.col("line_idx"), F.col("line")),
+                                )
+                            )
+                        ),
+                        lambda s: s.getField("line"),
+                    ),
+                    "\n",
+                )
+            ).alias("clean_md5"),
+        )
+    )

@@ -462,9 +462,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The engine-portable MinHash chain (md5 hashes, md5-constant permutations,
 # HUGEINT split-multiply wraparound) as a shared CTE body ending in
-# `mh_pairs` — consumed by dedup_minhash_lsh (the pair set itself) and
-# dedup_minhash_collapse (recursive-CTE closure over the same pairs).
-_MINHASH_PAIRS_CTE = r"""tok AS (
+# `mh_pairs` — consumed by dedup_minhash_lsh (the pair set itself),
+# dedup_minhash_collapse and dedup_components (recursive-CTE closure over
+# the same pairs). Parameterized on the Jaccard threshold so consumers at
+# different operating points (0.3 for the pair queries, the operator's 0.5
+# default for dedup_components) share one replay of the signature chain;
+# the estimate prefilter tracks minhash_lsh_pairs' `threshold - 0.15`.
+_MINHASH_PAIRS_CTE_TEMPLATE = r"""tok AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         FROM documents
         WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
@@ -512,7 +516,7 @@ _MINHASH_PAIRS_CTE = r"""tok AS (
         JOIN sigl sa ON sa.doc_id = cand.id_a
         JOIN sigl sb ON sb.doc_id = cand.id_b
         WHERE len(list_filter(range(1, 65), k -> sa.sig[k] = sb.sig[k]))
-              / 64.0 >= 0.15
+              / 64.0 >= {est_min}
     ), shl AS (SELECT doc_id, list(s) AS sh FROM shs GROUP BY doc_id),
     mh_pairs AS (
       SELECT id_a, id_b, jaccard FROM (
@@ -524,8 +528,17 @@ _MINHASH_PAIRS_CTE = r"""tok AS (
         FROM est_ok e
         JOIN shl x ON x.doc_id = e.id_a
         JOIN shl y ON y.doc_id = e.id_b)
-      WHERE jaccard >= 0.3
+      WHERE jaccard >= {threshold}
     )"""
+
+
+def _minhash_pairs_cte(threshold: float = 0.3) -> str:
+    return _MINHASH_PAIRS_CTE_TEMPLATE.format(
+        est_min=max(0.0, threshold - 0.15), threshold=threshold
+    )
+
+
+_MINHASH_PAIRS_CTE = _minhash_pairs_cte(0.3)
 
 
 @register(
@@ -1680,18 +1693,72 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_decontam_bloom",
-    # oracle=None blocked by: the Bloom bit array is built from Spark hash functions; only the superset-of-exact property is portable
-    oracle=None,
-    tags=("hygiene", "no-oracle"))
+    # r10 rows-only -> deferred: probes moved to portable md5 (decontam.
+    # _probe_expr — 60-bit md5 prefix of "<u64(shingle)>:<i>" mod 2^16,
+    # nonnegative on both engines so plain % replays), shingles to the
+    # portable md5 chain the minhash family proved out. The oracle
+    # rebuilds the SAME bit set from the eval side's distinct shingles
+    # and replays membership as "all 4 probe positions present" — the
+    # Bloom SEMANTICS (false positives included), not just the
+    # superset-of-exact property.
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 4
+    ), th AS (
+        SELECT doc_id,
+               list_transform(w, t ->
+                   CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT)) AS h
+        FROM tok
+    ), shs AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(CAST(h[i] AS VARCHAR) || ':' ||
+                     CAST(h[i+1] AS VARCHAR) || ':' ||
+                     CAST(h[i+2] AS VARCHAR) || ':' ||
+                     CAST(h[i+3] AS VARCHAR)), 1, 16)) AS UBIGINT) AS s
+        FROM (SELECT doc_id, h, unnest(range(1, len(h) - 2)) AS i FROM th)
+    ), bits AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || i), 1, 15))
+                    AS UBIGINT) % 65536 AS pos
+        FROM (SELECT DISTINCT s FROM shs WHERE doc_id < 20),
+             (SELECT unnest(range(4)) AS i)
+    ), hit AS (
+        SELECT doc_id, s,
+               (count(*) FILTER (WHERE pos IN (SELECT pos FROM bits)) = 4) AS h
+        FROM (SELECT doc_id, s,
+                     CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || i), 1, 15))
+                          AS UBIGINT) % 65536 AS pos
+              FROM shs, (SELECT unnest(range(4)) AS i))
+        GROUP BY doc_id, s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE h) AS BIGINT) AS n_hits
+    FROM hit GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("hygiene",),
+    defer_oracle=True,
+)
 def doc_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (constant-size broadcast, MAP-ONLY
     corpus side — zero shuffle, zero join; superset-of-exact property
-    tested in tests/test_hygiene.py)."""
+    tested in tests/test_hygiene.py). Portable md5 probes (r10) make the
+    bit array — and therefore every false positive — engine-replayable."""
     from squrve_spark.operators import decontam as X
 
     docs = load_table(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
-    return X.contamination_scores_bloom(docs, eval_set).orderBy("doc_id")
+    return (
+        X.contamination_scores_bloom(docs, eval_set, portable=True)
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            "n_hits",
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -2056,9 +2123,27 @@ def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_components",
-    # oracle=None blocked by: iterative min-label propagation to a fixpoint; cross-engine closure parity is asserted in tests/test_graph.py via DuckDB recursive CTE
-    oracle=None,
-    tags=("dedup", "graph", "no-oracle"))
+    # r10 rows-only -> deferred: the pair set was the blocker and the r9
+    # md5 conversion removed it — the parameterized mh_pairs CTE replays
+    # minhash_lsh_pairs at this query's 0.5 operating point, then the
+    # recursive-CTE closure (the graph_components_emb idiom) checks the
+    # iterative min-label fixpoint against an independent algorithm.
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pairs_cte(0.5)},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+              UNION SELECT id_b, id_a FROM mh_pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS component_id
+    FROM reach GROUP BY id
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "graph"),
+    defer_oracle=True,
+)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: MinHash/LSH pairs -> iterative min-label
     connected components (operators/graph.py) -> (doc_id, component_id).
@@ -4799,3 +4884,181 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.source_overlap(docs, unit="shingle", shingle_n=5).orderBy(
         "source_a", "source_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: published-recipe corpus filters (C4, Gopher, RefinedWeb line dedup)
+
+# The deterministic multi-line page (text.attach_line_payload) as a DuckDB
+# CTE ending in `pages(doc_id, source, page)` — byte-identical to the Spark
+# synthesizer: 5-token lines, (doc_id+i)%12 decorations, trap lines, and the
+# per-source rights footer. NB DuckDB list_slice is begin..end-INCLUSIVE
+# where Spark slice is (start, length); both clip at the array end.
+_LINE_PAGE_CTE = r"""pages AS (
+      SELECT doc_id, source,
+             array_to_string(
+               list_concat(
+                 CASE WHEN len(w) > 0 THEN
+                   list_transform(range(0, CAST(ceil(len(w) / 5.0) AS INT)), i ->
+                     CASE (doc_id + i) % 12
+                       WHEN 0 THEN array_to_string(list_slice(w, i*5+1, i*5+5), ' ')
+                       WHEN 1 THEN '- ' ||
+                            array_to_string(list_slice(w, i*5+1, i*5+5), ' ') || '.'
+                       WHEN 2 THEN
+                            array_to_string(list_slice(w, i*5+1, i*5+5), ' ') || '...'
+                       WHEN 3 THEN
+                            array_to_string(list_slice(w, i*5+1, i*5+5), ' ') || '?'
+                       ELSE array_to_string(list_slice(w, i*5+1, i*5+5), ' ') || '.'
+                     END)
+                 ELSE CAST([] AS VARCHAR[]) END,
+                 list_filter([
+                   CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+                   CASE WHEN doc_id % 11 = 0 THEN 'function() {{ return 1; }}' END,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'please enable javascript to continue.' END,
+                   'all rights reserved by ' || source || '.'
+                 ], x -> x IS NOT NULL)
+               ), chr(10)) AS page
+      FROM (SELECT doc_id, source,
+                   regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents)
+    )"""
+# the braces above are doubled ONLY because this fragment passes through
+# str.format in consumers that add parameters; current consumers use it
+# verbatim, so undouble here:
+_LINE_PAGE_CTE = _LINE_PAGE_CTE.replace("{{", "{").replace("}}", "}")
+
+
+@register(
+    "doc_c4_filter",
+    # r10: C4's cleaning rules (Raffel et al. 2020) end-to-end on the
+    # deterministic multi-line page — the oracle rebuilds the page
+    # byte-identically, replays the line-keep predicate (terminal
+    # punctuation, >=3 words, no 'javascript') and the page gates
+    # (>=5 kept lines, no 'lorem ipsum', no '{') and fingerprints the
+    # cleaned text, so every rule's bite is hash-checked.
+    oracle=f"""
+    WITH {_LINE_PAGE_CTE},
+    sig AS (
+      SELECT doc_id, page, string_split(page, chr(10)) AS ls,
+             list_filter(string_split(page, chr(10)), l ->
+               regexp_matches(l, '[.!?"]$')
+               AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS keptl
+      FROM pages
+    )
+    SELECT doc_id,
+           CAST(len(ls) AS INT) AS n_lines,
+           CAST(len(keptl) AS INT) AS n_kept,
+           contains(lower(page), 'lorem ipsum') AS has_lorem,
+           contains(page, '{{') AS has_brace,
+           (len(keptl) >= 5 AND NOT contains(lower(page), 'lorem ipsum')
+            AND NOT contains(page, '{{')) AS kept,
+           CAST(len(array_to_string(keptl, chr(10))) AS INT) AS clean_chars,
+           md5(array_to_string(keptl, chr(10))) AS clean_md5
+    FROM sig ORDER BY doc_id
+    """.replace("{{", "{").replace("}}", "}"),
+    tags=("hygiene", "text"),
+    defer_oracle=True,
+)
+def doc_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning verdicts over the synthesized crawl pages: line-level
+    terminal-punctuation/word-count/javascript rules + page-level
+    lorem-ipsum/brace/min-sentence gates (operators/text.py:
+    c4_line_filter). MAP-ONLY — page synthesis and every rule fuse into
+    one whole-stage-codegen projection; zero shuffle, zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.c4_line_filter(text.attach_line_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "doc_gopher_rules",
+    # r10: Gopher's document-level quality gates (Rae et al. 2021 §A1.1)
+    # as explicit per-rule verdicts. Fixture bite (asserted in tests):
+    # word-count and stopword gates split the corpus; mean-word-length /
+    # alpha / symbol gates pass everywhere on vocabulary soup.
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(w) AS n,
+             ROUND(list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w), 4) AS mwl,
+             ROUND(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   * 1.0 / len(w), 4) AS af,
+             len(list_intersect(list_transform(w, x -> lower(x)),
+                 ['the','a','an','of','and','to','in','is','it','for'])) AS sh,
+             ROUND(len(regexp_extract_all(text, '(#|\.\.\.)', 1)) * 1.0 / len(w), 4) AS sr
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_words,
+           CAST(mwl AS DOUBLE) AS mean_word_len,
+           CAST(af AS DOUBLE) AS alpha_frac,
+           CAST(sh AS INT) AS stop_hits,
+           CAST(sr AS DOUBLE) AS symbol_ratio,
+           (n >= 50 AND n <= 100000) AS r_wordcount,
+           (mwl >= 3.0 AND mwl <= 10.0) AS r_meanlen,
+           (af >= 0.8) AS r_alpha,
+           (sh >= 2) AS r_stopwords,
+           (sr < 0.1) AS r_symbols,
+           ((n >= 50 AND n <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+            AND af >= 0.8 AND sh >= 2 AND sr < 0.1) AS kept
+    FROM s ORDER BY doc_id
+    """,
+    tags=("hygiene", "text"),
+    defer_oracle=True,
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-gate verdicts on the raw corpus (operators/text.py:
+    gopher_rules): word-count bounds, mean word length, alpha-word
+    fraction, required-stopword presence, symbol ratio — each a column,
+    plus the AND-ed keep. MAP-ONLY single projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_rules(docs).orderBy("doc_id")
+
+
+@register(
+    "doc_line_dedup",
+    # r10: RefinedWeb-style cross-document boilerplate line removal on
+    # the synthesized pages — the per-source rights footer is planted
+    # boilerplate (every doc of a source shares it), trap lines recur
+    # across their doc_id strata, and content lines are (nearly) unique.
+    # The oracle recomputes line document-frequencies and the surviving-
+    # line fingerprint independently.
+    oracle=f"""
+    WITH {_LINE_PAGE_CTE},
+    lin AS (
+      SELECT doc_id, i - 1 AS line_idx, ls[i] AS line
+      FROM (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages),
+           LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) r
+    ),
+    boiler AS (
+      SELECT line FROM lin GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT l.doc_id, l.line_idx, l.line,
+             (b.line IS NOT NULL) AS is_b
+      FROM lin l LEFT JOIN boiler b ON l.line = b.line
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_lines,
+           CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS INT) AS n_boiler,
+           md5(COALESCE(string_agg(CASE WHEN NOT is_b THEN line END, chr(10)
+                                   ORDER BY line_idx), '')) AS clean_md5
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "hygiene"),
+    defer_oracle=True,
+)
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc line dedup (RefinedWeb boilerplate removal) over the
+    synthesized pages (operators/text.py:line_dedup): distinct-line
+    explode -> partial-agg doc-frequency groupBy -> verdict equi-join on
+    the line md5 (no broadcast hint — the boilerplate set grows with the
+    corpus; AQE decides) -> per-doc re-aggregate with an order-preserving
+    surviving-line fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.line_dedup(text.attach_line_payload(docs)).orderBy("doc_id")

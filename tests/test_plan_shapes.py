@@ -551,3 +551,50 @@ def test_snapshot_diff_fingerprints_only_in_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line
+
+
+def test_c4_filter_map_only(spark):
+    """doc_c4_filter (r10): page synthesis + every C4 rule fuse into one
+    whole-stage-codegen projection over a single scan — no shuffle, no
+    Python, no join."""
+    plan = plan_of(spark, "doc_c4_filter")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_gopher_rules_map_only(spark):
+    """doc_gopher_rules (r10): all five gates in one map-only projection."""
+    plan = plan_of(spark, "doc_gopher_rules")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_line_dedup_bounded_shuffles_no_forced_broadcast(spark):
+    """doc_line_dedup (r10): the exploded line frame is memo-checkpointed
+    (page synthesis runs once, not once per consumer); the df-groupBy is
+    a partial agg; the verdict join is NOT hint-forced (the boilerplate
+    set grows with the corpus — AQE decides); line text never rides the
+    shuffle (md5 keys only)."""
+    from pyspark.sql import functions as F
+
+    from squrve_spark.catalog import load_table
+    from squrve_spark.operators import text as T
+
+    plan = plan_of(spark, "doc_line_dedup")
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+    # no forced broadcast hint in the LOGICAL plan (physical may still
+    # pick a broadcast join at this sf — that's AQE's call, which is the
+    # point)
+    logical = (
+        T.line_dedup(T.attach_line_payload(load_table(spark, SF_MED, "documents")))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "ResolvedHint" not in logical
+    _ = F  # imported for parity with sibling tests

@@ -70,6 +70,10 @@ HEAVIES = [
     # r10: LSH pairs -> iterative min-label closure — per-iteration cost
     # must stay |edges|-bounded as clusters grow
     "dedup_minhash_collapse",
+    # r10: cross-doc line dedup — the line-df groupBy must stay
+    # distinct-line-bounded and the verdict join must not fan out on the
+    # planted per-source boilerplate (the hottest line key)
+    "doc_line_dedup",
 ]
 
 MAX_EXPONENT = 1.5  # sub-quadratic with margin (linear == 1.0)
