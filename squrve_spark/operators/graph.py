@@ -172,3 +172,74 @@ def canonical_docs(
         F.col("id").alias(id_col)
     )
     return docs.join(losers, on=id_col, how="left_anti")
+
+
+def pagerank_exact(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_iter: int = 8,
+    scale: int = 10**12,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Integer FIXED-POINT PageRank -> (id, rank BIGINT) — the
+    engine-replayable variant of `pagerank` (r10).
+
+    Float PageRank's per-iteration double sums depend on reduction order,
+    so no cross-engine oracle can replay it bit-exactly. This variant
+    defines the recurrence over scaled integers with explicit floors:
+
+        r0(v)  = scale div n
+        share  = r(u) div deg(u)            (per-edge integer floor)
+        r'(v)  = (15*(scale div n)) div 100 + (85 * sum(shares)) div 100
+
+    Every operation is exact int64 arithmetic (max magnitude
+    85*scale*~1 << 2^63), so ANY engine — including a DuckDB oracle that
+    unrolls the iterations as chained CTEs — reproduces identical ranks,
+    making the iterative join+aggregate loop itself cross-engine
+    checkable. The floors bleed ~deg ulps of mass per node per iteration
+    (bounded by n_edges/scale relative error — negligible at scale=1e12);
+    ranking agreement with float `pagerank` is property-tested.
+
+    Same distributed shape as `pagerank`: contributions = ranks ⋈ edges
+    shuffled on ids, groupBy-sum with map-side partials, lineage truncated
+    every ``checkpoint_every`` iterations.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    degrees = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    out_edges = edges.join(degrees, on="src").localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    n = nodes.count()  # scalar: node count, pair-scale not corpus-scale
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    init = scale // n
+    base = (15 * init) // 100
+    ranks = nodes.select("id", F.lit(init).cast("long").alias("rank"))
+    prev_ckpt = None
+    for i in range(n_iter):
+        contribs = (
+            out_edges.join(ranks, out_edges.src == ranks.id)
+            .select("dst", F.expr("rank div deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = nodes.join(contribs, nodes.id == contribs.dst, "left").select(
+            "id",
+            (
+                F.lit(base).cast("long")
+                + F.expr("(85 * coalesce(contrib, cast(0 as bigint))) div 100")
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = ranks
+    return ranks

@@ -260,6 +260,7 @@ def pack_documents(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     num_shards: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
     """Greedy first-fit-decreasing packing of documents into token-budget
     bins, sharded for parallelism.
@@ -276,12 +277,24 @@ def pack_documents(
     doc count), packing is one ``applyInPandas`` over a ``num_shards``-way
     shuffle; raise ``num_shards`` to match cluster parallelism.
     """
+    # ``portable`` (r10) swaps the shard hash for a 60-bit md5 prefix of
+    # the id's decimal string — nonnegative on both engines, so DuckDB's
+    # CAST(('0x'||substr(md5(CAST(id AS VARCHAR)),1,15)) AS UBIGINT) % S
+    # replays it and the ENTIRE per-shard FFD scan becomes
+    # oracle-checkable (the shard population determines the scan order).
+    if portable:
+        shard = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+            F.lit(num_shards),
+        )
+    else:
+        shard = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(num_shards))
     src = df.select(
         F.col(id_col),
         F.col(token_col).cast("long"),
-        (F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(num_shards)))
-        .cast("int")
-        .alias("shard"),
+        shard.cast("int").alias("shard"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

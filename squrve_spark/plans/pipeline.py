@@ -1535,20 +1535,75 @@ def doc_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# first open pack (1-based) with room for the current doc — used three
+# times in the FFD recursive term below (DuckDB recursive terms can't
+# LATERAL-share a subexpression); [] [1] -> NULL means "open a new pack"
+_FFD_FIT = "list_filter(range(1, len(r.rooms)+1), k -> r.rooms[k] >= d.n_tokens)[1]"
+
+
 @register(
     "doc_pack_budget",
-    # oracle=None blocked by: first-fit-decreasing packing is an inherently SEQUENTIAL per-shard scan (bin state mutates row to row)
-    oracle=None,
-    tags=("sampling", "no-oracle"))
+    # r10 rows-only -> deferred: FFD IS sequential per shard, but the
+    # scan is deterministic (tokens desc, id asc) and the bin state is a
+    # finite room list — so a recursive CTE can carry (rooms, assigns)
+    # one doc per step, all shards advancing in lockstep. With the shard
+    # hash moved to portable md5 the oracle replays sharding, scan order,
+    # first-fit placement and pack totals END-TO-END.
+    oracle=rf"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             CAST(CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS UBIGINT)
+                  % 8 AS INT) AS shard
+      FROM documents
+    ), ord AS (
+      SELECT doc_id, n_tokens, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY n_tokens DESC, doc_id) AS pos,
+             COUNT(*) OVER (PARTITION BY shard) AS cnt
+      FROM docs
+    ), rec AS (
+      SELECT shard, CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS rooms,
+             CAST([] AS INT[]) AS assigns, cnt
+      FROM (SELECT DISTINCT shard, cnt FROM ord)
+      UNION ALL
+      SELECT r.shard, r.i + 1,
+             CASE WHEN {_FFD_FIT} IS NULL
+                  THEN list_append(r.rooms, GREATEST(0, 256 - d.n_tokens))
+                  ELSE list_transform(range(1, len(r.rooms)+1),
+                         k -> CASE WHEN k = {_FFD_FIT}
+                                   THEN r.rooms[k] - d.n_tokens
+                                   ELSE r.rooms[k] END)
+             END,
+             list_append(r.assigns, CAST(COALESCE({_FFD_FIT}, len(r.rooms)+1) - 1 AS INT)),
+             r.cnt
+      FROM rec r JOIN ord d ON d.shard = r.shard AND d.pos = r.i + 1
+      WHERE r.i < r.cnt
+    ), fin AS (
+      SELECT shard, assigns FROM rec WHERE i = cnt
+    ), asg AS (
+      SELECT o.doc_id, o.n_tokens, o.shard, f.assigns[o.pos] AS pack_local
+      FROM ord o JOIN fin f ON f.shard = o.shard
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(shard AS INT) AS shard,
+           CAST(shard * 1099511627776 + pack_local AS BIGINT) AS pack_id,
+           CAST(SUM(n_tokens) OVER (PARTITION BY shard, pack_local) AS BIGINT)
+             AS pack_tokens
+    FROM asg ORDER BY doc_id
+    """,
+    tags=("sampling",),
+    defer_oracle=True,
+)
 def doc_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing token packing at a 256-token budget over sharded
-    documents (pack invariants property-tested in tests/test_sampling.py)."""
+    documents (pack invariants property-tested in tests/test_sampling.py;
+    the full sequential scan is oracle-replayed via a recursive CTE)."""
     from squrve_spark.operators import sampling
 
     counts = text.token_count(load_table(spark, sf_dir, "documents"))
     return sampling.pack_documents(
-        counts.select("doc_id", "n_tokens"), budget=256, num_shards=8
-    )
+        counts.select("doc_id", "n_tokens"), budget=256, num_shards=8, portable=True
+    ).orderBy("doc_id")
 
 
 @register(
@@ -2202,7 +2257,7 @@ def graph_components_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_pagerank",
-    # oracle=None blocked by: fixed-iteration float recurrence; DuckDB recursive CTEs cannot carry the per-iteration dangling-mass redistribution
+    # oracle=None blocked by: float recurrence — double reduction order differs across engines, so no hash-exact replay exists; the integer fixed-point variant graph_pagerank_exact (r10) carries the cross-engine oracle for the SAME iterative join+aggregate loop
     oracle=None,
     tags=("graph", "similarity", "no-oracle"))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5062,3 +5117,78 @@ def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving-line fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
     return text.line_dedup(text.attach_line_payload(docs)).orderBy("doc_id")
+
+
+def _pagerank_exact_oracle(n_iter: int = 8, scale: int = 10**12) -> str:
+    """Unrolled-iteration DuckDB replay of graph.pagerank_exact over the
+    exact embedding near-dup pair graph: the integer recurrence is exact,
+    so each iteration is one chained CTE (recursive CTEs can't carry the
+    per-iteration regrouping; a fixed iteration count unrolls instead)."""
+    ctes = [
+        """pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.42
+    )""",
+        """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs)""",
+        """dg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)""",
+        """oe AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN dg d ON d.src = e.src)""",
+        """nodes AS (SELECT DISTINCT src AS id FROM edges)""",
+        """cnt AS (SELECT COUNT(*) AS n_nodes FROM nodes)""",
+        f"""pr0 AS (SELECT id, (SELECT {scale} // n_nodes FROM cnt) AS rank FROM nodes)""",
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"""c{k} AS (
+      SELECT oe.dst, SUM(p.rank // oe.deg) AS contrib
+      FROM oe JOIN pr{k - 1} p ON p.id = oe.src GROUP BY oe.dst
+    )"""
+        )
+        ctes.append(
+            f"""pr{k} AS (
+      SELECT nd.id,
+             (SELECT (15 * ({scale} // n_nodes)) // 100 FROM cnt)
+             + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+      FROM nodes nd LEFT JOIN c{k} c ON c.dst = nd.id
+    )"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank
+    FROM pr{n_iter} ORDER BY rank DESC, vec_id
+    """
+    )
+
+
+@register(
+    "graph_pagerank_exact",
+    # r10: iterative algorithms enter the exact-oracle program. Float
+    # PageRank (graph_pagerank, rows-only) can never hash-match across
+    # engines — double reduction order differs — so this entry defines
+    # the recurrence over scaled int64 with explicit floors and the
+    # oracle UNROLLS all 8 iterations as chained CTEs: the loop's joins,
+    # degree shares and damping arithmetic are replayed end-to-end,
+    # bit-exactly, by an independent engine.
+    oracle=_pagerank_exact_oracle(),
+    tags=("graph", "similarity"),
+    defer_oracle=True,
+)
+def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank over the exact embedding near-dup
+    pair graph (operators/graph.py:pagerank_exact): hub ranking with
+    exact int64 arithmetic — deterministic on any engine, oracle replays
+    all iterations. Same iterative contributions-join shape (lineage
+    checkpointing) as the float variant."""
+    from squrve_spark.operators import graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.exact_neardup_pairs(emb, threshold=0.42)
+    return (
+        graph.pagerank_exact(pairs)
+        .select(F.col("id").alias("vec_id"), "rank")
+        .orderBy(F.col("rank").desc(), "vec_id")
+    )

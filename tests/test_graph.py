@@ -154,3 +154,35 @@ def test_graph_pagerank_registry_entry(spark):
     ranks = [r["rank"] for r in out]
     assert ranks == sorted(ranks, reverse=True)  # ordered by rank desc
     assert abs(sum(ranks) - 1.0) < 1e-6  # mass ~1 (9 dp rounding slack)
+
+
+def test_pagerank_exact_tracks_float_ranks(spark):
+    # the integer fixed-point recurrence must agree with float PageRank
+    # up to the floor bleed: per-node relative error << 1e-6 at scale=1e12
+    random.seed(13)
+    edges = list({(random.randrange(30), random.randrange(30)) for _ in range(60)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+    fl = {r["id"]: r["rank"] for r in graph.pagerank(df, n_iter=8).collect()}
+    ix = {r["id"]: r["rank"] for r in graph.pagerank_exact(df, n_iter=8).collect()}
+    assert set(fl) == set(ix)
+    for k in fl:
+        assert abs(ix[k] / 1e12 - fl[k]) < 1e-6, k
+
+
+def test_pagerank_exact_deterministic_across_runs(spark):
+    df = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]]
+    )
+    a = sorted((r["id"], r["rank"]) for r in graph.pagerank_exact(df).collect())
+    b = sorted((r["id"], r["rank"]) for r in graph.pagerank_exact(df).collect())
+    assert a == b  # bit-identical, not approximately equal
+    assert all(isinstance(v, int) for _, v in a)
+
+
+def test_pagerank_exact_hub_outranks_leaves(spark):
+    df = spark.createDataFrame([Row(id_a=0, id_b=i) for i in range(1, 9)])
+    ranks = {r["id"]: r["rank"] for r in graph.pagerank_exact(df, n_iter=10).collect()}
+    hub, leaves = ranks[0], [v for k, v in ranks.items() if k != 0]
+    assert all(hub > leaf for leaf in leaves)
+    assert max(leaves) == min(leaves)  # symmetric leaves tie EXACTLY

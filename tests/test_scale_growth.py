@@ -74,6 +74,9 @@ HEAVIES = [
     # distinct-line-bounded and the verdict join must not fan out on the
     # planted per-source boilerplate (the hottest line key)
     "doc_line_dedup",
+    # r10: integer fixed-point PageRank — per-iteration cost must stay
+    # |edges|-bounded exactly like the float loop it mirrors
+    "graph_pagerank_exact",
 ]
 
 MAX_EXPONENT = 1.5  # sub-quadratic with margin (linear == 1.0)
