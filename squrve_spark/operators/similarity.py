@@ -1686,3 +1686,84 @@ def int8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "qdot")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool_k: int = 12,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    retrieve a ``pool_k`` relevance pool per query with `brute_force_topk`,
+    then greedily select ``k`` results maximizing
+    ``lam * rel(d) - (1 - lam) * max_{s in S} sim(d, s)`` — the published
+    diversity re-rank every RAG stack bolts onto dense retrieval.
+
+    Output: (query_id, step 1..k, neighbor_id, rel, mmr_score); ``rel`` is
+    the pool's 6-dp rounded cosine and ``mmr_score`` is rounded to 6 after
+    the lambda mix, argmax ties broken on neighbor_id — so the greedy
+    trajectory is engine-stable and a DuckDB oracle can unroll the k steps
+    as chained argmax CTEs over the same rounded pair-cosine matrix.
+
+    Scale shape: the sequential part is per-query over a BOUNDED pool
+    (pool_k rows x dim), exactly the FFD-packing pattern — one
+    ``applyInPandas`` over a query_id-partitioned shuffle of pool rows;
+    pairwise sims are pool_k² per query, computed inside the group. The
+    corpus-sized work (the relevance pool) stays in the JVM broadcast
+    top-k plan.
+    """
+    cands = brute_force_topk(corpus, queries, k=pool_k, id_col=id_col, vec_col=vec_col)
+    pool = cands.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "sim", "_v")
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["sim"].to_numpy(dtype=np.float64)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        n = np.linalg.norm(V, axis=1)
+        n[n == 0] = np.inf
+        P = np.round((V @ V.T) / np.outer(n, n), 6)
+        chosen: list[int] = []
+        out = []
+        for step in range(1, min(k, len(ids)) + 1):
+            best_i, best_score = -1, None
+            for i in range(len(ids)):
+                if i in chosen:
+                    continue
+                ms = max((P[i, j] for j in chosen), default=0.0)
+                # np.round, NOT builtin round: numpy's scale-and-rint
+                # matches DuckDB ROUND's scaled rounding where Python's
+                # correctly-rounded decimal round can differ by 1e-6 when
+                # the scaled product lands a hair under a half boundary
+                # (observed on the fixture: 0.7*0.340915)
+                score = float(np.round(lam * rel[i] - (1.0 - lam) * ms, 6))
+                # argmax, ties -> smaller neighbor_id (ids sorted asc)
+                if best_score is None or score > best_score:
+                    best_i, best_score = i, score
+            chosen.append(best_i)
+            out.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    step,
+                    int(ids[best_i]),
+                    float(rel[best_i]),
+                    float(best_score),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["query_id", "step", "neighbor_id", "rel", "mmr_score"]
+        )
+
+    return pool.groupBy("query_id").applyInPandas(
+        greedy,
+        schema="query_id long, step int, neighbor_id long, rel double, mmr_score double",
+    )

@@ -1216,6 +1216,18 @@ def attach_line_payload(
     return staged.withColumn(out_col, page).drop("_w")
 
 
+def c4_line_keep_expr(line: Column) -> Column:
+    """THE C4 line-keep predicate (terminal punctuation, >= 3 words, no
+    'javascript') — one definition shared by `c4_line_filter` and the
+    curate_v6 composite so their oracles cannot drift apart (the
+    stopword_count_expr convention)."""
+    return (
+        line.rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(line), r"\s+")) >= 3)
+        & ~F.lower(line).contains("javascript")
+    )
+
+
 def c4_line_filter(df: DataFrame, text_col: str = "page") -> DataFrame:
     """C4's cleaning rules (Raffel et al. 2020, the public recipe) over a
     multi-line text column, as per-document verdict signals:
@@ -1236,16 +1248,7 @@ def c4_line_filter(df: DataFrame, text_col: str = "page") -> DataFrame:
     staged = spread(df).withColumn("_ls", F.split(F.col(text_col), "\n"))
     ls = F.col("_ls")
     low = F.lower(F.col(text_col))
-
-    def _kept(line):
-        lw = F.lower(line)
-        return (
-            line.rlike('[.!?"]$')
-            & (F.size(F.split(F.trim(line), r"\s+")) >= 3)
-            & ~lw.contains("javascript")
-        )
-
-    kept_lines = F.filter(ls, _kept)
+    kept_lines = F.filter(ls, c4_line_keep_expr)
     n_kept = F.size(kept_lines)
     has_lorem = low.contains("lorem ipsum")
     has_brace = F.col(text_col).contains("{")

@@ -5192,3 +5192,261 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("vec_id"), "rank")
         .orderBy(F.col("rank").desc(), "vec_id")
     )
+
+
+# THE C4 line-keep predicate as a DuckDB fragment, parameterized on the
+# line expression — mirrors text.c4_line_keep_expr exactly; shared by the
+# doc_c4_filter oracle's inline copy and pipeline_curate_v6
+def _c4_keep_sql(l: str) -> str:
+    return (
+        f"regexp_matches({l}, '[.!?\"]$') "
+        f"AND len(regexp_split_to_array(trim({l}), '\\s+')) >= 3 "
+        f"AND NOT contains(lower({l}), 'javascript')"
+    )
+
+
+@register(
+    "pipeline_curate_v6",
+    # r10: the THIRD fully-oracled curation composite — the round's
+    # published-recipe family end-to-end: C4 page verdicts -> Gopher
+    # gates -> RefinedWeb boilerplate line removal computed ON THE
+    # SURVIVOR POOL -> clean-token FFD packing. Every fragment replays
+    # an already-parity-proven oracle piece (page CTE, C4 predicate,
+    # Gopher gates, boilerplate df, FFD recursion); stage bites at
+    # sf0.01: 500 -> 356 (C4) -> 177 (∩ Gopher) -> 54 boilerplate lines
+    # trimmed -> 177 docs packed on their CLEANED token counts.
+    oracle=rf"""
+    WITH RECURSIVE {_LINE_PAGE_CTE},
+    c4k AS (
+      SELECT doc_id FROM pages
+      WHERE len(list_filter(string_split(page, chr(10)), l ->
+              {_c4_keep_sql('l')})) >= 5
+        AND NOT contains(lower(page), 'lorem ipsum')
+        AND NOT contains(page, '{{')
+    ),
+    gop AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, len(w) AS n,
+               ROUND(list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w), 4) AS mwl,
+               ROUND(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                     * 1.0 / len(w), 4) AS af,
+               len(list_intersect(list_transform(w, x -> lower(x)),
+                   ['the','a','an','of','and','to','in','is','it','for'])) AS sh,
+               ROUND(len(regexp_extract_all(text, '(#|\.\.\.)', 1)) * 1.0 / len(w), 4) AS sr
+        FROM (SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
+      WHERE n >= 50 AND n <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        AND af >= 0.8 AND sh >= 2 AND sr < 0.1
+    ),
+    surv AS (SELECT p.doc_id, p.page FROM pages p
+             JOIN c4k USING (doc_id) JOIN gop USING (doc_id)),
+    lin AS (SELECT doc_id, unnest(string_split(page, chr(10))) AS line FROM surv),
+    boiler AS (SELECT line FROM lin GROUP BY line
+               HAVING COUNT(DISTINCT doc_id) >= 2),
+    keptlin AS (
+      SELECT l.doc_id, l.line FROM lin l
+      WHERE {_c4_keep_sql('l.line')}
+        AND l.line NOT IN (SELECT line FROM boiler)
+    ),
+    counts AS (
+      SELECT doc_id,
+             SUM(len(regexp_split_to_array(trim(line), '\s+'))) AS n_tokens
+      FROM keptlin GROUP BY doc_id
+    ),
+    sh2 AS (
+      SELECT doc_id, n_tokens,
+             CAST(CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS UBIGINT)
+                  % 8 AS INT) AS shard
+      FROM counts
+    ), ord AS (
+      SELECT doc_id, n_tokens, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY n_tokens DESC, doc_id) AS pos,
+             COUNT(*) OVER (PARTITION BY shard) AS cnt
+      FROM sh2
+    ), rec AS (
+      SELECT shard, CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS rooms,
+             CAST([] AS INT[]) AS assigns, cnt
+      FROM (SELECT DISTINCT shard, cnt FROM ord)
+      UNION ALL
+      SELECT r.shard, r.i + 1,
+             CASE WHEN {_FFD_FIT} IS NULL
+                  THEN list_append(r.rooms, GREATEST(0, 256 - d.n_tokens))
+                  ELSE list_transform(range(1, len(r.rooms)+1),
+                         k -> CASE WHEN k = {_FFD_FIT}
+                                   THEN r.rooms[k] - d.n_tokens
+                                   ELSE r.rooms[k] END)
+             END,
+             list_append(r.assigns, CAST(COALESCE({_FFD_FIT}, len(r.rooms)+1) - 1 AS INT)),
+             r.cnt
+      FROM rec r JOIN ord d ON d.shard = r.shard AND d.pos = r.i + 1
+      WHERE r.i < r.cnt
+    ), fin AS (
+      SELECT shard, assigns FROM rec WHERE i = cnt
+    ), asg AS (
+      SELECT o.doc_id, o.n_tokens, o.shard, f.assigns[o.pos] AS pack_local
+      FROM ord o JOIN fin f ON f.shard = o.shard
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_clean_tokens,
+           CAST(shard AS INT) AS shard,
+           CAST(shard * 1099511627776 + pack_local AS BIGINT) AS pack_id,
+           CAST(SUM(n_tokens) OVER (PARTITION BY shard, pack_local) AS BIGINT)
+             AS pack_tokens
+    FROM asg ORDER BY doc_id
+    """.replace("{{", "{").replace("}}", "}"),
+    tags=("pipeline", "composite"),
+    defer_oracle=True,
+)
+def pipeline_curate_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 curation composite — the published-recipe family
+    end-to-end with EXACT cross-engine parity:
+
+      1. C4 page verdicts over the synthesized crawl pages
+         (`text.c4_line_filter`: >= 5 kept lines, no lorem-ipsum, no
+         brace — 500 -> 356 at sf0.01),
+      2. Gopher document gates on the raw text (`text.gopher_rules` —
+         intersect to 177),
+      3. RefinedWeb boilerplate line removal computed on the SURVIVOR
+         pool (`text.line_dedup` semantics: df >= 2 lines drop — the
+         per-source footer and recurring trap lines, 54 lines),
+      4. first-fit-decreasing packing of the survivors on their CLEANED
+         token counts (C4-kept, non-boilerplate lines only;
+         `sampling.pack_documents`, budget 256, 8 portable-md5 shards).
+
+    Scale shape: stages 1-2 are map-only codegen over ONE memoized page
+    frame; stage 3's shuffles are bounded by distinct lines (anti-join
+    unhinted — AQE decides); stage 4 shuffles only the survivor counts
+    into 8 shard groups. The exploded line frame is memo-checkpointed
+    and feeds boilerplate detection AND clean counting without
+    re-synthesizing pages."""
+    from squrve_spark.catalog import memo_checkpoint
+    from squrve_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = memo_checkpoint(
+        text.attach_line_payload(docs).select("doc_id", "page")
+    )
+    keep_c4 = (
+        text.c4_line_filter(pages).where(F.col("kept")).select("doc_id")
+    )
+    keep_gop = (
+        text.gopher_rules(docs).where(F.col("kept")).select("doc_id")
+    )
+    surv = pages.join(keep_c4, "doc_id").join(keep_gop, "doc_id")
+    lin = memo_checkpoint(
+        surv.select(
+            "doc_id", F.explode(F.split("page", "\n")).alias("line")
+        )
+    )
+    boiler = (
+        lin.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("line")
+    )
+    keptlin = lin.filter(text.c4_line_keep_expr(F.col("line"))).join(
+        boiler, "line", "left_anti"
+    )
+    counts = keptlin.groupBy("doc_id").agg(
+        F.sum(F.size(F.split(F.trim("line"), r"\s+"))).alias("n_tokens")
+    )
+    return (
+        sampling.pack_documents(counts, budget=256, num_shards=8, portable=True)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_clean_tokens"),
+            "shard",
+            "pack_id",
+            "pack_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _mmr_oracle(k: int = 5, pool_k: int = 12, lam: float = 0.7) -> str:
+    """Unrolled-argmax DuckDB replay of similarity.mmr_rerank: each greedy
+    step is one window-argmax CTE over the same rounded pair-cosine
+    matrix. The lambda complements are emitted via repr() so DuckDB parses
+    the EXACT doubles Python computes (1.0 - 0.7 is not the literal 0.3)."""
+    oml = repr(1.0 - lam)
+    lm = repr(lam)
+    ctes = [
+        """q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 8)""",
+        """scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             CAST(ROUND(list_cosine_similarity(q.qv,
+                  CAST(e.embedding AS DOUBLE[])), 6) AS DOUBLE) AS sim
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id)""",
+        f"""cand AS (SELECT query_id, neighbor_id, sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= {pool_k})""",
+        """ce AS (SELECT c.query_id, c.neighbor_id, c.sim,
+                    CAST(e.embedding AS DOUBLE[]) AS v
+             FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id)""",
+        """pp AS (SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+                    CAST(ROUND(list_cosine_similarity(a.v, b.v), 6) AS DOUBLE) AS sim
+             FROM ce a JOIN ce b
+               ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id)""",
+        """sel0 AS (SELECT query_id, neighbor_id AS cid, sim AS rel,
+                      0 AS step, CAST(0.0 AS DOUBLE) AS score
+             FROM cand WHERE 1 = 0)""",
+    ]
+    for s in range(1, k + 1):
+        score = f"ROUND({lm} * c.sim - {oml} * COALESCE(m.ms, 0.0), 6)"
+        ctes.append(
+            f"""m{s} AS (SELECT p.query_id, p.ca AS cid, MAX(p.sim) AS ms
+             FROM pp p JOIN sel{s - 1} sl
+               ON sl.query_id = p.query_id AND sl.cid = p.cb
+             GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""p{s} AS (SELECT query_id, cid, rel, score FROM (
+      SELECT c.query_id, c.neighbor_id AS cid, c.sim AS rel,
+             CAST({score} AS DOUBLE) AS score,
+             row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY {score} DESC, c.neighbor_id) AS rk
+      FROM cand c
+      LEFT JOIN m{s} m ON m.query_id = c.query_id AND m.cid = c.neighbor_id
+      WHERE NOT EXISTS (SELECT 1 FROM sel{s - 1} sl
+                        WHERE sl.query_id = c.query_id
+                          AND sl.cid = c.neighbor_id)
+      ) WHERE rk = 1)"""
+        )
+        ctes.append(
+            f"""sel{s} AS (SELECT query_id, cid, rel, step, score FROM sel{s - 1}
+             UNION ALL
+             SELECT query_id, cid, rel, {s} AS step, score FROM p{s})"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, CAST(step AS INT) AS step, cid AS neighbor_id,
+           rel, score AS mmr_score
+    FROM sel{k} ORDER BY query_id, step
+    """
+    )
+
+
+@register(
+    "sim_mmr_topk",
+    # r10: MMR diversity re-ranking enters the exact-oracle program via
+    # the FFD/pagerank unrolling idiom — the greedy trajectory runs on
+    # 6-dp-rounded cosines with id tie-breaks, so five chained argmax
+    # CTEs over the independently recomputed pair matrix replay the
+    # sequential selection exactly.
+    oracle=_mmr_oracle(),
+    tags=("similarity",),
+    defer_oracle=True,
+)
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 for query vectors vec_id<8 over a 12-deep
+    relevance pool (operators/similarity.py:mmr_rerank, lambda 0.7) —
+    the RAG diversity re-rank; greedy is per-query bounded work."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_rerank(emb, emb.filter(F.col("vec_id") < 8)).orderBy(
+        "query_id", "step"
+    )

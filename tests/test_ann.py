@@ -674,3 +674,58 @@ def test_local_topk_prefilter_is_exact_and_bounded(spark):
         nullish, ["query_id"], "score", 2, "doc_id", ascending=True
     )
     assert bottomk(red_asc2) == bottomk(nullish)
+
+
+def test_mmr_step1_is_pure_relevance_top1(spark, emb):
+    q = emb.filter(F.col("vec_id") < 4)
+    mmr = {
+        (r["query_id"], r["step"]): r
+        for r in similarity.mmr_rerank(emb, q, k=3).collect()
+    }
+    rel = {
+        r["query_id"]: r
+        for r in similarity.brute_force_topk(emb, q, k=1).collect()
+    }
+    for qid, r in rel.items():
+        first = mmr[(qid, 1)]
+        # step 1 has no diversity penalty: it must be the relevance top-1
+        assert first["neighbor_id"] == r["neighbor_id"]
+        import numpy as np
+
+        # np.round: the operator's documented rounding (builtin round
+        # differs at scaled-half boundaries — see mmr_rerank)
+        assert abs(first["mmr_score"] - float(np.round(0.7 * r["sim"], 6))) < 1e-12
+
+
+def test_mmr_diversifies_vs_pure_relevance(spark, emb):
+    q = emb.filter(F.col("vec_id") < 8)
+    mmr_sel = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.mmr_rerank(emb, q, k=5).collect()
+    }
+    rel_sel = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    # the diversity penalty must change SOME selection on a clustered
+    # fixture — identical sets would mean the penalty never bit
+    assert mmr_sel != rel_sel
+    # and every MMR pick comes from the relevance pool
+    pool = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, q, k=12).collect()
+    }
+    assert mmr_sel <= pool
+
+
+def test_mmr_lambda_one_degenerates_to_relevance_order(spark, emb):
+    q = emb.filter(F.col("vec_id") < 4)
+    mmr = sorted(
+        (r["query_id"], r["step"], r["neighbor_id"])
+        for r in similarity.mmr_rerank(emb, q, k=5, lam=1.0).collect()
+    )
+    rel = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    )
+    assert mmr == rel

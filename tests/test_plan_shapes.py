@@ -598,3 +598,19 @@ def test_line_dedup_bounded_shuffles_no_forced_broadcast(spark):
     )
     assert "ResolvedHint" not in logical
     _ = F  # imported for parity with sibling tests
+
+
+def test_curate_v6_memoized_pages_no_python(spark):
+    """pipeline_curate_v6 (r10): the synthesized page frame and the
+    exploded line frame are memo-checkpointed — C4 verdicts, boilerplate
+    detection and clean counting must not re-synthesize pages (at most
+    the raw-documents scan for the Gopher gate survives); the FFD stage
+    is the only Python (applyInPandas over 8 shard groups); the
+    boilerplate anti-join carries no forced broadcast hint."""
+    plan = plan_of(spark, "pipeline_curate_v6")
+    # pack_documents' applyInPandas is the single sanctioned Python site
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "EvalPython" not in plan
+    # page synthesis is memoized: no scan of the documents PARQUET feeds
+    # the line explode (the gopher gate may scan raw docs once)
+    assert plan.count("Scan parquet") <= 1

@@ -77,6 +77,9 @@ HEAVIES = [
     # r10: integer fixed-point PageRank — per-iteration cost must stay
     # |edges|-bounded exactly like the float loop it mirrors
     "graph_pagerank_exact",
+    # r10: the recipe-family composite — page synthesis must not re-run
+    # per consumer and the per-shard FFD scan is shard-size-linear
+    "pipeline_curate_v6",
 ]
 
 MAX_EXPONENT = 1.5  # sub-quadratic with margin (linear == 1.0)
