@@ -1284,6 +1284,7 @@ def cluster_balanced_sample(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample: int | None = 16384,
+    integer_codes: bool = False,
 ) -> DataFrame:
     """Diversity-preserving selection: k-means the embedding space, keep at
     most ``per_cluster`` vectors PER CELL (md5-rank draw within the cell —
@@ -1293,15 +1294,25 @@ def cluster_balanced_sample(
     diversity-aware curation recipes (and the sampling dual of SemDeDup's
     within-cell pruning).
 
+    ``integer_codes`` (r10) swaps the float codebook for
+    `integer_kmeans`'s exact int8-code clustering, making the cells —
+    and therefore the entire sample — engine-replayable.
+
     Scale shape: codebook trains on a bounded sample (see
-    ``train_centroids``), assignment is map-only, and the only shuffle is
-    the per-cell window rank — keyed by cell, k-bounded output. Returns
+    ``train_centroids``) or, in integer mode, via k-bounded groupBy
+    updates; assignment is map-only; the only per-row shuffle is the
+    per-cell window rank — keyed by cell, k-bounded output. Returns
     (id, cell, rank) for the kept rows.
     """
-    Cu = train_centroids(
-        df, n_centroids, train_iters, id_col, vec_col, sample=train_sample
-    )
-    assigned = assign_cells(df, Cu, id_col, vec_col)
+    if integer_codes:
+        assigned = integer_kmeans(
+            df, k=n_centroids, n_iter=train_iters, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        Cu = train_centroids(
+            df, n_centroids, train_iters, id_col, vec_col, sample=train_sample
+        )
+        assigned = assign_cells(df, Cu, id_col, vec_col)
     w = W.partitionBy("cell").orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
@@ -1766,4 +1777,88 @@ def mmr_rerank(
     return pool.groupBy("query_id").applyInPandas(
         greedy,
         schema="query_id long, step int, neighbor_id long, rel double, mmr_score double",
+    )
+
+
+def integer_kmeans(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over INT8-QUANTIZED codes with exact integer
+    arithmetic -> (id, cell, dist) — the engine-replayable clustering
+    variant (r10; the pagerank_exact move applied to k-means).
+
+    Float k-means can never hash-match across engines (centroid means
+    and distance folds are order-sensitive double sums — the blocker on
+    the IVF family's oracles). This variant quantizes once through THE
+    shared `int8_codes_expr` and defines every step over int64:
+
+      init       = the codes of the k smallest ids (cell = order pos)
+      assignment = argmin_c sum((x_i - c_i)^2), ties -> smaller cell
+      update     = per-dim floor(sum / count); empty cell keeps its
+                   previous centroid
+
+    so a DuckDB oracle unrolling the iterations replays assignments,
+    centroid evolution and final distances bit-exactly.
+
+    Scale shape: assignment is MAP-ONLY (centroids ride as literal
+    arrays — k x dim ints); the per-iteration update is ONE k-bounded
+    groupBy collected to the driver (k rows of dim sums — the same
+    bounded-collect contract as float `train_centroids`); the quantized
+    code frame is memo-checkpointed so iterations never re-quantize.
+    """
+    codes = memo_checkpoint(
+        spread(df).select(
+            F.col(id_col),
+            int8_codes_expr(int8_scales(df, vec_col), vec_col).alias("codes"),
+        )
+    )
+    seed_rows = codes.orderBy(id_col).limit(k).collect()
+    if not seed_rows:
+        return codes.select(
+            id_col, F.lit(0).cast("int").alias("cell"), F.lit(0).cast("long").alias("dist")
+        )
+    cents: list[list[int]] = [list(r["codes"]) for r in seed_rows]
+    dim = len(cents[0])
+    assigned = None
+    for it in range(n_iter):
+        cent_arrays = [F.array(*[F.lit(int(c)) for c in cv]) for cv in cents]
+        dists = [
+            F.aggregate(
+                F.zip_with(F.col("codes"), cc, lambda x, c: (x - c) * (x - c)),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d,
+            )
+            for cc in cent_arrays
+        ]
+        cell = F.lit(0)
+        best = dists[0]
+        for j in range(1, len(cents)):
+            cell = F.when(dists[j] < best, F.lit(j)).otherwise(cell)
+            best = F.least(best, dists[j])
+        assigned = codes.select(
+            id_col, "codes", cell.alias("cell"), best.alias("dist")
+        )
+        if it == n_iter - 1:
+            break
+        stats = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("codes", i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        ).collect()  # k rows — bounded regardless of corpus size
+        # pure-int floor division (Python //): matches the oracle's
+        # FLOOR(sum * 1.0 / n) for |sum| << 2^53 including negatives
+        upd = {
+            int(r["cell"]): [r[f"s{i}"] // r["n"] for i in range(dim)]
+            for r in stats
+        }
+        cents = [upd.get(j, cents[j]) for j in range(len(cents))]
+    return assigned.select(
+        id_col, F.col("cell").cast("int").alias("cell"),
+        F.col("dist").cast("long").alias("dist"),
     )

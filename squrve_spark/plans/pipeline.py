@@ -1857,18 +1857,33 @@ def emb_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_cluster_sample",
-    # oracle=None blocked by: k-means cells (iterative) gate the sample; the md5-rank draw itself IS portable but meaningless without them
-    oracle=None,
-    tags=("curation", "similarity", "no-oracle")
+    # r10 rows-only -> deferred: the k-means fixpoint was the blocker and
+    # integer_kmeans removed it — cells come from the exact int8-code
+    # clustering (emb_kmeans_exact's CTE at this query's k=8/2-iteration
+    # operating point) and the md5-rank draw was always portable, so the
+    # ENTIRE sample replays.
+    oracle="""
+    WITH {cte},
+    ranked AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY cell
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rank
+      FROM a2)
+    SELECT vec_id, CAST(cell AS INT) AS cell, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 30 ORDER BY vec_id
+    """,
+    tags=("curation", "similarity"),
+    defer_oracle=True,
 )
 def emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-balanced diversity sample: k-means the embedding space
-    (bounded-sample training), keep <= 30 vectors per cell by md5-rank —
-    flattens dense topic modes that uniform sampling over-represents.
-    Per-cell cap + determinism property-tested in tests/test_ann.py."""
+    """Cluster-balanced diversity sample: integer-exact k-means cells
+    (operators/similarity.py:integer_kmeans), keep <= 30 vectors per cell
+    by md5-rank — flattens dense topic modes that uniform sampling
+    over-represents. Per-cell cap + determinism property-tested in
+    tests/test_ann.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cluster_balanced_sample(
-        emb, per_cluster=30, n_centroids=8, train_iters=2
+        emb, per_cluster=30, n_centroids=8, train_iters=2, integer_codes=True
     ).orderBy("vec_id")
 
 
@@ -5450,3 +5465,93 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_rerank(emb, emb.filter(F.col("vec_id") < 8)).orderBy(
         "query_id", "step"
     )
+
+
+def _int_kmeans_cte(k: int = 8, n_iter: int = 4) -> str:
+    """DuckDB replay of similarity.integer_kmeans as chained CTEs ending in
+    `a{n_iter}` (the final assignment using the (n_iter-1)-times-updated
+    centroids) — codes come from THE emb_int8_quantize idiom; iteration
+    t's argmin is a correlated LATERAL top-1 (dist ASC, cell ASC)."""
+    ctes = [
+        """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+        """dims AS (
+      SELECT i.pos, MAX(ABS(v[i.pos])) AS m
+      FROM e, LATERAL (SELECT unnest(range(1, 65)) AS pos) i GROUP BY 1)""",
+        """s AS (SELECT list(CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END
+                        ORDER BY pos) AS sc FROM dims)""",
+        """q AS (SELECT e.vec_id,
+               list_transform(range(1, 65), i ->
+                 CAST(GREATEST(-127, LEAST(127,
+                   FLOOR(e.v[i] * s.sc[i] + 0.5))) AS BIGINT)) AS codes
+             FROM e, s)""",
+        f"""cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, codes
+             FROM (SELECT vec_id, codes FROM q ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for t in range(1, n_iter + 1):
+        # cross join + window argmin, NOT a LATERAL top-1: DuckDB cannot
+        # correlate an outer table into a lambda body inside LATERAL
+        ctes.append(
+            f"""d{t} AS (
+      SELECT q.vec_id, q.codes, ct.c,
+             list_sum(list_transform(range(1, 65), i ->
+               (q.codes[i] - ct.codes[i]) * (q.codes[i] - ct.codes[i]))) AS d
+      FROM q, cent{t - 1} ct)"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+      SELECT vec_id, codes, c AS cell, d AS dist FROM (
+        SELECT vec_id, codes, c, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, c ASC) AS rk
+        FROM d{t}) WHERE rk = 1)"""
+        )
+        if t == n_iter:
+            break
+        ctes.append(
+            f"""cs{t} AS (
+      SELECT cell, p.pos, SUM(codes[p.pos]) AS sm, COUNT(*) AS n
+      FROM a{t}, LATERAL (SELECT unnest(range(1, 65)) AS pos) p GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""cent{t} AS (
+      SELECT prev.c, COALESCE(u.codes, prev.codes) AS codes
+      FROM cent{t - 1} prev LEFT JOIN (
+        SELECT cell AS c,
+               list(CAST(FLOOR(sm * 1.0 / n) AS BIGINT) ORDER BY pos) AS codes
+        FROM cs{t} GROUP BY cell) u ON u.c = prev.c)"""
+        )
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "emb_kmeans_exact",
+    # r10: CLUSTERING enters the exact-oracle program — the k-means
+    # fixpoint was the declared blocker on the whole IVF/SemDeDup family;
+    # over int8 codes with integer distance folds, floored-mean updates
+    # and deterministic seeding, the iterative loop replays exactly
+    # (assignments AND final distances hash-checked).
+    oracle=f"""
+    WITH {_int_kmeans_cte(8, 4)}
+    SELECT vec_id, CAST(cell AS INT) AS cell, CAST(dist AS BIGINT) AS dist
+    FROM a4 ORDER BY vec_id
+    """,
+    tags=("similarity", "curation"),
+    defer_oracle=True,
+)
+def emb_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact k-means (k=8, 4 Lloyd iterations) over int8-quantized
+    embeddings (operators/similarity.py:integer_kmeans): per-vector cell
+    + exact integer squared distance. Assignment is map-only with literal
+    centroid arrays; updates are one k-bounded groupBy per iteration."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.integer_kmeans(emb, k=8, n_iter=4).orderBy("vec_id")
+
+
+# emb_cluster_sample registers ABOVE _int_kmeans_cte's definition (its
+# operator family lives early in the file); bind the kmeans fragment into
+# its oracle now that the helper exists (k=8, train_iters=2 -> final a2).
+from squrve_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["emb_cluster_sample"].oracle = _REG["emb_cluster_sample"].oracle.format(
+    cte=_int_kmeans_cte(8, 2)
+)

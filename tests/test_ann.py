@@ -729,3 +729,65 @@ def test_mmr_lambda_one_degenerates_to_relevance_order(spark, emb):
         for r in similarity.brute_force_topk(emb, q, k=5).collect()
     )
     assert mmr == rel
+
+
+def test_integer_kmeans_assignment_is_nearest_centroid(spark, emb):
+    import numpy as np
+
+    from squrve_spark.operators.similarity import (
+        int8_codes_expr,
+        int8_scales,
+        integer_kmeans,
+    )
+
+    k, iters = 4, 3
+    out = {r["vec_id"]: r for r in integer_kmeans(emb, k=k, n_iter=iters).collect()}
+    # replicate in pure python: same codes, same recurrence
+    codes_rows = emb.select(
+        "vec_id", int8_codes_expr(int8_scales(emb), "embedding").alias("c")
+    ).collect()
+    codes = {r["vec_id"]: np.array(r["c"], dtype=np.int64) for r in codes_rows}
+    ids = sorted(codes)
+    cents = [codes[i].copy() for i in ids[:k]]
+    assign = {}
+    for it in range(iters):
+        assign = {}
+        for vid in ids:
+            d = [int(((codes[vid] - c) ** 2).sum()) for c in cents]
+            best = min(range(k), key=lambda j: (d[j], j))
+            assign[vid] = (best, d[best])
+        if it == iters - 1:
+            break
+        for j in range(k):
+            members = [codes[v] for v, (c, _) in assign.items() if c == j]
+            if members:
+                s = np.sum(members, axis=0)
+                cents[j] = np.array(
+                    [int(x) // len(members) for x in s], dtype=np.int64
+                )
+    for vid in ids:
+        assert (out[vid]["cell"], out[vid]["dist"]) == assign[vid], vid
+
+
+def test_integer_kmeans_deterministic(spark, emb):
+    from squrve_spark.operators.similarity import integer_kmeans
+
+    a = sorted(tuple(r) for r in integer_kmeans(emb, k=8, n_iter=2).collect())
+    b = sorted(tuple(r) for r in integer_kmeans(emb, k=8, n_iter=2).collect())
+    assert a == b
+    cells = {c for _, c, _ in a}
+    assert cells <= set(range(8)) and len(cells) > 1
+
+
+def test_cluster_balanced_sample_integer_mode_cap(spark, emb):
+    from squrve_spark.operators.similarity import cluster_balanced_sample
+
+    sel = cluster_balanced_sample(
+        emb, per_cluster=7, n_centroids=4, train_iters=2, integer_codes=True
+    ).collect()
+    by_cell: dict[int, int] = {}
+    for r in sel:
+        by_cell[r["cell"]] = by_cell.get(r["cell"], 0) + 1
+        assert 1 <= r["rank"] <= 7
+    assert all(v <= 7 for v in by_cell.values())
+    assert len(by_cell) > 1

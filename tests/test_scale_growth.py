@@ -267,6 +267,11 @@ EXTENDED_HEAVIES = [
     # ~linearly; the iteration count is log(max cluster diameter) and the
     # per-iteration shuffle must stay |edges|-bounded
     ("dedup_minhash_collapse", None),
+    # r10: the recipe-family composite — the sf1 corpus's duplicated
+    # texts multiply shared lines, so the boilerplate df-groupBy and the
+    # anti-join must stay distinct-line-bounded while the per-shard FFD
+    # scan grows shard-size-linearly
+    ("pipeline_curate_v6", None),
 ]
 
 
