@@ -541,52 +541,110 @@ def ivf_topk(
     train_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    integer_codes: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the classic ANN scale path.
 
     1. Centroids: ``train_iters`` rounds of distributed spherical k-means
        (``train_centroids``) seeded by a deterministic hash-ordered sample;
        0 keeps the raw sample (k-means init without the iterations).
+       ``integer_codes`` (r10) instead draws cells AND query probe routing
+       from `integer_kmeans`'s exact int8-code clustering (min-distance
+       probe order, ties to the smaller cell), making the candidate set —
+       and with the rounded-cosine re-rank, the whole result — replayable
+       by a DuckDB oracle.
     2. Corpus vectors route to their nearest centroid (one cell each);
        queries probe their ``n_probe`` nearest cells.
     3. Candidates = equi-join on cell id; exact cosine re-rank keeps k.
 
     Per-query work drops from |corpus| to ~|corpus| * n_probe / n_centroids;
     the join is a shuffle on cell id, never a cross join. Routing is one
-    BLAS matmul per Arrow batch against the broadcast centroid matrix.
+    BLAS matmul per Arrow batch against the broadcast centroid matrix
+    (float path) or map-only literal-centroid integer argmins (int path).
     """
-    if train_iters > 0:
-        Cu = train_centroids(corpus, n_centroids, train_iters, id_col, vec_col)
-    else:
-        Cu = sampled_centroids(corpus, n_centroids, id_col, vec_col)
     spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast(Cu)
+    if integer_codes:
+        assign_int, cents = integer_kmeans(
+            corpus, k=n_centroids, n_iter=max(train_iters, 1),
+            id_col=id_col, vec_col=vec_col, return_centroids=True,
+        )
+        c = with_vec_norm(spread(corpus), vec_col, "c_v", "c_n").select(
+            F.col(id_col).alias("neighbor_id"), "c_v", "c_n"
+        ).join(
+            assign_int.select(F.col(id_col).alias("neighbor_id"), "cell"),
+            "neighbor_id",
+        )
+        # query probe order: integer distance of the query's CODES (same
+        # corpus-derived scales) to each integer centroid, ties -> cell
+        qscales = int8_scales(corpus, vec_col)
+        qcodes = F.col("_qc")
+        cent_arrays = [F.array(*[F.lit(int(x)) for x in cv]) for cv in cents]
+        dists = [
+            F.aggregate(
+                F.zip_with(qcodes, cc, lambda x, ctr: (x - ctr) * (x - ctr)),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d,
+            )
+            for cc in cent_arrays
+        ]
+        # probe list = first n_probe cells ordered by (dist, cell):
+        # sort an array of (dist, cell) structs, slice, project the cell
+        probe_arr = F.slice(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(d.alias("d"), F.lit(j).alias("c"))
+                        for j, d in enumerate(dists)
+                    ]
+                )
+            ),
+            1,
+            n_probe,
+        )
+        q = (
+            with_vec_norm(queries, vec_col, "q_v", "q_n")
+            .withColumn("_qc", int8_codes_expr(qscales, vec_col))
+            .select(
+                F.col(id_col).alias("query_id"),
+                "q_v",
+                "q_n",
+                F.explode(
+                    F.transform(probe_arr, lambda s: s.getField("c"))
+                ).alias("cell"),
+            )
+        )
+    else:
+        if train_iters > 0:
+            Cu = train_centroids(corpus, n_centroids, train_iters, id_col, vec_col)
+        else:
+            Cu = sampled_centroids(corpus, n_centroids, id_col, vec_col)
+        bc = spark.sparkContext.broadcast(Cu)
 
-    def cells_fn(top_n: int):
-        def fn(vecs: pd.Series) -> pd.Series:
-            cu = bc.value
-            if len(vecs) == 0:  # empty Arrow batch
-                return pd.Series(dtype="object")
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-            Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
-            sims = Vu @ cu.T  # n x n_centroids
-            order = np.argsort(-sims, axis=1)[:, :top_n].astype(np.int32)
-            return pd.Series(list(order))
+        def cells_fn(top_n: int):
+            def fn(vecs: pd.Series) -> pd.Series:
+                cu = bc.value
+                if len(vecs) == 0:  # empty Arrow batch
+                    return pd.Series(dtype="object")
+                V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+                Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
+                sims = Vu @ cu.T  # n x n_centroids
+                order = np.argsort(-sims, axis=1)[:, :top_n].astype(np.int32)
+                return pd.Series(list(order))
 
-        return pandas_udf(fn, "array<int>")
+            return pandas_udf(fn, "array<int>")
 
-    c = with_vec_norm(spread(corpus), vec_col, "c_v", "c_n").select(
-        F.col(id_col).alias("neighbor_id"),
-        "c_v",
-        "c_n",
-        F.element_at(cells_fn(1)(F.col(vec_col)), 1).alias("cell"),
-    )
-    q = with_vec_norm(queries, vec_col, "q_v", "q_n").select(
-        F.col(id_col).alias("query_id"),
-        "q_v",
-        "q_n",
-        F.explode(cells_fn(n_probe)(F.col(vec_col))).alias("cell"),
-    )
+        c = with_vec_norm(spread(corpus), vec_col, "c_v", "c_n").select(
+            F.col(id_col).alias("neighbor_id"),
+            "c_v",
+            "c_n",
+            F.element_at(cells_fn(1)(F.col(vec_col)), 1).alias("cell"),
+        )
+        q = with_vec_norm(queries, vec_col, "q_v", "q_n").select(
+            F.col(id_col).alias("query_id"),
+            "q_v",
+            "q_n",
+            F.explode(cells_fn(n_probe)(F.col(vec_col))).alias("cell"),
+        )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -617,9 +675,16 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample: int | None = 16384,
+    integer_codes: bool = False,
 ) -> DataFrame:
     """Semantic dedup over an embedding column: k-means clustering, then
     near-duplicate pruning WITHIN each cluster only.
+
+    ``integer_codes`` (r10) draws the CELLS from `integer_kmeans` (exact
+    int8-code clustering) while the within-cell cosines stay on the real
+    embeddings — cells, pair pruning (rounded cosines + recursive
+    closure), the paper's lowest-centroid-sim representative rule and the
+    keep set all replay in a DuckDB oracle.
 
     The SemDeDup recipe: pairwise cosine is only ever computed inside a
     cluster, so total work is sum(|cell|^2) instead of |corpus|^2 — with k
@@ -645,12 +710,25 @@ def semantic_dedup(
     jobs were the dominant cost of this operator at small scale. Pass
     ``train_sample=None`` to force full-corpus distributed Lloyd.
     """
-    Cu = train_centroids(
-        df, n_centroids, train_iters, id_col, vec_col, sample=train_sample
-    )
+    if integer_codes:
+        assign_int, cents = integer_kmeans(
+            df, k=n_centroids, n_iter=train_iters,
+            id_col=id_col, vec_col=vec_col, return_centroids=True,
+        )
+        C = np.asarray(cents, dtype=np.float64)
+        nrm = np.linalg.norm(C, axis=1, keepdims=True)
+        nrm[nrm == 0] = np.inf  # zero centroid -> csim exactly 0.0
+        Cu = C / nrm
+        assigned = df.select(id_col, vec_col).join(
+            assign_int.select(id_col, "cell"), id_col
+        )
+    else:
+        Cu = train_centroids(
+            df, n_centroids, train_iters, id_col, vec_col, sample=train_sample
+        )
+        assigned = assign_cells(df, Cu, id_col, vec_col)
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(Cu)  # kernel needs centroid sims
-    assigned = assign_cells(df, Cu, id_col, vec_col)
 
     out_schema = (
         f"{id_col} long, cell int, centroid_sim double, keep boolean, rep_id long"
@@ -1786,7 +1864,8 @@ def integer_kmeans(
     n_iter: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """Lloyd's k-means over INT8-QUANTIZED codes with exact integer
     arithmetic -> (id, cell, dist) — the engine-replayable clustering
     variant (r10; the pagerank_exact move applied to k-means).
@@ -1818,9 +1897,10 @@ def integer_kmeans(
     )
     seed_rows = codes.orderBy(id_col).limit(k).collect()
     if not seed_rows:
-        return codes.select(
+        empty = codes.select(
             id_col, F.lit(0).cast("int").alias("cell"), F.lit(0).cast("long").alias("dist")
         )
+        return (empty, []) if return_centroids else empty
     cents: list[list[int]] = [list(r["codes"]) for r in seed_rows]
     dim = len(cents[0])
     assigned = None
@@ -1858,7 +1938,12 @@ def integer_kmeans(
             for r in stats
         }
         cents = [upd.get(j, cents[j]) for j in range(len(cents))]
-    return assigned.select(
+    out = assigned.select(
         id_col, F.col("cell").cast("int").alias("cell"),
         F.col("dist").cast("long").alias("dist"),
     )
+    if return_centroids:
+        # the centroids the FINAL assignment used (n_iter-1 updates) —
+        # k x dim ints, driver-side by construction
+        return out, [list(c) for c in cents]
+    return out

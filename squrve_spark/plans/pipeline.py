@@ -1037,19 +1037,67 @@ def doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_semdedup",
-    # oracle=None blocked by: k-means centroids are an iterative fixpoint (hash-seeded); cells have no SQL closed form
-    oracle=None,
-    tags=("dedup", "similarity", "no-oracle"))
+    # r10 rows-only -> deferred: cells now come from integer_kmeans (the
+    # k-means blocker fell late r10); within-cell pruning was always
+    # rounded cosines + union-find, which the oracle replays as a
+    # recursive-CTE closure over the recomputed in-cell pair set, with
+    # the paper's lowest-centroid-sim representative rule as a window
+    # argmin. The full (vec_id, cell, centroid_sim, keep, rep_id) rows
+    # hash-match — the keep DECISIONS, not just counts.
+    oracle="""
+    WITH RECURSIVE {cte},
+    csv AS (
+      SELECT a.vec_id, a.cell, e.v,
+             CASE WHEN list_sum(list_transform(ct.codes, x -> abs(x))) = 0
+                  THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(ROUND(list_cosine_similarity(e.v,
+                       list_transform(ct.codes, x -> CAST(x AS DOUBLE))), 6)
+                       AS DOUBLE) END AS csim
+      FROM a2 a JOIN cent1 ct ON ct.c = a.cell
+      JOIN e ON e.vec_id = a.vec_id
+    ),
+    prs AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM csv x JOIN csv y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+      WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= 0.42
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM prs
+      UNION
+      SELECT p.a, reach.r FROM prs p JOIN reach ON p.b = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS comp_id FROM reach GROUP BY id),
+    allc AS (
+      SELECT c.vec_id, c.cell, c.csim,
+             COALESCE(k.comp_id, c.vec_id) AS comp_id
+      FROM csv c LEFT JOIN comp k ON k.id = c.vec_id
+    ),
+    rep AS (
+      SELECT comp_id, vec_id AS rep_id FROM (
+        SELECT comp_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY comp_id
+                                  ORDER BY csim ASC, vec_id ASC) AS rk
+        FROM allc) WHERE rk = 1
+    )
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell, a.csim AS centroid_sim,
+           (a.vec_id = r.rep_id) AS keep, CAST(r.rep_id AS BIGINT) AS rep_id
+    FROM allc a JOIN rep r ON r.comp_id = a.comp_id
+    ORDER BY a.vec_id
+    """,
+    tags=("dedup", "similarity"),
+    defer_oracle=True,
+)
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup semantic dedup (cluster -> within-cell cosine prune, keep
-    the lowest-centroid-sim representative). Deterministic: hash-seeded
-    k-means + id tie-breaks; invariants property-tested in tests/test_ann.py."""
+    """SemDeDup semantic dedup (integer-exact k-means cells -> within-cell
+    cosine prune, keep the lowest-centroid-sim representative).
+    Deterministic: exact integer cells + rounded cosines + id tie-breaks;
+    invariants property-tested in tests/test_ann.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     # eps 0.42 matches the fixture's near-dup band (embeddings are
     # near-orthogonal synthetic vectors) so the prune actually fires:
     # 484/500 kept at sf0.01.
     return similarity.semantic_dedup(
-        emb, eps=0.42, n_centroids=8, train_iters=2
+        emb, eps=0.42, n_centroids=8, train_iters=2, integer_codes=True
     ).orderBy("vec_id")
 
 
@@ -1254,15 +1302,59 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivf_topk",
-    # oracle=None blocked by: IVF cells = iterative k-means fixpoint; no SQL closed form
-    oracle=None,
-    tags=("similarity", "ann", "no-oracle"))
+    # r10 rows-only -> deferred: IVF's cells AND the query probe routing
+    # now come from integer_kmeans (one assignment round over the seed
+    # codes at this entry's operating point), so candidate generation is
+    # exact integer argmins and the rounded-cosine re-rank replays — the
+    # approximate result set itself is hash-checked, not just recall.
+    oracle="""
+    WITH {cte},
+    qd AS (
+      SELECT q.vec_id AS query_id, ct.c AS cell,
+             list_sum(list_transform(range(1, 65), i ->
+               (q.codes[i] - ct.codes[i]) * (q.codes[i] - ct.codes[i]))) AS d
+      FROM q, cent0 ct WHERE q.vec_id < 8
+    ),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d ASC, cell ASC) AS rk
+        FROM qd) WHERE rk <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN a1 a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(ROUND(list_cosine_similarity(eq.v, en.v), 6) AS DOUBLE) AS sim
+      FROM cand c
+      JOIN e eq ON eq.vec_id = c.query_id
+      JOIN e en ON en.vec_id = c.neighbor_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, sim
+    FROM r WHERE rn <= 5 ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann"),
+    defer_oracle=True,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned approximate top-k (cell routing + probe + re-rank);
-    recall-vs-bruteforce property tested in tests/test_ann.py."""
+    """IVF-partitioned approximate top-k (integer-exact cell routing +
+    probe + rounded-cosine re-rank); recall-vs-bruteforce property tested
+    in tests/test_ann.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4, integer_codes=True
+    ).orderBy("query_id", "rank")
 
 
 @register(
@@ -5554,4 +5646,17 @@ from squrve_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["emb_cluster_sample"].oracle = _REG["emb_cluster_sample"].oracle.format(
     cte=_int_kmeans_cte(8, 2)
+)
+
+
+# same late-binding as emb_cluster_sample: the registration sits above
+# _int_kmeans_cte's definition (k=8, train_iters=2 -> final a2 + cent1)
+_REG["emb_semdedup"].oracle = _REG["emb_semdedup"].oracle.format(
+    cte=_int_kmeans_cte(8, 2)
+)
+
+
+# sim_ivf_topk late-binding: k=16, one assignment round -> a1 over cent0
+_REG["sim_ivf_topk"].oracle = _REG["sim_ivf_topk"].oracle.format(
+    cte=_int_kmeans_cte(16, 1)
 )

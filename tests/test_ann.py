@@ -791,3 +791,19 @@ def test_cluster_balanced_sample_integer_mode_cap(spark, emb):
         assert 1 <= r["rank"] <= 7
     assert all(v <= 7 for v in by_cell.values())
     assert len(by_cell) > 1
+
+
+def test_ivf_integer_mode_full_probe_exact_and_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    # full probe with integer routing still reproduces the exact top-k
+    full = similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=8, integer_codes=True
+    )
+    assert _pairs(full) == _pairs(exact)
+    # partial probe: valid ranking, useful recall
+    part = similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=3, integer_codes=True
+    )
+    recall = len(_pairs(part) & _pairs(exact)) / len(_pairs(exact))
+    assert recall >= 0.5
