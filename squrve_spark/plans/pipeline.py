@@ -5660,3 +5660,274 @@ _REG["emb_semdedup"].oracle = _REG["emb_semdedup"].oracle.format(
 _REG["sim_ivf_topk"].oracle = _REG["sim_ivf_topk"].oracle.format(
     cte=_int_kmeans_cte(16, 1)
 )
+
+
+def _int_kmeans_core(k: int, n_iter: int, src: str = "kv", idc: str = "kid") -> str:
+    """The integer-kmeans CTE chain over an ARBITRARY prepared vector CTE
+    ``{src}({idc}, vec)`` (64-length numeric lists) — k-prefixed names so
+    it composes inside larger oracles (pipeline_curate_v7 runs it over
+    DERIVED integer text embeddings, not the embeddings table). Ends in
+    ``ka{n_iter}({idc}, codes, cell, dist)`` and ``kcent{n_iter-1}``."""
+    ctes = [
+        f"""kdims AS (
+      SELECT p.j, MAX(ABS(vec[p.j])) AS m
+      FROM {src}, LATERAL (SELECT unnest(range(1, 65)) AS j) p GROUP BY 1)""",
+        """ksc AS (SELECT list(CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END
+                        ORDER BY j) AS sc FROM kdims)""",
+        f"""kq AS (SELECT {src}.{idc},
+               list_transform(range(1, 65), i ->
+                 CAST(GREATEST(-127, LEAST(127,
+                   FLOOR(vec[i] * ksc.sc[i] + 0.5))) AS BIGINT)) AS codes
+             FROM {src}, ksc)""",
+        f"""kcent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY {idc}) - 1 AS c, codes
+             FROM (SELECT {idc}, codes FROM kq ORDER BY {idc} LIMIT {k}))""",
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"""kd{t} AS (
+      SELECT kq.{idc}, kq.codes, ct.c,
+             list_sum(list_transform(range(1, 65), i ->
+               (kq.codes[i] - ct.codes[i]) * (kq.codes[i] - ct.codes[i]))) AS d
+      FROM kq, kcent{t - 1} ct)"""
+        )
+        ctes.append(
+            f"""ka{t} AS (
+      SELECT {idc}, codes, c AS cell, d AS dist FROM (
+        SELECT {idc}, codes, c, d,
+               ROW_NUMBER() OVER (PARTITION BY {idc}
+                                  ORDER BY d ASC, c ASC) AS rk
+        FROM kd{t}) WHERE rk = 1)"""
+        )
+        if t == n_iter:
+            break
+        ctes.append(
+            f"""kcs{t} AS (
+      SELECT cell, p.pos, SUM(codes[p.pos]) AS sm, COUNT(*) AS n
+      FROM ka{t}, LATERAL (SELECT unnest(range(1, 65)) AS pos) p GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""kcent{t} AS (
+      SELECT prev.c, COALESCE(u.codes, prev.codes) AS codes
+      FROM kcent{t - 1} prev LEFT JOIN (
+        SELECT cell AS c,
+               list(CAST(FLOOR(sm * 1.0 / n) AS BIGINT) ORDER BY pos) AS codes
+        FROM kcs{t} GROUP BY cell) u ON u.c = prev.c)"""
+        )
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "pipeline_curate_v7",
+    # r10: the FOURTH fully-oracled curation composite and the capstone of
+    # the integer-exactness program — the SEMANTIC layer (v3's shape)
+    # end-to-end with exact cross-engine parity: exact dedup -> integer
+    # text embedding -> SemDeDup on integer-kmeans cells -> DSIR toward
+    # the EN slice -> global chunk packing. Every fragment is an
+    # already-proven oracle piece (canonical-md5 dedup, the integer-grid
+    # encoder, the kmeans core, the recursive semdedup closure, the
+    # md5-bucket DSIR/Gumbel chain, the exclusive cumsum); v3 itself stays
+    # rows-only BY DESIGN to keep the float-embedding kernel covered.
+    oracle=r"""
+    WITH RECURSIVE fp AS (
+      SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f,
+             MIN(doc_id) AS keep
+      FROM documents GROUP BY 1
+    ),
+    surv0 AS (SELECT d.doc_id, d.text, d.lang
+              FROM documents d JOIN fp ON d.doc_id = fp.keep),
+    ed AS (SELECT doc_id, '^' || lower(coalesce(text, '')) || '$' AS s FROM surv0),
+    eg AS (
+      SELECT doc_id, substr(s, CAST(p.p AS INTEGER), n.n) AS gm
+      FROM ed, (SELECT unnest([3, 4, 5]) AS n) n,
+           LATERAL (SELECT unnest(range(1, greatest(length(s) - n.n + 2, 1))) AS p) p
+    ),
+    ecounts AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(gm), 1, 8)) AS BIGINT) % 4096 AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM eg GROUP BY doc_id, b
+    ),
+    eplanes AS (
+      SELECT j.j AS j, b.b AS b,
+             CASE WHEN (CAST(('0x' || substr(md5('proj:7:' || j.j || ':' || b.b),
+                              1, 2)) AS INTEGER) & 1) = 1
+                  THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT unnest(range(64)) AS j) j,
+           (SELECT unnest(range(4096)) AS b) b
+    ),
+    eemb AS (
+      SELECT doc_id, j, CAST(SUM(sgn * c) AS BIGINT) AS e
+      FROM ecounts JOIN eplanes USING (b) GROUP BY doc_id, j
+    ),
+    en2 AS (SELECT doc_id, SUM(e * e) AS n2 FROM eemb GROUP BY doc_id),
+    kv AS (SELECT doc_id AS kid, list(e ORDER BY j) AS vec
+           FROM eemb GROUP BY doc_id),
+    {kmeans},
+    csv2 AS (
+      SELECT a.kid AS doc_id, a.cell, v.vec, n.n2,
+             CASE WHEN list_sum(list_transform(ct.codes, x -> x * x)) = 0
+                       OR n.n2 = 0
+                  THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(ROUND(
+                    list_sum(list_transform(range(1, 65), i ->
+                        v.vec[i] * ct.codes[i]))
+                    / (sqrt(CAST(n.n2 AS DOUBLE))
+                       * sqrt(CAST(list_sum(list_transform(ct.codes,
+                             x -> x * x)) AS DOUBLE))), 6) AS DOUBLE) END AS csim
+      FROM ka2 a JOIN kcent1 ct ON ct.c = a.cell
+      JOIN kv v ON v.kid = a.kid JOIN en2 n ON n.doc_id = a.kid
+    ),
+    spr AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM csv2 x JOIN csv2 y ON x.cell = y.cell AND x.doc_id <> y.doc_id
+      WHERE x.n2 > 0 AND y.n2 > 0
+        AND ROUND(list_sum(list_transform(range(1, 65), i ->
+                x.vec[i] * y.vec[i]))
+              / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))),
+              6) >= 0.85
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM spr
+      UNION
+      SELECT p.a, reach.r FROM spr p JOIN reach ON p.b = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS comp_id FROM reach GROUP BY id),
+    allc AS (
+      SELECT c.doc_id, c.cell, c.csim,
+             COALESCE(k.comp_id, c.doc_id) AS comp_id
+      FROM csv2 c LEFT JOIN comp k ON k.id = c.doc_id
+    ),
+    rep AS (
+      SELECT comp_id, doc_id AS rep_id FROM (
+        SELECT comp_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY comp_id
+                                  ORDER BY csim ASC, doc_id ASC) AS rk
+        FROM allc) WHERE rk = 1
+    ),
+    kept AS (
+      SELECT a.doc_id, a.cell FROM allc a JOIN rep r ON r.comp_id = a.comp_id
+      WHERE a.doc_id = r.rep_id
+    ),
+    ktok AS (
+      SELECT k.doc_id,
+             ('0x' || substr(md5(t.tok), 1, 8))::BIGINT % 1024 AS bk
+      FROM kept k JOIN surv0 s ON s.doc_id = k.doc_id,
+           LATERAL (SELECT unnest(regexp_split_to_array(trim(s.text), '\s+')) AS tok) t
+    ),
+    ttok AS (
+      SELECT ('0x' || substr(md5(t.tok), 1, 8))::BIGINT % 1024 AS bk
+      FROM surv0 s,
+           LATERAL (SELECT unnest(regexp_split_to_array(trim(s.text), '\s+')) AS tok) t
+      WHERE s.lang = 'en'
+    ),
+    tc AS (SELECT bk, count(*) AS c FROM ttok GROUP BY bk),
+    rc AS (SELECT bk, count(*) AS c FROM ktok GROUP BY bk),
+    tot AS (SELECT (SELECT sum(c) FROM tc) AS tt,
+                   (SELECT sum(c) FROM rc) AS tr),
+    w AS (
+      SELECT g.bk,
+             ln((COALESCE(tc.c, 0) + 1.0) / (tot.tt + 1024))
+           - ln((COALESCE(rc.c, 0) + 1.0) / (tot.tr + 1024)) AS w
+      FROM (SELECT unnest(range(0, 1024)) AS bk) g
+      LEFT JOIN tc USING (bk) LEFT JOIN rc USING (bk), tot
+    ),
+    score AS (
+      SELECT ktok.doc_id, sum(w.w) AS s
+      FROM ktok JOIN w USING (bk) GROUP BY ktok.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, s,
+             s + (-ln(-ln(
+                 (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  + 0.5) / 4294967296.0))) AS gk
+      FROM score
+    ),
+    selp AS (SELECT doc_id, s FROM keyed ORDER BY gk DESC, doc_id LIMIT 60),
+    pk AS (
+      SELECT sp.doc_id, kp.cell, ROUND(sp.s, 4) AS dsir_score,
+             len(regexp_split_to_array(trim(s0.text), '\s+')) AS n_tokens
+      FROM selp sp JOIN kept kp ON kp.doc_id = sp.doc_id
+      JOIN surv0 s0 ON s0.doc_id = sp.doc_id
+    ),
+    offs AS (
+      SELECT doc_id, cell, dsir_score, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tok_offset
+      FROM pk
+    )
+    SELECT doc_id, CAST(cell AS INT) AS cell,
+           CAST(dsir_score AS DOUBLE) AS dsir_score,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(tok_offset AS BIGINT) AS tok_offset,
+           CAST(tok_offset // 512 AS BIGINT) AS first_chunk,
+           CAST((tok_offset + n_tokens - 1) // 512 AS BIGINT) AS last_chunk
+    FROM offs ORDER BY doc_id
+    """.replace("{kmeans}", _int_kmeans_core(8, 2, src="kv", idc="kid")),
+    tags=("pipeline", "composite"),
+    defer_oracle=True,
+)
+def pipeline_curate_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 capstone composite — v3's SEMANTIC curation layer with
+    EXACT cross-engine parity end-to-end:
+
+      1. exact dedup (canonical-md5 fingerprint, keep min doc_id),
+      2. distributed INTEGER text embedding (`index.embed_texts_int` —
+         the engine-replayable encoder; map-only Arrow broadcast-matrix),
+      3. SemDeDup over those embeddings with integer-kmeans cells
+         (eps 0.85 on exact-integer cosines; paper keep rule),
+      4. DSIR importance selection toward the EN slice (md5-bucket LLR +
+         Gumbel top-60 without replacement),
+      5. global 512-token chunk layout of the survivors (two-phase
+         exclusive cumsum).
+
+    Output: one row per selected doc with its cell, score and packed
+    chunk span — the training-loader manifest. Scale shape: dedup is one
+    fingerprint groupBy; embedding + scoring are map-only; SemDeDup
+    shuffles only cell groups; DSIR is bucket-bounded; the cumsum is the
+    two-phase distributed form (no single-task window)."""
+    from squrve_spark.catalog import memo_checkpoint
+    from squrve_spark.index import embed_texts_int
+    from squrve_spark.operators import dedup as D
+    from squrve_spark.operators import dsir as R
+    from squrve_spark.operators.scale import with_global_offset
+    from squrve_spark.operators.similarity import semantic_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = docs.join(
+        D.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    ).select("doc_id", "text", "lang")
+    embedded = memo_checkpoint(
+        embed_texts_int(deduped, dim=64).select(
+            "doc_id", "text", "lang", "embedding"
+        )
+    )
+    sd = semantic_dedup(
+        embedded, eps=0.85, n_centroids=8, train_iters=2,
+        id_col="doc_id", integer_codes=True,
+    )
+    kept = memo_checkpoint(
+        embedded.select("doc_id", "text").join(
+            sd.where(F.col("keep")).select("doc_id", "cell"), "doc_id"
+        )
+    )
+    target = deduped.filter(F.col("lang") == "en")
+    selected = R.dsir_resample(kept, target, n=60, n_buckets=1024)
+    sel = kept.join(selected, "doc_id")
+    t = sel.select(
+        "doc_id",
+        "cell",
+        F.round("dsir_score", 4).alias("dsir_score"),
+        F.size(text.tokens_expr("text")).cast("long").alias("n_tokens"),
+    )
+    o = with_global_offset(t, ["doc_id"], "n_tokens", out_col="tok_offset")
+    return o.select(
+        "doc_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.col("dsir_score").cast("double").alias("dsir_score"),
+        "n_tokens",
+        F.col("tok_offset").cast("long").alias("tok_offset"),
+        F.expr("tok_offset div 512").alias("first_chunk"),
+        F.expr("(tok_offset + n_tokens - 1) div 512").alias("last_chunk"),
+    ).orderBy("doc_id")

@@ -182,3 +182,23 @@ def test_line_dedup_min_docs_disables(spark):
     full_map = {r["doc_id"]: r["full_md5"] for r in full}
     for r in rows:
         assert r["clean_md5"] == full_map[r["doc_id"]]
+
+
+def test_curate_v7_stage_bites_and_manifest_shape(spark):
+    """pipeline_curate_v7: the selection (60) is a strict subset of the
+    SemDeDup keepers, which are a strict subset of the corpus; chunk
+    spans tile the exclusive cumsum contiguously."""
+    from squrve_spark.plans import REGISTRY
+
+    rows = REGISTRY["pipeline_curate_v7"].fn(spark, SF_MED).collect()
+    assert len(rows) == 60
+    # offsets are the exclusive cumsum in doc_id order
+    rows = sorted(rows, key=lambda r: r["doc_id"])
+    run = 0
+    for r in rows:
+        assert r["tok_offset"] == run
+        assert r["first_chunk"] == run // 512
+        assert r["last_chunk"] == (run + r["n_tokens"] - 1) // 512
+        run += r["n_tokens"]
+    # more than one k-means cell is represented in the final sample
+    assert len({r["cell"] for r in rows}) > 1

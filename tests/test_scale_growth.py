@@ -80,6 +80,9 @@ HEAVIES = [
     # r10: the recipe-family composite — page synthesis must not re-run
     # per consumer and the per-shard FFD scan is shard-size-linear
     "pipeline_curate_v6",
+    # r10: the semantic capstone composite — embed once (memoized), cells
+    # via bounded-collect integer kmeans, in-cell pairwise only
+    "pipeline_curate_v7",
 ]
 
 MAX_EXPONENT = 1.5  # sub-quadratic with margin (linear == 1.0)
