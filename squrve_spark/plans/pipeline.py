@@ -1359,7 +1359,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivf_indexed",
-    # oracle=None blocked by: same k-means blocking step as sim_ivf_topk, plus a persisted side-index DuckDB cannot build
+    # oracle=None blocked by: the persisted parquet side-index (centroids +
+    # cell-partitioned codes on disk) — DuckDB cannot build/read the index
+    # artifact; the k-means HALF of the old blocker fell in r10
+    # (integer_kmeans / sim_ivf_topk's oracle), so the index artifact is
+    # now the only engine-specific step
     oracle=None,
     tags=("similarity", "ann", "no-oracle"))
 def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1516,7 +1520,13 @@ def doc_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivfpq_topk",
-    # oracle=None blocked by: k-means coarse cells AND PQ codebooks are iterative fixpoints
+    # oracle=None blocked by: the float PQ codebooks + LUT scoring kernel.
+    # The coarse k-means cells ALONE are no longer blocking (r10
+    # integer_kmeans), but PQ's unit-normalized subspace codebooks and
+    # float asymmetric-distance LUTs are the operator's real kernel
+    # coverage — kept by design (the pipeline_curate_v3 stance); the
+    # integer-exact clustering path is oracled via emb_kmeans_exact /
+    # sim_ivf_topk
     oracle=None,
     tags=("similarity", "ann", "no-oracle"))
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1541,7 +1551,11 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_pq_topk",
-    # oracle=None blocked by: PQ codebooks are k-means subspace fixpoints — no SQL closed form
+    # oracle=None blocked by: float per-subspace codebooks (unit-normalized
+    # Lloyd) + float LUT gather-sums — the operator's real kernel coverage,
+    # kept by design (the pipeline_curate_v3 stance). The clustering
+    # RECURRENCE itself is oracle-proven in r10 via integer_kmeans
+    # (emb_kmeans_exact); converting PQ would trade away the float ADC path
     oracle=None,
     tags=("similarity", "ann", "no-oracle"))
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2185,15 +2199,13 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_curate_v3",
-    # oracle=None blocked by (r10 re-audit, per-stage): the SemDeDup stage's
-    # k-means centroids are an iterative fixpoint (see emb_semdedup) — no
-    # SQL closed form; that stage gates everything downstream (DSIR budget,
-    # packing), so the composite cannot be replayed even though the embed
-    # stage now has an exact-replay sibling (index.embed_texts_int, r10)
-    # and DSIR/packing are individually oracled (doc_dsir_select /
-    # doc_pack_sequences). Swapping v3's float encoder for the integer
-    # grid would not unblock it and would cost the composite its
-    # real-embedding-kernel coverage.
+    # oracle=None BY DESIGN (late-r10 re-audit): every stage is now
+    # individually convertible — and pipeline_curate_v7 IS this composite's
+    # semantic shape converted end-to-end (integer embedding + integer
+    # kmeans cells + DSIR + packing, one DuckDB statement). v3 stays on
+    # the float encoder + float k-means deliberately so the composite
+    # keeps covering the real-embedding kernel path (the served-model
+    # seam); its stage invariants are tested in tests/test_scale_ops.py.
     oracle=None,
     tags=("curation", "composite", "no-oracle")
 )
