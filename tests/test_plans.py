@@ -86,6 +86,10 @@ def test_no_cartesian_products(spark, name):
         # aggregates (S is a catalog constant, never corpus-sized) so
         # zero-overlap pairs are emitted too (r10)
         "dedup_source_overlap",
+        # MMR's relevance pool IS brute_force_topk (the deliberately
+        # broadcast exact baseline — 8 query rows against the corpus);
+        # the greedy re-rank itself is bounded per-query work (r10)
+        "sim_mmr_topk",
     ):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
