@@ -120,6 +120,21 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def plan_key(df: DataFrame) -> tuple:
+    """THE session-memo cache key for a DataFrame: (canonicalized plan
+    string, semanticHash, sorted input files). All three components are
+    load-bearing — see memo_checkpoint's docstring for why the
+    canonicalized toString alone collides across parquet paths. Shared by
+    memo_checkpoint, similarity.int8_scales and similarity.integer_kmeans
+    (r10 review: three hand-copied key recipes could drift independently)."""
+    qe = df._jdf.queryExecution()
+    return (
+        qe.analyzed().canonicalized().toString(),
+        qe.analyzed().semanticHash(),
+        tuple(sorted(df.inputFiles())),
+    )
+
+
 def memo_checkpoint(df: DataFrame) -> DataFrame:
     """Lazily localCheckpoint ``df``, memoized per session on the
     canonicalized analyzed plan.
@@ -150,12 +165,7 @@ def memo_checkpoint(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     cache = spark.__dict__.setdefault("_squrve_ckpt_cache", {})
-    qe = df._jdf.queryExecution()
-    key = (
-        qe.analyzed().canonicalized().toString(),
-        qe.analyzed().semanticHash(),
-        tuple(sorted(df.inputFiles())),
-    )
+    key = plan_key(df)
     hit = cache.get(key)
     if hit is None:
         while len(cache) >= 64:

@@ -94,17 +94,16 @@ def md5_plane_matrix(dim: int = 64, sparse_dim: int = 4096, seed: int = 7) -> np
     `CAST(('0x'||substr(md5('proj:7:'||j||':'||b),1,2)) AS INTEGER) & 1`),
     unlike the numpy-PCG64 Rademacher matrix it parallels. Cached per
     (dim, sparse_dim, seed): 262144 md5 calls once per process."""
-    import hashlib
-
     key = (dim, sparse_dim, seed)
     hit = _MD5_PLANE_CACHE.get(key)
     if hit is not None:
         return hit
-    m = np.empty((dim, sparse_dim), dtype=np.int64)
-    for j in range(dim):
-        for b in range(sparse_dim):
-            h = int(hashlib.md5(f"proj:{seed}:{j}:{b}".encode()).hexdigest()[:2], 16)
-            m[j, b] = 1 if (h & 1) else -1
+    # ONE plane-generation rule in the codebase (r10 review): delegate to
+    # similarity.int_hyperplane_signs — same f"{tag}:{j}:{i}" md5
+    # first-byte low bit — keeping only the cache here
+    from squrve_spark.operators.similarity import int_hyperplane_signs
+
+    m = int_hyperplane_signs(dim=sparse_dim, bits=dim, tag=f"proj:{seed}")
     _MD5_PLANE_CACHE[key] = m
     return m
 

@@ -565,7 +565,7 @@ def ivf_topk(
     spark = corpus.sparkSession
     if integer_codes:
         assign_int, cents = integer_kmeans(
-            corpus, k=n_centroids, n_iter=max(train_iters, 1),
+            corpus, k=n_centroids, n_iter=train_iters,
             id_col=id_col, vec_col=vec_col, return_centroids=True,
         )
         c = with_vec_norm(spread(corpus), vec_col, "c_v", "c_n").select(
@@ -676,6 +676,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     train_sample: int | None = 16384,
     integer_codes: bool = False,
+    exact_int_dots: bool = False,
 ) -> DataFrame:
     """Semantic dedup over an embedding column: k-means clustering, then
     near-duplicate pruning WITHIN each cluster only.
@@ -684,7 +685,18 @@ def semantic_dedup(
     int8-code clustering) while the within-cell cosines stay on the real
     embeddings — cells, pair pruning (rounded cosines + recursive
     closure), the paper's lowest-centroid-sim representative rule and the
-    keep set all replay in a DuckDB oracle.
+    keep set all replay in a DuckDB oracle. Float-input residual (the
+    emb_neardup_exact precedent): the kernel's matmul cosines and the
+    oracle's fold can differ in the last ulp BEFORE the 6-dp round, so
+    a value landing exactly on a rounding boundary could diverge —
+    accepted for float embeddings, long driver-proven at round-6.
+
+    ``exact_int_dots`` (late r10, requires integer-VALUED embeddings
+    such as `index.embed_texts_int`'s): computes dots and squared norms
+    in exact int64 and divides/rounds in the oracle's exact op order
+    (dot / (sqrt(n2a) * sqrt(n2b))), eliminating that residual entirely
+    — pipeline_curate_v7's kernel is bit-exact, not just
+    boundary-improbable.
 
     The SemDeDup recipe: pairwise cosine is only ever computed inside a
     cluster, so total work is sum(|cell|^2) instead of |corpus|^2 — with k
@@ -710,15 +722,20 @@ def semantic_dedup(
     jobs were the dominant cost of this operator at small scale. Pass
     ``train_sample=None`` to force full-corpus distributed Lloyd.
     """
+    if exact_int_dots and not integer_codes:
+        raise ValueError("exact_int_dots requires integer_codes=True")
     if integer_codes:
         assign_int, cents = integer_kmeans(
             df, k=n_centroids, n_iter=train_iters,
             id_col=id_col, vec_col=vec_col, return_centroids=True,
         )
-        C = np.asarray(cents, dtype=np.float64)
-        nrm = np.linalg.norm(C, axis=1, keepdims=True)
-        nrm[nrm == 0] = np.inf  # zero centroid -> csim exactly 0.0
-        Cu = C / nrm
+        if exact_int_dots:
+            Cu = np.asarray(cents, dtype=np.int64)  # RAW integer centroids
+        else:
+            C = np.asarray(cents, dtype=np.float64)
+            nrm = np.linalg.norm(C, axis=1, keepdims=True)
+            nrm[nrm == 0] = np.inf  # zero centroid -> csim exactly 0.0
+            Cu = C / nrm
         assigned = df.select(id_col, vec_col).join(
             assign_int.select(id_col, "cell"), id_col
         )
@@ -738,14 +755,35 @@ def semantic_dedup(
         cu = bc.value
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         cell = int(pdf["cell"].iloc[0])
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
-        csim = np.round(Vu @ cu[cell], 6)
-        n = len(ids)
-        # order rows by id for determinism regardless of arrow batch order
-        order = np.argsort(ids)
-        Vu, ids, csim = Vu[order], ids[order], csim[order]
-        S = np.round(Vu @ Vu.T, 6)
+        if exact_int_dots:
+            # exact int64 dots + the oracle's exact op order:
+            # ROUND(dot / (sqrt(n2a) * sqrt(n2b)), 6) — bit-identical on
+            # any engine because every product/sum is an exact integer
+            # and the sqrt/divide/round are the same scalar IEEE ops
+            Vi = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[vec_col]])
+            order = np.argsort(ids)
+            Vi, ids = Vi[order], ids[order]
+            n2 = (Vi * Vi).sum(axis=1)
+            rt = np.sqrt(n2.astype(np.float64))
+            rt[rt == 0] = np.inf  # zero-norm vector -> sims exactly 0.0
+            ci = cu[cell]
+            c2 = float(np.sqrt(float((ci * ci).sum())))
+            csim = (
+                np.zeros(len(ids))
+                if c2 == 0
+                else np.round((Vi @ ci).astype(np.float64) / (rt * c2), 6)
+            )
+            S = np.round((Vi @ Vi.T).astype(np.float64) / np.outer(rt, rt), 6)
+            n = len(ids)
+        else:
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
+            csim = np.round(Vu @ cu[cell], 6)
+            n = len(ids)
+            # order rows by id for determinism regardless of arrow batch order
+            order = np.argsort(ids)
+            Vu, ids, csim = Vu[order], ids[order], csim[order]
+            S = np.round(Vu @ Vu.T, 6)
         parent = list(range(n))
 
         def find(x: int) -> int:
@@ -1471,15 +1509,11 @@ def int8_scales(df: DataFrame, vec_col: str = "embedding") -> list[float]:
     reclaim the r9 oracle conversion left on the table. Stale-read
     caveat matches memo_checkpoint's: only read-only snapshot inputs.
     """
+    from squrve_spark.catalog import plan_key
+
     spark = df.sparkSession
     cache = spark.__dict__.setdefault("_squrve_scales_cache", {})
-    qe = df._jdf.queryExecution()
-    key = (
-        qe.analyzed().canonicalized().toString(),
-        qe.analyzed().semanticHash(),
-        tuple(sorted(df.inputFiles())),
-        vec_col,
-    )
+    key = (*plan_key(df), vec_col)
     hit = cache.get(key)
     if hit is not None:
         return list(hit)
@@ -1797,6 +1831,13 @@ def mmr_rerank(
     the lambda mix, argmax ties broken on neighbor_id — so the greedy
     trajectory is engine-stable and a DuckDB oracle can unroll the k steps
     as chained argmax CTEs over the same rounded pair-cosine matrix.
+    Float residual (the emb_neardup_exact precedent): the kernel's
+    pairwise matmul and the oracle's cosine fold can differ in the last
+    ulp BEFORE the 6-dp round; a pair cosine landing exactly on a
+    rounding boundary could flip one greedy step. Accepted for float
+    embeddings — the same round-6 contract every driver-proven cosine
+    entry relies on; an integer-embedding pool (embed_texts_int) would
+    eliminate it, as pipeline_curate_v7's exact_int_dots mode does.
 
     Scale shape: the sequential part is per-query over a BOUNDED pool
     (pool_k rows x dim), exactly the FFD-packing pattern — one
@@ -1895,15 +1936,16 @@ def integer_kmeans(
     seed/update collects once. Stale-read caveat matches
     memo_checkpoint's: read-only snapshot inputs only.
     """
+    from squrve_spark.catalog import plan_key
+
+    # n_iter <= 1 both mean ONE assignment round against the seed
+    # codebook with no updates — mirroring the float path's
+    # "train_iters=0 keeps the raw sample" convention (r10 review: 0
+    # previously crashed with assigned=None)
+    n_rounds = max(n_iter, 1)
     spark = df.sparkSession
     cache = spark.__dict__.setdefault("_squrve_ikmeans_cache", {})
-    qe = df._jdf.queryExecution()
-    ckey = (
-        qe.analyzed().canonicalized().toString(),
-        qe.analyzed().semanticHash(),
-        tuple(sorted(df.inputFiles())),
-        id_col, vec_col, k, n_iter,
-    )
+    ckey = (*plan_key(df), id_col, vec_col, k, n_rounds)
     hit = cache.get(ckey)
     if hit is not None:
         out, cents = hit
@@ -1923,7 +1965,7 @@ def integer_kmeans(
     cents: list[list[int]] = [list(r["codes"]) for r in seed_rows]
     dim = len(cents[0])
     assigned = None
-    for it in range(n_iter):
+    for it in range(n_rounds):
         cent_arrays = [F.array(*[F.lit(int(c)) for c in cv]) for cv in cents]
         dists = [
             F.aggregate(
@@ -1933,15 +1975,29 @@ def integer_kmeans(
             )
             for cc in cent_arrays
         ]
-        cell = F.lit(0)
-        best = dists[0]
-        for j in range(1, len(cents)):
-            cell = F.when(dists[j] < best, F.lit(j)).otherwise(cell)
-            best = F.least(best, dists[j])
-        assigned = codes.select(
-            id_col, "codes", cell.alias("cell"), best.alias("dist")
+        # argmin via one sorted (dist, cell) struct array — each dist
+        # expression appears ONCE (a when/least chain re-embeds every
+        # earlier dist O(k^2) times, and Spark HOF lambdas don't share
+        # subexpressions; r10 review finding). Struct sort orders by
+        # (d asc, c asc) = ties to the smaller cell, same as the oracle.
+        best = F.element_at(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(d.alias("d"), F.lit(j).alias("c"))
+                        for j, d in enumerate(dists)
+                    ]
+                )
+            ),
+            1,
         )
-        if it == n_iter - 1:
+        assigned = codes.select(
+            id_col,
+            "codes",
+            best.getField("c").alias("cell"),
+            best.getField("d").alias("dist"),
+        )
+        if it == n_rounds - 1:
             break
         stats = assigned.groupBy("cell").agg(
             F.count(F.lit(1)).alias("n"),

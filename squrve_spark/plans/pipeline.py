@@ -5131,7 +5131,7 @@ _LINE_PAGE_CTE = _LINE_PAGE_CTE.replace("{{", "{").replace("}}", "}")
            CAST(len(array_to_string(keptl, chr(10))) AS INT) AS clean_chars,
            md5(array_to_string(keptl, chr(10))) AS clean_md5
     FROM sig ORDER BY doc_id
-    """.replace("{{", "{").replace("}}", "}"),
+    """,
     tags=("hygiene", "text"),
     defer_oracle=True,
 )
@@ -5412,7 +5412,7 @@ def _c4_keep_sql(l: str) -> str:
            CAST(SUM(n_tokens) OVER (PARTITION BY shard, pack_local) AS BIGINT)
              AS pack_tokens
     FROM asg ORDER BY doc_id
-    """.replace("{{", "{").replace("}}", "}"),
+    """,
     tags=("pipeline", "composite"),
     defer_oracle=True,
 )
@@ -5656,21 +5656,21 @@ def emb_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its oracle now that the helper exists (k=8, train_iters=2 -> final a2).
 from squrve_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
-_REG["emb_cluster_sample"].oracle = _REG["emb_cluster_sample"].oracle.format(
-    cte=_int_kmeans_cte(8, 2)
+_REG["emb_cluster_sample"].oracle = _REG["emb_cluster_sample"].oracle.replace(
+    "{cte}", _int_kmeans_cte(8, 2)
 )
 
 
 # same late-binding as emb_cluster_sample: the registration sits above
 # _int_kmeans_cte's definition (k=8, train_iters=2 -> final a2 + cent1)
-_REG["emb_semdedup"].oracle = _REG["emb_semdedup"].oracle.format(
-    cte=_int_kmeans_cte(8, 2)
+_REG["emb_semdedup"].oracle = _REG["emb_semdedup"].oracle.replace(
+    "{cte}", _int_kmeans_cte(8, 2)
 )
 
 
 # sim_ivf_topk late-binding: k=16, one assignment round -> a1 over cent0
-_REG["sim_ivf_topk"].oracle = _REG["sim_ivf_topk"].oracle.format(
-    cte=_int_kmeans_cte(16, 1)
+_REG["sim_ivf_topk"].oracle = _REG["sim_ivf_topk"].oracle.replace(
+    "{cte}", _int_kmeans_cte(16, 1)
 )
 
 
@@ -5917,7 +5917,7 @@ def pipeline_curate_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sd = semantic_dedup(
         embedded, eps=0.85, n_centroids=8, train_iters=2,
-        id_col="doc_id", integer_codes=True,
+        id_col="doc_id", integer_codes=True, exact_int_dots=True,
     )
     kept = memo_checkpoint(
         embedded.select("doc_id", "text").join(

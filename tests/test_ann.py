@@ -807,3 +807,14 @@ def test_ivf_integer_mode_full_probe_exact_and_recall(spark, emb):
     )
     recall = len(_pairs(part) & _pairs(exact)) / len(_pairs(exact))
     assert recall >= 0.5
+
+
+def test_integer_kmeans_zero_iters_matches_one(spark, emb):
+    # the float path's "train_iters=0 keeps the raw sample" convention:
+    # 0 and 1 both mean one assignment round against the seed codebook
+    # (0 used to crash with assigned=None — r10 review finding)
+    from squrve_spark.operators.similarity import integer_kmeans
+
+    a = sorted(tuple(r) for r in integer_kmeans(emb, k=4, n_iter=0).collect())
+    b = sorted(tuple(r) for r in integer_kmeans(emb, k=4, n_iter=1).collect())
+    assert a == b and a
