@@ -815,3 +815,103 @@ def source_overlap(
             ).cast("double").alias("jaccard"),
         )
     )
+
+
+def positional_grams(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, gh): POSITIONAL portable k-gram hashes — unlike
+    `with_hashed_shingles` the positions survive (no distinct), so span
+    arithmetic downstream can reconstruct WHERE overlaps sit. Same
+    engine-portable chain as the minhash family: md5 token hashes,
+    k-tuple md5 over ':'-joined unsigned decimals; 0-based pos. Docs
+    shorter than k tokens emit nothing. The gram array is materialized
+    before the explode (the HOF-re-eval hazard)."""
+    th = F.transform(tokens_expr(text_col), _md5_hash64)
+    staged = (
+        spread(df)
+        .filter(F.size(tokens_expr(text_col)) >= k)
+        .withColumn("_th", th)
+    )
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_th")) - k),
+        lambda i: _md5_hash64(
+            F.concat_ws(
+                ":",
+                *[_u64_str(F.element_at(F.col("_th"), i + j + 1)) for j in range(k)],
+            )
+        ),
+    )
+    # materialize the gram ARRAY before the explode: fused in one codegen
+    # stage, posexplode re-evaluates the whole md5 gram tree per EMITTED
+    # row (~gram-count x blowup — measured 388 s -> 4 s at sf0.1, the
+    # same hazard with_hashed_shingles documents)
+    arrays = memo_checkpoint(
+        staged.withColumn("_g", gram).select(F.col(id_col), "_g")
+    )
+    return arrays.select(F.col(id_col), F.posexplode("_g").alias("pos", "gh"))
+
+
+def shared_spans(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Longest shared token SPAN per candidate pair — the detection step
+    of exact-substring dedup (Lee et al. 2022's recipe, re-expressed
+    relationally): a run of m consecutive matching k-grams pins a shared
+    span of m + k - 1 tokens.
+
+    Pure gaps-and-islands over the gram-match diagonal: join both sides'
+    positional grams on the hash (per pair), bucket matches by
+    ``diag = pos_a - pos_b`` (co-linear matches share a diagonal), and
+    the longest island of consecutive pos_a values within a (pair, diag)
+    group — ``pos_a - row_number()`` constant — is the longest shared
+    run. Everything is exact integer arithmetic, so a DuckDB oracle
+    replays spans bit-for-bit.
+
+    Scale shape: work is bounded by the CANDIDATE PAIR set (LSH-bounded,
+    never all-pairs) times shared-gram count; the islands window
+    partitions on (pair, diag) — keys at least as fine as the pair key,
+    so no diagonal outgrows its pair's gram overlap. Output: one row per
+    pair with a shared span — (id_a, id_b, start_a, start_b,
+    span_tokens); ties broken on (start_a, start_b).
+    """
+    from pyspark.sql import Window as W
+
+    g = memo_checkpoint(positional_grams(docs, k, text_col, id_col))
+    p = pairs.select("id_a", "id_b")
+    ga = g.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "gh"
+    )
+    gb = g.select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "gh"
+    )
+    m = (
+        p.join(ga, "id_a")
+        .join(gb, ["id_b", "gh"])
+        .withColumn("diag", F.col("pa") - F.col("pb"))
+    )
+    w = W.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    isl = m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    runs = isl.groupBy("id_a", "id_b", "diag", "grp").agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.min("pa").alias("start_a"),
+        F.min("pb").alias("start_b"),
+    )
+    wr = W.partitionBy("id_a", "id_b").orderBy(
+        F.col("_m").desc(), F.col("start_a"), F.col("start_b")
+    )
+    return (
+        runs.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("start_a").cast("int").alias("start_a"),
+            F.col("start_b").cast("int").alias("start_b"),
+            (F.col("_m") + F.lit(k - 1)).cast("int").alias("span_tokens"),
+        )
+    )

@@ -5943,3 +5943,74 @@ def pipeline_curate_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("tok_offset div 512").alias("first_chunk"),
         F.expr("(tok_offset + n_tokens - 1) div 512").alias("last_chunk"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_shared_spans",
+    # r10 (late): the detection step of exact-substring dedup (Lee et
+    # al. 2022) re-expressed relationally — per LSH candidate pair, the
+    # LONGEST shared token span via gram-diagonal gaps-and-islands
+    # (matches on one diagonal are co-linear; the longest island of
+    # consecutive pos_a is the longest run; span = run + k - 1). Exact
+    # integer arithmetic end-to-end, so the oracle replays the pair set
+    # (shared mh_pairs CTE at 0.5), positional grams, diagonals, islands
+    # and the per-pair argmax bit-for-bit.
+    oracle=f"""
+    WITH {_minhash_pairs_cte(0.5)},
+    pth AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'), t ->
+                 CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT)) AS h
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 8
+    ),
+    pg AS (
+      SELECT doc_id, i - 1 AS pos,
+             CAST(('0x' || substr(md5(
+                 CAST(h[i] AS VARCHAR)   || ':' || CAST(h[i+1] AS VARCHAR) || ':' ||
+                 CAST(h[i+2] AS VARCHAR) || ':' || CAST(h[i+3] AS VARCHAR) || ':' ||
+                 CAST(h[i+4] AS VARCHAR) || ':' || CAST(h[i+5] AS VARCHAR) || ':' ||
+                 CAST(h[i+6] AS VARCHAR) || ':' || CAST(h[i+7] AS VARCHAR)
+             ), 1, 16)) AS UBIGINT) AS gh
+      FROM (SELECT doc_id, h, unnest(range(1, len(h) - 6)) AS i FROM pth)
+    ),
+    mm AS (
+      SELECT p.id_a, p.id_b, a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+      FROM mh_pairs p
+      JOIN pg a ON a.doc_id = p.id_a
+      JOIN pg b ON b.doc_id = p.id_b AND b.gh = a.gh
+    ),
+    isl AS (
+      SELECT id_a, id_b, diag, pa, pb,
+             pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+                                     ORDER BY pa) AS grp
+      FROM mm
+    ),
+    runs AS (
+      SELECT id_a, id_b, diag, grp, COUNT(*) AS m,
+             MIN(pa) AS sa, MIN(pb) AS sb
+      FROM isl GROUP BY 1, 2, 3, 4
+    ),
+    best AS (
+      SELECT id_a, id_b, sa, sb, m FROM (
+        SELECT id_a, id_b, sa, sb, m,
+               ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+                                  ORDER BY m DESC, sa, sb) AS rk
+        FROM runs) WHERE rk = 1
+    )
+    SELECT id_a, id_b, CAST(sa AS INT) AS start_a, CAST(sb AS INT) AS start_b,
+           CAST(m + 7 AS INT) AS span_tokens
+    FROM best ORDER BY id_a, id_b
+    """,
+    tags=("dedup",),
+    defer_oracle=True,
+)
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest shared token span per MinHash-LSH candidate pair
+    (operators/dedup.py:shared_spans, k=8) — WHERE the duplication sits,
+    not just that it exists; the relational form of exact-substring
+    dedup's detection step. Work is candidate-pair-bounded; the islands
+    window partitions on (pair, diagonal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup.shared_spans(docs, pairs, k=8).orderBy("id_a", "id_b")

@@ -340,3 +340,45 @@ def test_source_overlap_doc_unit_counts_mirrors_and_disjoint(spark):
     assert ab["jaccard"] == 0.5  # 2 / (3 + 3 - 2)
     assert rows[("a", "c")]["shared_fps"] == 0
     assert rows[("a", "c")]["jaccard"] == 0.0
+
+
+def test_shared_spans_finds_planted_overlap(spark):
+    from squrve_spark.operators.dedup import shared_spans
+
+    # doc 1 embeds tokens 10..29 of doc 0 starting at its position 5;
+    # no other 8-gram run is shared (disjoint vocab elsewhere)
+    base = [f"w{i}" for i in range(40)]
+    other = [f"x{i}" for i in range(5)] + base[10:30] + [f"y{i}" for i in range(8)]
+    rows = [(0, " ".join(base)), (1, " ".join(other))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    out = shared_spans(docs, pairs, k=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["start_a"], r["start_b"], r["span_tokens"]) == (10, 5, 20)
+
+
+def test_shared_spans_identical_docs_full_span(spark):
+    from squrve_spark.operators.dedup import shared_spans
+
+    text = " ".join(f"t{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(0, text), (1, text)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    r = shared_spans(docs, pairs, k=8).collect()[0]
+    assert (r["start_a"], r["start_b"], r["span_tokens"]) == (0, 0, 25)
+
+
+def test_shared_spans_disjoint_pair_emits_nothing(spark):
+    from squrve_spark.operators.dedup import shared_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"a{i}" for i in range(20))),
+            (1, " ".join(f"b{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    assert shared_spans(docs, pairs, k=8).count() == 0

@@ -83,6 +83,9 @@ HEAVIES = [
     # r10: the semantic capstone composite — embed once (memoized), cells
     # via bounded-collect integer kmeans, in-cell pairwise only
     "pipeline_curate_v7",
+    # late r10: gram-diagonal islands — work must stay bounded by
+    # candidate pairs x shared grams, never corpus x corpus
+    "dedup_shared_spans",
 ]
 
 MAX_EXPONENT = 1.5  # sub-quadratic with margin (linear == 1.0)
