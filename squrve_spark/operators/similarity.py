@@ -2027,3 +2027,170 @@ def integer_kmeans(
         # k x dim ints, driver-side by construction
         return out, [list(c) for c in cents]
     return out
+
+
+def margin_mine_pairs(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Margin-based candidate pair mining between two embedding corpora
+    (the CCMatrix / LASER bitext-mining recipe, Artetxe & Schwenk 2019):
+    a pair (a, b) scores by its RATIO margin
+
+        margin(a, b) = cos(a, b) / ((avgNN_k(a) + avgNN_k(b)) / 2)
+
+    where avgNN_k(x) is the mean cosine of x's k nearest neighbors on the
+    OTHER side. Absolute cosine can't separate aligned pairs from dense
+    hubs; dividing by each endpoint's local neighborhood density does —
+    the published recipe for mining parallel text across languages, and
+    equally the cross-source alignment shape (snapshot-to-snapshot,
+    catalog-to-catalog).
+
+    Returns (id_a, id_b, sim, margin) for margin >= threshold, candidates
+    drawn from the union of both directions' exact k-NN (the recipe's
+    "max" retrieval strategy).
+
+    Engine-portable by construction: cosines round to 6 dp, then every
+    order-sensitive quantity is INTEGER — sims enter the neighborhood
+    averages as micro-units (round(sim*1e6) as long), so the k-NN sums are
+    exact whatever the aggregation order, and the final margin is one
+    fixed-shape double expression over exact inputs. A DuckDB oracle
+    replays the whole computation bit-identically.
+
+    Scale shape: the cross-side scoring runs on the bipartite block grid
+    (every A-block x B-block pair is one cogrouped cell — per-task memory
+    is two blocks, as exact_neardup_pairs), and each cell emits only its
+    LOCAL per-node top-k (<= k rows per node per cell, ties id-broken),
+    so the global k-NN window ranks nodes x n_blocks x k candidate rows,
+    never the full n_a x n_b score matrix. Everything after is bounded by
+    nodes x k. At 100 TB the grid kernel swaps for LSH/IVF candidate
+    generation (lsh_topk) with the same margin tail unchanged.
+    """
+    a_src = spread(emb_a.select(F.col(id_col).alias("_a_id"), F.col(vec_col).alias("_a_vec")))
+    b_src = spread(emb_b.select(F.col(id_col).alias("_b_id"), F.col(vec_col).alias("_b_vec")))
+    a_b = a_src.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("_a_id")), F.lit(n_blocks)).cast("int")
+    )
+    b_b = b_src.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("_b_id")), F.lit(n_blocks)).cast("int")
+    )
+    # full bipartite grid: cell = a_blk * n_blocks + b_blk. The A side
+    # replicates each row across its grid ROW, the B side across its grid
+    # COLUMN — n_blocks copies each, the bipartite analogue of the
+    # exact_neardup_pairs triangular grid.
+    left = a_b.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                lambda j: F.col("blk") * n_blocks + j,
+            )
+        ),
+    ).drop("blk")
+    right = b_b.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                lambda i: i * n_blocks + F.col("blk"),
+            )
+        ),
+    ).drop("blk")
+
+    def kernel(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {"dir": [], "src_id": [], "peer_id": [], "sim": []}
+        ).astype({"dir": "int32", "src_id": "int64", "peer_id": "int64", "sim": "float64"})
+        if lpdf.empty or rpdf.empty:
+            return empty
+        # id-sorted sides make the stable argsort's tie-break = id asc,
+        # matching the SQL ORDER BY sim DESC, peer_id ASC contract
+        lpdf = lpdf.sort_values("_a_id")
+        rpdf = rpdf.sort_values("_b_id")
+        lid = lpdf["_a_id"].to_numpy(dtype=np.int64)
+        rid = rpdf["_b_id"].to_numpy(dtype=np.int64)
+        L = np.stack([np.asarray(v, dtype=np.float64) for v in lpdf["_a_vec"]])
+        R = np.stack([np.asarray(v, dtype=np.float64) for v in rpdf["_b_vec"]])
+        S = np.round(
+            (L / np.linalg.norm(L, axis=1, keepdims=True))
+            @ (R / np.linalg.norm(R, axis=1, keepdims=True)).T,
+            6,
+        )
+        ka = min(k, S.shape[1])
+        kb = min(k, S.shape[0])
+        # A-direction: per row, top-ka columns (stable sort on -S ties by
+        # column position = rid asc)
+        oa = np.argsort(-S, axis=1, kind="stable")[:, :ka]
+        a_dir = pd.DataFrame(
+            {
+                "dir": np.int32(0),
+                "src_id": np.repeat(lid, ka),
+                "peer_id": rid[oa].ravel(),
+                "sim": np.take_along_axis(S, oa, axis=1).ravel(),
+            }
+        )
+        ob = np.argsort(-S, axis=0, kind="stable")[:kb, :]
+        b_dir = pd.DataFrame(
+            {
+                "dir": np.int32(1),
+                "src_id": np.repeat(rid, kb),
+                "peer_id": lid[ob].T.ravel(),
+                "sim": np.take_along_axis(S, ob, axis=0).T.ravel(),
+            }
+        )
+        return pd.concat([a_dir, b_dir], ignore_index=True)
+
+    local = (
+        left.groupBy("cell")
+        .cogroup(right.groupBy("cell"))
+        .applyInPandas(kernel, "dir int, src_id long, peer_id long, sim double")
+    )
+    # global exact k-NN per (dir, node): each node carries <= n_blocks * k
+    # candidate rows into this window, each holding its cell-local top-k —
+    # a superset of the global top-k, so row_number is exact
+    w = W.partitionBy("dir", "src_id").orderBy(F.col("sim").desc(), F.col("peer_id"))
+    knn = memo_checkpoint(
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .withColumn("sim_i", F.round(F.col("sim") * 1e6).cast("long"))
+    )
+    stats_a = (
+        knn.filter(F.col("dir") == 0)
+        .groupBy(F.col("src_id").alias("id_a"))
+        .agg(F.sum("sim_i").alias("ssum_a"), F.count(F.lit(1)).alias("cnt_a"))
+    )
+    stats_b = (
+        knn.filter(F.col("dir") == 1)
+        .groupBy(F.col("src_id").alias("id_b"))
+        .agg(F.sum("sim_i").alias("ssum_b"), F.count(F.lit(1)).alias("cnt_b"))
+    )
+    cand = (
+        knn.select(
+            F.when(F.col("dir") == 0, F.col("src_id")).otherwise(F.col("peer_id")).alias("id_a"),
+            F.when(F.col("dir") == 0, F.col("peer_id")).otherwise(F.col("src_id")).alias("id_b"),
+            "sim",
+            "sim_i",
+        ).distinct()
+    )
+    denom = (
+        F.col("ssum_a").cast("double") / F.col("cnt_a")
+        + F.col("ssum_b").cast("double") / F.col("cnt_b")
+    )
+    margin = F.round(F.lit(2.0) * F.col("sim_i").cast("double") / denom, 6)
+    return (
+        cand.join(stats_a, "id_a")
+        .join(stats_b, "id_b")
+        .withColumn("denom", denom)
+        .withColumn("margin", margin.cast("double"))
+        # margin is defined for positive neighborhood density only — a
+        # non-positive top-k average means the sides are anti-correlated
+        # noise and no alignment claim is meaningful (documented contract)
+        .filter((F.col("denom") > 0) & (F.col("margin") >= threshold))
+        .select("id_a", "id_b", "sim", "margin")
+        .orderBy(F.col("margin").desc(), "id_a", "id_b")
+    )

@@ -6014,3 +6014,62 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
     return dedup.shared_spans(docs, pairs, k=8).orderBy("id_a", "id_b")
+
+
+@register(
+    "emb_margin_mine",
+    # r10: margin-based mining enters the exact-oracle program on the
+    # micro-unit-integer idiom — cosines round to 6 dp, neighborhood
+    # averages sum round(sim*1e6) longs (order-free), and the final
+    # margin is one fixed-shape double expression over exact inputs, so
+    # the DuckDB replay (full cross join at sf0.01; the Spark side never
+    # materializes that matrix) hash-matches bit-for-bit.
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 CAST(ROUND(list_cosine_similarity(a.v, b.v), 6) AS DOUBLE) AS sim
+          FROM (SELECT * FROM e WHERE vec_id % 2 = 0) a,
+               (SELECT * FROM e WHERE vec_id % 2 = 1) b),
+    si AS (SELECT id_a, id_b, sim,
+                  CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_i FROM s),
+    ra AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+               ORDER BY sim DESC, id_b) AS rk FROM si),
+    rb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_b
+               ORDER BY sim DESC, id_a) AS rk FROM si),
+    sa AS (SELECT id_a, SUM(sim_i) AS ssum_a, COUNT(*) AS cnt_a
+           FROM ra WHERE rk <= 4 GROUP BY id_a),
+    sb AS (SELECT id_b, SUM(sim_i) AS ssum_b, COUNT(*) AS cnt_b
+           FROM rb WHERE rk <= 4 GROUP BY id_b),
+    cand AS (SELECT id_a, id_b, sim, sim_i FROM ra WHERE rk <= 4
+             UNION SELECT id_a, id_b, sim, sim_i FROM rb WHERE rk <= 4),
+    m AS (SELECT c.id_a, c.id_b, c.sim,
+                 CAST(sa.ssum_a AS DOUBLE) / sa.cnt_a
+                   + CAST(sb.ssum_b AS DOUBLE) / sb.cnt_b AS denom,
+                 CAST(c.sim_i AS DOUBLE) AS simd
+          FROM cand c JOIN sa USING (id_a) JOIN sb USING (id_b))
+    SELECT id_a, id_b, sim,
+           CAST(ROUND(2.0 * simd / denom, 6) AS DOUBLE) AS margin
+    FROM m WHERE denom > 0 AND ROUND(2.0 * simd / denom, 6) >= 1.1
+    ORDER BY margin DESC, id_a, id_b
+    """,
+    tags=("similarity", "curation"),
+    defer_oracle=True,
+)
+def emb_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based alignment mining (CCMatrix / Artetxe & Schwenk ratio
+    margin) between the even- and odd-id embedding halves standing in for
+    two languages: pairs whose cosine beats their local k-NN neighborhood
+    density by >= 1.1x (k=4, both-direction candidate union). The
+    bitext-mining shape — and equally cross-source record alignment.
+    Scale: bipartite block-grid kernel emits cell-local top-k only
+    (operators/similarity.py:margin_mine_pairs); nothing downstream
+    exceeds nodes x k rows. Threshold 1.1 calibrated to the synthetic
+    fixture (128 pairs at sf0.01; planted aligned pairs score 1.31-1.46,
+    random background tops out near 1.30)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.margin_mine_pairs(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.1,
+    )

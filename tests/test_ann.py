@@ -818,3 +818,108 @@ def test_integer_kmeans_zero_iters_matches_one(spark, emb):
     a = sorted(tuple(r) for r in integer_kmeans(emb, k=4, n_iter=0).collect())
     b = sorted(tuple(r) for r in integer_kmeans(emb, k=4, n_iter=1).collect())
     assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# margin-based mining (r10)
+
+
+def _margin_brute(rows_a, rows_b, k, threshold):
+    """Driver-side replay of margin_mine_pairs on tiny inputs."""
+    import numpy as np
+
+    ids_a = [r[0] for r in rows_a]
+    ids_b = [r[0] for r in rows_b]
+    A = np.array([r[1] for r in rows_a], dtype=np.float64)
+    B = np.array([r[1] for r in rows_b], dtype=np.float64)
+    S = np.round(
+        (A / np.linalg.norm(A, axis=1, keepdims=True))
+        @ (B / np.linalg.norm(B, axis=1, keepdims=True)).T,
+        6,
+    )
+    Si = np.round(S * 1e6).astype(np.int64)
+    topa = {}
+    for i, ia in enumerate(ids_a):
+        order = sorted(range(len(ids_b)), key=lambda j: (-S[i, j], ids_b[j]))[:k]
+        topa[ia] = order
+    topb = {}
+    for j, jb in enumerate(ids_b):
+        order = sorted(range(len(ids_a)), key=lambda i: (-S[i, j], ids_a[i]))[:k]
+        topb[jb] = order
+    sum_a = {ia: sum(int(Si[ids_a.index(ia), j]) for j in js) for ia, js in topa.items()}
+    sum_b = {jb: sum(int(Si[i, ids_b.index(jb)]) for i in is_) for jb, is_ in topb.items()}
+    cand = {(ia, ids_b[j]) for ia, js in topa.items() for j in js}
+    cand |= {(ids_a[i], jb) for jb, is_ in topb.items() for i in is_}
+    out = []
+    for ia, jb in cand:
+        i, j = ids_a.index(ia), ids_b.index(jb)
+        denom = sum_a[ia] / len(topa[ia]) + sum_b[jb] / len(topb[jb])
+        if denom <= 0:
+            continue
+        margin = round(2.0 * float(Si[i, j]) / denom, 6)
+        if margin >= threshold:
+            out.append((ia, jb, float(S[i, j]), margin))
+    return sorted(out, key=lambda t: (-t[3], t[0], t[1]))
+
+
+def _mk_emb(spark, rows):
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], schema
+    )
+
+
+def test_margin_mine_matches_brute_replay(spark, emb):
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 60).collect()
+    ]
+    rows_a = [r for r in rows if r[0] % 2 == 0]
+    rows_b = [r for r in rows if r[0] % 2 == 1]
+    got = [
+        (r["id_a"], r["id_b"], r["sim"], r["margin"])
+        for r in similarity.margin_mine_pairs(
+            _mk_emb(spark, rows_a), _mk_emb(spark, rows_b), k=4, threshold=1.0
+        ).collect()
+    ]
+    want = _margin_brute(
+        [(i, v) for i, v in rows_a], [(i, v) for i, v in rows_b], 4, 1.0
+    )
+    assert got == want
+
+
+def test_margin_mine_side_smaller_than_k(spark):
+    # B side has 2 vectors < k=4: averages must use the ACTUAL neighbor
+    # count, not k — a padded denominator would inflate every margin
+    rows_a = [(0, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]), (4, [0.0, 1.0, 0.0])]
+    rows_b = [(1, [1.0, 0.05, 0.0]), (3, [0.0, 0.9, 0.1])]
+    got = [
+        (r["id_a"], r["id_b"], r["sim"], r["margin"])
+        for r in similarity.margin_mine_pairs(
+            _mk_emb(spark, rows_a), _mk_emb(spark, rows_b), k=4, threshold=0.0
+        ).collect()
+    ]
+    want = _margin_brute(rows_a, rows_b, 4, 0.0)
+    assert got == want
+    # every candidate pair appears exactly once despite the union of
+    # both directions retrieving each of these pairs twice
+    assert len({(a, b) for a, b, _, _ in got}) == len(got)
+
+
+def test_margin_mine_nonpositive_neighborhood_filtered(spark):
+    # anti-correlated sides: all cross cosines negative -> denominators
+    # non-positive -> the margin contract yields no pairs (never a
+    # negative-over-negative "high margin")
+    rows_a = [(0, [1.0, 0.0]), (2, [0.8, 0.2])]
+    rows_b = [(1, [-1.0, -0.05]), (3, [-0.9, -0.2])]
+    got = similarity.margin_mine_pairs(
+        _mk_emb(spark, rows_a), _mk_emb(spark, rows_b), k=2, threshold=-10.0
+    ).collect()
+    assert got == []
