@@ -915,3 +915,88 @@ def shared_spans(
             (F.col("_m") + F.lit(k - 1)).cast("int").alias("span_tokens"),
         )
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact CORPUS-WIDE all-pairs Jaccard >= threshold via prefix
+    filtering (PPJoin, Xiao et al., WWW 2008) — the provably-no-miss
+    scale lever for set-similarity joins.
+
+    Where ngram_jaccard_pairs explodes EVERY shingle into its inverted
+    index (optionally df-capped, which can underestimate), this builds the
+    index over each document's PREFIX only: order all shingles by
+    ascending global document frequency (rarest first, ties by value —
+    one total order for the whole corpus), keep the first
+    |s| - ceil(t*|s|) + 1 per document. The prefix-filtering principle
+    guarantees completeness: J(a,b) >= t implies |a∩b| >= ceil(t*max(|a|,
+    |b|)) =: alpha, and two sets whose (|x| - alpha + 1)-prefixes under a
+    common total order are disjoint can share at most alpha - 1 elements
+    — so every qualifying pair collides on at least one prefix token.
+    Per-document prefixes use ceil(t*|x|) <= alpha, i.e. they are
+    supersets of the theorem's prefixes: still complete.
+
+    Candidates additionally pass the length filter min(sz) >=
+    ceil(t * max(sz)) (J >= t bounds the size ratio), then verify with
+    ONE exact set intersection per candidate pair. Work: the index holds
+    only the corpus-rarest tokens per doc — postings stay short where the
+    full inverted index degenerates on stop-shingles — and verification
+    ships shingle arrays for surviving candidates only. Jaccard over
+    hashed shingles equals string Jaccard modulo 64-bit collisions (the
+    ngram_jaccard_pairs caveat).
+    """
+    docs = with_hashed_shingles(df.select(id_col, text_col), text_col, n).drop(
+        text_col
+    )
+    sized = docs.select(id_col, "sh", F.size("sh").alias("sz"))
+    ex = sized.select(id_col, "sz", F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("dfq"))
+    # canonical global order = (document frequency asc, shingle value asc);
+    # the struct sort realizes it per document
+    ranked = (
+        ex.join(dfreq, "s")
+        .groupBy(id_col, "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("dfq", "s"))).alias("ordered"))
+    )
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)).cast(
+        "int"
+    )
+    idx = ranked.select(
+        id_col,
+        "sz",
+        F.explode(
+            F.slice(F.col("ordered").getField("s"), F.lit(1), plen)
+        ).alias("s"),
+    )
+    cand = (
+        idx.alias("a")
+        .join(
+            idx.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.ceil(
+                    F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+                )
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    pa = sized.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    pb = sized.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6).cast("double")
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1257,3 +1257,151 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("t") - F.col("t_c")).cast("bigint"),
         ).alias("dist_us"),
     ).orderBy("event_id")
+
+
+@register(
+    "q_stats_moments",
+    # exact-moments statistics: the one-pass float corr/covar/regr_*
+    # built-ins can never hash-match across engines (merge order of
+    # Welford partials is scheduling-dependent), so the engine-portable
+    # formulation sums EXACT INTEGER moments (quantity units, price
+    # cents; per-row products bounded, sums in DECIMAL(38,0)) and derives
+    # corr / regr_slope / stddev_samp as one fixed-shape double
+    # expression over those exact inputs — bit-identical on any engine.
+    oracle="""
+    WITH u AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(q AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(c AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(q * c AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(q * q AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(c * c AS DECIMAL(38,0))) AS syy
+      FROM u GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST(ROUND(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS DOUBLE) AS qty_price_corr,
+           CAST(ROUND(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0, 4)
+             AS DOUBLE) AS price_per_qty,
+           CAST(ROUND(
+             sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 100.0, 2)
+             AS DOUBLE) AS price_stddev
+    FROM m ORDER BY l_returnflag
+    """,
+    tags=("A7", "statistics"),
+    defer_oracle=True,
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / regression-slope / sample-stddev per return flag via
+    exact integer moment sums — Pearson corr(quantity, price),
+    regr_slope(price, quantity) in dollars-per-unit, stddev_samp(price).
+    The decimal-moments idiom extended to second-order statistics: the
+    partial aggregation is map-side-combinable exact integer math (the
+    same shuffle shape the float built-ins use), only the final k-row
+    projection touches floats. price_per_qty ~ the part-price mix;
+    corr is high (~0.9) because extendedprice = quantity x unit price."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    dec = "decimal(38,0)"
+    m = u.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("q").cast(dec)).alias("sx"),
+        F.sum(F.col("c").cast(dec)).alias("sy"),
+        F.sum((F.col("q") * F.col("c")).cast(dec)).alias("sxy"),
+        F.sum((F.col("q") * F.col("q")).cast(dec)).alias("sxx"),
+        F.sum((F.col("c") * F.col("c")).cast(dec)).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    cov_n = nd * sxy - sx * sy
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 6)
+        .cast("double")
+        .alias("qty_price_corr"),
+        F.round(cov_n / var_x / 100.0, 4).cast("double").alias("price_per_qty"),
+        F.round(F.sqrt(var_y / (nd * (nd - 1))) / 100.0, 2)
+        .cast("double")
+        .alias("price_stddev"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q_histogram",
+    # width_bucket replay: Spark computes 0 below lo, n+1 at/above hi,
+    # else floor((x-lo)/width)+1. Bounds chosen so width = 110000/22 =
+    # 5000 is EXACT in binary — the width-first and scale-first float
+    # formulations provably coincide and the DuckDB CASE/FLOOR replay is
+    # bit-identical (DuckDB has no width_bucket).
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN l_extendedprice < 0.0 THEN 0
+                  WHEN l_extendedprice >= 110000.0 THEN 23
+                  ELSE CAST(FLOOR(l_extendedprice / 5000.0) AS INTEGER) + 1
+             END AS bucket,
+             l_extendedprice
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST((bucket - 1) * 5000.0 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_price
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("A7", "statistics"),
+    defer_oracle=True,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of extended price via the width_bucket SQL
+    function (22 buckets over [0, 110000)): per-bucket row count and
+    exact-decimal price mass — the profiling/distribution-audit shape.
+    One map-side-combinable groupBy on a computed int key; no sort until
+    the 24-row output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.width_bucket(
+        F.col("l_extendedprice"), F.lit(0.0), F.lit(110000.0), F.lit(22)
+    )
+    return (
+        li.groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(money("l_extendedprice")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "bucket",
+            ((F.col("bucket") - 1) * 5000.0).cast("double").alias("bucket_lo"),
+            "n",
+            "sum_price",
+        )
+        .orderBy("bucket")
+    )

@@ -6073,3 +6073,42 @@ def emb_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=4,
         threshold=1.1,
     )
+
+
+@register(
+    "dedup_ppjoin_pairs",
+    # corpus-WIDE exact Jaccard pairs (no lang/source blocking — contrast
+    # dedup_ngram_jaccard): the algorithm is provably complete, so the
+    # oracle is the brute-force all-pairs definition on string shingles;
+    # Jaccard is a ratio of integers, identical under 6-dp rounding on
+    # any engine.
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(0, len(w) - 2),
+                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents)
+        WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(ROUND(len(list_intersect(a.sh, b.sh))
+                      / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS DOUBLE)
+               AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE ROUND(len(list_intersect(a.sh, b.sh))
+                / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup",),
+    defer_oracle=True,
+)
+def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact 3-gram Jaccard >= 0.5 near-dup pairs via PPJoin
+    prefix filtering (operators/dedup.py:ppjoin_pairs): the inverted
+    index holds only each document's globally-rarest prefix shingles, so
+    candidate generation is complete by the prefix-filtering principle
+    while postings never degenerate on stop-shingles — the exactness-
+    preserving alternative to a df-cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ppjoin_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")

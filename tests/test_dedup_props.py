@@ -382,3 +382,61 @@ def test_shared_spans_disjoint_pair_emits_nothing(spark):
     )
     pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
     assert shared_spans(docs, pairs, k=8).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PPJoin prefix filtering (r10)
+
+
+def test_ppjoin_matches_bruteforce_on_fixture(spark, docs):
+    """Prefix filtering is COMPLETE: the PPJoin pair set must equal the
+    brute-force all-pairs Jaccard on the same hashed shingle sets —
+    corpus-wide, no blocking."""
+    got = sorted(map(tuple, dedup.ppjoin_pairs(docs, threshold=0.5).collect()))
+    sh = dedup.with_hashed_shingles(docs.select("doc_id", "text"), "text", 3)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.round(
+        dedup.jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6
+    ).cast("double")
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    want = sorted(map(tuple, brute.collect()))
+    assert got == want and got  # non-vacuous: the fixture plants near-dups
+
+
+def test_ppjoin_finds_cross_block_pairs(spark):
+    """Near-identical docs in DIFFERENT (lang, source) blocks: invisible
+    to the blocked ngram_jaccard_pairs, found by corpus-wide PPJoin."""
+    from pyspark.sql import Row
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        Row(doc_id=1, text=base, lang="en", source="s1"),
+        Row(doc_id=2, text=base + " lambda", lang="de", source="s2"),
+        Row(doc_id=3, text="one two three four five six seven", lang="en", source="s1"),
+    ]
+    df = spark.createDataFrame(rows)
+    pp = {(r["id_a"], r["id_b"]) for r in dedup.ppjoin_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in pp and not any(3 in p for p in pp)
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(df, ["lang", "source"], threshold=0.5).collect()
+    }
+    assert (1, 2) not in blocked
+
+
+def test_ppjoin_prefix_index_smaller_than_full(spark, docs):
+    """The candidate-generation index must hold strictly fewer postings
+    than the full inverted index — the whole point of prefix filtering.
+    Recomputes both sizes from the operator's own building blocks."""
+    sh = dedup.with_hashed_shingles(docs.select("doc_id", "text"), "text", 3)
+    sizes = sh.select(F.size("sh").alias("sz"))
+    full = sizes.agg(F.sum("sz")).collect()[0][0]
+    prefix = sizes.select(
+        (F.col("sz") - F.ceil(F.lit(0.5) * F.col("sz")) + F.lit(1)).alias("p")
+    ).agg(F.sum("p")).collect()[0][0]
+    assert prefix < full * 0.6  # t=0.5 keeps ~half of each doc's postings

@@ -346,3 +346,37 @@ def test_pipeline_curate_v5_stage_monotone(spark):
     # the LM gate itself bit: survivors of stage 1 exceed the gated pool
     n2 = sum(r["quota"] for r in {r["lang"]: r for r in out}.values())
     assert n2 == 120  # quotas apportion the full budget
+
+
+def test_width_bucket_replay_covers_out_of_range(spark):
+    """q_histogram's DuckDB replay formula must match Spark's
+    width_bucket on the boundary cases the lineitem fixture never hits:
+    below-lo (bucket 0), exactly-hi and above-hi (bucket n+1), and exact
+    interior edges."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    vals = [-1.0, 0.0, 4999.9999, 5000.0, 54999.99, 109999.99, 110000.0, 123456.78]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["x"]: r["b"]
+        for r in df.select(
+            "x",
+            F.width_bucket(F.col("x"), F.lit(0.0), F.lit(110000.0), F.lit(22))
+            .cast("long")
+            .alias("b"),
+        ).collect()
+    }
+    rep = dict(
+        duckdb.sql(
+            """
+        SELECT x, CASE WHEN x < 0.0 THEN 0
+                       WHEN x >= 110000.0 THEN 23
+                       ELSE CAST(FLOOR(x / 5000.0) AS BIGINT) + 1 END
+        FROM (SELECT CAST(unnest($vals) AS DOUBLE) AS x)
+        """.replace("$vals", str(vals))
+        ).fetchall()
+    )
+    assert got == rep
+    assert got[-1.0] == 0 and got[110000.0] == 23 and got[123456.78] == 23
