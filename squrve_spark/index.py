@@ -154,20 +154,9 @@ def embed_texts_int(
     these vectors is deterministic too: dots and squared norms are exact
     integers (< 2^53), so sqrt/divide/round are single IEEE ops any
     engine computes identically."""
-    import pandas as pd
-
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
 
-    bc = df.sparkSession.sparkContext.broadcast(md5_plane_matrix(dim, seed=seed))
-
-    @pandas_udf("array<bigint>")
-    def enc(texts):  # pd.Series -> pd.Series
-        if len(texts) == 0:
-            return pd.Series(dtype="object")
-        m = _encode_md5_grid(list(texts), bc.value)
-        return pd.Series([row.tolist() for row in m])
-
+    enc = _encoder_udf(df.sparkSession, "int", dim, seed)
     return df.withColumn(out_col, enc(F.col(text_col)))
 
 
@@ -184,22 +173,52 @@ def embed_texts(
     is the map-only embed stage of a document-index build — the seam where
     a real model (via pandas-UDF model serving) drops in; at 100 TB the
     encode is embarrassingly parallel and shuffle-free."""
+    from pyspark.sql import functions as F
+
+    enc = _encoder_udf(df.sparkSession, "float", dim, seed)
+    return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def _encoder_udf(spark, kind: str, dim: int, seed: int):
+    """Session-memoized encoder pandas UDF for embed_texts / embed_texts_int.
+
+    One UDF object (and one broadcast projection matrix) per (kind, dim,
+    seed) per session — NOT one per call. A fresh pandas_udf closure per
+    call gives every rebuilt plan a distinct PythonUDF identity, so
+    downstream `memo_checkpoint`s keyed on the canonicalized plan can
+    never hit across operator re-invocations (measured: the embed stage
+    of pipeline_curate_v7 re-ran its full Arrow encode on every repeat
+    call, ~3 s/run at sf0.1, with the checkpoint cache silently growing
+    one dead entry per run). Reusing the identical UDF object makes
+    rebuilt plans canonically equal, which is what the checkpoint memo
+    needs. Broadcast lifetime ties to the session, matching the other
+    session-dict caches."""
     import pandas as pd
 
-    from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
-    bc = df.sparkSession.sparkContext.broadcast(_ngram_projection_matrix(dim, seed))
+    cache = spark.__dict__.setdefault("_squrve_encoder_udfs", {})
+    key = (kind, dim, seed)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    if kind == "int":
+        bc = spark.sparkContext.broadcast(md5_plane_matrix(dim, seed=seed))
+        kernel, rtype = _encode_md5_grid, "array<bigint>"
+    else:
+        bc = spark.sparkContext.broadcast(_ngram_projection_matrix(dim, seed))
+        kernel, rtype = _encode_ngram_projection, "array<double>"
 
-    @pandas_udf("array<double>")
+    @pandas_udf(rtype)
     def enc(texts):  # pd.Series -> pd.Series (hints omitted: pd is
         # function-local here, so string annotations would not resolve)
         if len(texts) == 0:  # empty Arrow batch
             return pd.Series(dtype="object")
-        m = _encode_ngram_projection(list(texts), bc.value)
+        m = kernel(list(texts), bc.value)
         return pd.Series([row.tolist() for row in m])
 
-    return df.withColumn(out_col, enc(F.col(text_col)))
+    cache[key] = enc
+    return enc
 
 
 def ngram_projection_encoder(dim: int = 64, seed: int = 7):
