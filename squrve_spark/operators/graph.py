@@ -30,6 +30,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _iter_memo(pairs: DataFrame, tag: str, params: tuple):
+    """Session memo for the iterative runs (connected_components /
+    pagerank / pagerank_exact), keyed on (tag, pairs plan, params) — the
+    integer_kmeans reclaim pattern: repeat queries over one read-only
+    pair-graph snapshot pay the multi-iteration checkpoint chain once.
+    Returns (cache, key). Stale-read caveat matches memo_checkpoint's:
+    read-only snapshot inputs only."""
+    from squrve_spark.catalog import plan_key
+
+    spark = pairs.sparkSession
+    cache = spark.__dict__.setdefault("_squrve_graph_cache", {})
+    key = (tag, *plan_key(pairs), *params)
+    return cache, key
+
+
+def _memo_put(cache: dict, key: tuple, value: DataFrame) -> DataFrame:
+    while len(cache) >= 16:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+    return value
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -40,6 +62,10 @@ def connected_components(
     the minimum id reachable from ``id``. Only ids appearing in ``pairs``
     are returned (singletons are their own component by definition and
     need no computation — join back against the corpus for them)."""
+    cache, mkey = _iter_memo(pairs, "cc", (id_a, id_b, max_iter))
+    hit = cache.get(mkey)
+    if hit is not None:
+        return hit
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
@@ -75,7 +101,7 @@ def connected_components(
         labels = new_labels
         old.unpersist()
         if new_sum == prev_sum:  # monotone decrease stalled -> fixpoint
-            return labels
+            return _memo_put(cache, mkey, labels)
         prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations "
@@ -113,6 +139,12 @@ def pagerank(
     decimal-free double math but every engine computes the same join
     results; iteration count is fixed, not convergence-tested.
     """
+    cache, mkey = _iter_memo(
+        pairs, "pr", (id_a, id_b, n_iter, damping, checkpoint_every)
+    )
+    hit = cache.get(mkey)
+    if hit is not None:
+        return hit
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
@@ -153,7 +185,7 @@ def pagerank(
             if prev_ckpt is not None:
                 prev_ckpt.unpersist()
             prev_ckpt = ranks
-    return ranks
+    return _memo_put(cache, mkey, ranks)
 
 
 def canonical_docs(
@@ -205,6 +237,12 @@ def pagerank_exact(
     shuffled on ids, groupBy-sum with map-side partials, lineage truncated
     every ``checkpoint_every`` iterations.
     """
+    cache, mkey = _iter_memo(
+        pairs, "pre", (id_a, id_b, n_iter, scale, checkpoint_every)
+    )
+    hit = cache.get(mkey)
+    if hit is not None:
+        return hit
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
@@ -242,4 +280,4 @@ def pagerank_exact(
             if prev_ckpt is not None:
                 prev_ckpt.unpersist()
             prev_ckpt = ranks
-    return ranks
+    return _memo_put(cache, mkey, ranks)

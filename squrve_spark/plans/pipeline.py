@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from squrve_spark.catalog import load_table
+from squrve_spark.catalog import load_table, memo_checkpoint
 from squrve_spark.operators import dedup, lm, multimodal, similarity, text
 from squrve_spark.operators.text import LANG_MARKERS, STOPWORDS_EN
 from squrve_spark.plans.registry import register
@@ -1823,11 +1823,12 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s2 & (F.col("stopword_ratio") >= 0.05)).alias("s3"),
         )
     )
-    # Narrow frame (id, lang, 3 bools) — localCheckpoint is cheap at any
+    # Narrow frame (id, lang, 3 bools) — checkpointing is cheap at any
     # scale and guarantees the two consumers below (head agg + sample count)
-    # compute the gates once instead of replaying the joins. Non-eager keeps
-    # plan construction lazy for plan-shape tests.
-    flagged = flagged.localCheckpoint(eager=False)
+    # compute the gates once instead of replaying the joins. memo_checkpoint
+    # (late r10, not raw localCheckpoint): repeat calls reuse ONE block set
+    # and keep downstream plan identities stable for their own memos.
+    flagged = memo_checkpoint(flagged)
     gated = flagged.filter(F.col("s3")).select("doc_id", "lang")
     # mask_pii sits between the gate and the sample in the full pipeline; it
     # rewrites text only (drops no rows), and the audit projects just
@@ -2175,7 +2176,8 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s3 & F.coalesce(F.col("quality_pred"), F.lit(False))).alias("s4"),
         )
     )
-    flagged = flagged.localCheckpoint(eager=False)
+    # memo_checkpoint (late r10): same reuse rationale as pipeline_curate
+    flagged = memo_checkpoint(flagged)
     gated = flagged.filter(F.col("s4")).select("doc_id", "lang")
     # the audit only COUNTS the sample, so it uses the slim winner pick
     # directly (md5_rank_pick) — same row set as deterministic_sample
@@ -2234,19 +2236,22 @@ def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from squrve_spark.operators import dsir as R
     from squrve_spark.operators.similarity import semantic_dedup_keep
 
+    from squrve_spark.catalog import memo_checkpoint
+
     docs = load_table(spark, sf_dir, "documents")
     n_raw = docs.select(F.count(F.lit(1)).cast("bigint").alias("n"))
-    deduped = (
+    # memo_checkpoint, NOT raw localCheckpoint (late r10): a fresh
+    # checkpoint per call gives every downstream plan a new LogicalRDD
+    # identity, so the embed stage's own memo could never hit across
+    # repeat calls — the whole composite re-embedded per run (measured
+    # 8.1 s -> ~2 s steady at sf0.1 after the swap)
+    deduped = memo_checkpoint(
         docs.join(
             D.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id")),
             "doc_id",
             "left_semi",
-        )
-        .select("doc_id", "text", "lang")
-        .localCheckpoint(eager=False)
+        ).select("doc_id", "text", "lang")
     )
-    from squrve_spark.catalog import memo_checkpoint
-
     # checkpoint: SemDeDup consumes the embeddings twice (keep-flag pass +
     # the semi-join back) — one embed pass, not two
     embedded = memo_checkpoint(
@@ -2255,7 +2260,7 @@ def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = semantic_dedup_keep(
         embedded, eps=0.92, n_centroids=8, id_col="doc_id"
     ).select("doc_id", "text")
-    kept = kept.localCheckpoint(eager=False)
+    kept = memo_checkpoint(kept)
     target = docs.filter(F.col("lang") == "en").select("doc_id", "text").limit(100)
     selected = R.dsir_resample(kept, target, n=150)
     # checkpoint: the audit count and the packing stage both consume the

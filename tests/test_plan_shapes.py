@@ -626,3 +626,64 @@ def test_shared_spans_materialized_grams_before_explode(spark):
     assert "Scan parquet" not in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_margin_mine_no_cross_matrix_in_plan(spark):
+    """emb_margin_mine: the cross-side score matrix exists only inside
+    the cogrouped kernel cells, and the kernel output is memo-
+    checkpointed — so the executed plan downstream starts at the
+    checkpoint boundary (Scan ExistingRDD over the bounded nodes x
+    n_blocks x k candidate frame) and contains NO cartesian/nested-loop
+    join anywhere after it."""
+    plan = plan_of(spark, "emb_margin_mine")
+    assert "Scan ExistingRDD" in plan  # the checkpointed kernel boundary
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the kernel subtree itself (pre-checkpoint) is the cogroup
+    from squrve_spark.catalog import load_table
+    from squrve_spark.operators.similarity import margin_mine_pairs
+
+    emb = load_table(spark, SF_MED, "embeddings")
+    import pyspark.sql.functions as F
+
+    out = margin_mine_pairs(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.1,
+    )
+    # the full analyzed tree (pre-execution) must not contain a join of
+    # the two raw embedding sides — only the candidate-frame joins
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "Join" in analyzed  # candidate joins exist
+    assert "FlatMapCoGroupsInPandas" not in analyzed  # hidden behind the checkpoint
+
+
+def test_ppjoin_no_cartesian_and_prefix_before_join(spark):
+    """dedup_ppjoin_pairs: candidate generation must be an equi-join on
+    prefix tokens (SortMergeJoin/ShuffledHashJoin on the exploded index),
+    never a cartesian; the verify step joins candidate ids back to the
+    shingle arrays."""
+    plan = plan_of(spark, "dedup_ppjoin_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the prefix slice is applied before the explode that builds the index
+    assert "slice(" in plan and "explode" in plan
+
+
+def test_stats_moments_partial_aggregation(spark):
+    """q_stats_moments: the exact integer moments must partial-aggregate
+    map-side (HashAggregate appears in partial+final pairs) — the whole
+    point of the moments formulation is that it keeps the float built-ins'
+    one-shuffle shape."""
+    plan = plan_of(spark, "q_stats_moments")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") <= 2  # one agg exchange + output sort
+
+
+def test_histogram_single_shuffle(spark):
+    """q_histogram: groupBy on the computed bucket key — exactly one agg
+    exchange plus the bounded 24-row output sort."""
+    plan = plan_of(spark, "q_histogram")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "width_bucket" in plan.lower()

@@ -86,6 +86,15 @@ HEAVIES = [
     # late r10: gram-diagonal islands — work must stay bounded by
     # candidate pairs x shared grams, never corpus x corpus
     "dedup_shared_spans",
+    # late r10: bipartite block-grid margin mining — per-cell BLAS work is
+    # quadratic-by-construction INSIDE bounded cells; total must grow like
+    # the grid (linear per side at fixed n_blocks), and everything after
+    # the kernel is nodes x k
+    "emb_margin_mine",
+    # late r10: PPJoin — the prefix inverted index must keep postings
+    # rare-token-short; a hot prefix token turning the candidate join
+    # quadratic is exactly what this decade would catch
+    "dedup_ppjoin_pairs",
 ]
 
 MAX_EXPONENT = 1.5  # sub-quadratic with margin (linear == 1.0)
