@@ -507,3 +507,103 @@ def mixture_sample(
         F.col("rank_in_stratum").cast("int").alias("rank_in_stratum"),
         F.col("quota").cast("long").alias("quota"),
     )
+
+
+def unimax_mix(
+    docs: DataFrame,
+    budget_tokens: int,
+    epoch_cap: int = 1,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023): allocate a global
+    token budget as UNIFORMLY as possible across languages, capping each
+    language at ``epoch_cap`` epochs of its corpus — the published
+    alternative to temperature sampling that neither starves tail
+    languages nor over-epochs them.
+
+    The sequential budget loop is the classic WATER-FILLING problem, so
+    it relationalizes exactly: with per-language caps c_l = tokens_l *
+    epoch_cap sorted ascending, position i's candidate share is
+    s_i = (B - prefix_caps_{i-1}) div (k - i + 1); every language before
+    the first position with c_i > s_i is fully capped (alloc = cap), and
+    every language from that position on receives the integer water level
+    theta = s_p. Integer divisions throughout: the sub-#languages token
+    remainder is left unallocated rather than redistributed (documented
+    determinism > a <k-token budget top-up). Selection inside each
+    language is the module's md5-rank draw, keeping documents while the
+    running token sum stays within the allocation.
+
+    Returns the training-mix manifest: (doc_id, lang, n_tokens, rk,
+    cum_tokens, alloc_tokens). Scale shape: caps are one k-row aggregate;
+    the water level derives from a window over those k rows (broadcast
+    back); selection is the WindowGroupLimit-friendly md5-rank window
+    plus a running sum — no shuffle carries more than the corpus once.
+    """
+    from squrve_spark.operators.text import tokens_expr
+
+    toks = docs.select(
+        id_col, lang_col, F.size(tokens_expr(text_col)).cast("long").alias("n_tokens")
+    )
+    caps = toks.groupBy(lang_col).agg(
+        (F.sum("n_tokens") * F.lit(int(epoch_cap))).cast("long").alias("cap")
+    )
+    wl = Window.orderBy(F.col("cap").asc(), F.col(lang_col).asc())
+    k = Window.partitionBy()
+    staged = caps.select(
+        lang_col,
+        "cap",
+        F.row_number().over(wl).alias("pos"),
+        F.coalesce(
+            F.sum("cap").over(wl.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cprefix"),
+        F.count(F.lit(1)).over(k).alias("nlang"),
+    ).withColumn(
+        "share",
+        F.expr(f"({int(budget_tokens)} - cprefix) div (nlang - pos + 1)"),
+    )
+    # theta = the share at the FIRST position whose cap exceeds it (shares
+    # beyond that position are computed under a stale all-capped
+    # assumption, so neither MIN nor MAX is correct — it must be the
+    # first by position); if every language fits (budget >= sum of caps),
+    # no such position exists and every alloc is its cap. One window over
+    # the k-row caps frame — no driver action, no empty-join hazard.
+    wall = Window.orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    alloc = staged.withColumn(
+        "theta",
+        F.first(
+            F.when(F.col("cap") > F.col("share"), F.col("share")), ignorenulls=True
+        ).over(wall),
+    ).select(
+        lang_col,
+        "cap",
+        F.least(F.col("cap"), F.coalesce(F.col("theta"), F.col("cap"))).alias(
+            "alloc_tokens"
+        ),
+    )
+    w = _md5_rank_window([lang_col], id_col)
+    sel = (
+        toks.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                _md5_rank_window([lang_col], id_col).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .join(F.broadcast(alloc.select(lang_col, "alloc_tokens")), lang_col)
+        .filter(F.col("cum_tokens") <= F.col("alloc_tokens"))
+    )
+    return sel.select(
+        id_col,
+        lang_col,
+        "n_tokens",
+        F.col("rk").cast("int").alias("rk"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("alloc_tokens").cast("long").alias("alloc_tokens"),
+    )

@@ -465,3 +465,65 @@ def test_mixture_sample_quota_arithmetic_and_determinism(spark):
     prop = mixture_sample(df, budget=100, temperature=1.0).collect()
     qp = {r["lang"]: r["quota"] for r in prop}
     assert qp == {"big": 80, "mid": 15, "tiny": 5}
+
+
+# ---------------------------------------------------------------------------
+# UniMax water-filling (r10)
+
+
+def _unimax_rows(spark, rows, budget, epoch_cap=1):
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    return {
+        (r["lang"], r["doc_id"]): (r["n_tokens"], r["alloc_tokens"])
+        for r in sampling.unimax_mix(df, budget, epoch_cap=epoch_cap).collect()
+    }
+
+
+def test_unimax_both_regimes(spark):
+    """Small language caps out at its full corpus; larger ones sit at the
+    integer water level; total selected never exceeds the budget. Docs
+    are 10 tokens each so selections can fill allocations exactly."""
+    rows = (
+        [(i, "a", "x " * 10) for i in range(1, 3)]      # a: 20 tokens
+        + [(i, "b", "x " * 10) for i in range(10, 20)]  # b: 100
+        + [(i, "c", "x " * 10) for i in range(30, 42)]  # c: 120
+    )
+    # B=120, caps asc [20,100,120]: s1=40>=20 -> a capped at 20;
+    # s2=(120-20)//2=50<100 -> theta=50 for b and c
+    got = _unimax_rows(spark, rows, budget=120)
+    allocs = {lang: alloc for (lang, _), (_, alloc) in got.items()}
+    assert allocs == {"a": 20, "b": 50, "c": 50}
+    per_lang_tok = {}
+    for (lang, _), (n, _) in got.items():
+        per_lang_tok[lang] = per_lang_tok.get(lang, 0) + n
+    # every language fills its allocation exactly (10-token granularity)
+    assert per_lang_tok == {"a": 20, "b": 50, "c": 50}
+    assert sum(per_lang_tok.values()) <= 120
+
+
+def test_unimax_budget_exceeds_caps(spark):
+    """Budget above the total corpus: every language allocates its full
+    cap (theta never fires) and every document is selected."""
+    rows = [(1, "a", "x " * 5), (2, "b", "x " * 7)]
+    got = _unimax_rows(spark, rows, budget=1000)
+    assert {(l, d): v[1] for (l, d), v in got.items()} == {
+        ("a", 1): 5, ("b", 2): 7,
+    }
+
+
+def test_unimax_epoch_cap_scales_capacity(spark):
+    """epoch_cap multiplies per-language capacity: with cap 2 the small
+    language's allocation doubles and the water language absorbs less."""
+    rows = [(1, "a", "x " * 10)] + [(i, "b", "x " * 10) for i in range(10, 20)]
+    one = _unimax_rows(spark, rows, budget=60, epoch_cap=1)
+    two = _unimax_rows(spark, rows, budget=60, epoch_cap=2)
+    # epoch_cap=1: caps [10,100], s1=30>=10 -> a capped 10, b gets 50;
+    # epoch_cap=2: caps [20,200], s1=30>=20 -> a capped 20, b gets 40.
+    # a has only 10 distinct tokens, so its SELECTION stays one doc either
+    # way while the recorded allocation doubles.
+    alloc_b_one = {v[1] for (l, _), v in one.items() if l == "b"}
+    alloc_b_two = {v[1] for (l, _), v in two.items() if l == "b"}
+    assert one[("a", 1)][1] == 10 and alloc_b_one == {50}
+    assert two[("a", 1)][1] == 20 and alloc_b_two == {40}
+    assert sum(v[0] for (l, _), v in one.items() if l == "b") == 50
+    assert sum(v[0] for (l, _), v in two.items() if l == "b") == 40
