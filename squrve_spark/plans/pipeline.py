@@ -6117,3 +6117,78 @@ def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserving alternative to a df-cap."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ppjoin_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@register(
+    "doc_unimax_mix",
+    # the UniMax water-filling loop relationalized: caps sorted ascending,
+    # candidate share s_i = (B - prefix) div (remaining), theta = the
+    # share at the FIRST over-cap position, alloc = least(cap, theta) —
+    # all integer divisions, so the allocation AND the md5-rank running-
+    # sum selection replay exactly on any engine. B = 18000 at sf0.01
+    # exercises BOTH regimes (the smallest language caps out, the other
+    # four sit at the water level).
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    caps AS (SELECT lang, SUM(n_tokens) AS cap FROM toks GROUP BY lang),
+    staged AS (
+        SELECT lang, cap,
+               ROW_NUMBER() OVER (ORDER BY cap, lang) AS pos,
+               COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cprefix,
+               COUNT(*) OVER () AS nlang
+        FROM caps
+    ),
+    shared AS (
+        SELECT lang, cap,
+               (18000 - cprefix) // (nlang - pos + 1) AS share, pos
+        FROM staged
+    ),
+    alloc AS (
+        SELECT lang, cap,
+               LEAST(cap, COALESCE(
+                   FIRST_VALUE(CASE WHEN cap > share THEN share END IGNORE NULLS)
+                       OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING),
+                   cap)) AS alloc_tokens
+        FROM shared
+    ),
+    sel AS (
+        SELECT t.doc_id, t.lang, t.n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY t.lang
+                   ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id) AS rk,
+               SUM(t.n_tokens) OVER (PARTITION BY t.lang
+                   ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens,
+               a.alloc_tokens
+        FROM toks t JOIN alloc a USING (lang)
+    )
+    SELECT doc_id, lang, n_tokens, CAST(rk AS INTEGER) AS rk,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(alloc_tokens AS BIGINT) AS alloc_tokens
+    FROM sel WHERE cum_tokens <= alloc_tokens
+    ORDER BY lang, rk
+    """,
+    tags=("sampling", "curation"),
+    defer_oracle=True,
+)
+def doc_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language mixture (operators/sampling.py:unimax_mix): an
+    18000-token budget water-filled across languages at a 1-epoch cap —
+    the published uniform-with-epoch-cap alternative to temperature
+    sampling. Output is the per-document training-mix manifest with each
+    language's allocation; selection is the module's deterministic
+    md5-rank draw under a running token sum."""
+    from squrve_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.unimax_mix(docs, budget_tokens=18000, epoch_cap=1).orderBy(
+        "lang", "rk"
+    )

@@ -509,3 +509,62 @@ def stream_lm_ppl_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "p50", "p90", "p99")
         .orderBy("source")
     )
+
+
+@register(
+    "stream_neardup",
+    # the batch SimHash pair set IS the oracle: the streaming banding's
+    # emitted pair set is batching-invariant (each unordered pair fires
+    # once per shared bucket when its later member arrives; distinct
+    # collapses multi-bucket hits), and the pigeonhole recall contract
+    # guarantees no hamming<=3 pair is missed — so an online run over the
+    # corpus must reproduce exactly the all-pairs computation
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   regexp_split_to_array(trim(text), '\s+'))) AS t
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS hv
+        FROM tok
+    ), votes AS (
+        SELECT doc_id, b.b,
+               sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM h, (SELECT unnest(range(64)) AS b) b
+        GROUP BY 1, 2
+    ), sig AS (
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 AND b < 32
+                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo,
+               sum(CASE WHEN s > 0 AND b >= 32
+                        THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi
+        FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    tags=("streaming", "dedup"),
+    defer_oracle=True,
+)
+def stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate detection at ingest: the document stream
+    flows through map-side SimHash signatures into stateful pigeonhole
+    buckets (streaming/ops.py:simhash_neardup_stream); emitted pairs,
+    distinct-collapsed across buckets, must equal the BATCH SimHash sweep
+    (dedup_simhash) — online dedup with no recall loss."""
+    from squrve_spark.streaming.ops import (
+        read_document_stream,
+        simhash_neardup_stream,
+    )
+
+    docs = read_document_stream(spark, sf_dir)
+    out = run_stream_to_table(simhash_neardup_stream(docs), "update")
+    return (
+        out.select("id_a", "id_b", "hamming").distinct().orderBy("id_a", "id_b")
+    )

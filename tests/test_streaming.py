@@ -949,3 +949,47 @@ def test_rollup_store_torn_write_replay_is_noop(spark, tmp_path):
         .collect()
     }
     assert after == exact
+
+
+def test_stream_neardup_matches_batch_simhash(spark):
+    """The online banding must reproduce the batch SimHash pair set
+    exactly (pigeonhole recall + batching-invariant emission)."""
+    from squrve_spark.catalog import load_table
+    from squrve_spark.operators import dedup
+    from squrve_spark.plans import REGISTRY
+
+    got = [
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in REGISTRY["stream_neardup"].fn(spark, SF_SMALL).collect()
+    ]
+    docs = load_table(spark, SF_SMALL, "documents")
+    want = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+    )
+    assert got == want and got  # fixture plants near-dups: non-vacuous
+
+
+def test_stream_neardup_redelivery_invariant(spark):
+    """A doubled stream (every doc delivered twice) must emit the SAME
+    pair set: state-side doc_id dedup drops re-deliveries before pairing."""
+    from squrve_spark.streaming.ops import (
+        read_document_stream,
+        run_stream_to_table,
+        simhash_neardup_stream,
+    )
+    from squrve_spark.plans import REGISTRY
+
+    doubled = read_document_stream(spark, SF_SMALL).union(
+        read_document_stream(spark, SF_SMALL)
+    )
+    out = run_stream_to_table(simhash_neardup_stream(doubled), "update")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in out.select("id_a", "id_b", "hamming").distinct().collect()
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in REGISTRY["stream_neardup"].fn(spark, SF_SMALL).collect()
+    )
+    assert got == want
