@@ -1000,3 +1000,56 @@ def ppjoin_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Directional shingle CONTAINMENT pairs (Broder 1997): containment
+    c(a in b) = |sh_a ∩ sh_b| / |sh_a| — the doc-inside-doc / quotation /
+    excerpt detector Jaccard resemblance misses (a 50-token quote inside
+    a 5000-token article has near-zero Jaccard but containment ~1).
+
+    Same inverted-index shape as ngram_jaccard_pairs — intersections are
+    counted once per UNORDERED pair from shared-shingle join rows, then
+    each ordered direction is emitted when inter / |source| clears the
+    threshold. Work scales with shared shingles, not candidate pairs x
+    set size. Returns (id_src, id_dst, containment): id_src's shingles
+    are covered by id_dst's.
+    """
+    docs = with_hashed_shingles(df.select(id_col, text_col), text_col, n).drop(
+        text_col
+    )
+    inv = docs.select(
+        F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    )
+    inter = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    ab = inter.select(
+        F.col("id_a").alias("id_src"),
+        F.col("id_b").alias("id_dst"),
+        F.round(F.col("inter") / F.col("sz_a"), 6).cast("double").alias("containment"),
+    )
+    ba = inter.select(
+        F.col("id_b").alias("id_src"),
+        F.col("id_a").alias("id_dst"),
+        F.round(F.col("inter") / F.col("sz_b"), 6).cast("double").alias("containment"),
+    )
+    return ab.unionByName(ba).filter(F.col("containment") >= threshold)

@@ -6192,3 +6192,104 @@ def doc_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.unimax_mix(docs, budget_tokens=18000, epoch_cap=1).orderBy(
         "lang", "rk"
     )
+
+
+@register(
+    "dedup_containment",
+    # directional containment is a ratio of exact integers on the same
+    # string-shingle sets the ngram_jaccard oracle uses — identical under
+    # 6-dp rounding on any engine
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(0, len(w) - 2),
+                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents)
+        WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS id_src, b.doc_id AS id_dst,
+           CAST(ROUND(len(list_intersect(a.sh, b.sh)) / len(a.sh), 6) AS DOUBLE)
+               AS containment
+    FROM d a JOIN d b ON a.doc_id <> b.doc_id
+    WHERE ROUND(len(list_intersect(a.sh, b.sh)) / len(a.sh), 6) >= 0.5
+    ORDER BY id_src, id_dst
+    """,
+    tags=("dedup",),
+    defer_oracle=True,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional 3-gram shingle containment >= 0.5
+    (operators/dedup.py:containment_pairs): which documents are excerpts
+    or quotations of which — the asymmetric complement of the Jaccard
+    near-dup family (50 directional pairs at sf0.01, the planted
+    duplicated passages)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, threshold=0.5).orderBy(
+        "id_src", "id_dst"
+    )
+
+
+def _recall_audit_oracle() -> str:
+    """Compose the audit oracle from the two entries it audits: the LSH
+    and brute-force oracles are each exact (their whole point), so
+    recall@5 is a deterministic set intersection of their outputs —
+    reusing the registered SQL verbatim means the audit can never drift
+    from what sim_lsh_topk / sim_bruteforce_topk actually check."""
+    lsh = _REG["sim_lsh_topk"].oracle
+    brute = _REG["sim_bruteforce_topk"].oracle
+    return f"""
+    WITH lsh AS ({lsh}),
+    ex AS ({brute}),
+    hits AS (
+        SELECT e.query_id, COUNT(*) AS c
+        FROM ex e JOIN lsh l
+          ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h.c, 0) AS BIGINT) AS n_hits,
+           CAST(ROUND(COALESCE(h.c, 0) / 5.0, 6) AS DOUBLE) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM ex) q
+    LEFT JOIN hits h USING (query_id)
+    ORDER BY q.query_id
+    """
+
+
+@register(
+    "sim_recall_audit",
+    oracle=_recall_audit_oracle(),
+    tags=("similarity", "eval"),
+    defer_oracle=True,
+)
+def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit as a QUERY: per-query recall@5 of the sign-LSH
+    index against the exact brute-force baseline — the eval-harness shape
+    a production vector store runs continuously (recall regressions from
+    re-quantization or band drift surface as rows, not incidents). Both
+    inputs are the engine's own deterministic top-k sets, so the audit is
+    exactly oracled end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    lsh = similarity.lsh_topk(emb, queries, dim=64, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(lsh, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce(F.col("c"), F.lit(0)) / 5.0, 6)
+            .cast("double")
+            .alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )

@@ -440,3 +440,31 @@ def test_ppjoin_prefix_index_smaller_than_full(spark, docs):
         (F.col("sz") - F.ceil(F.lit(0.5) * F.col("sz")) + F.lit(1)).alias("p")
     ).agg(F.sum("p")).collect()[0][0]
     assert prefix < full * 0.6  # t=0.5 keeps ~half of each doc's postings
+
+
+def test_containment_detects_quote_inside_article(spark):
+    """A short doc fully quoted inside a long one: containment(a in b)=1
+    while Jaccard stays below any near-dup threshold — the asymmetric
+    case the resemblance family misses by design."""
+    from pyspark.sql import Row
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i}" for i in range(200))
+    rows = [
+        Row(doc_id=1, text=quote),
+        Row(doc_id=2, text=filler + " " + quote + " " + filler[::-1].lower()),
+        Row(doc_id=3, text="completely unrelated content about other things entirely"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["id_src"], r["id_dst"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.5).collect()
+    }
+    assert got.get((1, 2)) == 1.0          # quote contained in article
+    assert (2, 1) not in got               # article NOT contained in quote
+    assert not any(3 in k for k in got)    # unrelated doc pairs with nothing
+    jac = {(r["id_a"], r["id_b"]) for r in
+           dedup.ngram_jaccard_pairs(df.withColumn("lang", F.lit("en"))
+                                       .withColumn("source", F.lit("s")),
+                                     ["lang", "source"], threshold=0.5).collect()}
+    assert (1, 2) not in jac               # resemblance misses the quote
