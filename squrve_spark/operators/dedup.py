@@ -173,6 +173,28 @@ def ngram_jaccard_pairs(
     jaccard can only be *underestimated*, and only for pairs sharing a
     dropped stop-shingle; with ``None`` (default) results are exact.
     """
+    inter = _pair_intersections(df, block_cols, n, text_col, id_col, max_shingle_df)
+    jac = F.round(
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+    ).cast("double")
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _pair_intersections(
+    df: DataFrame,
+    block_cols: list[str],
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """THE shingle-pair intersection core (r10 review: previously copied
+    between ngram_jaccard_pairs and containment_pairs): inverted index,
+    optional stop-shingle df-cap, a<b self-join on the shingle hash,
+    groupBy count -> (id_a, id_b, sz_a, sz_b, inter). One implementation
+    so the skew guard and the memoized-shingle idiom can't drift apart."""
     docs = with_hashed_shingles(
         df.select(id_col, *block_cols, text_col), text_col, n
     ).drop(text_col)
@@ -200,7 +222,7 @@ def ngram_jaccard_pairs(
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
     cond.append(F.col("a.s") == F.col("b.s"))
     cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    inter = (
+    return (
         inv.alias("a")
         .join(inv.alias("b"), cond)
         .groupBy(
@@ -210,12 +232,6 @@ def ngram_jaccard_pairs(
             F.col("b.sz").alias("sz_b"),
         )
         .agg(F.count("*").alias("inter"))
-    )
-    jac = F.round(
-        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-    ).cast("double")
-    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
     )
 
 
@@ -950,6 +966,16 @@ def ppjoin_pairs(
     hashed shingles equals string Jaccard modulo 64-bit collisions (the
     ngram_jaccard_pairs caveat).
     """
+    from fractions import Fraction
+
+    # exact rational threshold (r10 review, CONFIRMED miss): float
+    # ceil(t*sz) overshoots whenever t*sz is an exact integer whose float
+    # product lands an ulp high (0.07*100 -> 7.000000000000001 -> ceil 8),
+    # shrinking the prefix and over-tightening the length filter — true
+    # pairs silently dropped. Fraction(str(t)) gives the DECIMAL the
+    # caller wrote; every bound below is pure int64 arithmetic.
+    frac = Fraction(str(threshold))
+    p, q = frac.numerator, frac.denominator
     docs = with_hashed_shingles(df.select(id_col, text_col), text_col, n).drop(
         text_col
     )
@@ -963,9 +989,12 @@ def ppjoin_pairs(
         .groupBy(id_col, "sz")
         .agg(F.array_sort(F.collect_list(F.struct("dfq", "s"))).alias("ordered"))
     )
-    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)).cast(
-        "int"
-    )
+    # prefix length = sz - ceil(p*sz/q) + 1, with exact integer ceil-div
+    plen = (
+        F.col("sz")
+        - F.expr(f"({p} * sz + {q - 1}) div {q}")
+        + F.lit(1)
+    ).cast("int")
     idx = ranked.select(
         id_col,
         "sz",
@@ -979,11 +1008,10 @@ def ppjoin_pairs(
             idx.alias("b"),
             (F.col("a.s") == F.col("b.s"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # length filter min >= ceil(t*max) <=> min*q >= p*max (ints)
             & (
-                F.least(F.col("a.sz"), F.col("b.sz"))
-                >= F.ceil(
-                    F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
-                )
+                F.least(F.col("a.sz"), F.col("b.sz")) * q
+                >= F.greatest(F.col("a.sz"), F.col("b.sz")) * p
             ),
         )
         .select(
@@ -991,14 +1019,35 @@ def ppjoin_pairs(
         )
         .distinct()
     )
-    pa = sized.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    pb = sized.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    jac = F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6).cast("double")
+    pa = sized.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    pb = sized.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    # EXACT admission (r10 review): candidate generation is complete for
+    # exact J >= t only, so the verify filter must be the same exact
+    # comparison — inter/(sza+szb-inter) >= p/q <=> inter*q >= p*union —
+    # never the 6-dp-rounded value (which would admit J in [t-5e-7, t)
+    # pairs the prefix theorem doesn't cover). The reported jaccard stays
+    # rounded for output stability.
+    jac = F.round(
+        F.col("_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("_inter")), 6
+    ).cast("double")
     return (
         cand.join(pa, "id_a")
         .join(pb, "id_b")
+        .withColumn("_inter", inter)
+        .filter(
+            F.col("_inter") * q
+            >= F.lit(p) * (F.col("sz_a") + F.col("sz_b") - F.col("_inter"))
+        )
         .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -1008,6 +1057,7 @@ def containment_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Directional shingle CONTAINMENT pairs (Broder 1997): containment
     c(a in b) = |sh_a ∩ sh_b| / |sh_a| — the doc-inside-doc / quotation /
@@ -1020,28 +1070,14 @@ def containment_pairs(
     threshold. Work scales with shared shingles, not candidate pairs x
     set size. Returns (id_src, id_dst, containment): id_src's shingles
     are covered by id_dst's.
+
+    ``max_shingle_df`` (r10 review): the stop-shingle skew guard shared
+    with ngram_jaccard_pairs — corpus-WIDE (no blocking) one boilerplate
+    3-gram in d documents contributes ~d² join rows, so real crawls cap
+    it; containment is then only ever UNDERESTIMATED, and only for pairs
+    sharing a dropped hot shingle. ``None`` (default) is exact.
     """
-    docs = with_hashed_shingles(df.select(id_col, text_col), text_col, n).drop(
-        text_col
-    )
-    inv = docs.select(
-        F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("s")
-    )
-    inter = (
-        inv.alias("a")
-        .join(
-            inv.alias("b"),
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
-        )
-        .agg(F.count("*").alias("inter"))
-    )
+    inter = _pair_intersections(df, [], n, text_col, id_col, max_shingle_df)
     ab = inter.select(
         F.col("id_a").alias("id_src"),
         F.col("id_b").alias("id_dst"),

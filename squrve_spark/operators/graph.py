@@ -47,7 +47,14 @@ def _iter_memo(pairs: DataFrame, tag: str, params: tuple):
 
 def _memo_put(cache: dict, key: tuple, value: DataFrame) -> DataFrame:
     while len(cache) >= 16:
-        cache.pop(next(iter(cache)))
+        evicted = cache.pop(next(iter(cache)))
+        try:
+            # release the eager checkpoint's executor blocks NOW (r10
+            # review): waiting for driver GC pins storage exactly the way
+            # memo_checkpoint's docstring documents as a measured slowdown
+            evicted.unpersist()
+        except Exception:
+            pass  # already released / session gone — eviction still wins
     cache[key] = value
     return value
 

@@ -6083,10 +6083,11 @@ def emb_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ppjoin_pairs",
     # corpus-WIDE exact Jaccard pairs (no lang/source blocking — contrast
-    # dedup_ngram_jaccard): the algorithm is provably complete, so the
-    # oracle is the brute-force all-pairs definition on string shingles;
-    # Jaccard is a ratio of integers, identical under 6-dp rounding on
-    # any engine.
+    # dedup_ngram_jaccard): the algorithm is provably complete FOR EXACT
+    # J >= t, so both sides admit by the exact integer comparison
+    # 2*inter >= union (r10 review: a rounded filter would admit
+    # J in [t-5e-7, t) pairs the prefix theorem doesn't cover); the
+    # reported jaccard value is rounded for output stability only.
     oracle=r"""
     WITH d AS (
         SELECT doc_id,
@@ -6101,8 +6102,8 @@ def emb_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS DOUBLE)
                AS jaccard
     FROM d a JOIN d b ON a.doc_id < b.doc_id
-    WHERE ROUND(len(list_intersect(a.sh, b.sh))
-                / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+    WHERE 2 * len(list_intersect(a.sh, b.sh))
+          >= len(list_distinct(list_concat(a.sh, b.sh)))
     ORDER BY id_a, id_b
     """,
     tags=("dedup",),

@@ -468,3 +468,25 @@ def test_containment_detects_quote_inside_article(spark):
                                        .withColumn("source", F.lit("s")),
                                      ["lang", "source"], threshold=0.5).collect()}
     assert (1, 2) not in jac               # resemblance misses the quote
+
+
+def test_ppjoin_nondyadic_threshold_no_float_ceil_miss(spark):
+    """Regression (r10 review, confirmed): with threshold 0.07 a 100-
+    shingle doc fully containing a 7-shingle doc has J exactly 0.07; the
+    float ceil(0.07*100)=ceil(7.000000000000001)=8 over-tightened the
+    prefix and length filters and silently dropped the pair. Exact
+    rational arithmetic must keep it."""
+    from pyspark.sql import Row
+
+    small_tokens = [f"t{i}" for i in range(9)]          # 7 shingles
+    big_tokens = small_tokens + [f"u{i}" for i in range(93)]  # 100 shingles
+    rows = [
+        Row(doc_id=1, text=" ".join(small_tokens)),
+        Row(doc_id=2, text=" ".join(big_tokens)),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ppjoin_pairs(df, threshold=0.07).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 0.07

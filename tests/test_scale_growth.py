@@ -95,6 +95,10 @@ HEAVIES = [
     # rare-token-short; a hot prefix token turning the candidate join
     # quadratic is exactly what this decade would catch
     "dedup_ppjoin_pairs",
+    # late r10 (review): corpus-wide containment shares the full inverted
+    # index — a stop-shingle degeneration would show here first (the
+    # registered entry runs uncapped for exactness)
+    "dedup_containment",
 ]
 
 MAX_EXPONENT = 1.5  # sub-quadratic with margin (linear == 1.0)
