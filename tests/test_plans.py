@@ -90,6 +90,9 @@ def test_no_cartesian_products(spark, name):
         # broadcast exact baseline — 8 query rows against the corpus);
         # the greedy re-rank itself is bounded per-query work (r10)
         "sim_mmr_topk",
+        # the recall audit's exact side IS brute_force_topk — the same
+        # deliberately broadcast baseline (late r10)
+        "sim_recall_audit",
     ):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
