@@ -6294,3 +6294,148 @@ def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "pipeline_curate_v8",
+    # the late-r10 capstone: every stage is one of the session's new
+    # exactly-oracled operators, composed — exact dedup -> one-shot
+    # containment excerpt-prune (drop a doc 90%-contained in a LARGER
+    # surviving doc; exact integer admission 10*inter >= 9*sz, ties by
+    # id) -> UniMax water-filled mixture over what remains. Stages 2 and
+    # 3 bite at sf0.01 (the fixture plants near-dups, not byte-identical
+    # ones, so stage 1 is an identity there — its biting case is
+    # doc_exact_dedup's own oracle); the whole chain replays bit-exactly.
+    oracle=r"""
+    WITH keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents
+        GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+    ),
+    base AS (
+        SELECT d.doc_id, d.lang, d.text FROM documents d
+        JOIN keepers USING (doc_id)
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(0, len(w) - 2),
+                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM base)
+        WHERE len(w) >= 3
+    ),
+    pairs AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib,
+               len(list_intersect(a.sh, b.sh)) AS inter,
+               len(a.sh) AS sa, len(b.sh) AS sb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ),
+    drops AS (
+        SELECT ia AS doc_id FROM pairs
+        WHERE 10 * inter >= 9 * sa AND (sb > sa OR (sb = sa AND ib < ia))
+        UNION
+        SELECT ib FROM pairs
+        WHERE 10 * inter >= 9 * sb AND (sa > sb OR (sa = sb AND ia < ib))
+    ),
+    kept AS (
+        SELECT * FROM base
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    ),
+    toks AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM kept
+    ),
+    caps AS (SELECT lang, SUM(n_tokens) AS cap FROM toks GROUP BY lang),
+    staged AS (
+        SELECT lang, cap,
+               ROW_NUMBER() OVER (ORDER BY cap, lang) AS pos,
+               COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cprefix,
+               COUNT(*) OVER () AS nlang
+        FROM caps
+    ),
+    shared AS (
+        SELECT lang, cap,
+               (15000 - cprefix) // (nlang - pos + 1) AS share, pos
+        FROM staged
+    ),
+    alloc AS (
+        SELECT lang, cap,
+               LEAST(cap, COALESCE(
+                   FIRST_VALUE(CASE WHEN cap > share THEN share END IGNORE NULLS)
+                       OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING),
+                   cap)) AS alloc_tokens
+        FROM shared
+    ),
+    sel AS (
+        SELECT t.doc_id, t.lang, t.n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY t.lang
+                   ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id) AS rk,
+               SUM(t.n_tokens) OVER (PARTITION BY t.lang
+                   ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens,
+               a.alloc_tokens
+        FROM toks t JOIN alloc a USING (lang)
+    )
+    SELECT doc_id, lang, n_tokens, CAST(rk AS INTEGER) AS rk,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(alloc_tokens AS BIGINT) AS alloc_tokens
+    FROM sel WHERE cum_tokens <= alloc_tokens
+    ORDER BY lang, rk
+    """,
+    tags=("pipeline", "curation"),
+    defer_oracle=True,
+)
+def pipeline_curate_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-r10 composite: exact dedup -> containment excerpt-prune ->
+    UniMax mixture. The session's new operators composed end to end:
+
+      1. exact dedup (canonical-md5, min-id survivor),
+      2. ONE-SHOT containment prune — a surviving doc is dropped when its
+         shingle set is >= 90% contained (exact 10*inter >= 9*sz) in a
+         LARGER surviving doc (size ties break to the smaller id); the
+         rule is a single anti-join over the pair frame, not a cascade,
+         so a middle link of a containment chain drops even if its
+         witness also drops (documented anti-join semantics),
+      3. UniMax water-filling of a 15000-token budget over the cleaned
+         pool, md5-rank selection within each language.
+
+    Output: the final training-mix manifest. Scale shape: stage 1 is one
+    fingerprint groupBy; stage 2 rides the shared inverted-index
+    intersection core (shared-shingle-bounded, df-cap knob available);
+    stage 3 is a k-row window plus one corpus pass."""
+    from squrve_spark.operators import sampling
+    from squrve_spark.operators.dedup import _pair_intersections
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = memo_checkpoint(
+        docs.join(
+            dedup.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        ).select("doc_id", "text", "lang")
+    )
+    inter = _pair_intersections(deduped, [], 3, "text", "doc_id", None)
+    bigger_b = (F.col("sz_b") > F.col("sz_a")) | (
+        (F.col("sz_b") == F.col("sz_a")) & (F.col("id_b") < F.col("id_a"))
+    )
+    bigger_a = (F.col("sz_a") > F.col("sz_b")) | (
+        (F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    drops = (
+        inter.filter((F.col("inter") * 10 >= F.col("sz_a") * 9) & bigger_b)
+        .select(F.col("id_a").alias("doc_id"))
+        .union(
+            inter.filter((F.col("inter") * 10 >= F.col("sz_b") * 9) & bigger_a)
+            .select(F.col("id_b").alias("doc_id"))
+        )
+        .distinct()
+    )
+    kept = deduped.join(drops, "doc_id", "left_anti")
+    return sampling.unimax_mix(kept, budget_tokens=15000, epoch_cap=1).orderBy(
+        "lang", "rk"
+    )

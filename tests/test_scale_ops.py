@@ -16,7 +16,7 @@ from squrve_spark.operators.scale import (
     two_phase_agg,
     write_bucketed_table,
 )
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MED, SF_SMALL
 
 
 def _plan(df) -> str:
@@ -307,3 +307,72 @@ def test_skew_aware_join_backtick_columns(spark):
     out, dec = skew_aware_join(big, dim, [weird], return_decision=True)
     assert out.count() == 400
     assert dec["salt_supported"]
+
+
+def test_curate_v8_every_stage_bites(spark):
+    """pipeline_curate_v8's three stages must each change the pool at
+    sf0.01 — a stage that passes everything through is a silent no-op
+    masquerading as coverage."""
+    from squrve_spark.catalog import load_table
+    from squrve_spark.operators import dedup
+    from squrve_spark.operators.dedup import _pair_intersections
+    from squrve_spark.plans import REGISTRY
+
+    sf = SF_MED
+    docs = load_table(spark, sf, "documents")
+    n_raw = docs.count()
+    deduped = docs.join(
+        dedup.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    ).select("doc_id", "text", "lang")
+    n_dedup = deduped.count()
+    # the sf0.01 fixture plants NEAR-dups but no byte-identical ones, so
+    # exact dedup is an identity here (doc_exact_dedup's own oracle
+    # covers the biting case); the composite's teeth are stages 2 and 3
+    assert n_dedup <= n_raw
+    inter = _pair_intersections(deduped, [], 3, "text", "doc_id", None)
+    n_contained = (
+        inter.filter(F.col("inter") * 10 >= F.col("sz_a") * 9).count()
+        + inter.filter(F.col("inter") * 10 >= F.col("sz_b") * 9).count()
+    )
+    assert n_contained > 0  # planted near-dup passages survive exact dedup
+    out = REGISTRY["pipeline_curate_v8"].fn(spark, sf)
+    rows = out.collect()
+    assert rows
+    # UniMax bit: at least one language's allocation is BELOW its corpus
+    # (the water level formed), and selected tokens never exceed alloc
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # the water level formed: at least one language's allocation sits
+    # strictly below its full (kept) corpus token count
+    kept_docs = deduped.join(
+        inter.filter((F.col("inter") * 10 >= F.col("sz_a") * 9)
+                     & ((F.col("sz_b") > F.col("sz_a"))
+                        | ((F.col("sz_b") == F.col("sz_a"))
+                           & (F.col("id_b") < F.col("id_a")))))
+        .select(F.col("id_a").alias("doc_id"))
+        .union(inter.filter((F.col("inter") * 10 >= F.col("sz_b") * 9)
+                            & ((F.col("sz_a") > F.col("sz_b"))
+                               | ((F.col("sz_a") == F.col("sz_b"))
+                                  & (F.col("id_a") < F.col("id_b")))))
+               .select(F.col("id_b").alias("doc_id"))).distinct(),
+        "doc_id", "left_anti",
+    )
+    assert kept_docs.count() < n_dedup  # containment prune bit
+    from squrve_spark.operators.text import tokens_expr
+
+    lang_tok = {
+        r["lang"]: r["tot"]
+        for r in kept_docs.groupBy("lang")
+        .agg(F.sum(F.size(tokens_expr("text"))).alias("tot"))
+        .collect()
+    }
+    assert any(
+        v[0]["alloc_tokens"] < lang_tok[lang] for lang, v in by_lang.items()
+    )
+    total_sel = sum(r["n_tokens"] for r in rows)
+    assert total_sel <= 15000
+    for v in by_lang.values():
+        assert max(x["cum_tokens"] for x in v) <= v[0]["alloc_tokens"]
