@@ -965,6 +965,16 @@ def ppjoin_pairs(
     ships shingle arrays for surviving candidates only. Jaccard over
     hashed shingles equals string Jaccard modulo 64-bit collisions (the
     ngram_jaccard_pairs caveat).
+
+    Regime note (measured): prefix selectivity needs a heavy-tailed
+    shingle vocabulary. Real crawls have one (rare shingles make rare
+    prefixes); the synthetic fixture's deliberately small vocabulary
+    (~27k distinct shingles at sf0.1, mean df ~10) makes every prefix
+    token warm and the candidate set fat — there the full-index
+    ngram_jaccard_pairs is cheaper. The two operators are complementary
+    regimes of the same exact join, which is why both ship. The prefix
+    index itself is memo-checkpointed per corpus snapshot (the ANN-index
+    contract): repeat queries pay the global df ordering once.
     """
     from fractions import Fraction
 
@@ -995,12 +1005,18 @@ def ppjoin_pairs(
         - F.expr(f"({p} * sz + {q - 1}) div {q}")
         + F.lit(1)
     ).cast("int")
-    idx = ranked.select(
-        id_col,
-        "sz",
-        F.explode(
-            F.slice(F.col("ordered").getField("s"), F.lit(1), plen)
-        ).alias("s"),
+    # the prefix index is the operator's derived artifact (df ordering +
+    # per-doc sort) — memo-checkpoint it per corpus snapshot so repeat
+    # queries pay the global-order build once, the same contract as the
+    # ANN index builds and the sign-LSH corpus snapshot
+    idx = memo_checkpoint(
+        ranked.select(
+            id_col,
+            "sz",
+            F.explode(
+                F.slice(F.col("ordered").getField("s"), F.lit(1), plen)
+            ).alias("s"),
+        )
     )
     cand = (
         idx.alias("a")
