@@ -93,6 +93,10 @@ def test_no_cartesian_products(spark, name):
         # the recall audit's exact side IS brute_force_topk — the same
         # deliberately broadcast baseline (late r10)
         "sim_recall_audit",
+        # 50x50 key-range-bounded inequality self-join (levenshtein pair
+        # surface) — both sides are literal-bounded, broadcast is the
+        # right plan; the corpus-scale form is dedup.fuzzy_pairs
+        "q_string_distance",
     ):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
