@@ -1093,7 +1093,12 @@ def containment_pairs(
     it; containment is then only ever UNDERESTIMATED, and only for pairs
     sharing a dropped hot shingle. ``None`` (default) is exact.
     """
-    inter = _pair_intersections(df, [], n, text_col, id_col, max_shingle_df)
+    # memo-checkpoint before the two directional selects: the expensive
+    # inverted-index self-join + groupBy otherwise executes twice (r10
+    # review), once per union branch.
+    inter = memo_checkpoint(
+        _pair_intersections(df, [], n, text_col, id_col, max_shingle_df)
+    )
     ab = inter.select(
         F.col("id_a").alias("id_src"),
         F.col("id_b").alias("id_dst"),

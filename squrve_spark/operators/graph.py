@@ -47,14 +47,13 @@ def _iter_memo(pairs: DataFrame, tag: str, params: tuple):
 
 def _memo_put(cache: dict, key: tuple, value: DataFrame) -> DataFrame:
     while len(cache) >= 16:
-        evicted = cache.pop(next(iter(cache)))
-        try:
-            # release the eager checkpoint's executor blocks NOW (r10
-            # review): waiting for driver GC pins storage exactly the way
-            # memo_checkpoint's docstring documents as a measured slowdown
-            evicted.unpersist()
-        except Exception:
-            pass  # already released / session gone — eviction still wins
+        # Evicted entries are left for GC, NOT unpersisted: the cached
+        # frames are eager localCheckpoints already RETURNED to callers on
+        # earlier invocations; localCheckpoint truncates lineage, so
+        # explicitly releasing the blocks would make a still-held reference
+        # unrecoverable (missing-checkpoint-block on its next action).
+        # memo_checkpoint makes the same trade for the same reason.
+        cache.pop(next(iter(cache)))
     cache[key] = value
     return value
 
@@ -64,13 +63,18 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    use_memo: bool = True,
 ) -> DataFrame:
     """Transitive closure of a pair set: (id, component) with component =
     the minimum id reachable from ``id``. Only ids appearing in ``pairs``
     are returned (singletons are their own component by definition and
-    need no computation — join back against the corpus for them)."""
+    need no computation — join back against the corpus for them).
+
+    ``use_memo=False`` bypasses the session memo for NON-snapshot inputs
+    (e.g. an overwritten parquet path whose plan text is unchanged) —
+    the memo's stale-read contract covers read-only snapshots only."""
     cache, mkey = _iter_memo(pairs, "cc", (id_a, id_b, max_iter))
-    hit = cache.get(mkey)
+    hit = cache.get(mkey) if use_memo else None
     if hit is not None:
         return hit
     e = pairs.select(
@@ -108,7 +112,7 @@ def connected_components(
         labels = new_labels
         old.unpersist()
         if new_sum == prev_sum:  # monotone decrease stalled -> fixpoint
-            return _memo_put(cache, mkey, labels)
+            return _memo_put(cache, mkey, labels) if use_memo else labels
         prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations "
@@ -123,6 +127,7 @@ def pagerank(
     n_iter: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 3,
+    use_memo: bool = True,
 ) -> DataFrame:
     """Distributed PageRank over an undirected pair set -> (id, rank).
 
@@ -149,7 +154,7 @@ def pagerank(
     cache, mkey = _iter_memo(
         pairs, "pr", (id_a, id_b, n_iter, damping, checkpoint_every)
     )
-    hit = cache.get(mkey)
+    hit = cache.get(mkey) if use_memo else None
     if hit is not None:
         return hit
     e = pairs.select(
@@ -192,7 +197,7 @@ def pagerank(
             if prev_ckpt is not None:
                 prev_ckpt.unpersist()
             prev_ckpt = ranks
-    return _memo_put(cache, mkey, ranks)
+    return _memo_put(cache, mkey, ranks) if use_memo else ranks
 
 
 def canonical_docs(
@@ -220,6 +225,7 @@ def pagerank_exact(
     n_iter: int = 8,
     scale: int = 10**12,
     checkpoint_every: int = 3,
+    use_memo: bool = True,
 ) -> DataFrame:
     """Integer FIXED-POINT PageRank -> (id, rank BIGINT) — the
     engine-replayable variant of `pagerank` (r10).
@@ -247,7 +253,7 @@ def pagerank_exact(
     cache, mkey = _iter_memo(
         pairs, "pre", (id_a, id_b, n_iter, scale, checkpoint_every)
     )
-    hit = cache.get(mkey)
+    hit = cache.get(mkey) if use_memo else None
     if hit is not None:
         return hit
     e = pairs.select(
@@ -287,4 +293,4 @@ def pagerank_exact(
             if prev_ckpt is not None:
                 prev_ckpt.unpersist()
             prev_ckpt = ranks
-    return _memo_put(cache, mkey, ranks)
+    return _memo_put(cache, mkey, ranks) if use_memo else ranks

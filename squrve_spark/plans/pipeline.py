@@ -6419,7 +6419,12 @@ def pipeline_curate_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         ).select("doc_id", "text", "lang")
     )
-    inter = _pair_intersections(deduped, [], 3, "text", "doc_id", None)
+    # memo-checkpoint: `inter` feeds BOTH filtered union branches below, so
+    # without materialization the inverted-index self-join runs twice (r10
+    # review — same pattern as containment_pairs).
+    inter = memo_checkpoint(
+        _pair_intersections(deduped, [], 3, "text", "doc_id", None)
+    )
     bigger_b = (F.col("sz_b") > F.col("sz_a")) | (
         (F.col("sz_b") == F.col("sz_a")) & (F.col("id_b") < F.col("id_a"))
     )

@@ -186,3 +186,29 @@ def test_pagerank_exact_hub_outranks_leaves(spark):
     hub, leaves = ranks[0], [v for k, v in ranks.items() if k != 0]
     assert all(hub > leaf for leaf in leaves)
     assert max(leaves) == min(leaves)  # symmetric leaves tie EXACTLY
+
+
+def test_memo_eviction_keeps_returned_frames_alive(spark):
+    """_memo_put eviction must NOT unpersist evicted entries: the cached
+    frames are eager localCheckpoints already returned to callers, and
+    localCheckpoint truncates lineage — releasing the blocks would make a
+    still-held reference unrecoverable (r10 advice, medium)."""
+    cache = {}
+    first = spark.range(5).localCheckpoint(eager=True)
+    graph._memo_put(cache, ("t", 0), first)
+    for i in range(1, 20):  # push well past the 16-entry cap
+        graph._memo_put(cache, ("t", i), spark.range(2).localCheckpoint(eager=True))
+    assert ("t", 0) not in cache  # it WAS evicted...
+    assert first.count() == 5  # ...but the returned frame still computes
+
+
+def test_connected_components_use_memo_false_bypasses_cache(spark):
+    """use_memo=False neither reads nor writes the session memo — the
+    escape hatch for non-snapshot (overwritten-path) inputs."""
+    edges = [(0, 1), (1, 2), (5, 6)]
+    df = _pairs_df(spark, edges)
+    cache = df.sparkSession.__dict__.setdefault("_squrve_graph_cache", {})
+    before = set(cache)
+    got = _labels(graph.connected_components(df, use_memo=False))
+    assert got == _union_find(edges)
+    assert set(cache) == before  # nothing was added
