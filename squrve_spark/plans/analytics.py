@@ -156,6 +156,9 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM g GROUP BY user_id
     """,
     tags=("events", "sessionize"),
+    # r11: rotated out of the driver 50 (long-stable survivor, r10 verdict
+    # task 1); oracle still enforced exactly by tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap session count per user via lag window.

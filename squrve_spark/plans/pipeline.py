@@ -1085,7 +1085,7 @@ def doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY a.vec_id
     """,
     tags=("dedup", "similarity"),
-    defer_oracle=True,
+    defer_oracle=False,  # r11: rotated INTO the driver-checked 50 (r10 verdict task 1)
 )
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (integer-exact k-means cells -> within-cell
@@ -1344,7 +1344,7 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r WHERE rn <= 5 ORDER BY query_id, rank
     """,
     tags=("similarity", "ann"),
-    defer_oracle=True,
+    defer_oracle=False,  # r11: rotated INTO the driver-checked 50 (r10 verdict task 1)
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate top-k (integer-exact cell routing +
@@ -1698,7 +1698,7 @@ _FFD_FIT = "list_filter(range(1, len(r.rooms)+1), k -> r.rooms[k] >= d.n_tokens)
     FROM asg ORDER BY doc_id
     """,
     tags=("sampling",),
-    defer_oracle=True,
+    defer_oracle=False,  # r11: rotated INTO the driver-checked 50 (r10 verdict task 1)
 )
 def doc_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing token packing at a 256-token budget over sharded
@@ -1901,7 +1901,7 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM hit GROUP BY doc_id ORDER BY doc_id
     """,
     tags=("hygiene",),
-    defer_oracle=True,
+    defer_oracle=False,  # r11: rotated INTO the driver-checked 50 (r10 verdict task 1)
 )
 def doc_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (constant-size broadcast, MAP-ONLY
@@ -2321,7 +2321,7 @@ def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     tags=("dedup", "graph"),
-    defer_oracle=True,
+    defer_oracle=False,  # r11: rotated INTO the driver-checked 50 (r10 verdict task 1)
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: MinHash/LSH pairs -> iterative min-label
@@ -2361,6 +2361,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("graph", "similarity"),
     # driver-checked since round 6 (rotated in for doc_repetition)
+    # r11: rotated out of the driver 50 (long-stable survivor, r10 verdict
+    # task 1); oracle still enforced exactly by tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def graph_components_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components made CROSS-ENGINE checkable (r5): the pair set
@@ -2590,6 +2593,9 @@ regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
     """,
     tags=("text", "crawl"),
     # r9: promoted into the driver cap (r8 verdict #1)
+    # r11: rotated out of the driver 50 (long-stable survivor, r10 verdict
+    # task 1); oracle still enforced exactly by tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl ingestion HTML -> trainable text, oracle-checked end-to-end:
@@ -2650,6 +2656,9 @@ def doc_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("sampling", "curation"),
     # r9: promoted into the driver cap (r8 verdict #1)
+    # r11: rotated out of the driver 50 (long-stable survivor, r10 verdict
+    # task 1); oracle still enforced exactly by tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-rebalanced mixture sample (r8): the multilingual /
@@ -2690,6 +2699,9 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "dedup"),
     # r9: promoted into the driver cap (r8 verdict #1)
+    # r11: rotated out of the driver 50 (long-stable survivor, r10 verdict
+    # task 1); oracle still enforced exactly by tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_token_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition removal (r8): drop repeated tokens within
@@ -2734,6 +2746,9 @@ def doc_token_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "hygiene", "curation"),
     # r9: promoted into the driver cap (r8 verdict #1)
+    # r11: rotated out of the driver 50 (long-stable survivor, r10 verdict
+    # task 1); oracle still enforced exactly by tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 bad-words filter audit (r8): per-source document counts against a
@@ -2792,6 +2807,9 @@ def doc_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "curation"),
     # r9: promoted into the driver cap (r8 verdict #1)
+    # r11: rotated out of the driver 50 (long-stable survivor, r10 verdict
+    # task 1); oracle still enforced exactly by tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-curriculum binning (r8): exact stopword-ratio deciles with
@@ -3056,6 +3074,9 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "lm", "curation"),
     # r9: promoted into the driver cap (r8 verdict #1)
+    # r11: rotated out of the driver 50 (long-stable survivor, r10 verdict
+    # task 1); oracle still enforced exactly by tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid Backoff document scoring (r8): seen bigrams keep their raw
@@ -4622,6 +4643,9 @@ def doc_ccnet_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "dedup"),
     # promoted to the driver cap in r10 (rotation)
+    # r11: rotated out of the driver 50 (long-stable survivor, r10 verdict
+    # task 1); oracle still enforced exactly by tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints per document (r9, `text.winnow_fingerprints`
@@ -5299,7 +5323,7 @@ def _pagerank_exact_oracle(n_iter: int = 8, scale: int = 10**12) -> str:
     # bit-exactly, by an independent engine.
     oracle=_pagerank_exact_oracle(),
     tags=("graph", "similarity"),
-    defer_oracle=True,
+    defer_oracle=False,  # r11: rotated INTO the driver-checked 50 (r10 verdict task 1)
 )
 def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer fixed-point PageRank over the exact embedding near-dup
@@ -5419,7 +5443,7 @@ def _c4_keep_sql(l: str) -> str:
     FROM asg ORDER BY doc_id
     """,
     tags=("pipeline", "composite"),
-    defer_oracle=True,
+    defer_oracle=False,  # r11: rotated INTO the driver-checked 50 (r10 verdict task 1)
 )
 def pipeline_curate_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-10 curation composite — the published-recipe family
@@ -5564,7 +5588,7 @@ def _mmr_oracle(k: int = 5, pool_k: int = 12, lam: float = 0.7) -> str:
     # sequential selection exactly.
     oracle=_mmr_oracle(),
     tags=("similarity",),
-    defer_oracle=True,
+    defer_oracle=False,  # r11: rotated INTO the driver-checked 50 (r10 verdict task 1)
 )
 def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-5 for query vectors vec_id<8 over a 12-deep
@@ -5645,7 +5669,7 @@ def _int_kmeans_cte(k: int = 8, n_iter: int = 4) -> str:
     FROM a4 ORDER BY vec_id
     """,
     tags=("similarity", "curation"),
-    defer_oracle=True,
+    defer_oracle=False,  # r11: rotated INTO the driver-checked 50 (r10 verdict task 1)
 )
 def emb_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact k-means (k=8, 4 Lloyd iterations) over int8-quantized
@@ -5881,7 +5905,7 @@ def _int_kmeans_core(k: int, n_iter: int, src: str = "kv", idc: str = "kid") -> 
     FROM offs ORDER BY doc_id
     """.replace("{kmeans}", _int_kmeans_core(8, 2, src="kv", idc="kid")),
     tags=("pipeline", "composite"),
-    defer_oracle=True,
+    defer_oracle=False,  # r11: rotated INTO the driver-checked 50 (r10 verdict task 1)
 )
 def pipeline_curate_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-10 capstone composite — v3's SEMANTIC curation layer with
@@ -6178,7 +6202,7 @@ def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY lang, rk
     """,
     tags=("sampling", "curation"),
-    defer_oracle=True,
+    defer_oracle=False,  # r11: rotated INTO the driver-checked 50 (r10 verdict task 1)
 )
 def doc_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax language mixture (operators/sampling.py:unimax_mix): an
@@ -6388,7 +6412,7 @@ def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY lang, rk
     """,
     tags=("pipeline", "curation"),
-    defer_oracle=True,
+    defer_oracle=False,  # r11: rotated INTO the driver-checked 50 (r10 verdict task 1)
 )
 def pipeline_curate_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-r10 composite: exact dedup -> containment excerpt-prune ->

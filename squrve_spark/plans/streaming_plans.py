@@ -250,6 +250,9 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only (no float z-scores) so Welford-vs-window float-path differences
     # cannot produce hash mismatches off the 3-sigma boundary; exact parity
     # in tests/test_oracle_parity.py.
+    # r11: rotated out of the driver 50 (long-stable survivor, r10 verdict
+    # task 1); oracle still enforced exactly by tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user streaming anomaly detection (value > mean + 3 stddev of the

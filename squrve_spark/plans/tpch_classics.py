@@ -222,6 +222,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("A5", "A7", "A8", "A9"),
+    # r11: rotated out of the driver 50 (long-stable survivor, r10 verdict
+    # task 1); oracle still enforced exactly by tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: customers who returned the most revenue in one quarter."""
@@ -313,6 +316,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE)
     """,
     tags=("A5", "A7", "A8", "A11"),
+    # r11: rotated out of the driver 50 (long-stable survivor, r10 verdict
+    # task 1); oracle still enforced exactly by tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: orders whose total quantity exceeds a threshold.
