@@ -461,24 +461,121 @@ class WorkflowAgent(SparkActor):
     OUTPUT_NAME = "pred_sql"
     SKILL = "Compose registered actors into a pipeline with fan-out stages."
 
-    def __init__(self, *args, actor_lis: Optional[list] = None, **kwargs):
+    def __init__(self, *args, actor_lis: Optional[list] = None,
+                 actor_args: Optional[dict] = None, **kwargs):
         super().__init__(*args, **kwargs)
         self.actor_lis = actor_lis or []
+        # per-actor constructor kwargs keyed by the spec string
+        # (WorkflowAgent.py:80-84: merged with dataset/llm, which this
+        # agent always supplies itself)
+        self.actor_args = actor_args or {}
 
     def _build(self, spec) -> Actor:
         from squrve_spark.actors.nest import PipelineActor, TreeActor
 
         if isinstance(spec, list):
             return TreeActor([self._build(s) for s in spec], dataset=self.dataset)
+        if not isinstance(spec, str):
+            raise TypeError(
+                f"actor_lis item must be str or list, got {type(spec).__name__}: {spec!r}"
+            )
+        extra = self.actor_args.get(spec, {})
+        if not isinstance(extra, dict):
+            raise ValueError(
+                f"actor_args for {spec!r} must be a dict, got {type(extra).__name__}"
+            )
         family, _, name = spec.partition(":")
         return ActorPool.create(
-            family, name or family, dataset=self.dataset, spark=self.spark, llm=self.llm
+            family, name or family, dataset=self.dataset, spark=self.spark,
+            llm=self.llm, **extra,
         )
 
     def act(self, item: int, **kwargs) -> dict:
         from squrve_spark.actors.nest import PipelineActor
 
+        if not isinstance(self.actor_lis, list) or not self.actor_lis:
+            raise ValueError("The actor list must be a non-empty list of actors")
         pipeline = PipelineActor([self._build(s) for s in self.actor_lis], dataset=self.dataset)
+        return pipeline.act(item, **kwargs)
+
+
+@ActorPool.register("agent")
+class MultiWorkflowAgent(SparkActor):
+    """Pipeline whose steps reference NAMED workflows and NAMED actors
+    (WorkflowAgent.py:159-305 semantics): ``workflows`` maps a key to a
+    sub-workflow config ``{"actor_lis": [...], "actor_args": {...}}``
+    (rolled out as a nested WorkflowAgent), ``actors`` maps a key to
+    ``{"actor_name": "family:name", "actor_args": {...}}`` (an atomic
+    registered actor), and ``actor_lis`` gives the execution order over
+    those keys — a str key is a serial step, a list of keys fans out via
+    TreeActor and merges. Deviation from the reference (intended): errors
+    raise instead of being swallowed to ``""`` — the engine's task layer
+    owns failure accounting."""
+
+    NAME = "multiworkflow"
+    OUTPUT_NAME = "pred_sql"
+    SKILL = ("Compose pre-named sub-workflows and pre-named actors into one "
+             "pipeline with fan-out stages.")
+
+    def __init__(self, *args, workflows: Optional[dict] = None,
+                 actors: Optional[dict] = None,
+                 actor_lis: Optional[list] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.workflows = workflows or {}
+        self.actors = actors or {}
+        self.actor_lis = actor_lis or []
+
+    def _resolve(self, key) -> Actor:
+        from squrve_spark.actors.nest import TreeActor
+
+        if isinstance(key, list):
+            return TreeActor([self._resolve(k) for k in key], dataset=self.dataset)
+        if not isinstance(key, str):
+            raise TypeError(
+                f"actor_lis item must be str or list, got {type(key).__name__}: {key!r}"
+            )
+        if key in self.workflows:
+            wf = self.workflows[key]
+            if not isinstance(wf, dict):
+                raise ValueError(
+                    f"Workflow {key!r} must be a dict, got {type(wf).__name__}"
+                )
+            if "actor_lis" not in wf:
+                raise ValueError(
+                    f"Workflow {key!r} must contain 'actor_lis', got keys: {list(wf)}"
+                )
+            return WorkflowAgent(
+                dataset=self.dataset, spark=self.spark, llm=self.llm,
+                actor_lis=wf["actor_lis"], actor_args=wf.get("actor_args", {}),
+            )
+        if key in self.actors:
+            spec = self.actors[key]
+            if not isinstance(spec, dict):
+                raise ValueError(
+                    f"Actor {key!r} must be a dict, got {type(spec).__name__}"
+                )
+            if "actor_name" not in spec:
+                raise ValueError(
+                    f"Actor {key!r} must contain 'actor_name', got keys: {list(spec)}"
+                )
+            family, _, name = spec["actor_name"].partition(":")
+            return ActorPool.create(
+                family, name or family, dataset=self.dataset, spark=self.spark,
+                llm=self.llm, **spec.get("actor_args", {}),
+            )
+        raise ValueError(
+            f"Key {key!r} not found in workflows or actors: "
+            f"workflows={list(self.workflows)}, actors={list(self.actors)}"
+        )
+
+    def act(self, item: int, **kwargs) -> dict:
+        from squrve_spark.actors.nest import PipelineActor
+
+        if not isinstance(self.actor_lis, list) or not self.actor_lis:
+            raise ValueError("The actor list must be a non-empty list")
+        pipeline = PipelineActor(
+            [self._resolve(k) for k in self.actor_lis], dataset=self.dataset
+        )
         return pipeline.act(item, **kwargs)
 
 

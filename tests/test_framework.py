@@ -494,6 +494,91 @@ def test_workflow_agent(spark):
     assert eng.dataset[0]["pred_sql"] == "SELECT n_name FROM nation"
 
 
+def test_multi_workflow_agent_end_to_end(spark):
+    """MultiWorkflowAgent (WorkflowAgent.py:159-305): named sub-workflows
+    and named actors composed by key, mock-LLM EX = 1.0."""
+    llm = MockLLM(default="[nation.n_name]")
+    rows = [
+        {"instance_id": 0, "db_id": "tpch", "db_type": "spark",
+         "question": "nation names", "query": "SELECT n_name FROM nation",
+         "tables": ["nation"]}
+    ]
+    eng = _mk_engine(spark, rows, llm)
+    eng.add_task(
+        "agent", "agent", "multiworkflow",
+        workflows={"W_parse_gen": {
+            "actor_lis": ["reducer:zero", ["parser:heuristic"], "generator:gold"],
+        }},
+        actors={"A_opt": {"actor_name": "optimizer:execfeedback"}},
+        actor_lis=["W_parse_gen", "A_opt"],
+    )
+    eng.execute(["agent"])
+    assert eng.dataset[0]["pred_sql"] == "SELECT n_name FROM nation"
+    res = eng.evaluate(["execute_accuracy"])
+    assert res["execute_accuracy"]["avg"] == 1.0
+
+
+def test_multi_workflow_agent_fanout_and_actor_args(spark):
+    """A list step fans keys out via TreeActor; actor_args reach the
+    resolved actor's constructor (here a nested workflow agent built
+    entirely from actor_args)."""
+    from squrve_spark.actors.families import MultiWorkflowAgent
+
+    rows = [
+        {"instance_id": 0, "db_id": "tpch", "db_type": "spark",
+         "question": "n", "query": "SELECT n_name FROM nation",
+         "tables": ["nation"]}
+    ]
+    register_tables(spark, SF_SMALL)
+    ds = Dataset(rows)
+    agent = MultiWorkflowAgent(
+        dataset=ds, spark=spark, llm=MockLLM(default="[nation.n_name]"),
+        workflows={"W1": {"actor_lis": ["generator:gold"]}},
+        actors={"A_nested": {"actor_name": "agent:workflow",
+                             "actor_args": {"actor_lis": ["generator:gold"]}}},
+        actor_lis=[["W1", "A_nested"], "A_nested"],
+    )
+    out = agent.act(0)
+    assert out["pred_sql"] == "SELECT n_name FROM nation"
+
+
+def test_multi_workflow_agent_config_errors(spark):
+    """Reference error contract: unknown key / malformed workflow / actor
+    configs raise with the reference's messages; bad item types TypeError."""
+    import pytest
+    from squrve_spark.actors.families import MultiWorkflowAgent
+
+    ds = Dataset([{"instance_id": 0}])
+    mk = lambda **kw: MultiWorkflowAgent(dataset=ds, spark=spark, llm=MockLLM(), **kw)
+    with pytest.raises(ValueError, match="non-empty list"):
+        mk(actor_lis=[]).act(0)
+    with pytest.raises(ValueError, match="not found in workflows or actors"):
+        mk(actor_lis=["nope"]).act(0)
+    with pytest.raises(ValueError, match="must contain 'actor_lis'"):
+        mk(workflows={"W": {"actor_args": {}}}, actor_lis=["W"]).act(0)
+    with pytest.raises(ValueError, match="must contain 'actor_name'"):
+        mk(actors={"A": {"actor_args": {}}}, actor_lis=["A"]).act(0)
+    with pytest.raises(TypeError, match="must be str or list"):
+        mk(actor_lis=[42]).act(0)
+
+
+def test_workflow_agent_actor_args_reach_constructors(spark):
+    """WorkflowAgent.actor_args (WorkflowAgent.py:80-84): per-spec kwargs
+    merged into the resolved actor's constructor."""
+    from squrve_spark.actors.families import WorkflowAgent
+
+    rows = [{"instance_id": 0, "db_id": "tpch", "db_type": "spark",
+             "question": "n", "query": "SELECT n_name FROM nation",
+             "tables": ["nation"]}]
+    register_tables(spark, SF_SMALL)
+    agent = WorkflowAgent(
+        dataset=Dataset(rows), spark=spark, llm=MockLLM(),
+        actor_lis=["agent:workflow"],
+        actor_args={"agent:workflow": {"actor_lis": ["generator:gold"]}},
+    )
+    assert agent.act(0)["pred_sql"] == "SELECT n_name FROM nation"
+
+
 def test_exec_feedback_optimizer(spark):
     llm = MockLLM(rules=[(r"Problem: execution error", "SELECT n_name FROM nation")])
     rows = [
