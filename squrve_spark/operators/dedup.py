@@ -1067,6 +1067,138 @@ def ppjoin_pairs(
     )
 
 
+def similarity_route(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ppjoin_advantage: float = 4.0,
+) -> dict:
+    """Cost-based REGIME PICK for the exact set-similarity join (r10
+    verdict task 3): the same exact Jaccard join has two complementary
+    plans — PPJoin prefix filtering (`ppjoin_pairs`, wins on heavy-tailed
+    shingle vocabularies where rare prefixes are selective) and the full
+    inverted index (`_pair_intersections`, wins on small/warm
+    vocabularies where every prefix token is hot and PPJoin's ordering +
+    verification overhead buys nothing — the fixture's measured
+    anti-regime). This measures which regime the corpus is in with one
+    cheap diagnostic (the `key_skew_profile` pattern) and returns the
+    decision plus the numbers behind it.
+
+    Estimator: the shingle document-frequency HISTOGRAM (groupBy df value
+    — a frame the size of the distinct-df-value count, collected to the
+    driver like a skew profile). From it:
+
+    * ``full_rows``   = Σ_d m_d·d·(d−1)/2 — the EXACT equi-join row count
+      of the full inverted index;
+    * ``ppjoin_rows`` = the same sum over only the globally RAREST
+      shingles, walking d ascending until the corpus-wide prefix token
+      budget Σ_docs(sz − ceil(t·sz) + 1) (computed exactly in one
+      aggregate) is covered. This UPPER-BOUNDS PPJoin's candidate rows:
+      a token's prefix-postings length is ≤ its global df, and PPJoin's
+      rarest-first order means prefixes draw exactly from this low-df
+      mass.
+
+    Route = ``"ppjoin"`` only when ``ppjoin_rows · ppjoin_advantage <
+    full_rows`` — the advantage factor charges PPJoin for its extra
+    passes (global df ordering, per-doc prefix sort, candidate-verify
+    join) and for the estimate's deliberate bias (global df overstates
+    prefix postings), so ties and near-ties keep the simpler full-index
+    plan. Diagnostic cost: one shingle explode + two small aggregates —
+    strictly cheaper than either join it chooses between.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    p, q = frac.numerator, frac.denominator
+    docs = with_hashed_shingles(df.select(id_col, text_col), text_col, n).drop(
+        text_col
+    )
+    # exact per-doc prefix budget in ONE aggregate (no histogram approx):
+    # Σ (sz − ceil(t·sz) + 1) with integer ceil-div, plus the doc count
+    budget_row = docs.select(
+        (
+            F.size("sh")
+            - F.expr(f"({p} * size(sh) + {q - 1}) div {q}")
+            + F.lit(1)
+        ).alias("pl")
+    ).agg(F.sum("pl").alias("prefix_tokens"), F.count("*").alias("n_docs")).collect()[0]
+    prefix_tokens = int(budget_row["prefix_tokens"] or 0)
+    n_docs = int(budget_row["n_docs"])
+    hist_rows = (
+        docs.select(F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("dfq"))
+        .groupBy("dfq")
+        .agg(F.count("*").alias("m"))
+        .collect()
+    )  # bounded: one row per distinct df VALUE, not per shingle
+    hist = sorted((int(r["dfq"]), int(r["m"])) for r in hist_rows)
+    total_tokens = sum(d * m for d, m in hist)
+    full_rows = sum(m * d * (d - 1) // 2 for d, m in hist)
+    remaining = prefix_tokens
+    ppjoin_rows = 0
+    for d, m in hist:  # rarest-first, the PPJoin prefix order
+        if remaining <= 0:
+            break
+        take = min(m, -(-remaining // d))  # shingles needed to cover budget
+        ppjoin_rows += take * d * (d - 1) // 2
+        remaining -= take * d
+    route = "ppjoin" if ppjoin_rows * ppjoin_advantage < full_rows else "full_index"
+    return {
+        "route": route,
+        "full_rows": full_rows,
+        "ppjoin_rows": ppjoin_rows,
+        "total_tokens": total_tokens,
+        "prefix_tokens": prefix_tokens,
+        "n_docs": n_docs,
+        "n_distinct_df": len(hist),
+    }
+
+
+def similarity_join(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    route: str | None = None,
+    ppjoin_advantage: float = 4.0,
+) -> DataFrame:
+    """The FRONT DOOR for exact corpus-wide Jaccard >= threshold pairs:
+    measures the shingle df tail (`similarity_route`) and dispatches to
+    PPJoin prefix filtering or the full inverted index — two plans, ONE
+    exact semantics (property-tested equal on both regimes). Returns
+    (id_a, id_b, jaccard) with id_a < id_b.
+
+    Both routes admit by the same EXACT integer comparison
+    ``inter·q >= p·union`` (never the rounded display value), so the
+    result SET is route-independent; the reported jaccard is rounded to
+    6 dp for output stability. Pass ``route=`` to pin a regime (the
+    property tests do; production leaves it None).
+    """
+    if route is None:
+        route = similarity_route(
+            df, threshold, n, text_col, id_col, ppjoin_advantage
+        )["route"]
+    if route == "ppjoin":
+        return ppjoin_pairs(df, threshold, n, text_col, id_col)
+    if route != "full_index":
+        raise ValueError(f"unknown similarity_join route {route!r}")
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    p, q = frac.numerator, frac.denominator
+    inter = _pair_intersections(df, [], n, text_col, id_col, None)
+    jac = F.round(
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+    ).cast("double")
+    return inter.filter(
+        F.col("inter") * q >= F.lit(p) * (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    ).select("id_a", "id_b", jac.alias("jaccard"))
+
+
 def containment_pairs(
     df: DataFrame,
     threshold: float = 0.5,

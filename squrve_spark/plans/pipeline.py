@@ -6145,6 +6145,46 @@ def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_similarity_join",
+    # r11 (verdict task 3): the cost-based FRONT DOOR over the two exact-
+    # Jaccard regimes — similarity_route measures the shingle df tail (one
+    # histogram aggregate) and dispatches PPJoin vs full inverted index.
+    # Both routes admit by the exact integer comparison, so the oracle is
+    # the same exact pair set as dedup_ppjoin_pairs; on this fixture's
+    # deliberately warm vocabulary the router picks full_index (the
+    # measured anti-regime note on ppjoin_pairs, now executable policy).
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(0, len(w) - 2),
+                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents)
+        WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(ROUND(len(list_intersect(a.sh, b.sh))
+                      / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS DOUBLE)
+               AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE 2 * len(list_intersect(a.sh, b.sh))
+          >= len(list_distinct(list_concat(a.sh, b.sh)))
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup",),
+    defer_oracle=True,
+)
+def dedup_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact 3-gram Jaccard >= 0.5 pairs via the cost-routed
+    front door (operators/dedup.py:similarity_join): one cheap df-tail
+    diagnostic picks PPJoin prefix filtering on heavy-tailed vocabularies
+    or the full inverted index on warm ones — same exact result set
+    either way (property-tested route equality)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.similarity_join(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@register(
     "doc_unimax_mix",
     # the UniMax water-filling loop relationalized: caps sorted ascending,
     # candidate share s_i = (B - prefix) div (remaining), theta = the

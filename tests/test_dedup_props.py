@@ -490,3 +490,96 @@ def test_ppjoin_nondyadic_threshold_no_float_ceil_miss(spark):
         for r in dedup.ppjoin_pairs(df, threshold=0.07).collect()
     }
     assert (1, 2) in got and got[(1, 2)] == 0.07
+
+
+# ---------------------------------------------------------------------------
+# similarity_join — cost-based regime router (r11, verdict task 3)
+
+
+def _heavy_tail_corpus(spark, n_docs=40, seed=11):
+    """Mostly-unique vocabulary (each doc draws fresh random words) with a
+    planted near-dup pair — the regime where rare prefixes are selective."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        words = [f"w{rng.randrange(10**9)}" for _ in range(20)]
+        rows.append(Row(doc_id=i, text=" ".join(words)))
+    # planted near-dup: doc n_docs shares 19/20 words with doc 0
+    dup = rows[0].text.split()
+    dup[-1] = "changed"
+    rows.append(Row(doc_id=n_docs, text=" ".join(dup)))
+    return spark.createDataFrame(rows)
+
+
+def _warm_vocab_corpus(spark, n_docs=40, seed=12):
+    """Tiny shared vocabulary: every shingle is hot, prefixes buy nothing
+    — the fixture-like anti-regime where the full index wins."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(seed)
+    # 4 words -> at most 64 possible 3-gram shingles, so every shingle is
+    # shared by many docs (mean df >> 1) and no rare prefix exists
+    vocab = [f"v{k}" for k in range(4)]
+    rows = [
+        Row(doc_id=i, text=" ".join(rng.choice(vocab) for _ in range(30)))
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_similarity_route_picks_regimes(spark):
+    """The router must choose ppjoin on the heavy-tailed corpus and
+    full_index on the warm-vocabulary corpus — the two measured regimes."""
+    heavy = dedup.similarity_route(_heavy_tail_corpus(spark), threshold=0.5)
+    warm = dedup.similarity_route(_warm_vocab_corpus(spark), threshold=0.5)
+    assert heavy["route"] == "ppjoin", heavy
+    assert warm["route"] == "full_index", warm
+    # the decision numbers must be internally consistent
+    assert heavy["ppjoin_rows"] * 4.0 < heavy["full_rows"]
+    assert warm["ppjoin_rows"] * 4.0 >= warm["full_rows"]
+
+
+@pytest.mark.parametrize("mk", [_heavy_tail_corpus, _warm_vocab_corpus])
+def test_similarity_join_routes_are_equal(spark, mk):
+    """Property (verdict task 3): BOTH routes return the identical exact
+    pair set on BOTH regimes — the router changes the plan, never the
+    result."""
+    df = mk(spark)
+    pp = sorted(map(tuple, dedup.similarity_join(df, 0.5, route="ppjoin").collect()))
+    fi = sorted(map(tuple, dedup.similarity_join(df, 0.5, route="full_index").collect()))
+    assert pp == fi
+    auto = sorted(map(tuple, dedup.similarity_join(df, 0.5).collect()))
+    assert auto == pp
+
+
+def test_similarity_join_heavy_tail_finds_planted_pair(spark):
+    df = _heavy_tail_corpus(spark)
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.similarity_join(df, 0.5).collect()}
+    assert (0, 40) in pairs
+
+
+def test_similarity_join_plan_shows_chosen_route(spark):
+    """The dispatched PLAN differs by regime: the ppjoin route verifies
+    candidates with an array_intersect over shipped shingle arrays (its
+    prefix-index subtree sits behind a memo checkpoint); the full-index
+    route counts shared shingles via groupBy and never intersects
+    arrays."""
+    heavy_plan = dedup.similarity_join(
+        _heavy_tail_corpus(spark), 0.5, route="ppjoin"
+    )._jdf.queryExecution().analyzed().toString()
+    full_plan = dedup.similarity_join(
+        _warm_vocab_corpus(spark), 0.5, route="full_index"
+    )._jdf.queryExecution().analyzed().toString()
+    assert "array_intersect" in heavy_plan
+    assert "array_intersect" not in full_plan
+
+
+def test_similarity_join_rejects_unknown_route(spark):
+    with pytest.raises(ValueError, match="unknown similarity_join route"):
+        dedup.similarity_join(_warm_vocab_corpus(spark), 0.5, route="bogus")
