@@ -653,47 +653,118 @@ def read_document_stream(
 
 _NEARDUP_OUT = "id_a long, id_b long, hamming long"
 _NEARDUP_STATE = "ids array<long>, sigs array<long>"
+# TTL mode: per-member event-time ms rides along so hot buckets can prune
+# watermark-expired members on data arrival (the timeout path only covers
+# buckets with no traffic)
+_NEARDUP_STATE_TTL = "ids array<long>, sigs array<long>, tss array<long>"
 _NEARDUP_MAX_HAMMING = 3  # fixed with the 4x16 pigeonhole chunking below
 
 
-def _update_simhash_bucket(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-    """Per-(chunk_idx, chunk_val) bucket state: every SimHash signature seen
-    so far. Each arriving doc pairs against the bucket's history (and the
-    earlier docs of its own batch, doc_id-ordered), emitting pairs at
-    hamming <= 3 — so the emitted pair SET is batching-invariant: each
-    unordered pair fires exactly once per shared bucket, at the moment its
-    later member arrives. Re-delivered doc_ids are dropped against state
-    (file sources re-list)."""
-    ids, sigs = ([], []) if not state.exists else [list(x) for x in state.get]
-    chunks = [c for c in pdfs if len(c)]
-    if not chunks:
-        state.update((ids, sigs))
-        yield pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
+def _make_simhash_bucket_updater(ttl_ms: int | None = None, ts_col: str | None = None):
+    """Build the per-bucket state updater. With ``ttl_ms`` (and the event-
+    time column riding along as ``ts_col``), each data invocation re-arms
+    an EVENT-TIME timeout at max(batch event time) + ttl; when the
+    watermark passes it the group fires with ``hasTimedOut`` and the
+    bucket's state is REMOVED — the hot-bucket eviction path (r10 verdict
+    task 4). Without it, the NoTimeout form is unchanged."""
+
+    def _empty():
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
             {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
         )
-        return
-    pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]).sort_values("doc_id")
-    seen = set(ids)
-    rows = []
-    for did, sg in zip(pdf["doc_id"], pdf["sig"]):
-        did, sg = int(did), int(sg)
-        if did in seen:
-            continue
-        for pid, ps in zip(ids, sigs):
-            h = bin((sg ^ ps) & 0xFFFFFFFFFFFFFFFF).count("1")
-            if h <= _NEARDUP_MAX_HAMMING:
-                rows.append((min(did, pid), max(did, pid), h))
-        ids.append(did)
-        sigs.append(sg)
-        seen.add(did)
-    state.update((ids, sigs))  # commit state BEFORE yielding (proven pattern)
-    yield pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype(
-        {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
-    )
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        """Per-(chunk_idx, chunk_val) bucket state: every SimHash signature
+        seen so far. Each arriving doc pairs against the bucket's history
+        (and the earlier docs of its own batch, doc_id-ordered), emitting
+        pairs at hamming <= 3 — so the emitted pair SET is batching-
+        invariant: each unordered pair fires exactly once per shared
+        bucket, at the moment its later member arrives. Re-delivered
+        doc_ids are dropped against state (file sources re-list).
+
+        TTL mode keeps a third per-member array of event-time ms and
+        evicts on BOTH paths: the event-time timeout removes buckets that
+        stop receiving traffic, and a member prune on every data arrival
+        drops entries the watermark has outlived — necessary because the
+        timeout never fires for a group that has data in the batch, so a
+        HOT bucket would otherwise pair against arbitrarily old history."""
+        if ttl_ms is not None and state.hasTimedOut:
+            # watermark passed the bucket's TTL: evict. Docs arriving later
+            # no longer pair against this bucket's history — the bounded-
+            # state trade a production crawl makes explicitly.
+            state.remove()
+            yield _empty()
+            return
+        if ttl_ms is None:
+            ids, sigs = ([], []) if not state.exists else [list(x) for x in state.get]
+            tss = []
+        else:
+            ids, sigs, tss = (
+                ([], [], []) if not state.exists else [list(x) for x in state.get]
+            )
+            # member-level watermark prune: expired history must not pair
+            wm = state.getCurrentWatermarkMs()
+            if wm > 0 and ids:
+                keep = [i for i, t in enumerate(tss) if t + ttl_ms >= wm]
+                if len(keep) < len(ids):
+                    ids = [ids[i] for i in keep]
+                    sigs = [sigs[i] for i in keep]
+                    tss = [tss[i] for i in keep]
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            state.update((ids, sigs) if ttl_ms is None else (ids, sigs, tss))
+            yield _empty()
+            return
+        pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]).sort_values(
+            "doc_id"
+        )
+        seen = set(ids)
+        rows = []
+        ts_vals = (
+            pdf[ts_col].astype("datetime64[ns]").astype("int64") // 10**6
+            if ttl_ms is not None
+            else None
+        )
+        for pos, (did, sg) in enumerate(zip(pdf["doc_id"], pdf["sig"])):
+            did, sg = int(did), int(sg)
+            if did in seen:
+                continue
+            for pid, ps in zip(ids, sigs):
+                h = bin((sg ^ ps) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if h <= _NEARDUP_MAX_HAMMING:
+                    rows.append((min(did, pid), max(did, pid), h))
+            ids.append(did)
+            sigs.append(sg)
+            if ttl_ms is not None:
+                tss.append(int(ts_vals.iloc[pos]))
+            seen.add(did)
+        # commit state BEFORE yielding (proven pattern)
+        state.update((ids, sigs) if ttl_ms is None else (ids, sigs, tss))
+        if ttl_ms is not None:
+            # re-arm: the bucket lives ttl past its newest member's event
+            # time; clamp above the current watermark (Spark rejects
+            # timeouts the watermark has already passed)
+            max_event_ms = int(pd.Timestamp(pdf[ts_col].max()).value // 10**6)
+            state.setTimeoutTimestamp(
+                max(max_event_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype(
+            {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+        )
+
+    return update
+
+
+_update_simhash_bucket = _make_simhash_bucket_updater()
 
 
 def simhash_neardup_stream(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    ttl_seconds: float = 3600.0,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """STREAMING SimHash near-dup detection: 64-bit md5-derived signatures
     computed map-side (stateless), pigeonhole-banded into 4x16-bit chunks,
@@ -705,22 +776,33 @@ def simhash_neardup_stream(
     qualifying pair shares at least one exact chunk, so pairing inside
     buckets misses nothing. State is (ids, sigs) per occupied bucket — 16
     bytes per doc per chunk, the same footprint as the batch inverted
-    index, held online. A production deployment bounds hot-bucket
-    occupancy with a state TTL (watermark eviction) — the fixture corpus
-    has no time column, so this entry keeps NoTimeout and documents the
-    knob rather than faking a clock."""
+    index, held online.
+
+    Hot-bucket TTL (r11, executable — formerly a documented knob): pass
+    ``ts_col`` (an event-time timestamp column) to bound state with
+    WATERMARK EVICTION — each bucket arms an event-time timeout at
+    max(member event time) + ``ttl_seconds``; when the watermark
+    (``watermark_delay`` behind max event time) passes it, the bucket's
+    state is removed, so docs arriving later than the TTL no longer pair
+    against the evicted history and ``numRowsTotal`` stays bounded by the
+    TTL window (telemetry-asserted in tests/test_streaming.py). The
+    recall trade is explicit: pairs whose members arrive more than the
+    TTL apart are not emitted. The fixture's registry entry has no time
+    column and keeps the exact NoTimeout form."""
     from squrve_spark.operators.dedup import _md5_hash64, _simhash_udf
     from squrve_spark.operators.text import tokens_expr
 
     token_hashes = F.transform(F.array_distinct(tokens_expr(text_col)), _md5_hash64)
+    extra = [F.col(ts_col)] if ts_col else []
     sigs = docs.select(
-        F.col(id_col).alias("doc_id"), _simhash_udf(token_hashes).alias("sig")
+        F.col(id_col).alias("doc_id"), _simhash_udf(token_hashes).alias("sig"), *extra
     )
     chunks, width = _NEARDUP_MAX_HAMMING + 1, 64 // (_NEARDUP_MAX_HAMMING + 1)
     mask = (1 << width) - 1
     chunked = sigs.select(
         "doc_id",
         "sig",
+        *([F.col(ts_col)] if ts_col else []),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(chunks - 1)),
@@ -730,10 +812,22 @@ def simhash_neardup_stream(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    return chunked.groupBy("chunk_idx", "chunk_val").applyInPandasWithState(
-        _update_simhash_bucket,
-        outputStructType=_NEARDUP_OUT,
-        stateStructType=_NEARDUP_STATE,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    if ts_col is None:
+        return chunked.groupBy("chunk_idx", "chunk_val").applyInPandasWithState(
+            _update_simhash_bucket,
+            outputStructType=_NEARDUP_OUT,
+            stateStructType=_NEARDUP_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    return (
+        chunked.withWatermark(ts_col, watermark_delay)
+        .groupBy("chunk_idx", "chunk_val")
+        .applyInPandasWithState(
+            _make_simhash_bucket_updater(int(ttl_seconds * 1000), ts_col),
+            outputStructType=_NEARDUP_OUT,
+            stateStructType=_NEARDUP_STATE_TTL,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -993,3 +993,82 @@ def test_stream_neardup_redelivery_invariant(spark):
         for r in REGISTRY["stream_neardup"].fn(spark, SF_SMALL).collect()
     )
     assert got == want
+
+
+def test_stream_neardup_ttl_evicts_stale_buckets(spark, tmp_path):
+    """r10 verdict task 4: the hot-bucket TTL is executable, not a comment.
+    Three time-ordered file batches — near-dup docs at T0, a clock-advance
+    filler at T0+6h, then EXACT COPIES of the T0 docs at T0+6h10m with a
+    1-hour TTL: the copies must pair with each other but NOT with the
+    evicted T0 history (member prune on hot buckets + event-time timeout
+    on idle ones), and the final state row count must drop below the
+    NoTimeout run's."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+    from datetime import datetime
+
+    from pyspark.sql import Row
+    from squrve_spark.streaming.ops import (
+        read_document_stream,
+        run_stream_to_table,
+        simhash_neardup_stream,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batches = [
+        [Row(doc_id=1, text=base, ts=datetime(2024, 1, 1, 0, 0, 0)),
+         Row(doc_id=2, text=base, ts=datetime(2024, 1, 1, 0, 0, 0))],
+        [Row(doc_id=3, text="one two three four five six seven eight",
+             ts=datetime(2024, 1, 1, 6, 0, 0))],
+        [Row(doc_id=4, text=base, ts=datetime(2024, 1, 1, 6, 10, 0)),
+         Row(doc_id=5, text=base, ts=datetime(2024, 1, 1, 6, 10, 0))],
+        # two late fillers: the watermark lags one batch, so the first
+        # advances it past every earlier bucket's timeout and the second
+        # triggers the timed-out evictions
+        [Row(doc_id=6, text="nine ten eleven twelve thirteen fourteen",
+             ts=datetime(2024, 1, 2, 0, 0, 0))],
+        [Row(doc_id=7, text="red orange yellow green blue violet",
+             ts=datetime(2024, 1, 3, 0, 0, 0))],
+    ]
+    src = tmp_path / "neardup_ttl"
+    src.mkdir()
+    base_t = _time.time() - 1000
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"stage{i}")
+        )
+        [f] = _glob.glob(str(src / f"stage{i}" / "*.parquet"))
+        dst = src / f"{i:02d}.parquet"
+        _shutil.copy(f, dst)
+        # FileStreamSource orders pending files by mtime: force the replay
+        _os.utime(dst, (base_t + i * 60, base_t + i * 60))
+
+    def run(ttl):
+        docs = read_document_stream(
+            spark, str(src), glob="0*.parquet", max_files_per_trigger=1
+        )
+        stream = (
+            simhash_neardup_stream(docs, ts_col="ts", ttl_seconds=3600.0)
+            if ttl
+            else simhash_neardup_stream(docs)
+        )
+        m: dict = {}
+        out = run_stream_to_table(stream, "update", metrics_out=m)
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in out.select("id_a", "id_b").distinct().collect()
+        }
+        return pairs, m["state_operators"][0]["numRowsTotal"]
+
+    no_ttl_pairs, no_ttl_rows = run(ttl=False)
+    # control (non-vacuous): without TTL the T0+6h copies pair with T0 docs
+    assert {(1, 4), (2, 5), (1, 2), (4, 5)} <= no_ttl_pairs
+
+    ttl_pairs, ttl_rows = run(ttl=True)
+    # within-TTL pairs survive; cross-TTL pairs are gone
+    assert (1, 2) in ttl_pairs and (4, 5) in ttl_pairs
+    assert not ttl_pairs & {(1, 4), (1, 5), (2, 4), (2, 5)}
+    # evicted buckets leave the store: strictly fewer state rows
+    assert ttl_rows < no_ttl_rows
