@@ -112,6 +112,124 @@ class HTTPLLMClient(LLMClient):
         ) from last_err
 
 
+class ClaudeLLMClient(HTTPLLMClient):
+    """Anthropic Messages-API adapter (stdlib only) — the NATIVE wire
+    protocol, not the OpenAI-compatible shim (r10 verdict task 5; the
+    reference's adapter surface is ``core/llm/ClaudeModel.py``).
+
+    Differences from chat-completions, handled here: endpoint is
+    ``POST {base_url}/messages``; auth is ``x-api-key`` plus the required
+    ``anthropic-version`` header (no Bearer token); the system prompt is a
+    TOP-LEVEL ``system`` field, never a messages row; the reply text lives
+    in ``content[*].text`` blocks. Internally the OpenAI-shaped payload
+    built by ``complete`` is translated on the way out and the native
+    response is translated back, so the retry/backoff loop and the public
+    ``complete(prompt, system=...)`` surface are shared verbatim.
+    Key resolution: explicit ``api_key`` else ``ANTHROPIC_API_KEY``.
+    """
+
+    ANTHROPIC_VERSION = "2023-06-01"
+
+    def __init__(self, base_url: str = "https://api.anthropic.com/v1",
+                 model: str = "claude-3-5-sonnet-latest",
+                 api_key: str | None = None, **kwargs):
+        if api_key is None:
+            api_key = os.environ.get("ANTHROPIC_API_KEY", "")
+        super().__init__(base_url, model, api_key=api_key, **kwargs)
+
+    def _request(self, payload: dict) -> dict:
+        system = [m["content"] for m in payload["messages"] if m["role"] == "system"]
+        native = {
+            "model": payload["model"],
+            "max_tokens": payload["max_tokens"],
+            "temperature": payload["temperature"],
+            "top_p": payload["top_p"],
+            "messages": [m for m in payload["messages"] if m["role"] != "system"],
+        }
+        if system:
+            native["system"] = system[0]
+        req = urllib.request.Request(
+            f"{self.base_url}/messages",
+            data=json.dumps(native).encode("utf-8"),
+            headers={
+                "Content-Type": "application/json",
+                "x-api-key": self.api_key,
+                "anthropic-version": self.ANTHROPIC_VERSION,
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            body = json.loads(resp.read().decode("utf-8"))
+        text = "".join(
+            blk.get("text", "") for blk in body.get("content", [])
+            if blk.get("type") == "text"
+        )
+        # normalize to the chat-completions shape the shared complete() reads
+        return {"choices": [{"message": {"role": "assistant", "content": text}}]}
+
+
+class GeminiLLMClient(HTTPLLMClient):
+    """Google Gemini generateContent adapter (stdlib only) — the NATIVE
+    wire protocol (reference surface: ``core/llm/GeminiModel.py``).
+
+    Differences from chat-completions, handled here: the model is part of
+    the URL (``POST {base}/models/{model}:generateContent``); auth is the
+    ``x-goog-api-key`` header; messages become ``contents`` with
+    ``parts=[{text}]`` and role ``model`` for assistant turns; the system
+    prompt is ``systemInstruction``; sampling knobs nest under
+    ``generationConfig`` (``topP``/``maxOutputTokens`` spellings); reply
+    text is ``candidates[0].content.parts[*].text``. Retry/backoff and the
+    ``complete`` surface are inherited. Key resolution: explicit
+    ``api_key`` else ``GEMINI_API_KEY`` else ``GOOGLE_API_KEY``.
+    """
+
+    def __init__(self,
+                 base_url: str = "https://generativelanguage.googleapis.com/v1beta",
+                 model: str = "gemini-1.5-pro",
+                 api_key: str | None = None, **kwargs):
+        if api_key is None:
+            api_key = os.environ.get("GEMINI_API_KEY") or os.environ.get(
+                "GOOGLE_API_KEY", ""
+            )
+        super().__init__(base_url, model, api_key=api_key, **kwargs)
+
+    def _request(self, payload: dict) -> dict:
+        system = [m["content"] for m in payload["messages"] if m["role"] == "system"]
+        contents = [
+            {
+                "role": "model" if m["role"] == "assistant" else "user",
+                "parts": [{"text": m["content"]}],
+            }
+            for m in payload["messages"]
+            if m["role"] != "system"
+        ]
+        native: dict = {
+            "contents": contents,
+            "generationConfig": {
+                "temperature": payload["temperature"],
+                "topP": payload["top_p"],
+                "maxOutputTokens": payload["max_tokens"],
+            },
+        }
+        if system:
+            native["systemInstruction"] = {"parts": [{"text": system[0]}]}
+        req = urllib.request.Request(
+            f"{self.base_url}/models/{payload['model']}:generateContent",
+            data=json.dumps(native).encode("utf-8"),
+            headers={
+                "Content-Type": "application/json",
+                "x-goog-api-key": self.api_key,
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            body = json.loads(resp.read().decode("utf-8"))
+        cands = body.get("candidates") or [{}]
+        parts = (cands[0].get("content") or {}).get("parts") or []
+        text = "".join(p.get("text", "") for p in parts)
+        return {"choices": [{"message": {"role": "assistant", "content": text}}]}
+
+
 # ---------------------------------------------------------------------------
 # reference config compatibility: the `llm` section's provider spellings
 
@@ -127,9 +245,11 @@ PROVIDERS: dict[str, tuple[str, str]] = {
     "deepseek": ("https://api.deepseek.com", "deepseek-chat"),
     "qwen": ("https://dashscope.aliyuncs.com/compatible-mode/v1", "qwen-plus"),
     "zhipu": ("https://open.bigmodel.cn/api/paas/v4", "glm-4-plus"),
+    # claude/gemini dispatch to their NATIVE-protocol adapters (r11) —
+    # these defaults are the native API roots, not the OpenAI-compat shims
     "claude": ("https://api.anthropic.com/v1", "claude-3-5-sonnet-latest"),
     "gemini": (
-        "https://generativelanguage.googleapis.com/v1beta/openai/",
+        "https://generativelanguage.googleapis.com/v1beta",
         "gemini-1.5-pro",
     ),
     "xiaojing": ("https://aigc.x-see.cn/v1", "gpt-4o-mini"),
@@ -151,7 +271,12 @@ def client_for_section(sec: dict) -> Optional[HTTPLLMClient]:
     base_url = sec.get("base_url") or default_url
     if not base_url:
         return None
-    return HTTPLLMClient(
+    # native-protocol providers get their dedicated adapters; everything
+    # else speaks public OpenAI-compatible chat-completions
+    cls = {"claude": ClaudeLLMClient, "gemini": GeminiLLMClient}.get(
+        use, HTTPLLMClient
+    )
+    return cls(
         base_url=base_url,
         model=sec.get("model_name", default_model),
         api_key=sec.get("api_key"),

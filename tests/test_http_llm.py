@@ -201,15 +201,22 @@ def test_reference_provider_spellings_map_to_http_client():
         "qwen": ("https://dashscope.aliyuncs.com/compatible-mode/v1", "qwen-plus"),
         "zhipu": ("https://open.bigmodel.cn/api/paas/v4", "glm-4-plus"),
         "claude": ("https://api.anthropic.com/v1", "claude-3-5-sonnet-latest"),
-        "gemini": ("https://generativelanguage.googleapis.com/v1beta/openai/",
+        "gemini": ("https://generativelanguage.googleapis.com/v1beta",
                    "gemini-1.5-pro"),
         "xiaojing": ("https://aigc.x-see.cn/v1", "gpt-4o-mini"),
     }
+    from squrve_spark.llm import ClaudeLLMClient, GeminiLLMClient
+
     for use, (url, model) in expected.items():
         c = client_for_section({"use": use, "api_key": "k"})
         assert isinstance(c, HTTPLLMClient), use
         assert c.base_url == url.rstrip("/") and c.model == model, use
         assert c.api_key == "k"
+    # r11: claude/gemini dispatch to the NATIVE-protocol adapters
+    assert isinstance(client_for_section({"use": "claude", "api_key": "k"}),
+                      ClaudeLLMClient)
+    assert isinstance(client_for_section({"use": "gemini", "api_key": "k"}),
+                      GeminiLLMClient)
     # overrides win over provider defaults
     c = client_for_section({"use": "qwen", "model_name": "qwen-max",
                             "base_url": "http://localhost:9/v1", "max_token": 64})
@@ -233,3 +240,139 @@ def test_build_llm_router_section_dispatch():
     assert isinstance(c, HTTPLLMClient) and c.api_key == "sk-test"
     r2 = Router(**{})
     assert isinstance(_build_llm(r2), MockLLM)
+
+
+class _FakeJSONServer:
+    """Generic native-protocol fake: captures (path, headers, body), replies
+    with scripted per-request (status, json) pairs."""
+
+    def __init__(self, replies: list[tuple[int, dict]]):
+        self.replies = list(replies)
+        self.requests: list[dict] = []
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 — http.server API
+                body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+                outer.requests.append(
+                    {"path": self.path,
+                     "headers": {k.lower(): v for k, v in self.headers.items()},
+                     "body": body}
+                )
+                status, payload = (
+                    outer.replies.pop(0) if outer.replies else (200, {})
+                )
+                data = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                if status == 200:
+                    self.wfile.write(data)
+
+            def log_message(self, *a):
+                pass
+
+        self.server = HTTPServer(("127.0.0.1", 0), Handler)
+        self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self.thread.start()
+
+    @property
+    def url(self) -> str:
+        return f"http://127.0.0.1:{self.server.server_port}/v1"
+
+    def shutdown(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def test_claude_native_wire_shape():
+    """ClaudeLLMClient speaks the Anthropic Messages API: /messages path,
+    x-api-key + anthropic-version headers, top-level system, content-block
+    response parsing."""
+    from squrve_spark.llm import ClaudeLLMClient
+
+    srv = _FakeJSONServer([(200, {
+        "content": [{"type": "text", "text": "SELECT 42"},
+                    {"type": "text", "text": " AS x"}],
+    })])
+    try:
+        c = ClaudeLLMClient(srv.url, model="claude-test", api_key="ak-1",
+                            temperature=0.3, max_tokens=99)
+        out = c.complete("write sql", system="be terse")
+        assert out == "SELECT 42 AS x"
+        [req] = srv.requests
+        assert req["path"] == "/v1/messages"
+        assert req["headers"]["x-api-key"] == "ak-1"
+        assert req["headers"]["anthropic-version"] == ClaudeLLMClient.ANTHROPIC_VERSION
+        assert "authorization" not in req["headers"]
+        assert req["body"]["system"] == "be terse"
+        assert req["body"]["messages"] == [{"role": "user", "content": "write sql"}]
+        assert req["body"]["max_tokens"] == 99
+        assert req["body"]["temperature"] == 0.3
+    finally:
+        srv.shutdown()
+
+
+def test_gemini_native_wire_shape():
+    """GeminiLLMClient speaks generateContent: model-in-URL, x-goog-api-key,
+    systemInstruction + contents/parts, generationConfig spellings,
+    candidates/parts response parsing."""
+    from squrve_spark.llm import GeminiLLMClient
+
+    srv = _FakeJSONServer([(200, {
+        "candidates": [{"content": {"role": "model",
+                                    "parts": [{"text": "SELECT "}, {"text": "7"}]}}],
+    })])
+    try:
+        c = GeminiLLMClient(srv.url, model="gemini-test", api_key="gk-1",
+                            top_p=0.5, max_tokens=77)
+        out = c.complete("write sql", system="be terse")
+        assert out == "SELECT 7"
+        [req] = srv.requests
+        assert req["path"] == "/v1/models/gemini-test:generateContent"
+        assert req["headers"]["x-goog-api-key"] == "gk-1"
+        assert req["body"]["systemInstruction"] == {"parts": [{"text": "be terse"}]}
+        assert req["body"]["contents"] == [
+            {"role": "user", "parts": [{"text": "write sql"}]}
+        ]
+        gc = req["body"]["generationConfig"]
+        assert gc["topP"] == 0.5 and gc["maxOutputTokens"] == 77
+    finally:
+        srv.shutdown()
+
+
+def test_native_adapters_share_retry_loop():
+    """The inherited backoff retries 429/5xx then succeeds — one retry
+    policy across all three protocol adapters."""
+    from squrve_spark.llm import ClaudeLLMClient, GeminiLLMClient
+
+    ok_claude = (200, {"content": [{"type": "text", "text": "ok"}]})
+    srv = _FakeJSONServer([(429, {}), (503, {}), ok_claude])
+    try:
+        c = ClaudeLLMClient(srv.url, model="m", api_key="k", retry_base_s=0.01)
+        assert c.complete("p") == "ok"
+        assert len(srv.requests) == 3
+    finally:
+        srv.shutdown()
+    ok_gem = (200, {"candidates": [{"content": {"parts": [{"text": "ok"}]}}]})
+    srv2 = _FakeJSONServer([(500, {}), ok_gem])
+    try:
+        g = GeminiLLMClient(srv2.url, model="m", api_key="k", retry_base_s=0.01)
+        assert g.complete("p") == "ok"
+        assert len(srv2.requests) == 2
+    finally:
+        srv2.shutdown()
+
+
+def test_native_adapters_env_key_fallback(monkeypatch):
+    from squrve_spark.llm import ClaudeLLMClient, GeminiLLMClient
+
+    monkeypatch.setenv("ANTHROPIC_API_KEY", "env-a")
+    monkeypatch.delenv("GEMINI_API_KEY", raising=False)
+    monkeypatch.setenv("GOOGLE_API_KEY", "env-g2")
+    assert ClaudeLLMClient("http://x", "m").api_key == "env-a"
+    assert GeminiLLMClient("http://x", "m").api_key == "env-g2"
+    monkeypatch.setenv("GEMINI_API_KEY", "env-g1")
+    assert GeminiLLMClient("http://x", "m").api_key == "env-g1"
+    assert ClaudeLLMClient("http://x", "m", api_key="explicit").api_key == "explicit"
