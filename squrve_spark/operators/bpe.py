@@ -101,22 +101,23 @@ def decode_tokens(tokens: Iterable[str]) -> str:
 
 
 def corpus_word_freqs(
-    df: DataFrame, text_col: str = "text", sample_words: int = 50_000
+    df: DataFrame, text_col: str = "text", sample_words: int | None = 50_000
 ) -> dict[str, int]:
     """Spark-side word-frequency table for training: explode + groupBy (one
     shuffle bounded by vocabulary), hash-ordered cap for a deterministic
-    bounded driver collect."""
-    freqs = (
+    bounded driver collect. ``sample_words=None`` keeps the FULL vocabulary
+    (no cap, no engine-specific hash order) — the cross-engine-replayable
+    form `doc_bpe_merge_table`'s oracle requires."""
+    counts = (
         spread(df.select(text_col))
         .select(F.explode(tokens_expr(text_col)).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("n"))
-        .orderBy(F.desc("n"), F.xxhash64("w"))
-        .limit(sample_words)
-        .collect()
     )
-    return {r["w"]: r["n"] for r in freqs}
+    if sample_words is not None:
+        counts = counts.orderBy(F.desc("n"), F.xxhash64("w")).limit(sample_words)
+    return {r["w"]: r["n"] for r in counts.collect()}
 
 
 def train_bpe(

@@ -99,6 +99,21 @@ HEAVIES = [
     # index — a stop-shingle degeneration would show here first (the
     # registered entry runs uncapped for exactness)
     "dedup_containment",
+    # r11 (r10 verdict task 7): integer-exact k-means — per-iteration cost
+    # is one assignment join + one cell groupBy, both corpus-linear at
+    # fixed (k, n_iter); a hidden per-cell quadratic would show here
+    "emb_kmeans_exact",
+    # r11: the exact-dedup -> containment-prune -> UniMax composite — the
+    # shared intersection core is now single-materialized (memo), so total
+    # growth must track the inverted index, not 2x it
+    "pipeline_curate_v8",
+    # r11: stream_neardup's BATCH oracle — pigeonhole-banded SimHash; a
+    # hot 16-bit band turning bucket pairing quadratic shows here first
+    "dedup_simhash",
+    # r11: the cost-routed similarity front door — the route DECISION adds
+    # one histogram aggregate (corpus-linear); whichever regime it picks
+    # must keep the join shared-shingle-bounded
+    "dedup_similarity_join",
 ]
 
 MAX_EXPONENT = 1.5  # sub-quadratic with margin (linear == 1.0)
