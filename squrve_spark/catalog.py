@@ -120,6 +120,32 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def int_array_expr(vals):
+    """Literal int array as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(int(v)) for v in vals])`` costs one py4j round trip
+    per element — a 1024-bucket weight table built that way adds ~2 s of
+    pure DRIVER time to every plan build (measured on sim_ivf_topk's
+    16x64 centroid literals, r10 verdict task 6). One ``F.expr`` parse is
+    a single JVM call; the resulting literal array is identical."""
+    if not len(vals):
+        return F.array()
+    return F.expr("array(" + ",".join(str(int(v)) for v in vals) + ")")
+
+
+def double_array_expr(vals):
+    """Literal double array as ONE parsed SQL expression (see
+    `int_array_expr`). ``DOUBLE('<repr>')`` casts the shortest round-trip
+    decimal string back to the identical IEEE value, so oracles replaying
+    the values see exactly the doubles ``F.lit(float(v))`` produced (bare
+    SQL decimals would parse as DECIMAL, not DOUBLE)."""
+    if not len(vals):
+        return F.array()
+    return F.expr(
+        "array(" + ",".join(f"DOUBLE('{float(v)!r}')" for v in vals) + ")"
+    )
+
+
 def plan_key(df: DataFrame) -> tuple:
     """THE session-memo cache key for a DataFrame: (canonicalized plan
     string, semanticHash, sorted input files). All three components are

@@ -29,7 +29,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from squrve_spark.catalog import spread
+from squrve_spark.catalog import double_array_expr, int_array_expr, spread
 from squrve_spark.operators.text import tokens_expr
 
 DEFAULT_DIM = 256
@@ -109,7 +109,8 @@ def score_expr(model: LinearTextModel, text_col: str = "text") -> Column:
     """Catalyst-only scoring expression: sigmoid(bias + mean_t w[h(t)]).
     The weight table rides the plan as a ``dim``-element array literal —
     evaluated in whole-stage codegen, no Python boundary, no shuffle."""
-    w = F.array(*[F.lit(round(float(x), 9)) for x in model.weights])
+    # ONE parsed expression, not dim py4j F.lit calls (plan-build time)
+    w = double_array_expr([round(float(x), 9) for x in model.weights])
     toks = tokens_expr(text_col)
     total = F.aggregate(
         toks,
@@ -204,7 +205,7 @@ def vote_expr(model: VoteTextModel, text_col: str = "text") -> Column:
     """Catalyst-only integer vote: sum_t w[h(t)] over the token array —
     whole-stage codegen, no Python, no shuffle, and EXACT (int64 sums of
     ±1), so any engine summing the same weights in any order agrees."""
-    warr = F.array(*[F.lit(int(x)) for x in model.weights])
+    warr = int_array_expr(model.weights)
     toks = tokens_expr(text_col)
     return F.aggregate(
         toks,

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from squrve_spark.catalog import int_array_expr
 from squrve_spark.operators.dedup import _u64_str, with_hashed_shingles
 
 
@@ -188,7 +189,8 @@ def contamination_scores_bloom(
     asserted in tests/test_hygiene.py.
     """
     words, m_bits, k = build_shingle_bloom(eval_docs, n, m_bits, k, text_col, portable)
-    words_arr = F.array(*[F.lit(int(w)) for w in words])
+    # ONE parsed expression, not 1024 py4j F.lit calls (plan-build time)
+    words_arr = int_array_expr(words)
     shingled = with_hashed_shingles(docs, text_col=text_col, n=n, portable=portable)
     return shingled.select(
         F.col(id_col),

@@ -38,7 +38,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from squrve_spark.catalog import memo_checkpoint, spread
+from squrve_spark.catalog import double_array_expr, memo_checkpoint, spread
 from squrve_spark.operators.text import tokens_expr
 
 DEFAULT_BUCKETS = 1024
@@ -96,7 +96,8 @@ def score_expr(
     token-bucket weight. The weight table rides the plan as an array
     literal; evaluation is whole-stage codegen, no Python boundary."""
     n_buckets = len(weights)
-    w = F.array(*[F.lit(float(x)) for x in weights])
+    # ONE parsed expression, not 1024 py4j F.lit calls (plan-build time)
+    w = double_array_expr(weights)
     return F.aggregate(
         tokens_expr(text_col),
         F.lit(0.0),
