@@ -29,11 +29,38 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from squrve_spark.catalog import double_array_expr as _double_array_expr
+from squrve_spark.catalog import int_array_expr as _int_array_expr
 from squrve_spark.catalog import memo_checkpoint, spread
 
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
+
+
+def _int_sqdist_sql(col: str, vals) -> str:
+    """Integer squared distance of int-array column ``col`` to a literal
+    centroid, as a SQL STRING — one parse instead of ~5 py4j-built HOF
+    expressions per centroid (each `F.aggregate(F.zip_with(...))` build
+    measured ~40 ms of driver time; x16 centroids x per plan build that
+    was the rest of the sim_ivf_topk driver-time regression)."""
+    arr = "array(" + ",".join(str(int(v)) for v in vals) + ")"
+    return (
+        f"aggregate(zip_with({col}, {arr}, (x, c) -> (x - c) * (x - c)), "
+        "0L, (acc, d) -> acc + d)"
+    )
+
+
+def _argmin_cell_sql(col: str, cents) -> str:
+    """(dist, cell) of the nearest literal centroid to int-array column
+    ``col``: sort an inline array of named_structs by (d asc, c asc) —
+    ties to the smaller cell, exactly the replayable-oracle order — and
+    take the head. ONE parsed expression for the whole argmin."""
+    structs = ",".join(
+        f"named_struct('d', {_int_sqdist_sql(col, cv)}, 'c', {j})"
+        for j, cv in enumerate(cents)
+    )
+    return f"element_at(array_sort(array({structs})), 1)"
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -575,31 +602,19 @@ def ivf_topk(
             "neighbor_id",
         )
         # query probe order: integer distance of the query's CODES (same
-        # corpus-derived scales) to each integer centroid, ties -> cell
+        # corpus-derived scales) to each integer centroid, ties -> cell.
+        # Probe list = first n_probe cells ordered by (dist, cell): sort an
+        # inline array of (dist, cell) structs, slice, project the cell.
+        # Built as ONE parsed SQL expression — the py4j-per-element form
+        # cost seconds of driver plan-build time per call (r10 verdict
+        # task 6 regression; see _int_sqdist_sql).
         qscales = int8_scales(corpus, vec_col)
-        qcodes = F.col("_qc")
-        cent_arrays = [F.array(*[F.lit(int(x)) for x in cv]) for cv in cents]
-        dists = [
-            F.aggregate(
-                F.zip_with(qcodes, cc, lambda x, ctr: (x - ctr) * (x - ctr)),
-                F.lit(0).cast("long"),
-                lambda acc, d: acc + d,
-            )
-            for cc in cent_arrays
-        ]
-        # probe list = first n_probe cells ordered by (dist, cell):
-        # sort an array of (dist, cell) structs, slice, project the cell
-        probe_arr = F.slice(
-            F.array_sort(
-                F.array(
-                    *[
-                        F.struct(d.alias("d"), F.lit(j).alias("c"))
-                        for j, d in enumerate(dists)
-                    ]
-                )
-            ),
-            1,
-            n_probe,
+        structs = ",".join(
+            f"named_struct('d', {_int_sqdist_sql('_qc', cv)}, 'c', {j})"
+            for j, cv in enumerate(cents)
+        )
+        probe_arr = F.expr(
+            f"slice(array_sort(array({structs})), 1, {int(n_probe)})"
         )
         q = (
             with_vec_norm(queries, vec_col, "q_v", "q_n")
@@ -1540,7 +1555,7 @@ def int8_codes_expr(scales: list[float], vec_col: str = "embedding") -> Column:
     over a scale literal array. Shared by `quantize_int8` and the r9
     integer sign-LSH signature so the codes any oracle replays are the
     one definition."""
-    s = F.array(*[F.lit(float(v)) for v in scales])
+    s = _double_array_expr(scales)
     return F.transform(
         _as_double(F.col(vec_col)),
         lambda x, i: F.greatest(
@@ -1652,7 +1667,7 @@ def quantize_int8(
     array — zero shuffle, zero Python; `int8_scales` already paid the one
     dim-bounded aggregate.
     """
-    s = F.array(*[F.lit(float(v)) for v in scales])
+    s = _double_array_expr(scales)
     v = _as_double(F.col(vec_col))
     codes = int8_codes_expr(scales, vec_col)
     out = spread(df).select(F.col(id_col), v.alias("_v"), codes.alias("qcodes"))
@@ -1811,6 +1826,205 @@ def int8_topk(
     )
 
 
+def integer_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    codebook_k: int = 16,
+    n_iter: int = 2,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INTEGER product quantization with asymmetric-distance candidate
+    generation and exact-code re-rank — the PQ tier of the exact-oracle
+    program (r11; `integer_kmeans`'s move applied per subspace, reference
+    parity target: the same ANN surface as `pq_topk` with cross-engine-
+    replayable arithmetic).
+
+    Float PQ (`pq_topk`) trains numpy codebooks no SQL engine can replay.
+    This variant quantizes to int8 codes first (`int8_codes_expr`, the
+    shared definition; the fixture embeddings are unit-norm, so integer
+    squared code distance is monotone with cosine), splits them into
+    ``m`` subspaces, and trains each subspace codebook with the integer
+    Lloyd recurrence (deterministic first-``codebook_k``-by-id seeds,
+    exact int squared distances, ties to the smaller codeword, floored-
+    mean updates). ADC keeps ``k * refine`` candidates per query; an
+    EXACT int8-code squared-distance re-rank on that bounded set picks
+    the final k — the float path's encode-by-L2 / refine design, in
+    arithmetic DuckDB replays bit-for-bit (codebooks, cells, ADC tables,
+    candidate set, re-rank — hash-checked end to end).
+
+    Scale shape: training collects are ``codebook_k``-bounded per
+    iteration per subspace; corpus encode is MAP-ONLY (literal-codeword
+    argmins in whole-stage codegen — one parsed SQL expression per
+    subspace, see `_argmin_cell_sql`); the query block broadcasts with
+    per-subspace integer distance TABLES (``codebook_k`` longs each) and
+    scoring is m array lookups per (query, row); `local_topk` reduces the
+    scored frame map-side so the candidate window's exchange carries
+    partitions x queries x (k * refine) rows, independent of corpus size;
+    the re-rank joins vectors onto the candidate set only.
+
+    Returns (query_id, neighbor_id, rank, code_dist) — code_dist = the
+    exact integer squared code distance (smaller = nearer); ranking ties
+    break on neighbor id; self-pairs excluded.
+    """
+    from squrve_spark.catalog import plan_key
+
+    spark = corpus.sparkSession
+    scales = int8_scales(corpus, vec_col)
+    dim = len(scales)
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    n_rounds = max(n_iter, 1)
+    codes = memo_checkpoint(
+        spread(corpus).select(
+            F.col(id_col), int8_codes_expr(scales, vec_col).alias("codes")
+        )
+    )
+    out_schema = "query_id long, neighbor_id long, rank int, code_dist long"
+    # per-(corpus snapshot, params) codebook memo — the integer_kmeans
+    # reclaim pattern; read-only-snapshot caveat applies
+    cache = spark.__dict__.setdefault("_squrve_ipq_cache", {})
+    ckey = (*plan_key(corpus), id_col, vec_col, m, codebook_k, n_rounds)
+    books = cache.get(ckey)
+    if books is None:
+        seed_rows = codes.orderBy(id_col).limit(codebook_k).collect()
+        if not seed_rows:
+            return spark.createDataFrame([], out_schema)
+        books = [
+            [list(r["codes"])[j * d_sub : (j + 1) * d_sub] for r in seed_rows]
+            for j in range(m)
+        ]
+        # subspaces are independent, so each update round trains ALL m
+        # codebooks in ONE stacked job (posexplode of per-subspace
+        # (cell, sub) structs -> one groupBy(j, cell)) instead of m
+        # sequential groupBy-collect jobs — the collect stays m*codebook_k
+        # rows, corpus-size-independent
+        for _ in range(n_rounds - 1):
+            stacked = codes.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.expr(
+                                    _argmin_cell_sql(
+                                        f"slice(codes, {j * d_sub + 1}, {d_sub})",
+                                        books[j],
+                                    )
+                                ).getField("c").alias("cell"),
+                                F.expr(
+                                    f"slice(codes, {j * d_sub + 1}, {d_sub})"
+                                ).alias("sub"),
+                            )
+                            for j in range(m)
+                        ]
+                    )
+                ).alias("j", "s")
+            ).select("j", F.col("s.cell").alias("cell"), F.col("s.sub").alias("sub"))
+            stats = (
+                stacked.groupBy("j", "cell")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.element_at("sub", i + 1)).alias(f"s{i}")
+                        for i in range(d_sub)
+                    ],
+                )
+                .collect()
+            )
+            # Python // floor matches the oracle's FLOOR(sum/n) exactly
+            upd = {
+                (int(r["j"]), int(r["cell"])): [
+                    int(r[f"s{i}"]) // int(r["n"]) for i in range(d_sub)
+                ]
+                for r in stats
+            }
+            books = [
+                [upd.get((j, c), books[j][c]) for c in range(codebook_k)]
+                for j in range(m)
+            ]
+        cache[ckey] = books
+    enc = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[
+            F.expr(
+                _argmin_cell_sql(f"slice(codes, {j * d_sub + 1}, {d_sub})", books[j])
+            ).getField("c").alias(f"c{j}")
+            for j in range(m)
+        ],
+    )
+    # query ADC tables: per subspace, the codebook_k integer sqdists of the
+    # query's sub-codes to every codeword — ONE parsed expression each
+    qt = queries.select(
+        F.col(id_col).alias("query_id"),
+        int8_codes_expr(scales, vec_col).alias("qc"),
+    ).select(
+        "query_id",
+        "qc",
+        *[
+            F.expr(
+                "array("
+                + ",".join(
+                    _int_sqdist_sql(f"slice(qc, {j * d_sub + 1}, {d_sub})", cw)
+                    for cw in books[j]
+                )
+                + ")"
+            ).alias(f"t{j}")
+            for j in range(m)
+        ],
+    )
+    qt = memo_checkpoint(qt)  # query block: shared by scoring and re-rank
+    adc = None
+    for j in range(m):
+        term = F.element_at(F.col(f"t{j}"), F.col(f"c{j}").cast("int") + F.lit(1))
+        adc = term if adc is None else adc + term
+    n_cand = k * max(refine, 1)
+    scored = enc.join(
+        F.broadcast(qt.drop("qc")), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", adc.cast("long").alias("adc_dist"))
+    pre = local_topk(
+        scored, ["query_id"], "adc_dist", n_cand, "neighbor_id", ascending=True
+    )
+    wc = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        pre.withColumn("_crk", F.row_number().over(wc))
+        .filter(F.col("_crk") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+    # exact int8-code re-rank on the bounded candidate set: vectors join
+    # onto candidates only, distance is one integer fold over 64 codes
+    exact_dist = F.aggregate(
+        F.zip_with(
+            F.col("qc"), F.col("ncodes"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    rer = (
+        cand.join(F.broadcast(qt.select("query_id", "qc")), "query_id")
+        .join(
+            codes.select(
+                F.col(id_col).alias("neighbor_id"), F.col("codes").alias("ncodes")
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", exact_dist.alias("code_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("code_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "code_dist")
+    )
+
+
 def mmr_rerank(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1966,31 +2180,15 @@ def integer_kmeans(
     dim = len(cents[0])
     assigned = None
     for it in range(n_rounds):
-        cent_arrays = [F.array(*[F.lit(int(c)) for c in cv]) for cv in cents]
-        dists = [
-            F.aggregate(
-                F.zip_with(F.col("codes"), cc, lambda x, c: (x - c) * (x - c)),
-                F.lit(0).cast("long"),
-                lambda acc, d: acc + d,
-            )
-            for cc in cent_arrays
-        ]
         # argmin via one sorted (dist, cell) struct array — each dist
         # expression appears ONCE (a when/least chain re-embeds every
         # earlier dist O(k^2) times, and Spark HOF lambdas don't share
         # subexpressions; r10 review finding). Struct sort orders by
         # (d asc, c asc) = ties to the smaller cell, same as the oracle.
-        best = F.element_at(
-            F.array_sort(
-                F.array(
-                    *[
-                        F.struct(d.alias("d"), F.lit(j).alias("c"))
-                        for j, d in enumerate(dists)
-                    ]
-                )
-            ),
-            1,
-        )
+        # The whole argmin is ONE parsed SQL expression — py4j-per-element
+        # literal/HOF construction cost seconds of driver plan-build time
+        # per iteration (r10 verdict task 6; see _int_sqdist_sql).
+        best = F.expr(_argmin_cell_sql("codes", cents))
         assigned = codes.select(
             id_col,
             "codes",

@@ -1655,7 +1655,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lloyd) + float LUT gather-sums — the operator's real kernel coverage,
     # kept by design (the pipeline_curate_v3 stance). The clustering
     # RECURRENCE itself is oracle-proven in r10 via integer_kmeans
-    # (emb_kmeans_exact); converting PQ would trade away the float ADC path
+    # (emb_kmeans_exact), and r11's sim_ipq_topk proves the WHOLE PQ
+    # pipeline (codebooks + ADC + re-rank) exactly in the integer domain;
+    # this float ADC path stays for the numpy-kernel coverage
     oracle=None,
     tags=("similarity", "ann", "no-oracle"))
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5754,6 +5756,162 @@ def _int_kmeans_cte(k: int = 8, n_iter: int = 4) -> str:
         FROM cs{t} GROUP BY cell) u ON u.c = prev.c)"""
         )
     return ",\n    ".join(ctes)
+
+
+def _int_pq_cte(m: int = 8, codebook_k: int = 16, n_iter: int = 2, k: int = 5,
+                refine: int = 4) -> str:
+    """DuckDB replay of similarity.integer_pq_topk: the shared int8-code
+    idiom, then PER SUBSPACE the integer Lloyd chain of `_int_kmeans_cte`
+    over list_slice'd codes (seed = first codebook_k by vec_id, cross-join
+    + window argmin with (d, c) ties, floored-mean updates), final corpus
+    cells from the (n_iter-1)-times-updated codebooks, query-to-codeword
+    ADC tables from the same codebooks, table-lookup sum per (query, row),
+    the (adc, neighbor) candidate window (k*refine per query), and the
+    exact int8-code squared-distance re-rank window. Ends in `final`."""
+    d_sub = 64 // m
+    ctes = [
+        """e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+        """dims AS MATERIALIZED (
+      SELECT i.pos, MAX(ABS(v[i.pos])) AS m
+      FROM e, LATERAL (SELECT unnest(range(1, 65)) AS pos) i GROUP BY 1)""",
+        """s AS MATERIALIZED (SELECT list(CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END
+                        ORDER BY pos) AS sc FROM dims)""",
+        """q AS MATERIALIZED (SELECT e.vec_id,
+               list_transform(range(1, 65), i ->
+                 CAST(GREATEST(-127, LEAST(127,
+                   FLOOR(e.v[i] * s.sc[i] + 0.5))) AS BIGINT)) AS codes
+             FROM e, s)""",
+    ]
+    for j in range(m):
+        lo = j * d_sub
+        ctes.append(
+            f"""sub{j} AS MATERIALIZED (SELECT vec_id,
+               list_slice(codes, {lo + 1}, {lo + d_sub}) AS sc FROM q)"""
+        )
+        ctes.append(
+            f"""cent{j}_0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, sc AS codes
+             FROM (SELECT vec_id, sc FROM sub{j} ORDER BY vec_id LIMIT {codebook_k}))"""
+        )
+        for t in range(1, n_iter + 1):
+            ctes.append(
+                f"""d{j}_{t} AS MATERIALIZED (
+      SELECT sub{j}.vec_id, sub{j}.sc, ct.c,
+             list_sum(list_transform(range(1, {d_sub + 1}), i ->
+               (sub{j}.sc[i] - ct.codes[i]) * (sub{j}.sc[i] - ct.codes[i]))) AS d
+      FROM sub{j}, cent{j}_{t - 1} ct)"""
+            )
+            ctes.append(
+                f"""a{j}_{t} AS MATERIALIZED (
+      SELECT vec_id, sc, c AS cell FROM (
+        SELECT vec_id, sc, c, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, c ASC) AS rk
+        FROM d{j}_{t}) WHERE rk = 1)"""
+            )
+            if t == n_iter:
+                break
+            ctes.append(
+                f"""cs{j}_{t} AS MATERIALIZED (
+      SELECT cell, p.pos, SUM(sc[p.pos]) AS sm, COUNT(*) AS n
+      FROM a{j}_{t}, LATERAL (SELECT unnest(range(1, {d_sub + 1})) AS pos) p
+      GROUP BY 1, 2)"""
+            )
+            ctes.append(
+                f"""cent{j}_{t} AS MATERIALIZED (
+      SELECT prev.c, COALESCE(u.codes, prev.codes) AS codes
+      FROM cent{j}_{t - 1} prev LEFT JOIN (
+        SELECT cell AS c,
+               list(CAST(FLOOR(sm * 1.0 / n) AS BIGINT) ORDER BY pos) AS codes
+        FROM cs{j}_{t} GROUP BY cell) u ON u.c = prev.c)"""
+            )
+        # query-to-codeword ADC table for this subspace (queries vec_id<8),
+        # against the SAME final codebooks the corpus encode used
+        ctes.append(
+            f"""qd{j} AS MATERIALIZED (
+      SELECT qq.vec_id AS query_id, ct.c,
+             list_sum(list_transform(range(1, {d_sub + 1}), i ->
+               (qq.sc[i] - ct.codes[i]) * (qq.sc[i] - ct.codes[i]))) AS d
+      FROM (SELECT vec_id, sc FROM sub{j} WHERE vec_id < 8) qq,
+           cent{j}_{n_iter - 1} ct)"""
+        )
+    enc_joins = " ".join(
+        f"JOIN a{j}_{n_iter} a{j} USING (vec_id)" if j else f"FROM a0_{n_iter} a0"
+        for j in range(m)
+    )
+    cell_cols = ", ".join(f"a{j}.cell AS c{j}" for j in range(m))
+    qd_joins = " ".join(
+        (
+            f"JOIN qd{j} t{j} ON t{j}.c = encf.c{j} AND t{j}.query_id = t0.query_id"
+            if j
+            else "JOIN qd0 t0 ON t0.c = encf.c0"
+        )
+        for j in range(m)
+    )
+    adc_sum = " + ".join(f"t{j}.d" for j in range(m))
+    ctes.append(f"""encf AS MATERIALIZED (SELECT a0.vec_id, {cell_cols} {enc_joins})""")
+    ctes.append(
+        f"""scored AS MATERIALIZED (
+      SELECT t0.query_id, encf.vec_id AS neighbor_id,
+             CAST({adc_sum} AS BIGINT) AS adc_dist
+      FROM encf {qd_joins}
+      WHERE t0.query_id <> encf.vec_id)"""
+    )
+    ctes.append(
+        f"""cand AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+        FROM scored) WHERE rk <= {k * refine})"""
+    )
+    ctes.append(
+        """rer AS MATERIALIZED (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65), i ->
+               (qc.codes[i] - nc.codes[i]) * (qc.codes[i] - nc.codes[i])))
+               AS BIGINT) AS code_dist
+      FROM cand c
+      JOIN q qc ON qc.vec_id = c.query_id
+      JOIN q nc ON nc.vec_id = c.neighbor_id)"""
+    )
+    ctes.append(
+        f"""final AS MATERIALIZED (
+      SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, code_dist FROM (
+        SELECT query_id, neighbor_id, code_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY code_dist ASC, neighbor_id ASC) AS rk
+        FROM rer) WHERE rk <= {k})"""
+    )
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "sim_ipq_topk",
+    # r11: PRODUCT QUANTIZATION enters the exact-oracle program — float
+    # PQ's numpy codebooks were the declared blocker (sim_pq_topk stays
+    # rows-only); per-subspace integer Lloyd over int8 codes makes the
+    # codebooks, corpus cells, ADC tables and the ranked result all
+    # engine-replayable.
+    oracle=f"""
+    WITH {_int_pq_cte(8, 16, 2, 5, 4)}
+    SELECT query_id, neighbor_id, rank, code_dist
+    FROM final ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann"),
+    defer_oracle=True,
+)
+def sim_ipq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-PQ top-5 for query vectors vec_id<8
+    (operators/similarity.py:integer_pq_topk): 8 subspaces x 16 integer
+    codewords trained by the exact Lloyd recurrence, map-only corpus
+    encode, broadcast query ADC tables keeping k*4 candidates, exact
+    int8-code re-rank on the bounded candidate set. The replayable
+    counterpart of sim_pq_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.integer_pq_topk(
+        emb, queries, k=5, m=8, codebook_k=16, n_iter=2, refine=4
+    ).orderBy("query_id", "rank")
 
 
 @register(

@@ -923,3 +923,69 @@ def test_margin_mine_nonpositive_neighborhood_filtered(spark):
         _mk_emb(spark, rows_a), _mk_emb(spark, rows_b), k=2, threshold=-10.0
     ).collect()
     assert got == []
+
+
+# ---------------------------------------------------------------------------
+# integer PQ (r11): the replayable ADC tier
+
+
+def test_integer_pq_shape_and_determinism(spark, emb):
+    """Exactly k ranked rows per query, ranks 1..k, ADC non-decreasing in
+    rank, no self pairs; bit-identical across runs (integer arithmetic,
+    deterministic seeds)."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.integer_pq_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["code_dist"], r["neighbor_id"]))
+    assert len(by_q) == 8
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
+        dists = [r[1] for r in rows]
+        assert dists == sorted(dists)
+        assert all(isinstance(d, int) for d in dists)
+    again = similarity.integer_pq_topk(emb, queries, k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_integer_pq_code_dist_is_exact(spark, emb):
+    """The reported code_dist must equal the DIRECT integer squared
+    distance between the query's and neighbor's full int8 codes — the
+    re-rank is exact on the candidate set (numpy recomputation)."""
+    import numpy as np
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    rows = similarity.integer_pq_topk(emb, queries, k=3).collect()
+    scales = similarity.int8_scales(emb)
+    codes = {
+        r["vec_id"]: np.array(r["qcodes"], dtype=np.int64)
+        for r in similarity.quantize_int8(emb, scales).select("vec_id", "qcodes").collect()
+    }
+    assert rows
+    for r in rows:
+        want = int(((codes[r["query_id"]] - codes[r["neighbor_id"]]) ** 2).sum())
+        assert want == r["code_dist"], (r, want)
+
+
+def test_integer_pq_recall_vs_bruteforce(spark, emb):
+    """4x16 integer PQ on the fixture keeps useful recall against the
+    exact float baseline (coarse quantizer: the bound is deliberately
+    loose — the point is 'useful and deterministic', exactness comes from
+    the replayable oracle, not from recall)."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.integer_pq_topk(emb, queries, k=5)
+    ex, ap = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_integer_pq_rejects_indivisible_subspaces(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.integer_pq_topk(emb, emb.limit(1), m=7)
