@@ -97,6 +97,11 @@ def test_no_cartesian_products(spark, name):
         # surface) — both sides are literal-bounded, broadcast is the
         # right plan; the corpus-scale form is dedup.fuzzy_pairs
         "q_string_distance",
+        # integer PQ's ADC scan broadcasts the 8-query table block against
+        # the encoded corpus (inequality self-pair exclusion) — the same
+        # deliberate query-block shape as sim_bruteforce_topk; per-row
+        # work is m table lookups, and local_topk bounds the exchange (r11)
+        "sim_ipq_topk",
     ):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
