@@ -114,6 +114,15 @@ HEAVIES = [
     # one histogram aggregate (corpus-linear); whichever regime it picks
     # must keep the join shared-shingle-bounded
     "dedup_similarity_join",
+    # r11: integer PQ — codebook training is one stacked shuffle per round
+    # (corpus-linear), encode is map-only, and the ADC scan is corpus x
+    # m lookups; the local-topk prefilter must keep the candidate window
+    # query-bounded as the corpus grows
+    "sim_ipq_topk",
+    # r11: BPE merge replay — Spark-side work is one vocabulary-bounded
+    # word-count shuffle; the driver merge loop is vocab-bounded, never
+    # corpus-bounded (the growth decade would expose a corpus-scale leak)
+    "doc_bpe_merge_table",
 ]
 
 MAX_EXPONENT = 1.5  # sub-quadratic with margin (linear == 1.0)
