@@ -21,6 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -138,12 +139,25 @@ def double_array_expr(vals):
     `int_array_expr`). ``DOUBLE('<repr>')`` casts the shortest round-trip
     decimal string back to the identical IEEE value, so oracles replaying
     the values see exactly the doubles ``F.lit(float(v))`` produced (bare
-    SQL decimals would parse as DECIMAL, not DOUBLE)."""
+    SQL decimals would parse as DECIMAL, not DOUBLE).
+
+    Finite values only (r11 advice, premise corrected by measurement:
+    Spark 4's string-to-double cast DOES parse 'nan'/'inf' — but the
+    guard stays). Every caller feeds trained weights or scale factors
+    that are finite by construction, so a non-finite input here is an
+    upstream training bug; and any DuckDB oracle replaying the literal
+    would have to match engine-specific non-finite spellings/totals —
+    failing loudly beats a silent cross-engine hash mismatch."""
     if not len(vals):
         return F.array()
-    return F.expr(
-        "array(" + ",".join(f"DOUBLE('{float(v)!r}')" for v in vals) + ")"
-    )
+    floats = [float(v) for v in vals]
+    bad = [v for v in floats if not math.isfinite(v)]
+    if bad:
+        raise ValueError(
+            f"double_array_expr requires finite values; got {bad[:3]!r} "
+            "(a non-finite trained weight/scale is an upstream bug)"
+        )
+    return F.expr("array(" + ",".join(f"DOUBLE('{v!r}')" for v in floats) + ")")
 
 
 def plan_key(df: DataFrame) -> tuple:

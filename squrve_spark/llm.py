@@ -45,10 +45,14 @@ class HTTPLLMClient(LLMClient):
     covers them. Nothing is bundled: ``base_url`` and ``model`` are required,
     the key comes from the caller or the standard ``OPENAI_API_KEY`` env var.
 
-    Retries transient failures (HTTP 429/5xx, connection errors) with
+    Retries transient failures (HTTP 408/429/5xx, connection errors) with
     exponential backoff; deterministic surfaces (tests, driver runs) keep
     using MockLLM/ScriptedLLM — this class is the live-deployment hook.
+    Subclasses extend ``RETRYABLE_CODES`` for vendor-specific transient
+    statuses (r11 advice: Anthropic's documented 529 'overloaded').
     """
+
+    RETRYABLE_CODES = (408, 429, 500, 502, 503, 504)
 
     def __init__(
         self,
@@ -101,7 +105,7 @@ class HTTPLLMClient(LLMClient):
                 return body["choices"][0]["message"]["content"]
             except urllib.error.HTTPError as e:
                 last_err = e
-                if e.code not in (429, 500, 502, 503, 504):
+                if e.code not in self.RETRYABLE_CODES:
                     raise  # 4xx config errors: retrying can't help
             except (urllib.error.URLError, TimeoutError, json.JSONDecodeError, KeyError) as e:
                 last_err = e
@@ -129,6 +133,9 @@ class ClaudeLLMClient(HTTPLLMClient):
     """
 
     ANTHROPIC_VERSION = "2023-06-01"
+    # + 529: Anthropic's documented 'overloaded' status — transient by
+    # definition, so it joins the shared backoff loop (r11 advice)
+    RETRYABLE_CODES = HTTPLLMClient.RETRYABLE_CODES + (529,)
 
     def __init__(self, base_url: str = "https://api.anthropic.com/v1",
                  model: str = "claude-3-5-sonnet-latest",
@@ -227,6 +234,17 @@ class GeminiLLMClient(HTTPLLMClient):
         cands = body.get("candidates") or [{}]
         parts = (cands[0].get("content") or {}).get("parts") or []
         text = "".join(p.get("text", "") for p in parts)
+        if not parts:
+            # a candidate with no content.parts is a BLOCKED or truncated
+            # generation (SAFETY / RECITATION / MAX_TOKENS / prompt-level
+            # block), not a valid empty completion — surface it instead of
+            # letting "" propagate as a prediction (r11 advice). Raised as
+            # RuntimeError so the shared retry loop does NOT retry what is
+            # a content decision, not a transient fault.
+            reason = cands[0].get("finishReason", "NO_CANDIDATES")
+            block = (body.get("promptFeedback") or {}).get("blockReason")
+            detail = f"finishReason={reason}" + (f", blockReason={block}" if block else "")
+            raise RuntimeError(f"Gemini returned no content parts ({detail})")
         return {"choices": [{"message": {"role": "assistant", "content": text}}]}
 
 

@@ -1106,9 +1106,22 @@ def similarity_route(
     join) and for the estimate's deliberate bias (global df overstates
     prefix postings), so ties and near-ties keep the simpler full-index
     plan. Diagnostic cost: one shingle explode + two small aggregates —
-    strictly cheaper than either join it chooses between.
+    strictly cheaper than either join it chooses between; the decision
+    dict is MEMOIZED per (corpus snapshot, params) on the session (the
+    `_squrve_ipq_cache` pattern — r11 verdict task 4: the registry's
+    routed entry paid the diagnostic on every bench pass otherwise;
+    read-only-snapshot caveat applies, same as every plan_key memo).
     """
     from fractions import Fraction
+
+    from squrve_spark.catalog import plan_key
+
+    spark = df.sparkSession
+    cache = spark.__dict__.setdefault("_squrve_simroute_cache", {})
+    ckey = (*plan_key(df), threshold, n, text_col, id_col, ppjoin_advantage)
+    hit = cache.get(ckey)
+    if hit is not None:
+        return dict(hit)
 
     frac = Fraction(str(threshold))
     p, q = frac.numerator, frac.denominator
@@ -1146,7 +1159,7 @@ def similarity_route(
         ppjoin_rows += take * d * (d - 1) // 2
         remaining -= take * d
     route = "ppjoin" if ppjoin_rows * ppjoin_advantage < full_rows else "full_index"
-    return {
+    out = {
         "route": route,
         "full_rows": full_rows,
         "ppjoin_rows": ppjoin_rows,
@@ -1155,6 +1168,10 @@ def similarity_route(
         "n_docs": n_docs,
         "n_distinct_df": len(hist),
     }
+    while len(cache) >= 16:
+        cache.pop(next(iter(cache)))
+    cache[ckey] = dict(out)
+    return out
 
 
 def similarity_join(

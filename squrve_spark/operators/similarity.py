@@ -63,6 +63,18 @@ def _argmin_cell_sql(col: str, cents) -> str:
     return f"element_at(array_sort(array({structs})), 1)"
 
 
+def _probe_cells_sql(col: str, cents, nprobe: int) -> str:
+    """The cell ids of the ``nprobe`` nearest literal centroids to int-array
+    column ``col``, as an int array ordered by (d asc, c asc) — the IVF
+    probe set in the replayable tie order. ONE parsed expression (same
+    single-parse rationale as `_argmin_cell_sql`)."""
+    structs = ",".join(
+        f"named_struct('d', {_int_sqdist_sql(col, cv)}, 'c', {j})"
+        for j, cv in enumerate(cents)
+    )
+    return f"transform(slice(array_sort(array({structs})), 1, {nprobe}), x -> x.c)"
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     """Deterministic double dot product (ordered fold)."""
     return F.aggregate(
@@ -1826,6 +1838,88 @@ def int8_topk(
     )
 
 
+def _int_pq_codebooks(
+    codes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    d_sub: int,
+    codebook_k: int,
+    n_rounds: int,
+    corpus: DataFrame,
+):
+    """Train the m per-subspace integer Lloyd codebooks over an int8-code
+    frame (columns: id_col, codes) — shared by `integer_pq_topk` and
+    `integer_ivfpq_topk`. Returns ``books[m][codebook_k][d_sub]`` ints, or
+    None on an empty corpus. Memoized per (corpus snapshot, params) on the
+    session (the integer_kmeans reclaim pattern; read-only-snapshot caveat
+    applies). Training collects are codebook_k-bounded per iteration:
+    subspaces are independent, so each update round trains ALL m codebooks
+    in ONE stacked job (posexplode of per-subspace (cell, sub) structs ->
+    one groupBy(j, cell)) instead of m sequential groupBy-collect jobs —
+    the collect stays m*codebook_k rows, corpus-size-independent."""
+    from squrve_spark.catalog import plan_key
+
+    spark = codes.sparkSession
+    cache = spark.__dict__.setdefault("_squrve_ipq_cache", {})
+    ckey = (*plan_key(corpus), id_col, vec_col, m, codebook_k, n_rounds)
+    books = cache.get(ckey)
+    if books is not None:
+        return books
+    seed_rows = codes.orderBy(id_col).limit(codebook_k).collect()
+    if not seed_rows:
+        return None
+    books = [
+        [list(r["codes"])[j * d_sub : (j + 1) * d_sub] for r in seed_rows]
+        for j in range(m)
+    ]
+    for _ in range(n_rounds - 1):
+        stacked = codes.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.expr(
+                                _argmin_cell_sql(
+                                    f"slice(codes, {j * d_sub + 1}, {d_sub})",
+                                    books[j],
+                                )
+                            ).getField("c").alias("cell"),
+                            F.expr(
+                                f"slice(codes, {j * d_sub + 1}, {d_sub})"
+                            ).alias("sub"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("j", "s")
+        ).select("j", F.col("s.cell").alias("cell"), F.col("s.sub").alias("sub"))
+        stats = (
+            stacked.groupBy("j", "cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("sub", i + 1)).alias(f"s{i}")
+                    for i in range(d_sub)
+                ],
+            )
+            .collect()
+        )
+        # Python // floor matches the oracle's FLOOR(sum/n) exactly
+        upd = {
+            (int(r["j"]), int(r["cell"])): [
+                int(r[f"s{i}"]) // int(r["n"]) for i in range(d_sub)
+            ]
+            for r in stats
+        }
+        books = [
+            [upd.get((j, c), books[j][c]) for c in range(codebook_k)]
+            for j in range(m)
+        ]
+    cache[ckey] = books
+    return books
+
+
 def integer_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1870,8 +1964,6 @@ def integer_pq_topk(
     exact integer squared code distance (smaller = nearer); ranking ties
     break on neighbor id; self-pairs excluded.
     """
-    from squrve_spark.catalog import plan_key
-
     spark = corpus.sparkSession
     scales = int8_scales(corpus, vec_col)
     dim = len(scales)
@@ -1885,68 +1977,11 @@ def integer_pq_topk(
         )
     )
     out_schema = "query_id long, neighbor_id long, rank int, code_dist long"
-    # per-(corpus snapshot, params) codebook memo — the integer_kmeans
-    # reclaim pattern; read-only-snapshot caveat applies
-    cache = spark.__dict__.setdefault("_squrve_ipq_cache", {})
-    ckey = (*plan_key(corpus), id_col, vec_col, m, codebook_k, n_rounds)
-    books = cache.get(ckey)
+    books = _int_pq_codebooks(
+        codes, id_col, vec_col, m, d_sub, codebook_k, n_rounds, corpus
+    )
     if books is None:
-        seed_rows = codes.orderBy(id_col).limit(codebook_k).collect()
-        if not seed_rows:
-            return spark.createDataFrame([], out_schema)
-        books = [
-            [list(r["codes"])[j * d_sub : (j + 1) * d_sub] for r in seed_rows]
-            for j in range(m)
-        ]
-        # subspaces are independent, so each update round trains ALL m
-        # codebooks in ONE stacked job (posexplode of per-subspace
-        # (cell, sub) structs -> one groupBy(j, cell)) instead of m
-        # sequential groupBy-collect jobs — the collect stays m*codebook_k
-        # rows, corpus-size-independent
-        for _ in range(n_rounds - 1):
-            stacked = codes.select(
-                F.posexplode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.expr(
-                                    _argmin_cell_sql(
-                                        f"slice(codes, {j * d_sub + 1}, {d_sub})",
-                                        books[j],
-                                    )
-                                ).getField("c").alias("cell"),
-                                F.expr(
-                                    f"slice(codes, {j * d_sub + 1}, {d_sub})"
-                                ).alias("sub"),
-                            )
-                            for j in range(m)
-                        ]
-                    )
-                ).alias("j", "s")
-            ).select("j", F.col("s.cell").alias("cell"), F.col("s.sub").alias("sub"))
-            stats = (
-                stacked.groupBy("j", "cell")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[
-                        F.sum(F.element_at("sub", i + 1)).alias(f"s{i}")
-                        for i in range(d_sub)
-                    ],
-                )
-                .collect()
-            )
-            # Python // floor matches the oracle's FLOOR(sum/n) exactly
-            upd = {
-                (int(r["j"]), int(r["cell"])): [
-                    int(r[f"s{i}"]) // int(r["n"]) for i in range(d_sub)
-                ]
-                for r in stats
-            }
-            books = [
-                [upd.get((j, c), books[j][c]) for c in range(codebook_k)]
-                for j in range(m)
-            ]
-        cache[ckey] = books
+        return spark.createDataFrame([], out_schema)
     enc = codes.select(
         F.col(id_col).alias("neighbor_id"),
         *[
@@ -1998,6 +2033,157 @@ def integer_pq_topk(
     )
     # exact int8-code re-rank on the bounded candidate set: vectors join
     # onto candidates only, distance is one integer fold over 64 codes
+    exact_dist = F.aggregate(
+        F.zip_with(
+            F.col("qc"), F.col("ncodes"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    rer = (
+        cand.join(F.broadcast(qt.select("query_id", "qc")), "query_id")
+        .join(
+            codes.select(
+                F.col(id_col).alias("neighbor_id"), F.col("codes").alias("ncodes")
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", exact_dist.alias("code_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("code_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "code_dist")
+    )
+
+
+def integer_ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    coarse_k: int = 8,
+    nprobe: int = 3,
+    coarse_iter: int = 2,
+    m: int = 8,
+    codebook_k: int = 16,
+    n_iter: int = 2,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INTEGER IVF+PQ — the last rung of the exact-oracle ANN ladder (r12;
+    reference parity target: the same two-level index surface as
+    `ivfpq_topk` with cross-engine-replayable arithmetic).
+
+    Composition of the two r10/r11 integer primitives: `integer_kmeans`
+    (k=coarse_k, coarse_iter Lloyd rounds over the shared int8 codes) is
+    the coarse quantizer routing each query to its ``nprobe`` nearest
+    cells, and the `integer_pq_topk` codebooks (trained once over the FULL
+    corpus codes — the RESIDUAL-FREE IVFPQ variant: PQ encodes raw codes,
+    not cell residuals, so one codebook set serves every cell; documented
+    deliberately, float `ivfpq_topk` keeps the residual formulation) score
+    candidates by ADC. Exact int8-code squared-distance re-rank on the
+    k*refine survivors picks the final k.
+
+    Scale shape: coarse assignment and PQ encode are MAP-ONLY (literal
+    centroid/codeword argmins, single-parse SQL); training collects are
+    coarse_k- and m*codebook_k-bounded; the query block (ADC tables +
+    probe-cell array per query) broadcasts, and the probe equi-join prunes
+    scoring to the probed cells' rows — the corpus-side win over
+    `integer_pq_topk`, which scores every row; `local_topk` bounds the
+    candidate exchange at partitions x queries x (k * refine) rows; the
+    re-rank joins codes onto the bounded candidate set only.
+
+    Returns (query_id, neighbor_id, rank, code_dist); ties break on
+    neighbor id; self-pairs excluded. NOTE the result ranks by exact CODE
+    distance but the candidate pool is probe-limited — recall vs the
+    unpartitioned `integer_pq_topk` is measured, not assumed
+    (`sim_recall_audit`).
+    """
+    spark = corpus.sparkSession
+    scales = int8_scales(corpus, vec_col)
+    dim = len(scales)
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    n_rounds = max(n_iter, 1)
+    codes = memo_checkpoint(
+        spread(corpus).select(
+            F.col(id_col), int8_codes_expr(scales, vec_col).alias("codes")
+        )
+    )
+    out_schema = "query_id long, neighbor_id long, rank int, code_dist long"
+    coarse, cents = integer_kmeans(
+        corpus, k=coarse_k, n_iter=coarse_iter, id_col=id_col, vec_col=vec_col,
+        return_centroids=True,
+    )
+    if not cents:
+        return spark.createDataFrame([], out_schema)
+    books = _int_pq_codebooks(
+        codes, id_col, vec_col, m, d_sub, codebook_k, n_rounds, corpus
+    )
+    if books is None:
+        return spark.createDataFrame([], out_schema)
+    enc = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[
+            F.expr(
+                _argmin_cell_sql(f"slice(codes, {j * d_sub + 1}, {d_sub})", books[j])
+            ).getField("c").alias(f"c{j}")
+            for j in range(m)
+        ],
+    ).join(
+        coarse.select(F.col(id_col).alias("neighbor_id"), "cell"), "neighbor_id"
+    )
+    # query block: int8 codes, per-subspace ADC tables, probe-cell array —
+    # all single-parse literal expressions over the broadcast-bound queries
+    qt = queries.select(
+        F.col(id_col).alias("query_id"),
+        int8_codes_expr(scales, vec_col).alias("qc"),
+    ).select(
+        "query_id",
+        "qc",
+        F.expr(_probe_cells_sql("qc", cents, nprobe)).alias("probes"),
+        *[
+            F.expr(
+                "array("
+                + ",".join(
+                    _int_sqdist_sql(f"slice(qc, {j * d_sub + 1}, {d_sub})", cw)
+                    for cw in books[j]
+                )
+                + ")"
+            ).alias(f"t{j}")
+            for j in range(m)
+        ],
+    )
+    qt = memo_checkpoint(qt)  # shared by probe scoring and re-rank
+    qp = qt.select(
+        "query_id", F.explode("probes").alias("cell"),
+        *[f"t{j}" for j in range(m)],
+    )
+    adc = None
+    for j in range(m):
+        term = F.element_at(F.col(f"t{j}"), F.col(f"c{j}").cast("int") + F.lit(1))
+        adc = term if adc is None else adc + term
+    n_cand = k * max(refine, 1)
+    # probe equi-join on cell: only rows in a query's probed cells score
+    scored = enc.join(F.broadcast(qp), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", adc.cast("long").alias("adc_dist"))
+    pre = local_topk(
+        scored, ["query_id"], "adc_dist", n_cand, "neighbor_id", ascending=True
+    )
+    wc = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        pre.withColumn("_crk", F.row_number().over(wc))
+        .filter(F.col("_crk") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
     exact_dist = F.aggregate(
         F.zip_with(
             F.col("qc"), F.col("ncodes"), lambda x, y: (x - y) * (x - y)

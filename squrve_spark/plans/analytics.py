@@ -815,7 +815,9 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("events", "analytics", "timeseries"),
     # driver-checked since round 6 (rotated in for doc_sample_per_lang)
+    defer_oracle=True,  # r12: rotated out of the driver cap (long-stable green r01-r11; pytest exact parity)
 )
+
 def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linearly-interpolated gap filling (r5): every (event_type, hour)
     bucket appears; empty buckets take the line between their nearest
@@ -1006,7 +1008,9 @@ def q_events_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("events", "scale", "diagnostics"),
     # driver-checked (r7 late rotation, promoted over q3_shipping_priority)
+    defer_oracle=True,  # r12: rotated out of the driver cap (long-stable green r01-r11; pytest exact parity)
 )
+
 def event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic over events.user_id — the profile that
     decides whether a key needs `salted_join` / AQE skew handling before

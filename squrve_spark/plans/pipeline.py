@@ -594,7 +594,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     tags=("dedup", "graph"),
-    defer_oracle=True,
+    defer_oracle=False,  # r12: rotated INTO the driver-checked 50 (never driver-checked before)
 )
 def dedup_minhash_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER COLLAPSE (the action stage of MinHash dedup):
@@ -767,7 +767,9 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.42
     """,
     tags=("dedup", "similarity"),
+    defer_oracle=True,  # r12: rotated out of the driver cap (long-stable green r01-r11; pytest exact parity)
 )
+
 def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive embedding near-dup pairs — the correctness baseline the
     LSH variant is tested against. numpy block matmul. Threshold 0.42 is
@@ -824,7 +826,9 @@ def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "similarity"),
     # promoted to the driver cap in r10 (rotation)
+    defer_oracle=True,  # r12: rotated out of the driver cap (long-stable green r01-r11; pytest exact parity)
 )
+
 def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked embedding near-dup pairs (the scale path; subset-of-exact
     property tested). Threshold 0.42 matches emb_neardup_exact's fixture
@@ -1037,7 +1041,7 @@ _BPE_REPLAY_MERGES = 24
     # integer arithmetic over the FULL corpus vocabulary.
     oracle=_bpe_merge_cte(_BPE_REPLAY_MERGES),
     tags=("text", "bpe"),
-    defer_oracle=True,
+    defer_oracle=False,  # r12: rotated INTO the driver-checked 50 (never driver-checked before)
 )
 def doc_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 24 corpus-trained BPE merges (Sennrich 2016) as a checkable
@@ -1264,7 +1268,7 @@ def multimodal_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n
           FROM documents)
     """,
-    defer_oracle=True,
+    defer_oracle=False,  # r12: rotated INTO the driver-checked 50 (never driver-checked before)
     tags=("multimodal",),
 )
 def multimodal_vp8_info(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1624,9 +1628,11 @@ def doc_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The coarse k-means cells ALONE are no longer blocking (r10
     # integer_kmeans), but PQ's unit-normalized subspace codebooks and
     # float asymmetric-distance LUTs are the operator's real kernel
-    # coverage — kept by design (the pipeline_curate_v3 stance); the
-    # integer-exact clustering path is oracled via emb_kmeans_exact /
-    # sim_ivf_topk
+    # coverage — kept by design (the pipeline_curate_v3 stance). The FULL
+    # IVF+PQ composition (coarse routing + ADC + exact re-rank) is now
+    # oracle-proven in the integer domain by r12's sim_iivfpq_topk
+    # (residual-free variant); this float path keeps the residual
+    # formulation + numpy-kernel coverage
     oracle=None,
     tags=("similarity", "ann", "no-oracle"))
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1655,9 +1661,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lloyd) + float LUT gather-sums — the operator's real kernel coverage,
     # kept by design (the pipeline_curate_v3 stance). The clustering
     # RECURRENCE itself is oracle-proven in r10 via integer_kmeans
-    # (emb_kmeans_exact), and r11's sim_ipq_topk proves the WHOLE PQ
-    # pipeline (codebooks + ADC + re-rank) exactly in the integer domain;
-    # this float ADC path stays for the numpy-kernel coverage
+    # (emb_kmeans_exact), r11's sim_ipq_topk proves the WHOLE PQ pipeline
+    # (codebooks + ADC + re-rank) exactly in the integer domain, and
+    # r12's sim_iivfpq_topk extends that proof to the IVF-routed
+    # composition; this float ADC path stays for the numpy-kernel coverage
     oracle=None,
     tags=("similarity", "ann", "no-oracle"))
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3715,7 +3722,9 @@ def doc_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "fuzzy", "similarity"),
     # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,  # r12: rotated out of the driver cap (long-stable green r01-r11; pytest exact parity)
 )
+
 def doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string-pair join (edit distance <= 1) via CLUSTER-COLLAPSED
     deletion-neighborhood blocking (FastSS/SymSpell, r7 skew fix): identical
@@ -4644,7 +4653,9 @@ def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "lm", "curation"),
     # promoted to the driver cap in r10 (rotation)
+    defer_oracle=True,  # r12: rotated out of the driver cap (long-stable green r01-r11; pytest exact parity)
 )
+
 def doc_ccnet_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-language perplexity bucketing (r9): score every
     document with the held-out bigram LM (`lm.score_perplexity`,
@@ -5702,64 +5713,80 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _int_kmeans_cte(k: int = 8, n_iter: int = 4) -> str:
+def _int_kmeans_cte(
+    k: int = 8, n_iter: int = 4, prefix: str = "", include_quantize: bool = True,
+    mat: bool = False,
+) -> str:
     """DuckDB replay of similarity.integer_kmeans as chained CTEs ending in
-    `a{n_iter}` (the final assignment using the (n_iter-1)-times-updated
-    centroids) — codes come from THE emb_int8_quantize idiom; iteration
-    t's argmin is a correlated LATERAL top-1 (dist ASC, cell ASC)."""
-    ctes = [
-        """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
-        """dims AS (
+    `{prefix}a{n_iter}` (the final assignment using the (n_iter-1)-times-
+    updated centroids) — codes come from THE emb_int8_quantize idiom;
+    iteration t's argmin is a correlated LATERAL top-1 (dist ASC, cell ASC).
+    ``include_quantize=False`` skips the shared e/dims/s/q chain so the
+    fragment composes after `_int_pq_cte`'s identical (materialized) copy;
+    ``prefix`` namespaces the per-iteration CTEs against the PQ chain's;
+    ``mat`` materializes each CTE (required in multi-referenced composites —
+    DuckDB re-executes inlined CTEs per reference)."""
+    p = prefix
+    M = " MATERIALIZED" if mat else ""
+    ctes = (
+        [
+            """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+            """dims AS (
       SELECT i.pos, MAX(ABS(v[i.pos])) AS m
       FROM e, LATERAL (SELECT unnest(range(1, 65)) AS pos) i GROUP BY 1)""",
-        """s AS (SELECT list(CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END
+            """s AS (SELECT list(CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END
                         ORDER BY pos) AS sc FROM dims)""",
-        """q AS (SELECT e.vec_id,
+            """q AS (SELECT e.vec_id,
                list_transform(range(1, 65), i ->
                  CAST(GREATEST(-127, LEAST(127,
                    FLOOR(e.v[i] * s.sc[i] + 0.5))) AS BIGINT)) AS codes
              FROM e, s)""",
-        f"""cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, codes
-             FROM (SELECT vec_id, codes FROM q ORDER BY vec_id LIMIT {k}))""",
-    ]
+        ]
+        if include_quantize
+        else []
+    )
+    ctes.append(
+        f"""{p}cent0 AS{M} (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, codes
+             FROM (SELECT vec_id, codes FROM q ORDER BY vec_id LIMIT {k}))"""
+    )
     for t in range(1, n_iter + 1):
         # cross join + window argmin, NOT a LATERAL top-1: DuckDB cannot
         # correlate an outer table into a lambda body inside LATERAL
         ctes.append(
-            f"""d{t} AS (
+            f"""{p}d{t} AS{M} (
       SELECT q.vec_id, q.codes, ct.c,
              list_sum(list_transform(range(1, 65), i ->
                (q.codes[i] - ct.codes[i]) * (q.codes[i] - ct.codes[i]))) AS d
-      FROM q, cent{t - 1} ct)"""
+      FROM q, {p}cent{t - 1} ct)"""
         )
         ctes.append(
-            f"""a{t} AS (
+            f"""{p}a{t} AS{M} (
       SELECT vec_id, codes, c AS cell, d AS dist FROM (
         SELECT vec_id, codes, c, d,
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY d ASC, c ASC) AS rk
-        FROM d{t}) WHERE rk = 1)"""
+        FROM {p}d{t}) WHERE rk = 1)"""
         )
         if t == n_iter:
             break
         ctes.append(
-            f"""cs{t} AS (
+            f"""{p}cs{t} AS{M} (
       SELECT cell, p.pos, SUM(codes[p.pos]) AS sm, COUNT(*) AS n
-      FROM a{t}, LATERAL (SELECT unnest(range(1, 65)) AS pos) p GROUP BY 1, 2)"""
+      FROM {p}a{t}, LATERAL (SELECT unnest(range(1, 65)) AS pos) p GROUP BY 1, 2)"""
         )
         ctes.append(
-            f"""cent{t} AS (
+            f"""{p}cent{t} AS{M} (
       SELECT prev.c, COALESCE(u.codes, prev.codes) AS codes
-      FROM cent{t - 1} prev LEFT JOIN (
+      FROM {p}cent{t - 1} prev LEFT JOIN (
         SELECT cell AS c,
                list(CAST(FLOOR(sm * 1.0 / n) AS BIGINT) ORDER BY pos) AS codes
-        FROM cs{t} GROUP BY cell) u ON u.c = prev.c)"""
+        FROM {p}cs{t} GROUP BY cell) u ON u.c = prev.c)"""
         )
     return ",\n    ".join(ctes)
 
 
 def _int_pq_cte(m: int = 8, codebook_k: int = 16, n_iter: int = 2, k: int = 5,
-                refine: int = 4) -> str:
+                refine: int = 4, coarse: tuple | None = None) -> str:
     """DuckDB replay of similarity.integer_pq_topk: the shared int8-code
     idiom, then PER SUBSPACE the integer Lloyd chain of `_int_kmeans_cte`
     over list_slice'd codes (seed = first codebook_k by vec_id, cross-join
@@ -5767,7 +5794,15 @@ def _int_pq_cte(m: int = 8, codebook_k: int = 16, n_iter: int = 2, k: int = 5,
     cells from the (n_iter-1)-times-updated codebooks, query-to-codeword
     ADC tables from the same codebooks, table-lookup sum per (query, row),
     the (adc, neighbor) candidate window (k*refine per query), and the
-    exact int8-code squared-distance re-rank window. Ends in `final`."""
+    exact int8-code squared-distance re-rank window. Ends in `final`.
+
+    ``coarse=(coarse_k, coarse_iter, nprobe)`` upgrades the replay to
+    similarity.integer_ivfpq_topk: the `_int_kmeans_cte` chain (prefix
+    `k`, reusing this fragment's materialized e/dims/s/q) assigns corpus
+    cells, a `qprobe` window keeps each query's nprobe nearest coarse
+    centroids ((d, c) ties), and `scored` joins through (corpus cell =
+    probed cell) so only probed rows score — the residual-free IVFPQ the
+    Spark side implements."""
     d_sub = 64 // m
     ctes = [
         """e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
@@ -5834,6 +5869,27 @@ def _int_pq_cte(m: int = 8, codebook_k: int = 16, n_iter: int = 2, k: int = 5,
       FROM (SELECT vec_id, sc FROM sub{j} WHERE vec_id < 8) qq,
            cent{j}_{n_iter - 1} ct)"""
         )
+    probe_joins = ""
+    if coarse is not None:
+        ck, ci, npb = coarse
+        ctes.append(
+            _int_kmeans_cte(ck, ci, prefix="k", include_quantize=False, mat=True)
+        )
+        ctes.append(
+            f"""qprobe AS MATERIALIZED (
+      SELECT query_id, c AS cell FROM (
+        SELECT qq.vec_id AS query_id, ct.c,
+               ROW_NUMBER() OVER (PARTITION BY qq.vec_id
+                 ORDER BY list_sum(list_transform(range(1, 65), i ->
+                   (qq.codes[i] - ct.codes[i]) * (qq.codes[i] - ct.codes[i]))) ASC,
+                 ct.c ASC) AS rk
+        FROM (SELECT vec_id, codes FROM q WHERE vec_id < 8) qq, kcent{ci - 1} ct)
+      WHERE rk <= {npb})"""
+        )
+        probe_joins = (
+            f" JOIN ka{ci} kc ON kc.vec_id = encf.vec_id"
+            " JOIN qprobe qp ON qp.query_id = t0.query_id AND qp.cell = kc.cell"
+        )
     enc_joins = " ".join(
         f"JOIN a{j}_{n_iter} a{j} USING (vec_id)" if j else f"FROM a0_{n_iter} a0"
         for j in range(m)
@@ -5853,7 +5909,7 @@ def _int_pq_cte(m: int = 8, codebook_k: int = 16, n_iter: int = 2, k: int = 5,
         f"""scored AS MATERIALIZED (
       SELECT t0.query_id, encf.vec_id AS neighbor_id,
              CAST({adc_sum} AS BIGINT) AS adc_dist
-      FROM encf {qd_joins}
+      FROM encf {qd_joins}{probe_joins}
       WHERE t0.query_id <> encf.vec_id)"""
     )
     ctes.append(
@@ -5898,7 +5954,7 @@ def _int_pq_cte(m: int = 8, codebook_k: int = 16, n_iter: int = 2, k: int = 5,
     FROM final ORDER BY query_id, rank
     """,
     tags=("similarity", "ann"),
-    defer_oracle=True,
+    defer_oracle=False,  # r12: rotated INTO the driver-checked 50 (never driver-checked before)
 )
 def sim_ipq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-PQ top-5 for query vectors vec_id<8
@@ -5911,6 +5967,42 @@ def sim_ipq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8)
     return similarity.integer_pq_topk(
         emb, queries, k=5, m=8, codebook_k=16, n_iter=2, refine=4
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "sim_iivfpq_topk",
+    # r12 (r11 verdict task 2): the LAST rung of the exact-oracle ANN
+    # ladder — IVF routing composed with PQ scoring, both integer. The
+    # coarse quantizer is the emb_kmeans_exact chain (prefix `k` in the
+    # CTE, k=8 cells, 2 Lloyd rounds); PQ codebooks are sim_ipq_topk's,
+    # trained residual-FREE over the full corpus codes (one codebook set
+    # serves every cell — float ivfpq_topk keeps the residual form);
+    # queries probe their 3 nearest coarse cells and only probed rows
+    # reach ADC scoring. Candidates, exact int8 re-rank and the final
+    # ranked set all replay bit-for-bit.
+    oracle=f"""
+    WITH {_int_pq_cte(8, 16, 2, 5, 4, coarse=(8, 2, 3))}
+    SELECT query_id, neighbor_id, rank, code_dist
+    FROM final ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann"),
+    defer_oracle=True,  # r12 addition; the driver-checked 50 is full
+)
+def sim_iivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-IVFPQ top-5 for query vectors vec_id<8
+    (operators/similarity.py:integer_ivfpq_topk): integer k-means coarse
+    quantizer (8 cells, 2 rounds) routes each query to its 3 nearest
+    cells; residual-free integer PQ (8 subspaces x 16 codewords, 2
+    rounds) scores only the probed cells' rows by ADC; exact int8-code
+    re-rank on k*4 candidates. Completes the exact-ANN ladder over
+    sim_ivf_topk (routing only) and sim_ipq_topk (scoring only); recall
+    vs the unpartitioned tiers is measured in sim_recall_audit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.integer_ivfpq_topk(
+        emb, queries, k=5, coarse_k=8, nprobe=3, coarse_iter=2,
+        m=8, codebook_k=16, n_iter=2, refine=4,
     ).orderBy("query_id", "rank")
 
 
@@ -6290,7 +6382,7 @@ def pipeline_curate_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM best ORDER BY id_a, id_b
     """,
     tags=("dedup",),
-    defer_oracle=True,
+    defer_oracle=False,  # r12: rotated INTO the driver-checked 50 (never driver-checked before)
 )
 def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest shared token span per MinHash-LSH candidate pair
@@ -6340,7 +6432,7 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY margin DESC, id_a, id_b
     """,
     tags=("similarity", "curation"),
-    defer_oracle=True,
+    defer_oracle=False,  # r12: rotated INTO the driver-checked 50 (never driver-checked before)
 )
 def emb_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based alignment mining (CCMatrix / Artetxe & Schwenk ratio
@@ -6389,7 +6481,7 @@ def emb_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
     tags=("dedup",),
-    defer_oracle=True,
+    defer_oracle=False,  # r12: rotated INTO the driver-checked 50 (never driver-checked before)
 )
 def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact 3-gram Jaccard >= 0.5 near-dup pairs via PPJoin
@@ -6430,7 +6522,7 @@ def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
     tags=("dedup",),
-    defer_oracle=True,
+    defer_oracle=False,  # r12: rotated INTO the driver-checked 50 (never driver-checked before)
 )
 def dedup_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact 3-gram Jaccard >= 0.5 pairs via the cost-routed
@@ -6539,7 +6631,7 @@ def doc_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_src, id_dst
     """,
     tags=("dedup",),
-    defer_oracle=True,
+    defer_oracle=False,  # r12: rotated INTO the driver-checked 50 (never driver-checked before)
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional 3-gram shingle containment >= 0.5
@@ -6554,28 +6646,44 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_audit_oracle() -> str:
-    """Compose the audit oracle from the two entries it audits: the LSH
-    and brute-force oracles are each exact (their whole point), so
-    recall@5 is a deterministic set intersection of their outputs —
-    reusing the registered SQL verbatim means the audit can never drift
-    from what sim_lsh_topk / sim_bruteforce_topk actually check."""
+    """Compose the audit oracle from the entries it audits: the LSH,
+    integer-PQ, integer-IVFPQ and brute-force oracles are each exact
+    (their whole point), so per-tier recall@5 is a deterministic set
+    intersection of their outputs — reusing the registered SQL verbatim
+    means the audit can never drift from what sim_lsh_topk /
+    sim_ipq_topk / sim_iivfpq_topk / sim_bruteforce_topk actually check.
+    (r12: the quantized tiers joined the audit — r11 verdict task 5 —
+    so ADC/probe approximation loss is measured, not assumed.)"""
     lsh = _REG["sim_lsh_topk"].oracle
     brute = _REG["sim_bruteforce_topk"].oracle
-    return f"""
-    WITH lsh AS ({lsh}),
-    ex AS ({brute}),
-    hits AS (
-        SELECT e.query_id, COUNT(*) AS c
-        FROM ex e JOIN lsh l
-          ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
-        GROUP BY e.query_id
+    ipq = _REG["sim_ipq_topk"].oracle
+    iivfpq = _REG["sim_iivfpq_topk"].oracle
+    tiers = ",\n    ".join(
+        f"""t_{name} AS (
+        SELECT '{name}' AS tier, query_id, neighbor_id FROM ({sql}))"""
+        for name, sql in [("lsh", lsh), ("ipq", ipq), ("iivfpq", iivfpq)]
     )
-    SELECT q.query_id,
+    return f"""
+    WITH exact5 AS MATERIALIZED ({brute}),
+    {tiers},
+    approx AS (
+        SELECT * FROM t_lsh UNION ALL
+        SELECT * FROM t_ipq UNION ALL
+        SELECT * FROM t_iivfpq
+    ),
+    hits AS (
+        SELECT a.tier, e.query_id, COUNT(*) AS c
+        FROM exact5 e JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY a.tier, e.query_id
+    )
+    SELECT t.tier, q.query_id,
            CAST(COALESCE(h.c, 0) AS BIGINT) AS n_hits,
            CAST(ROUND(COALESCE(h.c, 0) / 5.0, 6) AS DOUBLE) AS recall_at_5
-    FROM (SELECT DISTINCT query_id FROM ex) q
-    LEFT JOIN hits h USING (query_id)
-    ORDER BY q.query_id
+    FROM (SELECT DISTINCT query_id FROM exact5) q
+    CROSS JOIN (VALUES ('lsh'), ('ipq'), ('iivfpq')) t(tier)
+    LEFT JOIN hits h ON h.query_id = q.query_id AND h.tier = t.tier
+    ORDER BY t.tier, q.query_id
     """
 
 
@@ -6586,35 +6694,66 @@ def _recall_audit_oracle() -> str:
     defer_oracle=True,
 )
 def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality audit as a QUERY: per-query recall@5 of the sign-LSH
-    index against the exact brute-force baseline — the eval-harness shape
-    a production vector store runs continuously (recall regressions from
-    re-quantization or band drift surface as rows, not incidents). Both
-    inputs are the engine's own deterministic top-k sets, so the audit is
-    exactly oracled end to end."""
+    """ANN quality audit as a QUERY: per-(tier, query) recall@5 of the
+    sign-LSH, integer-PQ and integer-IVFPQ indexes against the exact
+    brute-force baseline — the eval-harness shape a production vector
+    store runs continuously (recall regressions from re-quantization,
+    band drift, or too-few probes surface as rows, not incidents). Every
+    input is one of the engine's own deterministic top-k sets, so the
+    audit is exactly oracled end to end. The quantized tiers measure
+    int8+ADC loss (ipq) and additionally probe loss (iivfpq) against the
+    FLOAT cosine truth — the end-to-end number a corpus owner cares
+    about."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    lsh = similarity.lsh_topk(emb, queries, dim=64, k=5).select(
-        "query_id", "neighbor_id"
-    )
+    tiers = [
+        (
+            "lsh",
+            similarity.lsh_topk(emb, queries, dim=64, k=5),
+        ),
+        (
+            "ipq",
+            similarity.integer_pq_topk(
+                emb, queries, k=5, m=8, codebook_k=16, n_iter=2, refine=4
+            ),
+        ),
+        (
+            "iivfpq",
+            similarity.integer_ivfpq_topk(
+                emb, queries, k=5, coarse_k=8, nprobe=3, coarse_iter=2,
+                m=8, codebook_k=16, n_iter=2, refine=4,
+            ),
+        ),
+    ]
+    approx = None
+    for name, df in tiers:
+        part = df.select(
+            F.lit(name).alias("tier"), "query_id", "neighbor_id"
+        )
+        approx = part if approx is None else approx.unionByName(part)
     exact = similarity.brute_force_topk(emb, queries, k=5).select(
         "query_id", "neighbor_id"
     )
-    hits = exact.join(lsh, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("c")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+        "tier", "query_id"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tier_names = spark.createDataFrame(
+        [(n,) for n, _ in tiers], "tier string"
     )
     return (
         exact.select("query_id")
         .distinct()
-        .join(hits, "query_id", "left")
+        .crossJoin(F.broadcast(tier_names))
+        .join(hits, ["tier", "query_id"], "left")
         .select(
+            "tier",
             "query_id",
             F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_hits"),
             F.round(F.coalesce(F.col("c"), F.lit(0)) / 5.0, 6)
             .cast("double")
             .alias("recall_at_5"),
         )
-        .orderBy("query_id")
+        .orderBy("tier", "query_id")
     )
 
 

@@ -38,7 +38,9 @@ from squrve_spark.plans.registry import register
     GROUP BY l_returnflag, l_linestatus
     """,
     tags=("A1", "A2", "A3", "A7", "A8"),
+    defer_oracle=True,  # r12: rotated out of the driver cap (long-stable green r01-r11; pytest exact parity)
 )
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary report: scan + filter + multi-aggregate groupBy."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -852,7 +854,9 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("A10", "bag-semantics"),
     # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    defer_oracle=True,  # r12: rotated out of the driver cap (long-stable green r01-r11; pytest exact parity)
 )
+
 def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-semantics set operations (r5): INTERSECT ALL keeps each priority
     min(count_1995, count_1996) times, EXCEPT ALL keeps the 1995 surplus
@@ -900,7 +904,9 @@ SELECT id, name, path, CAST(depth AS INT) AS depth FROM tree
     """,
     tags=("A12", "recursive"),
     # driver-checked since round 6 (rotated in for q_grouping_sets)
+    defer_oracle=True,  # r12: rotated out of the driver cap (long-stable green r01-r11; pytest exact parity)
 )
+
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4.1 WITH RECURSIVE, r5): walk the implicit
     binary hierarchy parent(k) = (k-1) div 2 over nation, accumulating

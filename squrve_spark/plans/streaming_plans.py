@@ -33,7 +33,9 @@ from squrve_spark.streaming import (
     GROUP BY 1, 2
     """,
     tags=("streaming", "events", "window-agg"),
+    defer_oracle=True,  # r12: rotated out of the driver cap (long-stable green r01-r11; pytest exact parity)
 )
+
 def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-hour rollup executed as a stream (complete
     output mode so the finite replay yields every window)."""
@@ -165,7 +167,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY r.user_id
     """,
     tags=("streaming", "join"),
-    defer_oracle=True,
+    defer_oracle=False,  # r12: rotated INTO the driver-checked 50 (never driver-checked before)
 )
 def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (view -> purchase within 1 h, per user),
@@ -308,7 +310,7 @@ def stream_top_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("streaming", "events", "stateful", "warehouse"),
     # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
-    defer_oracle=True,
+    defer_oracle=False,  # r12: rotated INTO the driver-checked 50 (never driver-checked before)
 )
 def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming type-2 SCD maintenance (r5): the event stream drains
@@ -553,7 +555,7 @@ def stream_lm_ppl_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
     tags=("streaming", "dedup"),
-    defer_oracle=True,
+    defer_oracle=False,  # r12: rotated INTO the driver-checked 50 (never driver-checked before)
 )
 def stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-duplicate detection at ingest: the document stream

@@ -583,3 +583,27 @@ def test_similarity_join_plan_shows_chosen_route(spark):
 def test_similarity_join_rejects_unknown_route(spark):
     with pytest.raises(ValueError, match="unknown similarity_join route"):
         dedup.similarity_join(_warm_vocab_corpus(spark), 0.5, route="bogus")
+
+
+def test_similarity_route_memoized(spark):
+    """r12 (r11 verdict task 4): the route diagnostic (shingle explode +
+    two aggregates) is memoized per (corpus snapshot, params) — a repeat
+    call must be a pure dict copy, with NO Spark job. Different params on
+    the same corpus must still re-measure (distinct cache keys)."""
+    df = _warm_vocab_corpus(spark)
+    spark.__dict__.pop("_squrve_simroute_cache", None)
+    first = dedup.similarity_route(df, threshold=0.5)
+    cache = spark.__dict__["_squrve_simroute_cache"]
+    assert len(cache) == 1
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    second = dedup.similarity_route(df, threshold=0.5)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert second == first
+    assert after == before, "cache hit must not launch Spark jobs"
+    # the returned dict is a COPY — caller mutation can't poison the memo
+    second["route"] = "poisoned"
+    assert dedup.similarity_route(df, threshold=0.5)["route"] == first["route"]
+    # a different threshold is a different decision -> new cache entry
+    dedup.similarity_route(df, threshold=0.8)
+    assert len(cache) == 2

@@ -365,6 +365,47 @@ def test_native_adapters_share_retry_loop():
         srv2.shutdown()
 
 
+def test_claude_retries_529_overloaded():
+    """r12 (r11 advice): Anthropic's documented 529 'overloaded' status is
+    transient — ClaudeLLMClient must back off and retry it (and 408 joins
+    the shared retryable set), while the base OpenAI-shaped client still
+    treats 529 as fatal (vendor-specific extension, not a blanket code)."""
+    from squrve_spark.llm import ClaudeLLMClient, HTTPLLMClient
+
+    ok = (200, {"content": [{"type": "text", "text": "ok"}]})
+    srv = _FakeJSONServer([(529, {}), (408, {}), ok])
+    try:
+        c = ClaudeLLMClient(srv.url, model="m", api_key="k", retry_base_s=0.01)
+        assert c.complete("p") == "ok"
+        assert len(srv.requests) == 3
+    finally:
+        srv.shutdown()
+    assert 529 not in HTTPLLMClient.RETRYABLE_CODES
+    assert 529 in ClaudeLLMClient.RETRYABLE_CODES
+
+
+def test_gemini_blocked_candidate_raises():
+    """r12 (r11 advice): a candidate with no content.parts (safety block /
+    truncation) must surface as an error naming the finishReason — never
+    propagate as a valid empty prediction — and must NOT be retried (a
+    content decision is not a transient fault)."""
+    import pytest
+
+    from squrve_spark.llm import GeminiLLMClient
+
+    srv = _FakeJSONServer([
+        (200, {"candidates": [{"finishReason": "SAFETY", "content": {}}],
+               "promptFeedback": {"blockReason": "SAFETY"}}),
+    ])
+    try:
+        g = GeminiLLMClient(srv.url, model="m", api_key="k", retry_base_s=0.01)
+        with pytest.raises(RuntimeError, match="finishReason=SAFETY.*blockReason=SAFETY"):
+            g.complete("p")
+        assert len(srv.requests) == 1  # no retry on a content block
+    finally:
+        srv.shutdown()
+
+
 def test_native_adapters_env_key_fallback(monkeypatch):
     from squrve_spark.llm import ClaudeLLMClient, GeminiLLMClient
 

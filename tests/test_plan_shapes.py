@@ -717,3 +717,23 @@ def test_histogram_single_shuffle(spark):
     plan = plan_of(spark, "q_histogram")
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "width_bucket" in plan.lower()
+
+
+def test_double_array_expr_rejects_non_finite(spark):
+    """r12 (r11 advice, premise corrected by measurement: Spark 4's
+    string cast DOES parse 'nan'/'inf' to NaN/Inf, not NULL): the
+    single-parse literal helper still fails loudly on non-finite input —
+    every caller's weights/scales are finite by construction, so a
+    non-finite value is an upstream training bug, and oracle replay of
+    non-finite literals is a cross-engine hash hazard. Finite values
+    round-trip to the identical IEEE doubles."""
+    import pytest
+
+    from squrve_spark.catalog import double_array_expr
+
+    vals = [0.1, -2.5e300, 3.0]
+    row = spark.range(1).select(double_array_expr(vals).alias("a")).first()
+    assert row["a"] == vals  # exact IEEE round-trip through the repr cast
+    for bad in ([float("nan")], [1.0, float("inf")], [float("-inf")]):
+        with pytest.raises(ValueError, match="finite"):
+            double_array_expr(bad)

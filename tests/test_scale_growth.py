@@ -123,6 +123,11 @@ HEAVIES = [
     # word-count shuffle; the driver merge loop is vocab-bounded, never
     # corpus-bounded (the growth decade would expose a corpus-scale leak)
     "doc_bpe_merge_table",
+    # r12: integer IVFPQ — coarse training + PQ training are bounded
+    # collects over corpus-linear shuffles, encode/assignment are
+    # map-only, and the probe equi-join scores only probed cells' rows;
+    # a skewed coarse cell swallowing the corpus would show here first
+    "sim_iivfpq_topk",
 ]
 
 MAX_EXPONENT = 1.5  # sub-quadratic with margin (linear == 1.0)
