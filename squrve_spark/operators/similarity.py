@@ -2073,6 +2073,7 @@ def integer_ivfpq_topk(
     refine: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_on: DataFrame | None = None,
 ) -> DataFrame:
     """INTEGER IVF+PQ — the last rung of the exact-oracle ANN ladder (r12;
     reference parity target: the same two-level index surface as
@@ -2102,9 +2103,19 @@ def integer_ivfpq_topk(
     distance but the candidate pool is probe-limited — recall vs the
     unpartitioned `integer_pq_topk` is measured, not assumed
     (`sim_recall_audit`).
+
+    ``train_on`` freezes EVERY learned parameter to a base shard: int8
+    scales, coarse centroids and PQ codebooks train on that subset only,
+    while encode/assignment/scoring cover the FULL corpus — the
+    index-maintenance contract at 100 TB (append a new crawl shard with
+    one map-only encode pass; never retrain, never re-encode history).
+    Appended ids route through the frozen structure exactly like
+    FAISS's `add` after `train`. Default None trains on the corpus
+    itself (the registered `sim_iivfpq_topk` behavior).
     """
     spark = corpus.sparkSession
-    scales = int8_scales(corpus, vec_col)
+    train_df = corpus if train_on is None else train_on
+    scales = int8_scales(train_df, vec_col)
     dim = len(scales)
     if dim % m:
         raise ValueError(f"embedding dim {dim} not divisible by m={m} subspaces")
@@ -2116,27 +2127,37 @@ def integer_ivfpq_topk(
         )
     )
     out_schema = "query_id long, neighbor_id long, rank int, code_dist long"
-    coarse, cents = integer_kmeans(
-        corpus, k=coarse_k, n_iter=coarse_iter, id_col=id_col, vec_col=vec_col,
-        return_centroids=True,
+    _, cents = integer_kmeans(
+        train_df, k=coarse_k, n_iter=coarse_iter, id_col=id_col,
+        vec_col=vec_col, return_centroids=True,
     )
     if not cents:
         return spark.createDataFrame([], out_schema)
+    train_codes = (
+        codes
+        if train_on is None
+        else memo_checkpoint(
+            spread(train_df).select(
+                F.col(id_col), int8_codes_expr(scales, vec_col).alias("codes")
+            )
+        )
+    )
     books = _int_pq_codebooks(
-        codes, id_col, vec_col, m, d_sub, codebook_k, n_rounds, corpus
+        train_codes, id_col, vec_col, m, d_sub, codebook_k, n_rounds, train_df
     )
     if books is None:
         return spark.createDataFrame([], out_schema)
+    # FULL-corpus coarse assignment with the (possibly frozen) centroids —
+    # map-only, same literal argmin the trainer used
     enc = codes.select(
         F.col(id_col).alias("neighbor_id"),
+        F.expr(_argmin_cell_sql("codes", cents)).getField("c").alias("cell"),
         *[
             F.expr(
                 _argmin_cell_sql(f"slice(codes, {j * d_sub + 1}, {d_sub})", books[j])
             ).getField("c").alias(f"c{j}")
             for j in range(m)
         ],
-    ).join(
-        coarse.select(F.col(id_col).alias("neighbor_id"), "cell"), "neighbor_id"
     )
     # query block: int8 codes, per-subspace ADC tables, probe-cell array —
     # all single-parse literal expressions over the broadcast-bound queries

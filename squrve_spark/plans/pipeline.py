@@ -5715,7 +5715,7 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _int_kmeans_cte(
     k: int = 8, n_iter: int = 4, prefix: str = "", include_quantize: bool = True,
-    mat: bool = False,
+    mat: bool = False, train_where: str | None = None,
 ) -> str:
     """DuckDB replay of similarity.integer_kmeans as chained CTEs ending in
     `{prefix}a{n_iter}` (the final assignment using the (n_iter-1)-times-
@@ -5725,15 +5725,22 @@ def _int_kmeans_cte(
     fragment composes after `_int_pq_cte`'s identical (materialized) copy;
     ``prefix`` namespaces the per-iteration CTEs against the PQ chain's;
     ``mat`` materializes each CTE (required in multi-referenced composites —
-    DuckDB re-executes inlined CTEs per reference)."""
+    DuckDB re-executes inlined CTEs per reference). ``train_where``
+    replays the FROZEN-index contract (r12): seeds and update iterations
+    see only rows matching the predicate, the FINAL assignment covers
+    every row — matching `integer_ivfpq_topk(train_on=...)`. (When set
+    with include_quantize, dims/s restrict too so the int8 scales are the
+    base shard's.)"""
     p = prefix
     M = " MATERIALIZED" if mat else ""
+    tw = train_where
     ctes = (
         [
             """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
-            """dims AS (
+            f"""dims AS (
       SELECT i.pos, MAX(ABS(v[i.pos])) AS m
-      FROM e, LATERAL (SELECT unnest(range(1, 65)) AS pos) i GROUP BY 1)""",
+      FROM e, LATERAL (SELECT unnest(range(1, 65)) AS pos) i
+      {f'WHERE {tw}' if tw else ''} GROUP BY 1)""",
             """s AS (SELECT list(CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END
                         ORDER BY pos) AS sc FROM dims)""",
             """q AS (SELECT e.vec_id,
@@ -5745,19 +5752,27 @@ def _int_kmeans_cte(
         if include_quantize
         else []
     )
+    if tw:
+        ctes.append(
+            f"""{p}qt AS{M} (SELECT * FROM q WHERE {tw})"""
+        )
+    train_src = f"{p}qt" if tw else "q"
     ctes.append(
         f"""{p}cent0 AS{M} (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, codes
-             FROM (SELECT vec_id, codes FROM q ORDER BY vec_id LIMIT {k}))"""
+             FROM (SELECT vec_id, codes FROM {train_src} ORDER BY vec_id LIMIT {k}))"""
     )
     for t in range(1, n_iter + 1):
         # cross join + window argmin, NOT a LATERAL top-1: DuckDB cannot
         # correlate an outer table into a lambda body inside LATERAL
+        # (update iterations read the train subset; the final assignment
+        # at t == n_iter reads the whole corpus — frozen-index replay)
+        src = "q" if t == n_iter else train_src
         ctes.append(
             f"""{p}d{t} AS{M} (
       SELECT q.vec_id, q.codes, ct.c,
              list_sum(list_transform(range(1, 65), i ->
                (q.codes[i] - ct.codes[i]) * (q.codes[i] - ct.codes[i]))) AS d
-      FROM q, {p}cent{t - 1} ct)"""
+      FROM {src} q, {p}cent{t - 1} ct)"""
         )
         ctes.append(
             f"""{p}a{t} AS{M} (
@@ -5786,7 +5801,8 @@ def _int_kmeans_cte(
 
 
 def _int_pq_cte(m: int = 8, codebook_k: int = 16, n_iter: int = 2, k: int = 5,
-                refine: int = 4, coarse: tuple | None = None) -> str:
+                refine: int = 4, coarse: tuple | None = None,
+                train_where: str | None = None) -> str:
     """DuckDB replay of similarity.integer_pq_topk: the shared int8-code
     idiom, then PER SUBSPACE the integer Lloyd chain of `_int_kmeans_cte`
     over list_slice'd codes (seed = first codebook_k by vec_id, cross-join
@@ -5802,13 +5818,20 @@ def _int_pq_cte(m: int = 8, codebook_k: int = 16, n_iter: int = 2, k: int = 5,
     cells, a `qprobe` window keeps each query's nprobe nearest coarse
     centroids ((d, c) ties), and `scored` joins through (corpus cell =
     probed cell) so only probed rows score — the residual-free IVFPQ the
-    Spark side implements."""
+    Spark side implements.
+
+    ``train_where`` replays `integer_ivfpq_topk(train_on=...)` — the
+    FROZEN-index append contract: int8 scales, coarse centroids and PQ
+    codebooks see only rows matching the predicate (seeds + update
+    iterations), while encode/assignment/ADC cover every row."""
     d_sub = 64 // m
+    tw = train_where
     ctes = [
         """e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
-        """dims AS MATERIALIZED (
+        f"""dims AS MATERIALIZED (
       SELECT i.pos, MAX(ABS(v[i.pos])) AS m
-      FROM e, LATERAL (SELECT unnest(range(1, 65)) AS pos) i GROUP BY 1)""",
+      FROM e, LATERAL (SELECT unnest(range(1, 65)) AS pos) i
+      {f'WHERE {tw}' if tw else ''} GROUP BY 1)""",
         """s AS MATERIALIZED (SELECT list(CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END
                         ORDER BY pos) AS sc FROM dims)""",
         """q AS MATERIALIZED (SELECT e.vec_id,
@@ -5823,17 +5846,25 @@ def _int_pq_cte(m: int = 8, codebook_k: int = 16, n_iter: int = 2, k: int = 5,
             f"""sub{j} AS MATERIALIZED (SELECT vec_id,
                list_slice(codes, {lo + 1}, {lo + d_sub}) AS sc FROM q)"""
         )
+        if tw:
+            ctes.append(
+                f"""sub{j}t AS MATERIALIZED (SELECT * FROM sub{j} WHERE {tw})"""
+            )
+        tsub = f"sub{j}t" if tw else f"sub{j}"
         ctes.append(
             f"""cent{j}_0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, sc AS codes
-             FROM (SELECT vec_id, sc FROM sub{j} ORDER BY vec_id LIMIT {codebook_k}))"""
+             FROM (SELECT vec_id, sc FROM {tsub} ORDER BY vec_id LIMIT {codebook_k}))"""
         )
         for t in range(1, n_iter + 1):
+            # update iterations read the train subset; the final encode
+            # assignment at t == n_iter reads ALL rows (frozen-index replay)
+            src = f"sub{j}" if t == n_iter else tsub
             ctes.append(
                 f"""d{j}_{t} AS MATERIALIZED (
-      SELECT sub{j}.vec_id, sub{j}.sc, ct.c,
+      SELECT sb.vec_id, sb.sc, ct.c,
              list_sum(list_transform(range(1, {d_sub + 1}), i ->
-               (sub{j}.sc[i] - ct.codes[i]) * (sub{j}.sc[i] - ct.codes[i]))) AS d
-      FROM sub{j}, cent{j}_{t - 1} ct)"""
+               (sb.sc[i] - ct.codes[i]) * (sb.sc[i] - ct.codes[i]))) AS d
+      FROM {src} sb, cent{j}_{t - 1} ct)"""
             )
             ctes.append(
                 f"""a{j}_{t} AS MATERIALIZED (
@@ -5873,7 +5904,10 @@ def _int_pq_cte(m: int = 8, codebook_k: int = 16, n_iter: int = 2, k: int = 5,
     if coarse is not None:
         ck, ci, npb = coarse
         ctes.append(
-            _int_kmeans_cte(ck, ci, prefix="k", include_quantize=False, mat=True)
+            _int_kmeans_cte(
+                ck, ci, prefix="k", include_quantize=False, mat=True,
+                train_where=tw,
+            )
         )
         ctes.append(
             f"""qprobe AS MATERIALIZED (
@@ -6003,6 +6037,42 @@ def sim_iivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.integer_ivfpq_topk(
         emb, queries, k=5, coarse_k=8, nprobe=3, coarse_iter=2,
         m=8, codebook_k=16, n_iter=2, refine=4,
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "sim_iivfpq_append_topk",
+    # r12 bonus: the INDEX-MAINTENANCE contract, exactly oracled — train
+    # the integer IVFPQ on a base shard (vec_id % 5 <> 0), then append
+    # the remaining 20% through the FROZEN structure (base-shard int8
+    # scales, coarse centroids, PQ codebooks; one map-only encode pass,
+    # no retrain, no history re-encode — FAISS add-after-train). The
+    # oracle replays the whole frozen composition: dims/seeds/update
+    # iterations restricted to the base predicate, final encode +
+    # assignment + ADC over every row.
+    oracle=f"""
+    WITH {_int_pq_cte(8, 16, 2, 5, 4, coarse=(8, 2, 3),
+                      train_where="vec_id % 5 <> 0")}
+    SELECT query_id, neighbor_id, rank, code_dist
+    FROM final ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann"),
+    defer_oracle=True,  # r12 addition; the driver-checked 50 is full
+)
+def sim_iivfpq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-IVFPQ top-5 with a FROZEN-parameter shard append
+    (operators/similarity.py:integer_ivfpq_topk, train_on=): scales,
+    coarse centroids and codebooks train on the 80% base shard
+    (vec_id % 5 <> 0); the held-out 20% routes through the frozen index
+    exactly like a freshly crawled shard — encode is map-only, history
+    is never touched. At 100 TB this is the only affordable index
+    lifecycle: one training job per epoch, appends forever after."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.integer_ivfpq_topk(
+        emb, queries, k=5, coarse_k=8, nprobe=3, coarse_iter=2,
+        m=8, codebook_k=16, n_iter=2, refine=4,
+        train_on=emb.filter(F.col("vec_id") % 5 != 0),
     ).orderBy("query_id", "rank")
 
 

@@ -989,3 +989,69 @@ def test_integer_pq_recall_vs_bruteforce(spark, emb):
 def test_integer_pq_rejects_indivisible_subspaces(spark, emb):
     with pytest.raises(ValueError, match="not divisible"):
         similarity.integer_pq_topk(emb, emb.limit(1), m=7)
+
+
+def test_integer_ivfpq_composition_properties(spark, emb):
+    """r12: the IVFPQ composition — every query gets at most k ranked,
+    self-free, duplicate-free neighbors, and FULL probe (nprobe ==
+    coarse_k) is IDENTICAL to plain integer PQ: with every cell probed
+    the probe equi-join admits each (query, row) pair exactly once, so
+    ADC scoring, the candidate window and the exact re-rank coincide
+    row-for-row with integer_pq_topk's. (End-to-end result quality is
+    deliberately NOT asserted monotone in nprobe: a wider ADC pool can
+    displace a candidate that would have re-ranked better — that
+    approximation loss is measured in sim_recall_audit, not assumed
+    away.)"""
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.integer_ivfpq_topk(emb, queries, k=5, nprobe=3)
+    per_q = {}
+    for r in out.collect():
+        assert r["query_id"] != r["neighbor_id"]
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        assert len(rs) <= 5
+        assert len({r["neighbor_id"] for r in rs}) == len(rs)
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+    full_probe = sorted(
+        map(
+            tuple,
+            similarity.integer_ivfpq_topk(
+                emb, queries, k=5, coarse_k=8, nprobe=8
+            ).collect(),
+        )
+    )
+    plain_pq = sorted(
+        map(tuple, similarity.integer_pq_topk(emb, queries, k=5).collect())
+    )
+    assert full_probe == plain_pq
+
+
+def test_integer_ivfpq_frozen_append_contract(spark, emb):
+    """r12: train_on=corpus must be IDENTICAL to the default (freezing on
+    everything is a no-op), and a strict-subset base must (a) still rank
+    appended ids among the neighbors on this fixture (the frozen encode
+    really routes them) and (b) differ from the retrained index (the
+    freeze is observable, not vacuous)."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    default = sorted(
+        map(tuple, similarity.integer_ivfpq_topk(emb, queries, k=5).collect())
+    )
+    noop = sorted(
+        map(
+            tuple,
+            similarity.integer_ivfpq_topk(emb, queries, k=5, train_on=emb).collect(),
+        )
+    )
+    assert noop == default
+    frozen = sorted(
+        map(
+            tuple,
+            similarity.integer_ivfpq_topk(
+                emb, queries, k=5,
+                train_on=emb.filter(F.col("vec_id") % 5 != 0),
+            ).collect(),
+        )
+    )
+    assert frozen != default
+    assert any(r[1] % 5 == 0 for r in frozen)  # appended ids reachable

@@ -374,9 +374,22 @@ def test_api_registry_list_and_run(service):
         inv = json.loads(resp.read())["queries"]
     assert len(inv) >= 130
     by_name = {q["name"]: q for q in inv}
-    assert by_name["q1_pricing_summary"]["tier"] == "driver"
-    assert by_name["q9_product_profit"]["tier"] == "deferred"
-    assert by_name["graph_pagerank"]["tier"] == "rows-only"
+    # tiers mirror the LIVE registry (driver-cap rotations move entries
+    # between driver and deferred every round — r12 moved
+    # q1_pricing_summary out; assert against the source of truth, not a
+    # pinned name-tier pair)
+    from squrve_spark.plans import REGISTRY
+
+    def live_tier(spec):
+        if spec.oracle is not None and not spec.defer_oracle:
+            return "driver"
+        return "deferred" if spec.oracle is not None else "rows-only"
+
+    for name in ["q1_pricing_summary", "q9_product_profit", "graph_pagerank"]:
+        assert by_name[name]["tier"] == live_tier(REGISTRY[name])
+    tiers = {q["tier"] for q in inv}
+    assert tiers == {"driver", "deferred", "rows-only"}
+    assert sum(q["tier"] == "driver" for q in inv) == 50
 
     out = _post(
         f"{service}/api/registry_run",
