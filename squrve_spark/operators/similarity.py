@@ -171,18 +171,8 @@ def brute_force_topk(
     The query side is broadcast — at scale the corpus stays partitioned and
     each partition scores its shard against the in-memory query block;
     row_number per query keeps k. Ranking is on 6-dp-rounded sim with id
-    tie-break so the selected set is engine-stable. The whole run is
-    memoized per session on (corpus snapshot, query snapshot, params) —
-    the integer_kmeans pattern (r12); read-only-snapshot caveat applies.
+    tie-break so the selected set is engine-stable.
     """
-    from squrve_spark.catalog import plan_key
-
-    spark = corpus.sparkSession
-    run_cache = spark.__dict__.setdefault("_squrve_brute_run_cache", {})
-    rkey = ("brute", *plan_key(corpus), *plan_key(queries), k, id_col, vec_col)
-    hit = run_cache.get(rkey)
-    if hit is not None:
-        return hit
     q = with_vec_norm(queries, vec_col, "q_v", "q_n").select(
         F.col(id_col).alias("query_id"), "q_v", "q_n"
     )
@@ -196,17 +186,11 @@ def brute_force_topk(
         ).cast("double"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    raw = (
+    return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
-    while len(run_cache) >= 16:
-        run_cache.pop(next(iter(run_cache)))
-    # repeats serve the lazy checkpoint; the FIRST call returns the raw
-    # frame so its plan stays inspectable (plan-shape tests, .explain)
-    run_cache[rkey] = memo_checkpoint(raw)
-    return raw
 
 
 def _banded(sig: DataFrame, role: str, bands: int, width: int, id_col: str) -> DataFrame:
@@ -252,22 +236,7 @@ def lsh_topk(
     cross join; recall rises with bands. Banded rows carry (id, signature)
     only; pair uniqueness is the first-colliding-band predicate; vectors join
     onto the already-small candidate set for the exact re-rank.
-
-    The whole run is memoized per session on (corpus snapshot, query
-    snapshot, params) — the integer_kmeans pattern (r12): the banding HOF
-    plan is expensive to BUILD on the driver, and repeat identical calls
-    (bench steady passes, sim_recall_audit's lsh tier) should be a cache
-    read. Read-only-snapshot caveat applies.
     """
-    from squrve_spark.catalog import plan_key
-
-    spark = corpus.sparkSession
-    run_cache = spark.__dict__.setdefault("_squrve_lsh_run_cache", {})
-    rkey = ("lsh", *plan_key(corpus), *plan_key(queries),
-            dim, k, bands, bits, seed, id_col, vec_col)
-    hit = run_cache.get(rkey)
-    if hit is not None:
-        return hit
     width = bits // bands
     # r10: the corpus side (scales + signatures + norms) comes from the
     # per-snapshot memoized frame shared with embedding_neardup_pairs —
@@ -306,17 +275,11 @@ def lsh_topk(
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    raw = (
+    return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
-    while len(run_cache) >= 16:
-        run_cache.pop(next(iter(run_cache)))
-    # repeats serve the lazy checkpoint; the FIRST call returns the raw
-    # frame so its plan stays inspectable (plan-shape tests, .explain)
-    run_cache[rkey] = memo_checkpoint(raw)
-    return raw
 
 
 def exact_neardup_pairs(
@@ -2000,23 +1963,8 @@ def integer_pq_topk(
     Returns (query_id, neighbor_id, rank, code_dist) — code_dist = the
     exact integer squared code distance (smaller = nearer); ranking ties
     break on neighbor id; self-pairs excluded.
-
-    The WHOLE run is memoized per session on (corpus snapshot, query
-    snapshot, params) — the integer_kmeans pattern: repeat identical
-    top-k calls over one snapshot (the bench's steady passes,
-    sim_recall_audit's tier re-issues) skip even the driver-side plan
-    BUILD, which at 8x16 literal codebooks is the dominant warm cost
-    (~1.3 s measured). Read-only-snapshot caveat applies.
     """
-    from squrve_spark.catalog import plan_key
-
     spark = corpus.sparkSession
-    run_cache = spark.__dict__.setdefault("_squrve_ipq_run_cache", {})
-    rkey = ("ipq", *plan_key(corpus), *plan_key(queries), id_col, vec_col,
-            k, m, codebook_k, max(n_iter, 1), max(refine, 1))
-    hit = run_cache.get(rkey)
-    if hit is not None:
-        return hit
     scales = int8_scales(corpus, vec_col)
     dim = len(scales)
     if dim % m:
@@ -2083,16 +2031,8 @@ def integer_pq_topk(
         .filter(F.col("_crk") <= n_cand)
         .select("query_id", "neighbor_id")
     )
-    return _exact_code_rerank(cand, qt, codes, id_col, k, run_cache, rkey)
-
-
-def _exact_code_rerank(cand, qt, codes, id_col, k, run_cache, rkey):
-    """Shared tail of integer_pq_topk / integer_ivfpq_topk: exact int8-code
-    squared-distance re-rank on the bounded candidate set (vectors join
-    onto candidates only, distance is one integer fold over 64 codes),
-    checkpointed (queries x k rows — integer_kmeans's output pattern) and
-    stored in the caller's whole-run session cache so repeat identical
-    calls skip even the driver-side plan build."""
+    # exact int8-code re-rank on the bounded candidate set: vectors join
+    # onto candidates only, distance is one integer fold over 64 codes
     exact_dist = F.aggregate(
         F.zip_with(
             F.col("qc"), F.col("ncodes"), lambda x, y: (x - y) * (x - y)
@@ -2113,17 +2053,11 @@ def _exact_code_rerank(cand, qt, codes, id_col, k, run_cache, rkey):
     w = W.partitionBy("query_id").orderBy(
         F.col("code_dist").asc(), F.col("neighbor_id")
     )
-    raw = (
+    return (
         rer.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "code_dist")
     )
-    while len(run_cache) >= 16:
-        run_cache.pop(next(iter(run_cache)))
-    # repeats serve the lazy checkpoint; the FIRST call returns the raw
-    # frame so its plan stays inspectable (plan-shape tests, .explain)
-    run_cache[rkey] = memo_checkpoint(raw)
-    return raw
 
 
 def integer_ivfpq_topk(
@@ -2180,17 +2114,7 @@ def integer_ivfpq_topk(
     itself (the registered `sim_iivfpq_topk` behavior).
     """
     spark = corpus.sparkSession
-    from squrve_spark.catalog import plan_key
-
     train_df = corpus if train_on is None else train_on
-    run_cache = spark.__dict__.setdefault("_squrve_ipq_run_cache", {})
-    rkey = ("iivfpq", *plan_key(corpus), *plan_key(queries),
-            () if train_on is None else plan_key(train_on),
-            id_col, vec_col, k, coarse_k, nprobe, max(coarse_iter, 1),
-            m, codebook_k, max(n_iter, 1), max(refine, 1))
-    hit = run_cache.get(rkey)
-    if hit is not None:
-        return hit
     scales = int8_scales(train_df, vec_col)
     dim = len(scales)
     if dim % m:
@@ -2281,7 +2205,31 @@ def integer_ivfpq_topk(
         .filter(F.col("_crk") <= n_cand)
         .select("query_id", "neighbor_id")
     )
-    return _exact_code_rerank(cand, qt, codes, id_col, k, run_cache, rkey)
+    exact_dist = F.aggregate(
+        F.zip_with(
+            F.col("qc"), F.col("ncodes"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    rer = (
+        cand.join(F.broadcast(qt.select("query_id", "qc")), "query_id")
+        .join(
+            codes.select(
+                F.col(id_col).alias("neighbor_id"), F.col("codes").alias("ncodes")
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", exact_dist.alias("code_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("code_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "code_dist")
+    )
 
 
 def mmr_rerank(

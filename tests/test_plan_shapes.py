@@ -16,12 +16,6 @@ from tests.conftest import SF_MED
 
 
 def plan_of(spark, name: str) -> str:
-    # whole-run session caches (r12: brute/lsh/ipq run memos) serve a
-    # checkpoint scan on repeat calls, which would hide the real plan from
-    # shape assertions — clear them so this helper always sees a fresh build
-    for key in list(spark.__dict__):
-        if key.endswith("_run_cache"):
-            spark.__dict__[key].clear()
     return REGISTRY[name].fn(spark, SF_MED)._jdf.queryExecution().executedPlan().toString()
 
 

@@ -55,11 +55,6 @@ def test_no_cartesian_products(spark, name):
     fn = REGISTRY[name].fn
     if "stream_" in name:
         pytest.skip("streaming plans are checked by execution tests")
-    # clear the whole-run session caches (r12) so the sweep always sees
-    # the real first-build plan, never a checkpoint-scan cache hit
-    for key in list(spark.__dict__):
-        if key.endswith("_run_cache"):
-            spark.__dict__[key].clear()
     plan = formatted_plan(fn(spark, SF_MED))
     assert "CartesianProduct" not in plan
     # BroadcastNestedLoopJoin is acceptable only for (a) the deliberately
