@@ -214,6 +214,39 @@ def memo_checkpoint(df: DataFrame) -> DataFrame:
     return hit
 
 
+def memo_broadcast(spark: SparkSession, value, tag: str = ""):
+    """Broadcast ``value`` once per session per CONTENT, not per call.
+
+    r12 (guide §1.2, driver side): a fresh ``sparkContext.broadcast`` per
+    operator call gives every ``applyInPandas``/``mapInPandas`` kernel
+    closure a new broadcast id, which lands in the pickled UDF bytes
+    inside the plan — so two otherwise identical plans get different
+    ``semanticHash`` values and EVERY downstream ``plan_key`` memo
+    (memo_checkpoint, dsir weights, codebooks) misses forever (measured:
+    pipeline_curate_v7 re-collected its DSIR distributions on every pass
+    because semantic_dedup's kernel broadcast changed the plan hash).
+    Keying the broadcast on a content fingerprint makes repeat operator
+    builds reuse ONE broadcast, which (verified) restores bit-stable
+    plan keys. Values are the engine's bounded trained artifacts
+    (centroid matrices, ADC tables, eval shingle sets) — never corpus-
+    sized. Evicted entries are not unpersisted: earlier plans may still
+    reference them; at <=64 bounded entries the executor cost is trivial.
+    """
+    import hashlib
+    import pickle
+
+    cache = spark.__dict__.setdefault("_squrve_bcast_cache", {})
+    key = (tag, hashlib.md5(pickle.dumps(value, protocol=4)).hexdigest())
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    bc = spark.sparkContext.broadcast(value)
+    while len(cache) >= 64:
+        cache.pop(next(iter(cache)))
+    cache[key] = bc
+    return bc
+
+
 def register_tables(
     spark: SparkSession,
     sf_dir: str | None = None,

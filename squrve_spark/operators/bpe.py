@@ -139,7 +139,9 @@ def encode_documents(
     import pandas as pd
 
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast({p: i for i, p in enumerate(merges)})
+    from squrve_spark.catalog import memo_broadcast
+
+    bc = memo_broadcast(spark, {p: i for i, p in enumerate(merges)}, "bpe-merges")
 
     schema = T.StructType(
         [

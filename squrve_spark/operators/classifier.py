@@ -79,7 +79,23 @@ def train_quality_model(
 
     ``labeled`` must be a SAMPLE-sized frame (rows bounded by driver
     memory); features come from `bucket_counts` so train and score share
-    the exact hash. Deterministic: full-batch GD from zero init."""
+    the exact hash. Deterministic: full-batch GD from zero init.
+
+    Memoized per (labeled snapshot, params) on the session — the
+    trained-parameter contract (`int8_scales`, `_int_pq_codebooks`,
+    `dsir_bucket_weights`): the feature collect + 2000-epoch GD re-ran
+    identically on every call (r12, guide §1.2; ~1 s/call at sf0.1). A
+    production filter trains once per labeled set and scores many
+    corpora. Read-only snapshot inputs only (memo_checkpoint's caveat)."""
+    from squrve_spark.catalog import plan_key
+
+    spark = labeled.sparkSession
+    cache = spark.__dict__.setdefault("_squrve_clf_cache", {})
+    key = ("gd", *plan_key(labeled), label_col, text_col, id_col, dim,
+           epochs, lr, l2)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     feats = bucket_counts(labeled, text_col, id_col, dim).collect()
     labels = {
         r[id_col]: float(r[label_col])
@@ -102,7 +118,11 @@ def train_quality_model(
         g = p - y
         w -= lr * (X.T @ g / len(y) + l2 * w)
         b -= lr * float(np.mean(g))
-    return LinearTextModel(weights=w, bias=b, dim=dim)
+    model = LinearTextModel(weights=w, bias=b, dim=dim)
+    while len(cache) >= 64:
+        cache.pop(next(iter(cache)))
+    cache[key] = model
+    return model
 
 
 def score_expr(model: LinearTextModel, text_col: str = "text") -> Column:
@@ -178,7 +198,16 @@ def train_vote_model(
     cross-multiplied comparison of "is this bucket over-represented in
     positive documents". Buckets unseen in the sample stay 0 (abstain).
     Training cost: ONE explode+groupBy over the labeled SAMPLE (driver
-    collects <= dim rows), independent of corpus size."""
+    collects <= dim rows), independent of corpus size. Memoized per
+    (labeled snapshot, params) — same contract as `train_quality_model`."""
+    from squrve_spark.catalog import plan_key
+
+    spark = labeled.sparkSession
+    cache = spark.__dict__.setdefault("_squrve_clf_cache", {})
+    key = ("vote", *plan_key(labeled), label_col, text_col, id_col, dim)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     toks = spread(labeled.select(label_col, text_col)).select(
         F.col(label_col).cast("int").alias("_y"),
         F.explode(tokens_expr(text_col)).alias("_t"),
@@ -198,7 +227,11 @@ def train_vote_model(
     for r in per:
         d = r["pn"] * nt - r["nn"] * pt
         w[int(r["b"])] = 1 if d > 0 else (-1 if d < 0 else 0)
-    return VoteTextModel(weights=w, dim=dim)
+    model = VoteTextModel(weights=w, dim=dim)
+    while len(cache) >= 64:
+        cache.pop(next(iter(cache)))
+    cache[key] = model
+    return model
 
 
 def vote_expr(model: VoteTextModel, text_col: str = "text") -> Column:

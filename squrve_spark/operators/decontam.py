@@ -246,7 +246,9 @@ def semantic_contamination(
     # through the max and flag the ENTIRE corpus under NaN-is-largest)
     en[en == 0] = np.inf
     Eu = E / en
-    bc = spark.sparkContext.broadcast(Eu)
+    from squrve_spark.catalog import memo_broadcast
+
+    bc = memo_broadcast(spark, Eu, "semcontam-eval")
 
     @pandas_udf("double")
     def max_sim(vecs):  # pd.Series -> pd.Series (hints omitted: pd is

@@ -111,11 +111,25 @@ def train_bigram_lm(
     bigrams = src.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
     contexts = bigrams.groupBy("w1").agg(F.sum("c2").alias("c1"))
     if vocab_size is None:
-        vocab_size = (
-            reference.select(F.explode(tokens_expr(text_col)).alias("tok"))
-            .agg(F.countDistinct("tok"))
-            .collect()[0][0]
-        )
+        # vocab scan memoized per reference snapshot (r12): a trained
+        # scalar of the model, same session-memo contract as
+        # dsir_bucket_weights / int8_scales — repeat trainings of the
+        # identical slice skip the countDistinct job
+        from squrve_spark.catalog import plan_key
+
+        spark = reference.sparkSession
+        cache = spark.__dict__.setdefault("_squrve_lm_vocab_cache", {})
+        key = (*plan_key(reference), text_col)
+        vocab_size = cache.get(key)
+        if vocab_size is None:
+            vocab_size = (
+                reference.select(F.explode(tokens_expr(text_col)).alias("tok"))
+                .agg(F.countDistinct("tok"))
+                .collect()[0][0]
+            )
+            while len(cache) >= 64:
+                cache.pop(next(iter(cache)))
+            cache[key] = vocab_size
     return bigrams, contexts, int(vocab_size or 0)
 
 

@@ -31,36 +31,50 @@ from pyspark.sql.functions import pandas_udf
 
 from squrve_spark.catalog import double_array_expr as _double_array_expr
 from squrve_spark.catalog import int_array_expr as _int_array_expr
-from squrve_spark.catalog import memo_checkpoint, spread
+from squrve_spark.catalog import memo_broadcast, memo_checkpoint, spread
 
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _int_sqdist_sql(col: str, vals) -> str:
-    """Integer squared distance of int-array column ``col`` to a literal
-    centroid, as a SQL STRING — one parse instead of ~5 py4j-built HOF
-    expressions per centroid (each `F.aggregate(F.zip_with(...))` build
-    measured ~40 ms of driver time; x16 centroids x per plan build that
-    was the rest of the sim_ivf_topk driver-time regression)."""
-    arr = "array(" + ",".join(str(int(v)) for v in vals) + ")"
+def _sqdist_table_sql(col: str, cents) -> str:
+    """Integer squared distances of int-array column ``col`` to EVERY
+    literal centroid, as one array ordered by centroid index — the ADC
+    table shape. Built as SQL STRINGS for a single parse: each
+    py4j-built `F.aggregate(F.zip_with(...))` costs ~40 ms of driver
+    time, x16 centroids per plan build (the r10 sim_ivf_topk driver-time
+    regression). r12 compaction (guide §1.2 per-task work, driver side):
+    a single ``transform`` over one nested literal array replaces
+    ``len(cents)`` unrolled aggregate trees, shrinking the expression
+    node count ~codebook_k-fold per call site. Same fold, same element
+    order, bit-identical values."""
+    books = "array(" + ",".join(
+        "array(" + ",".join(str(int(v)) for v in cw) + ")" for cw in cents
+    ) + ")"
     return (
-        f"aggregate(zip_with({col}, {arr}, (x, c) -> (x - c) * (x - c)), "
-        "0L, (acc, d) -> acc + d)"
+        f"transform({books}, cw -> aggregate(zip_with({col}, cw, "
+        "(x, c) -> (x - c) * (x - c)), 0L, (acc, d) -> acc + d))"
+    )
+
+
+def _dist_cell_structs_sql(col: str, cents) -> str:
+    """Sorted (d, c) structs of ``col`` vs every literal centroid —
+    (d asc, c asc), ties to the smaller cell: the replayable-oracle
+    order shared by the argmin and probe forms below."""
+    n = len(cents)
+    return (
+        f"array_sort(zip_with({_sqdist_table_sql(col, cents)}, "
+        f"sequence(0, {n - 1}), (d, c) -> named_struct('d', d, 'c', c)))"
     )
 
 
 def _argmin_cell_sql(col: str, cents) -> str:
     """(dist, cell) of the nearest literal centroid to int-array column
-    ``col``: sort an inline array of named_structs by (d asc, c asc) —
-    ties to the smaller cell, exactly the replayable-oracle order — and
-    take the head. ONE parsed expression for the whole argmin."""
-    structs = ",".join(
-        f"named_struct('d', {_int_sqdist_sql(col, cv)}, 'c', {j})"
-        for j, cv in enumerate(cents)
-    )
-    return f"element_at(array_sort(array({structs})), 1)"
+    ``col`` — head of the sorted (d, c) structs. ONE parsed expression
+    for the whole argmin (and, r12, one shared distance-table subtree
+    instead of per-centroid unrolling)."""
+    return f"element_at({_dist_cell_structs_sql(col, cents)}, 1)"
 
 
 def _probe_cells_sql(col: str, cents, nprobe: int) -> str:
@@ -68,11 +82,10 @@ def _probe_cells_sql(col: str, cents, nprobe: int) -> str:
     column ``col``, as an int array ordered by (d asc, c asc) — the IVF
     probe set in the replayable tie order. ONE parsed expression (same
     single-parse rationale as `_argmin_cell_sql`)."""
-    structs = ",".join(
-        f"named_struct('d', {_int_sqdist_sql(col, cv)}, 'c', {j})"
-        for j, cv in enumerate(cents)
+    return (
+        f"transform(slice({_dist_cell_structs_sql(col, cents)}, 1, {nprobe}), "
+        "x -> x.c)"
     )
-    return f"transform(slice(array_sort(array({structs})), 1, {nprobe}), x -> x.c)"
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -537,7 +550,7 @@ def train_centroids(
     vecs = spread(corpus).select(F.col(vec_col).cast("array<double>").alias("v"))
     vecs = memo_checkpoint(vecs)  # one scan feeds every iteration
     for _ in range(n_iter):
-        bc = spark.sparkContext.broadcast(Cu)
+        bc = memo_broadcast(spark, Cu, "cells-Cu")
 
         def assign_fn(col: pd.Series) -> pd.Series:
             cu = bc.value
@@ -619,14 +632,10 @@ def ivf_topk(
         # inline array of (dist, cell) structs, slice, project the cell.
         # Built as ONE parsed SQL expression — the py4j-per-element form
         # cost seconds of driver plan-build time per call (r10 verdict
-        # task 6 regression; see _int_sqdist_sql).
+        # task 6 regression; see _sqdist_table_sql).
         qscales = int8_scales(corpus, vec_col)
-        structs = ",".join(
-            f"named_struct('d', {_int_sqdist_sql('_qc', cv)}, 'c', {j})"
-            for j, cv in enumerate(cents)
-        )
         probe_arr = F.expr(
-            f"slice(array_sort(array({structs})), 1, {int(n_probe)})"
+            f"slice({_dist_cell_structs_sql('_qc', cents)}, 1, {int(n_probe)})"
         )
         q = (
             with_vec_norm(queries, vec_col, "q_v", "q_n")
@@ -645,7 +654,7 @@ def ivf_topk(
             Cu = train_centroids(corpus, n_centroids, train_iters, id_col, vec_col)
         else:
             Cu = sampled_centroids(corpus, n_centroids, id_col, vec_col)
-        bc = spark.sparkContext.broadcast(Cu)
+        bc = memo_broadcast(spark, Cu, "cells-Cu")
 
         def cells_fn(top_n: int):
             def fn(vecs: pd.Series) -> pd.Series:
@@ -772,7 +781,7 @@ def semantic_dedup(
         )
         assigned = assign_cells(df, Cu, id_col, vec_col)
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(Cu)  # kernel needs centroid sims
+    bc = memo_broadcast(spark, Cu, "semdedup-cents")  # kernel needs centroid sims
 
     out_schema = (
         f"{id_col} long, cell int, centroid_sim double, keep boolean, rep_id long"
@@ -936,7 +945,7 @@ def pq_encode(
     (the 100 TB memory story: dim*4 bytes -> m bytes per vector). Broadcast
     codebooks, one BLAS pass per Arrow batch, no shuffle."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(np.ascontiguousarray(codebooks))
+    bc = memo_broadcast(spark, np.ascontiguousarray(codebooks), "pq-books")
 
     def encode_fn(vecs: pd.Series) -> pd.Series:
         books = bc.value
@@ -995,7 +1004,7 @@ def pq_topk(
     # kernel (one Arrow round-trip instead of pandas_udf encode -> second
     # mapInPandas — measured ~2x less Python-boundary traffic at sf0.1; a
     # persisted-codes corpus would instead join codes and skip encoding)
-    bc = spark.sparkContext.broadcast((qids, luts, books))
+    bc = memo_broadcast(spark, (qids, luts, books), "pq-query-luts")
     n_local = k * refine
 
     src = spread(corpus.select(id_col, vec_col))
@@ -1145,7 +1154,7 @@ def ivf_topk_indexed(
     parquet before any vector is read."""
     spark = corpus.sparkSession
     Cu = load_ivf_centroids(spark, index_path)
-    bc = spark.sparkContext.broadcast(Cu)
+    bc = memo_broadcast(spark, Cu, "ivfpq-Cu")
     cells = spark.read.parquet(f"{index_path}/cells")
 
     def probe_fn(vecs: pd.Series) -> pd.Series:
@@ -1229,7 +1238,7 @@ def save_ivfpq_index(
     V /= np.linalg.norm(V, axis=1, keepdims=True)
     R = V - Cu[(V @ Cu.T).argmax(axis=1)]
     books = _lloyd_subspaces(R, m, ksub, train_iters + 8)
-    bc = spark.sparkContext.broadcast((Cu, np.ascontiguousarray(books)))
+    bc = memo_broadcast(spark, (Cu, np.ascontiguousarray(books)), "ivfpq-books")
 
     def encode_it(it):
         cu, bks = bc.value
@@ -1322,7 +1331,7 @@ def ivfpq_topk(
     cell_sims = Q @ Cu.T  # (n_q, n_cells): the <q, c_cell> offsets
     probes = np.argsort(-cell_sims, axis=1)[:, :n_probe]
     luts = np.einsum("qsd,skd->qsk", Q.reshape(len(Q), m, dsub), books)
-    bc = spark.sparkContext.broadcast((qids, luts, cell_sims, probes))
+    bc = memo_broadcast(spark, (qids, luts, cell_sims, probes), "ivfpq-query")
     n_local = k * refine
     probed_cells = sorted({int(c) for row in probes for c in row})
 
@@ -1404,7 +1413,7 @@ def assign_cells(
 ) -> DataFrame:
     """Map-side k-means cell assignment: broadcast the unit codebook, one
     BLAS matmul per Arrow batch — (id, vec, cell), no shuffle."""
-    bc = df.sparkSession.sparkContext.broadcast(centroids)
+    bc = memo_broadcast(df.sparkSession, centroids, "assign-cents")
 
     def assign_fn(vecs: pd.Series) -> pd.Series:
         cu = bc.value
@@ -2001,12 +2010,7 @@ def integer_pq_topk(
         "qc",
         *[
             F.expr(
-                "array("
-                + ",".join(
-                    _int_sqdist_sql(f"slice(qc, {j * d_sub + 1}, {d_sub})", cw)
-                    for cw in books[j]
-                )
-                + ")"
+                _sqdist_table_sql(f"slice(qc, {j * d_sub + 1}, {d_sub})", books[j])
             ).alias(f"t{j}")
             for j in range(m)
         ],
@@ -2170,12 +2174,7 @@ def integer_ivfpq_topk(
         F.expr(_probe_cells_sql("qc", cents, nprobe)).alias("probes"),
         *[
             F.expr(
-                "array("
-                + ",".join(
-                    _int_sqdist_sql(f"slice(qc, {j * d_sub + 1}, {d_sub})", cw)
-                    for cw in books[j]
-                )
-                + ")"
+                _sqdist_table_sql(f"slice(qc, {j * d_sub + 1}, {d_sub})", books[j])
             ).alias(f"t{j}")
             for j in range(m)
         ],
@@ -2394,7 +2393,7 @@ def integer_kmeans(
         # (d asc, c asc) = ties to the smaller cell, same as the oracle.
         # The whole argmin is ONE parsed SQL expression — py4j-per-element
         # literal/HOF construction cost seconds of driver plan-build time
-        # per iteration (r10 verdict task 6; see _int_sqdist_sql).
+        # per iteration (r10 verdict task 6; see _sqdist_table_sql).
         best = F.expr(_argmin_cell_sql("codes", cents))
         assigned = codes.select(
             id_col,

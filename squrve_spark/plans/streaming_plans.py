@@ -471,13 +471,19 @@ def stream_lm_ppl_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from squrve_spark.operators import lm
     from squrve_spark.operators.sketches import incremental_quantiles
 
+    from squrve_spark.catalog import memo_checkpoint
+
     docs = load_table(spark, sf_dir, "documents")
     bigrams, contexts, vocab = lm.train_bigram_lm(
         docs.where(F.col("doc_id") % 5 == 0)
     )
-    # the model is re-read by every micro-batch join: cache it once
-    bigrams = bigrams.cache()
-    contexts = contexts.cache()
+    # the model is re-read by every micro-batch join: materialize it ONCE
+    # per corpus snapshot (r12 — memo_checkpoint instead of a per-call
+    # cache()/unpersist() cycle, which re-materialized the identical
+    # trained model on every invocation; the model is a trained artifact,
+    # same contract as the memoized DSIR weights / PQ codebooks)
+    bigrams = memo_checkpoint(bigrams)
+    contexts = memo_checkpoint(contexts)
 
     work = tempfile.mkdtemp(prefix="squrve_ppl_stream_")
     store = f"{work}/store"
@@ -490,13 +496,12 @@ def stream_lm_ppl_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, scored, store, "ppl", ["source"], batch_id=batch_id
         )
 
-    schema = (
-        spark.read.option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-        .schema
-    )
+    from squrve_spark.streaming.ops import _source_schema
+
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(
+            _source_schema(spark, sf_dir, "documents.parquet")
+        )
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
@@ -507,8 +512,6 @@ def stream_lm_ppl_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    bigrams.unpersist()
-    contexts.unpersist()
     return (
         spark.read.parquet(store)
         .select("source", "p50", "p90", "p99")
