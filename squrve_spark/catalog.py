@@ -214,6 +214,32 @@ def memo_checkpoint(df: DataFrame) -> DataFrame:
     return hit
 
 
+def memo_plan(spark: SparkSession, key: tuple, build):
+    """Session-memoize a BUILT (lazy) DataFrame per logical key.
+
+    r12 (guide §1.2, driver side): re-invoking an ANN operator with an
+    identical (corpus snapshot, queries snapshot, params) tuple rebuilds
+    a bit-identical logical plan — for the quantized tiers that means
+    re-parsing the literal-codebook SQL and re-running Catalyst analysis
+    (measured 0.4–0.7 s per build at codebook_k=16, and the recall audit
+    pays it for every tier it composes). Returning the SAME DataFrame
+    object skips only that plan construction: every action on it still
+    executes the full distributed plan (the noop-sink bench re-scores
+    the corpus per pass). ``key`` must capture every input that shapes
+    the plan — the callers fold in `plan_key` of each input frame plus
+    all scalar params, so any change to data or configuration rebuilds.
+    NEVER use this for builders with side effects (stream drains,
+    training loops whose collects aren't themselves memoized)."""
+    cache = spark.__dict__.setdefault("_squrve_plan_cache", {})
+    hit = cache.get(key)
+    if hit is None:
+        hit = build()
+        while len(cache) >= 64:
+            cache.pop(next(iter(cache)))
+        cache[key] = hit
+    return hit
+
+
 def memo_broadcast(spark: SparkSession, value, tag: str = ""):
     """Broadcast ``value`` once per session per CONTENT, not per call.
 

@@ -179,6 +179,27 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
+    """Memoized front door for `_brute_force_topk_build` (r12): identical
+    (corpus snapshot, queries snapshot, params) return the SAME lazy
+    DataFrame, skipping only plan re-construction — every action on it
+    still executes the full scoring plan (see catalog.memo_plan)."""
+    from squrve_spark.catalog import memo_plan, plan_key
+
+    key = ("brute_topk", *plan_key(corpus), *plan_key(queries), k, id_col,
+           vec_col)
+    return memo_plan(
+        corpus.sparkSession, key,
+        lambda: _brute_force_topk_build(corpus, queries, k, id_col, vec_col),
+    )
+
+
+def _brute_force_topk_build(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank, sim), self excluded.
 
     The query side is broadcast — at scale the corpus stays partitioned and
@@ -232,6 +253,31 @@ def _first_collision(sig_a: Column, sig_b: Column, band_idx: Column, width: int)
 
 
 def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    bands: int = 8,
+    bits: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Memoized front door for `_lsh_topk_build` (r12): plan-object reuse
+    per (corpus snapshot, queries snapshot, params); execution still runs
+    per action (see catalog.memo_plan)."""
+    from squrve_spark.catalog import memo_plan, plan_key
+
+    key = ("lsh_topk", *plan_key(corpus), *plan_key(queries), dim, k, bands,
+           bits, seed, id_col, vec_col)
+    return memo_plan(
+        corpus.sparkSession, key,
+        lambda: _lsh_topk_build(corpus, queries, dim, k, bands, bits, seed,
+                                id_col, vec_col),
+    )
+
+
+def _lsh_topk_build(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
@@ -1940,6 +1986,32 @@ def integer_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
+    """Memoized front door for `_integer_pq_topk_build` (r12): plan-object
+    reuse per (corpus snapshot, queries snapshot, params) — re-parsing the
+    literal-codebook SQL cost ~0.7 s per rebuild; execution still runs
+    per action (see catalog.memo_plan)."""
+    from squrve_spark.catalog import memo_plan, plan_key
+
+    key = ("ipq_topk", *plan_key(corpus), *plan_key(queries), k, m,
+           codebook_k, n_iter, refine, id_col, vec_col)
+    return memo_plan(
+        corpus.sparkSession, key,
+        lambda: _integer_pq_topk_build(corpus, queries, k, m, codebook_k,
+                                       n_iter, refine, id_col, vec_col),
+    )
+
+
+def _integer_pq_topk_build(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    codebook_k: int = 16,
+    n_iter: int = 2,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
     """INTEGER product quantization with asymmetric-distance candidate
     generation and exact-code re-rank — the PQ tier of the exact-oracle
     program (r11; `integer_kmeans`'s move applied per subspace, reference
@@ -2065,6 +2137,39 @@ def integer_pq_topk(
 
 
 def integer_ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    coarse_k: int = 8,
+    nprobe: int = 3,
+    coarse_iter: int = 2,
+    m: int = 8,
+    codebook_k: int = 16,
+    n_iter: int = 2,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_on: DataFrame | None = None,
+) -> DataFrame:
+    """Memoized front door for `_integer_ivfpq_topk_build` (r12): plan-
+    object reuse per (corpus/queries/train_on snapshots, params);
+    execution still runs per action (see catalog.memo_plan)."""
+    from squrve_spark.catalog import memo_plan, plan_key
+
+    key = ("iivfpq_topk", *plan_key(corpus), *plan_key(queries),
+           *(plan_key(train_on) if train_on is not None else (None,)),
+           k, coarse_k, nprobe, coarse_iter, m, codebook_k, n_iter, refine,
+           id_col, vec_col)
+    return memo_plan(
+        corpus.sparkSession, key,
+        lambda: _integer_ivfpq_topk_build(
+            corpus, queries, k, coarse_k, nprobe, coarse_iter, m, codebook_k,
+            n_iter, refine, id_col, vec_col, train_on,
+        ),
+    )
+
+
+def _integer_ivfpq_topk_build(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,

@@ -4498,8 +4498,8 @@ def pipeline_curate_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word soup never repeats a 5-gram, so every 7th document gets a
     # deterministic chorus (its own first 5 tokens appended twice) BOTH
     # sides replay — the dup rule provably fires, not just parity on
-    # zeros. Same per-doc gram groupBy as the lm/bigram family: shuffle
-    # linear in corpus tokens, never corpus x corpus.
+    # zeros. r12: the engine side is map-only (per-doc sorted-gram run
+    # folds); the oracle keeps the equivalent explode+groupBy spelling.
     oracle=r"""
     WITH pre AS (
         SELECT doc_id, text,
@@ -4552,9 +4552,9 @@ def pipeline_curate_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher n-gram repetition signals (r9): top-3-gram token coverage +
-    duplicated-5-gram character fraction (`text.ngram_repetition` — one
-    slim projection explodes both gram sizes in a single pass, one
-    token-linear groupBy, zero Python). Complements `doc_top_ngram`
+    duplicated-5-gram character fraction (`text.ngram_repetition` — r12:
+    MAP-ONLY sorted-gram run-length folds per document, zero exchanges,
+    zero Python). Complements `doc_top_ngram`
     (bigram form) and `doc_signals`' line/paragraph rules. Every 7th doc
     gets a deterministic within-doc chorus so the duplicate rule
     demonstrably bites."""
