@@ -1008,15 +1008,35 @@ def ppjoin_pairs(
     # the prefix index is the operator's derived artifact (df ordering +
     # per-doc sort) — memo-checkpoint it per corpus snapshot so repeat
     # queries pay the global-order build once, the same contract as the
-    # ANN index builds and the sign-LSH corpus snapshot
+    # ANN index builds and the sign-LSH corpus snapshot. posexplode keeps
+    # each prefix token's 0-based position in the document's full global-
+    # order sort (the prefix IS the head of that sort), feeding the
+    # position filter below.
     idx = memo_checkpoint(
         ranked.select(
             id_col,
             "sz",
-            F.explode(
+            F.posexplode(
                 F.slice(F.col("ordered").getField("s"), F.lit(1), plen)
-            ).alias("s"),
+            ).alias("pos", "s"),
         )
+    )
+    # POSITION filter (the second "P" of PPJoin; r12, guide §3): a
+    # collision on token s at 0-based sorted positions (i, j) bounds the
+    # overlap of any pair whose FIRST common token this is:
+    # inter <= 1 + min(sz_a - i - 1, sz_b - j - 1). Qualifying pairs have
+    # inter >= ceil(t/(1+t) * (sz_a + sz_b)) (J >= t <=> inter >= t*union),
+    # and their first common token lies in both prefixes (else all common
+    # tokens sit past the prefix, capping inter below ceil(t*sz) <= that
+    # bound — the same argument that makes prefix filtering complete). So
+    # dropping collisions with 1 + min(remaining_a, remaining_b) < alpha
+    # never drops a qualifying pair's first collision: candidate
+    # generation stays complete while warm-token late-position collisions
+    # — the fixture's fat candidate regime — are pruned before the
+    # distinct + two array-carrying verify joins. Integer form: ub >=
+    # ceil(P/(p+q)) <=> ub * (p+q) >= P.
+    ubound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos") - 1, F.col("b.sz") - F.col("b.pos") - 1
     )
     cand = (
         idx.alias("a")
@@ -1028,7 +1048,8 @@ def ppjoin_pairs(
             & (
                 F.least(F.col("a.sz"), F.col("b.sz")) * q
                 >= F.greatest(F.col("a.sz"), F.col("b.sz")) * p
-            ),
+            )
+            & (ubound * (p + q) >= p * (F.col("a.sz") + F.col("b.sz"))),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")

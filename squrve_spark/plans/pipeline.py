@@ -4837,7 +4837,18 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_frame = memo_checkpoint(
         text.winnow_fingerprints(docs).select("doc_id", "fps")
     )
-    inv = fp_frame.select("doc_id", F.explode("fps").alias("fp"))
+    # narrow the shuffled key (r12, guide §2.3): the fingerprint is 16
+    # lowercase hex chars = exactly 64 bits, and conv(fp, 16, -10)::long
+    # is a BIJECTION onto signed int64 — equal longs <=> equal strings,
+    # so the df counts, the hot anti-join and the shared-pair counts are
+    # unchanged while the exploded index and both join exchanges carry
+    # 8-byte longs instead of 16-char strings (fp values never reach the
+    # output).
+    inv = fp_frame.select(
+        "doc_id", F.explode("fps").alias("_fp_hex")
+    ).select(
+        "doc_id", F.conv(F.col("_fp_hex"), 16, -10).cast("long").alias("fp")
+    )
     # anti-join out the HOT set (boilerplate fingerprints) WITHOUT a forced
     # broadcast hint: |hot| <= fingerprint_rows / 50 grows linearly with the
     # corpus, so on a boilerplate-heavy crawl it can be tens of GB — the

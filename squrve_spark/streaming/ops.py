@@ -185,6 +185,8 @@ def run_stream_to_table(
     name: str | None = None,
     timeout_s: float = 300.0,
     metrics_out: dict | None = None,
+    parts: int | None = None,
+    no_data_batch: bool = True,
 ) -> DataFrame:
     """Drain a streaming DataFrame with Trigger.AvailableNow into an
     in-memory table; returns the result as a batch DataFrame.
@@ -199,14 +201,36 @@ def run_stream_to_table(
     memoryUsedBytes, ...), plus ``num_batches`` and ``num_output_rows``.
     This turns 100x-scale state claims (e.g. 'anomaly state is 3 numbers
     per user') into executable assertions — see tests/test_streaming.py.
-    """
+
+    ``parts`` (r12, guide §2): per-query state-store count override —
+    kernels with real per-group Python work (scd2, merge-apply) spread
+    over the session's actual cores instead of the fixed local constant;
+    default stays the measured local optimum for state-init-bound drains.
+
+    ``no_data_batch=False`` (r12, guide §1.2/§2.4): skip the trailing
+    empty micro-batch. availableNow appends one zero-row batch after the
+    data to advance the watermark and fire event-time timeouts/state
+    cleanup; entries whose OUTPUT is emitted entirely during data batches
+    (complete-mode aggregations; update-mode applyInPandasWithState with
+    NoTimeout, which is only invoked on data; append dedup/joins that
+    emit on arrival/match) pay its full state-store reload + commit for
+    zero output rows. Callers must leave the default when timeouts or
+    watermark-driven emission carry semantics (e.g. the TTL-evicting
+    neardup variant — its eviction telemetry fires in that final batch)."""
     name = name or f"stream_{uuid.uuid4().hex[:10]}"
     spark = df.sparkSession
     # state-store count is fixed at stream start from shuffle.partitions;
     # a small value keeps per-run store init cheap on local replays while
     # any real deployment would set its own value before starting the query
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    prev_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(parts or STREAM_SHUFFLE_PARTITIONS)
+    )
+    if not no_data_batch:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             df.writeStream.format("memory")
@@ -237,6 +261,7 @@ def run_stream_to_table(
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
     # detach the result from the memory sink: checkpoint the (small,
     # aggregated) result to executor blocks, then drop the sink table —
     # otherwise every call leaks a uuid-named in-memory table for the
@@ -250,6 +275,7 @@ def run_stream_to_files(
     df: DataFrame,
     parts: int | None = None,
     timeout_s: float = 300.0,
+    no_data_batch: bool = True,
 ) -> DataFrame:
     """Drain an append-mode streaming DataFrame with Trigger.AvailableNow
     into a parquet directory and return the read-back batch frame.
@@ -270,9 +296,16 @@ def run_stream_to_files(
     work = tempfile.mkdtemp(prefix="squrve_stream_out_")
     spark = df.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(parts or STREAM_SHUFFLE_PARTITIONS)
     )
+    if not no_data_batch:
+        # see run_stream_to_table: skip the trailing zero-row micro-batch
+        # when the caller's output is fully emitted during data batches
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             df.writeStream.format("parquet")
@@ -294,6 +327,7 @@ def run_stream_to_files(
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
     return spark.read.parquet(f"{work}/out")
 
 
