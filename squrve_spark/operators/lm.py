@@ -68,9 +68,14 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     downstream joins see distinct bigrams only. Docs with <2 tokens are
     filtered BEFORE the sequence() expansion (Spark's sequence(0, -1)
     would count DOWN, fabricating bogus pairs)."""
-    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("toks")).where(
-        F.size("toks") >= 2
-    )
+    # spread FIRST (r12, guide §2.5 input skew): the single-file parquet
+    # fixture arrives as ONE partition, so the tokenize+explode+partial-agg
+    # stage would run single-threaded (measured 0.9 s/pass at sf0.1)
+    from squrve_spark.catalog import spread
+
+    toks = spread(df).select(
+        F.col(id_col), tokens_expr(text_col).alias("toks")
+    ).where(F.size("toks") >= 2)
     pairs = toks.select(
         F.col(id_col),
         F.explode(
@@ -211,15 +216,33 @@ def train_unigrams(
     explode + groupBy; N (and, with ``return_vocab``, the distinct-token
     count — saving `train_bigram_lm`'s separate vocabulary scan)
     collapse from the same aggregate, no second scan."""
+    from squrve_spark.catalog import spread
+
     uni = (
-        reference.select(F.explode(tokens_expr(text_col)).alias("w"))
+        spread(reference)
+        .select(F.explode(tokens_expr(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
-    row = uni.agg(F.sum("cu").alias("t"), F.count(F.lit(1)).alias("v")).first()
+    # (N, V) are trained scalars of the model — session-memoized per
+    # reference snapshot (r12, same contract as train_bigram_lm's vocab
+    # memo / dsir_bucket_weights): repeat trainings of the identical slice
+    # skip the full tokenize+aggregate job the per-call .first() paid.
+    from squrve_spark.catalog import plan_key
+
+    spark = reference.sparkSession
+    cache = spark.__dict__.setdefault("_squrve_lm_unigram_cache", {})
+    key = (*plan_key(reference), text_col)
+    row = cache.get(key)
+    if row is None:
+        r = uni.agg(F.sum("cu").alias("t"), F.count(F.lit(1)).alias("v")).first()
+        row = (int(r["t"] or 0), int(r["v"] or 0))
+        while len(cache) >= 64:
+            cache.pop(next(iter(cache)))
+        cache[key] = row
     if return_vocab:
-        return uni, int(row["t"] or 0), int(row["v"] or 0)
-    return uni, int(row["t"] or 0)
+        return uni, row[0], row[1]
+    return uni, row[0]
 
 
 def score_backoff(

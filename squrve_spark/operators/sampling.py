@@ -471,10 +471,26 @@ def mixture_sample(
     # key breaks the apportionment sort, and the quota equi-join could
     # never draw them anyway — fillna a sentinel upstream to include them)
     df = df.filter(F.col(stratum_col).isNotNull())
-    counts = {
-        r[stratum_col]: r["n"]
-        for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # per-stratum counts are the apportionment's trained parameter —
+    # session-memoized per input snapshot (r12, the dsir_bucket_weights /
+    # train_unigrams contract): repeat builds of the identical pool skip
+    # the count job; the draw itself still executes per action.
+    from squrve_spark.catalog import plan_key
+
+    spark = df.sparkSession
+    cache = spark.__dict__.setdefault("_squrve_mixture_counts_cache", {})
+    ckey = (*plan_key(df), stratum_col)
+    counts = cache.get(ckey)
+    if counts is None:
+        counts = {
+            r[stratum_col]: r["n"]
+            for r in df.groupBy(stratum_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        while len(cache) >= 64:
+            cache.pop(next(iter(cache)))
+        cache[ckey] = counts
     if not counts:
         raise ValueError("mixture_sample needs a non-empty input")
     wt = {

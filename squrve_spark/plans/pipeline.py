@@ -4468,7 +4468,12 @@ def pipeline_curate_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mix = mixture_sample(surv2, budget=120, stratum_col="lang")
-    sampled = mix.join(surv2, ["lang", "doc_id"])
+    # the 120-row mixture draw is a derived artifact of the gated pool —
+    # checkpoint it so with_global_offset's three jobs (range sampling,
+    # eager checkpoint, totals collect) and the count below run over the
+    # materialized sample instead of re-executing the quota join per pass
+    # (r12, guide §1.2; measured ~1.5 s/pass of repeat driver-action work)
+    sampled = memo_checkpoint(mix.join(surv2, ["lang", "doc_id"]))
     ranked = with_global_offset(
         sampled.withColumn("_one", F.lit(1)),
         ["avg_logs", "doc_id"], "_one", out_col="_rank0",

@@ -838,6 +838,22 @@ def _make_simhash_bucket_updater(ttl_ms: int | None = None, ts_col: str | None =
             state.update((ids, sigs) if ttl_ms is None else (ids, sigs, tss))
             yield _empty()
             return
+        # first-match-chunk emission (r12, guide §2.3 shuffle fewer bytes):
+        # a qualifying pair shares one bucket per equal chunk (a hamming-0
+        # pair shares all 4), so bucket-local pairing emits it up to 4x and
+        # the caller's distinct collapses the copies. Both full signatures
+        # are IN the bucket, so each bucket can recompute the lower-index
+        # chunk values from sig XOR and emit ONLY when no earlier chunk
+        # also matches — every pair fires exactly once (at its first
+        # shared chunk), cutting emitted rows ~2x before the sink/distinct.
+        # Consistent under TTL eviction: a doc's expiry condition
+        # (member-time + ttl vs the batch-global watermark) is identical
+        # in every bucket it occupies, so "the earlier bucket would have
+        # emitted it" holds exactly when this bucket sees the pair.
+        chunk_idx = int(key[0])
+        _w = 64 // (_NEARDUP_MAX_HAMMING + 1)
+        _m = (1 << _w) - 1
+        low_shifts = [c * _w for c in range(chunk_idx)]
         pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
         dids = pdf["doc_id"].to_numpy()
         sgs = pdf["sig"].to_numpy()
@@ -860,8 +876,11 @@ def _make_simhash_bucket_updater(ttl_ms: int | None = None, ts_col: str | None =
             if did in seen:
                 continue
             for pid, ps in zip(ids, sigs):
-                h = bin((sg ^ ps) & 0xFFFFFFFFFFFFFFFF).count("1")
-                if h <= _NEARDUP_MAX_HAMMING:
+                x = (sg ^ ps) & 0xFFFFFFFFFFFFFFFF
+                h = bin(x).count("1")
+                if h <= _NEARDUP_MAX_HAMMING and not any(
+                    (x >> s) & _m == 0 for s in low_shifts
+                ):
                     rows.append((min(did, pid), max(did, pid), h))
             ids.append(did)
             sigs.append(sg)
