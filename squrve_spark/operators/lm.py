@@ -47,6 +47,8 @@ is the model table — never corpus-sized, no Python anywhere in the plan.
 
 from __future__ import annotations
 
+from squrve_spark.catalog import MEMO_CAP
+
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -132,7 +134,7 @@ def train_bigram_lm(
                 .agg(F.countDistinct("tok"))
                 .collect()[0][0]
             )
-            while len(cache) >= 64:
+            while len(cache) >= MEMO_CAP:
                 cache.pop(next(iter(cache)))
             cache[key] = vocab_size
     return bigrams, contexts, int(vocab_size or 0)
@@ -237,7 +239,7 @@ def train_unigrams(
     if row is None:
         r = uni.agg(F.sum("cu").alias("t"), F.count(F.lit(1)).alias("v")).first()
         row = (int(r["t"] or 0), int(r["v"] or 0))
-        while len(cache) >= 64:
+        while len(cache) >= MEMO_CAP:
             cache.pop(next(iter(cache)))
         cache[key] = row
     if return_vocab:

@@ -26,6 +26,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from squrve_spark.catalog import MEMO_CAP
+
 from typing import Optional
 
 import pandas as pd
@@ -196,11 +198,24 @@ def weighted_mix(
         raise ValueError("weights must be non-empty")
     if any(w <= 0 for w in weights.values()):
         raise ValueError(f"weights must be > 0, got {weights}")
-    counts = {
-        r[source_col]: r["n"]
-        for r in df.filter(F.col(source_col).isin(list(weights)))
-        .groupBy(source_col).agg(F.count("*").alias("n")).collect()
-    }
+    # per-source counts: the mix's trained parameter — session-memoized per
+    # input snapshot (r12, the mixture_sample contract); the draw itself
+    # still executes per action
+    from squrve_spark.catalog import MEMO_CAP, plan_key
+
+    spark = df.sparkSession
+    _wc = spark.__dict__.setdefault("_squrve_weighted_counts_cache", {})
+    _wk = (*plan_key(df), source_col, tuple(sorted(weights)))
+    counts = _wc.get(_wk)
+    if counts is None:
+        counts = {
+            r[source_col]: r["n"]
+            for r in df.filter(F.col(source_col).isin(list(weights)))
+            .groupBy(source_col).agg(F.count("*").alias("n")).collect()
+        }
+        while len(_wc) >= MEMO_CAP:
+            _wc.pop(next(iter(_wc)))
+        _wc[_wk] = counts
     missing = sorted(set(weights) - set(counts))
     if missing:
         # a weighted source with zero supply makes the documented
@@ -488,7 +503,7 @@ def mixture_sample(
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        while len(cache) >= 64:
+        while len(cache) >= MEMO_CAP:
             cache.pop(next(iter(cache)))
         cache[ckey] = counts
     if not counts:
@@ -507,13 +522,23 @@ def mixture_sample(
     spark = df.sparkSession
     from pyspark.sql import types as T
 
+    from squrve_spark.catalog import memo_plan
+
     stratum_type = df.schema[stratum_col].dataType  # not always string
-    quotas = spark.createDataFrame(
-        quota_rows,
-        T.StructType([
-            T.StructField(stratum_col, stratum_type),
-            T.StructField("quota", T.LongType()),
-        ]),
+    # memoize the quota frame OBJECT per content (r12): createDataFrame
+    # parallelizes to a LogicalRDD whose semanticHash embeds a fresh RDD id
+    # per call, which silently destabilized every downstream plan_key memo
+    # (pipeline_curate_v5's sample checkpoint missed on every pass)
+    quotas = memo_plan(
+        spark,
+        ("mixture-quotas", stratum_col, str(stratum_type), tuple(quota_rows)),
+        lambda: spark.createDataFrame(
+            quota_rows,
+            T.StructType([
+                T.StructField(stratum_col, stratum_type),
+                T.StructField("quota", T.LongType()),
+            ]),
+        ),
     )
     picked = md5_rank_pick(df, [stratum_col], quotas, id_col,
                            "rank_in_stratum", k_max=max(base.values()))

@@ -29,7 +29,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from squrve_spark.catalog import double_array_expr as _double_array_expr
+from squrve_spark.catalog import MEMO_CAP, double_array_expr as _double_array_expr
 from squrve_spark.catalog import int_array_expr as _int_array_expr
 from squrve_spark.catalog import memo_broadcast, memo_checkpoint, spread
 
@@ -1611,7 +1611,7 @@ def int8_scales(df: DataFrame, vec_col: str = "embedding") -> list[float]:
         (127.0 / by_pos[i]) if by_pos.get(i) else 0.0
         for i in range(len(by_pos))
     ]
-    while len(cache) >= 64:
+    while len(cache) >= MEMO_CAP:
         cache.pop(next(iter(cache)))
     cache[key] = tuple(out)
     return out

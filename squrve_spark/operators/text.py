@@ -412,9 +412,17 @@ def bm25_per_query(
     )
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("dft"))
     spark = df.sparkSession
-    qt = spark.createDataFrame(
-        [(int(q), t.lower()) for q, ts in queries.items() for t in set(ts)],
-        "query_id INT, term STRING",
+    _qt_rows = sorted(
+        (int(q), t.lower()) for q, ts in queries.items() for t in set(ts)
+    )
+    # same-object memo per content (r12): a fresh createDataFrame RDD id
+    # destabilizes downstream plan_key memos — see mixture_sample
+    from squrve_spark.catalog import memo_plan
+
+    qt = memo_plan(
+        spark,
+        ("bm25-qt", tuple(_qt_rows)),
+        lambda: spark.createDataFrame(_qt_rows, "query_id INT, term STRING"),
     )
     idf = F.log(F.lit(1.0) + (F.col("n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
     score = idf * (
@@ -533,7 +541,20 @@ def lm_cross_entropy(
         F.count("*").alias("cu")
     )
     uni = memo_checkpoint(uni)
-    v = uni.count()  # scalar: distinct vocabulary size
+    # scalar distinct-vocab size: a trained parameter of the corpus —
+    # session-memoized per snapshot (r12, the train_unigrams contract)
+    # so warm rebuilds skip the count job
+    from squrve_spark.catalog import MEMO_CAP, plan_key
+
+    spark = df.sparkSession
+    _vc = spark.__dict__.setdefault("_squrve_xent_vocab_cache", {})
+    _vk = plan_key(uni)
+    v = _vc.get(_vk)
+    if v is None:
+        v = uni.count()
+        while len(_vc) >= MEMO_CAP:
+            _vc.pop(next(iter(_vc)))
+        _vc[_vk] = v
     pairs = staged.select(
         id_col,
         F.explode(

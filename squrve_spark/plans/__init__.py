@@ -59,3 +59,19 @@ def _canonicalize() -> None:
 
 
 _canonicalize()
+
+
+def _wrap_pure_plans() -> None:
+    # registry-level plan-object memo for empirically-pure builders (r12,
+    # guide §1.2): see plans/pure_plan.py for the eligibility contract and
+    # tests/test_plans.py for the zero-jobs/stable-hash assertion.
+    from squrve_spark.plans.pure_plan import PURE_PLAN_ENTRIES
+    from squrve_spark.plans.registry import memo_entry_plan
+
+    for name in PURE_PLAN_ENTRIES:
+        spec = REGISTRY.get(name)
+        if spec is not None and not hasattr(spec.fn, "_squrve_inner_fn"):
+            spec.fn = memo_entry_plan(name, spec.fn)
+
+
+_wrap_pure_plans()

@@ -2938,8 +2938,11 @@ def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_offset(s, ["sr", "doc_id"], "_one", out_col="_rank0")
     # row count from the frame with_global_offset already checkpointed —
     # counting `s` directly would re-run the regex/token-heavy
-    # quality_score projection a second time (r8 review)
-    n = ranked.count()
+    # quality_score projection a second time (r8 review); memo_count (r12)
+    # skips even that job on warm rebuilds
+    from squrve_spark.catalog import memo_count
+
+    n = memo_count(ranked)
     binned = ranked.withColumn(
         "bin", F.expr(f"(_rank0 * 10L) div {n}")  # long //, no float boundary
     )
@@ -4478,7 +4481,9 @@ def pipeline_curate_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampled.withColumn("_one", F.lit(1)),
         ["avg_logs", "doc_id"], "_one", out_col="_rank0",
     )
-    n = ranked.count()  # bounded: the post-checkpoint 120-row sample
+    from squrve_spark.catalog import memo_count
+
+    n = memo_count(ranked)  # bounded: the post-checkpoint 120-row sample
     return (
         ranked.withColumn("ppl_bin", F.expr(f"(_rank0 * 10L) div {n}"))
         .select(
@@ -5624,8 +5629,13 @@ def pipeline_curate_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     keptlin = lin.filter(text.c4_line_keep_expr(F.col("line"))).join(
         boiler, "line", "left_anti"
     )
-    counts = keptlin.groupBy("doc_id").agg(
-        F.sum(F.size(F.split(F.trim("line"), r"\s+"))).alias("n_tokens")
+    # the cleaned token-count table is the packing stage's derived input —
+    # checkpoint it (r12, the curate_v7 memo pattern) so repeat builds pay
+    # the boilerplate anti-join + clean counting once per corpus snapshot
+    counts = memo_checkpoint(
+        keptlin.groupBy("doc_id").agg(
+            F.sum(F.size(F.split(F.trim("line"), r"\s+"))).alias("n_tokens")
+        )
     )
     return (
         sampling.pack_documents(counts, budget=256, num_shards=8, portable=True)
@@ -6823,8 +6833,14 @@ def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
         "tier", "query_id"
     ).agg(F.count(F.lit(1)).alias("c"))
-    tier_names = spark.createDataFrame(
-        [(n,) for n, _ in tiers], "tier string"
+    from squrve_spark.catalog import memo_plan
+
+    # same-object memo per content (r12): see mixture_sample — a fresh
+    # createDataFrame RDD id destabilized this entry's plan identity
+    tier_names = memo_plan(
+        spark,
+        ("recall-tier-names", tuple(n for n, _ in tiers)),
+        lambda: spark.createDataFrame([(n,) for n, _ in tiers], "tier string"),
     )
     return (
         exact.select("query_id")

@@ -37,6 +37,53 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def memo_entry_plan(name: str, fn: Callable) -> Callable:
+    """Session-memoize a PURE registry builder's plan object (r12, guide
+    §1.2 driver work): the wrapped fn returns the SAME lazy DataFrame per
+    (session, entry, sf_dir), so steady-state invocations skip re-parsing
+    and re-analyzing a bit-identical logical plan (~0.1–0.5 s of
+    single-threaded driver time per entry per pass; 19% of the whole
+    bench in aggregate). EXECUTION IS NOT CACHED — every action on the
+    returned frame still runs the full distributed plan (the bench's noop
+    sink recomputes from parquet each pass).
+
+    Eligibility is empirical and test-asserted (tests/test_plans.py): an
+    entry may be wrapped only if a warm fn() call launches ZERO Spark
+    jobs (no actions/side effects left after the trained-artifact memos)
+    and two consecutive builds produce the same semanticHash (plan is a
+    deterministic function of (code, sf_dir)). Stream drains, store
+    writers and per-call-action entries stay unwrapped."""
+    import os as _os
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cache = spark.__dict__.setdefault("_squrve_entry_plan_cache", {})
+        key = (name, _os.path.abspath(sf_dir))
+        logical = cache.get(key)
+        if logical is None:
+            logical = fn(spark, sf_dir)._jdf.queryExecution().analyzed()
+            cache[key] = logical
+        # wrap the memoized ANALYZED plan in a FRESH Dataset (new
+        # QueryExecution) per call (~0.5 ms vs a 0.1–1.7 s rebuild):
+        # optimization, physical planning, AQE and execution all happen
+        # per action on the new frame, so no adaptive/runtime state is
+        # ever shared between invocations — only parse+analysis is memoized.
+        try:
+            jvm = spark._sc._jvm
+            jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                spark._jsparkSession, logical
+            )
+            return DataFrame(jdf, spark)
+        except Exception:
+            # non-classic session (e.g. Spark Connect): fall back to a
+            # fresh build — correctness over the memo
+            return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", name)
+    wrapped.__doc__ = fn.__doc__
+    wrapped._squrve_inner_fn = fn
+    return wrapped
+
+
 def register(
     name: str,
     oracle: str | None = None,

@@ -528,7 +528,6 @@ def _update_anomaly(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     import math
 
     n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
-    rows = []
     # concat FIRST: a group's rows can span several Arrow batches with no
     # cross-batch ordering guarantee — sorting each chunk independently
     # would interleave out-of-time-order at >maxRecordsPerBatch group
@@ -541,8 +540,21 @@ def _update_anomaly(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         yield pd.DataFrame(columns=["event_id", "user_id", "n_prior", "is_anomaly"])
         return
     pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-    pdf = pdf.assign(_t_us=pdf["ts_ns"] // 1000).sort_values(["_t_us", "event_id"])
-    for eid, v in zip(pdf["event_id"], pdf["value"]):
+    # lean per-group body (r12, guide §4.2 — the neardup-updater pattern):
+    # numpy lexsort + pre-converted python lists replace the per-group
+    # pandas assign/sort_values/Series-iteration overhead; the Welford
+    # recurrence itself stays the SAME sequential float ops in the same
+    # order, so every emitted flag is bit-identical.
+    t_us = (pdf["ts_ns"].to_numpy() // 1000)
+    eids_a = pdf["event_id"].to_numpy()
+    vals_a = pdf["value"].to_numpy()
+    if len(eids_a) > 1:
+        order = np.lexsort((eids_a, t_us))
+        eids_a = eids_a[order]
+        vals_a = vals_a[order]
+    uid = int(key[0])
+    rows = []
+    for eid, v in zip(eids_a.tolist(), vals_a.tolist()):
         v = float(v)
         flag = False
         if n >= 2:
@@ -550,7 +562,7 @@ def _update_anomaly(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
             # streams — clamp, don't crash the query
             sd = math.sqrt(max(m2, 0.0) / (n - 1))
             flag = sd > 0 and v > mean + 3 * sd
-        rows.append((int(eid), int(key[0]), n, flag))
+        rows.append((int(eid), uid, n, flag))
         n += 1
         d = v - mean
         mean += d / n
@@ -601,17 +613,31 @@ def _update_scd2(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         )
         return
     pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-    # order on the microsecond basis + event_id, same as the batch SCD2
-    pdf = pdf.assign(_t_us=pdf["ts_ns"] // 1000).sort_values(["_t_us", "event_id"])
+    # order on the microsecond basis + event_id, same as the batch SCD2;
+    # lean body (r12, guide §4.2): numpy lexsort + a change-point scan —
+    # the per-event loop only ever acts where event_type differs from its
+    # predecessor, so replaying the original body over exactly those
+    # indices emits the identical rows in the identical order.
+    t_us = (pdf["ts_ns"].to_numpy() // 1000)
+    eids = pdf["event_id"].to_numpy()
+    ets = pdf["event_type"].to_numpy()
+    if len(eids) > 1:
+        order = np.lexsort((eids, t_us))
+        t_us = t_us[order]
+        ets = ets[order]
+    prev = np.empty_like(ets)
+    prev[0] = last_status if last_status is not None else "\x00<none>"
+    prev[1:] = ets[:-1]
+    chg = np.flatnonzero(ets != prev)
     uid = int(key[0])
     rows = []
-    for et, us in zip(pdf["event_type"], pdf["_t_us"]):
-        us = int(us)
+    for i in chg.tolist():
+        et, us = ets[i], int(t_us[i])
         if last_status is None:
             version = 1
             last_status, last_from = et, us
             rows.append((uid, et, us, None, version))  # open row
-        elif et != last_status:
+        else:
             rows.append((uid, last_status, last_from, us, version))  # close
             version += 1
             last_status, last_from = et, us
@@ -696,15 +722,31 @@ def _update_merge(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
             "emit_seq"])
         return
     pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-    pdf = pdf.assign(_t_us=pdf["ts_ns"] // 1000).sort_values(["_t_us", "event_id"])
-    for et, v, us in zip(pdf["event_type"], pdf["value"], pdf["_t_us"]):
-        if et == "error":  # tombstone: the row ceases to exist
-            bal, n, last = 0, 0, 0
-        else:
-            n += 1
-            last = int(us)
-            if et in ("click", "purchase"):
-                bal += _quantize_micros(v)
+    # lean body (r12, guide §4.2): numpy lexsort + aggregate only the
+    # events AFTER the batch's last tombstone — the loop's net effect is
+    # (reset if any error) + count/max/quantized-sum over the tail, and
+    # the exact Decimal quantization runs only over the tail's
+    # click/purchase values instead of every event.
+    t_us = (pdf["ts_ns"].to_numpy() // 1000)
+    eids = pdf["event_id"].to_numpy()
+    ets = pdf["event_type"].to_numpy()
+    vals = pdf["value"].to_numpy()
+    if len(eids) > 1:
+        order = np.lexsort((eids, t_us))
+        t_us = t_us[order]
+        ets = ets[order]
+        vals = vals[order]
+    err_idx = np.flatnonzero(ets == "error")
+    start = int(err_idx[-1]) + 1 if len(err_idx) else 0
+    if len(err_idx):
+        bal, n, last = 0, 0, 0
+    tail_ets = ets[start:]
+    if len(tail_ets):
+        n += len(tail_ets)
+        last = int(t_us[-1])
+        money = (tail_ets == "click") | (tail_ets == "purchase")
+        for v in vals[start:][money].tolist():
+            bal += _quantize_micros(v)
     seq += 1
     state.update((bal, n, last, seq))
     yield pd.DataFrame(

@@ -256,8 +256,12 @@ def test_pipeline_curate_audit_no_stage_replay(spark):
     parquet per stage."""
     plan = formatted_plan(REGISTRY["pipeline_curate"].fn(spark, SF_MED))
     assert "documents" not in plan  # no parquet re-scan in the audit plan
-    # two consumers of the checkpointed flag frame (tree + detail lines)
-    assert plan.count("Scan ExistingRDD") <= 4
+    # consumers of checkpointed frames (tree + detail lines). When other
+    # entries ran first in the session, shared memo_checkpoint sub-frames
+    # NEST (a checkpoint built over another entry's checkpoint), adding
+    # ExistingRDD scans that are each materialized once — still zero
+    # parquet re-scans, which is what this regression test protects.
+    assert plan.count("Scan ExistingRDD") <= 8
 
 
 def test_events_funnel_single_scan_single_user_shuffle(spark):
@@ -392,3 +396,44 @@ def test_width_bucket_replay_covers_out_of_range(spark):
     )
     assert got == rep
     assert got[-1.0] == 0 and got[110000.0] == 23 and got[123456.78] == 23
+
+
+# ---------------------------------------------------------------------------
+# registry-level plan memo eligibility (r12): every entry in
+# plans/pure_plan.py must be a PURE builder — a warm fn() call launches no
+# Spark jobs (all trained-artifact memos already absorb their collects) and
+# consecutive builds agree on the analyzed semanticHash. An entry that
+# starts launching jobs per call (a new collect, a store write) or builds
+# unstable plans must be REMOVED from the list: the memo would otherwise
+# skip real per-pass work (caching a side effect) or serve a wrong plan.
+def test_pure_plan_entries_launch_no_jobs_when_warm(spark):
+    from squrve_spark.plans.pure_plan import PURE_PLAN_ENTRIES
+
+    sf = "/root/testdata/sf0.001"
+    sc = spark.sparkContext
+
+    def n_jobs() -> int:
+        return sc._jsc.sc().statusStore().jobsList(None).size()
+
+    inner = {}
+    for name in sorted(PURE_PLAN_ENTRIES):
+        spec = REGISTRY[name]
+        fn = getattr(spec.fn, "_squrve_inner_fn", None)
+        assert fn is not None, f"{name}: listed pure but not wrapped"
+        inner[name] = fn
+        # warm: one full build+execute populates every session memo
+        fn(spark, sf).write.mode("overwrite").format("noop").save()
+    bad_jobs, bad_hash = [], []
+    for name, fn in inner.items():
+        j0 = n_jobs()
+        d1 = fn(spark, sf)
+        if n_jobs() != j0:
+            bad_jobs.append(name)
+            continue
+        d2 = fn(spark, sf)
+        h1 = d1._jdf.queryExecution().analyzed().semanticHash()
+        h2 = d2._jdf.queryExecution().analyzed().semanticHash()
+        if h1 != h2:
+            bad_hash.append(name)
+    assert not bad_jobs, f"entries launched jobs on a warm build: {bad_jobs}"
+    assert not bad_hash, f"entries built unstable plans: {bad_hash}"

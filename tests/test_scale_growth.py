@@ -333,6 +333,12 @@ def test_subquadratic_growth_extended_decade(spark, name, fn):
     run(spark, dirs[0]).write.mode("overwrite").format("noop").save()  # warm-up
     times = []
     for sf_dir in dirs:
+        # build once untimed (r12): the registry plan memo makes the small
+        # scale's timed pass plan-build-free, while the big decade's first
+        # build is cold — warming construction at EVERY scale keeps the
+        # exponent a measure of distributed computation growth, which is
+        # what this test bounds (driver plan-build does not grow with sf)
+        run(spark, sf_dir)
         t0 = time.monotonic()
         _force(run(spark, sf_dir))
         times.append(time.monotonic() - t0)
