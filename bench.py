@@ -8,18 +8,32 @@ stdout line is a compact summary — guaranteed to fit the driver's bounded
 tail capture, which in round 3 started mid-way through the big line and
 left the round with ``parsed: null``.
 
-Methodology: one cold pass + THREE steady passes over the registry (r7,
-per the r6 verdict's "round-of-record divergence" finding). The cold pass
-pays per-plan one-time costs — Catalyst analysis, whole-stage codegen
-compilation, Python-worker pool spin-up — which on sf0.1-sized inputs are
-larger than the queries themselves and on a real cluster amortize to zero
-across the data. The reported per-query number is the MEDIAN of the three
-steady passes, and the per-query MAD (median absolute deviation) ships in
-BENCH_DETAIL.json under "steady_mad" — so the artifact itself says which
-cross-run differences are measurement scatter on this bursty host (a
-driver-run vs idle-box delta inside ~3x MAD is noise, not a regression).
-Execution is forced with the `noop` sink (full plan runs distributed, no
-driver collect).
+Methodology: one cold pass + THREE memo-warm steady passes + THREE
+memo-cold steady passes over the registry (r7 structure; memo-cold added
+r13 per the r12 verdict's task 1). The cold pass pays per-plan one-time
+costs — Catalyst analysis, whole-stage codegen compilation, Python-worker
+pool spin-up — which on sf0.1-sized inputs are larger than the queries
+themselves and on a real cluster amortize to zero across the data.
+
+The THREE memo-warm passes measure the long-lived-service workload: the
+engine's session memos (trained scalars, plan objects, derived-frame
+checkpoints) are left warm between passes, exactly as a service re-serving
+the same queries would hold them. The THREE memo-cold passes each start
+with `catalog.clear_session_memos(spark)` — every pass re-pays training
+jobs, checkpoint materializations and metadata reads, so the per-query
+"steady_memo_cold" number is the honest FIRST-RUN cost of the computation
+(the 100 TB-relevant number; JVM codegen/worker warm-up stays amortized,
+as it would be on any long-lived cluster). Both maps ship in
+BENCH_DETAIL.json; the headline line keeps its historical shape ("value" =
+memo-warm steady total) and adds "memo_cold_total_sec".
+
+The reported per-query number is the MEDIAN of the three passes of its
+kind, and the per-query MAD (median absolute deviation) ships in
+BENCH_DETAIL.json under "steady_mad" / "memo_cold_mad" — so the artifact
+itself says which cross-run differences are measurement scatter on this
+bursty host (a driver-run vs idle-box delta inside ~3x MAD is noise, not
+a regression). Execution is forced with the `noop` sink (full plan runs
+distributed, no driver collect).
 """
 
 from __future__ import annotations
@@ -80,8 +94,11 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("squrve-bench")
 
+    from squrve_spark.catalog import clear_session_memos
+
     cold_errors: dict[str, str] = {}
     steady_errors: dict[str, str] = {}
+    memo_cold_errors: dict[str, str] = {}
     canary()  # untimed warm-up: first call pays numpy alloc/fault paths (~4x)
     canaries = [canary()]
     cold = run_pass(spark, sf_dir, cold_errors)
@@ -90,19 +107,34 @@ def main() -> None:
     for _ in range(3):
         samples.append(run_pass(spark, sf_dir, steady_errors))
         canaries.append(canary())
+    # memo-cold steady passes (r13, r12 verdict task 1): clear every session
+    # memo before each pass so the numbers measure first-run computation,
+    # not cross-pass memo hits. Runs AFTER the warm passes so the warm
+    # numbers keep their historical position in the run (comparable to
+    # previous rounds' artifacts).
+    mc_samples = []
+    for _ in range(3):
+        clear_session_memos(spark)
+        mc_samples.append(run_pass(spark, sf_dir, memo_cold_errors))
+        canaries.append(canary())
 
     def _median(xs: list[float]) -> float:
         xs = sorted(xs)
         n = len(xs)
         return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
 
-    steady: dict[str, float] = {}
-    steady_mad: dict[str, float] = {}
-    for name in sorted(set().union(*samples)):
-        vals = [s[name] for s in samples if name in s]
-        med = _median(vals)
-        steady[name] = round(med, 3)
-        steady_mad[name] = round(_median([abs(v - med) for v in vals]), 3)
+    def _med_mad(passes: list[dict[str, float]]) -> tuple[dict, dict]:
+        med_map: dict[str, float] = {}
+        mad_map: dict[str, float] = {}
+        for name in sorted(set().union(*passes)):
+            vals = [s[name] for s in passes if name in s]
+            med = _median(vals)
+            med_map[name] = round(med, 3)
+            mad_map[name] = round(_median([abs(v - med) for v in vals]), 3)
+        return med_map, mad_map
+
+    steady, steady_mad = _med_mad(samples)
+    memo_cold, memo_cold_mad = _med_mad(mc_samples)
 
     # Contention self-check (r4 verdict, widened in r6): a steady sample taken
     # during a contention burst (GC, page-cache churn from a neighboring
@@ -158,6 +190,12 @@ def main() -> None:
         # per-query median absolute deviation across the 3 steady passes:
         # the artifact's own noise floor for cross-run comparisons
         "steady_mad": steady_mad,
+        # memo-cold steady passes (session memos cleared before each):
+        # per-query FIRST-RUN cost — training jobs, checkpoint
+        # materializations and metadata reads re-paid every pass
+        "queries_memo_cold": memo_cold,
+        "memo_cold_mad": memo_cold_mad,
+        "memo_cold_errors": memo_cold_errors,
         "cold_queries": cold,
         "sf": sf,
         "errors": steady_errors,
@@ -180,11 +218,16 @@ def main() -> None:
     # headline fail loudly (value=null), never silently shrink the sum.
     out = {
         "metric": "total_wall_seconds_all_queries_steady_state",
-        "value": None if steady_errors else total,
+        "value": None if (steady_errors or memo_cold_errors) else total,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(steady),
-        "n_errors": len(steady_errors),
+        "n_errors": len(steady_errors) + len(memo_cold_errors),
+        # first-run cost per pass with session memos cleared (r13): the
+        # number BENCH_HISTORY is re-baselined on — "value" keeps the
+        # memo-warm service-workload total for cross-round continuity
+        "memo_cold_total_sec": (None if memo_cold_errors
+                                else round(sum(memo_cold.values()), 3)),
         "cold_total_sec": round(sum(cold.values()), 3),
         "mad_total_sec": round(sum(steady_mad.values()), 3),
         "n_retimed": len(retimed),

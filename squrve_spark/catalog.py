@@ -132,9 +132,13 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if plan:
         import re as _re
 
+        # Repartition\w* covers RepartitionByExpression / RebalancePartitions
+        # (r12 advice: the bare \b missed them, falling through to the JVM
+        # probe this branch exists to avoid); GlobalLimit likewise implies a
+        # single-partition exchange downstream.
         if _re.search(
-            r"(?m)^[\s:+|-]*(Join|Aggregate|Repartition|Window|Deduplicate"
-            r"|Intersect|Except|CTERelationRef|WithCTE)\b",
+            r"(?m)^[\s:+|-]*(Join|Aggregate|Repartition\w*|Window|Deduplicate"
+            r"|Intersect|Except|CTERelationRef|WithCTE|GlobalLimit)\b",
             plan,
         ) or _re.search(r"(?m)^[\s:+|-]*Sort \[.*\], true", plan):
             return df
@@ -199,18 +203,38 @@ def double_array_expr(vals):
 MEMO_CAP = int(os.environ.get("SQURVE_MEMO_CAP", "256"))
 
 
+def _file_fingerprint(uri: str) -> tuple:
+    """(uri, size, mtime_ns) for a local input file — the cheap snapshot
+    fingerprint folded into plan_key (r12 advice / r13): an IN-PLACE
+    rewrite of the same path changes size/mtime, so every plan_key-keyed
+    memo (checkpoints, offsets, trained scalars, counts) misses instead
+    of serving stale data. Non-local / unstat-able URIs degrade to the
+    bare name (the pre-r13 behavior)."""
+    path = uri
+    if uri.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        path = unquote(urlparse(uri).path)
+    try:
+        st = os.stat(path)
+        return (uri, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return (uri,)
+
+
 def plan_key(df: DataFrame) -> tuple:
     """THE session-memo cache key for a DataFrame: (canonicalized plan
-    string, semanticHash, sorted input files). All three components are
-    load-bearing — see memo_checkpoint's docstring for why the
-    canonicalized toString alone collides across parquet paths. Shared by
-    memo_checkpoint, similarity.int8_scales and similarity.integer_kmeans
+    string, semanticHash, sorted input-file fingerprints). All three
+    components are load-bearing — see memo_checkpoint's docstring for why
+    the canonicalized toString alone collides across parquet paths, and
+    `_file_fingerprint` for why the file list carries size+mtime. Shared
+    by memo_checkpoint, similarity.int8_scales and similarity.integer_kmeans
     (r10 review: three hand-copied key recipes could drift independently)."""
     qe = df._jdf.queryExecution()
     return (
         qe.analyzed().canonicalized().toString(),
         qe.analyzed().semanticHash(),
-        tuple(sorted(df.inputFiles())),
+        tuple(_file_fingerprint(f) for f in sorted(df.inputFiles())),
     )
 
 
@@ -227,11 +251,11 @@ def memo_checkpoint(df: DataFrame) -> DataFrame:
     plans match) reuses ONE materialized block set per distinct operator
     configuration — storage is bounded by configuration count, not call
     count, and repeat calls skip the recompute entirely. The cache dies
-    with the session; entries are FIFO-evicted past 64 so a long-lived
-    service cannot pin unbounded executor storage. Stale-read caveat: two
-    loads of the same *overwritten* path within one session would hit —
-    the engine only checkpoints frames derived from the read-only test
-    tables.
+    with the session; entries are FIFO-evicted past MEMO_CAP (default
+    256, env-overridable via SQURVE_MEMO_CAP) so a long-lived service
+    cannot pin unbounded executor storage. Staleness: plan_key folds in
+    each input file's size+mtime (r13), so an in-place rewrite of the
+    same path misses instead of serving the old checkpoint.
 
     Key construction: the canonicalized toString alone is NOT sufficient —
     a canonicalized ``LogicalRelation`` prints only its (id-normalized)
@@ -312,8 +336,10 @@ def memo_broadcast(spark: SparkSession, value, tag: str = ""):
     builds reuse ONE broadcast, which (verified) restores bit-stable
     plan keys. Values are the engine's bounded trained artifacts
     (centroid matrices, ADC tables, eval shingle sets) — never corpus-
-    sized. Evicted entries are not unpersisted: earlier plans may still
-    reference them; at <=64 bounded entries the executor cost is trivial.
+    sized. Evicted entries are unpersisted best-effort (r13): executor
+    copies are dropped; an earlier plan that still references one
+    re-ships it lazily from the retained driver value, so eviction can
+    never break a live plan (destroy() would — never use it here).
     """
     import hashlib
     import pickle
@@ -325,9 +351,50 @@ def memo_broadcast(spark: SparkSession, value, tag: str = ""):
         return hit
     bc = spark.sparkContext.broadcast(value)
     while len(cache) >= MEMO_CAP:
-        cache.pop(next(iter(cache)))
+        old = cache.pop(next(iter(cache)))
+        try:
+            old.unpersist(False)  # drop executor copies; driver value stays
+        except Exception:  # noqa: BLE001 — best-effort cleanup
+            pass
     cache[key] = bc
     return bc
+
+
+def clear_session_memos(spark: SparkSession) -> int:
+    """Drop EVERY session-scoped memo cache — checkpoints, plan objects,
+    trained scalars/models, broadcasts, table/schema metadata — so the
+    next build of any operator pays its full first-run cost.
+
+    This is the bench's memo-cold hook (r12 verdict task 1): steady-state
+    passes with warm memos measure the long-lived-service workload, but
+    the 100 TB-relevant number is what a FIRST run of each query costs —
+    training jobs, checkpoint materializations, metadata reads included.
+    Clearing between passes makes the two separable without ripping out
+    memos a real service legitimately wants.
+
+    Every memo in the engine lives in ``spark.__dict__`` under a
+    ``_squrve_*`` key (the session-lifetime convention), so the sweep is
+    name-based and future-proof. Broadcast entries are unpersisted
+    best-effort first (executor copies dropped; a plan still referencing
+    one re-ships lazily from the driver value, so nothing breaks).
+    Checkpoint blocks are freed by the ContextCleaner once the dropped
+    frames are garbage-collected — ``gc.collect()`` nudges that so
+    repeated cold passes don't accumulate orphaned block sets.
+    Returns the number of caches cleared."""
+    import gc
+
+    names = [k for k in list(spark.__dict__) if k.startswith("_squrve_")]
+    for name in names:
+        cache = spark.__dict__.get(name)
+        if name == "_squrve_bcast_cache" and isinstance(cache, dict):
+            for bc in cache.values():
+                try:
+                    bc.unpersist(False)
+                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    pass
+        spark.__dict__.pop(name, None)
+    gc.collect()
+    return len(names)
 
 
 def register_tables(

@@ -687,6 +687,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r WHERE rn <= 5
     """,
     tags=("similarity",),
+    # rotated out of the driver-checked 50 in r13 (r12 verdict task 8:
+    # slot given to a never-checked oracle); exact parity stays asserted
+    # in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for query vectors vec_id<8 (ANN baseline).
@@ -747,7 +751,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY query_id, rank
     """,
     tags=("similarity",),
-    defer_oracle=True,
+    # rotated INTO the driver-checked 50 in r13 (r12 verdict task 8)
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via sign-LSH banding + exact re-rank. Recall vs the
@@ -958,7 +962,7 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text",),
     # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
-    defer_oracle=True,
+    # rotated INTO the driver-checked 50 in r13 (r12 verdict task 8)
 )
 def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM cross-entropy per doc (CCNet-style statistical quality
@@ -3050,7 +3054,7 @@ def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source FROM r JOIN q USING (source) WHERE rk <= k
     """,
     tags=("sampling", "mixing"),
-    defer_oracle=True,
+    # rotated INTO the driver-checked 50 in r13 (r12 verdict task 8)
 )
 def doc_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mixture construction: downsample three sources to 50/30/20
@@ -3830,6 +3834,10 @@ def doc_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     tags=("hygiene", "text"),
+    # rotated out of the driver-checked 50 in r13 (r12 verdict task 8:
+    # slot given to a never-checked oracle); exact parity stays asserted
+    # in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked PII REDACTION (complements the no-oracle
@@ -3977,6 +3985,10 @@ def doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("similarity", "compression"),
     # driver-checked (r7 late rotation, promoted over doc_topk_quality)
+    # rotated out of the driver-checked 50 in r13 (r12 verdict task 8:
+    # slot given to a never-checked oracle); exact parity stays asserted
+    # in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-dim int8 embedding quantization with a round-trip
@@ -4020,7 +4032,7 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY query_id, rank
     """,
     tags=("similarity", "ann", "compression"),
-    defer_oracle=True,
+    # rotated INTO the driver-checked 50 in r13 (r12 verdict task 8)
 )
 def sim_hamming_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 under sign-bit Hamming distance — the 32x-compressed
@@ -4254,6 +4266,10 @@ def sim_int8_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     tags=("curation", "composite", "pipeline"),
+    # rotated out of the driver-checked 50 in r13 (r12 verdict task 8:
+    # slot given to a never-checked oracle); exact parity stays asserted
+    # in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def pipeline_curate_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-7 curation composite — the C4/RefinedWeb recipe end-to-end
@@ -5388,7 +5404,7 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM marked GROUP BY doc_id ORDER BY doc_id
     """,
     tags=("dedup", "hygiene"),
-    defer_oracle=True,
+    # rotated INTO the driver-checked 50 in r13 (r12 verdict task 8)
 )
 def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc line dedup (RefinedWeb boilerplate removal) over the
@@ -6047,7 +6063,7 @@ def sim_ipq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM final ORDER BY query_id, rank
     """,
     tags=("similarity", "ann"),
-    defer_oracle=True,  # r12 addition; the driver-checked 50 is full
+    # rotated INTO the driver-checked 50 in r13 (r12 verdict task 8)
 )
 def sim_iivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-IVFPQ top-5 for query vectors vec_id<8
@@ -6083,7 +6099,7 @@ def sim_iivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM final ORDER BY query_id, rank
     """,
     tags=("similarity", "ann"),
-    defer_oracle=True,  # r12 addition; the driver-checked 50 is full
+    # rotated INTO the driver-checked 50 in r13 (r12 verdict task 8)
 )
 def sim_iivfpq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-IVFPQ top-5 with a FROZEN-parameter shard append
@@ -6787,7 +6803,7 @@ def _recall_audit_oracle() -> str:
     "sim_recall_audit",
     oracle=_recall_audit_oracle(),
     tags=("similarity", "eval"),
-    defer_oracle=True,
+    # rotated INTO the driver-checked 50 in r13 (r12 verdict task 8)
 )
 def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality audit as a QUERY: per-(tier, query) recall@5 of the

@@ -523,6 +523,10 @@ def q_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
     tags=("A13",),
+    # rotated out of the driver-checked 50 in r13 (r12 verdict task 8:
+    # slot given to a never-checked oracle); exact parity stays asserted
+    # in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q_window_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 window surface in one pass: ordered running-sum frame over exact
@@ -692,6 +696,10 @@ def q_case_condagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) AND p.p_partkey < 100
     """,
     tags=("A5", "A11"),
+    # rotated out of the driver-checked 50 in r13 (r12 verdict task 8:
+    # slot given to a never-checked oracle); exact parity stays asserted
+    # in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q_corr_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (cheapest offer per part, TPC-H Q2 shape).
@@ -934,6 +942,10 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("A5", "A23", "null-safe"),
     # deferred: driver cap full; exact parity in tests/test_oracle_parity.py
+    # rotated out of the driver-checked 50 in r13 (r12 verdict task 8:
+    # slot given to a never-checked oracle); exact parity stays asserted
+    # in tests/test_oracle_parity.py
+    defer_oracle=True,
 )
 def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (r5): the NULL group (priority folded to

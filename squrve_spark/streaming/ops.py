@@ -625,7 +625,10 @@ def _update_scd2(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         order = np.lexsort((eids, t_us))
         t_us = t_us[order]
         ets = ets[order]
-    prev = np.empty_like(ets)
+    # object dtype, NOT empty_like(ets): if event_type ever arrived as a
+    # fixed-width unicode array, assigning last_status/the sentinel would
+    # silently truncate and could fake equality with ets[0] (r12 advice)
+    prev = np.empty(len(ets), dtype=object)
     prev[0] = last_status if last_status is not None else "\x00<none>"
     prev[1:] = ets[:-1]
     chg = np.flatnonzero(ets != prev)

@@ -254,14 +254,19 @@ def test_pipeline_curate_audit_no_stage_replay(spark):
     4x...). Now the gates land in one checkpointed flag frame: the returned
     plan must read that frame (ExistingRDD), never re-scan documents
     parquet per stage."""
+    # Fresh-memo build (r12 advice): with warm session memos, shared
+    # memo_checkpoint sub-frames NEST depending on which entries ran
+    # earlier in the session, which made this assertion order-dependent
+    # (the bound had crept 4 -> 8 to absorb that). Clearing the memos
+    # first pins the plan to its first-run shape and restores the tight
+    # regression bound a real stage-replay would trip.
+    from squrve_spark.catalog import clear_session_memos
+
+    clear_session_memos(spark)
     plan = formatted_plan(REGISTRY["pipeline_curate"].fn(spark, SF_MED))
     assert "documents" not in plan  # no parquet re-scan in the audit plan
-    # consumers of checkpointed frames (tree + detail lines). When other
-    # entries ran first in the session, shared memo_checkpoint sub-frames
-    # NEST (a checkpoint built over another entry's checkpoint), adding
-    # ExistingRDD scans that are each materialized once — still zero
-    # parquet re-scans, which is what this regression test protects.
-    assert plan.count("Scan ExistingRDD") <= 8
+    # consumers of checkpointed frames (tree + detail lines)
+    assert plan.count("Scan ExistingRDD") <= 4
 
 
 def test_events_funnel_single_scan_single_user_shuffle(spark):
@@ -437,3 +442,34 @@ def test_pure_plan_entries_launch_no_jobs_when_warm(spark):
             bad_hash.append(name)
     assert not bad_jobs, f"entries launched jobs on a warm build: {bad_jobs}"
     assert not bad_hash, f"entries built unstable plans: {bad_hash}"
+
+
+def test_plan_key_memos_miss_on_inplace_rewrite(spark, tmp_path):
+    """r13 (r12 verdict task 6): plan_key folds each input file's
+    size+mtime into the key, so an IN-PLACE rewrite of the same parquet
+    path within a session makes every plan_key-keyed memo (checkpoints,
+    counts, trained scalars, offsets) MISS instead of serving data from
+    the previous file generation. Before this, the key's inputFiles
+    component only caught rewrites that changed file NAMES."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from squrve_spark.catalog import memo_checkpoint, memo_count, plan_key
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"x": [1, 2, 3]}), p)
+    df1 = spark.read.parquet(p)
+    k1 = plan_key(df1)
+    assert memo_count(df1) == 3
+    ck1 = memo_checkpoint(df1)
+    assert sorted(r["x"] for r in ck1.collect()) == [1, 2, 3]
+
+    # same file NAME, new bytes — the exact case the fingerprint exists for
+    pq.write_table(pa.table({"x": [10, 20, 30, 40]}), p)
+    df2 = spark.read.parquet(p)
+    k2 = plan_key(df2)
+    assert k1 != k2, "plan_key must change when an input file is rewritten"
+    assert memo_count(df2) == 4  # fresh count job, not the cached 3
+    ck2 = memo_checkpoint(df2)
+    assert ck2 is not ck1
+    assert sorted(r["x"] for r in ck2.collect()) == [10, 20, 30, 40]
