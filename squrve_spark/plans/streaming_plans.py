@@ -463,9 +463,11 @@ def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from squrve_spark.operators.sketches import incremental_quantiles
-    from squrve_spark.streaming.ops import read_event_stream
+    from squrve_spark.streaming.ops import _scratch_root, read_event_stream
 
-    work = tempfile.mkdtemp(prefix="squrve_kll_stream_")
+    # scratch-backed (r13): throwaway checkpoint + per-call sketch store —
+    # see streaming.ops._scratch_root for the fsync rationale
+    work = tempfile.mkdtemp(prefix="squrve_kll_stream_", dir=_scratch_root())
     store = f"{work}/store"
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -528,6 +530,7 @@ def stream_lm_ppl_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from squrve_spark.catalog import load_table
     from squrve_spark.operators import lm
     from squrve_spark.operators.sketches import incremental_quantiles
+    from squrve_spark.streaming.ops import _scratch_root
 
     from squrve_spark.catalog import memo_checkpoint
 
@@ -543,7 +546,8 @@ def stream_lm_ppl_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = memo_checkpoint(bigrams)
     contexts = memo_checkpoint(contexts)
 
-    work = tempfile.mkdtemp(prefix="squrve_ppl_stream_")
+    # scratch-backed (r13): throwaway checkpoint + per-call KLL store
+    work = tempfile.mkdtemp(prefix="squrve_ppl_stream_", dir=_scratch_root())
     store = f"{work}/store"
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:

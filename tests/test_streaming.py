@@ -41,6 +41,32 @@ def test_stream_hourly_equals_batch(spark):
     assert rows_set(got, cols) == rows_set(batch, cols)
 
 
+def test_drain_scratch_checkpoint_and_lazy_readback(spark):
+    """r13 drain-helper internals: the memory-sink drain (a) uses an
+    explicit throwaway checkpoint under the scratch root and REMOVES it
+    after the drain (the implicit temp checkpoint used to leak into
+    /tmp), (b) returns a 1-partition lazily-checkpointed frame that stays
+    fully usable after the sink's temp view is dropped — the plan holds
+    the sink relation itself, so deferred materialization must not lose
+    rows."""
+    import glob
+    import os
+
+    from squrve_spark.streaming.ops import _scratch_root
+
+    root = _scratch_root()
+    before = set(glob.glob(os.path.join(root, "squrve_stream_ck_*")))
+    ev = read_event_stream(spark, SF_SMALL)
+    got = run_stream_to_table(hourly_counts_stream(ev), "complete")
+    after = set(glob.glob(os.path.join(root, "squrve_stream_ck_*")))
+    assert after <= before, f"leaked checkpoint dirs: {sorted(after - before)}"
+    assert got.rdd.getNumPartitions() == 1
+    # dropTempView already happened inside the drain; the frame must
+    # still produce the full result (lazy checkpoint materializes here)
+    n = got.count()
+    assert n > 0 and n == got.count()
+
+
 def test_stream_sessions_equal_batch_session_window(spark):
     """Streaming session_window == batch session_window (same operator,
     incremental vs one-shot execution)."""
